@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders.
+  *
+  * All engine queries read the driver-generated parquet tables under an
+  * sf directory (TESTDATA.md). Loaders centralize two cross-cutting
+  * concerns:
+  *
+  *  1. `events.ts` is written as parquet `TIMESTAMP(NANOS)`, which
+  *     Spark's parquet reader rejects outright. We read it with
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as
+  *     `long` nanos) and normalize to a microsecond `timestamp` column
+  *     — the same truncation DuckDB applies when it reads the file, so
+  *     oracle comparisons line up exactly.
+  *
+  *  2. At 100 TB these reads would be partitioned tables, not single
+  *     files; keeping every scan behind this one function means
+  *     partition-pruning-friendly layouts (e.g. events partitioned by
+  *     date) need a change in exactly one place.
+  */
+object Tables {
+
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** `events` with `ts` normalized to a µs `timestamp` (see scaladoc above).
+    * The nanos-as-long flag is a runtime SQLConf; set defensively here so
+    * callers outside Verify/Bench (tests, spark-shell) work too.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** User–item interactions derived from the star schema
+    * (SURVEY.md §7.2): user = o_custkey, item = l_partkey,
+    * strength = total quantity across all of the user's orders.
+    *
+    * Scale note: orders⋈lineitem is a fact⋈fact equi-join on
+    * l_orderkey — at 100 TB both sides shuffle on the key (or are
+    * bucketed by it at rest); the projection keeps only 3 columns so
+    * the shuffle is narrow.
+    */
+  def interactions(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(sum("l_quantity").as("strength"))
+      .select(col("user_id"), col("item_id"), col("strength"))
+  }
+
+  /** Register every fixture table as a session temp view (S6) so queries
+    * can be expressed in SQL; `events` is registered with its normalized
+    * µs timestamp. Idempotent per session+sfDir.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    starTables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    documents(spark, sfDir).createOrReplaceTempView("documents")
+    embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
+  /** DuckDB-side SQL equivalent of [[interactions]], used as a CTE body
+    * inside oracle queries (oracle tables are named views over the same
+    * parquet files).
+    */
+  val interactionsSql: String =
+    """SELECT o_custkey AS user_id, l_partkey AS item_id, sum(l_quantity) AS strength
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+}

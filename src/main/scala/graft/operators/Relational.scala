@@ -1,0 +1,694 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.1–§2.8): scans, joins, aggregations,
+  * windows, set ops and scalar-function coverage, each as an
+  * oracle-backed query over the star schema / events fixtures.
+  *
+  * Conventions shared by every query here (SURVEY.md §7.4):
+  *  - every result ends in a full ORDER BY with a unique tie-break so
+  *    the DuckDB hash-compare is deterministic;
+  *  - floating aggregates are rounded (4 dp) to absorb summation-order
+  *    differences between engines;
+  *  - no raw timestamps in output — dates/strings/epoch longs only
+  *    (parquet tz metadata differs between writers);
+  *  - aliases match the oracle SQL column-for-column.
+  *
+  * Scale notes are on each query: the fixtures are small but each plan
+  * is written for the 1000-executor case — dimension joins broadcast,
+  * facts shuffle on their join keys once, filters stay sargable so they
+  * reach the parquet scan.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary. Single scan + partial/final hash
+    * aggregate on 2 low-cardinality keys; at scale this is map-side
+    * combine into a 6-row result — no skew possible. Filter is sargable
+    * (pushed to parquet row groups).
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation across the full star join. lineitem⋈orders is
+    * the only fact⋈fact shuffle; customer/nation/region are explicitly
+    * broadcast so the plan stays a single shuffle stage at any SF.
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Global top-k: Catalyst rewrites orderBy+limit to
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    o.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, total_spend, n_orders
+      |FROM (
+      |  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend, count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |) JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_spend DESC, c_custkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Left outer join keeping customers with zero orders; count(o_orderkey)
+    * ignores the null-extended rows, so empty customers report 0.
+    */
+  def customerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val customerOrderCountsSql: String =
+    """SELECT c_mktsegment,
+      |  count(o_orderkey) AS n_orders,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left semi join — existence filter, no row multiplication. At scale
+    * the probe side stays un-exploded (vs an inner join + distinct).
+    */
+  def bigSpenders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).where(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val bigSpendersSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti join — the recsys "exclude already-seen" primitive
+    * (SURVEY.md J6) in its relational form: parts never shipped in 1998.
+    */
+  def partsNotShipped1998(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") <  lit("1999-01-01").cast("timestamp_ntz"))
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  val partsNotShipped1998Sql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Range/theta join (SURVEY.md J7): view→purchase attribution — each
+    * purchase event matched to the same user's view events in the
+    * preceding hour. Written as an equi-join on the user key with the
+    * time range as a residual predicate — shuffles once on user_id
+    * instead of degenerating to a broadcast nested loop.
+    */
+  def eventOrderAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val buys = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+              unix_micros(col("ts")).as("buy_us"), col("value"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), unix_micros(col("ts")).as("view_us"))
+    buys.join(views,
+        col("buy_user") === col("view_user") &&
+        col("view_us") < col("buy_us") &&
+        col("view_us") >= col("buy_us") - lit(3600L * 1000000L))
+      .groupBy(col("buy_user").as("user_id"))
+      .agg(countDistinct(col("buy_id")).as("n_attributed_purchases"),
+           count(lit(1)).as("n_view_pairs"),
+           round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val eventOrderAttributionSql: String =
+    """SELECT b.user_id AS user_id,
+      |  count(DISTINCT b.event_id) AS n_attributed_purchases,
+      |  count(*) AS n_view_pairs,
+      |  round(sum(b.value), 4) AS sum_value
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS buy_us, value
+      |      FROM events WHERE event_type = 'purchase') b
+      |JOIN (SELECT user_id, epoch_us(ts) AS view_us
+      |      FROM events WHERE event_type = 'view') v
+      |  ON b.user_id = v.user_id
+      | AND v.view_us < b.buy_us AND v.view_us >= b.buy_us - 3600000000
+      |GROUP BY b.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Cross join scaffold (J8): dense nation×event_type grid, zero-filled
+    * from the observed counts via a left join. The grid side is tiny by
+    * construction — Catalyst broadcasts it.
+    */
+  def nationEventGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val types = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    val grid = n.crossJoin(types)
+    val counts = Tables.events(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")),
+            col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("cnt"))
+    grid.join(counts,
+        grid("n_nationkey") === counts("c_nationkey") && grid("event_type") === counts("et"),
+        "left")
+      .select(col("n_name"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("n_events"))
+      .orderBy("n_name", "event_type")
+  }
+
+  val nationEventGridSql: String =
+    """WITH grid AS (
+      |  SELECT n_nationkey, n_name, event_type
+      |  FROM nation CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      |), counts AS (
+      |  SELECT c_nationkey, event_type AS et, count(*) AS cnt
+      |  FROM events JOIN customer ON user_id = c_custkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, event_type, coalesce(cnt, 0) AS n_events
+      |FROM grid LEFT JOIN counts ON grid.n_nationkey = counts.c_nationkey AND grid.event_type = counts.et
+      |ORDER BY n_name, event_type""".stripMargin
+
+  /** ROLLUP over region→nation (A5). Null group markers are coalesced to
+    * 'ALL' so the row set is label-stable across engines. Expressed in
+    * SQL over temp views (S6): the DataFrame rollup API trips the
+    * ambiguous-self-join detector when its input contains joins
+    * (Expand duplicates the grouping attributes); the SQL path analyzes
+    * cleanly and produces the identical plan. The dimension joins are
+    * auto-broadcast (all under the broadcast threshold at any SF).
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  val revenueRollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over order status×priority (A5). */
+  def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("avg_price"))
+      .orderBy("status", "priority")
+
+  val ordersCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Pivot (A6): event_type counts per user-id bucket. Pivot values are
+    * pinned explicitly — at scale an unpinned pivot needs an extra pass
+    * to discover the domain.
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  val eventPivotSql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  count(*) FILTER (event_type = 'view')     AS "view",
+      |  count(*) FILTER (event_type = 'click')    AS "click",
+      |  count(*) FILTER (event_type = 'purchase') AS "purchase",
+      |  count(*) FILTER (event_type = 'signup')   AS "signup",
+      |  count(*) FILTER (event_type = 'error')    AS "error"
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY user_bucket""".stripMargin
+
+  /** Per-group top-k via row_number (W1) — the most load-bearing window
+    * shape in the engine (also used by every recommender top-N). Unique
+    * tie-break (revenue desc, partkey asc) keeps it deterministic.
+    */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
+    val rev = l.groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey").asc)
+    rev.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("revenue"))
+      .orderBy("p_brand", "rk")
+  }
+
+  val topPartsPerBrandSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, p_partkey, p_name,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT p_brand, p_partkey, p_name, revenue,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rk
+      |  FROM rev
+      |)
+      |SELECT p_brand, rk, p_partkey, p_name, revenue
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Running/frame aggregate (W4): cumulative spend per customer in
+    * order-date order. Emits the date as a string (no raw timestamps in
+    * results — see file header). Restricted to one mktsegment to keep
+    * the verify dump small; the window itself scales per-customer.
+    */
+  def runningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+              col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val runningRevenueSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag() inter-event gaps (W3): average seconds between consecutive
+    * events per user. Deterministic window order via (ts, event_id).
+    */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .groupBy("user_id")
+      .agg(count(col("gap_us")).as("n_gaps"),
+           round(avg(col("gap_us") / lit(1000000.0)), 4).as("avg_gap_sec"),
+           max(col("gap_us")).as("max_gap_us"))
+      .where(col("n_gaps") > 0)
+      .orderBy("user_id")
+  }
+
+  val eventGapsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+      |  FROM events
+      |)
+      |SELECT user_id, count(gap_us) AS n_gaps,
+      |  round(avg(gap_us / 1000000.0), 4) AS avg_gap_sec, max(gap_us) AS max_gap_us
+      |FROM g
+      |GROUP BY user_id
+      |HAVING count(gap_us) > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** Batch sessionization (W5): gap > 30 min opens a new session;
+    * cumulative-sum-of-boundaries assigns ids, then sessions are
+    * profiled per user. One shuffle on user_id serves both windows.
+    */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = e
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           round(avg(col("n_events")), 4).as("avg_events_per_session"),
+           max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionStatsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), s AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g
+      |), per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  round(avg(n_events), 4) AS avg_events_per_session,
+      |  max(n_events) AS max_session_events
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** rank/dense_rank/ntile coverage (W2) over nation revenue. */
+  def nationRevenueRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = revenueByNation(spark, sfDir).select("r_name", "n_name", "revenue")
+    val w = Window.orderBy(col("revenue").desc, col("n_name").asc)
+    base
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("n_name"), col("revenue"), col("rnk"), col("drnk"), col("quartile"))
+      .orderBy("rnk", "n_name")
+  }
+
+  val nationRevenueRanksSql: String =
+    """WITH base AS (
+      |  SELECT r_name, n_name,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name
+      |)
+      |SELECT n_name, revenue,
+      |  rank()       OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4)     OVER w AS quartile
+      |FROM base
+      |WINDOW w AS (ORDER BY revenue DESC, n_name ASC)
+      |ORDER BY rnk, n_name""".stripMargin
+
+  /** Set operations (U1–U3): users who viewed AND purchased (intersect),
+    * viewed but never purchased (except), unioned with a label column.
+    */
+  def setOpsUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val viewers    = e.where(col("event_type") === "view").select("user_id")
+    val purchasers = e.where(col("event_type") === "purchase").select("user_id")
+    val both    = viewers.intersect(purchasers).withColumn("cohort", lit("view_and_purchase"))
+    val viewOnly = viewers.except(purchasers).withColumn("cohort", lit("view_only"))
+    both.unionByName(viewOnly)
+      .groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort")
+  }
+
+  val setOpsUsersSql: String =
+    """WITH both_c AS (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |), view_only AS (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |), u AS (
+      |  SELECT user_id, 'view_and_purchase' AS cohort FROM both_c
+      |  UNION ALL
+      |  SELECT user_id, 'view_only' AS cohort FROM view_only
+      |)
+      |SELECT cohort, count(*) AS n_users FROM u GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  /** Exact + distinct aggregation per event type (A1/A2). */
+  def eventTypeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum("value"), 4).as("sum_value"),
+           round(avg("value"), 4).as("avg_value"))
+      .orderBy("event_type")
+
+  val eventTypeStatsSql: String =
+    """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** approx_count_distinct (A3, HLL++). Estimates are engine-specific so
+    * there is deliberately no oracle entry — the driver records a
+    * rows-only check; the exact twin is eventTypeStats.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** Date/time function coverage (F2): monthly order rollup. */
+  def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 4).as("revenue"),
+           countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("month")
+
+  val ordersByMonthSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
+  /** JSON extraction (F5) from the events.props string column. */
+  def jsonPropsStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+           round(avg(col("k")), 4).as("avg_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonPropsStatsSql: String =
+    """SELECT event_type,
+      |  count(k) AS n_with_k, round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Conditional expressions (P3): implicit-feedback weighting of event
+    * types into a per-user preference score.
+    */
+  def implicitPreference(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight = when(col("event_type") === "purchase", 5.0)
+      .when(col("event_type") === "click", 2.0)
+      .when(col("event_type") === "signup", 3.0)
+      .when(col("event_type") === "view", 1.0)
+      .otherwise(0.0)
+    Tables.events(spark, sfDir)
+      .withColumn("w", weight)
+      .groupBy("user_id")
+      .agg(round(sum(col("w") * col("value")), 4).as("pref_score"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("pref_score").desc, col("user_id").asc)
+      .limit(100)
+  }
+
+  val implicitPreferenceSql: String =
+    """SELECT user_id,
+      |  round(sum((CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'click' THEN 2.0
+      |             WHEN 'signup' THEN 3.0 WHEN 'view' THEN 1.0 ELSE 0.0 END) * value), 4) AS pref_score,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY pref_score DESC, user_id ASC
+      |LIMIT 100""".stripMargin
+
+  /** Null handling (P4): nullif/coalesce round-trip over event values. */
+  def nullHandling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", expr("nullif(value, 0.0)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("v")).as("n_nonzero"),
+           round(avg(coalesce(col("v"), lit(0.0))), 4).as("avg_zero_filled"),
+           round(avg(col("v")), 4).as("avg_nonzero"))
+      .orderBy("event_type")
+
+  val nullHandlingSql: String =
+    """SELECT event_type, count(*) AS n_rows, count(v) AS n_nonzero,
+      |  round(avg(coalesce(v, 0.0)), 4) AS avg_zero_filled,
+      |  round(avg(v), 4) AS avg_nonzero
+      |FROM (SELECT event_type, nullif(value, 0.0) AS v FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Global top-k (O3): TakeOrderedAndProject, no full sort. */
+  def topLineitems(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round(col("l_extendedprice"), 4).as("price"), col("l_quantity"))
+      .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+
+  val topLineitemsSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price, l_quantity
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pricing_summary"     -> (pricingSummary _),
+    "q_revenue_by_nation"   -> (revenueByNation _),
+    "q_top_customers"       -> (topCustomers _),
+    "q_customer_order_counts" -> (customerOrderCounts _),
+    "q_semi_big_spenders"   -> (bigSpenders _),
+    "q_anti_parts_not_shipped" -> (partsNotShipped1998 _),
+    "q_range_event_attribution" -> (eventOrderAttribution _),
+    "q_cross_nation_event_grid" -> (nationEventGrid _),
+    "q_rollup_revenue"      -> (revenueRollup _),
+    "q_cube_orders"         -> (ordersCube _),
+    "q_pivot_events"        -> (eventPivot _),
+    "q_window_top_parts"    -> (topPartsPerBrand _),
+    "q_window_running_revenue" -> (runningRevenue _),
+    "q_window_event_gaps"   -> (eventGaps _),
+    "q_window_sessions"     -> (sessionStats _),
+    "q_window_ranks"        -> (nationRevenueRanks _),
+    "q_setops_users"        -> (setOpsUsers _),
+    "q_event_type_stats"    -> (eventTypeStats _),
+    "q_approx_distinct"     -> (approxDistinctUsers _),
+    "q_orders_by_month"     -> (ordersByMonth _),
+    "q_json_props"          -> (jsonPropsStats _),
+    "q_implicit_preference" -> (implicitPreference _),
+    "q_null_handling"       -> (nullHandling _),
+    "q_top_lineitems"       -> (topLineitems _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary"     -> pricingSummarySql,
+    "q_revenue_by_nation"   -> revenueByNationSql,
+    "q_top_customers"       -> topCustomersSql,
+    "q_customer_order_counts" -> customerOrderCountsSql,
+    "q_semi_big_spenders"   -> bigSpendersSql,
+    "q_anti_parts_not_shipped" -> partsNotShipped1998Sql,
+    "q_range_event_attribution" -> eventOrderAttributionSql,
+    "q_cross_nation_event_grid" -> nationEventGridSql,
+    "q_rollup_revenue"      -> revenueRollupSql,
+    "q_cube_orders"         -> ordersCubeSql,
+    "q_pivot_events"        -> eventPivotSql,
+    "q_window_top_parts"    -> topPartsPerBrandSql,
+    "q_window_running_revenue" -> runningRevenueSql,
+    "q_window_event_gaps"   -> eventGapsSql,
+    "q_window_sessions"     -> sessionStatsSql,
+    "q_window_ranks"        -> nationRevenueRanksSql,
+    "q_setops_users"        -> setOpsUsersSql,
+    "q_event_type_stats"    -> eventTypeStatsSql,
+    // q_approx_distinct: no oracle by design (HLL estimates are engine-specific)
+    "q_orders_by_month"     -> ordersByMonthSql,
+    "q_json_props"          -> jsonPropsStatsSql,
+    "q_implicit_preference" -> implicitPreferenceSql,
+    "q_null_handling"       -> nullHandlingSql,
+    "q_top_lineitems"       -> topLineitemsSql,
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  test("every relational query runs non-empty on sf0.001 and matches its declared columns") {
+    operators.Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfTest)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without a query: $missing")
+  }
+
+  test("pricing summary aggregates correctly on a literal frame") {
+    import spark.implicits._
+    // two groups, hand-checked sums
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.1),
+      ("A", "F", 20.0, 200.0, 0.0),
+      ("N", "O", 5.0, 50.0, 0.5)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+    val got = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(got(0) === Row("A", "F", 30.0, 290.0))
+    assert(got(1) === Row("N", "O", 5.0, 25.0))
+  }
+
+  test("sessionization splits on >30min gaps (literal frame)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val e = Seq(
+      (1L, 1L, at(0)), (2L, 1L, at(60)),           // session 1
+      (3L, 1L, at(60 + 1801 + 60)),                 // gap 1861s -> session 2
+      (4L, 2L, at(0))                               // other user
+    ).toDF("event_id", "user_id", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sessions = e
+      .withColumn("gap", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id").agg(max("sid").as("n_sessions"))
+      .orderBy("user_id").collect()
+    assert(sessions(0) === Row(1L, 2L))
+    assert(sessions(1) === Row(2L, 1L))
+  }
+
+  test("events loader yields microsecond timestamps (ns truncated like DuckDB)") {
+    val e = Tables.events(spark, sfTest)
+    assert(e.schema("ts").dataType.typeName === "timestamp")
+    assert(e.count() > 0)
+  }
+}

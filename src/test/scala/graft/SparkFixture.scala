@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for ScalaTest suites — mirrors the
+  * Verify/Bench harness configs (UTC, nanos-as-long, small shuffle).
+  */
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkFixture.session
+
+  val sfTest = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
