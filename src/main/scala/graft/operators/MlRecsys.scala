@@ -1,9 +1,111 @@
 package graft.operators
 
+import graft.Tables
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.fpm.FPGrowth
+import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** MLlib-backed recommenders (SURVEY.md §2.9 M5–M7). These are not
+  * SQL-expressible, so none carry a DuckDB oracle — the driver records
+  * rows-only checks and MlRecsysSpec asserts the algorithmic invariants
+  * (factor shapes, score monotonicity, seed stability).
+  *
+  * Every model is seeded and single-stage-deterministic where the
+  * implementation allows; outputs are ranked with unique tie-breaks so
+  * repeated runs on the same session are stable.
+  *
+  * Scale notes: ALS shuffles per iteration (block factorization);
+  * recommend-for-all is a blocked cross-join that grows with
+  * |users|·|items| — we expose a user-subset variant, which is what a
+  * production pipeline serves incrementally anyway. FPGrowth's cost is
+  * bounded by basket size (TPC-H orders are ≤7 lines); Word2Vec trains
+  * on per-user sequences with numPartitions=1 for reproducibility (at
+  * real scale: more partitions, accepting run-to-run vector drift).
+  */
 object MlRecsys {
+
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
+
+  val Seed = 42L
+
+  /** M5 ALS (explicit feedback on interaction strength), top-5 recs for
+    * the first 200 users. coldStartStrategy=drop keeps NaN-free output.
+    */
+  def alsRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = Tables.interactions(spark, sfDir)
+      .select(col("user_id").cast("int").as("user"),
+              col("item_id").cast("int").as("item"),
+              col("strength").cast("float").as("rating"))
+    val als = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(8).setMaxIter(5).setRegParam(0.1)
+      .setSeed(Seed).setColdStartStrategy("drop")
+      .setNumUserBlocks(4).setNumItemBlocks(4)
+    val model = als.fit(ratings)
+    val subset = ratings.select("user").distinct().where(col("user") < 200)
+    model.recommendForUserSubset(subset, 5)
+      .select(col("user").as("user_id"), posexplode(col("recommendations")))
+      .select(col("user_id"), (col("pos") + 1).as("rk"),
+              col("col.item").as("item_id"),
+              round(col("col.rating"), 4).as("score"))
+      .orderBy("user_id", "rk")
+  }
+
+  /** M6 FP-Growth frequent itemsets over order baskets (A4 collect_set
+    * input). Emits the top itemsets by frequency; association rules are
+    * exercised in the spec (rule count depends on sparsity).
+    */
+  def fpgrowthItemsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val fp = new FPGrowth()
+      .setItemsCol("items").setMinSupport(0.0008).setMinConfidence(0.1)
+    val model = fp.fit(baskets)
+    model.freqItemsets
+      .select(concat_ws(",", sort_array(col("items"))).as("itemset"),
+              size(col("items")).as("k"), col("freq"))
+      .orderBy(col("freq").desc, col("itemset").asc)
+      .limit(100)
+  }
+
+  /** M7 item2vec: Word2Vec skip-gram over per-user item sequences
+    * ordered by order date; emits nearest neighbors of the most popular
+    * item. numPartitions=1 + fixed seed makes training reproducible.
+    */
+  def item2vecSynonyms(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val seqs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("o_orderdate"), col("l_orderkey"), col("l_partkey")))),
+        s => s.getField("l_partkey").cast("string")).as("sentence"))
+    val w2v = new Word2Vec()
+      .setInputCol("sentence").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(2).setSeed(Seed)
+      .setNumPartitions(1).setMaxIter(1)
+    val model = w2v.fit(seqs)
+    val topItem = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey").asc)
+      .limit(1).collect()(0).getLong(0).toString
+    model.findSynonyms(topItem, 5)
+      .select(lit(topItem).as("query_item"), col("word").as("item_id"),
+              round(col("similarity"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_als_recommend"     -> (alsRecommend _),
+    "q_fpgrowth_itemsets" -> (fpgrowthItemsets _),
+    "q_item2vec_synonyms" -> (item2vecSynonyms _),
+  )
+
+  /** MLlib models are not SQL-expressible: no oracle entries (driver
+    * falls back to rows-only checks; MlRecsysSpec covers semantics).
+    */
   val oracleSql: Map[String, String] = Map()
 }

@@ -1,9 +1,460 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Collaborative-filtering operators (SURVEY.md §2.9 M1–M4, M9) in pure
+  * Spark SQL — the reference's signature capability re-expressed
+  * DataFrame-first. Interactions derive from the star schema
+  * (SURVEY.md §7.2): user = o_custkey, item = l_partkey,
+  * strength = Σ l_quantity (integral-valued doubles, so sums are exact
+  * and order-independent across engines).
+  *
+  * Determinism rules used throughout (SURVEY.md §7.4):
+  *  - all rankings order by ROUNDED scores first, then a unique id
+  *    tie-break, so last-bit float noise can never flip a rank;
+  *  - co-occurrence counts and history sizes are exact integers, and
+  *    cosine = co/sqrt(ni*nj) is a single IEEE-exact expression, so
+  *    similarity values are bit-identical across engines.
+  *
+  * Scale design:
+  *  - the user self-join (J3) is the cost center: pairs grow
+  *    quadratically in history length, so histories are capped at
+  *    MaxHistory items per user (deterministic top-by-strength) BEFORE
+  *    pairing — the standard hot-user guard; AQE skew-join handles the
+  *    residue at cluster scale;
+  *  - per-item neighbor lists are cut to TopK immediately after the
+  *    similarity aggregate, keeping the recommend join's build side
+  *    K·|items| instead of |items|².
+  */
 object Recsys {
+
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Hot-user guard: max items kept per user history. */
+  val MaxHistory = 100
+  /** Neighborhood size for item/user similarity. */
+  val TopK = 10
+  /** Recommendations emitted per user. */
+  val TopN = 5
+
+  /** Deterministically capped user→item interactions: top MaxHistory
+    * items per user by (strength desc, item asc).
+    */
+  private def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("strength").desc, col("item_id").asc)
+    Tables.interactions(spark, sfDir)
+      .withColumn("hrk", row_number().over(w))
+      .where(col("hrk") <= MaxHistory)
+      .drop("hrk")
+  }
+
+  private val cappedSql: String =
+    s"""interactions AS (
+       |  ${Tables.interactionsSql.replace("\n", "\n  ")}
+       |), capped AS (
+       |  SELECT user_id, item_id, strength FROM (
+       |    SELECT user_id, item_id, strength,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY strength DESC, item_id ASC) AS hrk
+       |    FROM interactions
+       |  ) WHERE hrk <= $MaxHistory
+       |)""".stripMargin
+
+  /** M1 ItemCF similarity: cosine over binary co-occurrence,
+    * sim(i,j) = |N(i)∩N(j)| / sqrt(|N(i)|·|N(j)|), top-K neighbors per
+    * item. The i<j self-join halves the pair space; the union mirrors
+    * pairs back for per-item ranking.
+    */
+  def itemcfSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
+    val a = r.as("a")
+    val b = r.as("b")
+    val pairs = a.join(b, col("a.user_id") === col("b.user_id") && col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_i"), col("b.item_id").as("item_j"))
+      .agg(count(lit(1)).as("co"))
+    val mirrored = pairs.unionByName(
+      pairs.select(col("item_j").as("item_i"), col("item_i").as("item_j"), col("co")))
+    val ci = counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))
+    val cj = counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))
+    val sim = mirrored
+      .join(ci, "item_i")
+      .join(cj, "item_j")
+      .withColumn("sim", round(col("co") / sqrt(col("ni") * col("nj")), 6))
+    val w = Window.partitionBy(col("item_i")).orderBy(col("sim").desc, col("item_j").asc)
+    sim.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("item_i"), col("rk"), col("item_j"), col("sim"), col("co"))
+      .orderBy("item_i", "rk")
+  }
+
+  val itemcfSimilaritySql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT item_id, count(*) AS n_users FROM r GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT item_i, item_j, co FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, co FROM pairs
+       |), sim AS (
+       |  SELECT item_i, item_j, co,
+       |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
+       |  FROM mirrored
+       |  JOIN counts ci ON ci.item_id = item_i
+       |  JOIN counts cj ON cj.item_id = item_j
+       |), ranked AS (
+       |  SELECT item_i, item_j, sim, co,
+       |    row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |  FROM sim
+       |)
+       |SELECT item_i, rk, item_j, sim, co
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY item_i, rk""".stripMargin
+
+  /** M2 ItemCF recommend: score(u,c) = Σ_{i∈H(u)} sim(i,c)·strength(u,i)
+    * over each history item's top-K neighbors, minus already-seen items
+    * (left anti), top-N per user ranked on the ROUNDED score.
+    */
+  def itemcfRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = cappedInteractions(spark, sfDir)
+    val sim = itemcfSimilarity(spark, sfDir).select("item_i", "item_j", "sim")
+    val scored = hist
+      .join(sim, hist("item_id") === sim("item_i"))
+      .groupBy(col("user_id"), col("item_j").as("cand"))
+      .agg(round(sum(col("sim") * col("strength")), 6).as("score"))
+    val unseen = scored.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
+        col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("cand").asc)
+    unseen.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopN)
+      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("score"))
+      .orderBy("user_id", "rk")
+  }
+
+  val itemcfRecommendSql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT item_id, count(*) AS n_users FROM r GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT item_i, item_j, co FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, co FROM pairs
+       |), sim AS (
+       |  SELECT item_i, item_j,
+       |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
+       |  FROM mirrored
+       |  JOIN counts ci ON ci.item_id = item_i
+       |  JOIN counts cj ON cj.item_id = item_j
+       |), knn AS (
+       |  SELECT item_i, item_j, sim FROM (
+       |    SELECT item_i, item_j, sim,
+       |      row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |    FROM sim
+       |  ) WHERE rk <= $TopK
+       |), scored AS (
+       |  SELECT h.user_id, k.item_j AS cand,
+       |    round(sum(k.sim * h.strength), 6) AS score
+       |  FROM capped h JOIN knn k ON h.item_id = k.item_i
+       |  GROUP BY 1, 2
+       |), unseen AS (
+       |  SELECT s.user_id, s.cand, s.score
+       |  FROM scored s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped h WHERE h.user_id = s.user_id AND h.item_id = s.cand)
+       |), ranked AS (
+       |  SELECT user_id, cand, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, cand ASC) AS rk
+       |  FROM unseen
+       |)
+       |SELECT user_id, rk, cand AS item_id, score
+       |FROM ranked WHERE rk <= $TopN
+       |ORDER BY user_id, rk""".stripMargin
+
+  /** M3 UserCF similarity: the transpose of M1 — user–user cosine via a
+    * self-join on item. Per-item user lists are capped implicitly by the
+    * history cap; at 100 TB a hot-ITEM cap (mirror of MaxHistory) would
+    * be added the same way.
+    */
+  def usercfSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val counts = r.groupBy("user_id").agg(count(lit(1)).as("n_items"))
+    val a = r.as("a")
+    val b = r.as("b")
+    val pairs = a.join(b, col("a.item_id") === col("b.item_id") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_u"), col("b.user_id").as("user_v"))
+      .agg(count(lit(1)).as("co"))
+    val mirrored = pairs.unionByName(
+      pairs.select(col("user_v").as("user_u"), col("user_u").as("user_v"), col("co")))
+    val cu = counts.select(col("user_id").as("user_u"), col("n_items").as("nu"))
+    val cv = counts.select(col("user_id").as("user_v"), col("n_items").as("nv"))
+    val sim = mirrored
+      .join(cu, "user_u")
+      .join(cv, "user_v")
+      .withColumn("sim", round(col("co") / sqrt(col("nu") * col("nv")), 6))
+    val w = Window.partitionBy(col("user_u")).orderBy(col("sim").desc, col("user_v").asc)
+    sim.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("user_u"), col("rk"), col("user_v"), col("sim"), col("co"))
+      .orderBy("user_u", "rk")
+  }
+
+  val usercfSimilaritySql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT user_id, count(*) AS n_items FROM r GROUP BY user_id
+       |), pairs AS (
+       |  SELECT a.user_id AS user_u, b.user_id AS user_v, count(*) AS co
+       |  FROM r a JOIN r b ON a.item_id = b.item_id AND a.user_id < b.user_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT user_u, user_v, co FROM pairs
+       |  UNION ALL
+       |  SELECT user_v AS user_u, user_u AS user_v, co FROM pairs
+       |), sim AS (
+       |  SELECT user_u, user_v, co,
+       |    round(co / sqrt(cu.n_items * cv.n_items), 6) AS sim
+       |  FROM mirrored
+       |  JOIN counts cu ON cu.user_id = user_u
+       |  JOIN counts cv ON cv.user_id = user_v
+       |), ranked AS (
+       |  SELECT user_u, user_v, sim, co,
+       |    row_number() OVER (PARTITION BY user_u ORDER BY sim DESC, user_v ASC) AS rk
+       |  FROM sim
+       |)
+       |SELECT user_u, rk, user_v, sim, co
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY user_u, rk""".stripMargin
+
+  /** M3 UserCF recommend: score(u,c) = Σ_{v∈Nk(u)} sim(u,v)·strength(v,c)
+    * over the top-K user neighborhood, minus seen, top-N per user.
+    */
+  def usercfRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = cappedInteractions(spark, sfDir)
+    val nbrs = usercfSimilarity(spark, sfDir).select("user_u", "user_v", "sim")
+    val scored = nbrs
+      .join(hist.select(col("user_id").as("user_v"), col("item_id").as("cand"), col("strength")), "user_v")
+      .groupBy(col("user_u").as("user_id"), col("cand"))
+      .agg(round(sum(col("sim") * col("strength")), 6).as("score"))
+    val unseen = scored.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
+        col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("cand").asc)
+    unseen.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopN)
+      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("score"))
+      .orderBy("user_id", "rk")
+  }
+
+  val usercfRecommendSql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT user_id, count(*) AS n_items FROM r GROUP BY user_id
+       |), pairs AS (
+       |  SELECT a.user_id AS user_u, b.user_id AS user_v, count(*) AS co
+       |  FROM r a JOIN r b ON a.item_id = b.item_id AND a.user_id < b.user_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT user_u, user_v, co FROM pairs
+       |  UNION ALL
+       |  SELECT user_v AS user_u, user_u AS user_v, co FROM pairs
+       |), sim AS (
+       |  SELECT user_u, user_v,
+       |    round(co / sqrt(cu.n_items * cv.n_items), 6) AS sim
+       |  FROM mirrored
+       |  JOIN counts cu ON cu.user_id = user_u
+       |  JOIN counts cv ON cv.user_id = user_v
+       |), knn AS (
+       |  SELECT user_u, user_v, sim FROM (
+       |    SELECT user_u, user_v, sim,
+       |      row_number() OVER (PARTITION BY user_u ORDER BY sim DESC, user_v ASC) AS rk
+       |    FROM sim
+       |  ) WHERE rk <= $TopK
+       |), scored AS (
+       |  SELECT k.user_u AS user_id, h.item_id AS cand,
+       |    round(sum(k.sim * h.strength), 6) AS score
+       |  FROM knn k JOIN capped h ON h.user_id = k.user_v
+       |  GROUP BY 1, 2
+       |), unseen AS (
+       |  SELECT s.user_id, s.cand, s.score
+       |  FROM scored s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped h WHERE h.user_id = s.user_id AND h.item_id = s.cand)
+       |), ranked AS (
+       |  SELECT user_id, cand, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, cand ASC) AS rk
+       |  FROM unseen
+       |)
+       |SELECT user_id, rk, cand AS item_id, score
+       |FROM ranked WHERE rk <= $TopN
+       |ORDER BY user_id, rk""".stripMargin
+
+  /** Per-item-pair user cap for Swing (bounds the user-pair blowup). */
+  val SwingUserCap = 20
+  /** Swing smoothing term α. */
+  val SwingAlpha = 1.0
+  /** Pairs emitted by the swing query. */
+  val SwingTop = 200
+
+  /** M4 Swing similarity: sim(i,j) = Σ_{(u,v)∈N(i)∩N(j), u<v}
+    * 1/(α + |I_u ∩ I_v|). Robustifies co-occurrence against user pairs
+    * that co-rate everything. Cost control (the 4-way join is the worst
+    * blowup in the engine): per-item user lists capped at SwingUserCap
+    * users (deterministic by user id) BEFORE pairing, on top of the
+    * per-user history cap. Output ranks on the rounded score.
+    */
+  def swingSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("item_id")).orderBy(col("user_id").asc)
+    val r = cappedInteractions(spark, sfDir)
+      .select("user_id", "item_id")
+      .withColumn("urk", row_number().over(w))
+      .where(col("urk") <= SwingUserCap)
+      .drop("urk")
+    // user-pair overlap |I_u ∩ I_v| over the capped interaction set
+    val ra = r.as("ra"); val rb = r.as("rb")
+    val overlap = ra.join(rb, col("ra.item_id") === col("rb.item_id") && col("ra.user_id") < col("rb.user_id"))
+      .groupBy(col("ra.user_id").as("user_u"), col("rb.user_id").as("user_v"))
+      .agg(count(lit(1)).as("overlap"))
+    // item pairs per user: (u, i<j)
+    val ia = r.as("ia"); val ib = r.as("ib")
+    val itemPairs = ia.join(ib, col("ia.user_id") === col("ib.user_id") && col("ia.item_id") < col("ib.item_id"))
+      .select(col("ia.user_id").as("user_id"), col("ia.item_id").as("item_i"), col("ib.item_id").as("item_j"))
+    // user pairs co-rating the same item pair
+    val pa = itemPairs.as("pa"); val pb = itemPairs.as("pb")
+    val swing = pa.join(pb,
+        col("pa.item_i") === col("pb.item_i") && col("pa.item_j") === col("pb.item_j") &&
+        col("pa.user_id") < col("pb.user_id"))
+      .select(col("pa.item_i").as("item_i"), col("pa.item_j").as("item_j"),
+              col("pa.user_id").as("user_u"), col("pb.user_id").as("user_v"))
+      .join(overlap, Seq("user_u", "user_v"))
+      .groupBy("item_i", "item_j")
+      .agg(round(sum(lit(1.0) / (lit(SwingAlpha) + col("overlap"))), 6).as("swing"),
+           count(lit(1)).as("n_user_pairs"))
+    swing
+      .orderBy(col("swing").desc, col("item_i").asc, col("item_j").asc)
+      .limit(SwingTop)
+  }
+
+  val swingSimilaritySql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id,
+       |      row_number() OVER (PARTITION BY item_id ORDER BY user_id ASC) AS urk
+       |    FROM capped
+       |  ) WHERE urk <= $SwingUserCap
+       |), overlap AS (
+       |  SELECT ra.user_id AS user_u, rb.user_id AS user_v, count(*) AS overlap
+       |  FROM r ra JOIN r rb ON ra.item_id = rb.item_id AND ra.user_id < rb.user_id
+       |  GROUP BY 1, 2
+       |), item_pairs AS (
+       |  SELECT ia.user_id AS user_id, ia.item_id AS item_i, ib.item_id AS item_j
+       |  FROM r ia JOIN r ib ON ia.user_id = ib.user_id AND ia.item_id < ib.item_id
+       |), swing AS (
+       |  SELECT pa.item_i, pa.item_j,
+       |    round(sum(1.0 / ($SwingAlpha + o.overlap)), 6) AS swing,
+       |    count(*) AS n_user_pairs
+       |  FROM item_pairs pa
+       |  JOIN item_pairs pb ON pa.item_i = pb.item_i AND pa.item_j = pb.item_j
+       |    AND pa.user_id < pb.user_id
+       |  JOIN overlap o ON o.user_u = pa.user_id AND o.user_v = pb.user_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT item_i, item_j, swing, n_user_pairs
+       |FROM swing
+       |ORDER BY swing DESC, item_i ASC, item_j ASC
+       |LIMIT $SwingTop""".stripMargin
+
+  /** Time-based train/test split boundary for evaluation. */
+  val SplitDate = "1999-07-01"
+  /** K for precision/recall@K. */
+  val EvalK = 10
+
+  /** M9 evaluation metrics: precision@K / recall@K / coverage /
+    * popularity of a most-popular recommender on a time split
+    * (train < SplitDate ≤ test). The popularity recommender is the
+    * standard pure-SQL baseline (MLlib recommenders are evaluated by
+    * invariant tests instead — their scores aren't SQL-reproducible).
+    * Single-row summary output.
+    */
+  def evalPopularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val ui = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"), col("o_orderdate"))
+    val split = lit(SplitDate).cast("timestamp_ntz")
+    val train = ui.where(col("o_orderdate") < split).select("user_id", "item_id").distinct()
+    val test  = ui.where(col("o_orderdate") >= split).select("user_id", "item_id").distinct()
+    val recs = train.groupBy("item_id").agg(countDistinct(col("user_id")).as("pop"))
+      .orderBy(col("pop").desc, col("item_id").asc)
+      .limit(EvalK)
+    val testUsers = test.groupBy("user_id").agg(count(lit(1)).as("n_test_items"))
+    val hits = test.join(broadcast(recs.select("item_id")), "item_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_hits"))
+    val perUser = testUsers.join(hits, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_test_items"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val nItems = Tables.part(spark, sfDir).count()
+    perUser.agg(
+        count(lit(1)).as("n_test_users"),
+        round(avg(col("n_hits") / lit(EvalK.toDouble)), 6).as("precision_at_k"),
+        round(avg(col("n_hits") / col("n_test_items")), 6).as("recall_at_k"),
+        round(lit(EvalK.toDouble) / lit(nItems.toDouble), 6).as("coverage"),
+        sum(col("n_hits")).as("total_hits"))
+  }
+
+  val evalPopularitySql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), train AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate < TIMESTAMP '$SplitDate'
+       |), test AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate >= TIMESTAMP '$SplitDate'
+       |), recs AS (
+       |  SELECT item_id FROM (
+       |    SELECT item_id, count(DISTINCT user_id) AS pop FROM train GROUP BY item_id
+       |  ) ORDER BY pop DESC, item_id ASC LIMIT $EvalK
+       |), test_users AS (
+       |  SELECT user_id, count(*) AS n_test_items FROM test GROUP BY user_id
+       |), hits AS (
+       |  SELECT user_id, count(*) AS n_hits FROM test JOIN recs USING (item_id) GROUP BY user_id
+       |), per_user AS (
+       |  SELECT tu.user_id, tu.n_test_items, coalesce(h.n_hits, 0) AS n_hits
+       |  FROM test_users tu LEFT JOIN hits h ON tu.user_id = h.user_id
+       |)
+       |SELECT count(*) AS n_test_users,
+       |  round(avg(n_hits / ${EvalK.toDouble}), 6) AS precision_at_k,
+       |  round(avg(n_hits / n_test_items), 6) AS recall_at_k,
+       |  round(${EvalK.toDouble} / (SELECT count(*)::DOUBLE FROM part), 6) AS coverage,
+       |  sum(n_hits) AS total_hits
+       |FROM per_user""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_itemcf_similarity" -> (itemcfSimilarity _),
+    "q_itemcf_recommend"  -> (itemcfRecommend _),
+    "q_usercf_similarity" -> (usercfSimilarity _),
+    "q_usercf_recommend"  -> (usercfRecommend _),
+    "q_swing_similarity"  -> (swingSimilarity _),
+    "q_eval_popularity"   -> (evalPopularity _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_itemcf_similarity" -> itemcfSimilaritySql,
+    "q_itemcf_recommend"  -> itemcfRecommendSql,
+    "q_usercf_similarity" -> usercfSimilaritySql,
+    "q_usercf_recommend"  -> usercfRecommendSql,
+    "q_swing_similarity"  -> swingSimilaritySql,
+    "q_eval_popularity"   -> evalPopularitySql,
+  )
 }

@@ -14,6 +14,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("entry")) {
+      val df = graft.SparkEntry.entry(spark)
+      println(s"entry rows=${df.count()}")
+      df.show(5, truncate = false)
+      spark.stop()
+      return
+    }
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")) {
       try {
         val df = spark.read.parquet(s"$sfDir/$t.parquet")

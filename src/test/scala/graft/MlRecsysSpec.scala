@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlRecsysSpec extends AnyFunSuite with SparkFixture {
+
+  test("ALS emits at most 5 finite-scored recs per user, ranked 1..n") {
+    val recs = operators.MlRecsys.alsRecommend(spark, sfTest).cache()
+    assert(recs.count() > 0)
+    val perUser = recs.groupBy("user_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+    assert(perUser.where(col("n") > 5 || col("maxrk") =!= col("n")).count() === 0)
+    assert(recs.where(isnan(col("score")) || col("score").isNull).count() === 0)
+    // rank order: score must be non-increasing within a user
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("rk")
+    val inversions = recs.withColumn("prev", lag("score", 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev") + 1e-6).count()
+    assert(inversions === 0)
+  }
+
+  test("FP-Growth itemset frequencies respect min support") {
+    val baskets = Tables.lineitem(spark, sfTest).select("l_orderkey").distinct().count()
+    val minFreq = math.floor(0.0008 * baskets).toLong
+    val sets = operators.MlRecsys.fpgrowthItemsets(spark, sfTest)
+    assert(sets.count() > 0)
+    assert(sets.where(col("freq") < minFreq).count() === 0)
+  }
+
+  test("item2vec synonyms are 5 items with cosine in [-1, 1]") {
+    val syn = operators.MlRecsys.item2vecSynonyms(spark, sfTest)
+    val rows = syn.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecsysSpec extends AnyFunSuite with SparkFixture {
+
+  lazy val sim = operators.Recsys.itemcfSimilarity(spark, sfTest).cache()
+  lazy val recs = operators.Recsys.itemcfRecommend(spark, sfTest).cache()
+
+  test("itemcf similarity is symmetric and in (0, 1]") {
+    val bad = sim.where(col("sim") <= 0.0 || col("sim") > 1.0).count()
+    assert(bad === 0)
+    // symmetry: sim(i,j) present for (j,i) must carry the same value
+    val a = sim.select(col("item_i"), col("item_j"), col("sim").as("s1"))
+    val b = sim.select(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim").as("s2"))
+    val mismatched = a.join(b, Seq("item_i", "item_j")).where(col("s1") =!= col("s2")).count()
+    assert(mismatched === 0)
+  }
+
+  test("itemcf neighbor lists are at most TopK with dense ranks from 1") {
+    val sizes = sim.groupBy("item_i")
+      .agg(count(lit(1)).as("n"), min("rk").as("minrk"), max("rk").as("maxrk"))
+    assert(sizes.where(col("n") > operators.Recsys.TopK).count() === 0)
+    assert(sizes.where(col("minrk") =!= 1 || col("maxrk") =!= col("n")).count() === 0)
+  }
+
+  test("recommendations never contain already-seen items and are at most TopN") {
+    val hist = Tables.interactions(spark, sfTest)
+      .select(col("user_id"), col("item_id"))
+    val leaked = recs.join(hist, Seq("user_id", "item_id")).count()
+    assert(leaked === 0)
+    val over = recs.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > operators.Recsys.TopN).count()
+    assert(over === 0)
+  }
+
+  test("usercf similarity is symmetric in value") {
+    val us = operators.Recsys.usercfSimilarity(spark, sfTest)
+    val a = us.select(col("user_u"), col("user_v"), col("sim").as("s1"))
+    val b = us.select(col("user_v").as("user_u"), col("user_u").as("user_v"), col("sim").as("s2"))
+    assert(a.join(b, Seq("user_u", "user_v")).where(col("s1") =!= col("s2")).count() === 0)
+  }
+
+  test("swing scores are positive and bounded by pair count / (alpha+1)") {
+    val sw = operators.Recsys.swingSimilarity(spark, sfTest)
+    assert(sw.where(col("swing") <= 0.0).count() === 0)
+    // each user pair contributes at most 1/(alpha+1): overlap >= 1 for co-raters
+    assert(sw.where(col("swing") > col("n_user_pairs") / (operators.Recsys.SwingAlpha + 1.0) + 1e-9).count() === 0)
+  }
+
+  test("eval metrics are valid probabilities") {
+    val m = operators.Recsys.evalPopularity(spark, sfTest).collect()(0)
+    val p = m.getAs[Double]("precision_at_k")
+    val r = m.getAs[Double]("recall_at_k")
+    assert(p >= 0.0 && p <= 1.0)
+    assert(r >= 0.0 && r <= 1.0)
+    assert(m.getAs[Long]("n_test_users") > 0)
+  }
+}
