@@ -51,6 +51,22 @@ object Recsys {
       .drop("hrk")
   }
 
+  /** Map-side pair expansion: per-key sorted element arrays → all (a<b)
+    * combinations via higher-order functions, NO self-join. The groupBy
+    * reuses the hash partitioning the history-cap window already
+    * produced, so pair generation adds zero shuffles — the only
+    * remaining exchange is the pair-count aggregate itself. At 100 TB
+    * this is the difference between shuffling the interaction table
+    * twice (join build+probe) and once.
+    */
+  private def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
+    df.groupBy(key)
+      .agg(sort_array(collect_list(col(elem))).as("es"))
+      .select(col(key), explode(expr(
+        "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .select(col(key), col("p.a").as("a"), col("p.b").as("b"))
+
   private val cappedSql: String =
     s"""interactions AS (
        |  ${Tables.interactionsSql.replace("\n", "\n  ")}
@@ -70,10 +86,8 @@ object Recsys {
   def itemcfSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
     val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
     val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
-    val a = r.as("a")
-    val b = r.as("b")
-    val pairs = a.join(b, col("a.user_id") === col("b.user_id") && col("a.item_id") < col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_i"), col("b.item_id").as("item_j"))
+    val pairs = pairsWithin(r, "user_id", "item_id")
+      .groupBy(col("a").as("item_i"), col("b").as("item_j"))
       .agg(count(lit(1)).as("co"))
     val mirrored = pairs.unionByName(
       pairs.select(col("item_j").as("item_i"), col("item_i").as("item_j"), col("co")))
@@ -124,7 +138,8 @@ object Recsys {
     */
   def itemcfRecommend(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = cappedInteractions(spark, sfDir)
-    val sim = itemcfSimilarity(spark, sfDir).select("item_i", "item_j", "sim")
+    // K·|items| rows — small relative to the fact side at any SF: broadcast
+    val sim = broadcast(itemcfSimilarity(spark, sfDir).select("item_i", "item_j", "sim"))
     val scored = hist
       .join(sim, hist("item_id") === sim("item_i"))
       .groupBy(col("user_id"), col("item_j").as("cand"))
@@ -190,10 +205,8 @@ object Recsys {
   def usercfSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
     val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
     val counts = r.groupBy("user_id").agg(count(lit(1)).as("n_items"))
-    val a = r.as("a")
-    val b = r.as("b")
-    val pairs = a.join(b, col("a.item_id") === col("b.item_id") && col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("user_u"), col("b.user_id").as("user_v"))
+    val pairs = pairsWithin(r, "item_id", "user_id")
+      .groupBy(col("a").as("user_u"), col("b").as("user_v"))
       .agg(count(lit(1)).as("co"))
     val mirrored = pairs.unionByName(
       pairs.select(col("user_v").as("user_u"), col("user_u").as("user_v"), col("co")))
@@ -243,7 +256,8 @@ object Recsys {
     */
   def usercfRecommend(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = cappedInteractions(spark, sfDir)
-    val nbrs = usercfSimilarity(spark, sfDir).select("user_u", "user_v", "sim")
+    // K·|users| rows — broadcast the neighborhood, shuffle only histories
+    val nbrs = broadcast(usercfSimilarity(spark, sfDir).select("user_u", "user_v", "sim"))
     val scored = nbrs
       .join(hist.select(col("user_id").as("user_v"), col("item_id").as("cand"), col("strength")), "user_v")
       .groupBy(col("user_u").as("user_id"), col("cand"))
@@ -323,14 +337,12 @@ object Recsys {
       .where(col("urk") <= SwingUserCap)
       .drop("urk")
     // user-pair overlap |I_u ∩ I_v| over the capped interaction set
-    val ra = r.as("ra"); val rb = r.as("rb")
-    val overlap = ra.join(rb, col("ra.item_id") === col("rb.item_id") && col("ra.user_id") < col("rb.user_id"))
-      .groupBy(col("ra.user_id").as("user_u"), col("rb.user_id").as("user_v"))
+    val overlap = pairsWithin(r, "item_id", "user_id")
+      .groupBy(col("a").as("user_u"), col("b").as("user_v"))
       .agg(count(lit(1)).as("overlap"))
     // item pairs per user: (u, i<j)
-    val ia = r.as("ia"); val ib = r.as("ib")
-    val itemPairs = ia.join(ib, col("ia.user_id") === col("ib.user_id") && col("ia.item_id") < col("ib.item_id"))
-      .select(col("ia.user_id").as("user_id"), col("ia.item_id").as("item_i"), col("ib.item_id").as("item_j"))
+    val itemPairs = pairsWithin(r, "user_id", "item_id")
+      .select(col("user_id"), col("a").as("item_i"), col("b").as("item_j"))
     // user pairs co-rating the same item pair
     val pa = itemPairs.as("pa"); val pb = itemPairs.as("pb")
     val swing = pa.join(pb,
