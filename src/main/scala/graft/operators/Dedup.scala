@@ -1,9 +1,323 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Document deduplication tiers (SURVEY.md §2.10 L1/L2 + the driver's
+  * LLM-pipeline mandate): exact, MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard — all pure Spark SQL with DuckDB oracles.
+  *
+  * Portability backbone: a 32-bit hash both engines compute identically,
+  *   Spark:  cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)
+  *   DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT
+  * All downstream hashing (MinHash permutations, SimHash bits,
+  * fingerprints) is integer arithmetic on that value, so signatures are
+  * bit-identical across engines and the oracle can verify the FULL
+  * pipeline, not just its output shape.
+  *
+  * Scale notes: shingling/minhashing is embarrassingly parallel (per-doc
+  * map work); the only shuffles are the per-band bucket join (LSH) and
+  * the shingle-join verify — both bounded by band-bucket sizes, which is
+  * the entire point of LSH at 100 TB. The candidate→verify flow never
+  * materializes the O(n²) pair space.
+  */
 object Dedup {
+
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Shingle width (tokens) for MinHash / n-gram Jaccard. */
+  val ShingleW = 3
+  /** MinHash permutation parameters — small multipliers keep a*h+b well
+    * inside int64 (a < 2^20, h < 2^32). Shared verbatim with the oracle.
+    */
+  val MinHashA: Seq[Long] = Seq(3L, 7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L, 2039L, 4093L, 8191L)
+  val MinHashB: Seq[Long] = MinHashA.indices.map(i => 999331L * (i + 1))
+  /** Prime modulus just above 2^32. */
+  val MinHashP = 4294967311L
+  /** LSH band width (signature positions per band). */
+  val BandW = 2
+  /** Jaccard threshold for confirmed near-duplicates. */
+  val JaccardThreshold = 0.5
+
+  /** Spark SQL expression for the portable 32-bit hash of column expr. */
+  private def h32Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 8), 16, 10) AS bigint)"
+
+  /** DuckDB expression for the same hash. */
+  private def h32Duck(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  private val normSpark = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val normDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** L1 exact dedup: normalized-text grouping, min(doc_id) survives.
+    * Emits per-source totals (the fixture plants no exact dups — the
+    * counts prove it rather than assuming it).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("norm", expr(normSpark))
+    val survivors = d.groupBy("norm")
+      .agg(min("doc_id").as("survivor"), count(lit(1)).as("group_size"))
+    d.join(survivors, "norm")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("norm")).as("n_distinct"),
+           sum(when(col("doc_id") =!= col("survivor"), 1L).otherwise(0L)).as("n_removed"))
+      .orderBy("source")
+  }
+
+  val exactDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $normDuck AS norm FROM documents
+       |), survivors AS (
+       |  SELECT norm, min(doc_id) AS survivor, count(*) AS group_size
+       |  FROM d GROUP BY norm
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT d.norm) AS n_distinct,
+       |  sum(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END) AS n_removed
+       |FROM d JOIN survivors ON d.norm = survivors.norm
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — shared by the Jaccard and
+    * MinHash tiers. Shingling is a per-row generator (map-side only).
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(expr(normSpark), " "))
+      .where(size(col("t")) >= ShingleW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $ShingleW), i -> concat_ws(' ', slice(t, i + 1, $ShingleW)))"
+      )).as("s"))
+      .distinct()
+
+  private val shinglesSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normDuck, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, len(t) - ${ShingleW - 1}),
+       |                          i -> array_to_string(list_slice(t, i + 1, i + $ShingleW), ' '))) AS s
+       |  FROM toks WHERE len(t) >= $ShingleW
+       |)""".stripMargin
+
+  /** L2a n-gram Jaccard near-dup: exact Jaccard over ${ShingleW}-token
+    * shingles via the inverted-index join (shingle → docs), threshold
+    * ${JaccardThreshold}. The join is on the shingle value — at scale,
+    * hot shingles would be stop-listed (df cap) the same way MaxHistory
+    * caps hot users in Recsys.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesSql, sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |  round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE round(inter / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** L2b MinHash + LSH banding: ${MinHashA.size}-permutation signature,
+    * bands of $BandW rows; docs colliding in ANY band become candidate
+    * pairs; candidates are verified with exact Jaccard ≥ $JaccardThreshold.
+    * Signatures are integer arithmetic on the portable 32-bit hash, so
+    * the DuckDB oracle reproduces them bit-for-bit.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).withColumn("h", expr(h32Spark("s")))
+    // signature: min over shingles per permutation k
+    val perm = MinHashA.zip(MinHashB).zipWithIndex
+      .map { case ((a, b), k) => s"struct($k AS k, ($a * h + $b) % $MinHashP AS hk)" }
+      .mkString("array(", ", ", ")")
+    val sig = sh.select(col("doc_id"), explode(expr(perm)).as("p"))
+      .groupBy(col("doc_id"), col("p.k").as("k"))
+      .agg(min(col("p.hk")).as("mh"))
+    // band key: concatenated minhashes within the band, order fixed by k
+    val bands = sig.withColumn("band", expr(s"k div $BandW"))
+      .groupBy("doc_id", "band")
+      .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(k, mh))), x -> cast(x.mh AS string)))").as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")), "doc_b")
+      .where(col("s") === col("s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val permRows = MinHashA.zip(MinHashB).zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+    s"""WITH $shinglesSql, hashed AS (
+       |  SELECT doc_id, ${h32Duck("s")} AS h, s FROM sh
+       |), perms(k, a, b) AS (VALUES $permRows),
+       |sig AS (
+       |  SELECT doc_id, k, min((a * h + b) % $MinHashP) AS mh
+       |  FROM hashed CROSS JOIN perms
+       |  GROUP BY doc_id, k
+       |), bands AS (
+       |  SELECT doc_id, k // $BandW AS band,
+       |    array_to_string(list(mh ORDER BY k), ',') AS bkey
+       |  FROM sig GROUP BY doc_id, k // $BandW
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS inter
+       |  FROM cands
+       |  JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+       |  GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE round(inter / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash bit width. */
+  val SimBits = 32
+  /** Max Hamming distance for a SimHash near-dup pair. */
+  val MaxHamming = 2
+
+  /** L2c SimHash: ${SimBits}-bit signature — per token-occurrence hash,
+    * bit i votes +1/−1; the sign of the vote sum sets bit i. Pairs
+    * within Hamming ≤ $MaxHamming emitted. The pair scan is a
+    * signature-only self-join: 8 bytes per doc, trivially broadcastable
+    * at any corpus size (THE reason SimHash is the 100 TB-friendly tier).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("tok"))
+      .withColumn("h", expr(h32Spark("tok")))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(expr(s"sequence(0, ${SimBits - 1})")).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(sum(expr("CASE WHEN (h div cast(pow(2, i) AS bigint)) % 2 = 1 THEN 1 ELSE -1 END")).as("vote"))
+    val sigs = bits
+      .groupBy("doc_id")
+      .agg(sum(expr(s"CASE WHEN vote > 0 THEN cast(pow(2, i) AS bigint) ELSE 0 END")).as("sig"))
+    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hd", expr("bit_count(x.sig ^ y.sig)"))
+      .where(col("hd") <= MaxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hd"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ${h32Duck("tok")} AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h // (2::BIGINT ^ i)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS i)
+       |  GROUP BY doc_id, i
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN (2::BIGINT ^ i)::BIGINT ELSE 0 END)::BIGINT AS sig
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sig, y.sig)) AS hd
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Pairs emitted by the embedding near-dup query. */
+  val EmbTop = 50
+
+  /** L2d embedding-cosine near-dup: top-$EmbTop closest pairs by cosine
+    * over the 64-dim float vectors. Dot/norm fold left-to-right in
+    * DOUBLE on both engines (zip_with+aggregate here, list_reduce in
+    * DuckDB), so cosines are bit-identical. Brute force is the
+    * correctness tier; Similarity.scala holds the LSH scale tier.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+              expr("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v))").as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)")
+          / (col("a.nrm") * col("b.nrm")), 6))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(EmbTop)
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+       |    / (a.nrm * b.nrm), 6) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cos DESC, vec_a ASC, vec_b ASC
+       |LIMIT $EmbTop""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"       -> (exactDedup _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_simhash"     -> (simhashPairs _),
+    "q_dedup_embedding"   -> (embeddingNearDup _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact"       -> exactDedupSql,
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_minhash_lsh" -> minhashLshSql,
+    "q_dedup_simhash"     -> simhashPairsSql,
+    "q_dedup_embedding"   -> embeddingNearDupSql,
+  )
 }

@@ -1,9 +1,118 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Multimodal-column handling (SURVEY.md §2.10 L5): image/audio/video
+  * payloads as opaque binary columns with typed metadata.
+  *
+  * The fixtures carry no binary columns, so payloads derive
+  * deterministically from document text (utf-8 bytes) — the POINT is
+  * the Spark-side plumbing: BinaryType flowing through projections,
+  * shuffles and aggregates unmangled, and a typed Dataset
+  * decode/feature-extract stage whose decode step is a clearly-marked
+  * STUB (the real image/audio codecs are not in this container; at
+  * production the stub body is the only thing that changes).
+  *
+  * Scale notes: binary payloads ride the same columnar parquet path as
+  * every other column; feature extraction is mapPartitions-shaped
+  * (batched, no per-row JVM↔native churn) exactly as a real decoder
+  * would want.
+  */
 object Multimodal {
+
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Binary passthrough: cast → slice → hash → length, grouped per
+    * source. Proves BinaryType survives scans, projections and
+    * aggregation boundaries with byte fidelity (md5 over the bytes is
+    * compared cross-engine).
+    */
+  def binaryPassthrough(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("head_hash", md5(expr("substring(text, 1, 16)")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_payloads"),
+           sum("n_bytes").as("total_bytes"),
+           countDistinct(col("head_hash")).as("n_distinct_heads"),
+           min("n_bytes").as("min_bytes"),
+           max("n_bytes").as("max_bytes"))
+      .orderBy("source")
+
+  val binaryPassthroughSql: String =
+    """WITH d AS (
+      |  SELECT source, text::BLOB AS payload,
+      |    octet_length(text::BLOB) AS n_bytes,
+      |    md5(substring(text, 1, 16)) AS head_hash
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_payloads,
+      |  sum(n_bytes) AS total_bytes,
+      |  count(DISTINCT head_hash) AS n_distinct_heads,
+      |  min(n_bytes) AS min_bytes,
+      |  max(n_bytes) AS max_bytes
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Typed record for the decode stage. */
+  case class MediaPayload(doc_id: Long, source: String, payload: Array[Byte])
+
+  /** Typed features out of the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, source: String, width: Int, height: Int,
+                           n_frames: Int, mean_byte: Double)
+
+  /** ===== DECODE STUB =====
+    * Stands in for an image/audio decode (no codecs in this container).
+    * Deterministic on the payload bytes so results are reproducible; a
+    * real implementation swaps ONLY this function body (signature,
+    * batching and schema stay).
+    */
+  def decodeStub(p: MediaPayload): MediaFeatures = {
+    val n = p.payload.length
+    val sum = p.payload.foldLeft(0L)((s, b) => s + (b & 0xff))
+    MediaFeatures(
+      doc_id = p.doc_id,
+      source = p.source,
+      width = 64 + (n % 512),
+      height = 64 + ((n * 31) % 512),
+      n_frames = 1 + (n % 16),
+      mean_byte = if (n == 0) 0.0 else math.round(sum.toDouble / n * 10000).toDouble / 10000)
+  }
+
+  /** Decode + feature-extract pipeline over binary payloads via a typed
+    * Dataset (Encoder-backed, batched per partition), then a relational
+    * rollup of the extracted features. The decode is [[decodeStub]].
+    */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val payloads = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[MediaPayload]
+    payloads
+      .mapPartitions(_.map(decodeStub)) // batch-shaped: one decoder init per partition
+      .toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+           round(avg("width"), 4).as("avg_width"),
+           round(avg("height"), 4).as("avg_height"),
+           sum("n_frames").as("total_frames"),
+           round(avg("mean_byte"), 4).as("avg_mean_byte"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_binary_passthrough" -> (binaryPassthrough _),
+    "q_media_features"     -> (mediaFeatures _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_binary_passthrough" -> binaryPassthroughSql,
+    // q_media_features: typed-Dataset decode stage — rows-only check;
+    // MultimodalSpec verifies the stub arithmetic exactly.
+  )
 }

@@ -1,9 +1,185 @@
 package graft.operators
 
+import graft.Tables
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Approximate/exact nearest-neighbor search over the embedding column
+  * (SURVEY.md §2.10 L3). Three tiers:
+  *
+  *  - brute-force cosine top-k (exact; the correctness baseline — at
+  *    100 TB only viable for small query sets against a broadcast
+  *    query side, which is exactly how it is written here);
+  *  - IVF-style cell probe (scale path, still oracle-checkable: a
+  *    deterministic coarse quantizer assigns every vector to its
+  *    nearest probe centroid; queries search only their own cell —
+  *    the |candidates| term drops from N to N/cells);
+  *  - BucketedRandomProjectionLSH (MLlib; rows-only check, seed-pinned,
+  *    invariants in SimilaritySpec).
+  *
+  * All cosine math folds left-to-right in DOUBLE on both engines
+  * (zip_with+aggregate ↔ list_reduce), so values are bit-identical and
+  * rankings (on 6dp-rounded cosine + id tie-break) are engine-stable.
+  */
 object Similarity {
+
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Number of query vectors (lowest vec_ids). */
+  val NQueries = 20
+  /** Neighbors returned per query. */
+  val K = 5
+  /** IVF probe centroids: the first NCells vectors act as the coarse
+    * quantizer — deterministic and engine-reproducible (a seeded KMeans
+    * would be neither SQL-expressible nor cross-engine stable).
+    */
+  val NCells = 10
+
+  private val dotAB =
+    "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)"
+  private val normE =
+    "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v))"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(normE))
+
+  /** Exact brute-force top-K cosine neighbors for the first $NQueries
+    * vectors. The query side is tiny by construction → broadcast; the
+    * corpus streams past it with zero shuffle before the per-query
+    * top-K window.
+    */
+  def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    val q = broadcast(e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding"), col("nrm")))
+    val scored = q.as("a").join(e.as("b"), col("a.qid") =!= col("b.vec_id"))
+      .select(col("a.qid").as("query_id"), col("b.vec_id").as("neighbor_id"),
+              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val normDuck =
+    "sqrt(list_reduce(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))"
+  private val dotDuck =
+    "list_reduce(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+
+  val knnBruteForceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** IVF-style cell probe: assign every vector to its nearest of the
+    * $NCells probe centroids (by cosine, deterministic tie-break), then
+    * answer each query from ITS OWN cell only — candidates shrink from
+    * N to ~N/$NCells. Recall vs the exact tier is measured in
+    * SimilaritySpec; the oracle checks the pipeline itself.
+    */
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    val cents = broadcast(e.where(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("cid"),
+              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+      .withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select("vec_id", "embedding", "nrm", "cid")
+    val queries = assigned.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
+    val scored = queries.as("a")
+      .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+      .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
+              col("b.vec_id").as("neighbor_id"),
+              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= K)
+      .select(col("query_id"), col("cell"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val knnIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |    FROM e b JOIN e a ON a.vec_id < $NCells
+       |  ) WHERE crk = 1
+       |), scored AS (
+       |  SELECT a.qid AS query_id, a.cid AS cell, b.vec_id AS neighbor_id,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM (SELECT vec_id AS qid, embedding, nrm, cid FROM assigned WHERE vec_id < $NQueries) a
+       |  JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, cell, rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** LSH tier: MLlib BucketedRandomProjectionLSH (Euclidean buckets as
+    * the cosine surrogate on ~unit-norm vectors), seed-pinned.
+    * approxNearestNeighbors per query — rows-only driver check.
+    */
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(e)
+    val hashed = model.transform(e).cache()
+    val queries = e.where(col("vec_id") < NQueries)
+      .as[(Long, Vector)].collect()
+    val perQuery = queries.map { case (qid, v) =>
+      model.approxNearestNeighbors(hashed, v, K + 1).toDF()
+        .where(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+                round(col("distCol"), 6).as("dist"))
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+        .limit(K)
+    }
+    perQuery.reduce(_ unionByName _)
+      .orderBy("query_id", "dist", "neighbor_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_bruteforce" -> (knnBruteForce _),
+    "q_knn_ivf"        -> (knnIvf _),
+    "q_knn_lsh"        -> (knnLsh _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_bruteforce" -> knnBruteForceSql,
+    "q_knn_ivf"        -> knnIvfSql,
+    // q_knn_lsh: MLlib hashing — not SQL-expressible, rows-only check
+  )
 }

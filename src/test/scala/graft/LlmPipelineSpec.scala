@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the LLM-data-pipeline operators (Dedup / Similarity /
+  * TextAnalysis / Multimodal).
+  */
+class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
+
+  test("exact dedup books are consistent: docs = distinct + removed") {
+    val rows = operators.Dedup.exactDedup(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === r.getAs[Long]("n_distinct") + r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("minhash+LSH near-dups are a subset of exact ngram-jaccard near-dups") {
+    val exact = operators.Dedup.ngramJaccard(spark, sfTest)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Dedup.minhashLsh(spark, sfTest)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH tier found no near-dups (fixture plants them)")
+    assert(lsh.subsetOf(exact), s"LSH emitted pairs exact Jaccard rejects: ${lsh -- exact}")
+    // banding with 2-row bands catches essentially all j>=0.9 pairs
+    val high = operators.Dedup.ngramJaccard(spark, sfTest)
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.subsetOf(lsh), s"high-similarity pairs missed by LSH: ${high -- lsh}")
+  }
+
+  test("simhash pairs are ordered, deduped, within the hamming bound") {
+    val rows = operators.Dedup.simhashPairs(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall(r => r.getAs[Int]("hd") <= operators.Dedup.MaxHamming))
+  }
+
+  test("brute-force kNN: exactly K ranked neighbors per query, cosine in [-1,1]") {
+    val knn = operators.Similarity.knnBruteForce(spark, sfTest).collect()
+    val perQuery = knn.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size === operators.Similarity.NQueries)
+    perQuery.values.foreach { rows =>
+      assert(rows.length === operators.Similarity.K)
+      val cs = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "cosines not non-increasing by rank")
+      assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("IVF kNN never beats brute force (it searches a subset)") {
+    val bf = operators.Similarity.knnBruteForce(spark, sfTest)
+      .where(col("rk") === 1).select("query_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = operators.Similarity.knnIvf(spark, sfTest)
+      .where(col("rk") === 1).select("query_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (q, c) => assert(c <= bf(q) + 1e-9, s"query $q: IVF $c > BF ${bf(q)}") }
+  }
+
+  test("LSH kNN returns K neighbors per query") {
+    val lsh = operators.Similarity.knnLsh(spark, sfTest).collect()
+    val per = lsh.groupBy(_.getAs[Long]("query_id")).values
+    assert(per.forall(_.length === operators.Similarity.K))
+  }
+
+  test("fingerprint is order-sensitive (literal frame)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint)"))
+      .groupBy("doc_id")
+      .agg((sum((col("pos") + 1) * col("h")) % operators.TextAnalysis.FpMod).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) !== fps(2L), "same bag of words, different order must fingerprint differently")
+  }
+
+  test("text profile covers the whole corpus") {
+    val total = operators.TextAnalysis.textProfile(spark, sfTest)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sfTest).count())
+  }
+
+  test("decode stub is deterministic and mediaFeatures aggregates it") {
+    val p = operators.Multimodal.MediaPayload(7L, "src1", "hello world".getBytes("UTF-8"))
+    val f1 = operators.Multimodal.decodeStub(p)
+    val f2 = operators.Multimodal.decodeStub(p)
+    assert(f1 === f2)
+    assert(f1.width === 64 + 11 % 512 && f1.n_frames === 1 + 11 % 16)
+    val agg = operators.Multimodal.mediaFeatures(spark, sfTest)
+    assert(agg.agg(sum("n_media")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sfTest).count())
+  }
+
+  test("binary payload round-trips bytes faithfully") {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sfTest).limit(20)
+      .select(col("text"), col("text").cast("binary").as("payload"))
+      .as[(String, Array[Byte])].collect()
+    sample.foreach { case (t, b) => assert(java.util.Arrays.equals(b, t.getBytes("UTF-8"))) }
+  }
+}
