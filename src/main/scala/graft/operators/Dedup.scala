@@ -77,7 +77,7 @@ object Dedup {
        |)
        |SELECT source, count(*) AS n_docs,
        |  count(DISTINCT d.norm) AS n_distinct,
-       |  sum(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END) AS n_removed
+       |  sum(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END)::BIGINT AS n_removed
        |FROM d JOIN survivors ON d.norm = survivors.norm
        |GROUP BY source
        |ORDER BY source""".stripMargin

@@ -50,7 +50,7 @@ object Multimodal {
       |  FROM documents
       |)
       |SELECT source, count(*) AS n_payloads,
-      |  sum(n_bytes) AS total_bytes,
+      |  sum(n_bytes)::BIGINT AS total_bytes,
       |  count(DISTINCT head_hash) AS n_distinct_heads,
       |  min(n_bytes) AS min_bytes,
       |  max(n_bytes) AS max_bytes

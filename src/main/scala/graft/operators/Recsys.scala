@@ -449,7 +449,7 @@ object Recsys {
        |  round(avg(n_hits / ${EvalK.toDouble}), 6) AS precision_at_k,
        |  round(avg(n_hits / n_test_items), 6) AS recall_at_k,
        |  round(${EvalK.toDouble} / (SELECT count(*)::DOUBLE FROM part), 6) AS coverage,
-       |  sum(n_hits) AS total_hits
+       |  sum(n_hits)::BIGINT AS total_hits
        |FROM per_user""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -155,8 +155,8 @@ object TextAnalysis {
        |  FROM documents
        |)
        |SELECT source, count(*) AS n_docs,
-       |  sum(n_ws) AS total_ws_tokens,
-       |  sum(n_bpe) AS total_bpe_tokens,
+       |  sum(n_ws)::BIGINT AS total_ws_tokens,
+       |  sum(n_bpe)::BIGINT AS total_bpe_tokens,
        |  round(avg(n_bpe / n_ws::DOUBLE), 4) AS bpe_per_word
        |FROM d
        |GROUP BY source
@@ -193,7 +193,7 @@ object TextAnalysis {
        |  FROM documents
        |), fps AS (
        |  SELECT doc_id, source,
-       |    sum(pos * (('0x' || substr(md5(tok), 1, 8))::BIGINT)) % $FpMod AS fingerprint
+       |    (sum(pos * (('0x' || substr(md5(tok), 1, 8))::BIGINT)) % $FpMod)::BIGINT AS fingerprint
        |  FROM toks
        |  GROUP BY doc_id, source
        |)

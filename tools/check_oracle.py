@@ -61,10 +61,22 @@ def main(sf_dir, out_dir):
         try:
             duck_rel = con.sql(oracle[name])
             duck_cols = [c for c in duck_rel.columns]
+            duck_types = [str(t) for t in duck_rel.types]
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             n_fail += 1
             print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
+            continue
+        # The driver's hash-compare is type-sensitive in ways str() hides:
+        # DuckDB integer sum() yields HUGEINT (int128) which hash-mismatches
+        # Spark's BIGINT even when values are equal (seen in round 1). Treat
+        # any HUGEINT/DECIMAL oracle output column as a failure here so it
+        # never reaches the driver.
+        bad_types = [(c, t) for c, t in zip(duck_cols, duck_types)
+                     if "HUGEINT" in t or "DECIMAL" in t]
+        if bad_types:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: oracle columns need ::BIGINT cast: {bad_types}")
             continue
         if sorted(spark_cols) != sorted(duck_cols):
             n_fail += 1
