@@ -273,17 +273,17 @@ object Dedup {
 
   /** L2d embedding-cosine near-dup: top-$EmbTop closest pairs by cosine
     * over the 64-dim float vectors. Dot/norm fold left-to-right in
-    * DOUBLE on both engines (zip_with+aggregate here, list_reduce in
-    * DuckDB), so cosines are bit-identical. Brute force is the
-    * correctness tier; Similarity.scala holds the LSH scale tier.
+    * DOUBLE on both engines (codegen [[graft.functions.FloatDot]] here,
+    * list_reduce in DuckDB), so cosines are bit-identical. Brute force
+    * is the correctness tier; Similarity.scala holds the LSH scale tier.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{floatDot, floatNorm}
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-              expr("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v))").as("nrm"))
+      .select(col("vec_id"), col("embedding"), floatNorm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)")
+        floatDot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,13 +38,15 @@ object Similarity {
     */
   val NCells = 10
 
-  private val dotAB =
-    "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)"
-  private val normE =
-    "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v))"
+  import graft.functions.VectorFunctions.{floatDot, floatNorm}
+
+  /** Codegen'd dot over the aliased join sides — identical fold order to
+    * the DuckDB list_reduce oracle (see graft.functions.FloatDot).
+    */
+  private def dotAB: Column = floatDot(col("a.embedding"), col("b.embedding"))
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", expr(normE))
+    df.withColumn("nrm", floatNorm(col("embedding")))
 
   /** Exact brute-force top-K cosine neighbors for the first $NQueries
     * vectors. The query side is tiny by construction → broadcast; the
@@ -57,7 +59,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm")))
     val scored = q.as("a").join(e.as("b"), col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("b.vec_id").as("neighbor_id"),
-              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= K)
@@ -100,7 +102,7 @@ object Similarity {
     val assigned = e.as("b").join(cents.as("a"))
       .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
               col("b.nrm").as("nrm"), col("cid"),
-              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
       .withColumn("crk", row_number().over(wAssign))
       .where(col("crk") === 1)
       .select("vec_id", "embedding", "nrm", "cid")
@@ -110,7 +112,7 @@ object Similarity {
       .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
               col("b.vec_id").as("neighbor_id"),
-              round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= K)

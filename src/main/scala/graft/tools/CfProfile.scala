@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stage-by-stage timing of the ItemCF pipeline to find the
+  * actual cost center. Not part of the driver contract.
+  */
+object CfProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-40s rows=$n%-10d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("strength").desc, col("item_id").asc)
+    val r = graft.Tables.interactions(spark, sfDir)
+      .withColumn("hrk", row_number().over(w))
+      .where(col("hrk") <= 100)
+      .drop("hrk")
+      .select("user_id", "item_id")
+      .persist()
+
+    t("capped interactions (persist)") { r.count() }
+    t("capped interactions (cached re-read)") { r.count() }
+
+    val grouped = r.groupBy("user_id").agg(sort_array(collect_list(col("item_id"))).as("es"))
+    t("grouped arrays") { grouped.count() }
+
+    val pairs = grouped
+      .select(col("user_id"), explode(expr(
+        "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+    t("exploded pairs (HOF)") { pairs.count() }
+
+    val agg = pairs.groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("co"))
+    t("pair aggregate") { agg.count() }
+
+    // alternative: self-join pair generation
+    val sj = r.as("x").join(r.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.item_id") < col("y.item_id"))
+      .groupBy(col("x.item_id").as("a"), col("y.item_id").as("b"))
+      .agg(count(lit(1)).as("co"))
+    t("self-join pair aggregate") { sj.count() }
+
+    t("full q_itemcf_similarity") {
+      graft.operators.Recsys.itemcfSimilarity(spark, sfDir).count()
+    }
+    spark.stop()
+  }
+}

@@ -2,18 +2,37 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump fixture schemas + a few rows; not part of the driver contract. */
+/** Dev tool: dump fixture schemas + a few rows, or explain/time a single
+  * registered query; not part of the driver contract.
+  *
+  * Usage:  Probe [sfDir]                    — schema dump
+  *         Probe explain <qname> [sfDir]    — formatted physical plan
+  *         Probe time <qname> [sfDir]       — count() with wall time
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length >= 2 && (args(0) == "explain" || args(0) == "time")) {
+      val sfDir = if (args.length >= 3) args(2) else "/root/testdata/sf0.1"
+      val df = graft.SparkEntry.queries(args(1))(spark, sfDir)
+      if (args(0) == "explain") df.explain("formatted")
+      else {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"${args(1)} rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      spark.stop()
+      return
+    }
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     if (args.contains("entry")) {
       val df = graft.SparkEntry.entry(spark)
       println(s"entry rows=${df.count()}")
