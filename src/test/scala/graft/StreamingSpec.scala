@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming twins (SURVEY.md §2.11): the SAME transforms
+  * the batch queries use (Streams.*) fed from a MemoryStream with a
+  * watermark; after processAllAvailable the complete-mode state must
+  * equal the batch result on the identical input — one plan, two
+  * runners, zero drift. Also covers watermarked late-data drop,
+  * streaming dropDuplicates, and flatMapGroupsWithState (T4–T6).
+  */
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts: Timestamp)
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val fixture = Seq(
+    Ev(1, 1, "view", 1.0, ts(0)),
+    Ev(2, 1, "view", 2.0, ts(5)),
+    Ev(3, 1, "click", 3.0, ts(40)),   // same session as 2 (gap 35 > 30? -> new session)
+    Ev(4, 2, "view", 4.0, ts(10)),
+    Ev(5, 2, "purchase", 5.0, ts(65)), // crosses the tumbling-hour boundary
+    Ev(6, 1, "view", 6.0, ts(70)),
+    Ev(7, 3, "view", 7.0, ts(75)),
+    Ev(8, 3, "view", 8.0, ts(76)),
+  )
+
+  private def runStream(transform: DataFrame => DataFrame,
+                        outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture)
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = transform(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("T1 streaming tumbling window equals batch on same input") {
+    val session = spark
+    import session.implicits._
+    val batch = Streams.tumblingCounts(fixture.toDF())
+    val streamed = runStream(Streams.tumblingCounts)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 2) // events genuinely span hour windows
+  }
+
+  test("T2 streaming sliding window equals batch on same input") {
+    val session = spark
+    import session.implicits._
+    val batch = Streams.slidingCounts(fixture.toDF())
+    val streamed = runStream(Streams.slidingCounts)
+    assert(canon(streamed) == canon(batch))
+    // every event lands in exactly 4 overlapping 15-min-slide windows
+    assert(batch.agg(sum("n_events")).head.getLong(0) == fixture.size * 4L)
+    assert(batch.count() > fixture.size / 2) // windows genuinely overlap
+  }
+
+  test("T3 streaming session window equals batch on same input") {
+    val session = spark
+    import session.implicits._
+    val batch = Streams.sessionWindows(fixture.toDF())
+    val streamed = runStream(Streams.sessionWindows)
+    assert(canon(streamed) == canon(batch))
+    // user 1: events at 0,5,40,70 -> the 35-min gap (5->40) splits; the
+    // exactly-30-min gap (40->70) MERGES (session_window boundary is
+    // inclusive) -> two sessions
+    assert(batch.where(col("user_id") === 1).count() == 2)
+    // user 3: events at 75,76 -> one session of 2
+    val u3 = batch.where(col("user_id") === 3).collect()
+    assert(u3.length == 1 && u3(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("T4 watermark drops late data beyond horizon") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"late_out_${System.nanoTime()}"
+    val q = Streams.tumblingCounts(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(fixture)
+      q.processAllAvailable()
+      // watermark is now max(ts)=11:16 minus 10 min = 11:06; an event at
+      // 10:00 is far behind it and its (closed) window must not reopen
+      mem.addData(Seq(Ev(99, 9, "view", 9.0, ts(0))))
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit all windows
+      mem.addData(Seq(Ev(100, 9, "view", 9.0, ts(300))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+    // the late event (user 9 @10:00) was dropped: the 10:00 window keeps
+    // its on-time count (5 events: ids 1,2,3,4 in [10:00,11:00))
+    val hour0 = out.where(col("window_start") === "2024-01-01 10:00:00")
+      .agg(sum("n_events")).head.getLong(0)
+    assert(hour0 == 4L)
+  }
+
+  test("T5 streaming dropDuplicates equals batch first-event dedup on keys") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture)
+    val name = s"dedup_out_${System.nanoTime()}"
+    // streaming dedup keeps the FIRST arrival per key; MemoryStream
+    // preserves addData order, which is ts order in the fixture, so the
+    // kept (user, event_type) key set must equal the batch row_number=1 set
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+    val batch = Streams.firstEventPerType(fixture.toDF())
+      .select("user_id", "event_type", "first_event_id")
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("T6 flatMapGroupsWithState: running per-user event counter") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture)
+    val name = s"state_out_${System.nanoTime()}"
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator((uid, total))
+      }
+    val q = counted.toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val finalCounts = spark.table(name)
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val expected = fixture.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val got = finalCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
