@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
+      operators.Advanced.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
+      operators.Advanced.oracleSql ++
       streaming.Streams.oracleSql
 }

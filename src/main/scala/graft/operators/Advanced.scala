@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.WeightedPref
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced function surfaces: the custom Aggregator UDAF (A7) and
+  * pure-SQL TF-IDF content similarity (M8) — the last two SURVEY.md §2
+  * rows without a query.
+  */
+object Advanced {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A7: per-user weighted preference via the typed Aggregator,
+    * registered as SQL `weighted_pref`. The oracle reproduces the same
+    * arithmetic (Σw·v / Σw with zero-value rows skipped — fixture
+    * values are never NaN, and `value=0` rows carry weight but a 0
+    * contribution, so both engines see identical sums).
+    */
+  def udafWeightedPref(spark: SparkSession, sfDir: String): DataFrame = {
+    WeightedPref.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT user_id, pref, n_events FROM (
+        |  SELECT user_id,
+        |    round(weighted_pref(event_type, value), 6) AS pref,
+        |    count(*) AS n_events
+        |  FROM events
+        |  GROUP BY user_id
+        |)
+        |WHERE pref IS NOT NULL
+        |ORDER BY pref DESC, user_id ASC
+        |LIMIT 100""".stripMargin)
+  }
+
+  val udafWeightedPrefSql: String = {
+    val w = WeightedPref.weights
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    sum((CASE event_type $w ELSE 0.0 END) * value) AS wsum,
+       |    sum(CASE event_type $w ELSE 0.0 END) AS wtotal,
+       |    count(*) AS n_events
+       |  FROM events
+       |  GROUP BY user_id
+       |)
+       |SELECT user_id, round(wsum / wtotal, 6) AS pref, n_events
+       |FROM g
+       |WHERE wtotal > 0
+       |ORDER BY pref DESC, user_id ASC
+       |LIMIT 100""".stripMargin
+  }
+
+  /** Number of documents profiled by the TF-IDF query. */
+  val TfidfDocs = 20
+  /** Terms emitted per document. */
+  val TfidfTop = 5
+
+  private val normSpark = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val normDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** M8 TF-IDF: tf = term count in doc, idf = ln((N+1)/(df+1)) + 1
+    * (smoothed — never divides by zero, deterministic), top-$TfidfTop
+    * terms per doc for doc_id < $TfidfDocs. The df aggregate runs over
+    * the WHOLE corpus (that is the point of idf); the per-doc ranking
+    * only over the profiled subset. ln() differs across libms by ≤1 ulp
+    * — 11 digits below the 6 dp rounding, so scores are engine-stable.
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("term"))
+    // corpus size as a broadcast 1-row aggregate, not a driver .count()
+    val n = Tables.documents(spark, sfDir).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.where(col("doc_id") < TfidfDocs)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TfidfTop)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |  WHERE doc_id < $TfidfDocs
+       |), ranked AS (
+       |  SELECT doc_id, term, tf, df, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, rk, term, tf, df, tfidf
+       |FROM ranked WHERE rk <= $TfidfTop
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** M8b TF-IDF document similarity: cosine over the sparse TF-IDF
+    * vectors of the profiled docs via an inverted-index join on term —
+    * the same join shape the shingle pipelines use (no dense vectors
+    * materialized; at corpus scale hot terms would be df-capped).
+    */
+  def tfidfDocSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("term"))
+    val n = Tables.documents(spark, sfDir).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val vec = tf.where(col("doc_id") < TfidfDocs)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("wt", col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val norms = vec.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val dots = vec.as("x").join(vec.as("y"),
+        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.wt") * col("y.wt")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))), "doc_a")
+      .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))), "doc_b")
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+      .select("doc_a", "doc_b", "cos")
+      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(25)
+  }
+
+  /** Cosine sums fold in shuffle order, so the oracle rounds to 4 dp
+    * (vs 6 elsewhere) to absorb summation-order noise in the dot
+    * products; ranking ties break on (doc_a, doc_b).
+    */
+  val tfidfDocSimSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+       |), vec AS (
+       |  SELECT doc_id, term, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS wt
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |  WHERE doc_id < $TfidfDocs
+       |), norms AS (
+       |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM vec GROUP BY doc_id
+       |), dots AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, sum(x.wt * y.wt) AS dot
+       |  FROM vec x JOIN vec y ON x.term = y.term AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+       |FROM dots
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |ORDER BY cos DESC, doc_a ASC, doc_b ASC
+       |LIMIT 25""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_udaf_weighted_pref" -> (udafWeightedPref _),
+    "q_tfidf_terms"        -> (tfidfTerms _),
+    "q_tfidf_doc_sim"      -> (tfidfDocSim _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_udaf_weighted_pref" -> udafWeightedPrefSql,
+    "q_tfidf_terms"        -> tfidfTermsSql,
+    "q_tfidf_doc_sim"      -> tfidfDocSimSql,
+  )
+}

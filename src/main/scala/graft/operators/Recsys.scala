@@ -464,13 +464,16 @@ object Recsys {
       .groupBy("user_id").agg(count(lit(1)).as("n_hits"))
     val perUser = testUsers.join(hits, Seq("user_id"), "left")
       .select(col("user_id"), col("n_test_items"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    val nItems = Tables.part(spark, sfDir).count()
+    // catalog size as a broadcast 1-row aggregate, not a driver .count()
+    val nItems = Tables.part(spark, sfDir).agg(count(lit(1)).as("n_cat_items"))
     perUser.agg(
         count(lit(1)).as("n_test_users"),
         round(avg(col("n_hits") / lit(EvalK.toDouble)), 6).as("precision_at_k"),
         round(avg(col("n_hits") / col("n_test_items")), 6).as("recall_at_k"),
-        round(lit(EvalK.toDouble) / lit(nItems.toDouble), 6).as("coverage"),
         sum(col("n_hits")).as("total_hits"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("coverage", round(lit(EvalK.toDouble) / col("n_cat_items"), 6))
+      .select("n_test_users", "precision_at_k", "recall_at_k", "coverage", "total_hits")
   }
 
   val evalPopularitySql: String =

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Non-parquet source/sink surfaces (SURVEY.md §2.1 S2/S3/S5).
+  *
+  * The reference family loads delimited interaction logs (MovieLens-style
+  * `u.data`) and round-trips recommendation tables through an RDBMS.
+  * Parquet remains our primary format (the fixtures); these adapters
+  * keep the same explicit-schema discipline for the other paths:
+  * schemas are DECLARED, never inferred — at 100 TB a schema-inference
+  * pass is a full extra scan, and silent type drift breaks downstream
+  * queries.
+  */
+object Sources {
+
+  /** S2 CSV/TSV scan with mandatory explicit schema. `header=false` and
+    * a caller-chosen separator mirror the classic ratings-file layout.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          sep: String = "\t", header: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema) // explicit: no inference scan
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST") // malformed rows are a pipeline bug, not data
+      .csv(path)
+
+  /** S5 CSV sink (tests + interop exports). */
+  def writeCsv(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("sep", sep).csv(path)
+
+  /** JSON-lines scan, schema-explicit for the same reasons. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** S3 JDBC source — STUB configuration builder. There is no database
+    * in this environment, so this returns the fully-configured reader
+    * without calling `.load()`; the partitioning options are the part
+    * that matters at scale (parallel range reads instead of one giant
+    * result set through a single connection).
+    */
+  def jdbcReader(spark: SparkSession, url: String, table: String,
+                 partitionColumn: String, lowerBound: Long, upperBound: Long,
+                 numPartitions: Int): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", 10000)
+}
