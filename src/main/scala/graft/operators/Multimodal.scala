@@ -105,13 +105,76 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Bytes per (stubbed) frame. */
+  val FrameSize = 256
+  /** Sample every k-th frame. */
+  val FrameStride = 4
+
+  /** Frame sampling over binary payloads: the payload is treated as a
+    * sequence of $FrameSize-byte frames; every $FrameStride-th frame is
+    * emitted with its byte-range metadata and a content hash of the
+    * sampled slice. This is the video-keyframe plumbing with a stub
+    * "codec" (fixed-size frames): the generator shape, offset math, and
+    * per-frame rows are exactly what a real decoder feeds downstream —
+    * only the frame boundary computation changes with a real container
+    * format. Generator-only (one output row per sampled frame, no
+    * shuffle until the final rollup); corpus text is ASCII (verified at
+    * fixture-probe time) so char offsets == byte offsets and the
+    * content hash is engine-portable.
+    */
+  def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("n_frames", ceil(col("n_bytes") / lit(FrameSize.toDouble)).cast("long"))
+    val frames = d.select(col("doc_id"), col("source"), col("n_bytes"), col("text"),
+        explode(expr(s"sequence(0, n_frames - 1, $FrameStride)")).as("frame_no"))
+      .withColumn("byte_offset", col("frame_no") * FrameSize)
+      .withColumn("frame_len", least(lit(FrameSize.toLong), col("n_bytes") - col("byte_offset")))
+      .withColumn("frame_hash", md5(expr(s"substring(text, byte_offset + 1, frame_len)")))
+    frames.groupBy("source")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           sum("frame_len").as("sampled_bytes"),
+           countDistinct(col("frame_hash")).as("n_distinct_frames"))
+      .orderBy("source")
+  }
+
+  val mediaFrameSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |    octet_length(text::BLOB) AS n_bytes,
+       |    ceil(octet_length(text::BLOB) / ${FrameSize.toDouble})::BIGINT AS n_frames
+       |  FROM documents
+       |), frames AS (
+       |  SELECT doc_id, source, n_bytes,
+       |    unnest(range(0, n_frames, $FrameStride)) AS frame_no,
+       |    text
+       |  FROM d
+       |), meta AS (
+       |  SELECT doc_id, source, frame_no,
+       |    frame_no * $FrameSize AS byte_offset,
+       |    least($FrameSize, n_bytes - frame_no * $FrameSize) AS frame_len,
+       |    md5(substring(text, (frame_no * $FrameSize + 1)::INT, least($FrameSize, n_bytes - frame_no * $FrameSize)::INT)) AS frame_hash
+       |  FROM frames
+       |)
+       |SELECT source, count(*) AS n_sampled_frames,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  sum(frame_len)::BIGINT AS sampled_bytes,
+       |  count(DISTINCT frame_hash) AS n_distinct_frames
+       |FROM meta
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
+    "q_media_frames"       -> (mediaFrameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_binary_passthrough" -> binaryPassthroughSql,
+    "q_media_frames"       -> mediaFrameSampleSql,
     // q_media_features: typed-Dataset decode stage — rows-only check;
     // MultimodalSpec verifies the stub arithmetic exactly.
   )

@@ -638,7 +638,63 @@ object Relational {
       |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 20""".stripMargin
 
+  /** Percentiles + min_by/max_by (F3): exact interpolated quantiles per
+    * order priority (Spark `percentile` ↔ DuckDB `quantile_cont`, both
+    * linear interpolation over the exact sorted values) and first/last
+    * order price keyed on the UNIQUE o_orderkey — arg-extremes on a
+    * non-unique key would be nondeterministic in both engines.
+    */
+  def pricePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+           round(expr("min_by(o_totalprice, o_orderkey)"), 4).as("first_order_price"),
+           round(expr("max_by(o_totalprice, o_orderkey)"), 4).as("last_order_price"))
+      .orderBy("o_orderpriority")
+
+  val pricePercentilesSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      |  round(arg_min(o_totalprice, o_orderkey), 4) AS first_order_price,
+      |  round(arg_max(o_totalprice, o_orderkey), 4) AS last_order_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Two-phase salted aggregation — the skew-mitigation pattern for hot
+    * grouping keys (event_type has 5 values over the whole table: the
+    * worst case for a direct shuffle at 100 TB). Phase 1 aggregates on
+    * (key, salt) spreading each hot key over 16 reducers; phase 2 merges
+    * the 16 partials per key. Counts/sums/maxes compose losslessly, so
+    * the result — and the oracle — is identical to the direct groupBy.
+    */
+  val SaltBuckets = 16
+
+  def saltedEventStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("user_id"), lit(SaltBuckets)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"), max("value").as("pmax"))
+    partial.groupBy("event_type")
+      .agg(sum("pn").as("n_events"),
+           round(sum("psum"), 4).as("sum_value"),
+           round(max("pmax"), 4).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  val saltedEventStatsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value, round(max(value), 4) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_percentiles"         -> (pricePercentiles _),
+    "q_salted_agg"          -> (saltedEventStats _),
     "q_pricing_summary"     -> (pricingSummary _),
     "q_revenue_by_nation"   -> (revenueByNation _),
     "q_top_customers"       -> (topCustomers _),
@@ -666,6 +722,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_percentiles"         -> pricePercentilesSql,
+    "q_salted_agg"          -> saltedEventStatsSql,
     "q_pricing_summary"     -> pricingSummarySql,
     "q_revenue_by_nation"   -> revenueByNationSql,
     "q_top_customers"       -> topCustomersSql,

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.VectorFunctions.{floatDot, floatNorm}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests (SURVEY.md §5.2 item 3): operator laws on
+  * generated inputs, executed through real Spark plans. Case counts are
+  * small (Spark-per-case is expensive); the generators cover the edge
+  * shapes that matter — empty-ish groups, duplicate keys, negative
+  * values, boundary gaps.
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(15)
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("float_dot equals the reference left-to-right double fold") {
+    val session = spark
+    import session.implicits._
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    check("dot", Prop.forAll(genVec, genVec) { (a: List[Float], b: List[Float]) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("x", "y")
+      val got = df.select(floatDot(col("x"), col("y"))).head.getDouble(0)
+      val want = a.zip(b).foldLeft(0.0)((s, t) => s + t._1.toDouble * t._2.toDouble)
+      got == want
+    })
+  }
+
+  test("cosine from float_dot is within [-1, 1] (+fp slack) for nonzero vectors") {
+    val session = spark
+    import session.implicits._
+    val genVec = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    check("cos", Prop.forAll(genVec, genVec) { (a: List[Float], b: List[Float]) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("x", "y")
+      val cos = df.select(
+        floatDot(col("x"), col("y")) / (floatNorm(col("x")) * floatNorm(col("y")))).head.getDouble(0)
+      cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9
+    })
+  }
+
+  test("exact dedup is idempotent and keeps min doc_id per text") {
+    val session = spark
+    import session.implicits._
+    val genDocs = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.oneOf("a", "b", "c", "d", "e")))
+    check("dedup", Prop.forAll(genDocs) { (docs: List[(Long, String)]) =>
+      val df = docs.toDF("doc_id", "text").dropDuplicates("doc_id")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id", "text")
+      val once = dedup(df).collect().map(_.toSeq).toSet
+      val twice = dedup(dedup(df)).collect().map(_.toSeq).toSet
+      once == twice && once.size == df.select("text").distinct().count()
+    })
+  }
+
+  test("per-group top-k emits at most k rows per group including the group max") {
+    val session = spark
+    import session.implicits._
+    val genRows = Gen.listOfN(40, Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(-100, 100)))
+    check("topk", Prop.forAll(genRows, Gen.chooseNum(1, 5)) { (rows: List[(Int, Int)], k: Int) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val top = df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      val sizesOk = top.groupBy("g").count().where(col("count") > k).count() == 0
+      val maxes = df.groupBy("g").agg(max("v").as("v")).collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val topHasMax = top.where(col("rk") === 1).collect()
+        .forall(r => maxes(r.getInt(0)) == r.getInt(1))
+      sizesOk && topHasMax
+    })
+  }
+
+  test("session count equals 1 + boundary gaps per user") {
+    val session = spark
+    import session.implicits._
+    val genGaps = Gen.listOfN(12, Gen.chooseNum(1, 3600)) // seconds between events
+    check("sessions", Prop.forAll(genGaps) { (gaps: List[Int]) =>
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g)
+      val df = times.zipWithIndex
+        .map { case (t, i) => (1L, i.toLong, new java.sql.Timestamp(1700000000000L + t * 1000)) }
+        .toDF("user_id", "event_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val sessions = df
+        .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+        .agg(sum("is_new")).head.getLong(0)
+      val expected = 1 + gaps.count(_ > 1800)
+      sessions == expected
+    })
+  }
+
+  test("anti-join result is disjoint from the exclusion set and preserves the rest") {
+    val session = spark
+    import session.implicits._
+    val genIds = Gen.listOfN(25, Gen.chooseNum(0L, 50L))
+    check("anti", Prop.forAll(genIds, genIds) { (left: List[Long], excl: List[Long]) =>
+      val l = left.distinct.toDF("id")
+      val e = excl.distinct.toDF("id")
+      val kept = l.join(e, Seq("id"), "left_anti").collect().map(_.getLong(0)).toSet
+      val exclSet = excl.toSet
+      kept.intersect(exclSet).isEmpty &&
+        kept == left.toSet.diff(exclSet)
+    })
+  }
+}
