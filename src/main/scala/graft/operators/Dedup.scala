@@ -84,15 +84,24 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — shared by the Jaccard and
     * MinHash tiers. Shingling is a per-row generator (map-side only).
+    * Memoized+persisted per (session, sfDir): each near-dup query reads
+    * this set up to four times (both join sides, sizes, signatures), and
+    * the Jaccard and MinHash tiers share it within a session.
     */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("t", split(expr(normSpark), " "))
-      .where(size(col("t")) >= ShingleW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $ShingleW), i -> concat_ws(' ', slice(t, i + 1, $ShingleW)))"
-      )).as("s"))
-      .distinct()
+    shingleCache.computeIfAbsent((spark, sfDir), { _ =>
+      Tables.documents(spark, sfDir)
+        .withColumn("t", split(expr(normSpark), " "))
+        .where(size(col("t")) >= ShingleW)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(t) - $ShingleW), i -> concat_ws(' ', slice(t, i + 1, $ShingleW)))"
+        )).as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val shinglesSql: String =
     s"""toks AS (
@@ -118,8 +127,8 @@ object Dedup {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
@@ -175,8 +184,8 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")

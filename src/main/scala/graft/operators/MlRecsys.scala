@@ -86,7 +86,11 @@ object MlRecsys {
     val w2v = new Word2Vec()
       .setInputCol("sentence").setOutputCol("vec")
       .setVectorSize(16).setMinCount(2).setSeed(Seed)
-      .setNumPartitions(1).setMaxIter(1)
+      // 4 training partitions: ~3x faster than serial training; Word2Vec
+      // updates race across partitions (hogwild) so exact vectors drift
+      // run-to-run, which is fine — the driver check is rows-only and
+      // the spec asserts invariants, not values (SURVEY.md §7.4 item 3)
+      .setNumPartitions(4).setMaxIter(1)
     val model = w2v.fit(seqs)
     val topItem = Tables.lineitem(spark, sfDir)
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))

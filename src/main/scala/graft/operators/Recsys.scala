@@ -73,14 +73,28 @@ object Recsys {
     * remaining exchange is the pair-count aggregate itself. At 100 TB
     * this is the difference between shuffling the interaction table
     * twice (join build+probe) and once.
+    *
+    * Each pair is PACKED into one long (a·2³² + b; ids are well under
+    * 2³¹ — they key 20k-ish parts/customers) in column `pk`: the
+    * generator emits a primitive-long array instead of a struct array,
+    * and downstream aggregates group on a single primitive key — both
+    * measurably cheaper at ~13M pairs than the struct formulation.
+    * Unpack with [[unpack]].
     */
+  private val PackBase = 4294967296L // 2^32
+
   private def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
     df.groupBy(key)
       .agg(sort_array(collect_list(col(elem))).as("es"))
       .select(col(key), explode(expr(
-        "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> struct(x AS a, y AS b))))"
-      )).as("p"))
-      .select(col(key), col("p.a").as("a"), col("p.b").as("b"))
+        s"flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> x * $PackBase + y)))"
+      )).as("pk"))
+
+  /** Split a packed pair column into its (a, b) halves. */
+  private def unpack(df: DataFrame, aName: String, bName: String): DataFrame =
+    df.withColumn(aName, shiftright(col("pk"), 32))
+      .withColumn(bName, col("pk").bitwiseAND(PackBase - 1L))
+      .drop("pk")
 
   private val cappedSql: String =
     s"""interactions AS (
@@ -119,9 +133,9 @@ object Recsys {
     // count joins — round-1 plans showed them as SortMergeJoins that
     // re-shuffled the ~10M-row pair table twice.
     val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
-    val pairs = pairsWithin(r, "user_id", "item_id")
-      .groupBy(col("a").as("item_i"), col("b").as("item_j"))
-      .agg(count(lit(1)).as("co"))
+    val pairs = unpack(
+      pairsWithin(r, "user_id", "item_id").groupBy("pk").agg(count(lit(1)).as("co")),
+      "item_i", "item_j")
     val ci = counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))
     val cj = counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))
     // Join counts on the i<j half-space FIRST, then mirror each pair with
@@ -250,9 +264,9 @@ object Recsys {
     // Same plan shape as itemcfSimilarity: broadcast count joins on the
     // half-space, then a single-generator mirror (see comments there).
     val counts = r.groupBy("user_id").agg(count(lit(1)).as("n_items"))
-    val pairs = pairsWithin(r, "item_id", "user_id")
-      .groupBy(col("a").as("user_u"), col("b").as("user_v"))
-      .agg(count(lit(1)).as("co"))
+    val pairs = unpack(
+      pairsWithin(r, "item_id", "user_id").groupBy("pk").agg(count(lit(1)).as("co")),
+      "user_u", "user_v")
     val cu = counts.select(col("user_id").as("user_u"), col("n_items").as("nu"))
     val cv = counts.select(col("user_id").as("user_v"), col("n_items").as("nv"))
     val half = pairs
@@ -392,8 +406,10 @@ object Recsys {
     // co-rated by (u,v) are exactly the pairs within that list. One
     // aggregate + one generator replaces all three joins; the algebra
     // (and the oracle SQL) is unchanged.
+    // group by the packed user pair directly — its identity is only a
+    // grouping key, so it is never unpacked
     val shared = pairsWithin(r, "item_id", "user_id")
-      .groupBy(col("a").as("user_u"), col("b").as("user_v"))
+      .groupBy("pk")
       .agg(sort_array(collect_list(col("item_id"))).as("items"))
       .withColumn("overlap", size(col("items")))
     val contrib = shared.select(col("overlap"), explode(expr(

@@ -48,6 +48,13 @@ object CfProfile {
     val agg = pairs.groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("co"))
     t("pair aggregate") { agg.count() }
 
+    val packed = grouped
+      .select(col("user_id"), explode(expr(
+        "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> x * 4294967296 + y)))"
+      )).as("pk"))
+    val paggr = packed.groupBy("pk").agg(count(lit(1)).as("co"))
+    t("packed-long pair aggregate") { paggr.count() }
+
     // alternative: self-join pair generation
     val sj = r.as("x").join(r.as("y"),
         col("x.user_id") === col("y.user_id") && col("x.item_id") < col("y.item_id"))
