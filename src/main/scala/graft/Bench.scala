@@ -13,6 +13,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/reader warmup so the first measured query doesn't
+    // absorb one-time session costs (standard bench hygiene; runs a
+    // trivial plan through parquet scan + shuffle + codegen paths).
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -151,10 +151,16 @@ object Recsys {
       )).as("p"))
       .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
               col("p.sim").as("sim"), col("p.co").as("co"))
-    val w = Window.partitionBy(col("item_i")).orderBy(col("sim").desc, col("item_j").asc)
-    sim.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopK)
-      .select(col("item_i"), col("rk"), col("item_j"), col("sim"), col("co"))
+    // Per-item top-K via the bounded-buffer aggregate (graft.functions
+    // .TopKByScore): the partial phase caps every (item, partition) at
+    // K entries, so no 25M-row sort and the shuffle carries ≤ K·|items|
+    // rows. Order (sim desc, item_j asc) matches the previous
+    // row_number window exactly.
+    sim.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
+      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
+              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
       .orderBy("item_i", "rk")
   }
 
@@ -279,10 +285,12 @@ object Recsys {
       )).as("p"))
       .select(col("p.user_u").as("user_u"), col("p.user_v").as("user_v"),
               col("p.sim").as("sim"), col("p.co").as("co"))
-    val w = Window.partitionBy(col("user_u")).orderBy(col("sim").desc, col("user_v").asc)
-    sim.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopK)
-      .select(col("user_u"), col("rk"), col("user_v"), col("sim"), col("co"))
+    // bounded top-K aggregate — see itemcfSimilarityPlan
+    sim.groupBy("user_u")
+      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("user_v"), col("co")).as("nbrs"))
+      .select(col("user_u"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("user_u"), (col("pos") + 1).cast("int").as("rk"),
+              col("nbr.id").as("user_v"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
       .orderBy("user_u", "rk")
   }
 

@@ -62,6 +62,32 @@ object CfProfile {
       .agg(count(lit(1)).as("co"))
     t("self-join pair aggregate") { sj.count() }
 
+    // tail stages of the similarity pipeline
+    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
+    val half = paggr
+      .withColumn("item_i", shiftright(col("pk"), 32))
+      .withColumn("item_j", col("pk").bitwiseAND(4294967295L))
+      .join(broadcast(counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))), "item_i")
+      .join(broadcast(counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))), "item_j")
+      .withColumn("sim", round(col("co") / sqrt(col("ni") * col("nj")), 6))
+    t("half-space sim (bcast joins)") { half.count() }
+    val mirrored = half.select(explode(array(
+        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
+        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
+      )).as("p"))
+      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
+              col("p.sim").as("sim"), col("p.co").as("co"))
+    t("mirrored") { mirrored.count() }
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_i")).orderBy(col("sim").desc, col("item_j").asc)
+    val top = mirrored.withColumn("rk", row_number().over(w2)).where(col("rk") <= 10)
+    t("windowed top-k") { top.count() }
+
+    val topAgg = mirrored.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(10, col("sim"), col("item_j"), col("co")).as("nbrs"))
+      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+    t("top-k aggregate") { topAgg.count() }
+
     t("full q_itemcf_similarity") {
       graft.operators.Recsys.itemcfSimilarity(spark, sfDir).count()
     }
