@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Advanced.queries ++
+      operators.AsOf.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++
+      operators.AsOf.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the classic operator relational engines
+  * bolt on for time-series enrichment: each left row picks the most
+  * recent right row with right.time <= left.time for the same key.
+  *
+  * Spark-first design (SURVEY.md custom-operator preference order,
+  * tier (a) compose): the scalable formulation is NOT a join at all but
+  * a tagged UNION + one window pass —
+  *
+  *   union(right tagged 0, left tagged 1)
+  *     sorted within key by (time, tag)
+  *     carry forward the last non-null right payload
+  *     keep left rows
+  *
+  * One shuffle on the key, no pair blowup, no range-join nested loop;
+  * skew follows the key distribution exactly like any window. This is
+  * how a 100 TB backfill does point-in-time correctness (a custom
+  * SparkPlan would re-implement precisely this sort-merge).
+  *
+  * Determinism: right rows are expected unique per (key, time) —
+  * deduplicate first (the query below keeps max orderkey per tie), or
+  * ties would be resolved arbitrarily in ANY engine. At equal
+  * timestamps the right row sorts before the left row (tag order), so
+  * the match condition is the inclusive right.time <= left.time —
+  * matching DuckDB's `ASOF JOIN ... ON l.t >= r.t` oracle exactly.
+  */
+object AsOf {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Generic as-of join.
+    *
+    * @param left         rows to enrich
+    * @param right        versioned reference rows (unique per key+time)
+    * @param leftKey      join key column in `left`
+    * @param rightKey     join key column in `right`
+    * @param leftTimeUs   µs-epoch time column in `left`
+    * @param rightTimeUs  µs-epoch time column in `right`
+    * @param toleranceUs  optional max age: matches older than this are nulled
+    * @return all `left` columns plus `right`'s non-key payload columns
+    *         (null where no right row is at or before the left time)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTimeUs: String, rightTimeUs: String,
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c => c == rightKey).toSeq
+    val rightStruct = struct(rightPayloadCols.map(col): _*)
+    val rightStructType = right.select(rightStruct).schema.head.dataType
+    val leftStructType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+
+    val taggedRight = right.select(
+      col(rightKey).as("__k"), col(rightTimeUs).cast("long").as("__t"),
+      lit(0).as("__tag"),
+      lit(null).cast(leftStructType).as("__left_row"),
+      rightStruct.as("__right_row"))
+    val taggedLeft = left.select(
+      col(leftKey).as("__k"), col(leftTimeUs).cast("long").as("__t"),
+      lit(1).as("__tag"), struct(left.columns.map(col): _*).as("__left_row"),
+      lit(null).cast(rightStructType).as("__right_row"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last(col("__right_row"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+
+    val aged = toleranceUs match {
+      case Some(tol) => matched.withColumn("__match",
+        when(col("__t") - col("__match")(rightTimeUs).cast("long") <= tol, col("__match")))
+      case None => matched
+    }
+    val leftCols = left.columns.toSeq.map(c => col(s"__left_row.$c").as(c))
+    val rightCols = rightPayloadCols.map(c => col(s"__match.$c").as(c))
+    aged.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Point-in-time enrichment query: each purchase event gets the most
+    * recent order (by orderdate, inclusive) of the same customer, plus
+    * the age of that order in whole days. Ties (several orders on the
+    * same date) are pre-resolved to the max orderkey, which is what
+    * makes the as-of deterministic in both engines.
+    */
+  def asofEventOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("e_us"))
+    val r = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    asofJoin(e, r, leftKey = "user_id", rightKey = "o_custkey",
+             leftTimeUs = "e_us", rightTimeUs = "o_us")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+              expr("CASE WHEN o_orderkey IS NULL THEN NULL ELSE (e_us - o_us) div 86400000000 END").as("gap_days"))
+      .orderBy("event_id")
+  }
+
+  val asofEventOrderSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |    epoch_us(o_orderdate) AS o_us
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |), e AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS e_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT e.event_id, e.user_id, r.o_orderkey,
+      |  CASE WHEN r.o_orderkey IS NULL THEN NULL
+      |       ELSE (e.e_us - r.o_us) // 86400000000 END AS gap_days
+      |FROM e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_event_order" -> (asofEventOrder _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_event_order" -> asofEventOrderSql,
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the composed as-of join (union + window): exact
+  * matches on hand-computed fixtures, inclusive-boundary semantics,
+  * left rows with no match, and the tolerance (max age) variant.
+  */
+class AsOfSpec extends AnyFunSuite with SparkFixture {
+
+  private def fixtures = {
+    val session = spark
+    import session.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // key 1, t=100
+      (1L, 205L, 11L),
+      (1L, 300L, 12L),
+      (2L, 50L, 20L),  // key 2 has no right row before t=50
+      (2L, 400L, 21L),
+      (3L, 999L, 30L)  // key 3 has no right rows at all
+    ).toDF("k", "t", "left_id")
+    val right = Seq(
+      (1L, 100L, 900L), // equal timestamp: must match (inclusive)
+      (1L, 200L, 901L),
+      (1L, 250L, 902L),
+      (2L, 60L, 903L),
+      (2L, 399L, 904L)
+    ).toDF("k", "rt", "version")
+    (left, right)
+  }
+
+  test("as-of picks the latest right row at or before each left time") {
+    val (left, right) = fixtures
+    val out = AsOf.asofJoin(left, right, "k", "k", "t", "rt")
+      .select("left_id", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(
+      10L -> 900L, // t=100 matches rt=100 (inclusive boundary)
+      11L -> 901L, // t=205 -> rt=200 (not 250)
+      12L -> 902L, // t=300 -> rt=250
+      20L -> -1L,  // t=50 precedes every right row for key 2
+      21L -> 904L, // t=400 -> rt=399
+      30L -> -1L   // key without right rows
+    ))
+  }
+
+  test("tolerance nulls out matches older than the horizon") {
+    val (left, right) = fixtures
+    val out = AsOf.asofJoin(left, right, "k", "k", "t", "rt", toleranceUs = Some(10L))
+      .select("left_id", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // only matches within 10 ticks survive: 100-100=0, 205-200=5, 400-399=1
+    assert(out == Map(10L -> 900L, 11L -> 901L, 12L -> -1L,
+                      20L -> -1L, 21L -> 904L, 30L -> -1L))
+  }
+
+  test("as-of output keeps exactly the left row count") {
+    val (left, right) = fixtures
+    assert(AsOf.asofJoin(left, right, "k", "k", "t", "rt").count() == left.count())
+  }
+
+  test("flagship asof query matches the window-based reference on sf0.001") {
+    val out = AsOf.asofEventOrder(spark, sfTest).cache()
+    assert(out.count() > 0)
+    // reference: per event, the max (o_us, orderkey) at or before e_us,
+    // computed the quadratic way on the small fixture
+    val e = Tables.events(spark, sfTest).where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("e_us"))
+    val o = Tables.orders(spark, sfTest)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    val ref = e.join(o, e("user_id") === o("o_custkey") && o("o_us") <= e("e_us"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("o_us").desc_nulls_last, col("o_orderkey").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("ref_orderkey"))
+    val diff = out.join(ref, "event_id")
+      .where(coalesce(col("o_orderkey"), lit(-1L)) =!= coalesce(col("ref_orderkey"), lit(-1L)))
+      .count()
+    assert(diff == 0)
+  }
+}
