@@ -81,14 +81,13 @@ object Recsys {
     * measurably cheaper at ~13M pairs than the struct formulation.
     * Unpack with [[unpack]].
     */
-  private val PackBase = 4294967296L // 2^32
+  private val PackBase = graft.functions.PairPack.Base
 
   private def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
     df.groupBy(key)
       .agg(sort_array(collect_list(col(elem))).as("es"))
-      .select(col(key), explode(expr(
-        s"flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> x * $PackBase + y)))"
-      )).as("pk"))
+      .select(col(key),
+        explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"))
 
   /** Split a packed pair column into its (a, b) halves. */
   private def unpack(df: DataFrame, aName: String, bName: String): DataFrame =

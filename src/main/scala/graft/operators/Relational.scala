@@ -277,6 +277,29 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** Explicit GROUPING SETS (A5, distinct from rollup/cube): the
+    * ragged-granularity report — totals by (status), by (priority), and
+    * overall, but NOT by the cross product.
+    */
+  def orderGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val orderGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   /** CUBE over order status×priority (A5). */
   def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -704,6 +727,7 @@ object Relational {
     "q_range_event_attribution" -> (eventOrderAttribution _),
     "q_cross_nation_event_grid" -> (nationEventGrid _),
     "q_rollup_revenue"      -> (revenueRollup _),
+    "q_grouping_sets"       -> (orderGroupingSets _),
     "q_cube_orders"         -> (ordersCube _),
     "q_pivot_events"        -> (eventPivot _),
     "q_window_top_parts"    -> (topPartsPerBrand _),
@@ -733,6 +757,7 @@ object Relational {
     "q_range_event_attribution" -> eventOrderAttributionSql,
     "q_cross_nation_event_grid" -> nationEventGridSql,
     "q_rollup_revenue"      -> revenueRollupSql,
+    "q_grouping_sets"       -> orderGroupingSetsSql,
     "q_cube_orders"         -> ordersCubeSql,
     "q_pivot_events"        -> eventPivotSql,
     "q_window_top_parts"    -> topPartsPerBrandSql,

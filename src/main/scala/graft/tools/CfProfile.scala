@@ -48,12 +48,17 @@ object CfProfile {
     val agg = pairs.groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("co"))
     t("pair aggregate") { agg.count() }
 
-    val packed = grouped
+    val packedHof = grouped
       .select(col("user_id"), explode(expr(
         "flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)), y -> x * 4294967296 + y)))"
       )).as("pk"))
+    t("packed pair aggregate (HOF)") {
+      packedHof.groupBy("pk").agg(count(lit(1)).as("co")).count()
+    }
+    val packed = grouped
+      .select(col("user_id"), explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"))
     val paggr = packed.groupBy("pk").agg(count(lit(1)).as("co"))
-    t("packed-long pair aggregate") { paggr.count() }
+    t("packed pair aggregate (codegen)") { paggr.count() }
 
     // alternative: self-join pair generation
     val sj = r.as("x").join(r.as("y"),
