@@ -122,10 +122,20 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Inverted-index pair generation WITHOUT the shingle self-join: one
+    // groupBy per shingle collects its (sorted) doc list, and the
+    // codegen PairPack expression expands the co-occurring doc pairs
+    // map-side — the hot-shingle blowup (a trigram shared by n docs
+    // yields n(n−1)/2 pairs) no longer rides through an SMJ shuffle of
+    // duplicated shingle rows. Identical pair multiset to the x⋈y join
+    // the oracle still uses.
+    val inter = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .withColumn("doc_a", shiftright(col("pk"), 32))
+      .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
+      .drop("pk")
     inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")

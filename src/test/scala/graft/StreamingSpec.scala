@@ -134,6 +134,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("file-source stream: tumbling counts over events parquet equal batch") {
+    // readStream over the fixture parquet (schema must be declared for
+    // file streams; ts arrives as long nanos under nanosAsLong, exactly
+    // as the batch path reads it — the same normalization is applied)
+    val batchRaw = spark.read.parquet(s"$sfTest/events.parquet")
+    val stream = spark.readStream.schema(batchRaw.schema)
+      .option("pathGlobFilter", "events.parquet") // file streams need a directory
+      .parquet(sfTest)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val name = s"file_out_${System.nanoTime()}"
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+    val batch = Streams.tumblingCounts(Tables.events(spark, sfTest))
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("T6 flatMapGroupsWithState: running per-user event counter") {
     val session = spark
     import session.implicits._
