@@ -459,6 +459,77 @@ object Recsys {
        |ORDER BY swing DESC, item_i ASC, item_j ASC
        |LIMIT $SwingTop""".stripMargin
 
+  /** Popular parts kept per brand for content candidates. */
+  val BrandTop = 50
+
+  /** Content-based recommend (the content-profile family): profile each
+    * user by their strongest brand (Σ strength, ties to the
+    * lexicographically first brand), candidate-generate from the
+    * top-$BrandTop most-interacted parts of that brand, drop seen
+    * items, rank by part popularity. The candidate join is
+    * (users × $BrandTop) — the classic "popular within preferred
+    * category" generation that stays linear in users at any scale,
+    * with the per-brand shortlist broadcast.
+    */
+  def contentRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = cappedInteractions(spark, sfDir)
+    val parts = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val withBrand = hist.join(broadcast(parts), hist("item_id") === parts("p_partkey"))
+    // user profile: strongest brand
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("brand_strength").desc, col("p_brand").asc)
+    val profile = withBrand.groupBy("user_id", "p_brand")
+      .agg(round(sum("strength"), 4).as("brand_strength"))
+      .withColumn("rk", row_number().over(wB))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("p_brand"))
+    // per-brand shortlist: most popular parts by interaction count
+    val wP = Window.partitionBy(col("p_brand")).orderBy(col("pop").desc, col("item_id").asc)
+    val shortlist = withBrand.groupBy("p_brand", "item_id")
+      .agg(count(lit(1)).as("pop"))
+      .withColumn("prk", row_number().over(wP))
+      .where(col("prk") <= BrandTop)
+      .select(col("p_brand"), col("item_id").as("cand"), col("pop"))
+    val cands = profile.join(broadcast(shortlist), "p_brand")
+    val unseen = cands.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
+        col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
+    val wN = Window.partitionBy(col("user_id")).orderBy(col("pop").desc, col("cand").asc)
+    unseen.withColumn("rk", row_number().over(wN))
+      .where(col("rk") <= TopN)
+      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("p_brand"), col("pop"))
+      .orderBy("user_id", "rk")
+  }
+
+  val contentRecommendSql: String =
+    s"""WITH $cappedSql, wb AS (
+       |  SELECT c.user_id, c.item_id, c.strength, p.p_brand
+       |  FROM capped c JOIN part p ON c.item_id = p.p_partkey
+       |), profile AS (
+       |  SELECT user_id, p_brand FROM (
+       |    SELECT user_id, p_brand,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY round(sum(strength), 4) DESC, p_brand ASC) AS rk
+       |    FROM wb GROUP BY user_id, p_brand
+       |  ) WHERE rk = 1
+       |), shortlist AS (
+       |  SELECT p_brand, cand, pop FROM (
+       |    SELECT p_brand, item_id AS cand, count(*) AS pop,
+       |      row_number() OVER (PARTITION BY p_brand
+       |        ORDER BY count(*) DESC, item_id ASC) AS prk
+       |    FROM wb GROUP BY p_brand, item_id
+       |  ) WHERE prk <= $BrandTop
+       |), unseen AS (
+       |  SELECT pr.user_id, s.cand, pr.p_brand, s.pop
+       |  FROM profile pr JOIN shortlist s USING (p_brand)
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped h WHERE h.user_id = pr.user_id AND h.item_id = s.cand)
+       |)
+       |SELECT user_id, rk, cand AS item_id, p_brand, pop FROM (
+       |  SELECT user_id, cand, p_brand, pop,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY pop DESC, cand ASC) AS rk
+       |  FROM unseen
+       |) WHERE rk <= $TopN
+       |ORDER BY user_id, rk""".stripMargin
+
   /** Time-based train/test split boundary for evaluation. */
   val SplitDate = "1999-07-01"
   /** K for precision/recall@K. */
@@ -532,6 +603,7 @@ object Recsys {
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
     "q_swing_similarity"  -> (swingSimilarity _),
+    "q_content_recommend" -> (contentRecommend _),
     "q_eval_popularity"   -> (evalPopularity _),
   )
 
@@ -541,6 +613,7 @@ object Recsys {
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,
     "q_swing_similarity"  -> swingSimilaritySql,
+    "q_content_recommend" -> contentRecommendSql,
     "q_eval_popularity"   -> evalPopularitySql,
   )
 }
