@@ -1,10 +1,12 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{VectorAssembler, Word2Vec}
 import org.apache.spark.ml.fpm.FPGrowth
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MLlib-backed recommenders (SURVEY.md §2.9 M5–M7). These are not
@@ -102,10 +104,48 @@ object MlRecsys {
       .orderBy(col("cosine").desc, col("item_id").asc)
   }
 
+  /** LR ranking (the CTR-model re-rank stage of this repo family):
+    * logistic regression over (item popularity, user activity,
+    * interaction strength) predicting "strong interaction" (strength
+    * above the user's median), then top-5 candidates per user for the
+    * first 100 users, ranked by model probability. Features are
+    * assembled with VectorAssembler; negatives are the user's own
+    * below-median interactions, so the training frame is deterministic
+    * (no random sampling). Seeded, rows-only driver check; invariants
+    * in MlRecsysSpec.
+    */
+  def lrRanking(spark: SparkSession, sfDir: String): DataFrame = {
+    val inter = Tables.interactions(spark, sfDir)
+    val itemPop = inter.groupBy("item_id").agg(count(lit(1)).cast("double").as("item_pop"))
+    val userAct = inter.groupBy("user_id").agg(count(lit(1)).cast("double").as("user_act"))
+    val wMed = Window.partitionBy("user_id")
+    val frame = inter
+      .withColumn("med", expr("percentile(strength, 0.5)").over(wMed))
+      .withColumn("label", when(col("strength") > col("med"), 1.0).otherwise(0.0))
+      .join(broadcast(itemPop), "item_id")
+      .join(broadcast(userAct), "user_id")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("item_pop", "user_act", "strength"))
+      .setOutputCol("features")
+      .transform(frame)
+    val lr = new LogisticRegression()
+      .setMaxIter(10).setRegParam(0.01).setLabelCol("label").setFeaturesCol("features")
+    val model = lr.fit(assembled)
+    val firstProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    val scored = model.transform(assembled.where(col("user_id") < 100))
+      .withColumn("p", round(firstProb(col("probability")), 6))
+    val w = Window.partitionBy("user_id").orderBy(col("p").desc, col("item_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("user_id"), col("rk"), col("item_id"), col("p").as("score"))
+      .orderBy("user_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_als_recommend"     -> (alsRecommend _),
     "q_fpgrowth_itemsets" -> (fpgrowthItemsets _),
     "q_item2vec_synonyms" -> (item2vecSynonyms _),
+    "q_lr_ranking"        -> (lrRanking _),
   )
 
   /** MLlib models are not SQL-expressible: no oracle entries (driver

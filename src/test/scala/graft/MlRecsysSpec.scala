@@ -27,6 +27,19 @@ class MlRecsysSpec extends AnyFunSuite with SparkFixture {
     assert(sets.where(col("freq") < minFreq).count() === 0)
   }
 
+  test("LR ranking emits probabilities in [0,1], top-5 per user, rank-ordered") {
+    val r = operators.MlRecsys.lrRanking(spark, sfTest).cache()
+    assert(r.count() > 0)
+    assert(r.where(col("score") < 0.0 || col("score") > 1.0).count() === 0)
+    val perUser = r.groupBy("user_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+    assert(perUser.where(col("n") > 5 || col("maxrk") =!= col("n")).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("rk")
+    val inversions = r.withColumn("prev", lag("score", 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev")).count()
+    assert(inversions === 0)
+  }
+
   test("item2vec synonyms are 5 items with cosine in [-1, 1]") {
     val syn = operators.MlRecsys.item2vecSynonyms(spark, sfTest)
     val rows = syn.collect()

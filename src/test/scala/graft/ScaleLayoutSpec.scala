@@ -38,6 +38,15 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkFixture {
   test("bucketed fact-fact join plans without shuffle exchanges") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog dies with the JVM but the warehouse dirs
+    // survive — clear them or saveAsTable refuses the location
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     Tables.orders(spark, sfTest).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("b_orders")

@@ -155,6 +155,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batch.count() > 0)
   }
 
+  test("foreachBatch sink: incremental aggregation into a parquet target") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = "target/tmp/stream_agg_sink"
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // complete-mode refresh: each micro-batch rewrites the serving
+        // copy atomically (overwrite) — the standard foreachBatch
+        // pattern for pushing stream state to a batch-readable store
+        batch.write.mode("overwrite").parquet(target)
+      }.start()
+    try {
+      mem.addData(fixture.take(4))
+      q.processAllAvailable()
+      mem.addData(fixture.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(target)
+    val batchAll = Streams.tumblingCounts(fixture.toDF())
+    assert(canon(served) == canon(batchAll))
+  }
+
   test("T6 flatMapGroupsWithState: running per-user event counter") {
     val session = spark
     import session.implicits._
