@@ -647,6 +647,32 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Map-typed columns (F5b): build a map from grouped key/value
+    * arrays, read it back with element_at. Exercises MapType through
+    * aggregation and projection; DuckDB's MAP mirrors the semantics.
+    */
+  def mapColumnStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(round(sum("value"), 4).as("tv")) // unique keys: map_from_arrays rejects dups
+      .groupBy("user_id")
+      .agg(map_from_arrays(collect_list(col("event_type")), collect_list(col("tv"))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "view"), lit(0.0)).as("view_value"),
+        coalesce(element_at(col("m"), "purchase"), lit(0.0)).as("purchase_value"))
+      .where(col("user_id") < 50)
+      .orderBy("user_id")
+
+  val mapColumnStatsSql: String =
+    """SELECT user_id, count(DISTINCT event_type) AS n_types,
+      |  round(coalesce(sum(value) FILTER (event_type = 'view'), 0.0), 4) AS view_value,
+      |  round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 4) AS purchase_value
+      |FROM events
+      |GROUP BY user_id
+      |HAVING user_id < 50
+      |ORDER BY user_id""".stripMargin
+
   /** Global top-k (O3): TakeOrderedAndProject, no full sort. */
   def topLineitems(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -742,6 +768,7 @@ object Relational {
     "q_json_props"          -> (jsonPropsStats _),
     "q_implicit_preference" -> (implicitPreference _),
     "q_null_handling"       -> (nullHandling _),
+    "q_map_column"          -> (mapColumnStats _),
     "q_top_lineitems"       -> (topLineitems _),
   )
 
@@ -772,6 +799,7 @@ object Relational {
     "q_json_props"          -> jsonPropsStatsSql,
     "q_implicit_preference" -> implicitPreferenceSql,
     "q_null_handling"       -> nullHandlingSql,
+    "q_map_column"          -> mapColumnStatsSql,
     "q_top_lineitems"       -> topLineitemsSql,
   )
 }
