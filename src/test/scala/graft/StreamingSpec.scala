@@ -180,6 +180,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(served) == canon(batchAll))
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def joinViewsToBuys(views: org.apache.spark.sql.DataFrame,
+                        buys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      buys.join(views,
+        col("buy_user") === col("view_user") &&
+        col("view_ts") < col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("buy_id"), col("view_id"))
+
+    val viewsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+                col("ts").as("view_ts"))
+    val buysOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.where(col("event_type") === "click" || col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+                col("ts").as("buy_ts"))
+
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture)
+    val src = mem.toDF()
+    val streamed = joinViewsToBuys(
+        viewsOf(src).withWatermark("view_ts", "2 hours"),
+        buysOf(src).withWatermark("buy_ts", "2 hours"))
+    val name = s"ssjoin_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchDf = fixture.toDF()
+    val expected = canon(joinViewsToBuys(viewsOf(batchDf), buysOf(batchDf)))
+    assert(canon(spark.table(name)) == expected)
+    assert(expected.nonEmpty) // the fixture genuinely produces attributed pairs
+  }
+
   test("T6 flatMapGroupsWithState: running per-user event counter") {
     val session = spark
     import session.implicits._
