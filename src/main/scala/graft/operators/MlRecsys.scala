@@ -118,9 +118,12 @@ object MlRecsys {
     val inter = Tables.interactions(spark, sfDir)
     val itemPop = inter.groupBy("item_id").agg(count(lit(1)).cast("double").as("item_pop"))
     val userAct = inter.groupBy("user_id").agg(count(lit(1)).cast("double").as("user_act"))
-    val wMed = Window.partitionBy("user_id")
+    // per-user median as a groupBy + broadcast join — a percentile
+    // WINDOW would re-evaluate the exact percentile per row
+    val userMed = inter.groupBy("user_id")
+      .agg(expr("percentile(strength, 0.5)").as("med"))
     val frame = inter
-      .withColumn("med", expr("percentile(strength, 0.5)").over(wMed))
+      .join(broadcast(userMed), "user_id")
       .withColumn("label", when(col("strength") > col("med"), 1.0).otherwise(0.0))
       .join(broadcast(itemPop), "item_id")
       .join(broadcast(userAct), "user_id")

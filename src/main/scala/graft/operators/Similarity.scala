@@ -145,12 +145,13 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   /** LSH tier: MLlib BucketedRandomProjectionLSH (Euclidean buckets as
-    * the cosine surrogate on ~unit-norm vectors), seed-pinned.
-    * approxNearestNeighbors per query — rows-only driver check.
+    * the cosine surrogate on ~unit-norm vectors), seed-pinned. ONE
+    * distributed `approxSimilarityJoin` between the query subset and
+    * the corpus (bucket-colocated join) + per-query top-K — no
+    * driver-side loop over queries, so the shape survives a query set
+    * of any size. Rows-only driver check; invariants in tests.
     */
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val session = spark
-    import session.implicits._
     val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toVec(col("embedding")).as("features"))
@@ -159,18 +160,17 @@ object Similarity {
       .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(e)
     val hashed = model.transform(e).cache()
-    val queries = e.where(col("vec_id") < NQueries)
-      .as[(Long, Vector)].collect()
-    val perQuery = queries.map { case (qid, v) =>
-      model.approxNearestNeighbors(hashed, v, K + 1).toDF()
-        .where(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-                round(col("distCol"), 6).as("dist"))
-        .orderBy(col("dist").asc, col("neighbor_id").asc)
-        .limit(K)
-    }
-    perQuery.reduce(_ unionByName _)
-      .orderBy("query_id", "dist", "neighbor_id")
+    val queries = hashed.where(col("vec_id") < NQueries)
+    val joined = model.approxSimilarityJoin(queries, hashed, 10.0, "dist")
+      .select(col("datasetA.vec_id").as("query_id"),
+              col("datasetB.vec_id").as("neighbor_id"),
+              round(col("dist"), 6).as("dist"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("dist"))
+      .orderBy("query_id", "rk")
   }
 
   val queries: Map[String, Q] = Map(
