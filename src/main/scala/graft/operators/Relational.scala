@@ -475,6 +475,41 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** RANGE-frame window (W4b): per event, the count and mean value of
+    * the same user's events in the PRECEDING HOUR — a range frame over
+    * µs-epoch event time (rows frames count rows; range frames cover a
+    * value interval, the moving-aggregate shape).
+    */
+  def rangeFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("t_us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    e.withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("avg_last_hour", round(avg(col("value")).over(w), 4))
+      .groupBy("user_id")
+      .agg(max(col("n_last_hour")).as("max_burst"),
+           round(avg(col("n_last_hour")), 4).as("avg_window_size"),
+           round(max(col("avg_last_hour")), 4).as("max_hourly_avg"))
+      .orderBy("user_id")
+  }
+
+  val rangeFrameStatsSql: String =
+    """WITH x AS (
+      |  SELECT user_id,
+      |    count(*) OVER w AS n_last_hour,
+      |    round(avg(value) OVER w, 4) AS avg_last_hour
+      |  FROM (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS t_us FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+      |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, max(n_last_hour) AS max_burst,
+      |  round(avg(n_last_hour), 4) AS avg_window_size,
+      |  round(max(avg_last_hour), 4) AS max_hourly_avg
+      |FROM x
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** rank/dense_rank/ntile coverage (W2) over nation revenue. */
   def nationRevenueRanks(spark: SparkSession, sfDir: String): DataFrame = {
     val base = revenueByNation(spark, sfDir).select("r_name", "n_name", "revenue")
@@ -759,6 +794,7 @@ object Relational {
     "q_window_top_parts"    -> (topPartsPerBrand _),
     "q_window_running_revenue" -> (runningRevenue _),
     "q_window_event_gaps"   -> (eventGaps _),
+    "q_window_range_frame"  -> (rangeFrameStats _),
     "q_window_sessions"     -> (sessionStats _),
     "q_window_ranks"        -> (nationRevenueRanks _),
     "q_setops_users"        -> (setOpsUsers _),
@@ -790,6 +826,7 @@ object Relational {
     "q_window_top_parts"    -> topPartsPerBrandSql,
     "q_window_running_revenue" -> runningRevenueSql,
     "q_window_event_gaps"   -> eventGapsSql,
+    "q_window_range_frame"  -> rangeFrameStatsSql,
     "q_window_sessions"     -> sessionStatsSql,
     "q_window_ranks"        -> nationRevenueRanksSql,
     "q_setops_users"        -> setOpsUsersSql,
