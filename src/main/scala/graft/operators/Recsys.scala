@@ -430,6 +430,11 @@ object Recsys {
       .limit(SwingTop)
   }
 
+  /** Oracle mirrors the join-free shape: (u,v,shared-item) rows once,
+    * item pairs expanded within each user-pair group — the original
+    * item_pairs⋈item_pairs formulation OOM'd DuckDB at sf0.1 (verified
+    * identical output at sf0.01 before swapping).
+    */
   val swingSimilaritySql: String =
     s"""WITH $cappedSql, r AS (
        |  SELECT user_id, item_id FROM (
@@ -437,25 +442,20 @@ object Recsys {
        |      row_number() OVER (PARTITION BY item_id ORDER BY user_id ASC) AS urk
        |    FROM capped
        |  ) WHERE urk <= $SwingUserCap
-       |), overlap AS (
-       |  SELECT ra.user_id AS user_u, rb.user_id AS user_v, count(*) AS overlap
+       |), sr AS (
+       |  SELECT ra.user_id AS u, rb.user_id AS v, ra.item_id AS item
        |  FROM r ra JOIN r rb ON ra.item_id = rb.item_id AND ra.user_id < rb.user_id
-       |  GROUP BY 1, 2
-       |), item_pairs AS (
-       |  SELECT ia.user_id AS user_id, ia.item_id AS item_i, ib.item_id AS item_j
-       |  FROM r ia JOIN r ib ON ia.user_id = ib.user_id AND ia.item_id < ib.item_id
-       |), swing AS (
-       |  SELECT pa.item_i, pa.item_j,
-       |    round(sum(1.0 / ($SwingAlpha + o.overlap)), 6) AS swing,
-       |    count(*) AS n_user_pairs
-       |  FROM item_pairs pa
-       |  JOIN item_pairs pb ON pa.item_i = pb.item_i AND pa.item_j = pb.item_j
-       |    AND pa.user_id < pb.user_id
-       |  JOIN overlap o ON o.user_u = pa.user_id AND o.user_v = pb.user_id
-       |  GROUP BY 1, 2
+       |), ov AS (
+       |  SELECT u, v, count(*) AS overlap FROM sr GROUP BY 1, 2
+       |), contrib AS (
+       |  SELECT a.u, a.v, a.item AS item_i, b.item AS item_j
+       |  FROM sr a JOIN sr b ON a.u = b.u AND a.v = b.v AND a.item < b.item
        |)
-       |SELECT item_i, item_j, swing, n_user_pairs
-       |FROM swing
+       |SELECT item_i, item_j,
+       |  round(sum(1.0 / ($SwingAlpha + overlap)), 6) AS swing,
+       |  count(*) AS n_user_pairs
+       |FROM contrib JOIN ov USING (u, v)
+       |GROUP BY 1, 2
        |ORDER BY swing DESC, item_i ASC, item_j ASC
        |LIMIT $SwingTop""".stripMargin
 
