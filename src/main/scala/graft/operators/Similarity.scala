@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    nearest probe centroid; queries search only their own cell —
   *    the |candidates| term drops from N to N/cells);
   *  - BucketedRandomProjectionLSH (MLlib; rows-only check, seed-pinned,
-  *    invariants in SimilaritySpec).
+  *    invariants + recall in LlmPipelineSpec).
   *
   * All cosine math folds left-to-right in DOUBLE on both engines
   * (zip_with+aggregate ↔ list_reduce), so values are bit-identical and
@@ -92,7 +92,7 @@ object Similarity {
     * $NCells probe centroids (by cosine, deterministic tie-break), then
     * answer each query from ITS OWN cell only — candidates shrink from
     * N to ~N/$NCells. Recall vs the exact tier is measured in
-    * SimilaritySpec; the oracle checks the pipeline itself.
+    * LlmPipelineSpec; the oracle checks the pipeline itself.
     */
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))

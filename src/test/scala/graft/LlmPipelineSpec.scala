@@ -59,6 +59,23 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     ivf.foreach { case (q, c) => assert(c <= bf(q) + 1e-9, s"query $q: IVF $c > BF ${bf(q)}") }
   }
 
+  test("IVF and LSH recall@K vs brute force is reported and nontrivial") {
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bf = topSets(operators.Similarity.knnBruteForce(spark, sfTest))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = bf.keys.toSeq.map(q => (approx.getOrElse(q, Set.empty) & bf(q)).size.toDouble / bf(q).size)
+      hits.sum / hits.size
+    }
+    val rIvf = recall(topSets(operators.Similarity.knnIvf(spark, sfTest)))
+    val rLsh = recall(topSets(operators.Similarity.knnLsh(spark, sfTest)))
+    info(f"recall@${operators.Similarity.K}: IVF=$rIvf%.2f LSH=$rLsh%.2f")
+    // approximate tiers must find a nontrivial share of true neighbors
+    assert(rIvf > 0.2, s"IVF recall degenerate: $rIvf")
+    assert(rLsh > 0.2, s"LSH recall degenerate: $rLsh")
+  }
+
   test("LSH kNN returns K neighbors per query") {
     val lsh = operators.Similarity.knnLsh(spark, sfTest).collect()
     val per = lsh.groupBy(_.getAs[Long]("query_id")).values
