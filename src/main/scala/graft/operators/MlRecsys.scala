@@ -115,9 +115,13 @@ object MlRecsys {
     * in MlRecsysSpec.
     */
   def lrRanking(spark: SparkSession, sfDir: String): DataFrame = {
-    val inter = Tables.interactions(spark, sfDir)
-    val itemPop = inter.groupBy("item_id").agg(count(lit(1)).cast("double").as("item_pop"))
-    val userAct = inter.groupBy("user_id").agg(count(lit(1)).cast("double").as("user_act"))
+    // deterministic training cohort: features (popularity/activity) are
+    // computed over the FULL interaction set, the LR fits on a capped
+    // user cohort — the standard sample-to-train, score-anywhere split
+    val interAll = Tables.interactions(spark, sfDir)
+    val itemPop = interAll.groupBy("item_id").agg(count(lit(1)).cast("double").as("item_pop"))
+    val userAct = interAll.groupBy("user_id").agg(count(lit(1)).cast("double").as("user_act"))
+    val inter = interAll.where(col("user_id") < 2000)
     // per-user median as a groupBy + broadcast join — a percentile
     // WINDOW would re-evaluate the exact percentile per row
     val userMed = inter.groupBy("user_id")
