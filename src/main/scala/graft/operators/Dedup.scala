@@ -96,9 +96,10 @@ object Dedup {
       Tables.documents(spark, sfDir)
         .withColumn("t", split(expr(normSpark), " "))
         .where(size(col("t")) >= ShingleW)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size(t) - $ShingleW), i -> concat_ws(' ', slice(t, i + 1, $ShingleW)))"
-        )).as("s"))
+        // codegen shingling (graft.functions.Shingles) — byte-identical
+        // output to the HOF chain the oracle SQL still mirrors
+        .select(col("doc_id"),
+          explode(graft.functions.Shingles.shingles(col("t"), ShingleW)).as("s"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
