@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{TopKByScore, VectorFunctions}
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-shape robustness: empty inputs, single rows, and degenerate
+  * groups through the custom operators — the cases a 100 TB run WILL
+  * hit in some partition.
+  */
+class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
+
+  private def emptyDf(schema: StructType) =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  test("as-of join with an empty right side keeps all left rows unmatched") {
+    val session = spark
+    import session.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "left_id")
+    val right = emptyDf(StructType(Seq(
+      StructField("k", LongType), StructField("rt", LongType), StructField("version", LongType))))
+    val out = AsOf.asofJoin(left, right, "k", "k", "t", "rt").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("version")))
+  }
+
+  test("as-of join with an empty left side returns no rows") {
+    val session = spark
+    import session.implicits._
+    val left = emptyDf(StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType), StructField("left_id", LongType))))
+    val right = Seq((1L, 5L, 900L)).toDF("k", "rt", "version")
+    assert(AsOf.asofJoin(left, right, "k", "k", "t", "rt").count() == 0)
+  }
+
+  test("top-k aggregate over an empty frame yields no groups; singleton group yields itself") {
+    val session = spark
+    import session.implicits._
+    val empty = emptyDf(StructType(Seq(
+      StructField("g", LongType), StructField("s", DoubleType), StructField("id", LongType))))
+    assert(empty.groupBy("g")
+      .agg(TopKByScore.topK(3, col("s"), col("id"), lit(0L)).as("t")).count() == 0)
+    val single = Seq((1L, 0.5, 7L)).toDF("g", "s", "id")
+      .groupBy("g").agg(TopKByScore.topK(3, col("s"), col("id"), lit(0L)).as("t"))
+      .select(col("g"), explode(col("t")).as("e")).collect()
+    assert(single.length == 1 && single(0).getAs[org.apache.spark.sql.Row]("e").getLong(1) == 7L)
+  }
+
+  test("float_dot of empty arrays is 0.0; mismatched lengths clamp to the shorter") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((Array.empty[Float], Array.empty[Float]),
+                 (Array(1.0f, 2.0f, 3.0f), Array(2.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.floatDot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 2.0)
+  }
+
+  test("null inputs propagate as null through float_dot") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
+    assert(df.select(VectorFunctions.floatDot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("streams transforms accept an empty events frame") {
+    val empty = emptyDf(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType))))
+    assert(graft.streaming.Streams.tumblingCounts(empty).count() == 0)
+    assert(graft.streaming.Streams.sessionWindows(empty).count() == 0)
+    assert(graft.streaming.Streams.firstEventPerType(empty).count() == 0)
+  }
+}

@@ -180,6 +180,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(served) == canon(batchAll))
   }
 
+  test("T6b stateful session close via event-time timeout") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sess_state_${System.nanoTime()}"
+    // one open session per user in state; the session closes (emits)
+    // when the watermark passes last_event + 30min — the incremental
+    // form of the batch session_window
+    val closed = mem.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          val GapMs = 30 * 60 * 1000L
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator((uid, start, n))
+          } else {
+            val sorted = evs.map(_.ts.getTime).toList.sorted
+            var (start, last, n) = state.getOption.getOrElse((sorted.head, sorted.head, 0L))
+            val closed = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+            for (t <- sorted) {
+              if (n > 0 && t > last + GapMs) { // gap splits: emit and restart
+                closed += ((uid, start, n))
+                start = t; last = t; n = 1
+              } else {
+                if (n == 0) start = t
+                last = math.max(last, t); n += 1
+              }
+            }
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + GapMs)
+            closed.iterator
+          }
+      }
+    val q = closed.toDF("user_id", "session_start_ms", "n_events")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(Ev(1, 7, "view", 1.0, ts(0)), Ev(2, 7, "view", 2.0, ts(10))))
+      q.processAllAvailable()
+      // an event far past the session gap advances the watermark beyond
+      // last(10:10) + 30min -> the open session must close and emit
+      mem.addData(Seq(Ev(3, 7, "view", 3.0, ts(200))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 7L && rows(0).getLong(1) == ts(0).getTime && rows(0).getLong(2) == 2L)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val session = spark
     import session.implicits._
