@@ -459,6 +459,74 @@ object Recsys {
        |ORDER BY swing DESC, item_i ASC, item_j ASC
        |LIMIT $SwingTop""".stripMargin
 
+  /** M1 variant — rating-weighted ItemCF cosine:
+    * sim(i,j) = Σ_u r_ui·r_uj / (‖r_i‖·‖r_j‖) over the capped
+    * interactions (the binary-co-occurrence tier is q_itemcf_similarity).
+    * Same map-side pair shape, but each pair carries the strength
+    * product, so pairs ride as (packed long, product) structs; norms
+    * are a tiny broadcast aggregate. Strengths are integral-valued
+    * doubles (Σ l_quantity), so products and their sums are exact and
+    * order-independent across engines.
+    */
+  def itemcfWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = cappedInteractions(spark, sfDir)
+    val norms = r.groupBy("item_id")
+      .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
+    val grouped = r.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
+    val pairs = grouped.select(explode(expr(
+        s"""flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)),
+           |  y -> struct(x.item_id * $PackBase + y.item_id AS pk,
+           |              x.strength * y.strength AS prod))))""".stripMargin
+      )).as("p"))
+      .groupBy(col("p.pk").as("pk"))
+      .agg(sum(col("p.prod")).as("dot"), count(lit(1)).as("co"))
+    val half = unpack(pairs, "item_i", "item_j")
+      .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
+      .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
+      .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
+    val mirrored = half.select(explode(array(
+        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
+        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
+      )).as("p"))
+      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
+              col("p.sim").as("sim"), col("p.co").as("co"))
+    mirrored.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
+      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
+              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
+      .orderBy("item_i", "rk")
+  }
+
+  val itemcfWeightedSql: String =
+    s"""WITH $cappedSql, norms AS (
+       |  SELECT item_id, sqrt(sum(strength * strength)) AS nrm
+       |  FROM capped GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j,
+       |    sum(a.strength * b.strength) AS dot, count(*) AS co
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), sim AS (
+       |  SELECT item_i, item_j, round(dot / (ni.nrm * nj.nrm), 6) AS sim, co
+       |  FROM pairs
+       |  JOIN norms ni ON ni.item_id = item_i
+       |  JOIN norms nj ON nj.item_id = item_j
+       |), mirrored AS (
+       |  SELECT item_i, item_j, sim, co FROM sim
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, sim, co FROM sim
+       |), ranked AS (
+       |  SELECT item_i, item_j, sim, co,
+       |    row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |  FROM mirrored
+       |)
+       |SELECT item_i, rk, item_j, sim, co
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY item_i, rk""".stripMargin
+
   /** Popular parts kept per brand for content candidates. */
   val BrandTop = 50
 
@@ -599,6 +667,7 @@ object Recsys {
 
   val queries: Map[String, Q] = Map(
     "q_itemcf_similarity" -> (itemcfSimilarity _),
+    "q_itemcf_weighted"   -> (itemcfWeighted _),
     "q_itemcf_recommend"  -> (itemcfRecommend _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -609,6 +678,7 @@ object Recsys {
 
   val oracleSql: Map[String, String] = Map(
     "q_itemcf_similarity" -> itemcfSimilaritySql,
+    "q_itemcf_weighted"   -> itemcfWeightedSql,
     "q_itemcf_recommend"  -> itemcfRecommendSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,
