@@ -53,7 +53,7 @@ object AsOf {
     val rightPayloadCols = right.columns.filterNot(c => c == rightKey).toSeq
     val rightStruct = struct(rightPayloadCols.map(col): _*)
     val rightStructType = right.select(rightStruct).schema.head.dataType
-    val leftStructType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val leftStructType = left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.head.dataType
 
     val taggedRight = right.select(
       col(rightKey).as("__k"), col(rightTimeUs).cast("long").as("__t"),
@@ -62,7 +62,7 @@ object AsOf {
       rightStruct.as("__right_row"))
     val taggedLeft = left.select(
       col(leftKey).as("__k"), col(leftTimeUs).cast("long").as("__t"),
-      lit(1).as("__tag"), struct(left.columns.map(col): _*).as("__left_row"),
+      lit(1).as("__tag"), struct(left.columns.toIndexedSeq.map(col): _*).as("__left_row"),
       lit(null).cast(rightStructType).as("__right_row"))
 
     val w = Window.partitionBy(col("__k"))
