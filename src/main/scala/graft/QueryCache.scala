@@ -1,0 +1,68 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped memo cache for shared intermediate tables (capped
+  * interactions, similarity matrices, shingle sets).
+  *
+  * Lifecycle (the round-2 advisor flagged the raw ConcurrentHashMaps
+  * this replaces as a leak + staleness hazard):
+  *   - entries are keyed (session, tag) and persisted MEMORY_AND_DISK;
+  *   - a SparkListener registered once per session drops that session's
+  *     entries when its application ends, and every access sweeps
+  *     entries whose SparkContext has stopped, so stopped sessions
+  *     never pin DataFrames for the JVM lifetime;
+  *   - [[invalidate]] unpersists and drops a live session's entries —
+  *     call it if the parquet under a cached sfDir is REWRITTEN within
+  *     a session. Absent that call, inputs are assumed immutable for
+  *     the session's lifetime (the normal batch-pipeline contract:
+  *     sources are immutable snapshots while a run is in flight).
+  */
+object QueryCache {
+
+  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Memoize `build` (persisted) under (spark, tag). */
+  def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          dropEntries(spark, unpersist = false) // executors are gone; just release refs
+      })
+    }
+    cache.computeIfAbsent((spark, tag), _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and forget every entry of a live session — the escape
+    * hatch for callers that rewrite source parquet mid-session.
+    */
+  def invalidate(spark: SparkSession): Unit = dropEntries(spark, unpersist = true)
+
+  private def dropEntries(spark: SparkSession, unpersist: Boolean): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        if (unpersist && !spark.sparkContext.isStopped) e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+    hooked.remove(spark)
+  }
+
+  /** Drop entries whose context already stopped (their cached blocks
+    * died with the executors; only the plan reference remains).
+    */
+  private def sweepStopped(): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val hs = hooked.iterator()
+    while (hs.hasNext) if (hs.next().sparkContext.isStopped) hs.remove()
+  }
+}

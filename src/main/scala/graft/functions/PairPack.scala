@@ -37,11 +37,17 @@ case class PairPack(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    val out = new Array[Long](n * (n - 1) / 2)
+    if (n > PairPack.MaxElems) throw new IllegalArgumentException(
+      s"pair_pack: group of $n elements exceeds ${PairPack.MaxElems} " +
+        "(n*(n-1)/2 pairs would overflow); cap the per-key list upstream")
+    val out = new Array[Long](((n.toLong * (n - 1)) / 2).toInt)
     var p = 0
     var i = 0
     while (i < n) {
-      val a = xs.getLong(i) * PairPack.Base
+      val e = xs.getLong(i)
+      if ((e & ~(PairPack.Base - 1L)) != 0L) throw new IllegalArgumentException(
+        s"pair_pack: element $e outside [0, 2^32) — packing would be lossy")
+      val a = e * PairPack.Base
       var j = i + 1
       while (j < n) { out(p) = a + xs.getLong(j); p += 1; j += 1 }
       i += 1
@@ -59,12 +65,16 @@ case class PairPack(child: Expression) extends UnaryExpression {
       val a = ctx.freshName("a")
       s"""
          |final int $n = $x.numElements();
-         |final long[] $out = new long[$n * ($n - 1) / 2];
+         |if ($n > ${PairPack.MaxElems}) throw new IllegalArgumentException(
+         |  "pair_pack: group of " + $n + " elements exceeds ${PairPack.MaxElems}; cap the per-key list upstream");
+         |final long[] $out = new long[(int) (((long) $n * ($n - 1)) / 2)];
          |int $p = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $a = $x.getLong($i) * ${PairPack.Base}L;
+         |  final long $a = $x.getLong($i);
+         |  if (($a & ~${PairPack.Base - 1L}L) != 0L) throw new IllegalArgumentException(
+         |    "pair_pack: element " + $a + " outside [0, 2^32) — packing would be lossy");
          |  for (int $j = $i + 1; $j < $n; $j++) {
-         |    $out[$p++] = $a + $x.getLong($j);
+         |    $out[$p++] = $a * ${PairPack.Base}L + $x.getLong($j);
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
@@ -80,6 +90,13 @@ case class PairPack(child: Expression) extends UnaryExpression {
 object PairPack {
   /** Packing base (2³²): ids must be below this. */
   val Base = 4294967296L
+
+  /** Max per-key list size: n(n−1)/2 stays well inside Int and a
+    * single group's pair array stays allocatable. Callers cap lists
+    * upstream (MaxHistory / SwingUserCap / HotShingleDf); this is the
+    * fail-fast backstop the round-2 advisor asked for.
+    */
+  val MaxElems = 65535
 
   def pairPack(c: Column): Column =
     GraftSqlBridge.column(PairPack(GraftSqlBridge.expression(c)))

@@ -41,8 +41,10 @@ object Advanced {
       .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
     s"""WITH g AS (
        |  SELECT user_id,
-       |    sum((CASE event_type $w ELSE 0.0 END) * value) AS wsum,
-       |    sum(CASE event_type $w ELSE 0.0 END) AS wtotal,
+       |    sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+       |             THEN (CASE event_type $w ELSE 0.0 END) * value ELSE 0.0 END) AS wsum,
+       |    sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+       |             THEN CASE event_type $w ELSE 0.0 END ELSE 0.0 END) AS wtotal,
        |    count(*) AS n_events
        |  FROM events
        |  GROUP BY user_id

@@ -87,12 +87,11 @@ object Dedup {
     * Memoized+persisted per (session, sfDir): each near-dup query reads
     * this set up to four times (both join sides, sizes, signatures), and
     * the Jaccard and MinHash tiers share it within a session.
+    * Session-lifecycle-aware via [[graft.QueryCache]] (inputs assumed
+    * immutable per session; see QueryCache.invalidate otherwise).
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, sfDir), { _ =>
+    graft.QueryCache.memo(spark, s"dedup:shingles:$sfDir") {
       Tables.documents(spark, sfDir)
         .withColumn("t", split(expr(normSpark), " "))
         .where(size(col("t")) >= ShingleW)
@@ -101,8 +100,7 @@ object Dedup {
         .select(col("doc_id"),
           explode(graft.functions.Shingles.shingles(col("t"), ShingleW)).as("s"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val shinglesSql: String =
     s"""toks AS (
@@ -114,11 +112,19 @@ object Dedup {
        |  FROM toks WHERE len(t) >= $ShingleW
        |)""".stripMargin
 
+  /** Stop-list bound: shingles shared by more than this many documents
+    * are excluded from PAIR GENERATION (doc sizes still count them, so
+    * reported Jaccard is a lower bound for affected pairs). A shingle
+    * this hot is uninformative boilerplate, and it is the cap that
+    * bounds PairPack's per-key list (n(n−1)/2 blowup) at corpus scale —
+    * the same role MaxHistory plays for hot users in Recsys. Far above
+    * any fixture df, so the fixture output is the exact Jaccard.
+    */
+  val HotShingleDf = 10000
+
   /** L2a n-gram Jaccard near-dup: exact Jaccard over ${ShingleW}-token
     * shingles via the inverted-index join (shingle → docs), threshold
-    * ${JaccardThreshold}. The join is on the shingle value — at scale,
-    * hot shingles would be stop-listed (df cap) the same way MaxHistory
-    * caps hot users in Recsys.
+    * ${JaccardThreshold}; shingles with df > $HotShingleDf stop-listed.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
@@ -132,6 +138,7 @@ object Dedup {
     // the oracle still uses.
     val inter = sh.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= HotShingleDf) // stop-list hot shingles
       .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("inter"))
       .withColumn("doc_a", shiftright(col("pk"), 32))
@@ -149,9 +156,12 @@ object Dedup {
   val ngramJaccardSql: String =
     s"""WITH $shinglesSql, sizes AS (
        |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), keep AS (
+       |  SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleDf
        |), inter AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  JOIN keep k ON k.s = x.s
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b, inter,

@@ -127,6 +127,9 @@ object Multimodal {
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("n_frames", ceil(col("n_bytes") / lit(FrameSize.toDouble)).cast("long"))
+      // empty payload ⇒ zero frames: mirror the oracle's empty range(0,0)
+      // instead of sequence(0,-1) throwing (round-2 advisor finding)
+      .where(col("n_frames") > 0)
     val frames = d.select(col("doc_id"), col("source"), col("n_bytes"), col("text"),
         explode(expr(s"sequence(0, n_frames - 1, $FrameStride)")).as("frame_no"))
       .withColumn("byte_offset", col("frame_no") * FrameSize)

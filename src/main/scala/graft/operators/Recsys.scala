@@ -52,19 +52,19 @@ object Recsys {
     * produced once per pipeline run and shared by every downstream
     * algorithm. A few MB at bench SF (3 narrow columns, ≤MaxHistory
     * rows per user); Spark evicts LRU if memory is tight.
+    *
+    * Cached via [[graft.QueryCache]] (session-lifecycle-aware; inputs
+    * under sfDir are assumed immutable per session — see QueryCache
+    * for the invalidate escape hatch).
     */
-  private val interactionsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
-    interactionsCache.computeIfAbsent((spark, sfDir), { _ =>
+    graft.QueryCache.memo(spark, s"recsys:interactions:$sfDir") {
       val w = Window.partitionBy(col("user_id")).orderBy(col("strength").desc, col("item_id").asc)
       Tables.interactions(spark, sfDir)
         .withColumn("hrk", row_number().over(w))
         .where(col("hrk") <= MaxHistory)
         .drop("hrk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Map-side pair expansion: per-key sorted element arrays → all (a<b)
     * combinations via higher-order functions, NO self-join. The groupBy
@@ -114,14 +114,11 @@ object Recsys {
   /** Similarity matrices are memoized+persisted like the interaction
     * table above: the recommend queries re-read them, and a production
     * pipeline materializes exactly this table (it IS the model).
+    * Session-lifecycle-aware via [[graft.QueryCache]].
     */
-  private val simCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
   private def memoSim(spark: SparkSession, sfDir: String, kind: String)
                      (build: => DataFrame): DataFrame =
-    simCache.computeIfAbsent((spark, sfDir, kind),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.QueryCache.memo(spark, s"recsys:sim:$kind:$sfDir")(build)
 
   def itemcfSimilarity(spark: SparkSession, sfDir: String): DataFrame =
     memoSim(spark, sfDir, "itemcf") { itemcfSimilarityPlan(spark, sfDir) }

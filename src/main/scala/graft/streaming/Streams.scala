@@ -97,14 +97,14 @@ object Streams {
 
   val sessionSql: String =
     """WITH g AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP, 1) OVER w) > 1800000000
       |         OR lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |), s AS (
       |  SELECT user_id, ts, value,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM g
       |)
