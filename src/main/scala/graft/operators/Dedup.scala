@@ -180,17 +180,25 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).withColumn("h", expr(h32Spark("s")))
-    // signature: min over shingles per permutation k
-    val perm = MinHashA.zip(MinHashB).zipWithIndex
-      .map { case ((a, b), k) => s"struct($k AS k, ($a * h + $b) % $MinHashP AS hk)" }
-      .mkString("array(", ", ", ")")
-    val sig = sh.select(col("doc_id"), explode(expr(perm)).as("p"))
-      .groupBy(col("doc_id"), col("p.k").as("k"))
-      .agg(min(col("p.hk")).as("mh"))
+    // Signature as ONE groupBy(doc_id) with a min-aggregate per
+    // permutation: the k-explode formulation this replaces pushed
+    // |shingles|×12 rows through a (doc_id, k) aggregate; here the
+    // aggregate reads each shingle row once and keeps 12 codegen'd
+    // min slots per doc — 12× less shuffle input, same values
+    // bit-for-bit (min over identical hk sets).
+    val minCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * h + $b) % $MinHashP")).as(s"mh$k")
+    }
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band key: concatenated minhashes within the band, order fixed by k
-    val bands = sig.withColumn("band", expr(s"k div $BandW"))
-      .groupBy("doc_id", "band")
-      .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(k, mh))), x -> cast(x.mh AS string)))").as("bkey"))
+    // (identical string to the previous sort_array(collect_list) form)
+    val bandStructs = (0 until MinHashA.size by BandW).map { b =>
+      val ks = b until math.min(b + BandW, MinHashA.size)
+      struct(lit(b / BandW).as("band"),
+             concat_ws(",", ks.map(k => col(s"mh$k").cast("string")): _*).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -264,13 +272,18 @@ object Dedup {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("tok"))
       .withColumn("h", expr(h32Spark("tok")))
-    val bits = toks.select(col("doc_id"), col("h"),
-        explode(expr(s"sequence(0, ${SimBits - 1})")).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(sum(expr("CASE WHEN (h div cast(pow(2, i) AS bigint)) % 2 = 1 THEN 1 ELSE -1 END")).as("vote"))
-    val sigs = bits
-      .groupBy("doc_id")
-      .agg(sum(expr(s"CASE WHEN vote > 0 THEN cast(pow(2, i) AS bigint) ELSE 0 END")).as("sig"))
+    // One groupBy(doc_id) with a ±1 vote-sum aggregate per bit: the
+    // bit-explode this replaces shuffled |token occurrences|×32 rows
+    // through a (doc_id, i) aggregate; here each token row is read
+    // once into 32 codegen'd sum slots. Votes (and thus signatures)
+    // are identical: same CASE arithmetic per (token, bit).
+    val voteCols = (0 until SimBits).map { i =>
+      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$i")
+    }
+    val sigs = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
     sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hd", expr("bit_count(x.sig ^ y.sig)"))
       .where(col("hd") <= MaxHamming)

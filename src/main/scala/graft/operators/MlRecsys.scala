@@ -131,10 +131,19 @@ object MlRecsys {
       .withColumn("label", when(col("strength") > col("med"), 1.0).otherwise(0.0))
       .join(broadcast(itemPop), "item_id")
       .join(broadcast(userAct), "user_id")
-    val assembled = new VectorAssembler()
-      .setInputCols(Array("item_pop", "user_act", "strength"))
-      .setOutputCol("features")
-      .transform(frame)
+    // Memoized + persisted: LBFGS re-reads the training frame every
+    // iteration and the scoring pass reads it again — without this the
+    // whole join pipeline re-executes ~11×. coalesce(8): the cohort is
+    // deliberately small (sample-to-train), so 32-way task scheduling
+    // costs more than the compute; a cluster-scale train would keep the
+    // natural partitioning by skipping the coalesce.
+    val assembled = graft.QueryCache.memo(spark, s"mlrecsys:lrframe:$sfDir") {
+      new VectorAssembler()
+        .setInputCols(Array("item_pop", "user_act", "strength"))
+        .setOutputCol("features")
+        .transform(frame)
+        .coalesce(8)
+    }
     val lr = new LogisticRegression()
       .setMaxIter(10).setRegParam(0.01).setLabelCol("label").setFeaturesCol("features")
     val model = lr.fit(assembled)

@@ -59,11 +59,17 @@ object Recsys {
     */
   private def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:interactions:$sfDir") {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("strength").desc, col("item_id").asc)
+      // bounded top-K aggregate, not a row_number window: the cap is
+      // exactly "top MaxHistory by (strength desc, item asc) per user",
+      // and the aggregate's partial phase caps map-side instead of
+      // sort-shuffling the full interaction table (same rows out;
+      // downstream consumers impose their own order)
       Tables.interactions(spark, sfDir)
-        .withColumn("hrk", row_number().over(w))
-        .where(col("hrk") <= MaxHistory)
-        .drop("hrk")
+        .groupBy("user_id")
+        .agg(graft.functions.TopKByScore.topK(
+          MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
+        .select(col("user_id"), explode(col("hs")).as("h"))
+        .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
     }
 
   /** Map-side pair expansion: per-key sorted element arrays → all (a<b)
@@ -94,6 +100,29 @@ object Recsys {
     df.withColumn(aName, shiftright(col("pk"), 32))
       .withColumn(bName, col("pk").bitwiseAND(PackBase - 1L))
       .drop("pk")
+
+  /** Shared item-pair aggregate: packed pair → (Σ strength product,
+    * co-occurrence count). The binary ItemCF cosine consumes only `co`;
+    * the rating-weighted variant consumes `dot` and `co` — so both
+    * queries read ONE memoized aggregate instead of each re-expanding
+    * the ~n² per-user pair space (the two expansions were the top two
+    * entries in the round-2 bench). Expansion itself is fully codegen:
+    * [[graft.functions.PairPack]] packs the id pairs and
+    * [[graft.functions.PairProd]] emits the aligned strength products,
+    * zipped positionally — identical iteration order by construction.
+    */
+  private def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"recsys:itempairs:$sfDir") {
+      val grouped = cappedInteractions(spark, sfDir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
+      grouped
+        .select(explode(arrays_zip(
+          graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
+          graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
+        .groupBy(col("z.pk").as("pk"))
+        .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
+    }
 
   private val cappedSql: String =
     s"""interactions AS (
@@ -129,9 +158,7 @@ object Recsys {
     // count joins — round-1 plans showed them as SortMergeJoins that
     // re-shuffled the ~10M-row pair table twice.
     val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
-    val pairs = unpack(
-      pairsWithin(r, "user_id", "item_id").groupBy("pk").agg(count(lit(1)).as("co")),
-      "item_i", "item_j")
+    val pairs = unpack(itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
     val ci = counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))
     val cj = counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))
     // Join counts on the i<j half-space FIRST, then mirror each pair with
@@ -202,12 +229,23 @@ object Recsys {
       .agg(round(sum(col("sim") * col("strength")), 6).as("score"))
     val unseen = scored.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
         col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("cand").asc)
-    unseen.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopN)
-      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("score"))
-      .orderBy("user_id", "rk")
+    topNPerUser(unseen)
   }
+
+  /** Final per-user ranking via the bounded top-K aggregate (partial
+    * phase caps each (user, partition) at TopN entries) instead of a
+    * row_number window — the scored candidate set is millions of rows
+    * and the window's full sort shuffle was the recommend queries'
+    * dominant stage. Order (score desc, cand asc) matches the windows
+    * the oracle SQL still uses.
+    */
+  private def topNPerUser(unseen: DataFrame): DataFrame =
+    unseen.groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(TopN, col("score"), col("cand"), lit(0L)).as("recs"))
+      .select(col("user_id"), posexplode(col("recs")).as(Seq("pos", "r")))
+      .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("r.id").as("item_id"), col("r.score").as("score"))
+      .orderBy("user_id", "rk")
 
   val itemcfRecommendSql: String =
     s"""WITH $cappedSql, r AS (
@@ -331,11 +369,7 @@ object Recsys {
       .agg(round(sum(col("sim") * col("strength")), 6).as("score"))
     val unseen = scored.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
         col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("cand").asc)
-    unseen.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopN)
-      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("score"))
-      .orderBy("user_id", "rk")
+    topNPerUser(unseen) // bounded top-K aggregate, see itemcfRecommend
   }
 
   val usercfRecommendSql: String =
@@ -469,16 +503,7 @@ object Recsys {
     val r = cappedInteractions(spark, sfDir)
     val norms = r.groupBy("item_id")
       .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
-    val grouped = r.groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
-    val pairs = grouped.select(explode(expr(
-        s"""flatten(transform(es, (x, i) -> transform(slice(es, i + 2, size(es)),
-           |  y -> struct(x.item_id * $PackBase + y.item_id AS pk,
-           |              x.strength * y.strength AS prod))))""".stripMargin
-      )).as("p"))
-      .groupBy(col("p.pk").as("pk"))
-      .agg(sum(col("p.prod")).as("dot"), count(lit(1)).as("co"))
-    val half = unpack(pairs, "item_i", "item_j")
+    val half = unpack(itemPairAgg(spark, sfDir), "item_i", "item_j")
       .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
       .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
       .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
@@ -557,10 +582,14 @@ object Recsys {
     val cands = profile.join(broadcast(shortlist), "p_brand")
     val unseen = cands.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
         col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
-    val wN = Window.partitionBy(col("user_id")).orderBy(col("pop").desc, col("cand").asc)
-    unseen.withColumn("rk", row_number().over(wN))
-      .where(col("rk") <= TopN)
-      .select(col("user_id"), col("rk"), col("cand").as("item_id"), col("p_brand"), col("pop"))
+    // bounded top-K (pop is an exact small integer — lossless in the
+    // double score slot; rides as extra to come back out as a long)
+    unseen.groupBy("user_id", "p_brand")
+      .agg(graft.functions.TopKByScore.topK(
+        TopN, col("pop").cast("double"), col("cand"), col("pop")).as("recs"))
+      .select(col("user_id"), col("p_brand"), posexplode(col("recs")).as(Seq("pos", "r")))
+      .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("r.id").as("item_id"), col("p_brand"), col("r.extra").as("pop"))
       .orderBy("user_id", "rk")
   }
 
