@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Advanced.queries ++
       operators.AsOf.queries ++
+      operators.PipelineOps.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++
       operators.AsOf.oracleSql ++
+      operators.PipelineOps.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -257,6 +257,64 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** First doc_id of the "incoming batch" in the incremental query. */
+  val IncrementalFrom = 400L
+
+  /** L2e incremental dedup — the steady-state ingest path: a NEW batch
+    * of documents (doc_id >= $IncrementalFrom) is checked against the
+    * EXISTING corpus only, never against itself and never corpus ×
+    * corpus. This is the shape that matters at 100 TB: the corpus side
+    * is a standing shingle INDEX (here the memoized shingle set; in
+    * production a bucketed table keyed by shingle), the batch side is
+    * small, and the join cost is |batch shingles| probes — independent
+    * of corpus size growth per batch. Emits each new doc's best
+    * existing match above the Jaccard threshold.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val corpus = sh.where(col("doc_id") < IncrementalFrom)
+      .select(col("doc_id").as("old_id"), col("s"))
+    val batch = sh.where(col("doc_id") >= IncrementalFrom)
+      .select(col("doc_id").as("new_id"), col("s"))
+    val inter = batch.join(corpus, "s")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(sizes.select(col("doc_id").as("new_id"), col("ns").as("nn"))), "new_id")
+      .join(broadcast(sizes.select(col("doc_id").as("old_id"), col("ns").as("no"))), "old_id")
+      .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+    // best existing match per new doc (jaccard desc, old_id asc)
+    scored.groupBy("new_id")
+      .agg(graft.functions.TopKByScore.topK(1, col("jaccard"), col("old_id"), col("inter")).as("m"))
+      .select(col("new_id"), col("m")(0).getField("id").as("dup_of"),
+              col("m")(0).getField("score").as("jaccard"),
+              col("m")(0).getField("extra").as("inter"))
+      .orderBy("new_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $shinglesSql, sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT b.doc_id AS new_id, c.doc_id AS old_id, count(*) AS inter
+       |  FROM sh b JOIN sh c ON b.s = c.s
+       |  WHERE b.doc_id >= $IncrementalFrom AND c.doc_id < $IncrementalFrom
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT new_id, old_id, inter,
+       |    round(inter / (nn.ns + no.ns - inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes nn ON nn.doc_id = new_id
+       |  JOIN sizes no ON no.doc_id = old_id
+       |)
+       |SELECT new_id, old_id AS dup_of, jaccard, inter FROM (
+       |  SELECT new_id, old_id, jaccard, inter,
+       |    row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id ASC) AS rk
+       |  FROM scored WHERE jaccard >= $JaccardThreshold
+       |) WHERE rk = 1
+       |ORDER BY new_id""".stripMargin
+
   /** SimHash bit width. */
   val SimBits = 32
   /** Max Hamming distance for a SimHash near-dup pair. */
@@ -291,8 +349,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val simhashPairsSql: String =
-    s"""WITH toks AS (
+  /** SimHash signature CTEs, shared with PipelineOps' cluster oracle. */
+  private[operators] val simhashSigsSql: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS tok FROM documents
        |), hashed AS (
        |  SELECT doc_id, ${h32Duck("tok")} AS h FROM toks
@@ -305,7 +364,10 @@ object Dedup {
        |  SELECT doc_id,
        |    sum(CASE WHEN vote > 0 THEN (2::BIGINT ^ i)::BIGINT ELSE 0 END)::BIGINT AS sig
        |  FROM bits GROUP BY doc_id
-       |)
+       |)""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashSigsSql
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.sig, y.sig)) AS hd
        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sig, y.sig)) <= $MaxHamming
@@ -354,6 +416,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash"     -> (simhashPairs _),
     "q_dedup_embedding"   -> (embeddingNearDup _),
+    "q_dedup_incremental" -> (incrementalDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -362,5 +425,6 @@ object Dedup {
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_dedup_simhash"     -> simhashPairsSql,
     "q_dedup_embedding"   -> embeddingNearDupSql,
+    "q_dedup_incremental" -> incrementalDedupSql,
   )
 }

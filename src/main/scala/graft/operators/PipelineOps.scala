@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the per-pair dedup tiers:
+  * duplicate-cluster resolution (connected components), deterministic
+  * hash sampling, and per-group embedding centroids.
+  *
+  * These are the glue stages a 100 TB corpus pipeline needs between
+  * "candidate pairs found" and "clean corpus out":
+  *   - pairs only say A~B; SURVIVORSHIP needs the transitive closure
+  *     (A~B, B~C ⇒ one cluster, one survivor) — connected components;
+  *   - reproducible debug/eval subsets need SAMPLING that is stable
+  *     across runs and engines — hash the key, not rand();
+  *   - corpus health checks need per-group embedding CENTROIDS and
+  *     spread (drift detection, cluster quality).
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Max label-propagation rounds before declaring non-convergence. */
+  val MaxCcRounds = 20
+
+  /** Connected components over the SimHash near-dup graph
+    * ([[Dedup.simhashPairs]] edges), by iterative min-label
+    * propagation: every vertex starts labeled with its own id; each
+    * round it takes the min of its label and its neighbors' labels;
+    * at fixpoint the label is the component's min doc_id (the dedup
+    * survivor). Convergence needs O(component diameter) rounds —
+    * near-dup graphs are shallow (dense clusters, tiny diameter), so
+    * this terminates in a few rounds; large-star/small-star is the
+    * published refinement if diameters ever grow. Each round is one
+    * shuffle join + aggregate; `localCheckpoint` truncates the plan so
+    * lineage doesn't grow with rounds (a cluster deployment would use
+    * a checkpoint dir).
+    *
+    * Output: one row per duplicate cluster (cluster_id = surviving
+    * doc_id, member count, comma-joined member list).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var prevSum = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxCcRounds) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy(sym("src").as("nv")).agg(min("label").as("nbr_label"))
+      labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease: Σlabel is a monotone convergence witness
+      val s = labels.agg(sum("label")).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    sym.unpersist(blocking = false)
+    require(converged, s"connected components did not converge in $MaxCcRounds rounds")
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           concat_ws(",", expr("transform(sort_array(collect_list(v)), x -> cast(x AS string))")).as("members"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same SimHash
+    * edges, then min over each vertex's reachable set. Fine at oracle
+    * scale; the Spark side is the one that has to survive 100 TB.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.simhashSigsSql},
+       |edges AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.MaxHamming}
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |), lbl AS (
+       |  SELECT src AS v, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |)
+       |SELECT label AS cluster_id, count(*) AS n_docs,
+       |  string_agg(v::VARCHAR, ',' ORDER BY v) AS members
+       |FROM lbl GROUP BY label
+       |ORDER BY cluster_id""".stripMargin
+
+  /** Percent of rows kept by the deterministic sample. */
+  val SamplePct = 5
+
+  /** Deterministic hash sampling: keep a row iff
+    * h32(md5(orderkey-linenumber)) mod 100 < $SamplePct. Unlike
+    * rand()-based sampling this is reproducible across runs, engines
+    * and partitionings (the hash rides the ROW KEY, not the RNG
+    * stream), which is what makes debug subsets and eval splits
+    * trustworthy in a pipeline; the same idiom with a user/doc key
+    * gives leakage-free splits (all rows of one key land on one side).
+    * Summary stats per returnflag over the sample prove the selection
+    * matches cross-engine.
+    */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(expr("cast(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 8), 16, 10) AS bigint)") % 100 < SamplePct)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum("l_quantity"), 4).as("sum_qty"),
+           round(avg("l_extendedprice"), 4).as("avg_price"))
+      .orderBy("l_returnflag")
+
+  val hashSampleSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  round(avg(l_extendedprice), 4) AS avg_price
+       |FROM lineitem
+       |WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 8))::BIGINT % 100 < $SamplePct
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** Per-label embedding centroids + spread: elementwise mean vector
+    * per label (posexplode → per-dimension aggregate — the standard
+    * distributed centroid shape: no vector ever collects to the
+    * driver), centroid components rounded to 6 dp so both engines
+    * compute IDENTICAL centroids, then per-vector Euclidean distance
+    * to its centroid and per-label spread stats. This is the health
+    * check a corpus embedding pipeline runs per source/class: drifting
+    * centroids or exploding spread flag upstream breakage.
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = e.groupBy("label", "pos").agg(round(avg("v"), 6).as("c"))
+    val dists = e.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+      .select(col("vec_id"), col("label"), sqrt(col("d2")).as("dist"))
+    val norms = cent.groupBy("label").agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+    dists.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg("dist"), 6).as("avg_dist"),
+           round(max("dist"), 6).as("max_dist"))
+      .join(broadcast(norms), "label")
+      .select("label", "n_vecs", "centroid_norm", "avg_dist", "max_dist")
+      .orderBy("label")
+  }
+
+  /** Oracle: same math with 1-based subscripts (pos is only a join
+    * key inside each engine, never compared across them).
+    */
+  val embeddingCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS v
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+      |), cent AS (
+      |  SELECT label, pos, round(avg(v), 6) AS c FROM e GROUP BY label, pos
+      |), dists AS (
+      |  SELECT vec_id, e.label, sqrt(sum((v - c) * (v - c))) AS dist
+      |  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      |  GROUP BY vec_id, e.label
+      |), norms AS (
+      |  SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm FROM cent GROUP BY label
+      |)
+      |SELECT d.label, count(*) AS n_vecs, n.centroid_norm,
+      |  round(avg(dist), 6) AS avg_dist,
+      |  round(max(dist), 6) AS max_dist
+      |FROM dists d JOIN norms n ON d.label = n.label
+      |GROUP BY d.label, n.centroid_norm
+      |ORDER BY d.label""".stripMargin
+
+  /** Quantization levels (int8-style: 0..255). */
+  val QLevels = 255
+
+  /** Int8 embedding quantization fidelity: per-vector min/max
+    * affine quantization to $QLevels levels (the standard 4× storage
+    * cut for embedding corpora), then per-label reconstruction-error
+    * stats. floor((v−mn)·$QLevels/(mx−mn)) over doubles is the SAME
+    * IEEE expression in both engines, so quantized codes — not just
+    * aggregates — match exactly; min/max are selections (no float
+    * summation), so the scale factors are exact too. A production
+    * pipeline runs exactly this query before flipping a corpus to
+    * quantized storage: mean-abs-error per label is the go/no-go.
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = e.groupBy("vec_id").agg(min("v").as("mn"), max("v").as("mx"))
+    val err = e.join(broadcast(stats), "vec_id")
+      .where(col("mx") > col("mn"))
+      .withColumn("q", floor((col("v") - col("mn")) * QLevels / (col("mx") - col("mn"))))
+      .withColumn("deq", col("mn") + col("q") * (col("mx") - col("mn")) / QLevels)
+      .groupBy("vec_id", "label")
+      .agg(avg(abs(col("v") - col("deq"))).as("mae"),
+           countDistinct(col("q")).as("n_codes"))
+    err.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg("mae"), 6).as("avg_mae"),
+           round(max("mae"), 6).as("max_mae"),
+           round(avg("n_codes"), 4).as("avg_codes"))
+      .orderBy("label")
+  }
+
+  val embeddingQuantizeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding[i]::DOUBLE AS v
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |), stats AS (
+       |  SELECT vec_id, min(v) AS mn, max(v) AS mx FROM e GROUP BY vec_id
+       |), err AS (
+       |  SELECT e.vec_id, label,
+       |    avg(abs(v - (mn + floor((v - mn) * $QLevels / (mx - mn)) * (mx - mn) / $QLevels))) AS mae,
+       |    count(DISTINCT floor((v - mn) * $QLevels / (mx - mn))) AS n_codes
+       |  FROM e JOIN stats ON e.vec_id = stats.vec_id
+       |  WHERE mx > mn
+       |  GROUP BY e.vec_id, label
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |  round(avg(mae), 6) AS avg_mae,
+       |  round(max(mae), 6) AS max_mae,
+       |  round(avg(n_codes), 4) AS avg_codes
+       |FROM err
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_clusters"      -> (dedupClusters _),
+    "q_hash_sample"         -> (hashSample _),
+    "q_embedding_centroids" -> (embeddingCentroids _),
+    "q_embedding_quantize"  -> (embeddingQuantize _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters"      -> dedupClustersSql,
+    "q_hash_sample"         -> hashSampleSql,
+    "q_embedding_centroids" -> embeddingCentroidsSql,
+    "q_embedding_quantize"  -> embeddingQuantizeSql,
+  )
+}

@@ -776,7 +776,41 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Correlated scalar subquery (SURVEY.md §4 "subquery decorrelation"):
+    * orders priced above their customer's average order value. Written
+    * as the correlated form on purpose — Catalyst's
+    * RewriteCorrelatedScalarSubquery turns it into the aggregate+join
+    * a hand-decorrelated version would be, which `.explain` confirms
+    * (no per-row subquery execution survives; at scale it is one
+    * shuffle on o_custkey). Single-order customers compare a price to
+    * itself exactly (avg of one double is that double in both
+    * engines), so the predicate is engine-stable.
+    */
+  def ordersAboveCustAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 4) AS max_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY n_above DESC, o_custkey ASC
+        |LIMIT 100""".stripMargin)
+  }
+
+  val ordersAboveCustAvgSql: String =
+    """SELECT o_custkey, count(*) AS n_above,
+      |  round(max(o_totalprice), 4) AS max_above
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+      |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY n_above DESC, o_custkey ASC
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_scalar_subquery"     -> (ordersAboveCustAvg _),
     "q_percentiles"         -> (pricePercentiles _),
     "q_salted_agg"          -> (saltedEventStats _),
     "q_pricing_summary"     -> (pricingSummary _),
@@ -809,6 +843,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_scalar_subquery"     -> ordersAboveCustAvgSql,
     "q_percentiles"         -> pricePercentilesSql,
     "q_salted_agg"          -> saltedEventStatsSql,
     "q_pricing_summary"     -> pricingSummarySql,

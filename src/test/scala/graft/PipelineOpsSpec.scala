@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for PipelineOps: connected-components dedup clustering,
+  * deterministic hash sampling, embedding centroids.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("dedup clusters partition the edge vertex set; labels are cluster minima") {
+    val edges = operators.Dedup.simhashPairs(spark, sfTest)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val clusters = operators.PipelineOps.dedupClusters(spark, sfTest).collect()
+    val members = clusters.map(r => r.getAs[String]("members").split(",").map(_.toLong).toSet)
+    // every vertex in exactly one cluster
+    assert(members.map(_.size).sum === verts.size)
+    assert(members.flatten.toSet === verts)
+    clusters.zip(members).foreach { case (r, m) =>
+      assert(r.getAs[Long]("cluster_id") === m.min, "cluster id must be the member minimum")
+      assert(r.getAs[Long]("n_docs") === m.size)
+      assert(m.size >= 2, "edge-derived vertices always have a >=2 cluster")
+    }
+    // every edge is intra-cluster (endpoints share a cluster)
+    val byVert = members.flatMap(m => m.map(_ -> m)).toMap
+    edges.foreach { case (a, b) => assert(byVert(a) eq byVert(b), s"edge ($a,$b) split across clusters") }
+  }
+
+  test("hash sample is deterministic and a genuine subset") {
+    val s1 = operators.PipelineOps.hashSample(spark, sfTest).collect()
+    val s2 = operators.PipelineOps.hashSample(spark, sfTest).collect()
+    assert(s1.toSeq === s2.toSeq, "same key set must sample identically")
+    val sampled = s1.map(_.getAs[Long]("n_rows")).sum
+    val total = Tables.lineitem(spark, sfTest).count()
+    assert(sampled > 0 && sampled < total)
+    // 5% target, wide tolerance (hash noise at sf0.001's ~6k rows)
+    val frac = sampled.toDouble / total
+    assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac far from 5%")
+  }
+
+  test("incremental dedup: batch-vs-corpus only, matches the full pair tier") {
+    val rows = operators.Dedup.incrementalDedup(spark, sfTest).collect()
+    val full = operators.Dedup.ngramJaccard(spark, sfTest)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val newId = r.getAs[Long]("new_id"); val oldId = r.getAs[Long]("dup_of")
+      assert(newId >= operators.Dedup.IncrementalFrom && oldId < operators.Dedup.IncrementalFrom)
+      assert(r.getAs[Double]("jaccard") >= operators.Dedup.JaccardThreshold)
+      assert(full.contains((oldId, newId)),
+        s"incremental match ($oldId,$newId) missing from the full jaccard tier")
+    }
+    // one best match per new doc
+    val ids = rows.map(_.getAs[Long]("new_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("embedding quantization: full coverage, bounded error, <=256 codes") {
+    val rows = operators.PipelineOps.embeddingQuantize(spark, sfTest).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === Tables.embeddings(spark, sfTest).count(),
+      "constant vectors (mx==mn) would drop out — fixture has none")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_mae") >= 0.0)
+      assert(r.getAs[Double]("max_mae") < 0.01, "255-level quantization error should be tiny")
+      assert(r.getAs[Double]("avg_codes") <= operators.PipelineOps.QLevels + 1)
+    }
+  }
+
+  test("embedding centroids: one row per label, distances non-negative, avg<=max") {
+    val rows = operators.PipelineOps.embeddingCentroids(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("label")).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0)
+      assert(r.getAs[Double]("centroid_norm") >= 0.0)
+      val avg = r.getAs[Double]("avg_dist"); val max = r.getAs[Double]("max_dist")
+      assert(avg >= 0.0 && max >= avg)
+    }
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(nVecs === Tables.embeddings(spark, sfTest).count())
+  }
+}
