@@ -169,6 +169,39 @@ object Multimodal {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Oracle for the typed-Dataset decode stage: [[decodeStub]] is pure
+    * integer + single-division arithmetic on the payload bytes, and the
+    * corpus is ASCII (fixture-probed), so DuckDB reproduces the decoder
+    * exactly with per-character ascii() sums — the oracle covers the
+    * whole decode pipeline, not just row counts. (A real codec would
+    * drop this back to rows-only + spec.)
+    */
+  val mediaFeaturesSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, source, len(text) AS n,
+      |    unnest(range(1, len(text) + 1)) AS i, text
+      |  FROM documents
+      |), sums AS (
+      |  SELECT doc_id, source, n, sum(ascii(substring(text, i, 1))) AS bsum
+      |  FROM chars GROUP BY doc_id, source, n
+      |), feats AS (
+      |  SELECT doc_id, source,
+      |    64 + (n % 512) AS width,
+      |    64 + ((n * 31) % 512) AS height,
+      |    1 + (n % 16) AS n_frames,
+      |    CASE WHEN n = 0 THEN 0.0
+      |         ELSE round((bsum::DOUBLE / n) * 10000) / 10000 END AS mean_byte
+      |  FROM sums
+      |)
+      |SELECT source, count(*) AS n_media,
+      |  round(avg(width), 4) AS avg_width,
+      |  round(avg(height), 4) AS avg_height,
+      |  sum(n_frames)::BIGINT AS total_frames,
+      |  round(avg(mean_byte), 4) AS avg_mean_byte
+      |FROM feats
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
@@ -177,8 +210,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "q_binary_passthrough" -> binaryPassthroughSql,
+    "q_media_features"     -> mediaFeaturesSql,
     "q_media_frames"       -> mediaFrameSampleSql,
-    // q_media_features: typed-Dataset decode stage — rows-only check;
-    // MultimodalSpec verifies the stub arithmetic exactly.
   )
 }

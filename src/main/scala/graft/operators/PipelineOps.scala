@@ -29,13 +29,14 @@ object PipelineOps {
     * propagation: every vertex starts labeled with its own id; each
     * round it takes the min of its label and its neighbors' labels;
     * at fixpoint the label is the component's min doc_id (the dedup
-    * survivor). Convergence needs O(component diameter) rounds —
-    * near-dup graphs are shallow (dense clusters, tiny diameter), so
-    * this terminates in a few rounds; large-star/small-star is the
-    * published refinement if diameters ever grow. Each round is one
-    * shuffle join + aggregate; `localCheckpoint` truncates the plan so
-    * lineage doesn't grow with rounds (a cluster deployment would use
-    * a checkpoint dir).
+    * survivor). Each round also POINTER-JUMPS (label(v) :=
+    * label(label(v)) — valid because every label is itself a vertex id
+    * of the same component), which turns O(diameter) convergence into
+    * O(log diameter) — the same doubling idea as the published
+    * two-phase (large-star/small-star) formulations. Each round is two
+    * shuffle joins + an aggregate; `localCheckpoint` truncates the
+    * plan so lineage doesn't grow with rounds (a cluster deployment
+    * would use a checkpoint dir).
     *
     * Output: one row per duplicate cluster (cluster_id = surviving
     * doc_id, member count, comma-joined member list).
@@ -54,8 +55,12 @@ object PipelineOps {
     while (!converged && rounds < MaxCcRounds) {
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy(sym("src").as("nv")).agg(min("label").as("nbr_label"))
-      labels = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+      val stepped = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: follow the label one hop through itself
+      val lv = stepped.select(col("v").as("jv"), col("label").as("jlabel"))
+      labels = stepped.join(lv, stepped("label") === lv("jv"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint()
       // labels only ever decrease: Σlabel is a monotone convergence witness
       val s = labels.agg(sum("label")).collect()(0).getLong(0)
