@@ -92,17 +92,26 @@ object VectorFunctions {
       exprs => FloatDot(exprs(0), exprs(1)))
 }
 
-/** SparkSessionExtensions hook so external users get `float_dot` at
-  * session build time (`.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`). The driver
-  * harness builds plain sessions, so library queries call
-  * [[VectorFunctions.register]]/[[VectorFunctions.floatDot]] directly.
+/** SparkSessionExtensions hook so external users get graft's native
+  * SQL functions at session build time (`.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions
+  * .GraftExtensions`): `float_dot`, `pair_pack`, `pair_prod`,
+  * `shingles`. The driver harness builds plain sessions, so library
+  * queries call the Column surfaces directly.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[FloatDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+    inject("float_dot", classOf[FloatDot], exprs => FloatDot(exprs(0), exprs(1)))
+    inject("pair_pack", classOf[PairPack], exprs => PairPack(exprs(0)))
+    inject("pair_prod", classOf[PairProd], exprs => PairProd(exprs(0)))
+    // width must be a foldable literal (evaluated at registration)
+    inject("shingles", classOf[Shingles],
+      exprs => Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))
+  }
 }

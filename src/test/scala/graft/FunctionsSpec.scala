@@ -41,4 +41,34 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     VectorFunctions.register(s2)
     assert(s2.sql("SELECT float_dot(array(1.0F), array(2.0F))").head.getDouble(0) == 2.0)
   }
+
+  test("pair_pack/pair_prod: aligned expansion, empty and singleton inputs") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 5L), Seq(2.0, 3.0, 7.0)),
+      (Seq(9L), Seq(4.0)),
+      (Seq.empty[Long], Seq.empty[Double])
+    ).toDF("ids", "vals")
+      .select(functions.PairPack.pairPack(col("ids")).as("pk"),
+              functions.PairProd.pairProd(col("vals")).as("pr"))
+    val rows = df.collect()
+    val base = functions.PairPack.Base
+    assert(rows(0).getSeq[Long](0) ===
+      Seq(1 * base + 2, 1 * base + 5, 2 * base + 5))
+    assert(rows(0).getSeq[Double](1) === Seq(6.0, 14.0, 21.0))
+    assert(rows(1).getSeq[Long](0).isEmpty && rows(1).getSeq[Double](1).isEmpty)
+    assert(rows(2).getSeq[Long](0).isEmpty && rows(2).getSeq[Double](1).isEmpty)
+  }
+
+  test("pair_pack rejects ids outside [0, 2^32)") {
+    val session = spark
+    import session.implicits._
+    val bad = Seq(Seq(1L, 1L << 33)).toDF("ids")
+      .select(functions.PairPack.pairPack(col("ids")).as("pk"))
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pair_pack")), s"unexpected error: $e")
+  }
 }

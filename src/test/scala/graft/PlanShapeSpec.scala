@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties the 100 TB design
+  * depends on (column pruning into the parquet scan, predicate
+  * pushdown, broadcast joins on dimension/model sides, no cartesian
+  * products) — checked on the real optimized plans so a regression in
+  * query formulation fails fast, not at the next scale-up.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("revenue_by_nation: lineitem scan is column-pruned and dims broadcast") {
+    val p = plan(operators.Relational.revenueByNation(spark, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"),
+      "unused wide lineitem columns must not reach the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pricing_summary: shipdate predicate reaches the parquet scan") {
+    val p = plan(operators.Relational.pricingSummary(spark, sfTest))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected pushed shipdate filter, plan:\n${p.take(2000)}")
+  }
+
+  test("itemcf_recommend: similarity model joins by broadcast, no sort-merge on the fact side") {
+    val p = plan(operators.Recsys.itemcfRecommend(spark, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "K*|items| sim table must broadcast")
+  }
+
+  test("scalar subquery is decorrelated into an aggregate+join (no per-row subquery)") {
+    val p = plan(operators.Relational.ordersAboveCustAvg(spark, sfTest))
+    // after RewriteCorrelatedScalarSubquery no Subquery node survives in
+    // the physical tree — the correlation becomes an aggregate + join
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("hash_sample: deterministic filter is applied before aggregation (single scan)") {
+    val p = plan(operators.PipelineOps.hashSample(spark, sfTest))
+    assert(p.contains("Filter") && p.contains("md5"),
+      "hash predicate must filter the scan output before the aggregate")
+    // formatted mode shows each operator in the tree AND a numbered
+    // detail header — count the headers
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, "exactly one lineitem scan")
+  }
+}
