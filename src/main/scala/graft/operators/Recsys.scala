@@ -549,6 +549,117 @@ object Recsys {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY item_i, rk""".stripMargin
 
+  /** Half-life (days) for time-decayed interaction strength. */
+  val HalfLifeDays = 90.0
+  /** Rolling window (days): interactions older than this are excluded
+    * by definition — at 8 half-lives they carry < 0.4% weight, and the
+    * window is what bounds compute at scale (production decay-CF scans
+    * the recency window, never the full history; with date-partitioned
+    * storage this is partition pruning, not a filter).
+    */
+  val DecayWindowDays = 720
+
+  /** M1 variant — time-decayed ItemCF: interaction strength is
+    * quantity × 0.5^(age_days / $HalfLifeDays) over a rolling
+    * $DecayWindowDays-day window, ages measured from the corpus max
+    * order date (deterministic "now", computed as a broadcast 1-row
+    * aggregate — never a driver collect). Recency weighting is the
+    * standard production treatment for drifting tastes; everything
+    * downstream is the weighted-cosine pipeline. Decayed strengths are
+    * rounded to 6 dp at the aggregate so both engines carry identical
+    * inputs into the similarity math (pow/exp differ by ≤1 ulp across
+    * libms — 9 digits below the rounding).
+    */
+  def itemcfDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    val nowDf = Tables.orders(spark, sfDir).agg(max(to_date(col("o_orderdate"))).as("now_d"))
+    val dated = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(nowDf))
+      .withColumn("age_d", datediff(col("now_d"), to_date(col("o_orderdate"))))
+      .where(col("age_d") <= DecayWindowDays)
+      .withColumn("w", col("l_quantity") * pow(lit(0.5), col("age_d") / HalfLifeDays))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(round(sum("w"), 6).as("strength"))
+    // cap histories on decayed strength (same hot-user guard as the
+    // other tiers), then the weighted-cosine pipeline
+    val r = dated.groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
+      .select(col("user_id"), explode(col("hs")).as("h"))
+      .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
+    val norms = r.groupBy("item_id")
+      .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
+    val grouped = r.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
+    val pairs = grouped
+      .select(explode(arrays_zip(
+        graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
+        graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
+      .groupBy(col("z.pk").as("pk"))
+      .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
+    val half = unpack(pairs, "item_i", "item_j")
+      .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
+      .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
+      .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
+    val mirrored = half.select(explode(array(
+        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
+        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
+      )).as("p"))
+      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
+              col("p.sim").as("sim"), col("p.co").as("co"))
+    mirrored.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
+      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
+              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
+      .orderBy("item_i", "rk")
+  }
+
+  val itemcfDecaySql: String =
+    s"""WITH nowd AS (
+       |  SELECT max(o_orderdate::DATE) AS now_d FROM orders
+       |), dated AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    round(sum(l_quantity * pow(0.5,
+       |      datediff('day', o_orderdate::DATE, now_d) / $HalfLifeDays)), 6) AS strength
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  CROSS JOIN nowd
+       |  WHERE datediff('day', o_orderdate::DATE, now_d) <= $DecayWindowDays
+       |  GROUP BY 1, 2
+       |), capped AS (
+       |  SELECT user_id, item_id, strength FROM (
+       |    SELECT user_id, item_id, strength,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY strength DESC, item_id ASC) AS hrk
+       |    FROM dated
+       |  ) WHERE hrk <= $MaxHistory
+       |), norms AS (
+       |  SELECT item_id, sqrt(sum(strength * strength)) AS nrm
+       |  FROM capped GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j,
+       |    sum(a.strength * b.strength) AS dot, count(*) AS co
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), sim AS (
+       |  SELECT item_i, item_j, round(dot / (ni.nrm * nj.nrm), 6) AS sim, co
+       |  FROM pairs
+       |  JOIN norms ni ON ni.item_id = item_i
+       |  JOIN norms nj ON nj.item_id = item_j
+       |), mirrored AS (
+       |  SELECT item_i, item_j, sim, co FROM sim
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, sim, co FROM sim
+       |), ranked AS (
+       |  SELECT item_i, item_j, sim, co,
+       |    row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |  FROM mirrored
+       |)
+       |SELECT item_i, rk, item_j, sim, co
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY item_i, rk""".stripMargin
+
   /** Popular parts kept per brand for content candidates. */
   val BrandTop = 50
 
@@ -694,6 +805,7 @@ object Recsys {
   val queries: Map[String, Q] = Map(
     "q_itemcf_similarity" -> (itemcfSimilarity _),
     "q_itemcf_weighted"   -> (itemcfWeighted _),
+    "q_itemcf_decay"      -> (itemcfDecay _),
     "q_itemcf_recommend"  -> (itemcfRecommend _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -705,6 +817,7 @@ object Recsys {
   val oracleSql: Map[String, String] = Map(
     "q_itemcf_similarity" -> itemcfSimilaritySql,
     "q_itemcf_weighted"   -> itemcfWeightedSql,
+    "q_itemcf_decay"      -> itemcfDecaySql,
     "q_itemcf_recommend"  -> itemcfRecommendSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,

@@ -12,11 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanShapeSpec extends AnyFunSuite with SparkFixture {
 
+  /** Fresh session per spec run: QueryCache memoizes per session, and
+    * a cached intermediate shows up as InMemoryTableScan — which would
+    * make these assertions depend on which suites ran first.
+    */
+  private lazy val planSession = spark.newSession()
+
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("revenue_by_nation: lineitem scan is column-pruned and dims broadcast") {
-    val p = plan(operators.Relational.revenueByNation(spark, sfTest))
+    val p = plan(operators.Relational.revenueByNation(planSession, sfTest))
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
     assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"),
       "unused wide lineitem columns must not reach the scan")
@@ -24,18 +30,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("pricing_summary: shipdate predicate reaches the parquet scan") {
-    val p = plan(operators.Relational.pricingSummary(spark, sfTest))
+    val p = plan(operators.Relational.pricingSummary(planSession, sfTest))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
       s"expected pushed shipdate filter, plan:\n${p.take(2000)}")
   }
 
   test("itemcf_recommend: similarity model joins by broadcast, no sort-merge on the fact side") {
-    val p = plan(operators.Recsys.itemcfRecommend(spark, sfTest))
+    val p = plan(operators.Recsys.itemcfRecommend(planSession, sfTest))
     assert(p.contains("BroadcastHashJoin"), "K*|items| sim table must broadcast")
   }
 
   test("scalar subquery is decorrelated into an aggregate+join (no per-row subquery)") {
-    val p = plan(operators.Relational.ordersAboveCustAvg(spark, sfTest))
+    val p = plan(operators.Relational.ordersAboveCustAvg(planSession, sfTest))
     // after RewriteCorrelatedScalarSubquery no Subquery node survives in
     // the physical tree — the correlation becomes an aggregate + join
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
@@ -43,7 +49,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("hash_sample: deterministic filter is applied before aggregation (single scan)") {
-    val p = plan(operators.PipelineOps.hashSample(spark, sfTest))
+    val p = plan(operators.PipelineOps.hashSample(planSession, sfTest))
     assert(p.contains("Filter") && p.contains("md5"),
       "hash predicate must filter the scan output before the aggregate")
     // formatted mode shows each operator in the tree AND a numbered

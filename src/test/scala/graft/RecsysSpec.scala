@@ -49,6 +49,17 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(sw.where(col("swing") > col("n_user_pairs") / (operators.Recsys.SwingAlpha + 1.0) + 1e-9).count() === 0)
   }
 
+  test("time-decayed itemcf: cosine in (0,1], bounded neighbor lists") {
+    val rows = operators.Recsys.itemcfDecay(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim > 0.0 && sim <= 1.0 + 1e-9, s"decayed cosine out of range: $sim")
+      assert(r.getAs[Int]("rk") <= operators.Recsys.TopK)
+      assert(r.getAs[Long]("co") >= 1L)
+    }
+  }
+
   test("eval metrics are valid probabilities") {
     val m = operators.Recsys.evalPopularity(spark, sfTest).collect()(0)
     val p = m.getAs[Double]("precision_at_k")
