@@ -41,8 +41,17 @@ object PipelineOps {
     * Output: one row per duplicate cluster (cluster_id = surviving
     * doc_id, member count, comma-joined member list).
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+
+  /** The reusable core: components of ANY undirected pair DataFrame
+    * (columns doc_a, doc_b) — callers feed it whichever near-dup tier
+    * produced their pairs (SimHash here; MinHash/Jaccard/embedding
+    * work identically). Returns (cluster_id, n_docs, members) with
+    * cluster_id = the component's min vertex. Empty input → empty
+    * output (zero rounds).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -62,8 +71,9 @@ object PipelineOps {
       labels = stepped.join(lv, stepped("label") === lv("jv"), "left")
         .select(col("v"), least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      // labels only ever decrease: Σlabel is a monotone convergence witness
-      val s = labels.agg(sum("label")).collect()(0).getLong(0)
+      // labels only ever decrease: Σlabel is a monotone convergence
+      // witness (coalesce covers the empty-vertex-set case)
+      val s = labels.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
       converged = s == prevSum
       prevSum = s
       rounds += 1

@@ -90,6 +90,16 @@ object PairProf {
       .groupBy("item_i")
       .agg(graft.functions.TopKByScore.topK(10, col("n.score"), col("n.id"), col("n.extra")).as("nbrs"))
     t("two-half topK + merge") { merged.count() }
+
+    // variant: mirror by unioning two projections of the CACHED half
+    // (reads the persisted pair agg twice, no struct generator)
+    val m2 = half.select(col("item_i"), col("item_j"), col("sim"), col("co"))
+      .unionByName(half.select(col("item_j").as("item_i"), col("item_i").as("item_j"),
+                               col("sim"), col("co")))
+    val topk2 = m2.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(10, col("sim"), col("item_j"), col("co")).as("nbrs"))
+    t("union-mirror + topK agg") { topk2.count() }
+    t("union-mirror again") { topk2.count() }
     spark.stop()
   }
 }

@@ -39,6 +39,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac far from 5%")
   }
 
+  test("connected components on synthetic graphs: empty, chain, two components") {
+    val session = spark
+    import session.implicits._
+    def cc(pairs: (Long, Long)*) = operators.PipelineOps.connectedComponents(
+      pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"), r.getAs[String]("members")))
+
+    assert(cc() === Array.empty, "empty edge set must give empty output, not crash")
+    // a 5-vertex chain collapses to one cluster labeled by its min
+    assert(cc((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ===
+      Array((1L, 5L, "1,2,3,4,5")))
+    // two components + an isolated pair keep separate labels
+    assert(cc((10L, 11L), (20L, 21L), (21L, 22L)) ===
+      Array((10L, 2L, "10,11"), (20L, 3L, "20,21,22")))
+  }
+
   test("incremental dedup: batch-vs-corpus only, matches the full pair tier") {
     val rows = operators.Dedup.incrementalDedup(spark, sfTest).collect()
     val full = operators.Dedup.ngramJaccard(spark, sfTest)
