@@ -802,7 +802,85 @@ object Recsys {
        |  sum(n_hits)::BIGINT AS total_hits
        |FROM per_user""".stripMargin
 
+  /** M9 ranking metrics — NDCG@K and MRR for the same popularity
+    * recommender and time split as [[evalPopularity]] (binary
+    * relevance: a recommended item is relevant to a user iff it
+    * appears in the user's test-window interactions).
+    *   - DCG_u  = Σ_{hits at rank r} 1/log2(r+1)
+    *   - IDCG_u = Σ_{r=1..min(K, |test_u|)} 1/log2(r+1)
+    *   - MRR_u  = 1/min(hit rank), 0 if no hit
+    * Both folds run over a generated 1..K sequence with a fixed
+    * left-to-right order, so engine noise stays ≤1 ulp (9 digits
+    * below the 6 dp rounding). Single-row summary.
+    */
+  def evalRanking(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val ui = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"), col("o_orderdate"))
+    val split = lit(SplitDate).cast("timestamp_ntz")
+    val train = ui.where(col("o_orderdate") < split).select("user_id", "item_id").distinct()
+    val test  = ui.where(col("o_orderdate") >= split).select("user_id", "item_id").distinct()
+    val recs = train.groupBy("item_id").agg(countDistinct(col("user_id")).as("pop"))
+      .orderBy(col("pop").desc, col("item_id").asc)
+      .limit(EvalK)
+      .withColumn("rk", row_number().over(Window.orderBy(col("pop").desc, col("item_id").asc)))
+      .select("item_id", "rk")
+    val perUserTest = test.groupBy("user_id").agg(count(lit(1)).as("n_test"))
+    val hits = test.join(broadcast(recs), "item_id")
+      .groupBy("user_id")
+      .agg(sum(lit(1.0) / log2(col("rk") + 1.0)).as("dcg"),
+           (lit(1.0) / min(col("rk"))).as("mrr"))
+    val perUser = perUserTest.join(hits, Seq("user_id"), "left")
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1, int(least(n_test, $EvalK))), 0D, (s, r) -> s + 1D / log2(r + 1))"))
+      .select(col("user_id"),
+              coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"),
+              coalesce(col("mrr"), lit(0.0)).as("mrr"))
+    perUser.agg(
+        count(lit(1)).as("n_test_users"),
+        round(avg("ndcg"), 6).as("avg_ndcg"),
+        round(avg("mrr"), 6).as("avg_mrr"),
+        sum(when(col("mrr") > 0.0, 1L).otherwise(0L)).as("n_users_with_hit"))
+  }
+
+  val evalRankingSql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), train AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate < TIMESTAMP '$SplitDate'
+       |), test AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate >= TIMESTAMP '$SplitDate'
+       |), recs AS (
+       |  SELECT item_id, row_number() OVER (ORDER BY pop DESC, item_id ASC) AS rk
+       |  FROM (
+       |    SELECT item_id, count(DISTINCT user_id) AS pop FROM train GROUP BY item_id
+       |    ORDER BY pop DESC, item_id ASC LIMIT $EvalK
+       |  )
+       |), per_user_test AS (
+       |  SELECT user_id, count(*) AS n_test FROM test GROUP BY user_id
+       |), hits AS (
+       |  SELECT user_id,
+       |    sum(1.0 / log2(rk + 1.0)) AS dcg,
+       |    1.0 / min(rk) AS mrr
+       |  FROM test JOIN recs USING (item_id) GROUP BY user_id
+       |), per_user AS (
+       |  SELECT t.user_id,
+       |    coalesce(h.dcg / list_reduce(list_transform(
+       |      range(1, least(t.n_test, $EvalK)::INT + 1), r -> 1.0 / log2(r + 1)),
+       |      (s, v) -> s + v), 0.0) AS ndcg,
+       |    coalesce(h.mrr, 0.0) AS mrr
+       |  FROM per_user_test t LEFT JOIN hits h ON t.user_id = h.user_id
+       |)
+       |SELECT count(*) AS n_test_users,
+       |  round(avg(ndcg), 6) AS avg_ndcg,
+       |  round(avg(mrr), 6) AS avg_mrr,
+       |  sum(CASE WHEN mrr > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_users_with_hit
+       |FROM per_user""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_eval_ranking"      -> (evalRanking _),
     "q_itemcf_similarity" -> (itemcfSimilarity _),
     "q_itemcf_weighted"   -> (itemcfWeighted _),
     "q_itemcf_decay"      -> (itemcfDecay _),
@@ -815,6 +893,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_eval_ranking"      -> evalRankingSql,
     "q_itemcf_similarity" -> itemcfSimilaritySql,
     "q_itemcf_weighted"   -> itemcfWeightedSql,
     "q_itemcf_decay"      -> itemcfDecaySql,

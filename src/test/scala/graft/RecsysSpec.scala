@@ -60,6 +60,19 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ranking metrics: NDCG and MRR are valid, hits bounded by users") {
+    val m = operators.Recsys.evalRanking(spark, sfTest).collect()(0)
+    val ndcg = m.getAs[Double]("avg_ndcg")
+    val mrr = m.getAs[Double]("avg_mrr")
+    val users = m.getAs[Long]("n_test_users")
+    val withHit = m.getAs[Long]("n_users_with_hit")
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    assert(withHit >= 0L && withHit <= users)
+    // MRR > 0 iff someone hit
+    assert((mrr > 0.0) === (withHit > 0L))
+  }
+
   test("eval metrics are valid probabilities") {
     val m = operators.Recsys.evalPopularity(spark, sfTest).collect()(0)
     val p = m.getAs[Double]("precision_at_k")
