@@ -18,6 +18,10 @@ object PairProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("PAIRPROF_NO_COALESCE").foreach { _ =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      println("[pairprof] AQE partition coalescing DISABLED")
+    }
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
