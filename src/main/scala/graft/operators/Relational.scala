@@ -809,7 +809,63 @@ object Relational {
       |ORDER BY n_above DESC, o_custkey ASC
       |LIMIT 100""".stripMargin
 
+  /** RFM customer segmentation — the classic recsys-companion
+    * analysis: per-customer Recency (days since last order, from the
+    * corpus max date — deterministic "now"), Frequency (order count),
+    * Monetary (total spend), each quartile-scored with ntile over a
+    * fully tie-broken order (scores are then engine-independent row
+    * positions), rolled up to segment sizes. At 100 TB the global
+    * ntile windows become precomputed percentile cutpoints
+    * (approx_percentile) joined back — noted here because a global
+    * sort of all customers is the one piece that doesn't scale as
+    * written.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val nowDf = o.agg(max(to_date(col("o_orderdate"))).as("now_d"))
+    val rfm = o.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+           count(lit(1)).as("f"),
+           round(sum("o_totalprice"), 4).as("m"))
+      .crossJoin(broadcast(nowDf))
+      .withColumn("r_days", datediff(col("now_d"), col("last_d")))
+    val scored = rfm
+      .withColumn("r_score", ntile(4).over(Window.orderBy(col("r_days").asc, col("o_custkey").asc)))
+      .withColumn("f_score", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey").asc)))
+      .withColumn("m_score", ntile(4).over(Window.orderBy(col("m").desc, col("o_custkey").asc)))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg("m"), 4).as("avg_monetary"),
+           round(avg("f"), 4).as("avg_frequency"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH nowd AS (
+      |  SELECT max(o_orderdate::DATE) AS now_d FROM orders
+      |), rfm AS (
+      |  SELECT o_custkey,
+      |    datediff('day', max(o_orderdate::DATE), (SELECT now_d FROM nowd)) AS r_days,
+      |    count(*) AS f,
+      |    round(sum(o_totalprice), 4) AS m
+      |  FROM orders GROUP BY o_custkey
+      |), scored AS (
+      |  SELECT o_custkey,
+      |    ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_score,
+      |    ntile(4) OVER (ORDER BY f DESC, o_custkey ASC) AS f_score,
+      |    ntile(4) OVER (ORDER BY m DESC, o_custkey ASC) AS m_score,
+      |    m, f
+      |  FROM rfm
+      |)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  round(avg(m), 4) AS avg_monetary,
+      |  round(avg(f), 4) AS avg_frequency
+      |FROM scored
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rfm_segments"        -> (rfmSegments _),
     "q_scalar_subquery"     -> (ordersAboveCustAvg _),
     "q_percentiles"         -> (pricePercentiles _),
     "q_salted_agg"          -> (saltedEventStats _),
@@ -843,6 +899,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rfm_segments"        -> rfmSegmentsSql,
     "q_scalar_subquery"     -> ordersAboveCustAvgSql,
     "q_percentiles"         -> pricePercentilesSql,
     "q_salted_agg"          -> saltedEventStatsSql,

@@ -66,4 +66,18 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(e.schema("ts").dataType.typeName === "timestamp")
     assert(e.count() > 0)
   }
+
+  test("RFM segments partition the customer base into valid quartile cells") {
+    val rows = operators.Relational.rfmSegments(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Int](c); assert(s >= 1 && s <= 4, s"$c out of quartile range: $s")
+      }
+      assert(r.getAs[Double]("avg_monetary") > 0.0)
+    }
+    val nCustomers = Tables.orders(spark, sfTest)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCustomers)
+  }
 }
