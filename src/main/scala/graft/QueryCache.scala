@@ -27,7 +27,16 @@ object QueryCache {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Memoize `build` (persisted) under (spark, tag). */
+  /** Memoize `build` (persisted) under (spark, tag).
+    *
+    * NOT computeIfAbsent: cached builds nest (a similarity model's
+    * build reads the cached interaction table), and a nested
+    * computeIfAbsent on the same ConcurrentHashMap throws "Recursive
+    * update" whenever the two keys land in the same bin — a
+    * hash-layout-dependent landmine. get + putIfAbsent is reentrant;
+    * the benign race (two threads building the same entry) resolves by
+    * unpersisting the loser.
+    */
   def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
     sweepStopped()
     if (hooked.add(spark)) {
@@ -36,7 +45,14 @@ object QueryCache {
           dropEntries(spark, unpersist = false) // executors are gone; just release refs
       })
     }
-    cache.computeIfAbsent((spark, tag), _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    val key = (spark, tag)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(blocking = false); prev } else built
+    }
   }
 
   /** Unpersist and forget every entry of a live session — the escape

@@ -735,6 +735,75 @@ object Recsys {
        |) WHERE rk <= $TopN
        |ORDER BY user_id, rk""".stripMargin
 
+  /** Next-items emitted per item by the Markov transition query. */
+  val MarkovTop = 5
+  /** Min transitions for an item to be profiled (noise floor). */
+  val MarkovMinOut = 5
+
+  /** First-order Markov next-item model — the sequence-based
+    * recommender tier: per-user item sequences in a fixed order
+    * (order date, order key, line number, part key — any rows still
+    * tied under that key are IDENTICAL items, whose internal order
+    * cannot change the transition multiset, so successions are
+    * engine-deterministic), consecutive-pair
+    * transition counts, and P(next=j | i) = n(i→j)/n(i→·) with the
+    * top-$MarkovTop next items per item. Sequence building is one
+    * window pass (no self-join); the transition aggregate is
+    * |interactions| rows, linear at any scale. Items with fewer than
+    * $MarkovMinOut outgoing transitions are dropped (noise floor).
+    */
+  def markovNext(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
+    val seq0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
+              col("o_orderdate"), col("o_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc,
+               col("l_linenumber").asc, col("item_id").asc)
+    val trans = seq0.withColumn("next_item", lead(col("item_id"), 1).over(w))
+      .where(col("next_item").isNotNull)
+      .groupBy(col("item_id"), col("next_item"))
+      .agg(count(lit(1)).as("n"))
+    val outs = trans.groupBy("item_id").agg(sum("n").as("n_out"))
+      .where(col("n_out") >= MarkovMinOut)
+    trans.join(broadcast(outs), "item_id")
+      .withColumn("prob", round(col("n") / col("n_out"), 6))
+      .groupBy("item_id")
+      .agg(graft.functions.TopKByScore.topK(MarkovTop, col("prob"), col("next_item"), col("n")).as("nx"))
+      .select(col("item_id"), posexplode(col("nx")).as(Seq("pos", "x")))
+      .select(col("item_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("x.id").as("next_item"), col("x.score").as("prob"), col("x.extra").as("n"))
+      .orderBy("item_id", "rk")
+  }
+
+  val markovNextSql: String =
+    s"""WITH seq0 AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    o_orderdate, o_orderkey, l_linenumber
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), trans AS (
+       |  SELECT item_id, next_item, count(*) AS n FROM (
+       |    SELECT item_id,
+       |      lead(item_id, 1) OVER (PARTITION BY user_id
+       |        ORDER BY o_orderdate ASC, o_orderkey ASC, l_linenumber ASC, item_id ASC) AS next_item
+       |    FROM seq0
+       |  ) WHERE next_item IS NOT NULL
+       |  GROUP BY 1, 2
+       |), outs AS (
+       |  SELECT item_id, sum(n)::BIGINT AS n_out FROM trans GROUP BY item_id
+       |  HAVING sum(n) >= $MarkovMinOut
+       |), ranked AS (
+       |  SELECT t.item_id, t.next_item, t.n,
+       |    round(t.n / o.n_out, 6) AS prob,
+       |    row_number() OVER (PARTITION BY t.item_id
+       |      ORDER BY round(t.n / o.n_out, 6) DESC, t.next_item ASC) AS rk
+       |  FROM trans t JOIN outs o ON t.item_id = o.item_id
+       |)
+       |SELECT item_id, rk, next_item, prob, n
+       |FROM ranked WHERE rk <= $MarkovTop
+       |ORDER BY item_id, rk""".stripMargin
+
   /** Time-based train/test split boundary for evaluation. */
   val SplitDate = "1999-07-01"
   /** K for precision/recall@K. */
@@ -881,6 +950,7 @@ object Recsys {
 
   val queries: Map[String, Q] = Map(
     "q_eval_ranking"      -> (evalRanking _),
+    "q_markov_next"       -> (markovNext _),
     "q_itemcf_similarity" -> (itemcfSimilarity _),
     "q_itemcf_weighted"   -> (itemcfWeighted _),
     "q_itemcf_decay"      -> (itemcfDecay _),
@@ -894,6 +964,7 @@ object Recsys {
 
   val oracleSql: Map[String, String] = Map(
     "q_eval_ranking"      -> evalRankingSql,
+    "q_markov_next"       -> markovNextSql,
     "q_itemcf_similarity" -> itemcfSimilaritySql,
     "q_itemcf_weighted"   -> itemcfWeightedSql,
     "q_itemcf_decay"      -> itemcfDecaySql,

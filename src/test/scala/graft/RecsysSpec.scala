@@ -60,6 +60,18 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("markov transitions: probabilities per item are valid and ranked") {
+    val rows = operators.Recsys.markovNext(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("item_id")).foreach { case (_, rs) =>
+      val probs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("prob"))
+      assert(probs.forall(p => p > 0.0 && p <= 1.0))
+      assert(probs.sum <= 1.0 + 1e-6, "top-N transition probs cannot exceed 1")
+      assert(probs.zip(probs.tail).forall { case (a, b) => a >= b }, "ranked by prob desc")
+      assert(rs.length <= operators.Recsys.MarkovTop)
+    }
+  }
+
   test("ranking metrics: NDCG and MRR are valid, hits bounded by users") {
     val m = operators.Recsys.evalRanking(spark, sfTest).collect()(0)
     val ndcg = m.getAs[Double]("avg_ndcg")
