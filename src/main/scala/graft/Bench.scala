@@ -15,9 +15,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/reader warmup so the first measured query doesn't
     // absorb one-time session costs (standard bench hygiene; runs a
-    // trivial plan through parquet scan + shuffle + codegen paths).
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_regionkey").count().count()
+    // trivial plan through the paths the suite uses: parquet scan,
+    // shuffle, broadcast join, window, generator, hash expressions).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .withColumn("h", expr("cast(conv(substring(md5(n_name), 1, 8), 16, 10) AS bigint)"))
+        .select(col("h"), explode(expr("sequence(0, 3)")).as("i"))
+        .groupBy("i").agg(count(lit(1)), sum("h"))
+        .count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

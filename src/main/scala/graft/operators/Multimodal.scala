@@ -202,15 +202,71 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Target size (bytes) of the "thumbnail" produced by resize (small
+    * enough that fixture payloads genuinely downsample).
+    */
+  val ThumbBytes = 64
+
+  /** Resize / downsample stage: each payload is reduced to ≤$ThumbBytes
+    * bytes by stride subsampling (stride = ⌈n/$ThumbBytes⌉, keep every
+    * stride-th byte) — the deterministic stand-in for an image resize
+    * kernel, with the same pipeline shape: per-row map work, a content
+    * hash of the resized artifact, and a relational rollup. Like
+    * [[decodeStub]], only the kernel body changes with a real codec;
+    * the stride math, hashing and rollup are what a production
+    * thumbnail stage runs. Corpus is ASCII so char positions == byte
+    * offsets and the hash is engine-portable.
+    */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("n_bytes", length(col("text")))
+      .where(col("n_bytes") > 0)
+      .withColumn("stride", ceil(col("n_bytes") / lit(ThumbBytes.toDouble)).cast("int"))
+      .withColumn("thumb", expr(
+        "array_join(transform(sequence(1, int(n_bytes), stride), p -> substring(text, p, 1)), '')"))
+      .withColumn("thumb_len", length(col("thumb")))
+      .withColumn("thumb_hash", md5(col("thumb")))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+           round(avg("stride"), 4).as("avg_stride"),
+           sum("thumb_len").as("total_thumb_bytes"),
+           max("thumb_len").as("max_thumb_bytes"),
+           countDistinct(col("thumb_hash")).as("n_distinct_thumbs"))
+      .orderBy("source")
+  }
+
+  val mediaResizeSql: String =
+    s"""WITH d AS (
+       |  SELECT source, len(text) AS n_bytes,
+       |    ceil(len(text) / ${ThumbBytes.toDouble})::INT AS stride,
+       |    text
+       |  FROM documents WHERE len(text) > 0
+       |), t AS (
+       |  SELECT source, stride,
+       |    array_to_string(list_transform(range(1, n_bytes + 1, stride),
+       |      p -> substring(text, p::INT, 1)), '') AS thumb
+       |  FROM d
+       |)
+       |SELECT source, count(*) AS n_media,
+       |  round(avg(stride), 4) AS avg_stride,
+       |  sum(len(thumb))::BIGINT AS total_thumb_bytes,
+       |  max(len(thumb)) AS max_thumb_bytes,
+       |  count(DISTINCT md5(thumb)) AS n_distinct_thumbs
+       |FROM t
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
     "q_media_frames"       -> (mediaFrameSample _),
+    "q_media_resize"       -> (mediaResize _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_binary_passthrough" -> binaryPassthroughSql,
     "q_media_features"     -> mediaFeaturesSql,
     "q_media_frames"       -> mediaFrameSampleSql,
+    "q_media_resize"       -> mediaResizeSql,
   )
 }

@@ -112,6 +112,17 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, sfTest).count())
   }
 
+  test("resize thumbnails are bounded by target bytes and cover the corpus") {
+    val rows = operators.Multimodal.mediaResize(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_thumb_bytes") <= operators.Multimodal.ThumbBytes)
+      assert(r.getAs[Double]("avg_stride") >= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_media")).sum ===
+      Tables.documents(spark, sfTest).count())
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)
