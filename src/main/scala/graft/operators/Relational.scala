@@ -864,7 +864,59 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Full outer join (the one join shape the suite lacked): reconcile
+    * monthly order revenue against monthly event activity — the
+    * classic two-ledger comparison where EITHER side may have months
+    * the other lacks (the fixtures' order dates and event timestamps
+    * cover different eras, so both unmatched directions actually
+    * occur). Shuffles both sides on month once; at scale both inputs
+    * are pre-aggregated (tiny) before the join — never full-outer on
+    * raw facts.
+    */
+  def fullOuterReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val om = Tables.orders(spark, sfDir)
+      .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("revenue"))
+    val em = Tables.events(spark, sfDir)
+      .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("event_value"))
+    om.join(em, Seq("month"), "full_outer")
+      .select(col("month"),
+              coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+              coalesce(col("revenue"), lit(0.0)).as("revenue"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              coalesce(col("event_value"), lit(0.0)).as("event_value"),
+              when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+                .when(col("n_orders").isNotNull, "orders_only")
+                .otherwise("events_only").as("presence"))
+      .orderBy("month")
+  }
+
+  val fullOuterReconcileSql: String =
+    """WITH om AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+      |  FROM orders GROUP BY 1
+      |), em AS (
+      |  SELECT strftime(date_trunc('month', ts::TIMESTAMP), '%Y-%m') AS month,
+      |    count(*) AS n_events, round(sum(value), 4) AS event_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT coalesce(om.month, em.month) AS month,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(revenue, 0.0) AS revenue,
+      |  coalesce(n_events, 0) AS n_events,
+      |  coalesce(event_value, 0.0) AS event_value,
+      |  CASE WHEN om.month IS NOT NULL AND em.month IS NOT NULL THEN 'both'
+      |       WHEN om.month IS NOT NULL THEN 'orders_only'
+      |       ELSE 'events_only' END AS presence
+      |FROM om FULL OUTER JOIN em ON om.month = em.month
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_full_outer_reconcile" -> (fullOuterReconcile _),
     "q_rfm_segments"        -> (rfmSegments _),
     "q_scalar_subquery"     -> (ordersAboveCustAvg _),
     "q_percentiles"         -> (pricePercentiles _),
@@ -899,6 +951,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_full_outer_reconcile" -> fullOuterReconcileSql,
     "q_rfm_segments"        -> rfmSegmentsSql,
     "q_scalar_subquery"     -> ordersAboveCustAvgSql,
     "q_percentiles"         -> pricePercentilesSql,

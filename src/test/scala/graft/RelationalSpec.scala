@@ -67,6 +67,20 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(e.count() > 0)
   }
 
+  test("full outer reconcile: both unmatched directions survive with zero-filled sides") {
+    val rows = operators.Relational.fullOuterReconcile(spark, sfTest).collect()
+    val presence = rows.map(_.getAs[String]("presence")).toSet
+    assert(presence.contains("orders_only") && presence.contains("events_only"),
+      s"fixture eras should produce both unmatched directions, got $presence")
+    rows.foreach { r =>
+      r.getAs[String]("presence") match {
+        case "orders_only" => assert(r.getAs[Long]("n_events") === 0L)
+        case "events_only" => assert(r.getAs[Long]("n_orders") === 0L)
+        case "both" => assert(r.getAs[Long]("n_orders") > 0L && r.getAs[Long]("n_events") > 0L)
+      }
+    }
+  }
+
   test("RFM segments partition the customer base into valid quartile cells") {
     val rows = operators.Relational.rfmSegments(spark, sfTest).collect()
     assert(rows.nonEmpty)
