@@ -948,7 +948,59 @@ object Recsys {
        |  sum(CASE WHEN mrr > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_users_with_hit
        |FROM per_user""".stripMargin
 
+  /** M9 diversity metrics — intra-list diversity of the ItemCF top-N
+    * via brand entropy: per user, the Shannon entropy of the brand
+    * distribution of their recommended items (0 = all one brand,
+    * ln(TopN) = all distinct), summarized over users. The
+    * over-concentration failure mode of similarity recommenders is
+    * exactly what this catches; computed as ln(N) − Σn·ln(n)/N from
+    * exact integer counts so both engines agree to libm precision.
+    * Reads the session-cached recommend output — in production this
+    * metric runs over the same materialized rec table the serving
+    * layer reads.
+    */
+  def recDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = itemcfRecommend(spark, sfDir).select("user_id", "item_id")
+    val parts = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val bc = recs.join(broadcast(parts), recs("item_id") === parts("p_partkey"))
+      .groupBy("user_id", "p_brand").agg(count(lit(1)).as("n"))
+    val perUser = bc.groupBy("user_id")
+      .agg(sum("n").as("tot"),
+           count(lit(1)).as("n_brands"),
+           sum(col("n") * log(col("n"))).as("nlogn"))
+      .select(col("user_id"), col("n_brands"),
+              (log(col("tot")) - col("nlogn") / col("tot")).as("entropy"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        round(avg("entropy"), 6).as("avg_entropy"),
+        round(max("entropy"), 6).as("max_entropy"),
+        round(avg("n_brands"), 4).as("avg_brands"),
+        sum(when(col("n_brands") === 1, 1L).otherwise(0L)).as("n_single_brand_users"))
+  }
+
+  val recDiversitySql: String =
+    s"""WITH recs AS (
+       |  SELECT user_id, item_id FROM (
+       |    ${itemcfRecommendSql.replace("\n", "\n    ")}
+       |  )
+       |), bc AS (
+       |  SELECT user_id, p_brand, count(*) AS n
+       |  FROM recs JOIN part ON item_id = p_partkey
+       |  GROUP BY 1, 2
+       |), per_user AS (
+       |  SELECT user_id, count(*) AS n_brands,
+       |    ln(sum(n)) - sum(n * ln(n)) / sum(n) AS entropy
+       |  FROM bc GROUP BY user_id
+       |)
+       |SELECT count(*) AS n_users,
+       |  round(avg(entropy), 6) AS avg_entropy,
+       |  round(max(entropy), 6) AS max_entropy,
+       |  round(avg(n_brands), 4) AS avg_brands,
+       |  sum(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END)::BIGINT AS n_single_brand_users
+       |FROM per_user""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rec_diversity"     -> (recDiversity _),
     "q_eval_ranking"      -> (evalRanking _),
     "q_markov_next"       -> (markovNext _),
     "q_itemcf_similarity" -> (itemcfSimilarity _),
@@ -963,6 +1015,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rec_diversity"     -> recDiversitySql,
     "q_eval_ranking"      -> evalRankingSql,
     "q_markov_next"       -> markovNextSql,
     "q_itemcf_similarity" -> itemcfSimilaritySql,

@@ -72,6 +72,17 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("diversity metrics: entropy within [0, ln(TopN)], consistent books") {
+    val m = operators.Recsys.recDiversity(spark, sfTest).collect()(0)
+    val avgE = m.getAs[Double]("avg_entropy")
+    val maxE = m.getAs[Double]("max_entropy")
+    assert(avgE >= 0.0 && avgE <= maxE + 1e-9)
+    // metric is rounded to 6 dp, so allow half-ulp-of-rounding slack
+    assert(maxE <= math.log(operators.Recsys.TopN.toDouble) + 5e-7)
+    assert(m.getAs[Long]("n_single_brand_users") <= m.getAs[Long]("n_users"))
+    assert(m.getAs[Double]("avg_brands") >= 1.0)
+  }
+
   test("ranking metrics: NDCG and MRR are valid, hits bounded by users") {
     val m = operators.Recsys.evalRanking(spark, sfTest).collect()(0)
     val ndcg = m.getAs[Double]("avg_ndcg")
