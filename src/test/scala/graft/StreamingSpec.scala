@@ -18,6 +18,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts: Timestamp)
 
+/** Output row for the transformWithState demo. */
+case class UserAgg(user_id: Long, n_events: Long, max_value: Double)
+
+/** Spark 4 arbitrary-state API (T6c): per-user running count + max via
+  * `StatefulProcessor` ValueStates — the successor surface to
+  * flatMapGroupsWithState, with typed per-key state and optional TTL.
+  */
+class CountMaxProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var maxV: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    maxV = getHandle.getValueState[Double]("maxv", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[UserAgg] = {
+    var c = if (count.exists()) count.get() else 0L
+    var m = if (maxV.exists()) maxV.get() else Double.NegativeInfinity
+    rows.foreach { e => c += 1; m = math.max(m, e.value) }
+    count.update(c)
+    maxV.update(m)
+    Iterator.single(UserAgg(key, c, m))
+  }
+}
+
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
@@ -295,6 +326,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .groupBy("user_id").agg(max("n_events").as("n_events"))
     val expected = fixture.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     val got = finalCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("T6c transformWithState: ValueState running aggregates equal batch") {
+    // the new API requires the RocksDB state store; scope the conf to a
+    // fresh session so the other streaming tests keep the default store
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture)
+    val name = s"tws_out_${System.nanoTime()}"
+    val q = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new CountMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode emits one row per (key, batch); the LAST row per key
+    // is the final state — with a single batch, just read per key
+    val got = s2.table(name).groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("max_value").as("max_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = fixture.groupBy(_.user_id).map { case (u, evs) =>
+      u -> ((evs.size.toLong, evs.map(_.value).max))
+    }
     assert(got == expected)
   }
 }
