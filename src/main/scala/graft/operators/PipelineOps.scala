@@ -52,11 +52,17 @@ object PipelineOps {
     * output (zero rounds).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // near-dup edge lists are tiny relative to the corpus: narrow the
+    // iteration to a few partitions so each round's joins/checkpoints
+    // don't pay 32-way task scheduling (a truly large graph would keep
+    // the natural partitioning — this coalesce is data-size-driven)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .coalesce(4)
       .persist()
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
+      .coalesce(4)
       .localCheckpoint()
     var prevSum = -1L
     var rounds = 0
@@ -70,6 +76,7 @@ object PipelineOps {
       val lv = stepped.select(col("v").as("jv"), col("label").as("jlabel"))
       labels = stepped.join(lv, stepped("label") === lv("jv"), "left")
         .select(col("v"), least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+        .coalesce(4)
         .localCheckpoint()
       // labels only ever decrease: Σlabel is a monotone convergence
       // witness (coalesce covers the empty-vertex-set case)
