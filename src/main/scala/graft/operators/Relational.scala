@@ -588,9 +588,54 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Sketch bitmap size for linear counting. */
+  val SketchM = 4096
+
+  /** Deterministic cardinality sketch — linear counting on the
+    * portable 32-bit hash: per group, V = occupied buckets of
+    * h mod $SketchM, estimate = −m·ln((m−V)/m). Unlike HLL++
+    * (engine-specific, rows-only check) this sketch is exactly
+    * reproducible in DuckDB, so the ORACLE verifies the sketch
+    * pipeline itself. Scale story: per-group state is a fixed m-bit
+    * bitmap that partial-aggregates map-side (here expressed as
+    * countDistinct over ≤m bucket ids — shuffle bounded by m per
+    * group regardless of input size); linear counting is the standard
+    * choice below ~m/30 cardinalities, HLL above.
+    */
+  def sketchDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10) AS bigint)") % SketchM)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+           countDistinct(col("bucket")).as("n_buckets"))
+      .withColumn("n_est",
+        round(-lit(SketchM.toDouble) * log((lit(SketchM) - col("n_buckets")) / lit(SketchM.toDouble))).cast("long"))
+      .withColumn("err_pct",
+        round(abs(col("n_est") - col("n_exact")) * 100.0 / col("n_exact"), 4))
+      .orderBy("event_type")
+
+  val sketchDistinctSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, user_id,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % $SketchM AS bucket
+       |  FROM events
+       |), g AS (
+       |  SELECT event_type,
+       |    count(DISTINCT user_id) AS n_exact,
+       |    count(DISTINCT bucket) AS n_buckets
+       |  FROM b GROUP BY event_type
+       |)
+       |SELECT event_type, n_exact, n_buckets,
+       |  round(-${SketchM.toDouble} * ln(($SketchM - n_buckets) / ${SketchM.toDouble}))::BIGINT AS n_est,
+       |  round(abs(round(-${SketchM.toDouble} * ln(($SketchM - n_buckets) / ${SketchM.toDouble}))::BIGINT - n_exact) * 100.0 / n_exact, 4) AS err_pct
+       |FROM g
+       |ORDER BY event_type""".stripMargin
+
   /** approx_count_distinct (A3, HLL++). Estimates are engine-specific so
     * there is deliberately no oracle entry — the driver records a
-    * rows-only check; the exact twin is eventTypeStats.
+    * rows-only check; the exact twin is eventTypeStats and the
+    * oracle-verifiable sketch tier is [[sketchDistinct]].
     */
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -942,6 +987,7 @@ object Relational {
     "q_setops_users"        -> (setOpsUsers _),
     "q_event_type_stats"    -> (eventTypeStats _),
     "q_approx_distinct"     -> (approxDistinctUsers _),
+    "q_sketch_distinct"     -> (sketchDistinct _),
     "q_orders_by_month"     -> (ordersByMonth _),
     "q_json_props"          -> (jsonPropsStats _),
     "q_implicit_preference" -> (implicitPreference _),
@@ -976,6 +1022,7 @@ object Relational {
     "q_window_ranks"        -> nationRevenueRanksSql,
     "q_setops_users"        -> setOpsUsersSql,
     "q_event_type_stats"    -> eventTypeStatsSql,
+    "q_sketch_distinct"     -> sketchDistinctSql,
     // q_approx_distinct: no oracle by design (HLL estimates are engine-specific)
     "q_orders_by_month"     -> ordersByMonthSql,
     "q_json_props"          -> jsonPropsStatsSql,

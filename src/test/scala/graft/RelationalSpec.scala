@@ -67,6 +67,17 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(e.count() > 0)
   }
 
+  test("linear-counting sketch: estimate within a few percent of exact") {
+    val rows = operators.Relational.sketchDistinct(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("n_buckets") <= operators.Relational.SketchM)
+      assert(r.getAs[Double]("err_pct") < 5.0,
+        s"linear counting at low load factor should be accurate: $r")
+    }
+  }
+
   test("full outer reconcile: both unmatched directions survive with zero-filled sides") {
     val rows = operators.Relational.fullOuterReconcile(spark, sfTest).collect()
     val presence = rows.map(_.getAs[String]("presence")).toSet
