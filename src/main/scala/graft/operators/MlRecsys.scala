@@ -55,16 +55,26 @@ object MlRecsys {
       .orderBy("user_id", "rk")
   }
 
+  /** Min support for FP-Growth (fraction of baskets). */
+  val FpMinSupport = 0.0008
+
   /** M6 FP-Growth frequent itemsets over order baskets (A4 collect_set
     * input). Emits the top itemsets by frequency; association rules are
     * exercised in the spec (rule count depends on sparsity).
+    *
+    * FP-Growth is seedless and exact, so unlike the other MLlib tiers
+    * it CARRIES AN ORACLE: the SQL mines sizes 1–2 directly; by
+    * anti-monotonicity a k≥3 itemset is at most as frequent as its
+    * least-frequent pair, so it can only reach the top-100 if pairs do
+    * — and the oracle counts those. Verified to hash-match at every
+    * fixture SF.
     */
   def fpgrowthItemsets(spark: SparkSession, sfDir: String): DataFrame = {
     val baskets = Tables.lineitem(spark, sfDir)
       .groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("items"))
     val fp = new FPGrowth()
-      .setItemsCol("items").setMinSupport(0.0008).setMinConfidence(0.1)
+      .setItemsCol("items").setMinSupport(FpMinSupport).setMinConfidence(0.1)
     val model = fp.fit(baskets)
     model.freqItemsets
       .select(concat_ws(",", sort_array(col("items"))).as("itemset"),
@@ -72,6 +82,28 @@ object MlRecsys {
       .orderBy(col("freq").desc, col("itemset").asc)
       .limit(100)
   }
+
+  val fpgrowthItemsetsSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), mc AS (
+       |  SELECT ceil($FpMinSupport * count(DISTINCT l_orderkey))::BIGINT AS min_count FROM d
+       |), singles AS (
+       |  SELECT l_partkey::VARCHAR AS itemset, 1 AS k, count(*) AS freq
+       |  FROM d GROUP BY l_partkey
+       |), pairs AS (
+       |  SELECT a.l_partkey::VARCHAR || ',' || b.l_partkey::VARCHAR AS itemset,
+       |    2 AS k, count(*) AS freq
+       |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1
+       |), all_sets AS (
+       |  SELECT * FROM singles UNION ALL SELECT * FROM pairs
+       |)
+       |SELECT itemset, k, freq
+       |FROM all_sets CROSS JOIN mc
+       |WHERE freq >= min_count
+       |ORDER BY freq DESC, itemset ASC
+       |LIMIT 100""".stripMargin
 
   /** M7 item2vec: Word2Vec skip-gram over per-user item sequences
     * ordered by order date; emits nearest neighbors of the most popular
@@ -164,8 +196,11 @@ object MlRecsys {
     "q_lr_ranking"        -> (lrRanking _),
   )
 
-  /** MLlib models are not SQL-expressible: no oracle entries (driver
-    * falls back to rows-only checks; MlRecsysSpec covers semantics).
+  /** Seeded/iterative MLlib models (ALS, Word2Vec, LR) are not
+    * SQL-expressible: rows-only checks + MlRecsysSpec invariants.
+    * FP-Growth is exact and seedless, so it does carry an oracle.
     */
-  val oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] = Map(
+    "q_fpgrowth_itemsets" -> fpgrowthItemsetsSql,
+  )
 }
