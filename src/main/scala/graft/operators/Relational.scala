@@ -609,8 +609,12 @@ object Relational {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"),
            countDistinct(col("bucket")).as("n_buckets"))
-      .withColumn("n_est",
-        round(-lit(SketchM.toDouble) * log((lit(SketchM) - col("n_buckets")) / lit(SketchM.toDouble))).cast("long"))
+      // saturated bitmap (V = m) has no linear-counting estimate:
+      // emit NULL rather than ln(0) (Spark would yield null anyway but
+      // DuckDB's ln(0) ERRORS — guard both engines explicitly)
+      .withColumn("n_est", when(col("n_buckets") >= SketchM, lit(null))
+        .otherwise(round(-lit(SketchM.toDouble)
+          * log((lit(SketchM) - col("n_buckets")) / lit(SketchM.toDouble))).cast("long")))
       .withColumn("err_pct",
         round(abs(col("n_est") - col("n_exact")) * 100.0 / col("n_exact"), 4))
       .orderBy("event_type")
@@ -626,10 +630,16 @@ object Relational {
        |    count(DISTINCT bucket) AS n_buckets
        |  FROM b GROUP BY event_type
        |)
-       |SELECT event_type, n_exact, n_buckets,
-       |  round(-${SketchM.toDouble} * ln(($SketchM - n_buckets) / ${SketchM.toDouble}))::BIGINT AS n_est,
-       |  round(abs(round(-${SketchM.toDouble} * ln(($SketchM - n_buckets) / ${SketchM.toDouble}))::BIGINT - n_exact) * 100.0 / n_exact, 4) AS err_pct
-       |FROM g
+       |, est AS (
+       |  SELECT event_type, n_exact, n_buckets,
+       |    CASE WHEN n_buckets >= $SketchM THEN NULL
+       |         ELSE round(-${SketchM.toDouble} * ln(($SketchM - n_buckets) / ${SketchM.toDouble}))::BIGINT
+       |    END AS n_est
+       |  FROM g
+       |)
+       |SELECT event_type, n_exact, n_buckets, n_est,
+       |  round(abs(n_est - n_exact) * 100.0 / n_exact, 4) AS err_pct
+       |FROM est
        |ORDER BY event_type""".stripMargin
 
   /** approx_count_distinct (A3, HLL++). Estimates are engine-specific so
@@ -827,9 +837,10 @@ object Relational {
     * RewriteCorrelatedScalarSubquery turns it into the aggregate+join
     * a hand-decorrelated version would be, which `.explain` confirms
     * (no per-row subquery execution survives; at scale it is one
-    * shuffle on o_custkey). Single-order customers compare a price to
-    * itself exactly (avg of one double is that double in both
-    * engines), so the predicate is engine-stable.
+    * shuffle on o_custkey). The subquery's avg is rounded to 4 dp
+    * before the comparison (house rule: never compare floats computed
+    * independently by each engine at full precision — summation-order
+    * ulps could flip the predicate on a price that ties the average).
     */
   def ordersAboveCustAvg(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
@@ -837,7 +848,7 @@ object Relational {
       """SELECT o_custkey, count(*) AS n_above,
         |  round(max(o_totalprice), 4) AS max_above
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |WHERE o_totalprice > (SELECT round(avg(o2.o_totalprice), 4)
         |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey
         |ORDER BY n_above DESC, o_custkey ASC
@@ -848,7 +859,7 @@ object Relational {
     """SELECT o_custkey, count(*) AS n_above,
       |  round(max(o_totalprice), 4) AS max_above
       |FROM orders o
-      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+      |WHERE o_totalprice > (SELECT round(avg(o2.o_totalprice), 4)
       |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |GROUP BY o_custkey
       |ORDER BY n_above DESC, o_custkey ASC
