@@ -57,19 +57,24 @@ object Recsys {
     * under sfDir are assumed immutable per session — see QueryCache
     * for the invalidate escape hatch).
     */
+  /** Hot-user cap: top MaxHistory (strength desc, item asc) per user
+    * via the bounded top-K aggregate, not a row_number window — the
+    * aggregate's partial phase caps map-side instead of sort-shuffling
+    * the full interaction table (same rows out; downstream consumers
+    * impose their own order). Shared by the base and time-decayed
+    * interaction tables.
+    */
+  private def capHistories(interactions: DataFrame): DataFrame =
+    interactions
+      .groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
+      .select(col("user_id"), explode(col("hs")).as("h"))
+      .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
+
   private def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:interactions:$sfDir") {
-      // bounded top-K aggregate, not a row_number window: the cap is
-      // exactly "top MaxHistory by (strength desc, item asc) per user",
-      // and the aggregate's partial phase caps map-side instead of
-      // sort-shuffling the full interaction table (same rows out;
-      // downstream consumers impose their own order)
-      Tables.interactions(spark, sfDir)
-        .groupBy("user_id")
-        .agg(graft.functions.TopKByScore.topK(
-          MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
-        .select(col("user_id"), explode(col("hs")).as("h"))
-        .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
+      capHistories(Tables.interactions(spark, sfDir))
     }
 
   /** Map-side pair expansion: per-key sorted element arrays → all (a<b)
@@ -111,18 +116,49 @@ object Recsys {
     * [[graft.functions.PairProd]] emits the aligned strength products,
     * zipped positionally — identical iteration order by construction.
     */
+  /** Codegen pair expansion + aggregate over any (user, item, strength)
+    * interaction table — shared by the base pair aggregate and the
+    * time-decayed variant.
+    */
+  private def expandWeightedPairs(r: DataFrame): DataFrame =
+    r.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
+      .select(explode(arrays_zip(
+        graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
+        graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
+      .groupBy(col("z.pk").as("pk"))
+      .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
+
   private def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:itempairs:$sfDir") {
-      val grouped = cappedInteractions(spark, sfDir)
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
-      grouped
-        .select(explode(arrays_zip(
-          graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
-          graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
-        .groupBy(col("z.pk").as("pk"))
-        .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
+      expandWeightedPairs(cappedInteractions(spark, sfDir))
     }
+
+  /** Weighted-cosine similarity with per-item top-K from a pair
+    * aggregate (pk → dot, co) and the interaction table that produced
+    * it (for norms) — the shared downstream of the rating-weighted and
+    * time-decayed ItemCF tiers.
+    */
+  private def weightedTopKFromPairs(pairs: DataFrame, r: DataFrame): DataFrame = {
+    val norms = r.groupBy("item_id")
+      .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
+    val half = unpack(pairs, "item_i", "item_j")
+      .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
+      .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
+      .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
+    val mirrored = half.select(explode(array(
+        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
+        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
+      )).as("p"))
+      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
+              col("p.sim").as("sim"), col("p.co").as("co"))
+    mirrored.groupBy("item_i")
+      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
+      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
+              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
+      .orderBy("item_i", "rk")
+  }
 
   private val cappedSql: String =
     s"""interactions AS (
@@ -499,27 +535,8 @@ object Recsys {
     * doubles (Σ l_quantity), so products and their sums are exact and
     * order-independent across engines.
     */
-  def itemcfWeighted(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = cappedInteractions(spark, sfDir)
-    val norms = r.groupBy("item_id")
-      .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
-    val half = unpack(itemPairAgg(spark, sfDir), "item_i", "item_j")
-      .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
-      .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
-      .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
-    val mirrored = half.select(explode(array(
-        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
-        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
-      )).as("p"))
-      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
-              col("p.sim").as("sim"), col("p.co").as("co"))
-    mirrored.groupBy("item_i")
-      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
-      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
-              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
-      .orderBy("item_i", "rk")
-  }
+  def itemcfWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    weightedTopKFromPairs(itemPairAgg(spark, sfDir), cappedInteractions(spark, sfDir))
 
   val itemcfWeightedSql: String =
     s"""WITH $cappedSql, norms AS (
@@ -581,39 +598,10 @@ object Recsys {
       .withColumn("w", col("l_quantity") * pow(lit(0.5), col("age_d") / HalfLifeDays))
       .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .agg(round(sum("w"), 6).as("strength"))
-    // cap histories on decayed strength (same hot-user guard as the
-    // other tiers), then the weighted-cosine pipeline
-    val r = dated.groupBy("user_id")
-      .agg(graft.functions.TopKByScore.topK(
-        MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
-      .select(col("user_id"), explode(col("hs")).as("h"))
-      .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
-    val norms = r.groupBy("item_id")
-      .agg(sqrt(sum(col("strength") * col("strength"))).as("nrm"))
-    val grouped = r.groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
-    val pairs = grouped
-      .select(explode(arrays_zip(
-        graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
-        graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
-      .groupBy(col("z.pk").as("pk"))
-      .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
-    val half = unpack(pairs, "item_i", "item_j")
-      .join(broadcast(norms.select(col("item_id").as("item_i"), col("nrm").as("ni"))), "item_i")
-      .join(broadcast(norms.select(col("item_id").as("item_j"), col("nrm").as("nj"))), "item_j")
-      .withColumn("sim", round(col("dot") / (col("ni") * col("nj")), 6))
-    val mirrored = half.select(explode(array(
-        struct(col("item_i"), col("item_j"), col("sim"), col("co")),
-        struct(col("item_j").as("item_i"), col("item_i").as("item_j"), col("sim"), col("co"))
-      )).as("p"))
-      .select(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"),
-              col("p.sim").as("sim"), col("p.co").as("co"))
-    mirrored.groupBy("item_i")
-      .agg(graft.functions.TopKByScore.topK(TopK, col("sim"), col("item_j"), col("co")).as("nbrs"))
-      .select(col("item_i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("item_i"), (col("pos") + 1).cast("int").as("rk"),
-              col("nbr.id").as("item_j"), col("nbr.score").as("sim"), col("nbr.extra").as("co"))
-      .orderBy("item_i", "rk")
+    // same hot-user cap + weighted-cosine pipeline as the base tier,
+    // over the decayed strengths
+    val r = capHistories(dated)
+    weightedTopKFromPairs(expandWeightedPairs(r), r)
   }
 
   val itemcfDecaySql: String =
@@ -816,7 +804,13 @@ object Recsys {
     * invariant tests instead — their scores aren't SQL-reproducible).
     * Single-row summary output.
     */
-  def evalPopularity(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared by both eval queries: the time split (train < SplitDate ≤
+    * test, distinct user–item pairs) and the top-EvalK popularity
+    * recommendation list ranked 1..K — one definition so the metric
+    * queries and their oracles cannot drift apart.
+    */
+  private def popularitySplit(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     val ui = l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -827,6 +821,13 @@ object Recsys {
     val recs = train.groupBy("item_id").agg(countDistinct(col("user_id")).as("pop"))
       .orderBy(col("pop").desc, col("item_id").asc)
       .limit(EvalK)
+      .withColumn("rk", row_number().over(Window.orderBy(col("pop").desc, col("item_id").asc)))
+      .select("item_id", "rk")
+    (train, test, recs)
+  }
+
+  def evalPopularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, test, recs) = popularitySplit(spark, sfDir)
     val testUsers = test.groupBy("user_id").agg(count(lit(1)).as("n_test_items"))
     val hits = test.join(broadcast(recs.select("item_id")), "item_id")
       .groupBy("user_id").agg(count(lit(1)).as("n_hits"))
@@ -883,18 +884,7 @@ object Recsys {
     * below the 6 dp rounding). Single-row summary.
     */
   def evalRanking(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-    val ui = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"), col("o_orderdate"))
-    val split = lit(SplitDate).cast("timestamp_ntz")
-    val train = ui.where(col("o_orderdate") < split).select("user_id", "item_id").distinct()
-    val test  = ui.where(col("o_orderdate") >= split).select("user_id", "item_id").distinct()
-    val recs = train.groupBy("item_id").agg(countDistinct(col("user_id")).as("pop"))
-      .orderBy(col("pop").desc, col("item_id").asc)
-      .limit(EvalK)
-      .withColumn("rk", row_number().over(Window.orderBy(col("pop").desc, col("item_id").asc)))
-      .select("item_id", "rk")
+    val (_, test, recs) = popularitySplit(spark, sfDir)
     val perUserTest = test.groupBy("user_id").agg(count(lit(1)).as("n_test"))
     val hits = test.join(broadcast(recs), "item_id")
       .groupBy("user_id")
