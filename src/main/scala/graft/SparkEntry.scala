@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Advanced.queries ++
       operators.AsOf.queries ++
       operators.PipelineOps.queries ++
+      operators.GraphRank.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       operators.Advanced.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.PipelineOps.oracleSql ++
+      operators.GraphRank.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-derived item importance over the co-purchase graph
+  * (SURVEY.md §2.9 family — the "item rank" companion to the CF
+  * similarity operators; reference repos ship this as the
+  * graph-embedding / hot-item stage of the recommend pipeline).
+  *
+  * Two operators:
+  *  - [[itemPagerank]] — damped PageRank over the mirrored co-purchase
+  *    graph, run for a FIXED number of rounds in integer fixed-point
+  *    arithmetic, so every engine computes bit-identical ranks (no
+  *    float-summation order dependence, no convergence-threshold
+  *    nondeterminism). The oracle unrolls the same rounds as chained
+  *    CTEs — aggregates inside recursive CTEs are not portable, a
+  *    fixed-depth unroll is.
+  *  - [[pairPmi]] — pointwise mutual information of co-purchased item
+  *    pairs: lift = P(i,j)/(P(i)·P(j)) as one IEEE-exact expression,
+  *    ln applied once at the end and rounded, so ranking is stable.
+  *
+  * Scale design: the per-round shuffle is ONE aggregate over the edge
+  * list keyed by dst (partial map-side sums apply); the rank vector is
+  * |items| rows — broadcast into the edge join, so iterations never
+  * shuffle the edge table itself. Edge weights and out-degrees are
+  * computed once and persisted across rounds. Integer fixed-point uses
+  * 1e12 total mass: rank·w stays < 2^63 while item co-counts stay
+  * below ~9e6 per edge; a 100 TB deployment with hotter edges would
+  * move the contribution product to DECIMAL(38,0) — same plan shape.
+  */
+object GraphRank {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed PageRank rounds (unrolled identically in the oracle). */
+  val Rounds = 5
+  /** Damping factor, as integer percent (d = 0.85). */
+  val DampPct = 85
+  /** Total rank mass in fixed-point units (1e12). */
+  val TotalUnits = 1000000000000L
+  /** Rows emitted: top items by final rank. */
+  val TopOut = 20
+
+  /** Minimum co-occurrence count for a pair to get a PMI score (rare
+    * pairs have unreliable lift — the standard support floor). */
+  val MinCo = 3
+  /** Rows emitted: top pairs by PMI. */
+  val PmiTop = 50
+
+  /** Damped PageRank over the mirrored co-purchase graph, edge weight
+    * = pair co-occurrence count from the shared CF pair aggregate
+    * ([[Recsys.itemPairAgg]] — binary `co` projection). Rank mass is
+    * integer fixed-point: rank0 = TotalUnits div |V|; each round
+    *   contrib(j) = Σ_i (rank(i)·w(i,j)) div out_w(i)
+    *   rank'(j)   = ((100-d)·base + d·contrib(j)) div 100
+    * — all BIGINT ops, so the result is exactly reproducible on any
+    * engine, any partitioning, any round. Output: top [[TopOut]] items
+    * by (rank desc, item asc) with their final fixed-point rank.
+    */
+  def itemPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+    val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
+      .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
+    val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+    // one edge table with out-degree attached, reused every round
+    val ew = edges.join(broadcast(outW), "src").persist()
+    val nodes = ew.select(col("src").as("item")).distinct()
+    val nV = nodes.count() // one tiny driver-side count to fix the base rank
+    require(nV > 0, "itemPagerank: empty co-purchase graph")
+    val base = TotalUnits / nV
+    var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      val contrib = ew
+        .join(broadcast(ranks.withColumnRenamed("item", "src")), "src")
+        .groupBy(col("dst").as("item"))
+        .agg(sum(expr("(rank * w) div ow")).as("s"))
+      ranks = nodes.join(contrib, Seq("item"), "left")
+        .select(col("item"),
+          expr(s"(${100 - DampPct} * ${base}L + $DampPct * coalesce(s, 0L)) div 100").as("rank"))
+        .localCheckpoint() // rank vector is |items| rows; truncate lineage per round
+    }
+    ew.unpersist(blocking = false)
+    ranks
+      .withColumn("rk", row_number().over(Window.orderBy(col("rank").desc, col("item").asc)))
+      .where(col("rk") <= TopOut)
+      .select(col("rk"), col("item").as("item_id"), col("rank").as("rank_units"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: the identical fixed-point recurrence, unrolled as pr0..prN
+    * chained CTEs (same integer ops; `//` is BIGINT floor-div in DuckDB
+    * = `div` in Spark for the non-negative values here). */
+  val itemPagerankSql: String = {
+    val rounds = (1 to Rounds).map { k =>
+      s"""pr$k AS (
+         |  SELECT nd.item,
+         |    ((${100 - DampPct} * (SELECT base FROM b) + $DampPct * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS item, sum((p.rank * e.w) // e.ow)::BIGINT AS s
+         |    FROM ew e JOIN pr${k - 1} p ON p.item = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.item = nd.item
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs
+       |), ow AS (
+       |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
+       |), ew AS (
+       |  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON o.src = e.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS item FROM edges
+       |), b AS (
+       |  SELECT ($TotalUnits // count(*))::BIGINT AS base FROM nodes
+       |), pr0 AS (
+       |  SELECT item, (SELECT base FROM b) AS rank FROM nodes
+       |), $rounds
+       |SELECT rk, item AS item_id, rank AS rank_units FROM (
+       |  SELECT item, rank,
+       |    row_number() OVER (ORDER BY rank DESC, item ASC) AS rk
+       |  FROM pr$Rounds
+       |) WHERE rk <= $TopOut
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** PMI of co-purchased item pairs over the capped interaction set:
+    * pmi(i,j) = ln( co(i,j)·U / (n_i·n_j) ) with U = |users|, n_i =
+    * |users of i| — the association-rule "lift" in log space, the
+    * classic co-occurrence feature for related-item shelves. Counts are
+    * exact integers, the ratio and ln are one IEEE expression rounded
+    * to 6 dp, support-floored at [[MinCo]]. Top [[PmiTop]] pairs by
+    * (pmi desc, item_i, item_j).
+    */
+  def pairPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Recsys.cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val nUsers = r.agg(countDistinct(col("user_id")).as("u"))
+    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n"))
+    val pairs = Recsys.unpack(Recsys.itemPairAgg(spark, sfDir).select("pk", "co"),
+        "item_i", "item_j")
+      .where(col("co") >= MinCo)
+    pairs
+      .join(broadcast(counts.select(col("item_id").as("item_i"), col("n").as("ni"))), "item_i")
+      .join(broadcast(counts.select(col("item_id").as("item_j"), col("n").as("nj"))), "item_j")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("pmi", round(log(col("co") * col("u") / (col("ni") * col("nj"))), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("item_i").asc, col("item_j").asc)))
+      .where(col("rk") <= PmiTop)
+      .select(col("rk"), col("item_i"), col("item_j"), col("co"), col("pmi"))
+      .orderBy("rk")
+  }
+
+  val pairPmiSql: String =
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), u AS (
+       |  SELECT count(DISTINCT user_id) AS u FROM r
+       |), counts AS (
+       |  SELECT item_id, count(*) AS n FROM r GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT p.item_i, p.item_j, p.co,
+       |    round(ln(p.co * (SELECT u FROM u) / (ci.n * cj.n)), 6) AS pmi
+       |  FROM pairs p
+       |  JOIN counts ci ON ci.item_id = p.item_i
+       |  JOIN counts cj ON cj.item_id = p.item_j
+       |  WHERE p.co >= $MinCo
+       |)
+       |SELECT rk, item_i, item_j, co, pmi FROM (
+       |  SELECT item_i, item_j, co, pmi,
+       |    row_number() OVER (ORDER BY pmi DESC, item_i ASC, item_j ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $PmiTop
+       |ORDER BY rk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_item_pagerank" -> (itemPagerank _),
+    "q_pair_pmi"      -> (pairPmi _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_item_pagerank" -> itemPagerankSql,
+    "q_pair_pmi"      -> pairPmiSql
+  )
+}

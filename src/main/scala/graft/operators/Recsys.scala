@@ -72,7 +72,7 @@ object Recsys {
       .select(col("user_id"), explode(col("hs")).as("h"))
       .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
 
-  private def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:interactions:$sfDir") {
       capHistories(Tables.interactions(spark, sfDir))
     }
@@ -101,7 +101,7 @@ object Recsys {
         explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"))
 
   /** Split a packed pair column into its (a, b) halves. */
-  private def unpack(df: DataFrame, aName: String, bName: String): DataFrame =
+  private[operators] def unpack(df: DataFrame, aName: String, bName: String): DataFrame =
     df.withColumn(aName, shiftright(col("pk"), 32))
       .withColumn(bName, col("pk").bitwiseAND(PackBase - 1L))
       .drop("pk")
@@ -129,7 +129,7 @@ object Recsys {
       .groupBy(col("z.pk").as("pk"))
       .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
 
-  private def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:itempairs:$sfDir") {
       expandWeightedPairs(cappedInteractions(spark, sfDir))
     }
@@ -160,7 +160,7 @@ object Recsys {
       .orderBy("item_i", "rk")
   }
 
-  private val cappedSql: String =
+  private[operators] val cappedSql: String =
     s"""interactions AS (
        |  ${Tables.interactionsSql.replace("\n", "\n  ")}
        |), capped AS (
