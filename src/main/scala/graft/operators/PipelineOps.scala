@@ -150,6 +150,56 @@ object PipelineOps {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Rows kept per stratum by the stratified sampler. */
+  val StratumK = 50
+
+  /** Stratified deterministic sampling: exactly [[StratumK]] rows per
+    * stratum (returnflag), chosen by rank over the row-key hash — the
+    * balanced-subset idiom for class-skewed data, where a global
+    * percentage sample would starve rare strata. The hash covers every
+    * column the downstream aggregate reads (orderkey, linenumber,
+    * partkey, quantity), so ties between genuinely identical rows are
+    * harmless: whichever copy wins contributes identical values. Same
+    * engine-portable h32(md5) key as [[hashSample]]. At scale the
+    * window is per-stratum and the hash-rank shuffle carries only the
+    * stratum key — no global sort.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber, l_partkey, cast(l_quantity AS bigint))), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+          .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc, col("l_partkey").asc)))
+      .where(col("rk") <= StratumK)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum("l_quantity"), 4).as("sum_qty"),
+           sum("h").as("sample_checksum"),
+           min("h").as("min_h"),
+           max("h").as("max_h"))
+      .orderBy("l_returnflag")
+
+  val stratifiedSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_quantity,
+       |    ('0x' || substr(md5(l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_quantity::BIGINT), 1, 8))::BIGINT AS h
+       |  FROM lineitem
+       |), ranked AS (
+       |  SELECT l_returnflag, l_quantity, h,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |                       ORDER BY h ASC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC) AS rk
+       |  FROM h
+       |)
+       |SELECT l_returnflag, count(*) AS n_rows,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  sum(h)::BIGINT AS sample_checksum,
+       |  min(h) AS min_h,
+       |  max(h) AS max_h
+       |FROM ranked WHERE rk <= $StratumK
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   /** Per-label embedding centroids + spread: elementwise mean vector
     * per label (posexplode → per-dimension aggregate — the standard
     * distributed centroid shape: no vector ever collects to the
@@ -261,6 +311,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
+    "q_stratified_sample"   -> (stratifiedSample _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_embedding_quantize"  -> (embeddingQuantize _),
   )
@@ -268,6 +319,7 @@ object PipelineOps {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_hash_sample"         -> hashSampleSql,
+    "q_stratified_sample"   -> stratifiedSampleSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_embedding_quantize"  -> embeddingQuantizeSql,
   )

@@ -205,12 +205,136 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Email/phone patterns for the PII scrub. `[.]` character classes
+    * instead of `\.` keep the pattern byte-identical across the Java
+    * (Spark) and RE2 (DuckDB) regex dialects with zero escaping.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePat = "[0-9]{2}-[0-9]{4}-[0-9]{4}"
+
+  /** PII redaction — the compliance pass every training-data pipeline
+    * runs before text leaves the ingest zone. The fixture corpus
+    * carries no PII, so the query first builds a deterministic customer
+    * profile string (name + synthesized e-mail + synthesized phone,
+    * all derived from fixture columns) and then runs the actual
+    * operator under test: global regex redaction of e-mail and phone
+    * spans, with per-segment redaction counts and an exact checksum of
+    * the scrubbed text proving byte-identical output cross-engine.
+    * Pure per-row map work + one aggregate — linear at any scale.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .withColumn("profile", concat(
+        col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com> tel "),
+        lpad(col("c_nationkey").cast("string"), 2, "0"), lit("-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad((col("c_custkey") % 997).cast("string"), 4, "0"),
+        lit(" segment "), col("c_mktsegment")))
+      .withColumn("n_email", regexp_count(col("profile"), lit(EmailPat)))
+      .withColumn("n_phone", regexp_count(col("profile"), lit(PhonePat)))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("profile"), EmailPat, "[EMAIL]"), PhonePat, "[PHONE]"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           sum("n_email").as("emails_redacted"),
+           sum("n_phone").as("phones_redacted"),
+           sum(length(col("profile")) - length(col("scrubbed"))).as("bytes_removed"),
+           sum(expr("cast(conv(substring(md5(scrubbed), 1, 8), 16, 10) AS bigint)"))
+             .as("scrub_checksum"))
+      .orderBy("c_mktsegment")
+
+  val piiScrubSql: String =
+    s"""WITH p AS (
+       |  SELECT c_mktsegment,
+       |    c_name || ' <' || lower(regexp_replace(c_name, '#', '', 'g')) || '@example.com> tel '
+       |      || lpad(c_nationkey::VARCHAR, 2, '0') || '-'
+       |      || lpad((c_custkey % 10000)::VARCHAR, 4, '0') || '-'
+       |      || lpad((c_custkey % 997)::VARCHAR, 4, '0')
+       |      || ' segment ' || c_mktsegment AS profile
+       |  FROM customer
+       |), s AS (
+       |  SELECT c_mktsegment, profile,
+       |    len(regexp_extract_all(profile, '$EmailPat')) AS n_email,
+       |    len(regexp_extract_all(profile, '$PhonePat')) AS n_phone,
+       |    regexp_replace(regexp_replace(profile, '$EmailPat', '[EMAIL]', 'g'),
+       |                   '$PhonePat', '[PHONE]', 'g') AS scrubbed
+       |  FROM p
+       |)
+       |SELECT c_mktsegment, count(*) AS n_customers,
+       |  sum(n_email)::BIGINT AS emails_redacted,
+       |  sum(n_phone)::BIGINT AS phones_redacted,
+       |  sum(len(profile) - len(scrubbed))::BIGINT AS bytes_removed,
+       |  sum(('0x' || substr(md5(scrubbed), 1, 8))::BIGINT)::BIGINT AS scrub_checksum
+       |FROM s
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Bigram language-model quality score (the CCNet idea: score text by
+    * a corpus LM; low log-likelihood = out-of-distribution text). The
+    * corpus itself is the training set: P(w2|w1) = c(w1,w2)/c(w1,·) by
+    * MLE, each document scored by its mean bigram log-likelihood, then
+    * rolled up per source with the perplexity of the (rounded) mean.
+    * Counts are exact integers; ln/exp are applied once per value, so
+    * 6 dp rounding is engine-stable. The bigram model join broadcasts
+    * here (bounded vocab); an open-vocab corpus would hash-join on w1
+    * and the plan shape is otherwise unchanged.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(expr(normSpark), " ").as("ts"))
+      // single-token docs have no bigrams: Spark's sequence(1, 0) would
+      // throw where DuckDB's range(1, 1) is just empty — filter first
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairC = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val headC = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = broadcast(pairC.join(headC, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1")))
+    val docLl = bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(avg(log(col("c12") / col("c1"))).as("ll"), count(lit(1)).as("n_bi"))
+    docLl.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bi").as("n_bigrams"),
+           round(avg("ll"), 6).as("avg_ll"))
+      .withColumn("perplexity", round(exp(-col("avg_ll")), 4))
+      .orderBy("source")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split($normDuck, ' ') AS ts FROM documents
+       |), bi AS (
+       |  SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(ts))) AS t(i)
+       |), pair_c AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+       |), head_c AS (
+       |  SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+       |), doc_ll AS (
+       |  SELECT doc_id, source, avg(ln(c12 / c1::DOUBLE)) AS ll, count(*) AS n_bi
+       |  FROM bi JOIN pair_c USING (w1, w2) JOIN head_c USING (w1)
+       |  GROUP BY doc_id, source
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(n_bi)::BIGINT AS n_bigrams,
+       |  round(avg(ll), 6) AS avg_ll,
+       |  round(exp(-round(avg(ll), 6)), 4) AS perplexity
+       |FROM doc_ll
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
     "q_quality_score"  -> (qualityScore _),
     "q_token_stats"    -> (tokenStats _),
     "q_doc_fingerprint" -> (docFingerprint _),
+    "q_pii_scrub"      -> (piiScrub _),
+    "q_bigram_lm"      -> (bigramLm _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -219,5 +343,7 @@ object TextAnalysis {
     "q_quality_score"  -> qualityScoreSql,
     "q_token_stats"    -> tokenStatsSql,
     "q_doc_fingerprint" -> docFingerprintSql,
+    "q_pii_scrub"      -> piiScrubSql,
+    "q_bigram_lm"      -> bigramLmSql,
   )
 }

@@ -39,6 +39,34 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac far from 5%")
   }
 
+  test("stratified sample keeps exactly K rows per stratum, deterministically") {
+    val out = operators.PipelineOps.stratifiedSample(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_rows") == operators.PipelineOps.StratumK),
+      "every stratum at fixture scale has >= K rows, so all must be exactly K")
+    val again = operators.PipelineOps.stratifiedSample(spark, sfTest).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("pii scrub leaves no residual email/phone spans and counts every customer") {
+    val seg = operators.TextAnalysis.piiScrub(spark, sfTest).collect()
+    val total = seg.map(_.getAs[Long]("n_customers")).sum
+    assert(total == Tables.customer(spark, sfTest).count())
+    // one synthesized email + one synthesized phone per profile
+    assert(seg.forall(r => r.getAs[Long]("emails_redacted") == r.getAs[Long]("n_customers")))
+    assert(seg.forall(r => r.getAs[Long]("phones_redacted") == r.getAs[Long]("n_customers")))
+    assert(seg.forall(_.getAs[Long]("bytes_removed") > 0))
+  }
+
+  test("bigram LM: log-likelihoods are non-positive, perplexity >= 1") {
+    val out = operators.TextAnalysis.bigramLm(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("avg_ll") <= 0.0))
+    assert(out.forall(_.getAs[Double]("perplexity") >= 1.0))
+    val nBi = out.map(_.getAs[Long]("n_bigrams")).sum
+    assert(nBi > 0)
+  }
+
   test("connected components on synthetic graphs: empty, chain, two components") {
     val session = spark
     import session.implicits._
