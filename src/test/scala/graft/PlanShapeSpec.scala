@@ -48,6 +48,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("pii_scrub: customer scan is column-pruned to the four used columns") {
+    val p = plan(operators.TextAnalysis.piiScrub(planSession, sfTest))
+    assert(p.contains("c_mktsegment") && !p.contains("c_acctbal"),
+      "unused customer columns must not reach the scan")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, "exactly one customer scan")
+  }
+
+  test("pair_pmi: item-count sides broadcast into the pair half-space") {
+    val p = plan(operators.GraphRank.pairPmi(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "count joins on <=|items| rows must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row user-count must attach via broadcast nested loop, not cartesian")
+  }
+
+  test("bigram_lm: the bigram model joins back by broadcast") {
+    val p = plan(operators.TextAnalysis.bigramLm(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "bounded-vocab model must broadcast")
+  }
+
+  test("stratified_sample: window shuffles only on the stratum key, single scan") {
+    val p = plan(operators.PipelineOps.stratifiedSample(planSession, sfTest))
+    assert(p.contains("l_returnflag"), "stratum key must drive the exchange")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, "exactly one lineitem scan")
+  }
+
   test("hash_sample: deterministic filter is applied before aggregation (single scan)") {
     val p = plan(operators.PipelineOps.hashSample(planSession, sfTest))
     assert(p.contains("Filter") && p.contains("md5"),
