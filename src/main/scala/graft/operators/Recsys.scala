@@ -125,9 +125,10 @@ object Recsys {
       .agg(sort_array(collect_list(struct(col("item_id"), col("strength")))).as("es"))
       .select(explode(arrays_zip(
         graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
-        graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"))).as("z"))
+        graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"),
+        graft.functions.PairDiff.pairDiff(expr("transform(es, x -> x.strength)")).as("diff"))).as("z"))
       .groupBy(col("z.pk").as("pk"))
-      .agg(sum(col("z.prod")).as("dot"), count(lit(1)).as("co"))
+      .agg(sum(col("z.prod")).as("dot"), sum(col("z.diff")).as("sdiff"), count(lit(1)).as("co"))
 
   private[operators] def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:itempairs:$sfDir") {
@@ -989,6 +990,84 @@ object Recsys {
        |  sum(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END)::BIGINT AS n_single_brand_users
        |FROM per_user""".stripMargin
 
+  /** Weighted Slope One (Lemire & Maclachlan 2005): the deviation-based
+    * rating predictor — dev(j,i) = avg over co-raters of (r_j − r_i),
+    * P(u,j) = Σ_{i∈H(u)} (r_ui + dev(j,i))·c_ji / Σ c_ji. The deviation
+    * table rides the SAME memoized pair aggregate as the CF tiers
+    * ([[itemPairAgg]]): [[graft.functions.PairDiff]] emits aligned
+    * pairwise differences next to PairPack's packed ids, so Σ(r_i−r_j)
+    * per pair costs one extra summed column on a generator pass the
+    * session already runs — no second self-join, no second shuffle of
+    * the interaction table. Each item's deviation list is capped to its
+    * [[TopK]] strongest-support neighbors (co desc, the Slope One
+    * analogue of the CF neighborhood cap) to bound candidate
+    * generation; the cap is selected with the bounded top-K aggregate
+    * and joined back (broadcast) rather than rank-sorting the mirrored
+    * deviation table.
+    */
+  def slopeOne(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = cappedInteractions(spark, sfDir)
+    val half = unpack(itemPairAgg(spark, sfDir).select("pk", "sdiff", "co"), "item_i", "item_j")
+    // rows: (other = the history item, target = the candidate), with
+    // sd = Σ over co-raters of (r_target − r_other)
+    val mirrored = half.select(explode(array(
+        struct(col("item_j").as("other"), col("item_i").as("target"),
+               col("sdiff").as("sd"), col("co")),
+        struct(col("item_i").as("other"), col("item_j").as("target"),
+               (-col("sdiff")).as("sd"), col("co"))
+      )).as("p"))
+      .select(col("p.other").as("other"), col("p.target").as("target"),
+              col("p.sd").as("sd"), col("p.co").as("co"))
+    val sel = mirrored.groupBy("other")
+      .agg(graft.functions.TopKByScore.topK(
+        TopK, col("co").cast("double"), col("target"), lit(0L)).as("ns"))
+      .select(col("other"), explode(col("ns")).as("n"))
+      .select(col("other"), col("n.id").as("target"))
+    val knn = mirrored.join(broadcast(sel), Seq("other", "target"))
+    val scored = hist
+      .join(knn, hist("item_id") === knn("other"))
+      .groupBy(col("user_id"), col("target").as("cand"))
+      .agg(round(sum(col("strength") * col("co") + col("sd")) / sum(col("co")), 6).as("score"))
+    val unseen = scored.join(hist.select(col("user_id").as("hu"), col("item_id").as("hi")),
+        col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
+    topNPerUser(unseen)
+  }
+
+  val slopeOneSql: String =
+    s"""WITH $cappedSql, pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j,
+       |    sum(a.strength - b.strength) AS sd, count(*) AS co
+       |  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT item_j AS other, item_i AS target, sd, co FROM pairs
+       |  UNION ALL
+       |  SELECT item_i AS other, item_j AS target, -sd AS sd, co FROM pairs
+       |), knn AS (
+       |  SELECT other, target, sd, co FROM (
+       |    SELECT other, target, sd, co,
+       |      row_number() OVER (PARTITION BY other ORDER BY co DESC, target ASC) AS rk
+       |    FROM mirrored
+       |  ) WHERE rk <= $TopK
+       |), scored AS (
+       |  SELECT h.user_id, k.target AS cand,
+       |    round(sum(h.strength * k.co + k.sd) / sum(k.co), 6) AS score
+       |  FROM capped h JOIN knn k ON h.item_id = k.other
+       |  GROUP BY 1, 2
+       |), unseen AS (
+       |  SELECT s.user_id, s.cand, s.score
+       |  FROM scored s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped h WHERE h.user_id = s.user_id AND h.item_id = s.cand)
+       |), ranked AS (
+       |  SELECT user_id, cand, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, cand ASC) AS rk
+       |  FROM unseen
+       |)
+       |SELECT user_id, rk, cand AS item_id, score
+       |FROM ranked WHERE rk <= $TopN
+       |ORDER BY user_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_rec_diversity"     -> (recDiversity _),
     "q_eval_ranking"      -> (evalRanking _),
@@ -997,6 +1076,7 @@ object Recsys {
     "q_itemcf_weighted"   -> (itemcfWeighted _),
     "q_itemcf_decay"      -> (itemcfDecay _),
     "q_itemcf_recommend"  -> (itemcfRecommend _),
+    "q_slope_one"         -> (slopeOne _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
     "q_swing_similarity"  -> (swingSimilarity _),
@@ -1012,6 +1092,7 @@ object Recsys {
     "q_itemcf_weighted"   -> itemcfWeightedSql,
     "q_itemcf_decay"      -> itemcfDecaySql,
     "q_itemcf_recommend"  -> itemcfRecommendSql,
+    "q_slope_one"         -> slopeOneSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,
     "q_swing_similarity"  -> swingSimilaritySql,

@@ -327,6 +327,127 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Word-trigram builder, shared by the repetition and contamination
+    * queries. Spark `toks[i]` is 0-based; the DuckDB twin below is
+    * 1-based — both emit exactly len−2 trigrams per document.
+    */
+  private val trigramsSpark =
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+  private val trigramsDuck =
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
+  /** A doc whose duplicate-trigram fraction exceeds this is flagged
+    * repetitive (Gopher uses per-n-gram thresholds of this magnitude).
+    */
+  val RepThreshold = 0.2
+
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * gate): duplicate-token fraction (1 − distinct/total tokens) and
+    * duplicate-trigram fraction per document, rolled up per source with
+    * a count of docs over [[RepThreshold]]. Pure per-row map work + one
+    * aggregate — linear at any corpus scale, no shuffle before the
+    * final per-source rollup. The fractions are single divisions of
+    * exact integers, so the threshold comparison is engine-stable.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(expr(normSpark), " "))
+      .where(size(col("toks")) >= 3)
+      .withColumn("dup_tok_frac",
+        lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
+      .withColumn("tris", expr(trigramsSpark))
+      .withColumn("dup_tri_frac",
+        lit(1.0) - size(array_distinct(col("tris"))) / size(col("tris")).cast("double"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("dup_tok_frac"), 6).as("avg_dup_tok_frac"),
+           round(avg("dup_tri_frac"), 6).as("avg_dup_tri_frac"),
+           round(max("dup_tri_frac"), 6).as("max_dup_tri_frac"),
+           sum(when(col("dup_tri_frac") > RepThreshold, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy("source")
+
+  val repetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT source, string_split($normDuck, ' ') AS toks FROM documents
+       |), m AS (
+       |  SELECT source,
+       |    1.0 - len(list_distinct(toks)) / len(toks)::DOUBLE AS dup_tok_frac,
+       |    1.0 - len(list_distinct($trigramsDuck)) / (len(toks) - 2)::DOUBLE AS dup_tri_frac
+       |  FROM d WHERE len(toks) >= 3
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(dup_tok_frac), 6) AS avg_dup_tok_frac,
+       |  round(avg(dup_tri_frac), 6) AS avg_dup_tri_frac,
+       |  round(max(dup_tri_frac), 6) AS max_dup_tri_frac,
+       |  sum(CASE WHEN dup_tri_frac > $RepThreshold THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+       |FROM m
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Every EvalMod-th doc_id forms the synthetic held-out benchmark. */
+  val EvalMod = 19
+  /** A train doc with ≥ this fraction of its trigrams in the eval set
+    * is flagged contaminated.
+    */
+  val ContamThreshold = 0.05
+
+  /** Benchmark-contamination check (the decontamination pass every
+    * training corpus runs before release): a deterministic ~5% of docs
+    * (doc_id % [[EvalMod]] = 0) plays the role of the eval benchmark;
+    * for every remaining train doc, the fraction of its DISTINCT word
+    * trigrams that appear anywhere in the eval set, rolled up per
+    * source with a flag count. Scale shape: the eval n-gram set is
+    * benchmark-sized (small) and BROADCASTS to the linear scan of the
+    * corpus — the 100 TB side is never shuffled, and the per-doc
+    * aggregate rides the explode's existing partitioning.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(expr(normSpark), " "))
+      .where(size(col("toks")) >= 3)
+      .withColumn("grams", array_distinct(expr(trigramsSpark)))
+    val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = docs.where(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("frac", col("n_hit") / col("n_grams").cast("double"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("frac"), 6).as("avg_contamination"),
+           round(max("frac"), 6).as("max_contamination"),
+           sum(when(col("frac") >= ContamThreshold, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  val contaminationSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split($normDuck, ' ') AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, list_distinct($trigramsDuck) AS grams
+       |  FROM d WHERE len(toks) >= 3
+       |), eval_grams AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod = 0
+       |), train AS (
+       |  SELECT doc_id, source, unnest(grams) AS gram FROM g WHERE doc_id % $EvalMod <> 0
+       |), per_doc AS (
+       |  SELECT t.doc_id, t.source,
+       |    count(*) AS n_grams,
+       |    sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
+       |  GROUP BY t.doc_id, t.source
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(n_hit / n_grams::DOUBLE), 6) AS avg_contamination,
+       |  round(max(n_hit / n_grams::DOUBLE), 6) AS max_contamination,
+       |  sum(CASE WHEN n_hit / n_grams::DOUBLE >= $ContamThreshold THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+       |FROM per_doc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
@@ -335,6 +456,8 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_bigram_lm"      -> (bigramLm _),
+    "q_repetition"     -> (repetition _),
+    "q_contamination"  -> (contamination _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -345,5 +468,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_pii_scrub"      -> piiScrubSql,
     "q_bigram_lm"      -> bigramLmSql,
+    "q_repetition"     -> repetitionSql,
+    "q_contamination"  -> contaminationSql,
   )
 }

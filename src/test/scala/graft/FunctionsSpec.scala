@@ -61,6 +61,21 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getSeq[Long](0).isEmpty && rows(2).getSeq[Double](1).isEmpty)
   }
 
+  test("pair_diff expands v(i)-v(j) in pair_pack's iteration order") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (Seq(2.0, 3.0, 7.0)),
+      (Seq(4.0)),
+      (Seq.empty[Double])
+    ).toDF("vals")
+      .select(functions.PairDiff.pairDiff(col("vals")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Double](0) === Seq(2.0 - 3.0, 2.0 - 7.0, 3.0 - 7.0))
+    assert(rows(1).getSeq[Double](0).isEmpty)
+    assert(rows(2).getSeq[Double](0).isEmpty)
+  }
+
   test("pair_pack rejects ids outside [0, 2^32)") {
     val session = spark
     import session.implicits._

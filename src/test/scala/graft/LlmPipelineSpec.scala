@@ -123,6 +123,36 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, sfTest).count())
   }
 
+  test("repetition: duplicate fractions are valid, flagged docs bounded") {
+    val rows = operators.TextAnalysis.repetition(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("avg_dup_tok_frac", "avg_dup_tri_frac", "max_dup_tri_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v < 1.0, s"$c=$v out of range")
+      }
+      assert(r.getAs[Double]("avg_dup_tri_frac") <= r.getAs[Double]("max_dup_tri_frac"))
+      assert(r.getAs[Long]("n_repetitive") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("contamination: fractions valid, eval docs excluded from the train scan") {
+    val rows = operators.TextAnalysis.contamination(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_contamination")
+      val max = r.getAs[Double]("max_contamination")
+      assert(avg >= 0.0 && avg <= max && max <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs"))
+    }
+    // train rollup never counts the held-out eval docs themselves
+    val nTrain = rows.map(_.getAs[Long]("n_docs")).sum
+    val total = Tables.documents(spark, sfTest).count()
+    val nEval = Tables.documents(spark, sfTest)
+      .where(col("doc_id") % operators.TextAnalysis.EvalMod === 0).count()
+    assert(nEval > 0 && nTrain <= total - nEval)
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)

@@ -110,6 +110,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("weighted sample: rarer sources keep proportionally more, books consistent") {
+    val rows = operators.PipelineOps.weightedSample(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 0 && kept <= n)
+      val thr = r.getAs[Long]("keep_threshold")
+      assert(thr >= 1L && thr <= 1000000L)
+    }
+    // temperature sampling: keep-threshold is monotone nonincreasing in
+    // source size (1/sqrt(n) ordering)
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+    bySize.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(small.getAs[Long]("keep_threshold") >= big.getAs[Long]("keep_threshold"))
+      case _ =>
+    }
+  }
+
   test("embedding centroids: one row per label, distances non-negative, avg<=max") {
     val rows = operators.PipelineOps.embeddingCentroids(spark, sfTest).collect()
     assert(rows.nonEmpty)

@@ -96,6 +96,16 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert((mrr > 0.0) === (withHit > 0L))
   }
 
+  test("slope one: bounded ranked lists, no seen items, finite scores") {
+    val so = operators.Recsys.slopeOne(spark, sfTest).cache()
+    val perUser = so.groupBy("user_id").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+    assert(perUser.where(col("n") > operators.Recsys.TopN).count() === 0)
+    assert(perUser.where(col("mx") =!= col("n")).count() === 0) // dense ranks from 1
+    val hist = Tables.interactions(spark, sfTest).select("user_id", "item_id")
+    assert(so.join(hist, Seq("user_id", "item_id")).count() === 0)
+    assert(so.where(col("score").isNull || isnan(col("score"))).count() === 0)
+  }
+
   test("eval metrics are valid probabilities") {
     val m = operators.Recsys.evalPopularity(spark, sfTest).collect()(0)
     val p = m.getAs[Double]("precision_at_k")
