@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep TypedImperativeAggregates hash-based (see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/reader warmup so the first measured query doesn't

@@ -57,11 +57,20 @@ object Tables {
     * l_orderkey — at 100 TB both sides shuffle on the key (or are
     * bucketed by it at rest); the projection keeps only 3 columns so
     * the shuffle is narrow.
+    *
+    * The explicit repartition on user_id serves BOTH downstream
+    * aggregations with one exchange: HashPartitioning(user_id)
+    * satisfies the (user_id, item_id) grouping here AND the
+    * per-user grouping the history cap runs next, so neither plans
+    * its own shuffle. The join output dedups barely (~1:1 at every
+    * SF), so the map-side combine this forgoes would have removed
+    * nothing — one raw exchange beats two agg exchanges.
     */
   def interactions(spark: SparkSession, sfDir: String): DataFrame = {
     val o = orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val l = lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .agg(sum("l_quantity").as("strength"))
       .select(col("user_id"), col("item_id"), col("strength"))

@@ -17,6 +17,13 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects
       // natively; read as long nanos (Tables.events normalizes to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregates (TopKByScore, MisraGries) run in
+      // ObjectHashAggregateExec, which falls back to SORT-BASED
+      // aggregation after only 128 distinct keys per task — silently
+      // re-introducing the full-input sort the bounded top-K aggregate
+      // exists to avoid. 1M keys × ~400 B/buffer bounds the object map
+      // at ~400 MB/task, far past every per-task group count here.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -174,15 +174,63 @@ object Advanced {
        |ORDER BY cos DESC, doc_a ASC, doc_b ASC
        |LIMIT 25""".stripMargin
 
+  /** Misra–Gries counter budget. The exact-verify threshold is 1/1000
+    * of the stream; the MG deficit bound N/(k+1) = N/1025 is strictly
+    * below it, so the candidate set provably contains every reported
+    * key at ANY data size — which is what lets a sketch whose internal
+    * state is merge-order-dependent still back a hash-exact oracle.
+    */
+  val HhK = 1024
+  /** Report keys with frequency ≥ 1/HhDen of the stream. */
+  val HhDen = 1000L
+
+  /** Heavy hitters over the lineitem supplier stream: sketch → exact.
+    * Pass 1 runs the [[graft.functions.MisraGries]] summary (one
+    * bounded buffer per partition, a k-entry array per partition on the
+    * shuffle — no groupBy of the full key space); pass 2 re-counts ONLY
+    * the surviving candidates (broadcast semi join) and applies the
+    * exact integer threshold cnt·HhDen ≥ N. Output is exact, so the
+    * DuckDB oracle is the plain two-aggregate formulation. At 100 TB
+    * the sketch pass is the point: the exact pass's groupBy touches
+    * only rows whose key is in a ≤k-entry broadcast set.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey").cast("long").as("k"))
+    val cands = li.agg(graft.functions.MisraGries.misraGries(HhK, col("k")).as("cs"))
+      .select(explode(col("cs")).as("k"))
+    val total = li.agg(count(lit(1)).as("total_n"))
+    li.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * HhDen >= col("total_n"))
+      .select(col("k").as("suppkey"), col("cnt"),
+              round(col("cnt") / col("total_n").cast("double"), 6).as("frac"))
+      .orderBy(col("cnt").desc, col("suppkey").asc)
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH c AS (
+       |  SELECT l_suppkey AS suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS total_n FROM lineitem
+       |)
+       |SELECT suppkey, cnt, round(cnt / total_n::DOUBLE, 6) AS frac
+       |FROM c CROSS JOIN n
+       |WHERE cnt * $HhDen >= total_n
+       |ORDER BY cnt DESC, suppkey ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_udaf_weighted_pref" -> (udafWeightedPref _),
     "q_tfidf_terms"        -> (tfidfTerms _),
     "q_tfidf_doc_sim"      -> (tfidfDocSim _),
+    "q_heavy_hitters"      -> (heavyHitters _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_udaf_weighted_pref" -> udafWeightedPrefSql,
     "q_tfidf_terms"        -> tfidfTermsSql,
     "q_tfidf_doc_sim"      -> tfidfDocSimSql,
+    "q_heavy_hitters"      -> heavyHittersSql,
   )
 }

@@ -365,6 +365,64 @@ object PipelineOps {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  /** Training context length for [[seqPack]], in whitespace tokens. */
+  val SeqLen = 256L
+
+  /** Sequence packing (the concat-and-chunk idiom every LLM pretraining
+    * loader runs: concatenate documents in a fixed order, slice the
+    * token stream into [[SeqLen]]-token training sequences). Packing is
+    * PER SOURCE — source is the natural shard key, so each source's
+    * stream packs independently and in parallel; a doc is assigned to
+    * the chunk its first token lands in, and `n_spanning` counts docs
+    * that cross a chunk boundary (the ones a loader would split or
+    * mask across). Everything is integer arithmetic on a running token
+    * count, so both engines agree exactly. Scale shape: one window per
+    * source (the cumulative sum), one aggregate — at 100 TB you'd add a
+    * hash-bucket sub-shard to the partition key to bound per-task
+    * state; the query shape is unchanged.
+    */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / SeqLen))
+      .withColumn("spans",
+        (floor((col("cum_before") + col("n_tok") - 1) / SeqLen) =!= col("seq_id")).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tok").as("n_tokens"),
+           sum("spans").as("n_spanning"))
+      .orderBy("source", "seq_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    coalesce(sum(n_tok) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d
+       |), a AS (
+       |  SELECT source, (cum_before // $SeqLen)::BIGINT AS seq_id, n_tok,
+       |    CASE WHEN (cum_before + n_tok - 1) // $SeqLen <> cum_before // $SeqLen
+       |         THEN 1 ELSE 0 END AS spans
+       |  FROM c
+       |)
+       |SELECT source, seq_id, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS n_tokens, sum(spans)::BIGINT AS n_spanning
+       |FROM a
+       |GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -372,6 +430,7 @@ object PipelineOps {
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_embedding_quantize"  -> (embeddingQuantize _),
     "q_weighted_sample"     -> (weightedSample _),
+    "q_seq_pack"            -> (seqPack _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,5 +440,6 @@ object PipelineOps {
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_embedding_quantize"  -> embeddingQuantizeSql,
     "q_weighted_sample"     -> weightedSampleSql,
+    "q_seq_pack"            -> seqPackSql,
   )
 }

@@ -127,8 +127,15 @@ object Recsys {
         graft.functions.PairPack.pairPack(expr("transform(es, x -> x.item_id)")).as("pk"),
         graft.functions.PairProd.pairProd(expr("transform(es, x -> x.strength)")).as("prod"),
         graft.functions.PairDiff.pairDiff(expr("transform(es, x -> x.strength)")).as("diff"))).as("z"))
-      .groupBy(col("z.pk").as("pk"))
-      .agg(sum(col("z.prod")).as("dot"), sum(col("z.diff")).as("sdiff"), count(lit(1)).as("co"))
+      .select(col("z.pk").as("pk"), col("z.prod").as("prod"), col("z.diff").as("diff"))
+      // the pair space is nearly duplicate-free (co-occurrence heavy
+      // tail: ~0.95 distinct pks per pair row at every SF), so a
+      // partial+final aggregate hashes ~2× the rows for ~no shuffle
+      // reduction; repartitioning on pk first makes the groupBy plan a
+      // single complete-mode HashAggregate after one same-size exchange
+      .repartition(col("pk"))
+      .groupBy("pk")
+      .agg(sum(col("prod")).as("dot"), sum(col("diff")).as("sdiff"), count(lit(1)).as("co"))
 
   private[operators] def itemPairAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:itempairs:$sfDir") {
@@ -342,7 +349,10 @@ object Recsys {
     // half-space, then a single-generator mirror (see comments there).
     val counts = r.groupBy("user_id").agg(count(lit(1)).as("n_items"))
     val pairs = unpack(
-      pairsWithin(r, "item_id", "user_id").groupBy("pk").agg(count(lit(1)).as("co")),
+      // near-duplicate-free pair stream — single complete-mode
+      // aggregate after a pk exchange (see expandWeightedPairs)
+      pairsWithin(r, "item_id", "user_id").select("pk")
+        .repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("co")),
       "user_u", "user_v")
     val cu = counts.select(col("user_id").as("user_u"), col("n_items").as("nu"))
     val cv = counts.select(col("user_id").as("user_v"), col("n_items").as("nv"))
@@ -1018,12 +1028,22 @@ object Recsys {
       )).as("p"))
       .select(col("p.other").as("other"), col("p.target").as("target"),
               col("p.sd").as("sd"), col("p.co").as("co"))
-    val sel = mirrored.groupBy("other")
+    // One pass over the mirrored pair table: the deviation sum rides the
+    // top-K aggregate's long `extra` slot as raw IEEE bits ([[BitCast]]),
+    // so neighbor selection AND payload come out of a single 2|pairs|-row
+    // scan (the join-back formulation scanned it twice). Order (co desc,
+    // target asc) matches the oracle's row_number tie-break.
+    val knnRows = mirrored.groupBy("other")
       .agg(graft.functions.TopKByScore.topK(
-        TopK, col("co").cast("double"), col("target"), lit(0L)).as("ns"))
+        TopK, col("co").cast("double"), col("target"),
+        graft.functions.BitCast.doubleBits(col("sd"))).as("ns"))
       .select(col("other"), explode(col("ns")).as("n"))
-      .select(col("other"), col("n.id").as("target"))
-    val knn = mirrored.join(broadcast(sel), Seq("other", "target"))
+      .select(col("other"), col("n.id").as("target"),
+              graft.functions.BitCast.bitsDouble(col("n.extra")).as("sd"),
+              col("n.score").cast("long").as("co"))
+    // K·|items| rows after the cap — broadcast into the history join so
+    // the interaction table never shuffles (same shape as itemcfRecommend)
+    val knn = broadcast(knnRows)
     val scored = hist
       .join(knn, hist("item_id") === knn("other"))
       .groupBy(col("user_id"), col("target").as("cand"))

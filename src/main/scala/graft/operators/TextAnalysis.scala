@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents corpus (SURVEY.md §2.10
@@ -328,11 +328,17 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
 
   /** Word-trigram builder, shared by the repetition and contamination
-    * queries. Spark `toks[i]` is 0-based; the DuckDB twin below is
-    * 1-based — both emit exactly len−2 trigrams per document.
+    * queries: the codegen [[graft.functions.Shingles]] pass (byte-identical
+    * to the HOF `transform(sequence, i -> concat_ws(' ', toks[i..i+2]))`
+    * formulation, which it replaces: predicate pushdown inlines the
+    * filter/Generate guards through the projections, and the inlined HOF
+    * re-evaluated `split(regexp_replace(text))` PER TOKEN ACCESS —
+    * O(len²) interpreted regex work per row, 12 s at sf0.1 for the
+    * contamination scan alone; the single-pass expression makes each
+    * inlined copy one O(len) eval). The DuckDB twin is 1-based; both
+    * emit exactly len−2 trigrams per document.
     */
-  private val trigramsSpark =
-    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+  private def trigrams(toks: Column): Column = graft.functions.Shingles.shingles(toks, 3)
   private val trigramsDuck =
     "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 
@@ -355,7 +361,7 @@ object TextAnalysis {
       .where(size(col("toks")) >= 3)
       .withColumn("dup_tok_frac",
         lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
-      .withColumn("tris", expr(trigramsSpark))
+      .withColumn("tris", trigrams(col("toks")))
       .withColumn("dup_tri_frac",
         lit(1.0) - size(array_distinct(col("tris"))) / size(col("tris")).cast("double"))
       .groupBy("source")
@@ -405,7 +411,7 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(expr(normSpark), " "))
       .where(size(col("toks")) >= 3)
-      .withColumn("grams", array_distinct(expr(trigramsSpark)))
+      .withColumn("grams", array_distinct(trigrams(col("toks"))))
     val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
       .withColumn("hit", lit(1L))

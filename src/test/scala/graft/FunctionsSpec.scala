@@ -76,6 +76,40 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getSeq[Double](0).isEmpty)
   }
 
+  test("misra-gries: frequent keys survive any partitioning and merge order") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyGen = Gen.frequency((6, Gen.chooseNum(0L, 4L)), (4, Gen.chooseNum(5L, 400L)))
+    val p = Prop.forAll(Gen.listOf(keyGen), Gen.chooseNum(2, 8), Gen.chooseNum(1, 5)) {
+      (xs: List[Long], k: Int, parts: Int) =>
+        val chunks = xs.grouped(math.max(1, xs.size / parts + 1)).toList
+        val bufs = chunks.map { c =>
+          val b = new functions.MgBuffer(k); c.foreach(b.offer); b
+        }
+        val merged = bufs.reduceOption { (a, b) => a.mergeFrom(b); a }
+          .getOrElse(new functions.MgBuffer(k))
+        val counts = xs.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+        val keys = merged.keysSorted.toSet
+        // the MG guarantee: every key with freq > N/(k+1) must be present
+        counts.forall { case (key, n) =>
+          n * (k + 1) <= xs.size || keys.contains(key)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.toString)
+  }
+
+  test("heavy hitters query equals the exact two-aggregate computation") {
+    val got = operators.Advanced.heavyHitters(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sfTest).select(col("l_suppkey").cast("long").as("k"))
+    val n = li.count()
+    val want = li.groupBy("k").agg(count(lit(1)).as("cnt")).collect()
+      .filter(r => r.getAs[Long]("cnt") * operators.Advanced.HhDen >= n)
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("cnt")))
+      .sortBy { case (k2, c) => (-c, k2) }
+    assert(got.map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("cnt"))).toSeq === want.toSeq)
+  }
+
   test("pair_pack rejects ids outside [0, 2^32)") {
     val session = spark
     import session.implicits._

@@ -129,6 +129,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("seq pack: chunks contiguous per source, token totals preserved") {
+    val rows = operators.PipelineOps.seqPack(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head === 0L)
+      assert(ids === (0L until ids.length.toLong).toArray) // contiguous chunk ids
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("n_spanning") <= r.getAs[Long]("n_docs"))
+    }
+    // every token lands in exactly one chunk: totals match the corpus
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val want = Tables.documents(spark, sfTest)
+      .select(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totTokens === want)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sfTest).count())
+  }
+
   test("embedding centroids: one row per label, distances non-negative, avg<=max") {
     val rows = operators.PipelineOps.embeddingCentroids(spark, sfTest).collect()
     assert(rows.nonEmpty)

@@ -25,6 +25,8 @@ object SparkFixture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep TypedImperativeAggregates hash-based (see Verify.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
