@@ -95,9 +95,12 @@ object VectorFunctions {
 /** SparkSessionExtensions hook so external users get graft's native
   * SQL functions at session build time (`.withExtensions(new
   * GraftExtensions)` or `spark.sql.extensions=graft.functions
-  * .GraftExtensions`): `float_dot`, `pair_pack`, `pair_prod`,
-  * `shingles`. The driver harness builds plain sessions, so library
-  * queries call the Column surfaces directly.
+  * .GraftExtensions`): scalars `float_dot`, `pair_pack`, `pair_prod`,
+  * `pair_diff`, `shingles`, `double_bits`, `bits_double`,
+  * `bloom_might_contain`; aggregates `top_k_by_score(k, score, id,
+  * extra)`, `misra_gries(k, key)`, `bloom_agg(bits, hashes, key)`.
+  * The driver harness builds plain sessions, so library queries call
+  * the Column surfaces directly.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -114,5 +117,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // width must be a foldable literal (evaluated at registration)
     inject("shingles", classOf[Shingles],
       exprs => Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))
+    inject("double_bits", classOf[DoubleBits], exprs => DoubleBits(exprs(0)))
+    inject("bits_double", classOf[BitsDouble], exprs => BitsDouble(exprs(0)))
+    // aggregates: the analyzer wraps returned AggregateFunctions itself;
+    // sketch parameters must be foldable literals
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    inject("top_k_by_score", classOf[TopKByScore],
+      exprs => TopKByScore(exprs(1), exprs(2), exprs(3), intArg(exprs(0))))
+    inject("misra_gries", classOf[MisraGries],
+      exprs => MisraGries(exprs(1), intArg(exprs(0))))
+    inject("bloom_agg", classOf[BloomAgg],
+      exprs => BloomAgg(exprs(2), intArg(exprs(0)), intArg(exprs(1))))
+    inject("bloom_might_contain", classOf[BloomMightContain],
+      exprs => BloomMightContain(exprs(0), exprs(1), intArg(exprs(2))))
   }
 }

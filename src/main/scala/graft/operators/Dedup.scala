@@ -410,6 +410,67 @@ object Dedup {
        |ORDER BY cos DESC, vec_a ASC, vec_b ASC
        |LIMIT $EmbTop""".stripMargin
 
+  /** Bloom bitset size (power of two) and hash count for [[bloomDedup]];
+    * sized for the corpus-side key count at every local SF (fp rate
+    * ≈ (k·n/m)^k ≈ 1e-9 here — at 100 TB you'd size m from the corpus
+    * key count the same way, a few GB of broadcast for 10^10 keys).
+    */
+  val BloomNumBits = 1 << 16
+  val BloomNumHashes = 4
+  /** The retried-ingest batch starts here (overlaps the < IncrementalFrom
+    * corpus by [BloomBatchFrom, IncrementalFrom) — the idempotent-replay
+    * scenario the guard exists for).
+    */
+  val BloomBatchFrom = 300L
+
+  /** L1-incremental re-ingestion guard with a Bloom prefilter: a retried
+    * batch (doc_id ≥ [[BloomBatchFrom]], overlapping the already-loaded
+    * corpus) is checked for content already ingested. The corpus key
+    * set aggregates into a [[graft.functions.BloomAgg]] bitset —
+    * deterministic (bit-OR, order-independent) unlike a count sketch —
+    * which broadcasts into the batch scan; only bloom-POSITIVE rows
+    * probe the exact corpus key join (false positives resolve there,
+    * and bloom misses are PROVABLY new, never joined). Output is the
+    * exact verdict per batch doc, so the oracle is the plain two-CTE
+    * formulation with no bloom at all. At 100 TB the bitset (GBs) fits
+    * where the key set (TBs) doesn't — the probe side of the join drops
+    * from |batch| to |dups| + fp·|batch|.
+    */
+  def bloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(s"md5($normSpark)").as("key"))
+      .withColumn("k64", expr("cast(conv(substring(key, 1, 15), 16, 10) AS bigint)"))
+    val corpus = keyed.where(col("doc_id") < IncrementalFrom)
+    val batch = keyed.where(col("doc_id") >= BloomBatchFrom)
+      .select(col("doc_id").as("new_id"), col("key"), col("k64"))
+    val bf = corpus.agg(graft.functions.Bloom.bloomAgg(
+      BloomNumBits, BloomNumHashes, col("k64")).as("bf"))
+    val cmin = corpus.groupBy("key").agg(min("doc_id").as("dup_of"))
+      .withColumnRenamed("key", "ckey")
+    batch.crossJoin(broadcast(bf))
+      .withColumn("candidate",
+        graft.functions.Bloom.mightContain(col("bf"), col("k64"), BloomNumHashes))
+      // bloom miss ⇒ definitely new: the membership bit is part of the
+      // join condition, so non-candidates never probe the corpus keys
+      .join(broadcast(cmin), col("key") === col("ckey") && col("candidate"), "left")
+      .select(col("new_id"), col("dup_of"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy("new_id")
+  }
+
+  val bloomDedupSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5($normDuck) AS key FROM documents
+       |), c AS (
+       |  SELECT key, min(doc_id) AS dup_of FROM k WHERE doc_id < $IncrementalFrom GROUP BY key
+       |), b AS (
+       |  SELECT doc_id AS new_id, key FROM k WHERE doc_id >= $BloomBatchFrom
+       |)
+       |SELECT new_id, c.dup_of,
+       |  (CASE WHEN c.dup_of IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+       |FROM b LEFT JOIN c USING (key)
+       |ORDER BY new_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -417,6 +478,7 @@ object Dedup {
     "q_dedup_simhash"     -> (simhashPairs _),
     "q_dedup_embedding"   -> (embeddingNearDup _),
     "q_dedup_incremental" -> (incrementalDedup _),
+    "q_dedup_bloom"       -> (bloomDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +488,6 @@ object Dedup {
     "q_dedup_simhash"     -> simhashPairsSql,
     "q_dedup_embedding"   -> embeddingNearDupSql,
     "q_dedup_incremental" -> incrementalDedupSql,
+    "q_dedup_bloom"       -> bloomDedupSql,
   )
 }

@@ -42,6 +42,27 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(s2.sql("SELECT float_dot(array(1.0F), array(2.0F))").head.getDouble(0) == 2.0)
   }
 
+  test("sketch aggregates resolve from SQL text (registry wrap path)") {
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.GraftSqlBridge
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue
+    GraftSqlBridge.registerFunction(s2, "top_k_by_score",
+      exprs => functions.TopKByScore(exprs(1), exprs(2), exprs(3), intArg(exprs(0))))
+    GraftSqlBridge.registerFunction(s2, "misra_gries",
+      exprs => functions.MisraGries(exprs(1), intArg(exprs(0))))
+    s2.range(0, 100).createOrReplaceTempView("r100")
+    // top-2 ids by score=id → 99, 98
+    val top = s2.sql(
+      "SELECT top_k_by_score(2, cast(id AS double), id, 0L) AS t FROM r100")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) === Seq(99L, 98L))
+    // id % 3 gives three heavy keys; all survive a 64-counter sketch
+    val mg = s2.sql("SELECT misra_gries(64, id % 3) AS c FROM r100")
+      .head.getSeq[Long](0)
+    assert(mg === Seq(0L, 1L, 2L))
+  }
+
   test("pair_pack/pair_prod: aligned expansion, empty and singleton inputs") {
     val session = spark
     import session.implicits._
@@ -108,6 +129,36 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getAs[Long]("k"), r.getAs[Long]("cnt")))
       .sortBy { case (k2, c) => (-c, k2) }
     assert(got.map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("cnt"))).toSeq === want.toSeq)
+  }
+
+  test("bloom: no false negatives ever; overlap batch flagged, rest new") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // buffer-level law: every inserted key tests positive after any
+    // partition split + merge (OR is order-independent)
+    val p = Prop.forAll(Gen.listOf(Gen.long), Gen.chooseNum(1, 4)) { (xs: List[Long], parts: Int) =>
+      val bufs = xs.grouped(math.max(1, xs.size / parts + 1)).map { c =>
+        val b = new Array[Long](1024 / 64)
+        c.foreach(functions.BloomBits.setBits(b, 1024, 4, _)); b
+      }.toList
+      val merged = bufs.foldLeft(new Array[Long](1024 / 64)) { (a, b) =>
+        a.indices.foreach(i => a(i) |= b(i)); a
+      }
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(merged)
+      xs.forall(functions.BloomBits.mightContain(arr, 4, _))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.toString)
+
+    // query level: the overlapping retry window is flagged as already
+    // ingested (fixture plants no exact content dups, so dup_of = self)
+    val rows = operators.Dedup.bloomDedup(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("new_id")
+      val overlap = id < operators.Dedup.IncrementalFrom
+      assert(r.getAs[Long]("is_dup") === (if (overlap) 1L else 0L), s"doc $id")
+      if (overlap) assert(r.getAs[Long]("dup_of") === id)
+    }
   }
 
   test("pair_pack rejects ids outside [0, 2^32)") {
