@@ -408,9 +408,11 @@ object TextAnalysis {
     * aggregate rides the explode's existing partitioning.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    // no size(toks) >= 3 guard: shingles emits an empty array for short
+    // docs and the explode drops them — same rows out, one less
+    // inlined split+regex eval in the pushed-down scan filter
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(expr(normSpark), " "))
-      .where(size(col("toks")) >= 3)
       .withColumn("grams", array_distinct(trigrams(col("toks"))))
     val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()

@@ -81,4 +81,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // detail header — count the headers
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, "exactly one lineitem scan")
   }
+
+  test("interactions: one exchange serves both the sum and the history cap") {
+    val capped = Tables.interactions(planSession, sfTest)
+      .groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        operators.Recsys.MaxHistory,
+        org.apache.spark.sql.functions.col("strength"),
+        org.apache.spark.sql.functions.col("item_id"),
+        org.apache.spark.sql.functions.lit(0L)).as("hs"))
+    val p = plan(capped)
+    // the explicit repartition on user_id is the ONLY exchange: both the
+    // (user,item) sum and the per-user cap reuse HashPartitioning(user)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("top-K aggregates stay hash-based (no sort-based fallback plan)") {
+    val p = plan(operators.Recsys.slopeOne(planSession, sfTest))
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must plan as ObjectHashAggregate")
+    val thr = planSession.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt
+    assert(thr >= (1 << 20),
+      "fallback threshold must be raised or 128 distinct keys trigger a full sort per task")
+  }
+
+  test("contamination: no per-token regex re-evaluation in scan-level filters") {
+    val p = plan(operators.TextAnalysis.contamination(planSession, sfTest))
+    // the O(len^2) round-3 bug: pushdown inlined the trigram HOF into a
+    // Filter where EACH TOKEN ACCESS re-ran split(regexp_replace(...)) —
+    // i.e. the regex sat inside a lambda body. A few whole-expression
+    // evals per conjunct are fine (O(len) each); regex inside a
+    // lambdafunction is the quadratic signature and must never return.
+    assert(!"""lambdafunction\([^)]*regexp_replace""".r.findFirstIn(p).isDefined,
+      "regexp_replace re-evaluated per array element inside a lambda")
+  }
+
+  test("dedup_bloom: corpus key join broadcasts; bloom bitset rides a broadcast") {
+    val p = plan(operators.Dedup.bloomDedup(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "corpus key join must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "1-row bloom must attach via broadcast nested loop, not cartesian")
+  }
 }
