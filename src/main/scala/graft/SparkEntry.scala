@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Advanced.queries ++
+      operators.Analytics.queries ++
       operators.AsOf.queries ++
       operators.PipelineOps.queries ++
       operators.GraphRank.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Advanced.oracleSql ++
+      operators.Analytics.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.PipelineOps.oracleSql ++
       operators.GraphRank.oracleSql ++

@@ -23,12 +23,16 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length >= 2 && (args(0) == "explain" || args(0) == "time")) {
       val sfDir = if (args.length >= 3) args(2) else "/root/testdata/sf0.1"
-      val df = graft.SparkEntry.queries(args(1))(spark, sfDir)
-      if (args(0) == "explain") df.explain("formatted")
-      else {
-        val t0 = System.nanoTime()
-        val n = df.count()
-        println(f"${args(1)} rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      if (args(0) == "explain") {
+        graft.SparkEntry.queries(args(1))(spark, sfDir).explain("formatted")
+      } else {
+        // time accepts a comma-separated list, run in order — exposes the
+        // marginal cost of each query once shared memoized inputs are warm
+        for (q <- args(1).split(',')) {
+          val t0 = System.nanoTime()
+          val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+          println(f"$q rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
       }
       spark.stop()
       return

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite with SparkFixture {
+
+  test("every analytics query runs non-empty on sf0.001") {
+    operators.Analytics.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfTest).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("funnel stages are ordered: viewers >= clickers >= purchasers") {
+    val r = operators.Analytics.sessionFunnel(spark, sfTest).collect().head
+    val (nv, nc, np) =
+      (r.getAs[Long]("n_viewers"), r.getAs[Long]("n_clickers"), r.getAs[Long]("n_purchasers"))
+    assert(nv >= nc && nc >= np)
+    assert(r.getAs[Double]("overall") <= r.getAs[Double]("view_to_click"))
+  }
+
+  test("ordered funnel requires strictly-later events (literal frame)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1 converts fully in order; u2 purchased BEFORE clicking (no
+    // purchase conversion); u3 only views.
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      (2L, "view", ts("2024-01-01 09:00:00")), (2L, "purchase", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    import org.apache.spark.sql.functions._
+    val tv = ev.where($"event_type" === "view").groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = ev.where($"event_type" === "click").join(tv, "user_id")
+      .where($"ts" > $"tv").groupBy("user_id").agg(min("ts").as("tc"))
+    val tp = ev.where($"event_type" === "purchase").join(tc, "user_id")
+      .where($"ts" > $"tc").groupBy("user_id").agg(min("ts").as("tp"))
+    assert(tv.count() === 3 && tc.count() === 2 && tp.count() === 1)
+    assert(tp.select("user_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("retention matrix: offset-0 retention is 1.0 and offsets are non-negative") {
+    val rows = operators.Analytics.retentionCohorts(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Int]("week_offset")
+      assert(off >= 0)
+      if (off == 0)
+        assert(r.getAs[Double]("retention") === 1.0,
+          s"cohort ${r.get(0)}: every cohort member is active in their first week")
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cohort_size"))
+    }
+  }
+
+  test("anomaly gate flags exactly the planted outlier (literal frame)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 values at 10.0 +- 1 and one wild outlier
+    val vals = (Seq.fill(10)(9.0) ++ Seq.fill(10)(11.0) :+ 1000.0)
+      .map(v => ("click", v)).toDF("event_type", "value")
+    val stats = vals.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mean_v"), round(stddev_pop($"value"), 6).as("sd_v"))
+    val flagged = vals.join(broadcast(stats), "event_type")
+      .where(abs($"value" - $"mean_v") > lit(operators.Analytics.ZThreshold) * $"sd_v")
+      .collect()
+    assert(flagged.length === 1 && flagged.head.getAs[Double]("value") === 1000.0)
+  }
+}
