@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents corpus (SURVEY.md §2.10
@@ -456,6 +457,230 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** BM25 parameters (Robertson/Spärck Jones; Lucene's idf variant,
+    * which is strictly positive). k1 written as the folded 2.2 = k1+1
+    * where it appears multiplicatively so both engines parse the same
+    * literal.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed query — tokens from the fixture vocabulary. */
+  val Bm25Query: Seq[String] = Seq("table", "scan", "merge", "key")
+  /** Docs returned. */
+  val Bm25Top = 20
+
+  /** BM25 document ranking for a fixed term query — the retrieval
+    * scorer TF-IDF feeds in practice (doc-length-normalized, saturating
+    * tf). Per-term contributions are computed once, converted to 1e-9
+    * fixed-point BIGINTs, and SUMMED AS INTEGERS, so the per-doc score
+    * is bit-identical on any engine and any partitioning (float sums of
+    * 4 terms would otherwise depend on aggregation order).
+    *
+    * Scale shape: tf extraction is per-row map work over the corpus
+    * scan (terms ride as a tiny exploded literal array); df and the
+    * corpus stats are 1-row/|terms|-row broadcast aggregates; the final
+    * top-K is a TakeOrderedAndProject, never a full sort.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val m = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(expr(normSpark), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val st = m.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val hit = m.select(col("doc_id"), col("source"), col("dl"), col("toks"),
+        explode(expr(terms)).as("term"))
+      .withColumn("tf", expr("size(filter(toks, x -> x = term))"))
+      .where(col("tf") > 0)
+      .drop("toks")
+    val df = hit.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = hit
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("fp", round(col("idf") * (col("tf") * 2.2) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+        * 1e9).cast("long"))
+    val scored = contrib.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_terms_hit"),
+           round(sum("fp") / 1e9, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25Top)
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("rk", "doc_id", "source", "n_terms_hit", "score")
+      .orderBy("rk")
+  }
+
+  val bm25RankSql: String = {
+    val termList = Bm25Query.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id, source, string_split($normDuck, ' ') AS toks,
+       |    len(string_split($normDuck, ' ')) AS dl
+       |  FROM documents
+       |), st AS (
+       |  SELECT count(*) AS n, sum(dl)::BIGINT AS sumdl FROM m
+       |), hit AS (
+       |  SELECT m.doc_id, m.source, m.dl, t.term,
+       |    len(list_filter(m.toks, x -> x = t.term)) AS tf
+       |  FROM m CROSS JOIN (SELECT unnest($termList) AS term) t
+       |  WHERE len(list_filter(m.toks, x -> x = t.term)) > 0
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM hit GROUP BY term
+       |), contrib AS (
+       |  SELECT h.doc_id, h.source,
+       |    round(ln(1.0 + ((SELECT n FROM st) - d.df + 0.5) / (d.df + 0.5))
+       |      * (h.tf * 2.2)
+       |      / (h.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * h.dl
+       |          / ((SELECT sumdl FROM st)::DOUBLE / (SELECT n FROM st))))
+       |      * 1e9)::BIGINT AS fp
+       |  FROM hit h JOIN df d USING (term)
+       |), scored AS (
+       |  SELECT doc_id, source, count(*) AS n_terms_hit,
+       |    round(sum(fp) / 1e9, 6) AS score
+       |  FROM contrib GROUP BY doc_id, source
+       |)
+       |SELECT rk, doc_id, source, n_terms_hit, score FROM (
+       |  SELECT doc_id, source, n_terms_hit, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $Bm25Top
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** Merge-pair candidates emitted. */
+  val BpeTop = 30
+
+  /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair across the
+    * corpus, weighted by word frequency (the top pair is what BPE would
+    * merge first). Exactly the word-frequency-table formulation of the
+    * original algorithm: the corpus collapses to |vocab| distinct words
+    * once, and pair expansion runs over the vocab, not the corpus —
+    * at 100 TB the vocab table is millions of rows where the corpus is
+    * trillions of tokens, so the expensive step is corpus-size-
+    * independent after one token-count aggregate. All counts are exact
+    * integers — fully deterministic on both engines.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val pairs = vocab.select(col("word"), col("wc"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+    val top = pairs.groupBy("pair")
+      .agg(sum("wc").as("n_occurrences"), countDistinct(col("word")).as("n_distinct_words"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(BpeTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair").asc)))
+      .select("rk", "pair", "n_occurrences", "n_distinct_words")
+      .orderBy("rk")
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH vocab AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |  ) WHERE length(word) >= 2
+       |  GROUP BY word
+       |), pairs AS (
+       |  SELECT word, wc,
+       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM vocab
+       |), agg AS (
+       |  SELECT pair, sum(wc)::BIGINT AS n_occurrences,
+       |    count(DISTINCT word) AS n_distinct_words
+       |  FROM pairs GROUP BY pair
+       |)
+       |SELECT rk, pair, n_occurrences, n_distinct_words FROM (
+       |  SELECT pair, n_occurrences, n_distinct_words,
+       |    row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
+       |  FROM agg
+       |) WHERE rk <= $BpeTop
+       |ORDER BY rk""".stripMargin
+
+  /** Document-frequency floor for χ² terms (rare terms have unstable
+    * statistics — the standard feature-selection cut).
+    */
+  val Chi2MinDf = 10
+  /** Terms reported per source. */
+  val Chi2Top = 5
+
+  /** χ² term–source association — the classic feature-selection
+    * statistic (which terms are characteristic of a source?): for each
+    * (source, term) 2×2 contingency table,
+    * χ² = D·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00)).
+    * All cell counts are exact integers from two document-level
+    * aggregates; the statistic is one integer-product expression
+    * divided once, so ranking is engine-stable. Products stay < 2⁶³ up
+    * to ~10⁶ docs; beyond that the numerator moves to DOUBLE (same
+    * plan, one cast — noted here, not needed at fixture scale).
+    *
+    * Scale shape: doc→distinct-term explode, one (source, term)
+    * aggregate, one |vocab|-row df aggregate broadcast back — no
+    * self-joins; the per-source top-K is a tiny window over
+    * |sources|·|vocab| rows.
+    */
+  def chi2Terms(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(expr(normSpark), " "))).as("term"))
+    val totals = dt.agg(countDistinct(col("doc_id")).as("d"))
+    val perSource = dt.groupBy("source").agg(countDistinct(col("doc_id")).as("ds"))
+    val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= Chi2MinDf)
+    val cells = dt.groupBy("source", "term").agg(count(lit(1)).as("n11"))
+      .join(broadcast(dfT), "term")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("n10", col("ds") - col("n11"))
+      .withColumn("n01", col("df") - col("n11"))
+      .withColumn("n00", col("d") - col("ds") - col("n01"))
+      .withColumn("chi2", round(
+        (col("d") * (col("n11") * col("n00") - col("n10") * col("n01"))
+          * (col("n11") * col("n00") - col("n10") * col("n01"))) /
+        ((col("n11") + col("n10")) * (col("n01") + col("n00"))
+          * (col("n11") + col("n01")) * (col("n10") + col("n00"))), 6))
+    cells.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("chi2").desc, col("term").asc)))
+      .where(col("rk") <= Chi2Top)
+      .select("source", "rk", "term", "n11", "df", "chi2")
+      .orderBy("source", "rk")
+  }
+
+  val chi2TermsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, source, unnest(list_distinct(string_split($normDuck, ' '))) AS term
+       |  FROM documents
+       |), totals AS (
+       |  SELECT count(DISTINCT doc_id) AS d FROM dt
+       |), per_source AS (
+       |  SELECT source, count(DISTINCT doc_id) AS ds FROM dt GROUP BY source
+       |), df_t AS (
+       |  SELECT term, count(*) AS df FROM dt GROUP BY term HAVING count(*) >= $Chi2MinDf
+       |), cells AS (
+       |  SELECT c.source, c.term, c.n11, f.df,
+       |    s.ds - c.n11 AS n10, f.df - c.n11 AS n01,
+       |    (SELECT d FROM totals) - s.ds - (f.df - c.n11) AS n00,
+       |    (SELECT d FROM totals) AS d
+       |  FROM (SELECT source, term, count(*) AS n11 FROM dt GROUP BY source, term) c
+       |  JOIN df_t f ON f.term = c.term
+       |  JOIN per_source s ON s.source = c.source
+       |), scored AS (
+       |  SELECT source, term, n11, df,
+       |    round((d * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))
+       |      / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))::DOUBLE, 6) AS chi2
+       |  FROM cells
+       |)
+       |SELECT source, rk, term, n11, df, chi2 FROM (
+       |  SELECT source, term, n11, df, chi2,
+       |    row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, term ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $Chi2Top
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
@@ -466,6 +691,9 @@ object TextAnalysis {
     "q_bigram_lm"      -> (bigramLm _),
     "q_repetition"     -> (repetition _),
     "q_contamination"  -> (contamination _),
+    "q_bm25_rank"      -> (bm25Rank _),
+    "q_bpe_merges"     -> (bpeMerges _),
+    "q_chi2_terms"     -> (chi2Terms _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -478,5 +706,8 @@ object TextAnalysis {
     "q_bigram_lm"      -> bigramLmSql,
     "q_repetition"     -> repetitionSql,
     "q_contamination"  -> contaminationSql,
+    "q_bm25_rank"      -> bm25RankSql,
+    "q_bpe_merges"     -> bpeMergesSql,
+    "q_chi2_terms"     -> chi2TermsSql,
   )
 }

@@ -153,6 +153,42 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(nEval > 0 && nTrain <= total - nEval)
   }
 
+  test("bm25: known-relevant doc ranks by saturating tf with length normalization") {
+    val rows = operators.TextAnalysis.bm25Rank(spark, sfTest).collect()
+    assert(rows.length === operators.TextAnalysis.Bm25Top)
+    // scores strictly ordered by rank (ties broken by doc_id upstream)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0)
+      assert(r.getAs[Long]("n_terms_hit") >= 1
+        && r.getAs[Long]("n_terms_hit") <= operators.TextAnalysis.Bm25Query.size)
+    }
+  }
+
+  test("bpe merge candidates: hand-checked pair counts on a literal vocab") {
+    import spark.implicits._
+    // "abab" (freq 3): pairs ab, ba, ab -> ab:6, ba:3 ; "ba" (freq 2): ba:2
+    val vocab = Seq(("abab", 3L), ("ba", 2L)).toDF("word", "wc")
+    val pairs = vocab.select(col("word"), col("wc"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(pairs === Map("ab" -> 6L, "ba" -> 5L))
+  }
+
+  test("chi2 terms: cells are consistent contingency tables") {
+    val rows = operators.TextAnalysis.chi2Terms(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, sfTest).count()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Long]("n11") >= 1 && r.getAs[Long]("n11") <= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= operators.TextAnalysis.Chi2MinDf && r.getAs[Long]("df") <= d)
+      assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= operators.TextAnalysis.Chi2Top)
+    }
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)
