@@ -971,7 +971,97 @@ object Relational {
       |FROM om FULL OUTER JOIN em ON om.month = em.month
       |ORDER BY month""".stripMargin
 
+  /** 1-in-N customer sample for the navigation-window query (bounds
+    * output rows; the sample is keyed, so it is deterministic and the
+    * oracle applies the identical predicate).
+    */
+  val NavSampleMod = 100
+
+  /** Value-navigation window functions (W2 completion): first_value /
+    * last_value / nth_value over the FULL partition frame (the default
+    * running frame would make last_value ≡ current row), plus
+    * percent_rank and cume_dist — per-customer order history, sampled
+    * 1-in-[[NavSampleMod]] by key. One window spec, one sort shuffle.
+    */
+  def windowNavigation(spark: SparkSession, sfDir: String): DataFrame = {
+    // navigation values need the whole partition visible; rank-fractions
+    // use the default frame (they ignore frames by definition)
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .where(col("o_custkey") % NavSampleMod === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_price", first_value(col("o_totalprice")).over(full))
+      .withColumn("last_price", last_value(col("o_totalprice")).over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("pr", round(percent_rank().over(wPrice), 6))
+      .withColumn("cd", round(cume_dist().over(wPrice), 6))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+              "first_price", "last_price", "second_price", "pr", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowNavigationSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  first_value(o_totalprice) OVER wf AS first_price,
+       |  last_value(o_totalprice)  OVER wf AS last_price,
+       |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+       |  round(percent_rank() OVER wp, 6) AS pr,
+       |  round(cume_dist()    OVER wp, 6) AS cd
+       |FROM orders
+       |WHERE o_custkey % $NavSampleMod = 0
+       |WINDOW
+       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** UNPIVOT / melt (the inverse of q_pivot_events): a wide per-nation
+    * aggregate unpivoted to (nation, metric, value) rows via the
+    * `stack` generator — Spark's native UNPIVOT surface. The oracle
+    * spells it as UNION ALL, the dialect-portable equivalent.
+    */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_revenue"),
+           countDistinct(col("o_orderkey")).cast("double").as("n_orders"))
+    wide.select(col("n_name"), expr(
+        "stack(3, 'sum_qty', sum_qty, 'sum_revenue', sum_revenue, 'n_orders', n_orders) AS (metric, value)"))
+      .orderBy("n_name", "metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH wide AS (
+      |  SELECT n_name,
+      |    round(sum(l_quantity), 4) AS sum_qty,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_revenue,
+      |    count(DISTINCT o_orderkey)::DOUBLE AS n_orders
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |)
+      |SELECT n_name, metric, value FROM (
+      |  SELECT n_name, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |  UNION ALL
+      |  SELECT n_name, 'sum_revenue', sum_revenue FROM wide
+      |  UNION ALL
+      |  SELECT n_name, 'n_orders', n_orders FROM wide
+      |)
+      |ORDER BY n_name, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_window_navigation"   -> (windowNavigation _),
+    "q_unpivot_metrics"     -> (unpivotMetrics _),
     "q_full_outer_reconcile" -> (fullOuterReconcile _),
     "q_rfm_segments"        -> (rfmSegments _),
     "q_scalar_subquery"     -> (ordersAboveCustAvg _),
@@ -1008,6 +1098,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_navigation"   -> windowNavigationSql,
+    "q_unpivot_metrics"     -> unpivotMetricsSql,
     "q_full_outer_reconcile" -> fullOuterReconcileSql,
     "q_rfm_segments"        -> rfmSegmentsSql,
     "q_scalar_subquery"     -> ordersAboveCustAvgSql,

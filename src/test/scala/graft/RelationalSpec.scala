@@ -23,6 +23,32 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(missing.isEmpty, s"oracleSql without a query: $missing")
   }
 
+  test("window navigation: first/last bracket every row, fractions in (0,1]") {
+    val rows = operators.Relational.windowNavigation(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byUser.foreach { case (_, rs) =>
+      val first = rs.head.getAs[Double]("first_price")
+      val last = rs.head.getAs[Double]("last_price")
+      // identical navigation values on every row of the partition
+      assert(rs.forall(_.getAs[Double]("first_price") === first))
+      assert(rs.forall(_.getAs[Double]("last_price") === last))
+      // second_price defined iff the partition has >= 2 rows
+      assert(rs.forall(r => (r.getAs[Any]("second_price") != null) == (rs.length >= 2)))
+      // cume_dist ends at exactly 1.0 for the max-price row
+      assert(rs.map(_.getAs[Double]("cd")).max === 1.0)
+      rs.foreach { r => assert(r.getAs[Double]("pr") >= 0.0 && r.getAs[Double]("cd") <= 1.0) }
+    }
+  }
+
+  test("unpivot emits exactly one row per (nation, metric)") {
+    val rows = operators.Relational.unpivotMetrics(spark, sfTest).collect()
+    val nations = rows.map(_.getString(0)).distinct
+    assert(rows.length === nations.length * 3)
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ===
+      Seq("n_orders", "sum_qty", "sum_revenue"))
+  }
+
   test("pricing summary aggregates correctly on a literal frame") {
     import spark.implicits._
     // two groups, hand-checked sums
