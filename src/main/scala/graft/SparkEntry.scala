@@ -34,6 +34,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.PipelineOps.queries ++
       operators.GraphRank.queries ++
+      operators.Training.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       operators.AsOf.oracleSql ++
       operators.PipelineOps.oracleSql ++
       operators.GraphRank.oracleSql ++
+      operators.Training.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -172,15 +172,128 @@ object Analytics {
        |GROUP BY e.event_type, s.n_events, s.mean_v, s.sd_v
        |ORDER BY e.event_type""".stripMargin
 
+  /** Gap-filled daily event series with forward-fill: build a complete
+    * date spine (every day from the stream's first to last day × every
+    * event type), left-join the real daily aggregate, zero-fill counts,
+    * and carry the last observed daily average value forward across
+    * silent days (`last(..., ignoreNulls)` over an ordered window — the
+    * LOCF idiom every monitoring/feature pipeline needs, since models
+    * and dashboards can't tolerate missing rows). Days before a type's
+    * first observation stay null, exactly like the oracle.
+    *
+    * Scale: the spine is days × types — trivially small at any data
+    * scale — and the fact side is one scan + one narrow aggregate; the
+    * forward-fill window partitions by event_type, so state per task is
+    * one running value.
+    */
+  def gapFillDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    // the daily average is computed ENTIRELY in 1e-4 fixed-point: the
+    // integer sum is order-independent (avg(double) differs in the last
+    // ulp between engines), and the half-up rounding to 4 dp is integer
+    // arithmetic too — round(sum/n, 4) on a double that lands exactly on
+    // a .00005 boundary flips between Spark's BigDecimal HALF_UP and
+    // DuckDB's raw-double round (observed at sf0.001). Values are
+    // non-negative, so integer div == floor in both engines.
+    val vq = when(col("value").isNotNull && !isnan(col("value")),
+      round(col("value") * 10000, 0).cast("long"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(vq).as("sv"), count(vq).as("nv"))
+      .withColumn("day_avg",
+        when(col("nv") > 0, expr("(2 * sv + nv) div (2 * nv)") / 10000.0))
+      .drop("sv", "nv")
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .crossJoin(ev.select("event_type").distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("ff_avg", last(col("day_avg"), ignoreNulls = true).over(w))
+      .select("event_type", "day", "n_events", "day_avg", "ff_avg")
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, ts::DATE AS day, value FROM events
+      |), daily AS (
+      |  SELECT event_type, day, count(*) AS n,
+      |    CASE WHEN count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) > 0
+      |      THEN ((2 * sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+      |                     THEN round(value * 10000)::BIGINT END)
+      |             + count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END))
+      |            // (2 * count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END)))
+      |           / 10000.0
+      |    END AS day_avg
+      |  FROM ev GROUP BY event_type, day
+      |), bounds AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+      |), spine AS (
+      |  SELECT t.event_type, d.day::DATE AS day
+      |  FROM (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+      |                                      (SELECT d1 FROM bounds),
+      |                                      INTERVAL 1 DAY)) AS day) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |)
+      |SELECT s.event_type, s.day,
+      |  coalesce(d.n, 0)::BIGINT AS n_events,
+      |  d.day_avg,
+      |  last_value(d.day_avg IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_avg
+      |FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance, and the OLS regression line of extendedprice on
+    * quantity, plus a univariate spread stat — the `corr`/`covar_samp`/
+    * `regr_*` aggregate family (SURVEY.md §2.4), which both engines
+    * implement natively. Results are rounded: the co-moment reductions
+    * differ in summation order across engines, but agree to ~10
+    * significant digits at any SF, so 4 dp on the dimensionless /
+    * slope values and 2 dp on the large-magnitude covariance are
+    * orders of magnitude beyond the noise floor.
+    */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+           round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("price_per_qty"),
+           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("price_at_zero"),
+           round(stddev_samp(col("l_discount")), 6).as("discount_sd"))
+      .orderBy("l_returnflag")
+
+  val corrStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_at_zero,
+      |  round(stddev_samp(l_discount), 6) AS discount_sd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_session_funnel"    -> (sessionFunnel _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_anomaly_events"    -> (anomalyEvents _),
+    "q_gap_fill"          -> (gapFillDaily _),
+    "q_corr_stats"        -> (corrStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_session_funnel"    -> sessionFunnelSql,
     "q_retention_cohorts" -> retentionCohortsSql,
     "q_anomaly_events"    -> anomalyEventsSql,
+    "q_gap_fill"          -> gapFillDailySql,
+    "q_corr_stats"        -> corrStatsSql,
   )
 }

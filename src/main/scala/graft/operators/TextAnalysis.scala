@@ -681,6 +681,74 @@ object TextAnalysis {
        |) WHERE rk <= $Chi2Top
        |ORDER BY source, rk""".stripMargin
 
+  /** Minimum tokens for the boilerplate filter. */
+  val C4MinTok = 25
+  /** Distinct-token ratio floor (repetitious-doc gate). */
+  val C4MinDistinct = 0.35
+  /** Token length above which a doc is flagged (gibberish gate). */
+  val C4MaxWordLen = 7
+
+  /** C4-style heuristic corpus filtering: per source, count documents
+    * failing each cleaning rule — too short, too repetitious (distinct-
+    * token ratio), no stopwords (non-language gate), over-long tokens
+    * (gibberish/code gate) — and the documents that pass all of them.
+    * These are the published C4/Gopher-family heuristics re-expressed
+    * as one scan of integer predicates: every rule is computed from the
+    * token array with higher-order functions, no UDFs, so the whole
+    * gate stays inside whole-stage codegen and pushes through a 100 TB
+    * corpus as a single map-side pass + one tiny aggregate.
+    */
+  def c4Filter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("f_short", (col("n_tok") < C4MinTok).cast("long"))
+      .withColumn("f_repeat",
+        (size(array_distinct(col("toks"))).cast("double") / col("n_tok") < C4MinDistinct)
+          .cast("long"))
+      .withColumn("f_nostop", (size(expr(
+        "filter(toks, t -> t IN ('the','of','and','to','in','a'))")) === 0).cast("long"))
+      .withColumn("f_longword", (expr(
+        s"aggregate(toks, 0, (m, t) -> greatest(m, length(t)))") > C4MaxWordLen).cast("long"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("f_short").as("n_short"),
+           sum("f_repeat").as("n_repeat"),
+           sum("f_nostop").as("n_nostop"),
+           sum("f_longword").as("n_longword"),
+           sum(when(col("f_short") + col("f_repeat") + col("f_nostop") + col("f_longword") === 0, 1L)
+             .otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val c4FilterSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents
+       |), f AS (
+       |  SELECT source,
+       |    CASE WHEN n_tok < $C4MinTok THEN 1 ELSE 0 END AS f_short,
+       |    CASE WHEN len(list_distinct(toks)) / n_tok::DOUBLE < $C4MinDistinct
+       |         THEN 1 ELSE 0 END AS f_repeat,
+       |    CASE WHEN len(list_filter(toks, t -> t IN ('the','of','and','to','in','a'))) = 0
+       |         THEN 1 ELSE 0 END AS f_nostop,
+       |    CASE WHEN list_aggregate(list_transform(toks, t -> len(t)), 'max') > $C4MaxWordLen
+       |         THEN 1 ELSE 0 END AS f_longword
+       |  FROM d
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(f_short)::BIGINT AS n_short,
+       |  sum(f_repeat)::BIGINT AS n_repeat,
+       |  sum(f_nostop)::BIGINT AS n_nostop,
+       |  sum(f_longword)::BIGINT AS n_longword,
+       |  sum(CASE WHEN f_short + f_repeat + f_nostop + f_longword = 0
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+       |FROM f
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
@@ -694,6 +762,7 @@ object TextAnalysis {
     "q_bm25_rank"      -> (bm25Rank _),
     "q_bpe_merges"     -> (bpeMerges _),
     "q_chi2_terms"     -> (chi2Terms _),
+    "q_c4_filter"      -> (c4Filter _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -709,5 +778,6 @@ object TextAnalysis {
     "q_bm25_rank"      -> bm25RankSql,
     "q_bpe_merges"     -> bpeMergesSql,
     "q_chi2_terms"     -> chi2TermsSql,
+    "q_c4_filter"      -> c4FilterSql,
   )
 }

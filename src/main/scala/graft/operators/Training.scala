@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-training data-prep operators: deterministic k-means over the
+  * embedding corpus and hash-based negative sampling for implicit-
+  * feedback training sets. Both are standard stages between "clean
+  * corpus" and "training run" in a large-scale pipeline.
+  *
+  * Determinism strategy (the file's theme): every floating-point
+  * quantity is quantized to integers up front (k-means) or never
+  * exists (negative sampling — pure hashing), so BOTH engines compute
+  * bit-identical results regardless of summation order, partitioning,
+  * or SIMD width — the same fixed-point idiom as
+  * [[GraphRank.itemPagerank]].
+  *
+  * Scale design:
+  *  - k-means: centroids are K·dims rows, broadcast into the
+  *    assignment join each round; the corpus-side table never
+  *    shuffles (assignment is a map-side broadcast join + one
+  *    aggregate keyed by vec_id). One aggregate per round for the
+  *    update. This is exactly MLlib's plan shape, minus the
+  *    nondeterministic float reductions.
+  *  - negative sampling: candidates are generated map-side (explode
+  *    of a bounded slot range per user), the item index is a
+  *    broadcast dimension, and the positives anti-join shuffles each
+  *    candidate once on (user, item) — linear in users·slots, never
+  *    users×items.
+  */
+object Training {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** k-means cluster count (init = the K lowest vec_ids). */
+  val KClusters = 8
+  /** Fixed Lloyd's rounds (unrolled identically in the oracle). */
+  val KmRounds = 3
+  /** Fixed-point scale: embedding value v → q = round((v+1)·1000).
+    * Fixture values lie in (−1, 1), so q is always positive — keeping
+    * every integer non-negative sidesteps the floor-vs-truncate
+    * divergence of integer division on negatives between engines.
+    */
+  val KmScale = 1000
+
+  /** Deterministic k-means over `embeddings`: quantize each dimension
+    * to integer fixed-point, init centroids from the [[KClusters]]
+    * lowest vec_ids, run [[KmRounds]] Lloyd's rounds (assign by exact
+    * integer squared distance with (dist, cluster) lexicographic
+    * tie-break; update by integer floor-division mean), then report
+    * per-cluster size, inertia, and a centroid checksum. All
+    * arithmetic is BIGINT ⇒ bit-identical across engines — unlike
+    * MLlib KMeans, whose float reductions make cluster boundaries
+    * run-order-dependent.
+    */
+  def kmeansEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
+      .select("vec_id", "pos", "q")
+      .localCheckpoint() // read KmRounds+1 times; truncate to a materialized table
+    val initIds = e.select("vec_id").distinct().orderBy("vec_id").limit(KClusters)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+    var cent = e.join(broadcast(initIds), "vec_id")
+      .select(col("cluster"), col("pos"), col("q").as("c"))
+      .localCheckpoint()
+
+    def assign(c: DataFrame): DataFrame =
+      e.join(broadcast(c), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+    for (_ <- 1 to KmRounds) {
+      val asn = assign(cent)
+      cent = e.join(asn.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(q) div count(1)").as("c"))
+        .localCheckpoint() // K·dims rows; keep each round's plan flat
+    }
+    val fin = assign(cent)
+    val centSum = cent.groupBy("cluster").agg(sum("c").as("centroid_checksum"))
+    fin.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia_units"))
+      .join(broadcast(centSum), "cluster")
+      .select("cluster", "n_vecs", "inertia_units", "centroid_checksum")
+      .orderBy("cluster")
+  }
+
+  /** Oracle: the identical integer recurrence, rounds unrolled as
+    * chained CTEs (assign k / update k), 1-based list subscripts.
+    */
+  val kmeansEmbedSql: String = {
+    val rounds = (1 to KmRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
+         |  FROM e JOIN c${k - 1} c ON e.pos = c.pos
+         |  GROUP BY e.vec_id, c.cluster
+         |), m$k AS (
+         |  SELECT vec_id, min(dist) AS md FROM d$k GROUP BY vec_id
+         |), a$k AS (
+         |  SELECT d.vec_id, min(d.cluster) AS cluster
+         |  FROM d$k d JOIN m$k m ON d.vec_id = m.vec_id AND d.dist = m.md
+         |  GROUP BY d.vec_id
+         |), c$k AS (
+         |  SELECT a.cluster, e.pos, (sum(e.q) // count(*))::BIGINT AS c
+         |  FROM e JOIN a$k a ON e.vec_id = a.vec_id
+         |  GROUP BY a.cluster, e.pos
+         |)""".stripMargin
+    }.mkString(", ")
+    val f = KmRounds + 1
+    s"""WITH e AS (
+       |  SELECT vec_id, i AS pos,
+       |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |), init AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cluster
+       |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $KClusters)
+       |), c0 AS (
+       |  SELECT init.cluster, e.pos, e.q AS c
+       |  FROM e JOIN init ON e.vec_id = init.vec_id
+       |), $rounds, d$f AS (
+       |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
+       |  FROM e JOIN c$KmRounds c ON e.pos = c.pos
+       |  GROUP BY e.vec_id, c.cluster
+       |), m$f AS (
+       |  SELECT vec_id, min(dist) AS md FROM d$f GROUP BY vec_id
+       |), a$f AS (
+       |  SELECT d.vec_id, min(d.cluster) AS cluster, min(d.dist) AS dist
+       |  FROM d$f d JOIN m$f m ON d.vec_id = m.vec_id AND d.dist = m.md
+       |  GROUP BY d.vec_id
+       |), cs AS (
+       |  SELECT cluster, sum(c)::BIGINT AS centroid_checksum FROM c$KmRounds GROUP BY cluster
+       |)
+       |SELECT a.cluster, count(*) AS n_vecs, sum(a.dist)::BIGINT AS inertia_units,
+       |  max(cs.centroid_checksum) AS centroid_checksum
+       |FROM a$f a JOIN cs ON a.cluster = cs.cluster
+       |GROUP BY a.cluster
+       |ORDER BY a.cluster""".stripMargin
+  }
+
+  /** Negatives kept per user. */
+  val NegK = 5
+  /** Candidate slots drawn per user (> NegK to absorb collisions with
+    * positives and duplicate draws).
+    */
+  val NegSlots = 16
+
+  /** Hash-based negative sampling for implicit-feedback training: per
+    * user, [[NegSlots]] pseudo-random item draws via the engine-
+    * portable h32(md5(user-slot)) hash mapped into a dense item index,
+    * deduplicated (min slot wins), anti-joined against the user's
+    * positives, and cut to the first [[NegK]] by slot order. The same
+    * (user, slot) always yields the same item on any engine, run, or
+    * partitioning — the property that makes training sets reproducible
+    * and resumable. Output: per-user negative list + checksum.
+    */
+  def negativeSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.interactions(spark, sfDir)
+      .select("user_id", "item_id").distinct()
+    val items = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("item_id"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("item_id")) - 1)
+    val nItems = items.agg(count(lit(1)).as("n_items"))
+    val cands = pos.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(NegSlots - 1))).as("slot"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("idx", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), cast(slot AS string), 'neg')), 1, 8), 16, 10) AS bigint)") % col("n_items"))
+      .join(broadcast(items), "idx")
+      // two draws may map to the same item: keep the earliest slot
+      .groupBy("user_id", "item_id").agg(min("slot").as("slot"))
+    val negs = cands
+      .join(pos, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("slot").asc, col("item_id").asc)))
+      .where(col("rk") <= NegK)
+    negs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_neg"),
+           sum("item_id").as("neg_checksum"),
+           concat_ws(",", expr(
+             "transform(array_sort(collect_list(struct(rk, item_id))), x -> cast(x.item_id AS string))"))
+             .as("neg_items"))
+      .orderBy("user_id")
+  }
+
+  val negativeSampleSql: String =
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), items AS (
+       |  SELECT p_partkey AS item_id,
+       |    row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+       |  FROM part
+       |), n AS (
+       |  SELECT count(*) AS n_items FROM items
+       |), cands AS (
+       |  SELECT u.user_id, i.item_id, min(s.slot) AS slot
+       |  FROM (SELECT DISTINCT user_id FROM pos) u
+       |  CROSS JOIN (SELECT unnest(range(0, $NegSlots)) AS slot) s
+       |  JOIN items i ON i.idx =
+       |    ('0x' || substr(md5(u.user_id || '-' || s.slot || '-' || 'neg'), 1, 8))::BIGINT
+       |      % (SELECT n_items FROM n)
+       |  GROUP BY u.user_id, i.item_id
+       |), negs AS (
+       |  SELECT user_id, item_id, slot,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY slot ASC, item_id ASC) AS rk
+       |  FROM cands c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM pos p WHERE p.user_id = c.user_id AND p.item_id = c.item_id)
+       |)
+       |SELECT user_id, count(*) AS n_neg,
+       |  sum(item_id)::BIGINT AS neg_checksum,
+       |  string_agg(item_id::VARCHAR, ',' ORDER BY rk) AS neg_items
+       |FROM negs WHERE rk <= $NegK
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_kmeans_embed"    -> (kmeansEmbed _),
+    "q_negative_sample" -> (negativeSample _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kmeans_embed"    -> kmeansEmbedSql,
+    "q_negative_sample" -> negativeSampleSql,
+  )
+}
