@@ -281,7 +281,68 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** EWMA smoothing factor α, as integer percent. */
+  val EwmaAlphaPct = 30
+  /** Fixed-point scale for the EWMA state (1e-4 units). */
+  val EwmaScale = 10000L
+
+  /** Exponentially-weighted moving average of the daily event count per
+    * type — the standard smoothed-trend line for monitoring dashboards
+    * and anomaly baselines. The recurrence s_t = (α·x_t + (1−α)·s_{t−1})
+    * is inherently sequential, so it runs as a per-key fold over the
+    * collected, date-sorted series (a bounded array per type; at scale
+    * the per-key series is still small because the key set is what
+    * grows, not the series length). All state is integer fixed-point
+    * ([[EwmaScale]] units, α = [[EwmaAlphaPct]]%), so the fold is
+    * bit-identical to the oracle's recursive CTE — a float recurrence
+    * would compound rounding differently per engine.
+    */
+  def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val folded = daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n_events")))).as("xs"))
+      .withColumn("ss", expr(
+        s"""aggregate(xs,
+           |  cast(array() AS array<struct<day: date, s: bigint>>),
+           |  (acc, x) -> array_append(acc, struct(x.day AS day,
+           |    CASE WHEN size(acc) = 0 THEN x.n_events * $EwmaScale
+           |         ELSE ($EwmaAlphaPct * x.n_events * $EwmaScale
+           |               + ${100 - EwmaAlphaPct} * element_at(acc, -1).s) div 100
+           |    END AS s)))""".stripMargin))
+      .select(col("event_type"), explode(col("ss")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"), col("e.s").as("s_units"))
+    daily.join(folded, Seq("event_type", "day"))
+      .withColumn("ewma", col("s_units") / EwmaScale.toDouble)
+      .select("event_type", "day", "n_events", "ewma")
+      .orderBy("event_type", "day")
+  }
+
+  val ewmaSmoothSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, ts::DATE AS day, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), seq AS (
+       |  SELECT event_type, day, n_events,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily
+       |), rec AS (
+       |  SELECT event_type, rn, day, n_events,
+       |    n_events * $EwmaScale AS s
+       |  FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.event_type, s.rn, s.day, s.n_events,
+       |    ($EwmaAlphaPct * s.n_events * $EwmaScale + ${100 - EwmaAlphaPct} * r.s) // 100
+       |  FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+       |)
+       |SELECT event_type, day, n_events, s / ${EwmaScale}.0 AS ewma
+       |FROM rec
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ewma_smooth"       -> (ewmaSmooth _),
     "q_session_funnel"    -> (sessionFunnel _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_anomaly_events"    -> (anomalyEvents _),
@@ -290,6 +351,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma_smooth"       -> ewmaSmoothSql,
     "q_session_funnel"    -> sessionFunnelSql,
     "q_retention_cohorts" -> retentionCohortsSql,
     "q_anomaly_events"    -> anomalyEventsSql,

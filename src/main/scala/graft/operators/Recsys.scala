@@ -1088,7 +1088,165 @@ object Recsys {
        |FROM ranked WHERE rk <= $TopN
        |ORDER BY user_id, rk""".stripMargin
 
+  /** Cap on per-user purchase-sequence length for ordered-pair mining. */
+  val SeqCap = 100
+  /** Minimum users supporting an ordered pair. */
+  val SeqMinSup = 3
+  /** Ordered pairs reported. */
+  val SeqTop = 50
+
+  /** Sequential purchase associations — "customers who bought A later
+    * bought B": for each user's time-ordered item sequence (first
+    * purchase date per item, capped at [[SeqCap]] earliest items),
+    * count ordered pairs (A strictly before B in time), and rank rules
+    * by confidence n(A→B)/n(A). This is the temporal counterpart of
+    * the symmetric co-occurrence tiers — markov_next sees only
+    * ADJACENT transitions; this sees every ordered pair, the classic
+    * sequential-pattern signal for "what to promote after a purchase".
+    *
+    * Scale shape: ordered pairs are generated MAP-SIDE per user from
+    * the collected (capped) sequence with higher-order functions — the
+    * same no-self-join design as [[pairsWithin]]; the only shuffles
+    * are the user collect and the pair-count aggregate. Same-timestamp
+    * items are incomparable and yield no pair (strict inequality), so
+    * the result is independent of how ties would sort.
+    */
+  def seqBuyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val ui = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(min(col("o_orderdate")).as("ts"))
+    val seqs = ui.groupBy("user_id")
+      .agg(expr(s"slice(sort_array(collect_list(struct(ts, item_id))), 1, $SeqCap)").as("es"))
+    val pairs = seqs.select(col("user_id"), explode(expr(
+        """flatten(transform(es, (x, i) ->
+          |  filter(transform(slice(es, i + 2, size(es)),
+          |                   y -> IF(y.ts > x.ts, struct(x.item_id AS a, y.item_id AS b), null)),
+          |         p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val na = seqs.select(col("user_id"), explode(expr("transform(es, x -> x.item_id)")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("n_a"))
+    val top = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= SeqMinSup)
+      .join(broadcast(na), "a")
+      .withColumn("confidence", round(col("n_ab") / col("n_a"), 6))
+      .orderBy(col("confidence").desc, col("a").asc, col("b").asc)
+      .limit(SeqTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("confidence").desc, col("a").asc, col("b").asc)))
+      .select(col("rk"), col("a").as("item_a"), col("b").as("item_b"),
+              col("n_ab"), col("n_a"), col("confidence"))
+      .orderBy("rk")
+  }
+
+  val seqBuyPairsSql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, min(o_orderdate) AS ts
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), capped AS (
+       |  SELECT user_id, item_id, ts FROM (
+       |    SELECT user_id, item_id, ts,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, item_id ASC) AS rn
+       |    FROM ui
+       |  ) WHERE rn <= $SeqCap
+       |), pairs AS (
+       |  SELECT x.item_id AS a, y.item_id AS b, count(*) AS n_ab
+       |  FROM capped x JOIN capped y
+       |    ON x.user_id = y.user_id AND y.ts > x.ts
+       |  GROUP BY 1, 2 HAVING count(*) >= $SeqMinSup
+       |), na AS (
+       |  SELECT item_id AS a, count(*) AS n_a FROM capped GROUP BY item_id
+       |), scored AS (
+       |  SELECT p.a, p.b, p.n_ab, na.n_a,
+       |    round(p.n_ab / na.n_a::DOUBLE, 6) AS confidence
+       |  FROM pairs p JOIN na ON na.a = p.a
+       |)
+       |SELECT rk, a AS item_a, b AS item_b, n_ab, n_a, confidence FROM (
+       |  SELECT a, b, n_ab, n_a, confidence,
+       |    row_number() OVER (ORDER BY confidence DESC, a ASC, b ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $SeqTop
+       |ORDER BY rk""".stripMargin
+
+  /** Trailing/previous window length (days) for trending momentum —
+    * sized to the fixture's order-date density (orders spread over
+    * ~6.5 years, so weekly windows are near-empty at every SF; a
+    * quarter captures a meaningful per-item count while still being
+    * "recent" on that time axis).
+    */
+  val TrendWindowDays = 90
+  /** Floor on recent-window purchases for a trending candidate. */
+  val TrendMinRecent = 1
+  /** Trending items reported. */
+  val TrendTop = 25
+
+  /** Trending items — purchase momentum over the last two
+    * [[TrendWindowDays]]-day windows ending at the corpus's max order
+    * date: momentum = (recent+1)/(previous+1) (add-one smoothed so new
+    * items don't divide by zero), floored at [[TrendMinRecent]] recent
+    * purchases. The freshness-biased candidate generator every
+    * recommender mixes in next to the similarity tiers. The anchor
+    * date is a 1-row broadcast aggregate — no driver round-trip — and
+    * the window counts are one conditional aggregate over the
+    * interaction join; exact integers, one IEEE division, stable
+    * ranking.
+    */
+  def trendingItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val uiRaw = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("item_id"), col("o_orderdate"))
+    val anchor = uiRaw.agg(max("o_orderdate").as("dmax"))
+    val counts = uiRaw.crossJoin(broadcast(anchor))
+      .withColumn("recent",
+        (col("o_orderdate") > col("dmax") - expr(s"interval $TrendWindowDays days")).cast("long"))
+      .withColumn("previous",
+        (col("o_orderdate") <= col("dmax") - expr(s"interval $TrendWindowDays days") &&
+         col("o_orderdate") > col("dmax") - expr(s"interval ${2 * TrendWindowDays} days")).cast("long"))
+      .groupBy("item_id")
+      .agg(sum("recent").as("n_recent"), sum("previous").as("n_prev"))
+      .where(col("n_recent") >= TrendMinRecent)
+      .withColumn("momentum", round((col("n_recent") + 1) / (col("n_prev") + 1.0), 6))
+    val top = counts
+      .orderBy(col("momentum").desc, col("n_recent").desc, col("item_id").asc)
+      .limit(TrendTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("momentum").desc, col("n_recent").desc, col("item_id").asc)))
+      .select("rk", "item_id", "n_recent", "n_prev", "momentum")
+      .orderBy("rk")
+  }
+
+  val trendingItemsSql: String =
+    s"""WITH ui AS (
+       |  SELECT l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), anchor AS (
+       |  SELECT max(o_orderdate) AS dmax FROM ui
+       |), counts AS (
+       |  SELECT item_id,
+       |    sum(CASE WHEN o_orderdate > (SELECT dmax FROM anchor) - INTERVAL $TrendWindowDays DAY
+       |             THEN 1 ELSE 0 END)::BIGINT AS n_recent,
+       |    sum(CASE WHEN o_orderdate <= (SELECT dmax FROM anchor) - INTERVAL $TrendWindowDays DAY
+       |              AND o_orderdate > (SELECT dmax FROM anchor) - INTERVAL ${2 * TrendWindowDays} DAY
+       |             THEN 1 ELSE 0 END)::BIGINT AS n_prev
+       |  FROM ui GROUP BY item_id
+       |), scored AS (
+       |  SELECT item_id, n_recent, n_prev,
+       |    round((n_recent + 1) / (n_prev + 1.0), 6) AS momentum
+       |  FROM counts WHERE n_recent >= $TrendMinRecent
+       |)
+       |SELECT rk, item_id, n_recent, n_prev, momentum FROM (
+       |  SELECT item_id, n_recent, n_prev, momentum,
+       |    row_number() OVER (ORDER BY momentum DESC, n_recent DESC, item_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $TrendTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_seq_buy_pairs"     -> (seqBuyPairs _),
+    "q_trending_items"    -> (trendingItems _),
     "q_rec_diversity"     -> (recDiversity _),
     "q_eval_ranking"      -> (evalRanking _),
     "q_markov_next"       -> (markovNext _),
@@ -1105,6 +1263,8 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seq_buy_pairs"     -> seqBuyPairsSql,
+    "q_trending_items"    -> trendingItemsSql,
     "q_rec_diversity"     -> recDiversitySql,
     "q_eval_ranking"      -> evalRankingSql,
     "q_markov_next"       -> markovNextSql,

@@ -67,4 +67,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       .collect()
     assert(flagged.length === 1 && flagged.head.getAs[Double]("value") === 1000.0)
   }
+
+  test("ewma: seeds at the first observation and stays within the count envelope") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.ewmaSmooth(spark, sfTest)
+    val firsts = r.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("day")))
+      .where(col("rn") === 1)
+    assert(firsts.where(col("ewma") =!= col("n_events").cast("double")).count() === 0)
+    val env = r.groupBy("event_type")
+      .agg(min("n_events").as("mn"), max("n_events").as("mx"),
+           min("ewma").as("emn"), max("ewma").as("emx"))
+    env.collect().foreach { row =>
+      assert(row.getAs[Double]("emn") >= row.getAs[Long]("mn").toDouble - 1e-9)
+      assert(row.getAs[Double]("emx") <= row.getAs[Long]("mx").toDouble + 1e-9)
+    }
+  }
 }

@@ -106,6 +106,28 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(so.where(col("score").isNull || isnan(col("score"))).count() === 0)
   }
 
+  test("seq buy pairs: confidence valid, ordered support bounded by item support") {
+    val r = operators.Recsys.seqBuyPairs(spark, sfTest).collect()
+    assert(r.nonEmpty && r.length <= operators.Recsys.SeqTop)
+    r.foreach { row =>
+      val (nab, na, conf) = (row.getAs[Long]("n_ab"), row.getAs[Long]("n_a"),
+        row.getAs[Double]("confidence"))
+      assert(nab >= operators.Recsys.SeqMinSup && nab <= na)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(row.getAs[Long]("item_a") !== row.getAs[Long]("item_b"))
+    }
+  }
+
+  test("trending items: momentum positive, floors respected, ranks dense") {
+    val r = operators.Recsys.trendingItems(spark, sfTest).collect()
+    assert(r.nonEmpty && r.length <= operators.Recsys.TrendTop)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Int]("rk") === i + 1)
+      assert(row.getAs[Long]("n_recent") >= operators.Recsys.TrendMinRecent)
+      assert(row.getAs[Double]("momentum") > 0.0)
+    }
+  }
+
   test("eval metrics are valid probabilities") {
     val m = operators.Recsys.evalPopularity(spark, sfTest).collect()(0)
     val p = m.getAs[Double]("precision_at_k")
