@@ -220,7 +220,106 @@ object Advanced {
        |WHERE cnt * $HhDen >= total_n
        |ORDER BY cnt DESC, suppkey ASC""".stripMargin
 
+  /** Keys reported by the skew profiler. */
+  val SkewTop = 10
+
+  /** Join-key skew profiler: the diagnostic every shuffle-heavy
+    * pipeline runs before picking a partitioning strategy. One exact
+    * aggregate over the fact table's join key (l_partkey), then the
+    * top [[SkewTop]] keys with their share and cumulative share of all
+    * rows, plus the uniform-expectation multiple (share × n_keys — how
+    * many times hotter than uniform this key runs). The numbers are
+    * exact integers and single IEEE divisions; at 100 TB this is the
+    * query whose output decides between plain hash join, AQE skew
+    * split, and manual salting.
+    */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum("n_rows").as("total_rows"), count(lit(1)).as("n_keys"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("l_partkey").asc)
+      .limit(SkewTop)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("l_partkey").asc)))
+      .withColumn("share", round(col("n_rows") / col("total_rows"), 6))
+      .withColumn("cum_share", round(
+        sum(col("n_rows")).over(Window.orderBy(col("n_rows").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)) / col("total_rows"), 6))
+      .withColumn("x_uniform", round(col("n_rows") * col("n_keys") / col("total_rows"), 4))
+      .select("rk", "l_partkey", "n_rows", "share", "cum_share", "x_uniform")
+      .orderBy("rk")
+  }
+
+  val skewProfileSql: String =
+    s"""WITH counts AS (
+       |  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
+       |), totals AS (
+       |  SELECT sum(n_rows)::BIGINT AS total_rows, count(*) AS n_keys FROM counts
+       |), ranked AS (
+       |  SELECT l_partkey, n_rows,
+       |    row_number() OVER (ORDER BY n_rows DESC, l_partkey ASC) AS rk,
+       |    sum(n_rows) OVER (ORDER BY n_rows DESC, l_partkey ASC
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM counts
+       |)
+       |SELECT rk, l_partkey, n_rows,
+       |  round(n_rows / total_rows::DOUBLE, 6) AS share,
+       |  round(cum / total_rows::DOUBLE, 6) AS cum_share,
+       |  round(n_rows * n_keys / total_rows::DOUBLE, 4) AS x_uniform
+       |FROM ranked CROSS JOIN totals
+       |WHERE rk <= $SkewTop
+       |ORDER BY rk""".stripMargin
+
+  /** Incremental-state split date: rows shipped before it are the
+    * "materialized state", the rest are the "delta batch".
+    */
+  val IncrSplit = "1998-01-01"
+
+  /** Incremental aggregation by state merge — the pattern behind every
+    * incrementally-maintained rollup: the historical partition's
+    * PARTIAL aggregate (count/sum/min/max per group, materialized once)
+    * unions with the delta batch's partial aggregate and re-aggregates
+    * with the merge functions (sum of sums, min of mins …), never
+    * rescanning history. The oracle recomputes from scratch — equality
+    * IS the correctness property of mergeable state. n_base/n_delta
+    * expose that both sides actually contributed.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+    val split = lit(IncrSplit).cast("timestamp_ntz")
+    def partial(df: DataFrame): DataFrame = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+           min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+    val base  = partial(li.where(col("l_shipdate") < split)).withColumn("src", lit("base"))
+    val delta = partial(li.where(col("l_shipdate") >= split)).withColumn("src", lit("delta"))
+    base.unionByName(delta)
+      .groupBy("l_returnflag")
+      .agg(sum("n_rows").as("n_rows"),
+           round(sum("sum_qty"), 4).as("sum_qty"),
+           min("min_price").as("min_price"),
+           max("max_price").as("max_price"),
+           sum(when(col("src") === "base", col("n_rows")).otherwise(0L)).as("n_base"),
+           sum(when(col("src") === "delta", col("n_rows")).otherwise(0L)).as("n_delta"))
+      .orderBy("l_returnflag")
+  }
+
+  val incrementalAggSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  min(l_extendedprice) AS min_price,
+       |  max(l_extendedprice) AS max_price,
+       |  sum(CASE WHEN l_shipdate < TIMESTAMP '$IncrSplit' THEN 1 ELSE 0 END)::BIGINT AS n_base,
+       |  sum(CASE WHEN l_shipdate >= TIMESTAMP '$IncrSplit' THEN 1 ELSE 0 END)::BIGINT AS n_delta
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_skew_profile"       -> (skewProfile _),
+    "q_incremental_agg"    -> (incrementalAgg _),
     "q_udaf_weighted_pref" -> (udafWeightedPref _),
     "q_tfidf_terms"        -> (tfidfTerms _),
     "q_tfidf_doc_sim"      -> (tfidfDocSim _),
@@ -228,6 +327,8 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_profile"       -> skewProfileSql,
+    "q_incremental_agg"    -> incrementalAggSql,
     "q_udaf_weighted_pref" -> udafWeightedPrefSql,
     "q_tfidf_terms"        -> tfidfTermsSql,
     "q_tfidf_doc_sim"      -> tfidfDocSimSql,

@@ -540,7 +540,64 @@ object Dedup {
        |WHERE n_shared >= $SubMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Max edit distance for a fuzzy name match. */
+  val FuzzyMaxEdit = 3
+  /** Fuzzy pairs reported. */
+  val FuzzyTop = 100
+
+  /** Fuzzy entity resolution over the part-name vocabulary: distinct
+    * names, blocked on their first character, pairwise Levenshtein
+    * within a block, matches at edit distance 1..[[FuzzyMaxEdit]]
+    * (0 = exact duplicate, handled by the exact tier). The classic
+    * blocking-then-verify ER shape: the block key turns an O(n²)
+    * all-pairs comparison into Σ per-block n², and the distinct-name
+    * projection first collapses the catalog (2k parts → 64 names at
+    * sf0.01) so the quadratic runs on the VOCABULARY, not the rows.
+    * Production ER adds more blocking passes (token sort, phonetic) —
+    * same plan shape per pass. Edit distance is exact integer DP in
+    * both engines.
+    */
+  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", substring(col("p_name"), 1, 1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"), col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"), col("n_parts").as("n_parts_b"))
+    val pairs = a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist").between(1, FuzzyMaxEdit))
+    val top = pairs
+      .orderBy(col("dist").asc, col("name_a").asc, col("name_b").asc)
+      .limit(FuzzyTop)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist").asc, col("name_a").asc, col("name_b").asc)))
+      .select("rk", "name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+      .orderBy("rk")
+  }
+
+  val fuzzyNamesSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name, count(*) AS n_parts, substr(p_name, 1, 1) AS blk
+       |  FROM part GROUP BY p_name
+       |), pairs AS (
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |    levenshtein(a.p_name, b.p_name) AS dist,
+       |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |  FROM names a JOIN names b
+       |    ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $FuzzyMaxEdit
+       |)
+       |SELECT rk, name_a, name_b, dist, n_parts_a, n_parts_b FROM (
+       |  SELECT name_a, name_b, dist, n_parts_a, n_parts_b,
+       |    row_number() OVER (ORDER BY dist ASC, name_a ASC, name_b ASC) AS rk
+       |  FROM pairs
+       |) WHERE rk <= $FuzzyTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_fuzzy_names"       -> (fuzzyNames _),
     "q_dedup_exact"       -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
@@ -552,6 +609,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fuzzy_names"       -> fuzzyNamesSql,
     "q_dedup_exact"       -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,

@@ -35,6 +35,17 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** ORC scan — Spark's other first-class columnar format (Hive
+    * interop). Schema is taken from the file footer like parquet;
+    * vectorized read and predicate pushdown apply the same way.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S3 JDBC source — STUB configuration builder. There is no database
     * in this environment, so this returns the fully-configured reader
     * without calling `.load()`; the partitioning options are the part

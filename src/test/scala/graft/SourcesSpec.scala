@@ -51,4 +51,20 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     // reader is fully configured for parallel range reads
     assert(r != null)
   }
+
+  test("ORC round-trip preserves schema and values") {
+    import graft.sources.Sources
+    val path = "target/tmp/orc_roundtrip"
+    val src = Tables.lineitem(spark, sfTest)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      .limit(500)
+    Sources.writeOrc(src, path)
+    val back = Sources.orc(spark, path)
+    assert(back.schema.map(_.name) === src.schema.map(_.name))
+    assert(back.count() === 500)
+    import org.apache.spark.sql.functions._
+    val a = src.agg(sum("l_quantity")).head.getDouble(0)
+    val b = back.agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+  }
 }

@@ -63,4 +63,43 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("skew profile: shares are a valid distribution prefix") {
+    val r = operators.Advanced.skewProfile(spark, sfTest).collect()
+    assert(r.nonEmpty && r.length <= operators.Advanced.SkewTop)
+    var prev = 0.0
+    r.foreach { row =>
+      val cum = row.getAs[Double]("cum_share")
+      assert(cum >= prev && cum <= 1.0 + 1e-9)
+      assert(row.getAs[Double]("share") > 0.0)
+      prev = cum
+    }
+  }
+
+  test("incremental merge equals the from-scratch aggregate") {
+    import org.apache.spark.sql.functions._
+    val merged = operators.Advanced.incrementalAgg(spark, sfTest)
+    val scratch = Tables.lineitem(spark, sfTest)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+    val joined = merged.select(col("l_returnflag"), col("n_rows").as("na"), col("sum_qty").as("sa"),
+        col("n_base"), col("n_delta"))
+      .join(scratch.select(col("l_returnflag"), col("n_rows").as("nb"), col("sum_qty").as("sb")),
+        "l_returnflag")
+    joined.collect().foreach { row =>
+      assert(row.getAs[Long]("na") === row.getAs[Long]("nb"))
+      assert(row.getAs[Double]("sa") === row.getAs[Double]("sb"))
+      assert(row.getAs[Long]("n_base") + row.getAs[Long]("n_delta") === row.getAs[Long]("na"))
+    }
+  }
+
+  test("fuzzy names: distances within bounds, pairs canonical") {
+    val r = operators.Dedup.fuzzyNames(spark, sfTest).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val d = row.getAs[Int]("dist")
+      assert(d >= 1 && d <= operators.Dedup.FuzzyMaxEdit)
+      assert(row.getAs[String]("name_a") < row.getAs[String]("name_b"))
+    }
+  }
 }
