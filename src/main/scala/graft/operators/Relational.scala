@@ -1059,7 +1059,68 @@ object Relational {
       |)
       |ORDER BY n_name, metric""".stripMargin
 
+  /** Data-quality audit — the dbt-test-style assertion battery a
+    * production pipeline runs before publishing a snapshot, as one
+    * query: row counts, primary-key duplicate counts, referential-
+    * integrity orphans across the star schema's join spine, null
+    * counts on required measures, and domain-range violations. Every
+    * metric is an exact integer. On these fixtures every check except
+    * dup_lineitem_pk comes back 0 — the synthetic generator reuses
+    * line numbers within an order, and surfacing that is exactly the
+    * audit's job. Each check is a narrow aggregate or
+    * broadcast/shuffle anti-join; at 100 TB the checks share the same
+    * scans a real audit would batch together.
+    */
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), col("value").cast("long").as("value"))
+    val checks = Seq(
+      one("rows_lineitem", li.agg(count(lit(1)).as("value"))),
+      one("rows_orders", o.agg(count(lit(1)).as("value"))),
+      one("dup_orders_pk", o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).agg(count(lit(1)).as("value"))),
+      one("dup_lineitem_pk", li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).agg(count(lit(1)).as("value"))),
+      one("orphan_lineitems", li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))),
+      one("orphan_orders", o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))),
+      one("null_quantity", li.where(col("l_quantity").isNull).agg(count(lit(1)).as("value"))),
+      one("null_event_value", ev.where(col("value").isNull).agg(count(lit(1)).as("value"))),
+      one("discount_out_of_range",
+        li.where(col("l_discount") < 0 || col("l_discount") > 1).agg(count(lit(1)).as("value"))),
+      one("nonpositive_quantity", li.where(col("l_quantity") <= 0).agg(count(lit(1)).as("value"))))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  val dataQualitySql: String =
+    """SELECT check_name, value FROM (
+      |  SELECT 'rows_lineitem' AS check_name, count(*)::BIGINT AS value FROM lineitem
+      |  UNION ALL SELECT 'rows_orders', count(*) FROM orders
+      |  UNION ALL SELECT 'dup_orders_pk', count(*) FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      |  UNION ALL SELECT 'dup_lineitem_pk', count(*) FROM (
+      |    SELECT l_orderkey, l_linenumber FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      |  UNION ALL SELECT 'orphan_lineitems', count(*) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL SELECT 'orphan_orders', count(*) FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL SELECT 'null_quantity', count(*) FROM lineitem WHERE l_quantity IS NULL
+      |  UNION ALL SELECT 'null_event_value', count(*) FROM events WHERE value IS NULL
+      |  UNION ALL SELECT 'discount_out_of_range', count(*) FROM lineitem
+      |    WHERE l_discount < 0 OR l_discount > 1
+      |  UNION ALL SELECT 'nonpositive_quantity', count(*) FROM lineitem WHERE l_quantity <= 0
+      |)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_data_quality"        -> (dataQuality _),
     "q_window_navigation"   -> (windowNavigation _),
     "q_unpivot_metrics"     -> (unpivotMetrics _),
     "q_full_outer_reconcile" -> (fullOuterReconcile _),
@@ -1098,6 +1159,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_data_quality"        -> dataQualitySql,
     "q_window_navigation"   -> windowNavigationSql,
     "q_unpivot_metrics"     -> unpivotMetricsSql,
     "q_full_outer_reconcile" -> fullOuterReconcileSql,

@@ -173,15 +173,118 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hyperplanes for the deterministic sign-random-projection LSH. */
+  val HpPlanes = 32
+  /** Bits per band (HpPlanes / HpBands). */
+  val HpBandBits = 8
+  /** Fixed-point scale for the projection arithmetic. */
+  val HpScale = 1000
+
+  /** Deterministic random-hyperplane LSH (sign random projection /
+    * SimHash-for-vectors, Charikar 2002) — the fully SQL-expressible
+    * ANN tier, unlike the seed-dependent MLlib tier above: hyperplane
+    * p's ±1 component at dimension d derives from the engine-portable
+    * h32(md5(p-d-hp)) parity, each vector's 32-bit sign signature is
+    * computed in integer fixed-point (quantized values × ±1, summed —
+    * exact, order-independent), signatures split into 4 bands of
+    * [[HpBandBits]] bits (OR-amplification), candidates = any shared
+    * band, then exact cosine re-rank of candidates only. Everything —
+    * planes, signatures, candidates, final ranks — hash-matches the
+    * oracle.
+    *
+    * Scale shape: the signs table is planes×dims rows (broadcast); the
+    * signature pass is one aggregate over the exploded corpus; the
+    * candidate join shuffles on (band, bsig) — the bucket key — never
+    * all-pairs; the verify join touches only candidates. This is the
+    * production ANN-index shape with the randomness made reproducible.
+    */
+  def lshHyperplane(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round(col("v").cast("double") * HpScale, 0).cast("long"))
+    val signs = e.select("pos").distinct()
+      .crossJoin(spark.range(HpPlanes).toDF("p"))
+      .withColumn("s", when(expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(p AS string), cast(pos AS string), 'hp')), 1, 8), 16, 10) AS bigint)") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L)))
+    val bits = e.join(broadcast(signs), "pos")
+      .groupBy("vec_id", "p")
+      .agg((sum(col("q") * col("s")) >= 0).cast("long").as("bit"))
+    val bands = bits
+      .groupBy(col("vec_id"), (col("p") / HpBandBits).cast("long").as("band"))
+      .agg(sum(expr(s"shiftleft(bit, cast(p % $HpBandBits AS int))")).as("bsig"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.vec_id") =!= col("b.vec_id") && col("a.vec_id") < NQueries)
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+    val scored = cands
+      .join(full.select(col("vec_id").as("qid"), col("embedding"), col("nrm")).as("a"), "qid")
+      .join(full.select(col("vec_id").as("nid"), col("embedding"), col("nrm")).as("b"), "nid")
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val lshHyperplaneSql: String =
+    s"""WITH eq AS (
+       |  SELECT vec_id, i - 1 AS pos, round(embedding[i]::DOUBLE * $HpScale)::BIGINT AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |), signs AS (
+       |  SELECT p, pos,
+       |    CASE WHEN ('0x' || substr(md5(p || '-' || pos || '-' || 'hp'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, $HpPlanes)) AS p)
+       |  CROSS JOIN (SELECT DISTINCT pos FROM eq)
+       |), bits AS (
+       |  SELECT eq.vec_id, signs.p,
+       |    CASE WHEN sum(eq.q * signs.s) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM eq JOIN signs ON eq.pos = signs.pos
+       |  GROUP BY eq.vec_id, signs.p
+       |), bands AS (
+       |  SELECT vec_id, p // $HpBandBits AS band,
+       |    sum(bit * (1 << (p % $HpBandBits)))::BIGINT AS bsig
+       |  FROM bits GROUP BY vec_id, p // $HpBandBits
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NQueries
+       |), e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.qid
+       |  JOIN e b ON b.vec_id = c.nid
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_knn_bruteforce" -> (knnBruteForce _),
-    "q_knn_ivf"        -> (knnIvf _),
-    "q_knn_lsh"        -> (knnLsh _),
+    "q_knn_bruteforce"  -> (knnBruteForce _),
+    "q_knn_ivf"         -> (knnIvf _),
+    "q_knn_lsh"         -> (knnLsh _),
+    "q_lsh_hyperplane"  -> (lshHyperplane _),
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_knn_bruteforce" -> knnBruteForceSql,
-    "q_knn_ivf"        -> knnIvfSql,
+    "q_knn_bruteforce"  -> knnBruteForceSql,
+    "q_knn_ivf"         -> knnIvfSql,
+    "q_lsh_hyperplane"  -> lshHyperplaneSql,
     // q_knn_lsh: MLlib hashing — not SQL-expressible, rows-only check
   )
 }

@@ -749,7 +749,63 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Vowel runs at or above which a token counts as "complex". */
+  val ComplexSyllables = 3
+
+  /** Readability profile per source — Gunning-Fog-style ingredients
+    * computed treating each doc as one sentence unit: vowel-run count
+    * as the syllable stand-in (the standard heuristic when no
+    * dictionary is available), complex-word share (≥
+    * [[ComplexSyllables]] runs), and fog = 0.4·(words/doc +
+    * 100·complex/words). Every rate is a SINGLE division of exact
+    * integer corpus totals — not an average of per-doc floats — so no
+    * summation-order noise exists anywhere in the query. One exploded
+    * scan + one aggregate; linear at any corpus size.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), explode(split(expr(normSpark), " ")).as("t"))
+      .withColumn("syll", size(expr("regexp_extract_all(t, '[aeiou]+', 0)")))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_words"),
+           sum(length(col("t"))).as("n_chars"),
+           sum(col("syll")).as("n_syllables"),
+           sum((col("syll") >= ComplexSyllables).cast("long")).as("n_complex"))
+      .withColumn("avg_word_len", round(col("n_chars") / col("n_words"), 6))
+      .withColumn("syll_per_word", round(col("n_syllables") / col("n_words"), 6))
+      .withColumn("complex_share", round(col("n_complex") / col("n_words"), 6))
+      .withColumn("fog", round(
+        (col("n_words") / col("n_docs") + lit(100.0) * col("n_complex") / col("n_words")) * 0.4, 4))
+      .select("source", "n_docs", "n_words", "n_complex",
+              "avg_word_len", "syll_per_word", "complex_share", "fog")
+      .orderBy("source")
+
+  val readabilitySql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, unnest(string_split($normDuck, ' ')) AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT source, doc_id, t,
+       |    len(regexp_extract_all(t, '[aeiou]+')) AS syll
+       |  FROM t
+       |), agg AS (
+       |  SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       |    sum(length(t))::BIGINT AS n_chars,
+       |    sum(syll)::BIGINT AS n_syllables,
+       |    sum(CASE WHEN syll >= $ComplexSyllables THEN 1 ELSE 0 END)::BIGINT AS n_complex
+       |  FROM m GROUP BY source
+       |)
+       |SELECT source, n_docs, n_words, n_complex,
+       |  round(n_chars / n_words::DOUBLE, 6) AS avg_word_len,
+       |  round(n_syllables / n_words::DOUBLE, 6) AS syll_per_word,
+       |  round(n_complex / n_words::DOUBLE, 6) AS complex_share,
+       |  round((n_words / n_docs::DOUBLE + 100.0 * n_complex / n_words::DOUBLE) * 0.4, 4) AS fog
+       |FROM agg
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_readability"    -> (readability _),
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
     "q_quality_score"  -> (qualityScore _),
@@ -766,6 +822,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_readability"    -> readabilitySql,
     "q_text_profile"   -> textProfileSql,
     "q_lang_id"        -> langIdSql,
     "q_quality_score"  -> qualityScoreSql,

@@ -102,4 +102,42 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
       assert(row.getAs[String]("name_a") < row.getAs[String]("name_b"))
     }
   }
+
+  test("hyperplane LSH: structure valid and deterministic across runs") {
+    val a = operators.Similarity.lshHyperplane(spark, sfTest).collect().toSeq
+    assert(a.nonEmpty)
+    a.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      assert(rows.length <= operators.Similarity.K)
+      assert(rows.map(_.getAs[Int]("rk")).sorted === (1 to rows.length))
+      rows.foreach(r => assert(r.getAs[Long]("neighbor_id") !== qid))
+    }
+    val b = operators.Similarity.lshHyperplane(spark, sfTest).collect().toSeq
+    assert(a === b)
+  }
+
+  test("readability: shares in range, fog positive") {
+    operators.TextAnalysis.readability(spark, sfTest).collect().foreach { row =>
+      val cs = row.getAs[Double]("complex_share")
+      assert(cs >= 0.0 && cs <= 1.0)
+      assert(row.getAs[Double]("fog") > 0.0)
+      assert(row.getAs[Double]("syll_per_word") > 0.0)
+    }
+  }
+
+  test("data quality: fixtures are healthy (all violations zero)") {
+    val m = operators.Relational.dataQuality(spark, sfTest).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("value")).toMap
+    assert(m("rows_lineitem") > 0 && m("rows_orders") > 0)
+    Seq("dup_orders_pk", "orphan_lineitems", "orphan_orders",
+        "null_quantity", "discount_out_of_range", "nonpositive_quantity").foreach { c =>
+      assert(m(c) === 0L, s"$c expected 0, got ${m(c)}")
+    }
+    // the synthetic fixture's line numbering is NOT unique per order —
+    // a genuine data finding the audit is supposed to surface; pin it
+    // against an independent recount
+    import org.apache.spark.sql.functions._
+    val dup = Tables.lineitem(spark, sfTest)
+      .groupBy("l_orderkey", "l_linenumber").count().where(col("count") > 1).count()
+    assert(m("dup_lineitem_pk") === dup)
+  }
 }
