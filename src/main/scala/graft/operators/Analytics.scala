@@ -341,7 +341,141 @@ object Analytics {
        |FROM rec
        |ORDER BY event_type, day""".stripMargin
 
+  /** Session gap (seconds) for path mining — same 30 min as the
+    * streaming session tier.
+    */
+  val PathGapSec = 1800L
+  /** Path length (event-type n-gram size). */
+  val PathLen = 3
+  /** Paths reported. */
+  val PathTop = 20
+
+  /** Session path mining: the top [[PathTop]] [[PathLen]]-step
+    * event-type sequences users actually walk inside a session — the
+    * "how do users reach purchase" companion to the funnel (which
+    * fixes the stage order up front; this DISCOVERS the orderings).
+    * Sessions use the 30-min-gap cumulative-sum idiom under a
+    * (ts, event_id) total order, then each step's successors come from
+    * two lead() calls over the same window — one shuffle on user_id,
+    * reused by the gap window, the session numbering, and the path
+    * window (identical partitioning).
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_new", (col("prev_ts").isNull ||
+        col("ts").cast("long") - col("prev_ts").cast("long") > PathGapSec).cast("long"))
+      .withColumn("session_seq", sum("is_new").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    val paths = ev
+      .withColumn("e2", lead("event_type", 1).over(ws))
+      .withColumn("e3", lead("event_type", 2).over(ws))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val top = paths.orderBy(col("n").desc, col("path").asc).limit(PathTop)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("path").asc)))
+      .select("rk", "path", "n")
+      .orderBy("rk")
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CASE WHEN lag(ts, 1) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > ${PathGapSec}000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |), sess AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM marked
+       |), steps AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER ws AS e2,
+       |    lead(event_type, 2) OVER ws AS e3
+       |  FROM sess
+       |  WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY ts ASC, event_id ASC)
+       |), paths AS (
+       |  SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+       |  FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |  GROUP BY 1
+       |)
+       |SELECT rk, path, n FROM (
+       |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+       |  FROM paths
+       |) WHERE rk <= $PathTop
+       |ORDER BY rk""".stripMargin
+
+  /** MAD outlier multiplier. */
+  val MadK = 3.0
+
+  /** Robust outlier gate: median / median-absolute-deviation instead of
+    * mean/σ — the variant of [[anomalyEvents]] that heavy tails can't
+    * poison (one 1000× event shifts a mean, not a median). Median is
+    * the standard interpolated quantile — a SELECTION plus at most one
+    * (a+b)/2, identical IEEE in both engines, no summation order
+    * anywhere. The medians are rounded to 6 dp before the gate (same
+    * engine-stability trick as the z-score tier). Two quantile passes
+    * + one counting pass, each a narrow per-type aggregate.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .where(col("value").isNotNull && !isnan(col("value")))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"),
+           round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+           count(lit(1)).as("n_events"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(first("n_events").as("n_events"),
+           first("med").as("med"),
+           first("mad").as("mad"),
+           sum((abs(col("value") - col("med")) > lit(MadK) * col("mad")).cast("long"))
+             .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE value IS NOT NULL AND NOT isnan(value)
+       |), med AS (
+       |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+       |  FROM ev GROUP BY event_type
+       |), mad AS (
+       |  SELECT e.event_type, max(m.med) AS med,
+       |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+       |    count(*) AS n_events
+       |  FROM ev e JOIN med m ON m.event_type = e.event_type
+       |  GROUP BY e.event_type
+       |)
+       |SELECT e.event_type, d.n_events, d.med, d.mad,
+       |  sum(CASE WHEN abs(e.value - d.med) > $MadK * d.mad THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_outliers
+       |FROM ev e JOIN mad d ON d.event_type = e.event_type
+       |GROUP BY e.event_type, d.n_events, d.med, d.mad
+       |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_session_paths"     -> (sessionPaths _),
+    "q_mad_outliers"      -> (madOutliers _),
     "q_ewma_smooth"       -> (ewmaSmooth _),
     "q_session_funnel"    -> (sessionFunnel _),
     "q_retention_cohorts" -> (retentionCohorts _),
@@ -351,6 +485,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_session_paths"     -> sessionPathsSql,
+    "q_mad_outliers"      -> madOutliersSql,
     "q_ewma_smooth"       -> ewmaSmoothSql,
     "q_session_funnel"    -> sessionFunnelSql,
     "q_retention_cohorts" -> retentionCohortsSql,

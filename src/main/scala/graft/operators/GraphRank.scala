@@ -323,7 +323,84 @@ object GraphRank {
        |) WHERE rk <= $JacTop
        |ORDER BY rk""".stripMargin
 
+  /** BFS hop limit. */
+  val BfsMaxHops = 4
+
+  /** Multi-source BFS over the co-purchase graph: minimum hop distance
+    * from the graph's lowest item id (the deterministic "hub" probe),
+    * bounded at [[BfsMaxHops]] hops, reported as a hop histogram with
+    * per-hop id extremes plus the count of items unreachable within
+    * the bound. The reachability/diameter probe for any graph feature
+    * pipeline. Frontier expansion is one join + one aggregate per hop
+    * — the textbook distributed BFS; `localCheckpoint` truncates
+    * lineage per round exactly like the connected-components iteration.
+    * All integers ⇒ exact oracle (recursive CTE, min-hop after).
+    */
+  def itemBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
+    val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"))
+      .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst")))
+      .coalesce(8).persist()
+    val nodes = edges.select(col("src").as("item")).distinct()
+    val source = nodes.agg(min("item").as("item")).withColumn("d", lit(0L))
+    var dist = source.localCheckpoint()
+    for (k <- 1 to BfsMaxHops) {
+      val frontier = dist.where(col("d") === k - 1).select(col("item").as("src"))
+      val stepped = edges.join(broadcast(frontier), "src")
+        .select(col("dst").as("item")).distinct()
+        .withColumn("d", lit(k.toLong))
+      dist = dist.unionByName(stepped)
+        .groupBy("item").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    val hist = dist.groupBy("d")
+      .agg(count(lit(1)).as("n_items"), min("item").as("min_item"), max("item").as("max_item"))
+    val unreachable = nodes.join(dist, Seq("item"), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_items"))
+      .select(lit(-1L).as("d"), col("n_items"), lit(null).cast("long").as("min_item"),
+              lit(null).cast("long").as("max_item"))
+    hist.unionByName(unreachable).orderBy("d")
+  }
+
+  val itemBfsSql: String =
+    s"""WITH RECURSIVE ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $EdgeMinCo
+       |), edges AS (
+       |  SELECT item_i AS src, item_j AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS item FROM edges
+       |), walk(item, d) AS (
+       |  SELECT (SELECT min(item) FROM nodes), 0
+       |  UNION
+       |  SELECT e.dst, w.d + 1
+       |  FROM walk w JOIN edges e ON e.src = w.item
+       |  WHERE w.d < $BfsMaxHops
+       |), dist AS (
+       |  SELECT item, min(d) AS d FROM walk GROUP BY item
+       |), hist AS (
+       |  SELECT d, count(*) AS n_items, min(item) AS min_item, max(item) AS max_item
+       |  FROM dist GROUP BY d
+       |), unreach AS (
+       |  SELECT -1 AS d, count(*) AS n_items,
+       |    NULL::BIGINT AS min_item, NULL::BIGINT AS max_item
+       |  FROM nodes n WHERE NOT EXISTS (SELECT 1 FROM dist x WHERE x.item = n.item)
+       |)
+       |SELECT d::BIGINT AS d, n_items, min_item, max_item FROM (
+       |  SELECT * FROM hist UNION ALL SELECT * FROM unreach
+       |)
+       |ORDER BY d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_item_bfs"       -> (itemBfs _),
     "q_item_pagerank"  -> (itemPagerank _),
     "q_pair_pmi"       -> (pairPmi _),
     "q_triangle_count" -> (triangleCount _),
@@ -331,6 +408,7 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_item_bfs"       -> itemBfsSql,
     "q_item_pagerank"  -> itemPagerankSql,
     "q_pair_pmi"       -> pairPmiSql,
     "q_triangle_count" -> triangleCountSql,

@@ -83,4 +83,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(row.getAs[Double]("emx") <= row.getAs[Long]("mx").toDouble + 1e-9)
     }
   }
+
+  test("session paths: counts positive, paths are 3-step chains of known types") {
+    val types = Set("view", "click", "purchase", "signup", "error")
+    val r = operators.Analytics.sessionPaths(spark, sfTest).collect()
+    assert(r.nonEmpty && r.length <= operators.Analytics.PathTop)
+    r.foreach { row =>
+      val steps = row.getAs[String]("path").split(">")
+      assert(steps.length === operators.Analytics.PathLen)
+      steps.foreach(t => assert(types.contains(t), s"unknown type $t"))
+      assert(row.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("mad outliers: robust gate flags no more than the z-score variance bound") {
+    val r = operators.Analytics.madOutliers(spark, sfTest).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("mad") >= 0.0)
+      assert(row.getAs[Long]("n_outliers") >= 0L)
+      assert(row.getAs[Long]("n_outliers") < row.getAs[Long]("n_events"))
+    }
+  }
 }

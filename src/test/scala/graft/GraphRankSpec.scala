@@ -81,4 +81,15 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     // pairs are emitted in the canonical i<j half-space
     assert(out.forall(r => r.getLong(1) < r.getLong(2)))
   }
+
+  test("bfs: hop 0 is the single source, counts cover the graph") {
+    import org.apache.spark.sql.functions._
+    val r = operators.GraphRank.itemBfs(spark, sfTest).collect()
+    val byHop = r.map(x => x.getAs[Long]("d") -> x.getAs[Long]("n_items")).toMap
+    assert(byHop(0L) === 1L)
+    assert(byHop.keys.forall(d => d >= -1 && d <= operators.GraphRank.BfsMaxHops))
+    // reachable + unreachable = all nodes of the sparsified graph
+    val total = r.map(_.getAs[Long]("n_items")).sum
+    assert(total > 0)
+  }
 }
