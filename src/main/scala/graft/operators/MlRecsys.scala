@@ -191,11 +191,71 @@ object MlRecsys {
       .orderBy("user_id", "rk")
   }
 
+  /** M5b ALS with IMPLICIT feedback (Hu–Koren 2008): interaction
+    * strength becomes a confidence weight on a binary preference, the
+    * right formulation when there are no true ratings — which is
+    * exactly this fixture's shape (purchase quantities, not stars).
+    * Same block/seed settings as the explicit tier; rows-only check.
+    */
+  def alsImplicit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = Tables.interactions(spark, sfDir)
+      .select(col("user_id").cast("int").as("user"),
+              col("item_id").cast("int").as("item"),
+              col("strength").cast("float").as("rating"))
+    val als = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setImplicitPrefs(true).setAlpha(1.0)
+      .setRank(8).setMaxIter(5).setRegParam(0.1)
+      .setSeed(Seed).setColdStartStrategy("drop")
+      .setNumUserBlocks(4).setNumItemBlocks(4)
+    val model = als.fit(ratings)
+    val subset = ratings.select("user").distinct().where(col("user") < 200)
+    model.recommendForUserSubset(subset, 5)
+      .select(col("user").as("user_id"), posexplode(col("recommendations")))
+      .select(col("user_id"), (col("pos") + 1).as("rk"),
+              col("col.item").as("item_id"),
+              round(col("col.rating"), 4).as("score"))
+      .orderBy("user_id", "rk")
+  }
+
+  /** M-family sequential pattern mining: MLlib PrefixSpan over the
+    * per-user time-ordered item sequences (each order's basket is one
+    * itemset step). The gap-insensitive generalization of
+    * [[Recsys.seqBuyPairs]] — patterns may skip steps. Exact and
+    * seedless, but its output is frequent SEQUENCES of itemsets, whose
+    * SQL reconstruction beyond length 2 is not practical — rows-only
+    * check; the spec cross-checks the length-1 patterns against plain
+    * counts.
+    */
+  def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val seqs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
+      .groupBy("o_custkey")
+      .agg(transform(
+        sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"), col("basket")))),
+        s => s.getField("basket")).as("sequence"))
+    val ps = new org.apache.spark.ml.fpm.PrefixSpan()
+      .setSequenceCol("sequence")
+      .setMinSupport(0.01).setMaxPatternLength(3)
+    ps.findFrequentSequentialPatterns(seqs)
+      .select(concat_ws(";", expr(
+        "transform(sequence, step -> concat_ws(',', transform(step, x -> cast(x AS string))))"))
+          .as("pattern"),
+        size(col("sequence")).as("n_steps"), col("freq"))
+      .orderBy(col("freq").desc, col("pattern").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_als_recommend"     -> (alsRecommend _),
+    "q_als_implicit"      -> (alsImplicit _),
     "q_fpgrowth_itemsets" -> (fpgrowthItemsets _),
     "q_item2vec_synonyms" -> (item2vecSynonyms _),
     "q_lr_ranking"        -> (lrRanking _),
+    "q_seq_patterns"      -> (seqPatterns _),
   )
 
   /** Seeded/iterative MLlib models (ALS, Word2Vec, LR) are not

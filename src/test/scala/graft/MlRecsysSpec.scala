@@ -46,4 +46,29 @@ class MlRecsysSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length === 5)
     assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
   }
+
+  test("implicit ALS: bounded ranked lists, finite scores") {
+    val r = operators.MlRecsys.alsImplicit(spark, sfTest).cache()
+    assert(r.count() > 0)
+    val perUser = r.groupBy("user_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+    assert(perUser.where(col("n") > 5 || col("maxrk") =!= col("n")).count() === 0)
+    assert(r.where(col("score").isNull || isnan(col("score"))).count() === 0)
+  }
+
+  test("prefixspan: length-1 patterns match plain sequence-support counts") {
+    val pats = operators.MlRecsys.seqPatterns(spark, sfTest).cache()
+    assert(pats.count() > 0)
+    // support of a single-item pattern = number of users whose sequence
+    // contains the item in at least one basket
+    val o = Tables.orders(spark, sfTest).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfTest).select("l_orderkey", "l_partkey")
+    val support = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_users"))
+    val singles = pats.where(col("n_steps") === 1 && !col("pattern").contains(","))
+      .select(col("pattern").cast("long").as("l_partkey"), col("freq"))
+    val bad = singles.join(support, "l_partkey")
+      .where(col("freq") =!= col("n_users")).count()
+    assert(bad === 0)
+  }
 }
