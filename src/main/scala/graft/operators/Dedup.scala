@@ -596,6 +596,10 @@ object Dedup {
        |) WHERE rk <= $FuzzyTop
        |ORDER BY rk""".stripMargin
 
+  /** Force-build the memoized shingle set (see [[Recsys.warm]]). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    shingles(spark, sfDir).count()
+
   val queries: Map[String, Q] = Map(
     "q_fuzzy_names"       -> (fuzzyNames _),
     "q_dedup_exact"       -> (exactDedup _),
