@@ -123,4 +123,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"),
       "1-row bloom must attach via broadcast nested loop, not cartesian")
   }
+
+  test("kmeans: centroid tables broadcast into the assignment join") {
+    val pl = plan(operators.Training.kmeansEmbed(planSession, sfTest))
+    assert(pl.contains("BroadcastHashJoin"), "K*dims centroids must broadcast")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("negative_sample: item index broadcasts, positives anti-join without cartesian") {
+    val pl = plan(operators.Training.negativeSample(planSession, sfTest))
+    assert(pl.contains("BroadcastHashJoin"), "dense item index must broadcast")
+    assert(pl.contains("LeftAnti"), "positives must be excluded via anti join")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("c4_filter: documents scan pruned to the used columns") {
+    val pl = plan(operators.TextAnalysis.c4Filter(planSession, sfTest))
+    assert(!pl.contains("n_chars") && !pl.contains("lang"),
+      "unused documents columns must not reach the scan")
+  }
+
+  test("trending: anchor date rides a broadcast, single fact aggregate") {
+    val pl = plan(operators.Recsys.trendingItems(planSession, sfTest))
+    assert(pl.contains("BroadcastNestedLoopJoin") || pl.contains("BroadcastHashJoin"),
+      "1-row anchor must broadcast")
+    assert(pl.contains("TakeOrderedAndProject"),
+      "global top-N must plan as TakeOrderedAndProject, not a full sort")
+  }
+
+  test("lsh_hyperplane: sign table broadcasts; candidate join is not all-pairs") {
+    val pl = plan(operators.Similarity.lshHyperplane(planSession, sfTest))
+    assert(pl.contains("BroadcastHashJoin"), "planes x dims sign table must broadcast")
+    assert(!pl.contains("CartesianProduct"))
+  }
 }
