@@ -600,7 +600,64 @@ object Dedup {
   def warm(spark: SparkSession, sfDir: String): Unit =
     shingles(spark, sfDir).count()
 
+  /** Containment threshold (|A∩B| / |A|). */
+  val ContainThreshold = 0.4
+
+  /** Asymmetric containment similarity C(A→B) = |A∩B| / |A| over the
+    * shared shingle set — the sub-document detector: a short document
+    * quoted inside a long one scores high containment while its
+    * Jaccard stays low (the union washes it out), which is why corpus
+    * pipelines run BOTH tiers (Broder's containment vs resemblance
+    * distinction). Rides the same memoized shingle table and PairPack
+    * inverted index as the Jaccard tier — zero new shuffles beyond the
+    * pair aggregate — and emits each qualifying DIRECTED edge.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= HotShingleDf)
+      .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .withColumn("doc_a", shiftright(col("pk"), 32))
+      .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
+      .drop("pk")
+    val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("inter"))
+      .unionByName(inter.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("inter")))
+    directed
+      .join(broadcast(sizes.select(col("doc_id").as("src"), col("ns").as("n_src"))), "src")
+      .withColumn("containment", round(col("inter") / col("n_src"), 6))
+      .where(col("containment") >= ContainThreshold)
+      .select(col("src").as("doc_contained"), col("dst").as("doc_container"),
+              col("inter"), col("n_src"), col("containment"))
+      .orderBy("doc_contained", "doc_container")
+  }
+
+  val containmentSql: String =
+    s"""WITH $shinglesSql, sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), keep AS (
+       |  SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleDf
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  JOIN keep k ON k.s = x.s
+       |  GROUP BY 1, 2
+       |), directed AS (
+       |  SELECT doc_a AS src, doc_b AS dst, inter FROM inter
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst, inter FROM inter
+       |)
+       |SELECT d.src AS doc_contained, d.dst AS doc_container,
+       |  d.inter, z.ns AS n_src,
+       |  round(d.inter / z.ns::DOUBLE, 6) AS containment
+       |FROM directed d JOIN sizes z ON z.doc_id = d.src
+       |WHERE round(d.inter / z.ns::DOUBLE, 6) >= $ContainThreshold
+       |ORDER BY doc_contained, doc_container""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_containment"       -> (containment _),
     "q_fuzzy_names"       -> (fuzzyNames _),
     "q_dedup_exact"       -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -613,6 +670,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_containment"       -> containmentSql,
     "q_fuzzy_names"       -> fuzzyNamesSql,
     "q_dedup_exact"       -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -356,4 +356,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got == expected)
   }
+
+  test("stream-static broadcast join: event weights enrich the stream") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // static dimension: per-type implicit-feedback weights
+    val dim = Seq(("view", 1.0), ("click", 2.0), ("purchase", 5.0))
+      .toDF("event_type", "w")
+    val got = runStream(
+      st => st.join(broadcast(dim), Seq("event_type"), "left")
+        .groupBy("user_id")
+        .agg(sum(coalesce($"w", lit(0.0)) * $"value").as("wsum")),
+      OutputMode.Complete())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wmap = Map("view" -> 1.0, "click" -> 2.0, "purchase" -> 5.0)
+    val expected = fixture.groupBy(_.user_id).map { case (u, evs) =>
+      u -> evs.map(e => wmap.getOrElse(e.event_type, 0.0) * e.value).sum
+    }
+    assert(got == expected)
+  }
 }
