@@ -473,7 +473,76 @@ object Analytics {
        |GROUP BY e.event_type, d.n_events, d.med, d.mad
        |ORDER BY e.event_type""".stripMargin
 
+  /** Latest-record-per-key snapshot — the "current view" every
+    * SCD-style event table serves: each user's single most recent
+    * event under the (ts, event_id) total order, picked with one
+    * max_by aggregate (no sort, no window — the aggregate's partial
+    * phase keeps one row per key per partition, the cheapest possible
+    * shape for this at scale), then rolled up by the latest event's
+    * type. Epoch micros in the output keep timestamps engine-portable.
+    */
+  def latestSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val latest = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(event_type AS t, value AS v), struct(ts, event_id))").as("m"),
+           max(struct(col("ts"), col("event_id"))).as("k"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("m.t").as("event_type"), col("m.v").as("value"),
+              unix_micros(col("k.ts")).as("ts_us"), col("n_events"))
+    latest.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+           round(avg("n_events"), 4).as("avg_history"),
+           max("ts_us").as("latest_ts_us"))
+      .orderBy("event_type")
+  }
+
+  val latestSnapshotSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_users,
+      |  round(avg(n_events), 4) AS avg_history,
+      |  max(ts_us) AS latest_ts_us
+      |FROM ranked WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Histogram bin width for the value distribution. */
+  val HistBinWidth = 25.0
+
+  /** Fixed-width histogram of event values per type — the binned
+    * distribution report dashboards draw. Bin assignment is one
+    * floor-division on identical doubles (engine-exact); counts are
+    * integers; bin bounds are emitted so the output is self-describing.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(col("value").isNotNull && !isnan(col("value")))
+      .withColumn("bin", floor(col("value") / HistBinWidth).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bin") * HistBinWidth)
+      .withColumn("hi", (col("bin") + 1) * HistBinWidth)
+      .select("event_type", "bin", "lo", "hi", "n")
+      .orderBy("event_type", "bin")
+
+  val valueHistogramSql: String =
+    s"""SELECT event_type, bin, (bin * $HistBinWidth)::DOUBLE AS lo, ((bin + 1) * $HistBinWidth)::DOUBLE AS hi,
+       |  count(*) AS n
+       |FROM (
+       |  SELECT event_type, floor(value / $HistBinWidth)::BIGINT AS bin
+       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+       |)
+       |GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_latest_snapshot"   -> (latestSnapshot _),
+    "q_value_histogram"   -> (valueHistogram _),
     "q_session_paths"     -> (sessionPaths _),
     "q_mad_outliers"      -> (madOutliers _),
     "q_ewma_smooth"       -> (ewmaSmooth _),
@@ -485,6 +554,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_latest_snapshot"   -> latestSnapshotSql,
+    "q_value_histogram"   -> valueHistogramSql,
     "q_session_paths"     -> sessionPathsSql,
     "q_mad_outliers"      -> madOutliersSql,
     "q_ewma_smooth"       -> ewmaSmoothSql,

@@ -105,4 +105,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(row.getAs[Long]("n_outliers") < row.getAs[Long]("n_events"))
     }
   }
+
+  test("latest snapshot: user counts partition the user base") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.latestSnapshot(spark, sfTest)
+    val total = r.agg(sum("n_users")).head.getLong(0)
+    val users = Tables.events(spark, sfTest).select("user_id").distinct().count()
+    assert(total === users, "every user has exactly one latest event")
+  }
+
+  test("histogram: bin counts sum to the non-null event count, bounds consistent") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.valueHistogram(spark, sfTest).cache()
+    val total = r.agg(sum("n")).head.getLong(0)
+    val evs = Tables.events(spark, sfTest)
+      .where(col("value").isNotNull && !isnan(col("value"))).count()
+    assert(total === evs)
+    assert(r.where(col("hi") - col("lo") =!= operators.Analytics.HistBinWidth).count() === 0)
+  }
 }
