@@ -540,7 +540,133 @@ object Analytics {
        |GROUP BY event_type, bin
        |ORDER BY event_type, bin""".stripMargin
 
+  /** Inactivity horizon (hours before the corpus max) defining churn —
+    * hour-scale because the fixture stream is dense (every user fires
+    * multiple events per day, so a day-scale horizon churns nobody;
+    * probed at all SFs for a split that actually discriminates).
+    */
+  val ChurnHours = 24
+
+  /** Churn labeling — the supervised-target generator for retention
+    * models: a user is churned iff they have no event in the final
+    * [[ChurnHours]] hours before the stream's max timestamp. Emits the
+    * label-conditioned feature profile (population, history length,
+    * purchase share, span) — exactly the table a trainer joins
+    * features against, and the sanity check (do churned users look
+    * different?) an ML pipeline runs before fitting. Anchor is a
+    * 1-row broadcast; everything else is one user-keyed aggregate.
+    */
+  def churnLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val anchor = ev.agg(max("ts").as("tmax"))
+    val perUser = ev.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+           (unix_micros(max(col("ts"))) >=
+             unix_micros(max(col("tmax"))) - lit(ChurnHours * 3600000000L))
+             .as("active_recently"),
+           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .withColumn("churned", (!col("active_recently")).cast("long"))
+    perUser.groupBy("churned")
+      .agg(count(lit(1)).as("n_users"),
+           round(avg("n_events"), 4).as("avg_events"),
+           round(avg(col("n_purchases") / col("n_events")), 6).as("avg_purchase_share"),
+           round(avg(col("span_us") / 86400000000.0), 4).as("avg_span_days"))
+      .orderBy("churned")
+  }
+
+  val churnLabelsSql: String =
+    s"""WITH anchor AS (
+       |  SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events
+       |), per_user AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       |    CASE WHEN max(epoch_us(ts::TIMESTAMP)) >=
+       |              (SELECT tmax FROM anchor) - ${ChurnHours}::BIGINT * 3600000000
+       |         THEN 0 ELSE 1 END AS churned,
+       |    max(epoch_us(ts::TIMESTAMP)) - min(epoch_us(ts::TIMESTAMP)) AS span_us
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT churned::BIGINT AS churned, count(*) AS n_users,
+       |  round(avg(n_events), 4) AS avg_events,
+       |  round(avg(n_purchases / n_events::DOUBLE), 6) AS avg_purchase_share,
+       |  round(avg(span_us / 86400000000.0), 4) AS avg_span_days
+       |FROM per_user
+       |GROUP BY churned
+       |ORDER BY churned""".stripMargin
+
+  /** Deterministic A/B assignment + two-proportion test: users split
+    * into arms by key-hash parity (the reproducible assignment every
+    * experimentation platform uses — rerunning the analysis never
+    * reshuffles arms), "conversion" = heavy purchaser (purchase share
+    * above 20% — every fixture user purchases at least once, so raw
+    * purchase incidence is degenerate), then per-arm rates and the
+    * pooled two-proportion z statistic, zero-guarded for degenerate
+    * pools. On hash-split arms of one population z ≈ 0 — the A/A test
+    * that validates the pipeline. Counts are exact; the z formula is
+    * one IEEE expression rounded.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum((col("event_type") === "purchase").cast("long")) * 5 > count(lit(1)))
+        .cast("long").as("converted"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'ab')), 1, 8), 16, 10) AS bigint)") % 2)
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      .withColumn("rate", round(col("n_converted") / col("n_users"), 6))
+    val wide = arms.agg(
+      sum(when(col("arm") === 0, col("n_users"))).as("na"),
+      sum(when(col("arm") === 0, col("n_converted"))).as("ca"),
+      sum(when(col("arm") === 1, col("n_users"))).as("nb"),
+      sum(when(col("arm") === 1, col("n_converted"))).as("cb"))
+    arms.select("arm", "n_users", "n_converted", "rate")
+      .crossJoin(broadcast(wide.select({
+        val p = (col("ca") + col("cb")) / (col("na") + col("nb"))
+        val den = sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+        when(den > 0, round((col("ca") / col("na") - col("cb") / col("nb")) / den, 4))
+          .otherwise(lit(0.0)).as("z_stat")
+      })))
+      .orderBy("arm")
+  }
+
+  val abTestSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 > count(*)
+      |         THEN 1 ELSE 0 END AS converted,
+      |    ('0x' || substr(md5(user_id || '-' || 'ab'), 1, 8))::BIGINT % 2 AS arm
+      |  FROM events GROUP BY user_id
+      |), arms AS (
+      |  SELECT arm, count(*) AS n_users, sum(converted)::BIGINT AS n_converted,
+      |    round(sum(converted) / count(*)::DOUBLE, 6) AS rate
+      |  FROM per_user GROUP BY arm
+      |), wide AS (
+      |  SELECT
+      |    sum(CASE WHEN arm = 0 THEN n_users END) AS na,
+      |    sum(CASE WHEN arm = 0 THEN n_converted END) AS ca,
+      |    sum(CASE WHEN arm = 1 THEN n_users END) AS nb,
+      |    sum(CASE WHEN arm = 1 THEN n_converted END) AS cb
+      |  FROM arms
+      |)
+      |SELECT arm, n_users, n_converted, rate,
+      |  (SELECT CASE WHEN sqrt((ca + cb) / (na + nb)::DOUBLE
+      |                    * (1.0 - (ca + cb) / (na + nb)::DOUBLE)
+      |                    * (1.0 / na + 1.0 / nb)) > 0
+      |          THEN round((ca / na::DOUBLE - cb / nb::DOUBLE) /
+      |            sqrt((ca + cb) / (na + nb)::DOUBLE
+      |                 * (1.0 - (ca + cb) / (na + nb)::DOUBLE)
+      |                 * (1.0 / na + 1.0 / nb)), 4)
+      |          ELSE 0.0 END FROM wide) AS z_stat
+      |FROM arms
+      |ORDER BY arm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_churn_labels"      -> (churnLabels _),
+    "q_ab_test"           -> (abTest _),
     "q_latest_snapshot"   -> (latestSnapshot _),
     "q_value_histogram"   -> (valueHistogram _),
     "q_session_paths"     -> (sessionPaths _),
@@ -554,6 +680,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_churn_labels"      -> churnLabelsSql,
+    "q_ab_test"           -> abTestSql,
     "q_latest_snapshot"   -> latestSnapshotSql,
     "q_value_histogram"   -> valueHistogramSql,
     "q_session_paths"     -> sessionPathsSql,

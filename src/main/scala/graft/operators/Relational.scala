@@ -1119,7 +1119,97 @@ object Relational {
       |)
       |ORDER BY check_name""".stripMargin
 
+  /** Days after order date beyond which a shipment counts as late. */
+  val LateDays = 60
+
+  /** Late-shipment SLA report (the TPC-H Q4 shape on this schema):
+    * orders counted by priority when AT LEAST ONE lineitem shipped
+    * more than [[LateDays]] days after the order date — an existence
+    * predicate, so the lineitem side enters through a LEFT SEMI join
+    * (never multiplying order rows by their line count), with the
+    * date residual evaluated inside the join. Share is late orders
+    * over all orders of the priority.
+    */
+  def lateShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    val late = o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr(s"interval $LateDays days"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+    val all = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    all.join(late, Seq("o_orderpriority"), "left")
+      .withColumn("n_late", coalesce(col("n_late"), lit(0L)))
+      .withColumn("late_share", round(col("n_late") / col("n_orders"), 6))
+      .orderBy("o_orderpriority")
+  }
+
+  val lateShipmentsSql: String =
+    s"""WITH late AS (
+       |  SELECT o_orderpriority, count(*) AS n_late
+       |  FROM orders o
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+       |  GROUP BY o_orderpriority
+       |), alls AS (
+       |  SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+       |)
+       |SELECT a.o_orderpriority, a.n_orders,
+       |  coalesce(late.n_late, 0)::BIGINT AS n_late,
+       |  round(coalesce(late.n_late, 0) / a.n_orders::DOUBLE, 6) AS late_share
+       |FROM alls a LEFT JOIN late ON late.o_orderpriority = a.o_orderpriority
+       |ORDER BY a.o_orderpriority""".stripMargin
+
+  /** Suppliers reported per part by the market-share query. */
+  val ShareTopSuppliers = 3
+
+  /** Supplier market share within part — the ratio-to-report window
+    * idiom: per (part, supplier) revenue, each supplier's share of the
+    * part's total via a partition-total window (no self-join back to
+    * the aggregate), top [[ShareTopSuppliers]] suppliers per part for
+    * the first 25 parts. Revenue sums are rounded BEFORE the share
+    * division, so both engines divide identical numerators.
+    */
+  def supplierShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_partkey") < 25)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    val w = Window.partitionBy("l_partkey")
+    val wr = Window.partitionBy("l_partkey").orderBy(col("revenue").desc, col("l_suppkey").asc)
+    rev.withColumn("part_total", round(sum("revenue").over(w), 4))
+      .withColumn("share", round(col("revenue") / col("part_total"), 6))
+      .withColumn("rk", row_number().over(wr))
+      .where(col("rk") <= ShareTopSuppliers)
+      .select("l_partkey", "rk", "l_suppkey", "revenue", "part_total", "share")
+      .orderBy("l_partkey", "rk")
+  }
+
+  val supplierShareSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+       |  FROM lineitem WHERE l_partkey < 25
+       |  GROUP BY l_partkey, l_suppkey
+       |), shared AS (
+       |  SELECT l_partkey, l_suppkey, revenue,
+       |    round(sum(revenue) OVER (PARTITION BY l_partkey), 4) AS part_total,
+       |    row_number() OVER (PARTITION BY l_partkey
+       |                       ORDER BY revenue DESC, l_suppkey ASC) AS rk
+       |  FROM rev
+       |)
+       |SELECT l_partkey, rk, l_suppkey, revenue, part_total,
+       |  round(revenue / part_total, 6) AS share
+       |FROM shared WHERE rk <= $ShareTopSuppliers
+       |ORDER BY l_partkey, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_late_shipments"      -> (lateShipments _),
+    "q_supplier_share"      -> (supplierShare _),
     "q_data_quality"        -> (dataQuality _),
     "q_window_navigation"   -> (windowNavigation _),
     "q_unpivot_metrics"     -> (unpivotMetrics _),
@@ -1159,6 +1249,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_late_shipments"      -> lateShipmentsSql,
+    "q_supplier_share"      -> supplierShareSql,
     "q_data_quality"        -> dataQualitySql,
     "q_window_navigation"   -> windowNavigationSql,
     "q_unpivot_metrics"     -> unpivotMetricsSql,

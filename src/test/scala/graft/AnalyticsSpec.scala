@@ -123,4 +123,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(total === evs)
     assert(r.where(col("hi") - col("lo") =!= operators.Analytics.HistBinWidth).count() === 0)
   }
+
+  test("churn labels: both classes present, populations partition users") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.churnLabels(spark, sfTest).collect()
+    assert(r.length === 2, "churn horizon must discriminate on this fixture")
+    val total = r.map(_.getAs[Long]("n_users")).sum
+    assert(total === Tables.events(spark, sfTest).select("user_id").distinct().count())
+  }
+
+  test("ab test: hash arms partition users; A/A z-stat is small") {
+    val r = operators.Analytics.abTest(spark, sfTest).collect()
+    assert(r.length === 2)
+    val z = r.head.getAs[Double]("z_stat")
+    assert(math.abs(z) < 3.0, s"A/A split should not be significant, z=$z")
+    r.foreach { row =>
+      val rate = row.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("late shipments: late counts bounded by order counts") {
+    operators.Relational.lateShipments(spark, sfTest).collect().foreach { row =>
+      assert(row.getAs[Long]("n_late") <= row.getAs[Long]("n_orders"))
+      val s = row.getAs[Double]("late_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("supplier share: shares within a part sum to at most 1") {
+    import org.apache.spark.sql.functions._
+    val sums = operators.Relational.supplierShare(spark, sfTest)
+      .groupBy("l_partkey").agg(sum("share").as("s")).collect()
+    sums.foreach(row => assert(row.getAs[Double]("s") <= 1.0 + 1e-6))
+  }
 }
