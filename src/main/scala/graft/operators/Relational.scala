@@ -1207,7 +1207,73 @@ object Relational {
        |FROM shared WHERE rk <= $ShareTopSuppliers
        |ORDER BY l_partkey, rk""".stripMargin
 
+  /** LATERAL join top-N: for each nation, its top-2 customers by
+    * account balance through a correlated LATERAL subquery with ORDER
+    * BY + LIMIT — the planner surface (Catalyst's LateralJoin +
+    * decorrelation) that per-key lookup queries use, distinct from the
+    * window-function formulation of W1. DuckDB runs the identical SQL.
+    */
+  def lateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    spark.sql(
+      s"""SELECT n.n_name, t.c_name, t.c_acctbal
+         |FROM nation n
+         |JOIN LATERAL (
+         |  SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+         |  FROM customer c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name ASC
+         |  LIMIT 2
+         |) t
+         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC
+      |  LIMIT 2
+      |) t ON true
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  /** Multiset set ops (U2/U3 ALL-variants): each user's view events
+    * EXCEPT ALL their click events — bag semantics, so a user with 7
+    * views and 3 clicks keeps 4 rows (the DISTINCT variants in
+    * q_setops_users can't express "how many more"). Summarized as
+    * per-user surplus buckets.
+    */
+  def setopsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.where(col("event_type") === "view").select("user_id")
+    val clicks = ev.where(col("event_type") === "click").select("user_id")
+    views.exceptAll(clicks)
+      .groupBy("user_id").agg(count(lit(1)).as("surplus"))
+      .groupBy("surplus").agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+      .orderBy("surplus")
+  }
+
+  val setopsAllSql: String =
+    """WITH surplus AS (
+      |  SELECT user_id, count(*) AS surplus FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'view'
+      |    EXCEPT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |  )
+      |  GROUP BY user_id
+      |)
+      |SELECT surplus, count(*) AS n_users, sum(user_id)::BIGINT AS user_checksum
+      |FROM surplus
+      |GROUP BY surplus
+      |ORDER BY surplus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_lateral_topn"        -> (lateralTopN _),
+    "q_setops_all"          -> (setopsAll _),
     "q_late_shipments"      -> (lateShipments _),
     "q_supplier_share"      -> (supplierShare _),
     "q_data_quality"        -> (dataQuality _),
@@ -1249,6 +1315,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lateral_topn"        -> lateralTopNSql,
+    "q_setops_all"          -> setopsAllSql,
     "q_late_shipments"      -> lateShipmentsSql,
     "q_supplier_share"      -> supplierShareSql,
     "q_data_quality"        -> dataQualitySql,

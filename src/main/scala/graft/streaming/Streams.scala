@@ -47,6 +47,33 @@ object Streams {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** T1b tumbling distinct users: per 6-hour window, the distinct
+    * active users and their event volume — the windowed-cardinality
+    * report a live dashboard serves. Batch uses exact countDistinct;
+    * the STREAMING twin of this shape must switch to
+    * approx_count_distinct (exact distinct aggregation is unsupported
+    * on streams — the scaladoc'd trade every streaming pipeline makes),
+    * so only the batch form carries an oracle.
+    */
+  def tumblingUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_users"), col("n_events"))
+
+  def tumblingUsersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingUsers(Tables.events(spark, sfDir))
+      .orderBy("window_start")
+
+  val tumblingUsersSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '6 hours', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
   /** T2 sliding window: 1-hour windows advancing every 15 minutes —
     * every event lands in 4 overlapping windows.
     */
@@ -148,6 +175,7 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> (tumblingQuery _),
+    "q_stream_users"    -> (tumblingUsersQuery _),
     "q_stream_sliding"  -> (slidingQuery _),
     "q_stream_sessions" -> (sessionQuery _),
     "q_stream_dedup"    -> (dedupQuery _),
@@ -155,6 +183,7 @@ object Streams {
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" -> tumblingSql,
+    "q_stream_users"    -> tumblingUsersSql,
     "q_stream_sliding"  -> slidingSql,
     "q_stream_sessions" -> sessionSql,
     "q_stream_dedup"    -> dedupSql,

@@ -131,4 +131,29 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .select("o_custkey").distinct().count()
     assert(rows.map(_.getAs[Long]("n_customers")).sum === nCustomers)
   }
+
+  test("lateral top-n: at most 2 customers per nation, balances ordered") {
+    val r = operators.Relational.lateralTopN(spark, sfTest).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("n_name")).foreach { case (_, rows) =>
+      assert(rows.length <= 2)
+      val bals = rows.map(_.getAs[Double]("c_acctbal"))
+      assert(bals.sorted.reverse.toSeq === bals.toSeq)
+    }
+  }
+
+  test("setops all: multiset surplus equals per-user count difference") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfTest)
+    val counts = ev.groupBy("user_id")
+      .agg(sum((col("event_type") === "view").cast("long")).as("nv"),
+           sum((col("event_type") === "click").cast("long")).as("nc"))
+      .withColumn("surplus", greatest(col("nv") - col("nc"), lit(0L)))
+      .where(col("surplus") > 0)
+      .groupBy("surplus").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.Relational.setopsAll(spark, sfTest)
+      .collect().map(r => r.getAs[Long]("surplus") -> r.getAs[Long]("n_users")).toMap
+    assert(got === counts)
+  }
 }
