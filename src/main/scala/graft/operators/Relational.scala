@@ -1271,7 +1271,42 @@ object Relational {
       |GROUP BY surplus
       |ORDER BY surplus""".stripMargin
 
+  /** Month-over-month growth: monthly order revenue with lag-based
+    * deltas and growth rates — the standard trend-report shape (lag
+    * over an already-aggregated series, so the window runs on ~months
+    * rows, not the fact table). Revenue is rounded BEFORE the delta
+    * and ratio so both engines difference identical numbers; first
+    * month's growth is null by construction.
+    */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("delta", round(col("revenue") - col("prev_revenue"), 2))
+      .withColumn("growth_pct",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 4))
+      .select("month", "n_orders", "revenue", "delta", "growth_pct")
+      .orderBy("month")
+  }
+
+  val momGrowthSql: String =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT month, n_orders, revenue,
+      |  round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS delta,
+      |  round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+      |        / lag(revenue, 1) OVER (ORDER BY month) * 100, 4) AS growth_pct
+      |FROM monthly
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_mom_growth"          -> (momGrowth _),
     "q_lateral_topn"        -> (lateralTopN _),
     "q_setops_all"          -> (setopsAll _),
     "q_late_shipments"      -> (lateShipments _),
@@ -1315,6 +1350,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mom_growth"          -> momGrowthSql,
     "q_lateral_topn"        -> lateralTopNSql,
     "q_setops_all"          -> setopsAllSql,
     "q_late_shipments"      -> lateShipmentsSql,
