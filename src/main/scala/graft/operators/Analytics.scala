@@ -664,7 +664,92 @@ object Analytics {
       |FROM arms
       |ORDER BY arm""".stripMargin
 
+  /** New-vs-returning daily split: per day, events from users seen for
+    * the first time that day vs users with prior history — the
+    * acquisition-vs-retention decomposition on every growth dashboard.
+    * First-seen dates are one user-keyed aggregate broadcast back;
+    * the split itself is a map-side comparison.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
+    ev.join(broadcast(firstDay), "user_id")
+      .groupBy("day")
+      .agg(countDistinct(when(col("day") === col("first_day"), col("user_id"))).as("new_users"),
+           countDistinct(when(col("day") > col("first_day"), col("user_id"))).as("returning_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
+  val newVsReturningSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts::DATE AS day FROM events
+      |), fd AS (
+      |  SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id
+      |)
+      |SELECT day,
+      |  count(DISTINCT CASE WHEN day = first_day THEN ev.user_id END) AS new_users,
+      |  count(DISTINCT CASE WHEN day > first_day THEN ev.user_id END) AS returning_users,
+      |  count(*) AS n_events
+      |FROM ev JOIN fd ON fd.user_id = ev.user_id
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  /** Conversion-lag distribution: hours from a user's first view to
+    * their first STRICTLY LATER purchase, bucketed — the
+    * time-to-convert histogram that sizes attribution windows.
+    * Integer hour bucketing on exact epoch differences.
+    */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val fv = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .join(fv, "user_id").where(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tp"), min("tv").as("tv"))
+    fp.withColumn("lag_hours",
+        ((unix_micros(col("tp")) - unix_micros(col("tv"))) / 3600000000L).cast("long"))
+      .withColumn("bucket",
+        when(col("lag_hours") < 1, "0_under_1h")
+          .when(col("lag_hours") < 24, "1_1h_to_1d")
+          .when(col("lag_hours") < 168, "2_1d_to_1w")
+          .otherwise("3_over_1w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+           min("lag_hours").as("min_h"),
+           max("lag_hours").as("max_h"))
+      .orderBy("bucket")
+  }
+
+  val conversionLagSql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS tp, min(fv.tv) AS tv
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > fv.tv
+      |  GROUP BY e.user_id
+      |), lagged AS (
+      |  SELECT user_id,
+      |    ((epoch_us(tp) - epoch_us(tv)) // 3600000000)::BIGINT AS lag_hours
+      |  FROM fp
+      |)
+      |SELECT CASE WHEN lag_hours < 1 THEN '0_under_1h'
+      |            WHEN lag_hours < 24 THEN '1_1h_to_1d'
+      |            WHEN lag_hours < 168 THEN '2_1d_to_1w'
+      |            ELSE '3_over_1w' END AS bucket,
+      |  count(*) AS n_users,
+      |  min(lag_hours) AS min_h,
+      |  max(lag_hours) AS max_h
+      |FROM lagged
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_new_vs_returning"  -> (newVsReturning _),
+    "q_conversion_lag"    -> (conversionLag _),
     "q_churn_labels"      -> (churnLabels _),
     "q_ab_test"           -> (abTest _),
     "q_latest_snapshot"   -> (latestSnapshot _),
@@ -680,6 +765,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_new_vs_returning"  -> newVsReturningSql,
+    "q_conversion_lag"    -> conversionLagSql,
     "q_churn_labels"      -> churnLabelsSql,
     "q_ab_test"           -> abTestSql,
     "q_latest_snapshot"   -> latestSnapshotSql,

@@ -1258,7 +1258,62 @@ object Recsys {
     memoSim(spark, sfDir, "usercf") { usercfSimilarityPlan(spark, sfDir) }.count()
   }
 
+  /** Brand pairs reported by the affinity rollup. */
+  val AffinityTop = 30
+
+  /** Brand-affinity cross-sell matrix: the item-pair co-occurrence
+    * model ROLLED UP to brand granularity (unordered brand pairs via
+    * least/greatest), the merchandising view of the same model the
+    * item-level tiers serve. Rides the memoized pair aggregate and two
+    * broadcast joins of the part dim — zero new shuffles beyond the
+    * brand-pair aggregate, which is |brands|² rows at most. The
+    * distinct-brand filter keeps the cross-sell signal (within-brand
+    * pairs are substitutes, not cross-sell).
+    */
+  def brandAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = unpack(itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+    val brands = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val bp = pairs
+      .join(broadcast(brands.select(col("p_partkey").as("item_i"), col("p_brand").as("ba"))), "item_i")
+      .join(broadcast(brands.select(col("p_partkey").as("item_j"), col("p_brand").as("bb"))), "item_j")
+      .where(col("ba") =!= col("bb"))
+      .groupBy(least(col("ba"), col("bb")).as("brand_a"),
+               greatest(col("ba"), col("bb")).as("brand_b"))
+      .agg(sum("co").as("co_total"), count(lit(1)).as("n_item_pairs"))
+    val top = bp.orderBy(col("co_total").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(AffinityTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("co_total").desc, col("brand_a").asc, col("brand_b").asc)))
+      .select("rk", "brand_a", "brand_b", "co_total", "n_item_pairs")
+      .orderBy("rk")
+  }
+
+  val brandAffinitySql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), bp AS (
+       |  SELECT least(pa.p_brand, pb.p_brand) AS brand_a,
+       |    greatest(pa.p_brand, pb.p_brand) AS brand_b,
+       |    sum(co)::BIGINT AS co_total, count(*) AS n_item_pairs
+       |  FROM pairs
+       |  JOIN part pa ON pa.p_partkey = pairs.item_i
+       |  JOIN part pb ON pb.p_partkey = pairs.item_j
+       |  WHERE pa.p_brand <> pb.p_brand
+       |  GROUP BY 1, 2
+       |)
+       |SELECT rk, brand_a, brand_b, co_total, n_item_pairs FROM (
+       |  SELECT brand_a, brand_b, co_total, n_item_pairs,
+       |    row_number() OVER (ORDER BY co_total DESC, brand_a ASC, brand_b ASC) AS rk
+       |  FROM bp
+       |) WHERE rk <= $AffinityTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_brand_affinity"    -> (brandAffinity _),
     "q_seq_buy_pairs"     -> (seqBuyPairs _),
     "q_trending_items"    -> (trendingItems _),
     "q_rec_diversity"     -> (recDiversity _),
@@ -1277,6 +1332,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_brand_affinity"    -> brandAffinitySql,
     "q_seq_buy_pairs"     -> seqBuyPairsSql,
     "q_trending_items"    -> trendingItemsSql,
     "q_rec_diversity"     -> recDiversitySql,

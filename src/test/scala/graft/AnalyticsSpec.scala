@@ -157,4 +157,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       .groupBy("l_partkey").agg(sum("share").as("s")).collect()
     sums.foreach(row => assert(row.getAs[Double]("s") <= 1.0 + 1e-6))
   }
+
+  test("new vs returning: day-1 users are all new; daily actives partition") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.newVsReturning(spark, sfTest).orderBy("day").collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Long]("returning_users") === 0L, "first day has no history")
+    r.foreach(row => assert(row.getAs[Long]("n_events") > 0))
+  }
+
+  test("conversion lag: buckets cover converting users exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Analytics.conversionLag(spark, sfTest).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("min_h") <= row.getAs[Long]("max_h"))
+      assert(row.getAs[Long]("n_users") > 0)
+    }
+  }
+
+  test("brand affinity: unordered distinct-brand pairs, canonical order") {
+    val r = operators.Recsys.brandAffinity(spark, sfTest).collect()
+    assert(r.nonEmpty && r.length <= operators.Recsys.AffinityTop)
+    r.foreach { row =>
+      assert(row.getAs[String]("brand_a") < row.getAs[String]("brand_b"))
+      assert(row.getAs[Long]("co_total") >= row.getAs[Long]("n_item_pairs"))
+    }
+  }
 }
