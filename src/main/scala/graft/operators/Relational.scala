@@ -1305,7 +1305,89 @@ object Relational {
       |FROM monthly
       |ORDER BY month""".stripMargin
 
+  /** Day-of-week seasonality profile: order volume and revenue by ISO
+    * weekday (1 = Monday), with each day's share of the total — the
+    * staffing/capacity report. ISO numbering because the engines'
+    * default dow functions disagree on week start (Spark `weekday` is
+    * 0-Monday, DuckDB `dow` is 0-Sunday; `weekday+1` = `isodow` on
+    * both sides of the oracle).
+    */
+  def dowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy((weekday(col("o_orderdate")) + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    val total = daily.agg(sum("n_orders").as("total_orders"))
+    daily.crossJoin(broadcast(total))
+      .withColumn("order_share", round(col("n_orders") / col("total_orders"), 6))
+      .select("iso_dow", "n_orders", "revenue", "order_share")
+      .orderBy("iso_dow")
+  }
+
+  val dowProfileSql: String =
+    """WITH daily AS (
+      |  SELECT isodow(o_orderdate)::INT AS iso_dow,
+      |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT iso_dow, n_orders, revenue,
+      |  round(n_orders / (SELECT sum(n_orders)::DOUBLE FROM daily), 6) AS order_share
+      |FROM daily
+      |ORDER BY iso_dow""".stripMargin
+
+  /** Floor on item buyers for the reorder report. */
+  val ReorderMinUsers = 5
+  /** Items reported. */
+  val ReorderTop = 25
+
+  /** Item reorder rate — share of an item's buyers who purchased it in
+    * MORE THAN ONE distinct order (the Instacart-style repeat-purchase
+    * signal that separates staples from one-off buys; a strong feature
+    * for any recommend ranker). Two exact aggregates over the
+    * interaction join, support-floored at [[ReorderMinUsers]] buyers.
+    */
+  def reorderRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val perUserItem = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+    val top = perUserItem.groupBy("item_id")
+      .agg(count(lit(1)).as("n_users"),
+           sum((col("n_orders") >= 2).cast("long")).as("n_repeat_users"))
+      .where(col("n_users") >= ReorderMinUsers)
+      .withColumn("reorder_rate", round(col("n_repeat_users") / col("n_users"), 6))
+      .orderBy(col("reorder_rate").desc, col("item_id").asc)
+      .limit(ReorderTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("reorder_rate").desc, col("item_id").asc)))
+      .select("rk", "item_id", "n_users", "n_repeat_users", "reorder_rate")
+      .orderBy("rk")
+  }
+
+  val reorderRateSql: String =
+    s"""WITH per_user_item AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    count(DISTINCT o_orderkey) AS n_orders
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), items AS (
+       |  SELECT item_id, count(*) AS n_users,
+       |    sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat_users
+       |  FROM per_user_item GROUP BY item_id
+       |  HAVING count(*) >= $ReorderMinUsers
+       |)
+       |SELECT rk, item_id, n_users, n_repeat_users, reorder_rate FROM (
+       |  SELECT item_id, n_users, n_repeat_users,
+       |    round(n_repeat_users / n_users::DOUBLE, 6) AS reorder_rate,
+       |    row_number() OVER (ORDER BY round(n_repeat_users / n_users::DOUBLE, 6) DESC,
+       |                       item_id ASC) AS rk
+       |  FROM items
+       |) WHERE rk <= $ReorderTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dow_profile"         -> (dowProfile _),
+    "q_reorder_rate"        -> (reorderRate _),
     "q_mom_growth"          -> (momGrowth _),
     "q_lateral_topn"        -> (lateralTopN _),
     "q_setops_all"          -> (setopsAll _),
@@ -1350,6 +1432,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dow_profile"         -> dowProfileSql,
+    "q_reorder_rate"        -> reorderRateSql,
     "q_mom_growth"          -> momGrowthSql,
     "q_lateral_topn"        -> lateralTopNSql,
     "q_setops_all"          -> setopsAllSql,

@@ -156,4 +156,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getAs[Long]("surplus") -> r.getAs[Long]("n_users")).toMap
     assert(got === counts)
   }
+
+  test("dow profile: 7 days, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Relational.dowProfile(spark, sfTest).collect()
+    assert(r.length === 7)
+    assert(r.map(_.getAs[Int]("iso_dow")).sorted.toSeq === (1 to 7))
+    val s = r.map(_.getAs[Double]("order_share")).sum
+    assert(math.abs(s - 1.0) < 1e-4)
+  }
+
+  test("reorder rate: repeat users bounded by buyers, floor respected") {
+    operators.Relational.reorderRate(spark, sfTest).collect().foreach { row =>
+      assert(row.getAs[Long]("n_users") >= operators.Relational.ReorderMinUsers)
+      assert(row.getAs[Long]("n_repeat_users") <= row.getAs[Long]("n_users"))
+      val rr = row.getAs[Double]("reorder_rate")
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+  }
 }
