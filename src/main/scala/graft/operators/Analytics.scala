@@ -747,7 +747,49 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Engagement stickiness per ISO week: weekly active users, the
+    * month's (28-day trailing, week-aligned) active users, and the
+    * DAU-free WAU/MAU-style ratio — the canonical engagement KPI.
+    * Trailing-month actives come from joining each week to the 4-week
+    * window ending at it over the distinct (user, week) activity table
+    * — weeks × 4 rows, not events × 4.
+    */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val weeks = uw.select("wk").distinct()
+    val wau = uw.groupBy("wk").agg(countDistinct(col("user_id")).as("wau"))
+    val trailing = weeks.as("w")
+      .join(uw.as("a"),
+        col("a.wk") <= col("w.wk") && col("a.wk") > date_sub(col("w.wk"), 28))
+      .groupBy(col("w.wk").as("wk"))
+      .agg(countDistinct(col("a.user_id")).as("mau"))
+    wau.join(trailing, "wk")
+      .withColumn("stickiness", round(col("wau") / col("mau"), 6))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+              col("wau"), col("mau"), col("stickiness"))
+      .orderBy("week_start")
+  }
+
+  val stickinessSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP)::DATE AS wk FROM events
+      |), wau AS (
+      |  SELECT wk, count(DISTINCT user_id) AS wau FROM uw GROUP BY wk
+      |), mau AS (
+      |  SELECT w.wk, count(DISTINCT a.user_id) AS mau
+      |  FROM (SELECT DISTINCT wk FROM uw) w
+      |  JOIN uw a ON a.wk <= w.wk AND a.wk > w.wk - INTERVAL 28 DAY
+      |  GROUP BY w.wk
+      |)
+      |SELECT strftime(wau.wk, '%Y-%m-%d') AS week_start, wau.wau, t.mau,
+      |  round(wau.wau / t.mau::DOUBLE, 6) AS stickiness
+      |FROM wau JOIN mau t ON t.wk = wau.wk
+      |ORDER BY week_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_stickiness"        -> (stickiness _),
     "q_new_vs_returning"  -> (newVsReturning _),
     "q_conversion_lag"    -> (conversionLag _),
     "q_churn_labels"      -> (churnLabels _),
@@ -765,6 +807,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stickiness"        -> stickinessSql,
     "q_new_vs_returning"  -> newVsReturningSql,
     "q_conversion_lag"    -> conversionLagSql,
     "q_churn_labels"      -> churnLabelsSql,

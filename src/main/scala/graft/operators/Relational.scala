@@ -1385,7 +1385,48 @@ object Relational {
        |) WHERE rk <= $ReorderTop
        |ORDER BY rk""".stripMargin
 
+  /** Dead-stock report: catalog parts never purchased (anti join from
+    * the dim side against the fact), profiled by brand — the inverse
+    * of every popularity query, and the inventory question "what do we
+    * carry that nobody buys". Share is dead parts over the brand's
+    * catalog size.
+    */
+  def deadStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_retailprice")
+    val sold = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("p_partkey")).distinct()
+    val dead = p.join(sold, Seq("p_partkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_dead"),
+           round(avg("p_retailprice"), 4).as("avg_dead_price"))
+    val catalog = p.groupBy("p_brand").agg(count(lit(1)).as("n_catalog"))
+    catalog.join(dead, Seq("p_brand"), "left")
+      .withColumn("n_dead", coalesce(col("n_dead"), lit(0L)))
+      .withColumn("dead_share", round(col("n_dead") / col("n_catalog"), 6))
+      .select("p_brand", "n_catalog", "n_dead", "avg_dead_price", "dead_share")
+      .orderBy("p_brand")
+  }
+
+  val deadStockSql: String =
+    """WITH sold AS (
+      |  SELECT DISTINCT l_partkey FROM lineitem
+      |), dead AS (
+      |  SELECT p_brand, count(*) AS n_dead,
+      |    round(avg(p_retailprice), 4) AS avg_dead_price
+      |  FROM part p
+      |  WHERE NOT EXISTS (SELECT 1 FROM sold s WHERE s.l_partkey = p.p_partkey)
+      |  GROUP BY p_brand
+      |), catalog AS (
+      |  SELECT p_brand, count(*) AS n_catalog FROM part GROUP BY p_brand
+      |)
+      |SELECT c.p_brand, c.n_catalog,
+      |  coalesce(d.n_dead, 0)::BIGINT AS n_dead,
+      |  d.avg_dead_price,
+      |  round(coalesce(d.n_dead, 0) / c.n_catalog::DOUBLE, 6) AS dead_share
+      |FROM catalog c LEFT JOIN dead d ON d.p_brand = c.p_brand
+      |ORDER BY c.p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dead_stock"          -> (deadStock _),
     "q_dow_profile"         -> (dowProfile _),
     "q_reorder_rate"        -> (reorderRate _),
     "q_mom_growth"          -> (momGrowth _),
@@ -1432,6 +1473,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dead_stock"          -> deadStockSql,
     "q_dow_profile"         -> dowProfileSql,
     "q_reorder_rate"        -> reorderRateSql,
     "q_mom_growth"          -> momGrowthSql,

@@ -184,4 +184,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(row.getAs[Long]("co_total") >= row.getAs[Long]("n_item_pairs"))
     }
   }
+
+  test("stickiness: WAU <= MAU, ratio in (0, 1]") {
+    operators.Analytics.stickiness(spark, sfTest).collect().foreach { row =>
+      assert(row.getAs[Long]("wau") <= row.getAs[Long]("mau"))
+      val st = row.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("dead stock: dead parts bounded by catalog, disjoint from sold") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Relational.deadStock(spark, sfTest).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_dead") <= row.getAs[Long]("n_catalog"))
+    }
+    val totalDead = r.map(_.getAs[Long]("n_dead")).sum
+    val sold = Tables.lineitem(spark, sfTest).select("l_partkey").distinct().count()
+    val catalog = Tables.part(spark, sfTest).count()
+    assert(totalDead === catalog - sold)
+  }
 }
