@@ -156,4 +156,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pl.contains("BroadcastHashJoin"), "planes x dims sign table must broadcast")
     assert(!pl.contains("CartesianProduct"))
   }
+
+  test("dead_stock: sold-keys side anti-joins without cartesian, part scan pruned") {
+    val pl = plan(operators.Relational.deadStock(planSession, sfTest))
+    assert(pl.contains("LeftAnti"), "never-sold detection must be an anti join")
+    assert(!pl.contains("CartesianProduct"))
+    assert(!pl.contains("p_type") && !pl.contains("p_size"),
+      "unused part columns must not reach the scan")
+  }
+
+  test("late_shipments: existence predicate plans as left semi, date residual inside") {
+    val pl = plan(operators.Relational.lateShipments(planSession, sfTest))
+    assert(pl.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("reorder_rate: global top-N plans as TakeOrderedAndProject") {
+    val pl = plan(operators.Relational.reorderRate(planSession, sfTest))
+    assert(pl.contains("TakeOrderedAndProject"),
+      "orderBy+limit must not plan a full global sort")
+  }
+
+  test("brand_affinity: part dim broadcasts into the pair rollup") {
+    val pl = plan(operators.Recsys.brandAffinity(planSession, sfTest))
+    assert(pl.contains("BroadcastHashJoin"), "brand dim must broadcast")
+    assert(!pl.contains("CartesianProduct"))
+  }
 }
