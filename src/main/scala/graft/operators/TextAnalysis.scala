@@ -804,7 +804,55 @@ object TextAnalysis {
        |FROM agg
        |ORDER BY source""".stripMargin
 
+  /** Terms fitted by the Zipf regression. */
+  val ZipfTop = 200
+
+  /** Zipf rank–frequency fit: regress ln(frequency) on ln(rank) over
+    * the top [[ZipfTop]] corpus terms — natural language sits near
+    * slope −1, and a corpus that drifts far from it (templated spam,
+    * truncated vocab) fails this health check. Term counts and ranks
+    * are exact integers; the two-column regression runs on ~ZipfTop
+    * rows via the native regr_* aggregates, rounded well above the
+    * engines' summation-order noise.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(split(expr(normSpark), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val ranked = freqs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+      .where(col("rank") <= ZipfTop)
+      .withColumn("lr", log(col("rank").cast("double")))
+      .withColumn("lf", log(col("freq").cast("double")))
+    ranked.agg(
+        count(lit(1)).as("n_terms"),
+        max("freq").as("top_freq"),
+        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(lf, lr)"), 4).as("zipf_intercept"),
+        round(corr(col("lf"), col("lr")), 4).as("loglog_corr"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH freqs AS (
+       |  SELECT term, count(*) AS freq FROM (
+       |    SELECT unnest(string_split($normDuck, ' ')) AS term FROM documents
+       |  ) GROUP BY term
+       |), ranked AS (
+       |  SELECT freq,
+       |    ln(row_number() OVER (ORDER BY freq DESC, term ASC)::DOUBLE) AS lr,
+       |    ln(freq::DOUBLE) AS lf,
+       |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+       |  FROM freqs
+       |)
+       |SELECT count(*) AS n_terms, max(freq) AS top_freq,
+       |  round(regr_slope(lf, lr), 4) AS zipf_slope,
+       |  round(regr_intercept(lf, lr), 4) AS zipf_intercept,
+       |  round(corr(lf, lr), 4) AS loglog_corr
+       |FROM ranked WHERE rank <= $ZipfTop""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_zipf_fit"       -> (zipfFit _),
     "q_readability"    -> (readability _),
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
@@ -822,6 +870,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zipf_fit"       -> zipfFitSql,
     "q_readability"    -> readabilitySql,
     "q_text_profile"   -> textProfileSql,
     "q_lang_id"        -> langIdSql,

@@ -376,4 +376,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got == expected)
   }
+
+  test("windowed cardinality on a stream: approx_count_distinct within HLL error of batch exact") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // exact countDistinct is unsupported on streams — the documented
+    // swap (Streams.tumblingUsers scaladoc) is approx_count_distinct
+    val got = runStream(
+      st => st.groupBy(window($"ts", "1 hour").as("w"))
+        .agg(approx_count_distinct($"user_id", 0.02).as("n_users"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("ws"), $"n_users"),
+      OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = fixture.groupBy(e => e.ts.getTime / 3600000L)
+      .map { case (_, evs) => evs.map(_.user_id).distinct.size }
+    // tiny cardinalities: HLL at rsd=0.02 is exact in practice here
+    assert(got.values.sum === exact.sum)
+  }
 }
