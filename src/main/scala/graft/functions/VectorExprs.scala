@@ -96,7 +96,7 @@ object VectorFunctions {
   * SQL functions at session build time (`.withExtensions(new
   * GraftExtensions)` or `spark.sql.extensions=graft.functions
   * .GraftExtensions`): scalars `float_dot`, `pair_pack`, `pair_prod`,
-  * `pair_diff`, `shingles`, `double_bits`, `bits_double`,
+  * `pair_diff`, `pair_pack_after`, `shingles`, `double_bits`, `bits_double`,
   * `bloom_might_contain`; aggregates `top_k_by_score(k, score, id,
   * extra)`, `misra_gries(k, key)`, `bloom_agg(bits, hashes, key)`.
   * The driver harness builds plain sessions, so library queries call
@@ -114,6 +114,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("pair_pack", classOf[PairPack], exprs => PairPack(exprs(0)))
     inject("pair_prod", classOf[PairProd], exprs => PairProd(exprs(0)))
     inject("pair_diff", classOf[PairDiff], exprs => PairDiff(exprs(0)))
+    inject("pair_pack_after", classOf[PairPackAfter],
+      exprs => PairPackAfter(exprs(0), exprs(1)))
     // width must be a foldable literal (evaluated at registration)
     inject("shingles", classOf[Shingles],
       exprs => Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))

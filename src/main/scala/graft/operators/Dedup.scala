@@ -320,11 +320,32 @@ object Dedup {
   /** Max Hamming distance for a SimHash near-dup pair. */
   val MaxHamming = 2
 
+  /** Pigeonhole chunk count: a pair within Hamming ≤ [[MaxHamming]]
+    * differs in at most $MaxHamming bits, so splitting the signature
+    * into MaxHamming+1 chunks guarantees at least one chunk matches
+    * EXACTLY — candidate generation becomes an equi-join on
+    * (chunk_idx, chunk_val), never an all-pairs scan.
+    */
+  val SimChunks = MaxHamming + 1
+  private val simChunkBounds: IndexedSeq[Int] =
+    (0 to SimChunks).map(c => c * SimBits / SimChunks)
+
   /** L2c SimHash: ${SimBits}-bit signature — per token-occurrence hash,
     * bit i votes +1/−1; the sign of the vote sum sets bit i. Pairs
-    * within Hamming ≤ $MaxHamming emitted. The pair scan is a
-    * signature-only self-join: 8 bytes per doc, trivially broadcastable
-    * at any corpus size (THE reason SimHash is the 100 TB-friendly tier).
+    * within Hamming ≤ $MaxHamming emitted.
+    *
+    * Candidate generation is Hamming-pigeonhole banding (the Manku
+    * WWW'07 scheme): each signature explodes into [[SimChunks]]
+    * (chunk_idx, chunk_val) rows; candidates come from a shuffled
+    * EQUI-join on those keys, then exact `bit_count ≤ MaxHamming`
+    * verification. Non-colliding pairs are never materialized — at
+    * 10⁹ docs the old signature self-join would plan ~5·10¹⁷
+    * bit_count evaluations; this plans |docs|·$SimChunks bucket rows
+    * and only intra-bucket pairs. Bucket width here is ~SimBits/3 ≈
+    * 10 bits (≥1024 buckets); for corpora where D/2^10 per-bucket
+    * populations grow too large, raise SimChunks to k and equi-join
+    * on every (k − MaxHamming)-chunk combination — same pigeonhole
+    * argument, geometrically smaller buckets.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
@@ -342,10 +363,25 @@ object Dedup {
       .select(col("doc_id"),
         (0 until SimBits).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hd", expr("bit_count(x.sig ^ y.sig)"))
+    // Band: one (chunk_idx, chunk_val) row per signature chunk. A pair
+    // colliding in several chunks appears once per collision — the
+    // dropDuplicates below collapses them before verification.
+    val chunkVals = (0 until SimChunks).map { c =>
+      val lo = simChunkBounds(c); val width = simChunkBounds(c + 1) - lo
+      shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hd", expr("bit_count(sig_a ^ sig_b)"))
       .where(col("hd") <= MaxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hd"))
+      .select("doc_a", "doc_b", "hd")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -181,9 +181,11 @@ object MlRecsys {
     val lr = new LogisticRegression()
       .setMaxIter(10).setRegParam(0.01).setLabelCol("label").setFeaturesCol("features")
     val model = lr.fit(assembled)
-    val firstProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    // vector_to_array is the codegen-friendly built-in bridge out of
+    // ml.Vector — no closure serde per row, unlike a scala UDF
     val scored = model.transform(assembled.where(col("user_id") < 100))
-      .withColumn("p", round(firstProb(col("probability")), 6))
+      .withColumn("p", round(
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1), 6))
     val w = Window.partitionBy("user_id").orderBy(col("p").desc, col("item_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)

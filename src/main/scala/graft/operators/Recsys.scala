@@ -1105,11 +1105,13 @@ object Recsys {
     * sequential-pattern signal for "what to promote after a purchase".
     *
     * Scale shape: ordered pairs are generated MAP-SIDE per user from
-    * the collected (capped) sequence with higher-order functions — the
-    * same no-self-join design as [[pairsWithin]]; the only shuffles
-    * are the user collect and the pair-count aggregate. Same-timestamp
-    * items are incomparable and yield no pair (strict inequality), so
-    * the result is independent of how ties would sort.
+    * the collected (capped) sequence by the codegen
+    * [[graft.functions.PairPackAfter]] expression (ids(i)·2³²+ids(j)
+    * for every strictly-later j) — the same no-self-join,
+    * packed-primitive design as the CF pair aggregate; the only
+    * shuffles are the user collect and the pair-count aggregate.
+    * Same-timestamp items are incomparable and yield no pair (strict
+    * inequality), so the result is independent of how ties would sort.
     */
   def seqBuyPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -1119,16 +1121,17 @@ object Recsys {
       .agg(min(col("o_orderdate")).as("ts"))
     val seqs = ui.groupBy("user_id")
       .agg(expr(s"slice(sort_array(collect_list(struct(ts, item_id))), 1, $SeqCap)").as("es"))
-    val pairs = seqs.select(col("user_id"), explode(expr(
-        """flatten(transform(es, (x, i) ->
-          |  filter(transform(slice(es, i + 2, size(es)),
-          |                   y -> IF(y.ts > x.ts, struct(x.item_id AS a, y.item_id AS b), null)),
-          |         p -> p IS NOT NULL)))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // es is (ts, item_id)-sorted, so the epoch-µs array is the
+    // non-decreasing key array PairPackAfter's monotone pointer needs
+    val pairs = seqs.select(explode(graft.functions.PairPackAfter.pairPackAfter(
+        expr("transform(es, x -> unix_micros(timestamp(x.ts)))"),
+        expr("transform(es, x -> x.item_id)"))).as("pk"))
     val na = seqs.select(col("user_id"), explode(expr("transform(es, x -> x.item_id)")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("n_a"))
-    val top = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val top = pairs.groupBy("pk").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= SeqMinSup)
+      .select(shiftright(col("pk"), 32).as("a"),
+        col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L).as("b"), col("n_ab"))
       .join(broadcast(na), "a")
       .withColumn("confidence", round(col("n_ab") / col("n_a"), 6))
       .orderBy(col("confidence").desc, col("a").asc, col("b").asc)

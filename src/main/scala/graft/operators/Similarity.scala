@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,9 +151,11 @@ object Similarity {
     * of any size. Rows-only driver check; invariants in tests.
     */
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val toVec = udf((xs: Seq[Float]) => Vectors.dense(xs.map(_.toDouble).toArray))
+    // array_to_vector is the codegen-friendly built-in bridge into
+    // ml.Vector (it wants array<double>, so cast the float array first)
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)

@@ -177,6 +177,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "orderBy+limit must not plan a full global sort")
   }
 
+  test("dedup_simhash: candidates come from a chunk equi-join, not an all-pairs scan") {
+    val pl = plan(operators.Dedup.simhashPairs(planSession, sfTest))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      "signature pairing must never plan an all-pairs join")
+    assert(pl.contains("chunk_idx"), "pigeonhole chunk key must drive the join")
+  }
+
   test("brand_affinity: part dim broadcasts into the pair rollup") {
     val pl = plan(operators.Recsys.brandAffinity(planSession, sfTest))
     assert(pl.contains("BroadcastHashJoin"), "brand dim must broadcast")
