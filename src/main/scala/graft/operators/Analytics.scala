@@ -366,8 +366,11 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("prev_ts", lag("ts", 1).over(w))
+      // µs precision like sessionStats and the oracle's epoch_us: a
+      // seconds cast truncates, so a true gap in (gap, gap+1s) would
+      // collapse into the same session only on the Spark side
       .withColumn("is_new", (col("prev_ts").isNull ||
-        col("ts").cast("long") - col("prev_ts").cast("long") > PathGapSec).cast("long"))
+        expr("unix_micros(ts)") - expr("unix_micros(prev_ts)") > PathGapSec * 1000000L).cast("long"))
       .withColumn("session_seq", sum("is_new").over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
@@ -667,14 +670,19 @@ object Analytics {
   /** New-vs-returning daily split: per day, events from users seen for
     * the first time that day vs users with prior history — the
     * acquisition-vs-retention decomposition on every growth dashboard.
-    * First-seen dates are one user-keyed aggregate broadcast back;
-    * the split itself is a map-side comparison.
+    * First-seen dates are one user-keyed aggregate joined back on
+    * user_id; the split itself is a map-side comparison. The join is
+    * deliberately NOT broadcast: first_day has one row PER USER — an
+    * unbounded cardinality, unlike the 1-row anchors and fixed dims
+    * broadcast elsewhere — so it shuffles on the same user_id hash
+    * partitioning its own aggregate just produced (near-free exchange
+    * reuse, no driver/executor OOM ceiling).
     */
   def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
-    ev.join(broadcast(firstDay), "user_id")
+    ev.join(firstDay, "user_id")
       .groupBy("day")
       .agg(countDistinct(when(col("day") === col("first_day"), col("user_id"))).as("new_users"),
            countDistinct(when(col("day") > col("first_day"), col("user_id"))).as("returning_users"),

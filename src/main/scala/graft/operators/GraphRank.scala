@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * Scale design: the per-round shuffle is ONE aggregate over the edge
   * list keyed by dst (partial map-side sums apply); the rank vector is
   * |items| rows — broadcast into the edge join, so iterations never
-  * shuffle the edge table itself. Edge weights and out-degrees are
+  * shuffle the edge table itself. That per-round broadcast assumes a
+  * CATALOG-sized node set (~16 bytes/node ⇒ low-GB driver+executor
+  * copies up to ~10⁸ nodes); for a node set beyond that — user-item
+  * bipartite graphs, web-scale corpora — drop the broadcast() hint and
+  * let ranks⋈edges run as a shuffled equi-join on src, ideally with
+  * both sides pre-bucketed by src so rounds reuse the partitioning.
+  * Same plan otherwise. Edge weights and out-degrees are
   * computed once and persisted across rounds. Integer fixed-point uses
   * 1e12 total mass: rank·w stays < 2^63 while item co-counts stay
   * below ~9e6 per edge; a 100 TB deployment with hotter edges would

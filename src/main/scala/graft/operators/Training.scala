@@ -118,6 +118,7 @@ object Training {
        |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |  WHERE i <= len(embedding)
        |), init AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cluster
        |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $KClusters)

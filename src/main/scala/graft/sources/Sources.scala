@@ -46,11 +46,14 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
-  /** S3 JDBC source — STUB configuration builder. There is no database
-    * in this environment, so this returns the fully-configured reader
-    * without calling `.load()`; the partitioning options are the part
-    * that matters at scale (parallel range reads instead of one giant
-    * result set through a single connection).
+  /** S3 JDBC source — configuration builder for parallel range reads.
+    * The partitioning options are the part that matters at scale: each
+    * of the `numPartitions` tasks issues its own bounded-range query,
+    * instead of one giant result set through a single connection.
+    * Callers add vendor specifics (driver class, credentials) and
+    * `.load()`. Executed end-to-end in SourcesSpec against embedded
+    * Derby (the only DB this container ships — same DataSource v1 JDBC
+    * code path MySQL/Postgres would exercise).
     */
   def jdbcReader(spark: SparkSession, url: String, table: String,
                  partitionColumn: String, lowerBound: Long, upperBound: Long,
@@ -63,4 +66,20 @@ object Sources {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .option("fetchsize", 10000)
+
+  /** S3 JDBC sink — the "write top-N recs back to the serving DB"
+    * path. `batchsize` turns per-row inserts into batched statements;
+    * each input partition writes through its own connection, so the
+    * write parallelism is the upstream partitioning (repartition the
+    * result down if the DB can't take that many concurrent writers).
+    */
+  def jdbcWrite(df: DataFrame, url: String, table: String,
+                driver: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", 10000)
+      .mode(SaveMode.Overwrite)
+    driver.fold(w)(d => w.option("driver", d)).save()
+  }
 }

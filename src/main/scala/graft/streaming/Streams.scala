@@ -41,7 +41,7 @@ object Streams {
       .orderBy("window_start", "event_type")
 
   val tumblingSql: String =
-    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00'), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events
       |GROUP BY 1, 2
@@ -67,8 +67,11 @@ object Streams {
     tumblingUsers(Tables.events(spark, sfDir))
       .orderBy("window_start")
 
+  // explicit epoch origin: Spark's window() anchors buckets at the
+  // epoch while time_bucket's default origin is 2000-01-03, so without
+  // it the two align only for widths that evenly divide 24h
   val tumblingUsersSql: String =
-    """SELECT strftime(time_bucket(INTERVAL '6 hours', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+    """SELECT strftime(time_bucket(INTERVAL '6 hours', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00'), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events
       |GROUP BY 1
@@ -94,7 +97,7 @@ object Streams {
     */
   val slidingSql: String =
     """WITH assigned AS (
-      |  SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - (k * INTERVAL '15 minutes') AS w_start,
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00') - (k * INTERVAL '15 minutes') AS w_start,
       |    value
       |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
       |)
@@ -173,12 +176,104 @@ object Streams {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** T4 watermark horizon: lateness tolerance, seconds. */
+  val LateHorizonSec = 600L
+  /** Simulated ingest-delay ceiling, seconds (the fixture's events
+    * arrive in perfect ts order, so arrival jitter is synthesized
+    * deterministically from the portable 32-bit hash backbone). */
+  val LateMaxDelaySec = 1800L
+  /** Micro-batch trigger interval on the arrival clock, seconds. */
+  val LateTriggerSec = 600L
+  private val HourUs = 3600L * 1000000L
+
+  /** T4 late-data policy, batch form: replays Structured Streaming's
+    * watermark semantics over a log whose ARRIVAL order differs from
+    * event time. Arrival time = ts + h32(event_id) % $LateMaxDelaySec
+    * seconds of simulated ingest delay; micro-batches cut every
+    * $LateTriggerSec s of arrival time; within batch k the watermark is
+    * frozen at max(event time over batches < k) − $LateHorizonSec —
+    * exactly the between-batches watermark update rule the streaming
+    * engine applies. An event is DROPPED iff its 1-hour tumbling
+    * window closed before it arrived (watermark >= window end — the
+    * non-strict boundary pinned by the StreamingSpec twin). Output: per window,
+    * kept/dropped counts and the kept value sum — the "how much data
+    * does this horizon lose" audit every watermark choice needs.
+    *
+    * Scale shape: per-batch max is an aggregate; the running max runs
+    * over the tiny |batches| table (one row per trigger interval);
+    * the policy join broadcasts that table back — the corpus never
+    * shuffles except for the final per-window aggregate. All lateness
+    * math is integer µs on the portable hash, so DuckDB reproduces it
+    * bit-for-bit.
+    */
+  def lateDataAudit(events: DataFrame): DataFrame =
+    lateAuditFromBatches(events.select(
+        col("event_id"), col("value"),
+        expr("unix_micros(timestamp(ts))").as("ev_us"))
+      .withColumn("arr_us", col("ev_us") +
+        expr(s"(cast(conv(substring(md5(cast(event_id AS string)), 1, 8), 16, 10) AS bigint) % $LateMaxDelaySec) * 1000000L"))
+      .withColumn("batch_id", expr(s"arr_us div (${LateTriggerSec}L * 1000000L)")))
+
+  /** Policy core over an explicit (ev_us, value, batch_id) assignment —
+    * split out so the StreamingSpec twin can feed hand-built arrival
+    * batches (incl. exact watermark==window-end boundaries) through
+    * BOTH this and a real watermarked stream and assert drop parity.
+    */
+  private[graft] def lateAuditFromBatches(e: DataFrame): DataFrame = {
+    val wmWin = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = e.groupBy("batch_id").agg(max("ev_us").as("bmax"))
+      .withColumn("wm_us", max("bmax").over(wmWin) - LateHorizonSec * 1000000L)
+      .select("batch_id", "wm_us")
+    e.join(broadcast(wm), "batch_id")
+      .withColumn("wend_us", (expr(s"ev_us div ${HourUs}L") + 1L) * HourUs)
+      // non-strict: the StreamingSpec twin pinned that Spark closes a
+      // window when the watermark REACHES its end (wm == wend drops)
+      .withColumn("is_late", col("wm_us").isNotNull && col("wm_us") >= col("wend_us"))
+      .groupBy(date_format(timestamp_micros(col("wend_us") - HourUs),
+        "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .agg(sum(when(!col("is_late"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("is_late"), 1L).otherwise(0L)).as("n_dropped"),
+           round(sum(when(!col("is_late"), col("value")).otherwise(0.0)), 4).as("sum_value_kept"))
+  }
+
+  def lateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lateDataAudit(Tables.events(spark, sfDir))
+      .orderBy("window_start")
+
+  val lateSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, value, epoch_us(ts::TIMESTAMP) AS ev_us,
+       |    epoch_us(ts::TIMESTAMP)
+       |      + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % $LateMaxDelaySec) * 1000000 AS arr_us
+       |  FROM events
+       |), b AS (
+       |  SELECT *, arr_us // (${LateTriggerSec} * 1000000) AS batch_id FROM e
+       |), wm AS (
+       |  SELECT batch_id,
+       |    max(bmax) OVER (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      - $LateHorizonSec * 1000000 AS wm_us
+       |  FROM (SELECT batch_id, max(ev_us) AS bmax FROM b GROUP BY batch_id)
+       |), j AS (
+       |  SELECT b.*, (b.ev_us // ${HourUs} + 1) * ${HourUs} AS wend_us, wm.wm_us,
+       |    (wm.wm_us IS NOT NULL AND wm.wm_us >= (b.ev_us // ${HourUs} + 1) * ${HourUs}) AS is_late
+       |  FROM b JOIN wm USING (batch_id)
+       |)
+       |SELECT strftime(make_timestamp(wend_us - ${HourUs}), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  sum(CASE WHEN is_late THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN is_late THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  round(sum(CASE WHEN is_late THEN 0.0 ELSE value END), 4) AS sum_value_kept
+       |FROM j
+       |GROUP BY 1
+       |ORDER BY window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> (tumblingQuery _),
     "q_stream_users"    -> (tumblingUsersQuery _),
     "q_stream_sliding"  -> (slidingQuery _),
     "q_stream_sessions" -> (sessionQuery _),
     "q_stream_dedup"    -> (dedupQuery _),
+    "q_stream_late"     -> (lateQuery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +282,6 @@ object Streams {
     "q_stream_sliding"  -> slidingSql,
     "q_stream_sessions" -> sessionSql,
     "q_stream_dedup"    -> dedupSql,
+    "q_stream_late"     -> lateSql,
   )
 }

@@ -35,6 +35,43 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkFixture {
       s"expected partition filters in scan:\n$scan")
   }
 
+  test("dim-filtered join against date-partitioned facts plans dynamic partition pruning") {
+    // The DPP pattern at 100 TB: the fact side is partitioned on a key
+    // whose qualifying values are only known after filtering a dim
+    // table — static pruning can't help, but Spark inserts a runtime
+    // dynamicpruning subquery that reads the dim first and prunes fact
+    // partitions before the scan.
+    val out = "target/tmp/events_by_date_dpp"
+    val e = Tables.events(spark, sfTest)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    val dates = e.select("event_date").distinct().orderBy("event_date")
+      .collect().map(_.getString(0))
+    assert(dates.length > 1, "fixture must span multiple dates")
+    val session = spark
+    import session.implicits._
+    // a tiny "calendar dim" written to parquet so the filter below is a
+    // real runtime scan predicate (a local Seq would constant-fold and
+    // give the pruning rule nothing to key on); the filter lives on a
+    // dim attribute, so the qualifying event_date values are runtime-only
+    val dimPath = "target/tmp/calendar_dim_dpp"
+    dates.zipWithIndex.toSeq
+      .toDF("d_date", "d_idx")
+      .withColumn("d_flag", when(col("d_idx") < 2, lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val facts = spark.read.parquet(out)
+    val joined = facts.join(dim.where(col("d_flag") === "keep"),
+      col("event_date") === col("d_date"))
+
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan:\n${optimized.take(3000)}")
+    val expected = e.where(col("event_date").isin(dates.take(2): _*)).count()
+    assert(joined.count() == expected)
+  }
+
   test("bucketed fact-fact join plans without shuffle exchanges") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -44,12 +44,38 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(df.where($"user_id" === 1L).agg(sum("rating")).head.getDouble(0) == 8.0)
   }
 
-  test("JDBC stub reader carries partitioned-read configuration") {
+  test("JDBC reader carries partitioned-read configuration") {
     val r = Sources.jdbcReader(spark, "jdbc:postgresql://db:5432/recs", "recommendations",
       partitionColumn = "user_id", lowerBound = 0L, upperBound = 1000000L, numPartitions = 64)
-    // no .load() (no DB in this environment) — the contract is that the
-    // reader is fully configured for parallel range reads
+    // no .load() here (no Postgres in this environment) — the contract
+    // is that the reader is fully configured for parallel range reads;
+    // the Derby test below executes the same code path
     assert(r != null)
+  }
+
+  test("JDBC round-trip through embedded Derby executes the partitioned read") {
+    // Derby ships with the Spark distribution (the Hive-metastore
+    // dependency), so the full write→read JDBC path is executable
+    // offline: same DataSource-v1 code path a MySQL/Postgres deployment
+    // would run, minus only the vendor dialect.
+    val session = spark
+    import session.implicits._
+    val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val url = "jdbc:derby:target/tmp/derby_recs;create=true"
+    val src = (1L to 100L).map(i => (i, i % 10, (i % 7).toDouble))
+      .toDF("rec_id", "item_id", "score")
+    Sources.jdbcWrite(src, url, "recs", Some(derbyDriver))
+    val back = Sources.jdbcReader(spark, url, "recs",
+        partitionColumn = "rec_id", lowerBound = 1L, upperBound = 101L, numPartitions = 4)
+      .option("driver", derbyDriver)
+      .load()
+    // the partition spec must actually split the scan into range tasks
+    assert(back.rdd.getNumPartitions == 4, "partitioned read must produce one task per range")
+    assert(back.count() == 100)
+    assert(back.agg(sum("score")).head.getDouble(0) ==
+           src.agg(sum("score")).head.getDouble(0))
+    // range predicates must not drop or duplicate boundary rows
+    assert(back.select("rec_id").distinct().count() == 100)
   }
 
   test("ORC round-trip preserves schema and values") {

@@ -143,6 +143,70 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(hour0 == 4L)
   }
 
+  test("T4b late-data audit drop policy matches a real watermarked stream batch-for-batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    // arrival batches hand-built to hit every case:
+    //   batch 0 sets the watermark to 12:10-10min = 12:00 for batch 1;
+    //   e3 is far late (wend 11:00 < wm),
+    //   e4 is the EXACT boundary (wend 12:00 == wm),
+    //   e5/e6 are on-time
+    val batches = Seq(
+      Seq(Ev(1, 1, "view", 1.0, at("2024-01-01 10:15:00")),
+          Ev(2, 1, "view", 2.0, at("2024-01-01 12:10:00"))),
+      Seq(Ev(3, 1, "view", 4.0, at("2024-01-01 10:59:59")),
+          Ev(4, 1, "view", 8.0, at("2024-01-01 11:59:59")),
+          Ev(5, 1, "view", 16.0, at("2024-01-01 12:30:00")),
+          Ev(6, 1, "view", 32.0, at("2024-01-01 12:05:00"))),
+      Seq(Ev(7, 1, "view", 64.0, at("2024-01-01 20:00:00"))), // flush: closes all windows
+    )
+    val name = s"late_parity_${System.nanoTime()}"
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      // one processAllAvailable per addData = one micro-batch each, so the
+      // watermark advances exactly at the batch boundaries the audit models
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .select("window_start", "n_events", "sum_value").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val audit = Streams.lateAuditFromBatches(
+        batches.zipWithIndex.flatMap { case (b, i) => b.map(e => (e.event_id, e.value, e.ts, i)) }
+          .toDF("event_id", "value", "ts", "batch_id")
+          .select(col("event_id"), col("value"),
+                  expr("unix_micros(timestamp(ts))").as("ev_us"), col("batch_id")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    // every CLOSED window the audit says has kept events must appear in
+    // the stream output with the same count and value sum — and vice
+    // versa. The flush window itself never closes (append mode emits a
+    // window only once the watermark passes its end, and nothing
+    // arrives after the flush), so it is outside the comparable set.
+    val unclosed = "2024-01-01 20:00:00"
+    val keptWindows = audit.filter { case (w, (n, _, _)) => n > 0 && w != unclosed }
+    assert(streamed.keySet == keptWindows.keySet,
+      s"stream emitted $streamed but audit kept $keptWindows")
+    for ((w, (nKept, _, sumKept)) <- keptWindows)
+      assert(streamed(w) == (nKept, sumKept), s"window $w: stream=${streamed(w)} audit=($nKept,$sumKept)")
+    // far-late e3: dropped on both sides
+    assert(audit("2024-01-01 10:00:00") == (1L, 1L, 1.0),
+      "10:00 window must keep only the on-time event and drop e3")
+    // boundary e4 (wm == window end): the stream dropped it, pinning the
+    // NON-STRICT close predicate the audit uses
+    assert(audit("2024-01-01 11:00:00") == (0L, 1L, 0.0),
+      "exact watermark==window-end must drop")
+  }
+
   test("T5 streaming dropDuplicates equals batch first-event dedup on keys") {
     val session = spark
     import session.implicits._
