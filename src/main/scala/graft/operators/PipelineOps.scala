@@ -51,7 +51,17 @@ object PipelineOps {
     * cluster_id = the component's min vertex. Empty input → empty
     * output (zero rounds).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    ccLabels(edges).groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           concat_ws(",", expr("transform(sort_array(collect_list(v)), x -> cast(x AS string))")).as("members"))
+      .orderBy("cluster_id")
+
+  /** The label fixpoint itself: (v, label) with label = the component's
+    * min vertex — exposed separately so consumers that need PER-VERTEX
+    * survivorship (canonical-corpus emission) skip the cluster rollup.
+    */
+  private[operators] def ccLabels(edges: DataFrame): DataFrame = {
     // near-dup edge lists are tiny relative to the corpus: narrow the
     // iteration to a few partitions so each round's joins/checkpoints
     // don't pay 32-way task scheduling (a truly large graph would keep
@@ -87,18 +97,17 @@ object PipelineOps {
     }
     sym.unpersist(blocking = false)
     require(converged, s"connected components did not converge in $MaxCcRounds rounds")
-    labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"),
-           concat_ws(",", expr("transform(sort_array(collect_list(v)), x -> cast(x AS string))")).as("members"))
-      .orderBy("cluster_id")
+    labels
   }
 
-  /** Oracle: transitive closure by recursive CTE over the same SimHash
-    * edges, then min over each vertex's reachable set. Fine at oracle
-    * scale; the Spark side is the one that has to survive 100 TB.
+  /** Oracle closure CTEs shared by the cluster report and the
+    * canonical-corpus emitter: transitive closure by recursive CTE
+    * over the same SimHash edges, then min over each vertex's
+    * reachable set. Fine at oracle scale; the Spark side is the one
+    * that has to survive 100 TB.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${Dedup.simhashSigsSql},
+  private val ccClosureSql: String =
+    s"""${Dedup.simhashSigsSql},
        |edges AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
@@ -113,11 +122,51 @@ object PipelineOps {
        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
        |), lbl AS (
        |  SELECT src AS v, least(src, min(dst)) AS label FROM reach GROUP BY src
-       |)
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccClosureSql
        |SELECT label AS cluster_id, count(*) AS n_docs,
        |  string_agg(v::VARCHAR, ',' ORDER BY v) AS members
        |FROM lbl GROUP BY label
        |ORDER BY cluster_id""".stripMargin
+
+  /** Canonical-corpus emission — the step every dedup pipeline
+    * actually ships: resolve near-dup clusters, keep ONE survivor per
+    * cluster (min doc_id), pass every unclustered doc through, and
+    * report the per-source keep/remove tally (the number a crawl
+    * vendor gets told). Removal set = vertices whose component label
+    * is smaller than themselves.
+    *
+    * Scale shape: the label fixpoint is the [[ccLabels]] loop (edge-
+    * list-sized, log-diameter rounds); the removal set joins the
+    * corpus on doc_id as a plain equi-join — deliberately NOT
+    * broadcast, since at 100 TB the dup set is corpus-scale (30%+ of
+    * a raw crawl), exactly the unbounded-broadcast trap newVsReturning
+    * documents.
+    */
+  def canonicalCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val removed = ccLabels(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .where(col("label") < col("v"))
+      .select(col("v").as("doc_id"), lit(1L).as("rm"))
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+           (count(lit(1)) - sum(coalesce(col("rm"), lit(0L)))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val canonicalCorpusSql: String =
+    s"""WITH RECURSIVE $ccClosureSql
+       |SELECT d.source, count(*) AS n_docs,
+       |  sum(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  (count(*) - sum(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_kept
+       |FROM documents d
+       |LEFT JOIN (SELECT v FROM lbl WHERE label < v) r ON d.doc_id = r.v
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   /** Percent of rows kept by the deterministic sample. */
   val SamplePct = 5
@@ -423,6 +472,37 @@ object PipelineOps {
        |GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
 
+  /** Per-dimension embedding health: mean / sample-stddev / min / max
+    * for each of the 64 dimensions — the "is a dimension dead, stuck,
+    * or exploding" audit run before any ANN index build or quantizer
+    * fit. posexplode keeps the position, so the whole check is one
+    * explode + one 64-group aggregate: map work plus a shuffle of
+    * |dims| partial rows per task, regardless of corpus size.
+    */
+  def embedHealth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(round(avg("v"), 6).as("mean"),
+           round(stddev_samp(col("v")), 6).as("std"),
+           round(min("v"), 6).as("vmin"),
+           round(max("v"), 6).as("vmax"))
+      .orderBy("dim")
+
+  /** DuckDB twin indexes 1-based; align to posexplode's 0-base. */
+  val embedHealthSql: String =
+    """WITH e AS (
+      |  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+      |  WHERE i <= len(embedding)
+      |)
+      |SELECT dim, round(avg(v), 6) AS mean, round(stddev_samp(v), 6) AS std,
+      |  round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+      |FROM e GROUP BY dim
+      |ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -431,6 +511,8 @@ object PipelineOps {
     "q_embedding_quantize"  -> (embeddingQuantize _),
     "q_weighted_sample"     -> (weightedSample _),
     "q_seq_pack"            -> (seqPack _),
+    "q_dedup_canonical"     -> (canonicalCorpus _),
+    "q_embed_health"        -> (embedHealth _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -441,5 +523,8 @@ object PipelineOps {
     "q_embedding_quantize"  -> embeddingQuantizeSql,
     "q_weighted_sample"     -> weightedSampleSql,
     "q_seq_pack"            -> seqPackSql,
+    "q_dedup_canonical"     -> canonicalCorpusSql,
+    "q_embed_health"        -> embedHealthSql,
   )
+
 }

@@ -851,7 +851,114 @@ object TextAnalysis {
        |  round(corr(lf, lr), 4) AS loglog_corr
        |FROM ranked WHERE rank <= $ZipfTop""".stripMargin
 
+  /** Target domain for importance resampling. */
+  val ImportanceTargetLang = "en"
+  /** Docs reported by the importance ranking. */
+  val ImportanceTop = 20
+
+  /** Importance-resampling scores (the DSIR recipe, Xie et al. 2023,
+    * with unigram features): score each document by the average
+    * log-likelihood ratio of its tokens under a target-domain unigram
+    * LM vs the whole-corpus LM — the standard "pick pretraining data
+    * that looks like the domain you care about" gate. Target here =
+    * the $ImportanceTargetLang slice; add-one smoothing on both sides;
+    * the (N+V) normalizers shift every doc equally so the ranking
+    * drops them: score = avg ln((ct+1)/(cc+1)).
+    *
+    * Scale shape: BOTH LMs come out of ONE token aggregate (corpus
+    * count + conditional target count per token — no second scan);
+    * the model is |vocab| rows and broadcasts back into the token
+    * stream; per-doc scoring is map + doc-keyed aggregate; the top-N
+    * is TakeOrderedAndProject. The corpus never self-joins, never
+    * shuffles except for the vocab and doc aggregates.
+    */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame =
+    importanceRank(Tables.documents(spark, sfDir))
+
+  /** Core ranking over any (doc_id, lang, text) frame — split out so the
+    * enrichment property can be unit-tested on a corpus whose lang
+    * actually correlates with content (the synthetic fixture draws every
+    * lang from one shared 31-token vocabulary, so there the ranking is
+    * structurally valid but lang-flat by construction).
+    */
+  private[graft] def importanceRank(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(expr(normSpark), " ")).as("tok"))
+    val lm = toks.groupBy("tok").agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("lang") === ImportanceTargetLang, 1L).otherwise(0L)).as("ct"))
+    val scored = toks.join(broadcast(lm), "tok")
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(log((col("ct") + 1.0) / (col("cc") + 1.0))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(ImportanceTop)
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("rk", "doc_id", "lang", "score")
+      .orderBy("rk")
+  }
+
+  val importanceSampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split($normDuck, ' ')) AS tok FROM documents
+       |), lm AS (
+       |  SELECT tok, count(*) AS cc,
+       |    sum(CASE WHEN lang = '$ImportanceTargetLang' THEN 1 ELSE 0 END) AS ct
+       |  FROM toks GROUP BY tok
+       |), scored AS (
+       |  SELECT t.doc_id, t.lang,
+       |    round(avg(ln((lm.ct + 1.0) / (lm.cc + 1.0))), 6) AS score
+       |  FROM toks t JOIN lm USING (tok)
+       |  GROUP BY t.doc_id, t.lang
+       |)
+       |SELECT rk, doc_id, lang, score FROM (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $ImportanceTop
+       |ORDER BY rk""".stripMargin
+
+  /** Corpus diversity per language: how evenly the slice spreads over
+    * sources — Shannon entropy of the source distribution plus its
+    * normalized form (entropy / ln(n_sources), 1.0 = perfectly even).
+    * The "is this language slice all one crawl?" check a data-mixing
+    * pass runs before weighting. Two bounded aggregates (per
+    * (lang, source), then per lang); nothing scales with corpus size
+    * except the first count.
+    */
+  def corpusEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val tot = Window.partitionBy("lang")
+    bySrc.withColumn("p", col("c") / sum("c").over(tot))
+      .groupBy("lang")
+      .agg(sum("c").as("n_docs"),
+           count(lit(1)).as("n_sources"),
+           round(-sum(col("p") * log(col("p"))), 6).as("source_entropy"))
+      .withColumn("evenness",
+        round(col("source_entropy") / log(col("n_sources").cast("double")), 6))
+      .orderBy("lang")
+  }
+
+  val corpusEntropySql: String =
+    """WITH bysrc AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+      |), p AS (
+      |  SELECT lang, c, c / sum(c) OVER (PARTITION BY lang) AS p FROM bysrc
+      |), e AS (
+      |  SELECT lang, sum(c)::BIGINT AS n_docs, count(*) AS n_sources,
+      |    round(-sum(p * ln(p)), 6) AS source_entropy
+      |  FROM p GROUP BY lang
+      |)
+      |SELECT lang, n_docs, n_sources, source_entropy,
+      |  round(source_entropy / ln(n_sources::DOUBLE), 6) AS evenness
+      |FROM e
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_importance_sample" -> (importanceSample _),
+    "q_corpus_entropy" -> (corpusEntropy _),
     "q_zipf_fit"       -> (zipfFit _),
     "q_readability"    -> (readability _),
     "q_text_profile"   -> (textProfile _),
@@ -870,6 +977,8 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_importance_sample" -> importanceSampleSql,
+    "q_corpus_entropy" -> corpusEntropySql,
     "q_zipf_fit"       -> zipfFitSql,
     "q_readability"    -> readabilitySql,
     "q_text_profile"   -> textProfileSql,

@@ -95,6 +95,46 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fps(1L) !== fps(2L), "same bag of words, different order must fingerprint differently")
   }
 
+  test("importance sample: fixture ranking is complete, deterministic, descending") {
+    val top = operators.TextAnalysis.importanceSample(spark, sfTest).collect()
+    assert(top.length === operators.TextAnalysis.ImportanceTop)
+    assert(top.map(_.getAs[Int]("rk")).toSeq === (1 to top.length))
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // NOTE: no lang-enrichment claim here — the synthetic fixture draws
+    // every lang from one shared vocabulary, so lang is uncorrelated
+    // with content and the head of the ranking is lang-flat by design.
+  }
+
+  test("importance sample: target-lang docs dominate when lang correlates with content") {
+    // a corpus where the property that makes DSIR selection work CAN
+    // hold: en docs lean on one token set, others on another
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      val text =
+        if (en) s"alpha beta alpha gamma beta shared${i % 3}"
+        else s"delta epsilon delta zeta epsilon shared${i % 3}"
+      (i.toLong, if (en) "en" else "fr", text)
+    }.toDF("doc_id", "lang", "text")
+    val top = operators.TextAnalysis.importanceRank(docs).collect()
+    val hits = top.count(_.getAs[String]("lang") == operators.TextAnalysis.ImportanceTargetLang)
+    assert(hits === top.length, s"only $hits/${top.length} top docs are target-lang")
+  }
+
+  test("corpus entropy: bounds hold and every lang slice is covered") {
+    val e = operators.TextAnalysis.corpusEntropy(spark, sfTest).collect()
+    val total = Tables.documents(spark, sfTest).count()
+    assert(e.map(_.getAs[Long]("n_docs")).sum === total)
+    e.foreach { r =>
+      val ent = r.getAs[Double]("source_entropy")
+      val even = r.getAs[Double]("evenness")
+      assert(ent >= 0.0)
+      // entropy <= ln(n_sources) <=> evenness in [0, 1]
+      assert(even >= 0.0 && even <= 1.0 + 1e-9, s"evenness $even out of range")
+    }
+  }
+
   test("text profile covers the whole corpus") {
     val total = operators.TextAnalysis.textProfile(spark, sfTest)
       .agg(sum("n_docs")).collect()(0).getLong(0)

@@ -27,6 +27,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     edges.foreach { case (a, b) => assert(byVert(a) eq byVert(b), s"edge ($a,$b) split across clusters") }
   }
 
+  test("canonical corpus: kept + removed = total; removals equal cluster non-minima") {
+    val canon = operators.PipelineOps.canonicalCorpus(spark, sfTest).collect()
+    val total = Tables.documents(spark, sfTest).count()
+    assert(canon.map(_.getAs[Long]("n_docs")).sum === total)
+    canon.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") === r.getAs[Long]("n_docs"))
+    }
+    // cross-check against the cluster report: removals = Σ (cluster size - 1)
+    val clusters = operators.PipelineOps.dedupClusters(spark, sfTest).collect()
+    val expectedRemoved = clusters.map(_.getAs[Long]("n_docs") - 1).sum
+    assert(canon.map(_.getAs[Long]("n_removed")).sum === expectedRemoved)
+  }
+
+  test("embed health: one row per dimension, min<=mean<=max, std non-negative") {
+    val h = operators.PipelineOps.embedHealth(spark, sfTest).collect()
+    val dims = Tables.embeddings(spark, sfTest)
+      .select(size(col("embedding"))).head.getInt(0)
+    assert(h.length === dims)
+    assert(h.map(_.getAs[Int]("dim")).toSeq === (0 until dims))
+    h.foreach { r =>
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("mean") + 1e-6)
+      assert(r.getAs[Double]("mean") <= r.getAs[Double]("vmax") + 1e-6)
+      assert(r.getAs[Double]("std") >= 0.0)
+    }
+  }
+
   test("hash sample is deterministic and a genuine subset") {
     val s1 = operators.PipelineOps.hashSample(spark, sfTest).collect()
     val s2 = operators.PipelineOps.hashSample(spark, sfTest).collect()
