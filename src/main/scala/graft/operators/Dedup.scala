@@ -126,32 +126,41 @@ object Dedup {
     * shingles via the inverted-index join (shingle → docs), threshold
     * ${JaccardThreshold}; shingles with df > $HotShingleDf stop-listed.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    // Inverted-index pair generation WITHOUT the shingle self-join: one
-    // groupBy per shingle collects its (sorted) doc list, and the
-    // codegen PairPack expression expands the co-occurring doc pairs
-    // map-side — the hot-shingle blowup (a trigram shared by n docs
-    // yields n(n−1)/2 pairs) no longer rides through an SMJ shuffle of
-    // duplicated shingle rows. Identical pair multiset to the x⋈y join
-    // the oracle still uses.
-    val inter = sh.groupBy("s")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= HotShingleDf) // stop-list hot shingles
-      .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("inter"))
-      .withColumn("doc_a", shiftright(col("pk"), 32))
-      .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
-      .drop("pk")
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    pairScores(spark, sfDir)
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Stop-listed inverted-index pair scores — (doc_a, doc_b, inter,
+    * na, nb) for every doc pair sharing ≥1 non-hot shingle — shared by
+    * the Jaccard tier and the LSH recall audit (memoized per session).
+    *
+    * Pair generation WITHOUT the shingle self-join: one groupBy per
+    * shingle collects its (sorted) doc list, and the codegen PairPack
+    * expression expands the co-occurring doc pairs map-side — the
+    * hot-shingle blowup (a trigram shared by n docs yields n(n−1)/2
+    * pairs) no longer rides through an SMJ shuffle of duplicated
+    * shingle rows. Identical pair multiset to the x⋈y join the oracle
+    * still uses.
+    */
+  private def pairScores(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"dedup:pairScores:$sfDir") {
+      val sh = shingles(spark, sfDir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = sh.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) <= HotShingleDf) // stop-list hot shingles
+        .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("inter"))
+        .withColumn("doc_a", shiftright(col("pk"), 32))
+        .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
+        .drop("pk")
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
+    }
 
   val ngramJaccardSql: String =
     s"""WITH $shinglesSql, sizes AS (
@@ -178,32 +187,42 @@ object Dedup {
     * Signatures are integer arithmetic on the portable 32-bit hash, so
     * the DuckDB oracle reproduces them bit-for-bit.
     */
+  /** Band-collision candidate pairs (doc_a < doc_b, distinct) — the
+    * LSH generator shared by the verify tier and the recall audit,
+    * memoized per session.
+    */
+  private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"dedup:mhcands:$sfDir") {
+      val sh = shingles(spark, sfDir).withColumn("h", expr(h32Spark("s")))
+      // Signature as ONE groupBy(doc_id) with a min-aggregate per
+      // permutation: the k-explode formulation this replaces pushed
+      // |shingles|×12 rows through a (doc_id, k) aggregate; here the
+      // aggregate reads each shingle row once and keeps 12 codegen'd
+      // min slots per doc — 12× less shuffle input, same values
+      // bit-for-bit (min over identical hk sets).
+      val minCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), k) =>
+        min(expr(s"($a * h + $b) % $MinHashP")).as(s"mh$k")
+      }
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // band key: concatenated minhashes within the band, order fixed by k
+      // (identical string to the previous sort_array(collect_list) form)
+      val bandStructs = (0 until MinHashA.size by BandW).map { b =>
+        val ks = b until math.min(b + BandW, MinHashA.size)
+        struct(lit(b / BandW).as("band"),
+               concat_ws(",", ks.map(k => col(s"mh$k").cast("string")): _*).as("bkey"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).withColumn("h", expr(h32Spark("s")))
-    // Signature as ONE groupBy(doc_id) with a min-aggregate per
-    // permutation: the k-explode formulation this replaces pushed
-    // |shingles|×12 rows through a (doc_id, k) aggregate; here the
-    // aggregate reads each shingle row once and keeps 12 codegen'd
-    // min slots per doc — 12× less shuffle input, same values
-    // bit-for-bit (min over identical hk sets).
-    val minCols = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), k) =>
-      min(expr(s"($a * h + $b) % $MinHashP")).as(s"mh$k")
-    }
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // band key: concatenated minhashes within the band, order fixed by k
-    // (identical string to the previous sort_array(collect_list) form)
-    val bandStructs = (0 until MinHashA.size by BandW).map { b =>
-      val ks = b until math.min(b + BandW, MinHashA.size)
-      struct(lit(b / BandW).as("band"),
-             concat_ws(",", ks.map(k => col(s"mh$k").cast("string")): _*).as("bkey"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val sh = shingles(spark, sfDir)
+    val cands = minhashCandidates(spark, sfDir)
     // verify candidates with exact Jaccard
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = cands
@@ -255,6 +274,86 @@ object Dedup {
        |JOIN sizes nb ON nb.doc_id = doc_b
        |WHERE round(inter / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** L2 audit — the LSH banding recall S-curve: for every ground-truth
+    * pair (exact Jaccard over the shared stop-listed inverted index,
+    * bucketed by decile), the fraction the band-collision candidate
+    * generator recovers. This is the empirical form of the banding
+    * design rule P(candidate) = 1−(1−j^r)^b (r=$BandW rows ×
+    * b=${MinHashA.size / BandW} bands): ≈1 near j=1, an S-drop through
+    * the threshold region, →0 for unrelated pairs. Bucket 0 (pairs
+    * sharing ≥1 non-hot shingle but j < 0.1) doubles as the
+    * false-candidate contrast: its "recall" is the wasted-verify rate.
+    * Re-run whenever the banding parameters change; a recall dip at
+    * the target threshold means b/r are mistuned.
+    *
+    * Determinism: buckets and recall are integer math — bucket =
+    * (10·inter) div union, recall in basis points via the shared
+    * half-up fixed-point idiom ((2·10000·c+n) div 2n) — so the oracle
+    * hash-matches despite being a statistical audit.
+    *
+    * Scale shape: ground truth rides the memoized stop-listed pair
+    * aggregate, candidates ride the banded bucket join, and the audit
+    * itself is a pair-keyed equi-join — nothing here is O(n²). At true
+    * corpus scale the audit runs on a hash-sampled slice (the
+    * q_hash_sample gate) rather than the full corpus; the plan is
+    * identical.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = pairScores(spark, sfDir)
+      .withColumn("bucket", expr("(10 * inter) div (na + nb - inter)"))
+    val caught = minhashCandidates(spark, sfDir).withColumn("hit", lit(1L))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_bp", expr("(20000 * n_caught + n_pairs) div (2 * n_pairs)"))
+      .orderBy("bucket")
+  }
+
+  val lshRecallSql: String = {
+    val permRows = MinHashA.zip(MinHashB).zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+    s"""WITH $shinglesSql, hashed AS (
+       |  SELECT doc_id, ${h32Duck("s")} AS h, s FROM sh
+       |), perms(k, a, b) AS (VALUES $permRows),
+       |sig AS (
+       |  SELECT doc_id, k, min((a * h + b) % $MinHashP) AS mh
+       |  FROM hashed CROSS JOIN perms
+       |  GROUP BY doc_id, k
+       |), bands AS (
+       |  SELECT doc_id, k // $BandW AS band,
+       |    array_to_string(list(mh ORDER BY k), ',') AS bkey
+       |  FROM sig GROUP BY doc_id, k // $BandW
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), keep AS (
+       |  SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleDf
+       |), truth AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  JOIN keep k ON k.s = x.s
+       |  GROUP BY 1, 2
+       |), bk AS (
+       |  SELECT (10 * inter) // (na.ns + nb.ns - inter) AS bucket,
+       |    t.doc_a, t.doc_b
+       |  FROM truth t
+       |  JOIN sizes na ON na.doc_id = t.doc_a
+       |  JOIN sizes nb ON nb.doc_id = t.doc_b
+       |), g AS (
+       |  SELECT bucket, count(*) AS n_pairs,
+       |    sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_caught
+       |  FROM bk LEFT JOIN cands c ON bk.doc_a = c.doc_a AND bk.doc_b = c.doc_b
+       |  GROUP BY bucket
+       |)
+       |SELECT bucket, n_pairs, n_caught,
+       |  (20000 * n_caught + n_pairs) // (2 * n_pairs) AS recall_bp
+       |FROM g ORDER BY bucket""".stripMargin
   }
 
   /** First doc_id of the "incoming batch" in the incremental query. */
@@ -698,6 +797,7 @@ object Dedup {
     "q_dedup_exact"       -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_lsh_recall"        -> (lshRecall _),
     "q_dedup_simhash"     -> (simhashPairs _),
     "q_dedup_embedding"   -> (embeddingNearDup _),
     "q_dedup_incremental" -> (incrementalDedup _),
@@ -711,6 +811,7 @@ object Dedup {
     "q_dedup_exact"       -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
+    "q_lsh_recall"        -> lshRecallSql,
     "q_dedup_simhash"     -> simhashPairsSql,
     "q_dedup_embedding"   -> embeddingNearDupSql,
     "q_dedup_incremental" -> incrementalDedupSql,

@@ -30,6 +30,24 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(high.subsetOf(lsh), s"high-similarity pairs missed by LSH: ${high -- lsh}")
   }
 
+  test("lsh recall audit: S-curve endpoints — near-total recall at j>=0.9, near-zero waste at j<0.1") {
+    val rows = operators.Dedup.lshRecall(spark, sfTest).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_caught"), r.getAs[Long]("recall_bp")))).toMap
+    rows.values.foreach { case (n, c, bp) =>
+      assert(c <= n); assert(bp >= 0L && bp <= 10000L)
+    }
+    // with r=2 rows x 6 bands, P(candidate | j=0.9) = 1-(1-0.81)^6 > 0.9999
+    val (hn, _, hbp) = rows.getOrElse(9L, rows(10L))
+    assert(hn > 0L)
+    assert(hbp >= 9000L, s"high-similarity recall only $hbp bp")
+    // bucket 0 = unrelated pairs sharing a shingle; candidate rate there
+    // is the wasted-verify fraction and must stay tiny
+    rows.get(0L).foreach { case (n, c, _) =>
+      assert(c * 20 <= n, s"$c of $n unrelated pairs flagged as candidates")
+    }
+  }
+
   test("simhash pairs are ordered, deduped, within the hamming bound") {
     val rows = operators.Dedup.simhashPairs(spark, sfTest).collect()
     assert(rows.nonEmpty)
