@@ -42,7 +42,21 @@ object PipelineOps {
     * doc_id, member count, comma-joined member list).
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+    simhashLabels(spark, sfDir).groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           concat_ws(",", expr("transform(sort_array(collect_list(v)), x -> cast(x AS string))")).as("members"))
+      .orderBy("cluster_id")
+
+  /** Memoized label fixpoint over the SimHash near-dup edges — shared
+    * by the cluster report and canonical-corpus emission, so the
+    * iterative CC loop runs once per session, not once per consuming
+    * query (the loop is eager: each round collects a convergence
+    * witness).
+    */
+  private def simhashLabels(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"pipeline:cclabels:$sfDir") {
+      ccLabels(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+    }
 
   /** The reusable core: components of ANY undirected pair DataFrame
     * (columns doc_a, doc_b) — callers feed it whichever near-dup tier
@@ -146,7 +160,7 @@ object PipelineOps {
     * documents.
     */
   def canonicalCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val removed = ccLabels(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+    val removed = simhashLabels(spark, sfDir)
       .where(col("label") < col("v"))
       .select(col("v").as("doc_id"), lit(1L).as("rm"))
     Tables.documents(spark, sfDir).select("doc_id", "source")

@@ -82,4 +82,25 @@ object Sources {
       .mode(SaveMode.Overwrite)
     driver.fold(w)(d => w.option("driver", d)).save()
   }
+
+  /** S4 Hive warehouse sink: a managed catalog table, parquet-backed,
+    * optionally partitioned. Requires a Hive-enabled session
+    * (`enableHiveSupport()` — exercised in SourcesSpec against the
+    * embedded-Derby metastore). Partition columns become directory
+    * keys, so a downstream filter on them prunes whole partitions at
+    * the metastore level before any file is listed — the property that
+    * makes a date-partitioned behavior-log table workable at 100 TB.
+    */
+  def writeWarehouseTable(df: DataFrame, table: String,
+                          partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** S4 Hive warehouse source — the catalog-resolved read. Partition
+    * and predicate pruning ride the catalog metadata.
+    */
+  def warehouseTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

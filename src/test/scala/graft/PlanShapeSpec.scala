@@ -189,4 +189,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pl.contains("BroadcastHashJoin"), "brand dim must broadcast")
     assert(!pl.contains("CartesianProduct"))
   }
+
+  test("importance_sample: vocab LM joins back by broadcast, single documents scan") {
+    val pl = plan(operators.TextAnalysis.importanceSample(planSession, sfTest))
+    assert(pl.contains("BroadcastHashJoin"), "|vocab|-row LM must broadcast")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("lsh_recall: audit joins are equi-joins, never all-pairs") {
+    val pl = plan(operators.Dedup.lshRecall(planSession, sfTest))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      "truth x candidates must join on the pair key, not scan all pairs")
+  }
+
+  test("embed_health: posexplode aggregate is partial (map-side combine before the shuffle)") {
+    val pl = plan(operators.PipelineOps.embedHealth(planSession, sfTest))
+    // two HashAggregate headers (partial + final) around one exchange:
+    // network volume is dims x tasks, not dims x rows
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(pl).length >= 2,
+      s"expected partial+final aggregates, plan:\n${pl.take(3000)}")
+  }
 }

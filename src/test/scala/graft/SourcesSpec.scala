@@ -78,6 +78,31 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.select("rec_id").distinct().count() == 100)
   }
 
+  test("Hive warehouse table: partitioned managed-table round-trip with partition pruning") {
+    val session = spark
+    import session.implicits._
+    assert(session.conf.get("spark.sql.catalogImplementation") == "hive",
+      "fixture session must carry the Hive catalog for S4 semantics")
+    val src = (1L to 60L).map(i => (i, s"u${i % 5}", s"day${(i % 3).toInt}"))
+      .toDF("event_id", "user_id", "dt")
+    Sources.writeWarehouseTable(src, "events_wh", partitionBy = Seq("dt"))
+    val back = Sources.warehouseTable(session, "events_wh")
+    assert(back.count() === 60)
+    assert(back.schema.map(_.name).toSet === Set("event_id", "user_id", "dt"))
+    // catalog knows it and knows its partitions
+    assert(session.catalog.tableExists("events_wh"))
+    val parts = session.sql("SHOW PARTITIONS events_wh").collect().map(_.getString(0))
+    assert(parts.toSet === Set("dt=day0", "dt=day1", "dt=day2"))
+    // a partition-key filter prunes at plan level: only one partition's
+    // files reach the scan
+    val pruned = back.where(col("dt") === "day1")
+    assert(pruned.count() === 20)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("dt"),
+      s"dt predicate must prune partitions at the scan, not filter rows:\n${p.take(1500)}")
+    session.sql("DROP TABLE events_wh")
+  }
+
   test("ORC round-trip preserves schema and values") {
     import graft.sources.Sources
     val path = "target/tmp/orc_roundtrip"

@@ -27,6 +27,15 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       // keep TypedImperativeAggregates hash-based (see Verify.scala)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // Hive-backed catalog (SURVEY §2.1 S4): embedded Derby metastore
+      // + warehouse under target/ so persistent-table semantics (the
+      // reference family's Hive warehouse source/sink) run in tests.
+      // Catalog choice is a static conf, so it lives on the ONE shared
+      // session; temp-view-based suites are unaffected.
+      .config("spark.sql.warehouse.dir", "target/hive-warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=target/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
