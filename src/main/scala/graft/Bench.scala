@@ -46,28 +46,52 @@ object Bench {
     // ±25% on the total and 3-6x on individual queries, so a single
     // run cannot distinguish a plan regression from scheduler jitter.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
-    def timeAll(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A failed query is recorded as Left(error) — NOT as a sentinel
+    // elapsed time. Mapping failures to a number (the old -1 s) let a
+    // broken query silently SHRINK the reported total; a fast-throwing
+    // query would likewise have polluted the per-query median downward.
+    // Failures are excluded from timing, listed in the JSON, and make
+    // the whole run exit nonzero so the 2x gate can't pass on a
+    // partially-broken suite.
+    def timeAll(): Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        name -> r
+      }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     val sweeps = (1 to runs).map(_ => timeAll().toMap)
-    val results = SparkEntry.queries.keys.toSeq.map(k => k -> median(sweeps.map(_(k))))
+    // Per-query median over SUCCESSFUL runs only; a query with zero
+    // successful runs across all sweeps is a failure.
+    val (failed, results) = SparkEntry.queries.keys.toSeq.partitionMap { k =>
+      val ok = sweeps.flatMap(_(k).toOption)
+      if (ok.isEmpty) Left(k) else Right(k -> median(ok))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    failed.foreach { k =>
+      val msg = sweeps.flatMap(_(k).left.toOption).headOption.getOrElse("?")
+      System.err.println(s"BENCH FAILURE $k: $msg")
+    }
     // The per-query map comes first and the headline total last: the
     // harness keeps only the final ~3 KB of output, so front-loading
     // "value" would let the queries map push it past the cutoff.
-    println(s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"failures":$failJson,"metric":"total","value":$total,"unit":"sec"}""")
     // Compact duplicate for line-oriented parsers that read the last
     // JSON-looking line; harmless to consumers that parsed the line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failures":$failJson}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

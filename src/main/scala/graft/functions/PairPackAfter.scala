@@ -55,6 +55,11 @@ case class PairPackAfter(left: Expression, right: Expression) extends BinaryExpr
         s"pair_pack_after: element $e outside [0, 2^32) — packing would be lossy")
       val a = e * PairPack.Base
       val k = ks.getLong(i)
+      // The monotone `lo` pointer is only correct on sorted keys; the
+      // expression is SQL-registered, so arbitrary callers must get an
+      // error — not silently wrong pairs — on unsorted input.
+      if (i > 0 && k < ks.getLong(i - 1)) throw new IllegalArgumentException(
+        s"pair_pack_after: keys must be non-decreasing (key at index $i is smaller than its predecessor); sort_array the zipped pairs upstream")
       if (lo <= i) lo = i + 1
       while (lo < n && ks.getLong(lo) <= k) lo += 1
       var j = lo
@@ -88,6 +93,8 @@ case class PairPackAfter(left: Expression, right: Expression) extends BinaryExpr
          |  if (($a & ~${PairPack.Base - 1L}L) != 0L) throw new IllegalArgumentException(
          |    "pair_pack_after: element " + $a + " outside [0, 2^32) — packing would be lossy");
          |  final long $k = $ks.getLong($i);
+         |  if ($i > 0 && $k < $ks.getLong($i - 1)) throw new IllegalArgumentException(
+         |    "pair_pack_after: keys must be non-decreasing (key at index " + $i + " is smaller than its predecessor); sort_array the zipped pairs upstream");
          |  if ($lo <= $i) $lo = $i + 1;
          |  while ($lo < $n && $ks.getLong($lo) <= $k) $lo++;
          |  for (int $j = $lo; $j < $n; $j++) {

@@ -283,9 +283,13 @@ object Dedup {
     * design rule P(candidate) = 1−(1−j^r)^b (r=$BandW rows ×
     * b=${MinHashA.size / BandW} bands): ≈1 near j=1, an S-drop through
     * the threshold region, →0 for unrelated pairs. Bucket 0 (pairs
-    * sharing ≥1 non-hot shingle but j < 0.1) doubles as the
-    * false-candidate contrast: its "recall" is the wasted-verify rate.
-    * Re-run whenever the banding parameters change; a recall dip at
+    * sharing ≥1 non-hot shingle but j < 0.1) shows the in-truth
+    * false-candidate contrast, and bucket −1 completes the
+    * wasted-verify picture: candidate pairs sharing NO non-hot
+    * shingle at all (pure-chance or hot-shingle-only band
+    * collisions), anti-joined against the truth set — without it the
+    * audit would undercount wasted verifies by exactly the pairs the
+    * stop-listed index never scores. Re-run whenever the banding parameters change; a recall dip at
     * the target threshold means b/r are mistuned.
     *
     * Determinism: buckets and recall are integer math — bucket =
@@ -304,12 +308,19 @@ object Dedup {
     val truth = pairScores(spark, sfDir)
       .withColumn("bucket", expr("(10 * inter) div (na + nb - inter)"))
     val caught = minhashCandidates(spark, sfDir).withColumn("hit", lit(1L))
-    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+    val byBucket = truth.join(caught, Seq("doc_a", "doc_b"), "left")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"),
            sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
       .withColumn("recall_bp", expr("(20000 * n_caught + n_pairs) div (2 * n_pairs)"))
-      .orderBy("bucket")
+    // Bucket −1: candidates with no truth row at all. "Recall" is
+    // trivially 10000 bp (the bander emitted every one of them); the
+    // row exists for its n_pairs — the complete wasted-verify count.
+    val outside = caught.join(truth, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit(-1L).as("bucket"), col("n_pairs"),
+              col("n_pairs").as("n_caught"), lit(10000L).as("recall_bp"))
+    byBucket.unionByName(outside).orderBy("bucket")
   }
 
   val lshRecallSql: String = {
@@ -350,10 +361,20 @@ object Dedup {
        |    sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_caught
        |  FROM bk LEFT JOIN cands c ON bk.doc_a = c.doc_a AND bk.doc_b = c.doc_b
        |  GROUP BY bucket
+       |), outside AS (
+       |  SELECT count(*)::BIGINT AS n
+       |  FROM cands c LEFT JOIN truth t
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |  WHERE t.doc_a IS NULL
        |)
        |SELECT bucket, n_pairs, n_caught,
        |  (20000 * n_caught + n_pairs) // (2 * n_pairs) AS recall_bp
-       |FROM g ORDER BY bucket""".stripMargin
+       |FROM g
+       |UNION ALL
+       |SELECT -1::BIGINT AS bucket, n AS n_pairs, n AS n_caught,
+       |  10000::BIGINT AS recall_bp
+       |FROM outside
+       |ORDER BY bucket""".stripMargin
   }
 
   /** First doc_id of the "incoming batch" in the incremental query. */

@@ -936,8 +936,13 @@ object TextAnalysis {
       .agg(sum("c").as("n_docs"),
            count(lit(1)).as("n_sources"),
            round(-sum(col("p") * log(col("p"))), 6).as("source_entropy"))
+      // A single-source slice has entropy 0 AND ln(n_sources)=0; define
+      // it as trivially even (1.0) rather than emit 0/0 = NaN — the
+      // oracle CASE mirrors this so both engines agree.
       .withColumn("evenness",
-        round(col("source_entropy") / log(col("n_sources").cast("double")), 6))
+        when(col("n_sources") > 1,
+          round(col("source_entropy") / log(col("n_sources").cast("double")), 6))
+          .otherwise(lit(1.0)))
       .orderBy("lang")
   }
 
@@ -952,7 +957,9 @@ object TextAnalysis {
       |  FROM p GROUP BY lang
       |)
       |SELECT lang, n_docs, n_sources, source_entropy,
-      |  round(source_entropy / ln(n_sources::DOUBLE), 6) AS evenness
+      |  CASE WHEN n_sources > 1
+      |       THEN round(source_entropy / ln(n_sources::DOUBLE), 6)
+      |       ELSE 1.0 END AS evenness
       |FROM e
       |ORDER BY lang""".stripMargin
 
