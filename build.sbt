@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Scale-volume specs (>=1e5-doc synthesized corpora, minutes of
+// runtime) are excluded from the default `sbt test` sweep; run them
+// explicitly with:  sbt "testOnly graft.DedupScaleSpec -- -n graft.ScaleTest"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.ScaleTest")
 // Forked run output must reach stdout RAW: sbt's default LoggedOutput
 // prepends "[info] " to every line, which breaks line-oriented JSON
 // parsing of Bench/Verify output by the harness.

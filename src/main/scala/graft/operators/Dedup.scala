@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication tiers (SURVEY.md §2.10 L1/L2 + the driver's
@@ -90,7 +90,7 @@ object Dedup {
     * Session-lifecycle-aware via [[graft.QueryCache]] (inputs assumed
     * immutable per session; see QueryCache.invalidate otherwise).
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"dedup:shingles:$sfDir") {
       Tables.documents(spark, sfDir)
         .withColumn("t", split(expr(normSpark), " "))
@@ -145,7 +145,7 @@ object Dedup {
     * shingle rows. Identical pair multiset to the x⋈y join the oracle
     * still uses.
     */
-  private def pairScores(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def pairScores(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"dedup:pairScores:$sfDir") {
       val sh = shingles(spark, sfDir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
@@ -191,7 +191,7 @@ object Dedup {
     * LSH generator shared by the verify tier and the recall audit,
     * memoized per session.
     */
-  private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"dedup:mhcands:$sfDir") {
       val sh = shingles(spark, sfDir).withColumn("h", expr(h32Spark("s")))
       // Signature as ONE groupBy(doc_id) with a min-aggregate per
@@ -440,34 +440,43 @@ object Dedup {
   /** Max Hamming distance for a SimHash near-dup pair. */
   val MaxHamming = 2
 
-  /** Pigeonhole chunk count: a pair within Hamming ≤ [[MaxHamming]]
-    * differs in at most $MaxHamming bits, so splitting the signature
-    * into MaxHamming+1 chunks guarantees at least one chunk matches
-    * EXACTLY — candidate generation becomes an equi-join on
-    * (chunk_idx, chunk_val), never an all-pairs scan.
+  /** Default pigeonhole chunk count: a pair within Hamming ≤
+    * [[MaxHamming]] differs in at most $MaxHamming bits, so splitting
+    * the signature into MaxHamming+1 chunks guarantees at least one
+    * chunk matches EXACTLY — candidate generation becomes an equi-join
+    * on (chunk_idx, chunk_val), never an all-pairs scan.
+    *
+    * [[simhashPairsFromSigs]] generalizes this to any k ≥ MaxHamming+1:
+    * m differing bits can dirty at most m chunks, so at least k−m
+    * chunks match exactly, and candidates come from equi-joining every
+    * (k−m)-chunk combination key — C(k, k−m) keys per doc, buckets
+    * geometrically smaller as k grows. k=MaxHamming+1 (one-chunk keys,
+    * ~SimBits/3 ≈ 10-bit buckets) is right for this corpus; a 10⁹-doc
+    * crawl would run k=5-6 so per-bucket populations stay bounded.
     */
   val SimChunks = MaxHamming + 1
-  private val simChunkBounds: IndexedSeq[Int] =
-    (0 to SimChunks).map(c => c * SimBits / SimChunks)
 
   /** L2c SimHash: ${SimBits}-bit signature — per token-occurrence hash,
     * bit i votes +1/−1; the sign of the vote sum sets bit i. Pairs
     * within Hamming ≤ $MaxHamming emitted.
     *
-    * Candidate generation is Hamming-pigeonhole banding (the Manku
-    * WWW'07 scheme): each signature explodes into [[SimChunks]]
-    * (chunk_idx, chunk_val) rows; candidates come from a shuffled
-    * EQUI-join on those keys, then exact `bit_count ≤ MaxHamming`
-    * verification. Non-colliding pairs are never materialized — at
-    * 10⁹ docs the old signature self-join would plan ~5·10¹⁷
-    * bit_count evaluations; this plans |docs|·$SimChunks bucket rows
-    * and only intra-bucket pairs. Bucket width here is ~SimBits/3 ≈
-    * 10 bits (≥1024 buckets); for corpora where D/2^10 per-bucket
-    * populations grow too large, raise SimChunks to k and equi-join
-    * on every (k − MaxHamming)-chunk combination — same pigeonhole
-    * argument, geometrically smaller buckets.
+    * Candidate generation is [[simhashPairsFromSigs]] — generalized
+    * k-chunk Hamming-pigeonhole banding (the Manku WWW'07 scheme) —
+    * run at the default k = [[SimChunks]] = MaxHamming+1, where the
+    * combination keys degenerate to single chunks: ~SimBits/3 ≈
+    * 10-bit buckets (≥1024 buckets), one key per chunk. Corpora where
+    * D/2^10 per-bucket populations grow too large run the same
+    * operator at higher k (DedupScaleSpec pins k=3/4/5 emit identical
+    * pair sets; PlanShapeSpec pins the equi-join shape at both k's).
     */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsFromSigs(simhashSigs(spark, sfDir), SimChunks)
+      .orderBy("doc_a", "doc_b")
+
+  /** The ${SimBits}-bit signatures alone — factored out so banding can
+    * run on synthesized corpora (scale specs) and at different k.
+    */
+  private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("tok"))
       .withColumn("h", expr(h32Spark("tok")))
@@ -479,30 +488,63 @@ object Dedup {
     val voteCols = (0 until SimBits).map { i =>
       sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$i")
     }
-    val sigs = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until SimBits).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-    // Band: one (chunk_idx, chunk_val) row per signature chunk. A pair
-    // colliding in several chunks appears once per collision — the
-    // dropDuplicates below collapses them before verification.
-    val chunkVals = (0 until SimChunks).map { c =>
-      val lo = simChunkBounds(c); val width = simChunkBounds(c + 1) - lo
-      shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1L))
+  }
+
+  /** k-chunk pigeonhole banding over a (doc_id, sig) frame: emits every
+    * pair within Hamming ≤ [[MaxHamming]], exactly — banding only
+    * shapes CANDIDATE generation, the final bit_count filter is exact,
+    * so the result set is identical for every legal k. Each signature
+    * explodes into C(k, k−MaxHamming) (comb_idx, key_val) rows — the
+    * chunk values of one (k−MaxHamming)-subset packed into a single
+    * long (total width ≤ SimBits, and same comb_idx ⇒ same layout, so
+    * packing is injective) — candidates come from a shuffled EQUI-join
+    * on those two columns, then exact verification. Non-colliding
+    * pairs are never materialized: at 10⁹ docs a signature self-join
+    * would plan ~5·10¹⁷ bit_count evaluations; this plans
+    * |docs|·C(k, k−m) bucket rows and only intra-bucket pairs.
+    * Raising k shrinks buckets geometrically (the keys get wider) at
+    * the price of more bucket rows per doc — the standard Manku
+    * WWW'07 trade.
+    */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, k: Int): DataFrame =
+    simhashCandidatesFromSigs(sigs, k)
+      .withColumn("hd", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hd") <= MaxHamming)
+      .select("doc_a", "doc_b", "hd")
+
+  /** The candidate generator alone (deduped colliding pairs, before
+    * exact verification) — exposed so the scale spec can measure
+    * candidate volume per k against ground truth.
+    */
+  private[graft] def simhashCandidatesFromSigs(sigs: DataFrame, k: Int): DataFrame = {
+    require(k > MaxHamming && k <= SimBits,
+      s"simhash chunk count k=$k must be in (${MaxHamming}, $SimBits]")
+    val bounds = (0 to k).map(c => c * SimBits / k)
+    def chunkVal(c: Int): Column =
+      shiftright(col("sig"), bounds(c)).bitwiseAND(lit((1L << (bounds(c + 1) - bounds(c))) - 1L))
+    // One packed key per (k−m)-chunk combination. m differing bits
+    // dirty ≤ m chunks, so ≥ k−m chunks match exactly — at least one
+    // whole combination key collides (pigeonhole over combinations).
+    val keyCols = (0 until k).combinations(k - MaxHamming).toSeq.map { combo =>
+      combo.foldLeft((lit(0L), 0)) { case ((key, shift), c) =>
+        (key + (chunkVal(c) * lit(1L << shift)), shift + (bounds(c + 1) - bounds(c)))
+      }._1
     }
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-        col("x.chunk_val") === col("y.chunk_val") &&
+    // A pair colliding on several combination keys appears once per
+    // collision — dropDuplicates collapses them before verification.
+    val keys = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(keyCols: _*)).as(Seq("comb_idx", "key_val")))
+    keys.as("x").join(keys.as("y"),
+        col("x.comb_idx") === col("y.comb_idx") &&
+        col("x.key_val") === col("y.key_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hd", expr("bit_count(sig_a ^ sig_b)"))
-      .where(col("hd") <= MaxHamming)
-      .select("doc_a", "doc_b", "hd")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash signature CTEs, shared with PipelineOps' cluster oracle. */

@@ -181,7 +181,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val pl = plan(operators.Dedup.simhashPairs(planSession, sfTest))
     assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
       "signature pairing must never plan an all-pairs join")
-    assert(pl.contains("chunk_idx"), "pigeonhole chunk key must drive the join")
+    assert(pl.contains("comb_idx"), "pigeonhole combination key must drive the join")
+  }
+
+  test("dedup_simhash k=5: combination-key banding still plans as an equi-join") {
+    val sigs = operators.Dedup.simhashSigs(planSession, sfTest)
+    val pl = plan(operators.Dedup.simhashPairsFromSigs(sigs, 5))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      "k-chunk combination keys must join hash/sort-merge, never all-pairs")
+    assert(pl.contains("comb_idx"), "pigeonhole combination key must drive the join")
   }
 
   test("brand_affinity: part dim broadcasts into the pair rollup") {
