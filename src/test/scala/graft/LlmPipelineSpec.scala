@@ -90,8 +90,11 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     val rLsh = recall(topSets(operators.Similarity.knnLsh(spark, sfTest)))
     info(f"recall@${operators.Similarity.K}: IVF=$rIvf%.2f LSH=$rLsh%.2f")
     // approximate tiers must find a nontrivial share of true neighbors
-    assert(rIvf > 0.2, s"IVF recall degenerate: $rIvf")
-    assert(rLsh > 0.2, s"LSH recall degenerate: $rLsh")
+    // measured: IVF 0.81 (multi-probe, NProbe=4), LSH 0.94 — floors at
+    // the bottom of the credible band so a silent probe/threshold
+    // regression fails CI while leaving room for fixture evolution
+    assert(rIvf >= 0.6, s"IVF recall regressed below band: $rIvf")
+    assert(rLsh >= 0.6, s"LSH recall regressed below band: $rLsh")
   }
 
   test("LSH kNN returns K neighbors per query") {
