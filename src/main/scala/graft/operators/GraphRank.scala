@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   * |items| rows — broadcast into the edge join, so iterations never
   * shuffle the edge table itself. That per-round broadcast assumes a
   * CATALOG-sized node set (~16 bytes/node ⇒ low-GB driver+executor
-  * copies up to ~10⁸ nodes); for a node set beyond that — user-item
-  * bipartite graphs, web-scale corpora — drop the broadcast() hint and
-  * let ranks⋈edges run as a shuffled equi-join on src, ideally with
-  * both sides pre-bucketed by src so rounds reuse the partitioning.
-  * Same plan otherwise. Edge weights and out-degrees are
+  * copies up to ~10⁸ nodes); past [[BroadcastNodeCeiling]] — user-item
+  * bipartite graphs, web-scale corpora — the hint is dropped and
+  * ranks⋈edges runs as a shuffled equi-join on src (on a real cluster
+  * both sides would be pre-bucketed by src so rounds reuse the
+  * partitioning). Same recurrence either way; PlanShapeSpec pins both
+  * branch plans. Edge weights and out-degrees are
   * computed once and persisted across rounds. Integer fixed-point uses
   * 1e12 total mass: rank·w stays < 2^63 while item co-counts stay
   * below ~9e6 per edge; a 100 TB deployment with hotter edges would
@@ -51,6 +52,15 @@ object GraphRank {
   val EdgeMinCo = 2
   /** Damping factor, as integer percent (d = 0.85). */
   val DampPct = 85
+  /** Node-count ceiling for broadcasting the rank vector into the
+    * per-round edge join (~16 bytes/node ⇒ ~1.6 GB of driver+executor
+    * copies at 10⁸ — the documented limit of the broadcast plan).
+    * Above it the same recurrence runs with ranks⋈edges as a shuffled
+    * equi-join on src; on a real cluster both sides would be bucketed
+    * by src so every round reuses the partitioning. The branch is
+    * decided once per call from the already-computed |V|.
+    */
+  val BroadcastNodeCeiling = 100000000L
   /** Total rank mass in fixed-point units (1e12). */
   val TotalUnits = 1000000000000L
   /** Rows emitted: top items by final rank. */
@@ -72,27 +82,46 @@ object GraphRank {
     * engine, any partitioning, any round. Output: top [[TopOut]] items
     * by (rank desc, item asc) with their final fixed-point rank.
     */
-  def itemPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def itemPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    itemPagerank(spark, sfDir, BroadcastNodeCeiling)
+
+  /** Ceiling-parameterized variant so the shuffled-join branch is
+    * exercisable in tests without a 10⁸-node fixture. */
+  /** One round's contribution aggregate — ranks⋈edges keyed by src,
+    * summed by dst. Factored out so the plan of the hot per-round join
+    * is assertable in PlanShapeSpec on both sides of the ceiling (the
+    * loop's localCheckpoint truncates it out of the final plan). */
+  private[graft] def rankContribJoin(ew: DataFrame, rankSrc: DataFrame,
+                                     fitsBroadcast: Boolean): DataFrame =
+    ew.join(if (fitsBroadcast) broadcast(rankSrc) else rankSrc, "src")
+      .groupBy(col("dst").as("item"))
+      .agg(sum(expr("(rank * w) div ow")).as("s"))
+
+  private[graft] def itemPagerank(spark: SparkSession, sfDir: String,
+                                  bcastCeiling: Long): DataFrame = {
     val half = Recsys.unpack(
         Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
       .where(col("co") >= EdgeMinCo)
     val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
       .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
     val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-    // one edge table with out-degree attached, reused every round; a few
-    // partitions are plenty for the sparsified graph (per-round task
-    // scheduling otherwise dominates the tiny per-task work)
-    val ew = edges.join(broadcast(outW), "src").coalesce(8).persist()
-    val nodes = ew.select(col("src").as("item")).distinct()
+    val nodes = edges.select(col("src").as("item")).distinct()
     val nV = nodes.count() // one tiny driver-side count to fix the base rank
     require(nV > 0, "itemPagerank: empty co-purchase graph")
     val base = TotalUnits / nV
+    // catalog-sized node set → broadcast the node-sized tables (out-degree
+    // once, rank vector every round) into the edge joins; web-scale node
+    // set → the same recurrence with shuffled equi-joins on src
+    val fitsBroadcast = nV <= bcastCeiling
+    // one edge table with out-degree attached, reused every round; a few
+    // partitions are plenty for the sparsified graph (per-round task
+    // scheduling otherwise dominates the tiny per-task work)
+    val ew = edges.join(if (fitsBroadcast) broadcast(outW) else outW, "src")
+      .coalesce(8).persist()
     var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
     for (_ <- 1 to Rounds) {
-      val contrib = ew
-        .join(broadcast(ranks.withColumnRenamed("item", "src")), "src")
-        .groupBy(col("dst").as("item"))
-        .agg(sum(expr("(rank * w) div ow")).as("s"))
+      val contrib = rankContribJoin(
+        ew, ranks.withColumnRenamed("item", "src"), fitsBroadcast)
       ranks = nodes.join(contrib, Seq("item"), "left")
         .select(col("item"),
           expr(s"(${100 - DampPct} * ${base}L + $DampPct * coalesce(s, 0L)) div 100").as("rank"))

@@ -25,6 +25,16 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(2)).sum < GraphRank.TotalUnits)
   }
 
+  test("pagerank above the broadcast node ceiling returns identical ranks") {
+    // ceiling 0 forces every node-sized table through the shuffled-join
+    // branch; integer fixed-point arithmetic makes the two physical
+    // strategies bit-identical
+    val a = GraphRank.itemPagerank(spark, sfTest).collect().map(_.toSeq).toSeq
+    val b = GraphRank.itemPagerank(spark, sfTest, bcastCeiling = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pagerank is partitioning-invariant (integer fixed-point determinism)") {
     val a = GraphRank.itemPagerank(spark, sfTest).collect().map(_.toSeq).toSeq
     val repart = spark.newSession()

@@ -210,6 +210,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "truth x candidates must join on the pair key, not scan all pairs")
   }
 
+  test("pagerank rank join: broadcast below the node ceiling, shuffled equi-join above") {
+    // the per-round ranks-into-edges join, on both sides of
+    // GraphRank.BroadcastNodeCeiling; auto-broadcast is disabled so the
+    // plan shows the operator's OWN choice, not Catalyst's stats-based one
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val ew = Seq((1L, 2L, 3L, 5L), (2L, 1L, 2L, 4L)).toDF("src", "dst", "w", "ow")
+    val rankSrc = Seq((1L, 100L), (2L, 200L)).toDF("src", "rank")
+    val below = plan(operators.GraphRank.rankContribJoin(ew, rankSrc, fitsBroadcast = true))
+    assert(below.contains("BroadcastHashJoin"),
+      "catalog-sized rank vector must broadcast into the edge join")
+    val above = plan(operators.GraphRank.rankContribJoin(ew, rankSrc, fitsBroadcast = false))
+    assert(!above.contains("BroadcastExchange"),
+      s"above the ceiling the rank join must not broadcast, plan:\n${above.take(2000)}")
+    assert(above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin"),
+      "above the ceiling ranks⋈edges must be a shuffled equi-join")
+  }
+
   test("embed_health: posexplode aggregate is partial (map-side combine before the shuffle)") {
     val pl = plan(operators.PipelineOps.embedHealth(planSession, sfTest))
     // two HashAggregate headers (partial + final) around one exchange:
