@@ -135,8 +135,10 @@ object Advanced {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(sum(col("x.wt") * col("y.wt")).as("dot"))
     dots
-      .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))), "doc_a")
-      .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))), "doc_b")
+      // corpus-sized norm table (a row per doc): unhinted — AQE
+      // broadcasts from runtime stats locally, shuffled equi-join at scale
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
       .select("doc_a", "doc_b", "cos")
       .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)

@@ -157,9 +157,14 @@ object Dedup {
         .withColumn("doc_a", shiftright(col("pk"), 32))
         .withColumn("doc_b", col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L))
         .drop("pk")
+      // size attach deliberately UNHINTED: the size table is CORPUS-sized
+      // (one row per doc), so a forced broadcast would cap the operator at
+      // driver memory. AQE broadcasts it from runtime stats while it's
+      // small and degrades to a shuffled equi-join on doc_id at crawl
+      // scale — same policy as the canonical-emission removal join.
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
     }
 
   val ngramJaccardSql: String =
@@ -231,9 +236,9 @@ object Dedup {
       .where(col("s") === col("s2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb"))), "doc_b")
+    inter // corpus-sized size table: unhinted, see pairScores
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -399,9 +404,9 @@ object Dedup {
       .select(col("doc_id").as("new_id"), col("s"))
     val inter = batch.join(corpus, "s")
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
-    val scored = inter
-      .join(broadcast(sizes.select(col("doc_id").as("new_id"), col("ns").as("nn"))), "new_id")
-      .join(broadcast(sizes.select(col("doc_id").as("old_id"), col("ns").as("no"))), "old_id")
+    val scored = inter // corpus-sized size table: unhinted, see pairScores
+      .join(sizes.select(col("doc_id").as("new_id"), col("ns").as("nn")), "new_id")
+      .join(sizes.select(col("doc_id").as("old_id"), col("ns").as("no")), "old_id")
       .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
       .where(col("jaccard") >= JaccardThreshold)
     // best existing match per new doc (jaccard desc, old_id asc)
@@ -649,8 +654,10 @@ object Dedup {
       .withColumn("candidate",
         graft.functions.Bloom.mightContain(col("bf"), col("k64"), BloomNumHashes))
       // bloom miss ⇒ definitely new: the membership bit is part of the
-      // join condition, so non-candidates never probe the corpus keys
-      .join(broadcast(cmin), col("key") === col("ckey") && col("candidate"), "left")
+      // join condition, so non-candidates never probe the corpus keys.
+      // The key set itself is corpus-sized (the scaladoc's TBs-at-100TB
+      // side) — unhinted so AQE broadcasts it only while it is small
+      .join(cmin, col("key") === col("ckey") && col("candidate"), "left")
       .select(col("new_id"), col("dup_of"),
         when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
       .orderBy("new_id")
@@ -823,8 +830,8 @@ object Dedup {
       .drop("pk")
     val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("inter"))
       .unionByName(inter.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("inter")))
-    directed
-      .join(broadcast(sizes.select(col("doc_id").as("src"), col("ns").as("n_src"))), "src")
+    directed // corpus-sized size table: unhinted, see pairScores
+      .join(sizes.select(col("doc_id").as("src"), col("ns").as("n_src")), "src")
       .withColumn("containment", round(col("inter") / col("n_src"), 6))
       .where(col("containment") >= ContainThreshold)
       .select(col("src").as("doc_contained"), col("dst").as("doc_container"),

@@ -371,7 +371,11 @@ object GraphRank {
     * lineage per round exactly like the connected-components iteration.
     * All integers ⇒ exact oracle (recursive CTE, min-hop after).
     */
-  def itemBfs(spark: SparkSession, sfDir: String): DataFrame = {
+  def itemBfs(spark: SparkSession, sfDir: String): DataFrame =
+    itemBfs(spark, sfDir, BroadcastNodeCeiling)
+
+  private[graft] def itemBfs(spark: SparkSession, sfDir: String,
+                             bcastCeiling: Long): DataFrame = {
     val half = Recsys.unpack(
         Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
       .where(col("co") >= EdgeMinCo)
@@ -379,11 +383,15 @@ object GraphRank {
       .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst")))
       .coalesce(8).persist()
     val nodes = edges.select(col("src").as("item")).distinct()
+    // a frontier can approach |V| rows by the middle hops, so it rides a
+    // broadcast only under the same node ceiling as the pagerank rank
+    // vector; above it the hop step is a shuffled semi-equi-join on src
+    val fitsBroadcast = nodes.count() <= bcastCeiling
     val source = nodes.agg(min("item").as("item")).withColumn("d", lit(0L))
     var dist = source.localCheckpoint()
     for (k <- 1 to BfsMaxHops) {
       val frontier = dist.where(col("d") === k - 1).select(col("item").as("src"))
-      val stepped = edges.join(broadcast(frontier), "src")
+      val stepped = edges.join(if (fitsBroadcast) broadcast(frontier) else frontier, "src")
         .select(col("dst").as("item")).distinct()
         .withColumn("d", lit(k.toLong))
       dist = dist.unionByName(stepped)

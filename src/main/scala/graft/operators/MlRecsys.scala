@@ -161,7 +161,11 @@ object MlRecsys {
     // user cohort — the standard sample-to-train, score-anywhere split
     val interAll = Tables.interactions(spark, sfDir)
     val itemPop = interAll.groupBy("item_id").agg(count(lit(1)).cast("double").as("item_pop"))
+    // activity is computed over the FULL interaction set, then sliced to
+    // the training cohort — only the slice is ever joined, so the
+    // broadcast side is cohort-bounded, not |users|-sized
     val userAct = interAll.groupBy("user_id").agg(count(lit(1)).cast("double").as("user_act"))
+      .where(col("user_id") < 2000)
     val inter = interAll.where(col("user_id") < 2000)
     // per-user median as a groupBy + broadcast join — a percentile
     // WINDOW would re-evaluate the exact percentile per row

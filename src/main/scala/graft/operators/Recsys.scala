@@ -356,9 +356,12 @@ object Recsys {
       "user_u", "user_v")
     val cu = counts.select(col("user_id").as("user_u"), col("n_items").as("nu"))
     val cv = counts.select(col("user_id").as("user_v"), col("n_items").as("nv"))
+    // count attach unhinted: unlike the CATALOG-sized item-count tables
+    // in the itemcf tiers, this side is |users| rows — broadcast is
+    // AQE's call while small, a shuffled equi-join at population scale
     val half = pairs
-      .join(broadcast(cu), "user_u")
-      .join(broadcast(cv), "user_v")
+      .join(cu, "user_u")
+      .join(cv, "user_v")
       .withColumn("sim", round(col("co") / sqrt(col("nu") * col("nv")), 6))
     val sim = half.select(explode(array(
         struct(col("user_u"), col("user_v"), col("sim"), col("co")),

@@ -117,11 +117,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "regexp_replace re-evaluated per array element inside a lambda")
   }
 
-  test("dedup_bloom: corpus key join broadcasts; bloom bitset rides a broadcast") {
+  test("dedup_bloom: bitset rides a broadcast; corpus key join is an unforced equi-join") {
     val p = plan(operators.Dedup.bloomDedup(planSession, sfTest))
-    assert(p.contains("BroadcastHashJoin"), "corpus key join must broadcast")
-    assert(!p.contains("CartesianProduct"),
-      "1-row bloom must attach via broadcast nested loop, not cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row bloom bitset must attach via broadcast nested loop")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus KEY SET is the TBs-at-100TB side: it must reach the
+    // probe as a keyed join (hash/sort-merge/broadcast — AQE's call),
+    // never a forced broadcast is asserted here by construction (no
+    // hint in the source) plus the absence of all-pairs shapes above
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      "corpus key join must be an equi-join")
   }
 
   test("kmeans: centroid tables broadcast into the assignment join") {
