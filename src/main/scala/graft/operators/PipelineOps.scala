@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators beyond the per-pair dedup tiers:
@@ -517,6 +518,72 @@ object PipelineOps {
       |FROM e GROUP BY dim
       |ORDER BY dim""".stripMargin
 
+  /** Seed string for the epoch shuffle — changing it is a new epoch
+    * order; keeping it reproduces the epoch bit-for-bit on any engine. */
+  val ShuffleSeed = "epoch42"
+  /** Batches the shuffled epoch is sliced into. */
+  val ShuffleBatches = 16
+
+  /** Deterministic epoch shuffle + batch-mixing audit: every doc gets a
+    * pseudo-random but seed-reproducible position key h32(md5(seed,
+    * doc_id)) — the same engine-portable hash as [[hashSample]] — and a
+    * batch slice h mod [[ShuffleBatches]]; the query reports, per batch,
+    * the doc count and the source-mix quality (Shannon entropy /
+    * evenness / max single-source share, the [[TextAnalysis
+    * .corpusEntropy]] conventions). This is the "shuffle the corpus,
+    * then PROVE the batches are well-mixed" gate a training-data
+    * pipeline runs before writing an epoch: a bad seed or a
+    * source-correlated id space shows up as a low-entropy batch row.
+    *
+    * Scale: one per-row hash (map-side), one (batch, source) aggregate
+    * whose output is ≤ batches × sources rows — no global sort, no
+    * window over the corpus. Writing the epoch itself is
+    * `repartitionByRange($ShuffleBatches, col("batch_id"), col("h"))`
+    * on the keyed frame — a single range shuffle whose within-batch
+    * file order IS the training order, so positions never materialize.
+    */
+  def trainShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .withColumn("h", expr(
+        s"cast(conv(substring(md5(concat('$ShuffleSeed:', doc_id)), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("batch_id", col("h") % ShuffleBatches)
+    val bs = keyed.groupBy("batch_id", "source").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("batch_id")
+    bs.withColumn("p", col("c") / sum("c").over(w))
+      .groupBy("batch_id")
+      .agg(sum("c").as("n_docs"),
+           count(lit(1)).as("n_sources"),
+           round(-sum(col("p") * log(col("p"))), 6).as("source_entropy"),
+           round(max("p"), 6).as("max_share"))
+      .withColumn("evenness",
+        when(col("n_sources") > 1,
+          round(col("source_entropy") / log(col("n_sources").cast("double")), 6))
+          .otherwise(lit(1.0)))
+      .orderBy("batch_id")
+  }
+
+  val trainShuffleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5('$ShuffleSeed:' || doc_id), 1, 8))::BIGINT
+       |      % $ShuffleBatches AS batch_id
+       |  FROM documents
+       |), bs AS (
+       |  SELECT batch_id, source, count(*) AS c FROM keyed GROUP BY 1, 2
+       |), p AS (
+       |  SELECT batch_id, c, c / sum(c) OVER (PARTITION BY batch_id) AS p FROM bs
+       |), e AS (
+       |  SELECT batch_id, sum(c)::BIGINT AS n_docs, count(*) AS n_sources,
+       |    round(-sum(p * ln(p)), 6) AS source_entropy,
+       |    round(max(p), 6) AS max_share
+       |  FROM p GROUP BY batch_id
+       |)
+       |SELECT batch_id, n_docs, n_sources, source_entropy,
+       |  CASE WHEN n_sources > 1 THEN round(source_entropy / ln(n_sources), 6)
+       |       ELSE 1.0 END AS evenness,
+       |  max_share
+       |FROM e ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -527,6 +594,7 @@ object PipelineOps {
     "q_seq_pack"            -> (seqPack _),
     "q_dedup_canonical"     -> (canonicalCorpus _),
     "q_embed_health"        -> (embedHealth _),
+    "q_train_shuffle"       -> (trainShuffle _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -539,6 +607,7 @@ object PipelineOps {
     "q_seq_pack"            -> seqPackSql,
     "q_dedup_canonical"     -> canonicalCorpusSql,
     "q_embed_health"        -> embedHealthSql,
+    "q_train_shuffle"       -> trainShuffleSql,
   )
 
 }

@@ -189,4 +189,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
     assert(nVecs === Tables.embeddings(spark, sfTest).count())
   }
+
+  test("train shuffle: batches cover the corpus, mixing stats are bounded and reproducible") {
+    import operators.PipelineOps
+    val rows = PipelineOps.trainShuffle(spark, sfTest).collect()
+    assert(rows.nonEmpty && rows.length <= PipelineOps.ShuffleBatches)
+    // batch ids live in [0, B); every doc lands in exactly one batch
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("batch_id"); b >= 0 && b < PipelineOps.ShuffleBatches })
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sfTest).count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("source_entropy")
+      val ev = r.getAs[Double]("evenness")
+      val ms = r.getAs[Double]("max_share")
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("n_sources").toDouble) + 1e-9)
+      assert(ev >= 0.0 && ev <= 1.0 + 1e-9)
+      assert(ms > 0.0 && ms <= 1.0)
+    }
+    // seed-determinism: a fresh session reproduces the epoch audit exactly
+    val again = PipelineOps.trainShuffle(spark.newSession(), sfTest)
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
+  }
 }
