@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the broadcast policy (SCALING.md) leans on AQE picking up
+      // unhinted small sides from runtime stats: pin it on explicitly
+      .config("spark.sql.adaptive.enabled", "true")
       // keep TypedImperativeAggregates hash-based (see Verify.scala)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()

@@ -17,6 +17,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects
       // natively; read as long nanos (Tables.events normalizes to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the broadcast policy (SCALING.md) leans on AQE picking up
+      // unhinted small sides from runtime stats: pin it on explicitly
+      .config("spark.sql.adaptive.enabled", "true")
       // TypedImperativeAggregates (TopKByScore, MisraGries) run in
       // ObjectHashAggregateExec, which falls back to SORT-BASED
       // aggregation after only 128 distinct keys per task — silently

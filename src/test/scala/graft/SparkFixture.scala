@@ -24,6 +24,9 @@ object SparkFixture {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the broadcast policy (SCALING.md) leans on AQE picking up
+      // unhinted small sides from runtime stats: pin it on explicitly
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // keep TypedImperativeAggregates hash-based (see Verify.scala)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
