@@ -584,6 +584,60 @@ object PipelineOps {
        |  max_share
        |FROM e ORDER BY batch_id""".stripMargin
 
+  /** Static mixture-rebalancing plan toward a UNIFORM source target:
+    * for each source, the per-epoch keep probability (downsample
+    * over-represented sources), the achieved share after capping, and
+    * the repeat factor an under-sized source needs to fill its target
+    * slot (the "how many epochs before this source's unique data is
+    * exhausted" data-constraint signal). Uniform is the principled
+    * fixture-agnostic target; a deployment substitutes its tuned
+    * weight vector for `target_docs` and the plan shape is unchanged.
+    * Complements [[TextAnalysis.corpusEntropy]] (diagnosis) and
+    * [[trainShuffle]] (execution): entropy says the mix is skewed,
+    * this says exactly what to sample, the shuffle writes it.
+    *
+    * Scale: one per-source count aggregate (S rows, S = handful of
+    * sources) plus two 1-row totals riding broadcasts — corpus scan
+    * once, everything downstream is bounded by S.
+    */
+  def mixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("n_total"), count(lit(1)).as("n_sources"))
+    val capped = per.crossJoin(broadcast(tot))
+      .withColumn("target_docs", col("n_total").cast("double") / col("n_sources"))
+      .withColumn("capped", least(col("n_docs").cast("double"), col("target_docs")))
+    val denom = capped.agg(sum("capped").as("denom"))
+    capped.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("n_total"), 6).as("share"),
+        round(least(lit(1.0), col("target_docs") / col("n_docs")), 6).as("keep_prob"),
+        round(col("capped") / col("denom"), 6).as("achieved_share"),
+        round(greatest(lit(1.0), col("target_docs") / col("n_docs")), 6).as("repeat_factor"))
+      .orderBy("source")
+  }
+
+  val mixPlanSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(n_docs)::BIGINT AS n_total, count(*) AS n_sources FROM per
+      |), capped AS (
+      |  SELECT source, n_docs,
+      |    n_total, n_total::DOUBLE / n_sources AS target_docs,
+      |    least(n_docs::DOUBLE, n_total::DOUBLE / n_sources) AS capped
+      |  FROM per CROSS JOIN tot
+      |), denom AS (
+      |  SELECT sum(capped) AS denom FROM capped
+      |)
+      |SELECT source, n_docs,
+      |  round(n_docs / n_total::DOUBLE, 6) AS share,
+      |  round(least(1.0, target_docs / n_docs), 6) AS keep_prob,
+      |  round(capped / denom, 6) AS achieved_share,
+      |  round(greatest(1.0, target_docs / n_docs), 6) AS repeat_factor
+      |FROM capped CROSS JOIN denom
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -595,6 +649,7 @@ object PipelineOps {
     "q_dedup_canonical"     -> (canonicalCorpus _),
     "q_embed_health"        -> (embedHealth _),
     "q_train_shuffle"       -> (trainShuffle _),
+    "q_mix_plan"            -> (mixPlan _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -608,6 +663,7 @@ object PipelineOps {
     "q_dedup_canonical"     -> canonicalCorpusSql,
     "q_embed_health"        -> embedHealthSql,
     "q_train_shuffle"       -> trainShuffleSql,
+    "q_mix_plan"            -> mixPlanSql,
   )
 
 }

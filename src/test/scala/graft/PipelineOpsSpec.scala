@@ -212,4 +212,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSeq
     assert(again === rows.map(_.toSeq).toSeq)
   }
+
+  test("mix plan: probabilities bounded, achieved shares sum to 1, repeats only when short") {
+    import operators.PipelineOps
+    val rows = PipelineOps.mixPlan(spark, sfTest).collect()
+    val nSources = Tables.documents(spark, sfTest)
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val kp = r.getAs[Double]("keep_prob")
+      val rf = r.getAs[Double]("repeat_factor")
+      assert(kp > 0.0 && kp <= 1.0)
+      assert(rf >= 1.0)
+      // a source is either downsampled or repeated, never both
+      assert(kp >= 1.0 - 1e-9 || rf <= 1.0 + 1e-9)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("achieved_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
 }
