@@ -542,8 +542,14 @@ object PipelineOps {
     * on the keyed frame — a single range shuffle whose within-batch
     * file order IS the training order, so positions never materialize.
     */
-  def trainShuffle(spark: SparkSession, sfDir: String): DataFrame = {
-    val keyed = Tables.documents(spark, sfDir).select("doc_id", "source")
+  def trainShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    epochMixAudit(Tables.documents(spark, sfDir).select("doc_id", "source"))
+
+  /** The audit over any (doc_id, source) frame — factored out so the
+    * single-source evenness guard is testable on a constructed corpus
+    * (the fixture's batches are always multi-source). */
+  private[graft] def epochMixAudit(docs: DataFrame): DataFrame = {
+    val keyed = docs
       .withColumn("h", expr(
         s"cast(conv(substring(md5(concat('$ShuffleSeed:', doc_id)), 1, 8), 16, 10) AS bigint)"))
       .withColumn("batch_id", col("h") % ShuffleBatches)

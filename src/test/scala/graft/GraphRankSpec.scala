@@ -35,6 +35,12 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("bfs above the broadcast node ceiling returns the identical hop histogram") {
+    val a = GraphRank.itemBfs(spark, sfTest).collect().map(_.toSeq).toSeq
+    val b = GraphRank.itemBfs(spark, sfTest, bcastCeiling = 0L).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pagerank is partitioning-invariant (integer fixed-point determinism)") {
     val a = GraphRank.itemPagerank(spark, sfTest).collect().map(_.toSeq).toSeq
     val repart = spark.newSession()

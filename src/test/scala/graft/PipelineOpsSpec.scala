@@ -213,6 +213,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(again === rows.map(_.toSeq).toSeq)
   }
 
+  test("train shuffle: a single-source corpus is trivially even (guard, not NaN)") {
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i, "only_source")).toDF("doc_id", "source")
+    val rows = operators.PipelineOps.epochMixAudit(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sources") === 1L)
+      assert(r.getAs[Double]("source_entropy") === 0.0)
+      assert(r.getAs[Double]("evenness") === 1.0)
+      assert(r.getAs[Double]("max_share") === 1.0)
+    }
+  }
+
   test("mix plan: probabilities bounded, achieved shares sum to 1, repeats only when short") {
     import operators.PipelineOps
     val rows = PipelineOps.mixPlan(spark, sfTest).collect()
