@@ -861,6 +861,63 @@ object Dedup {
        |WHERE round(d.inter / z.ns::DOUBLE, 6) >= $ContainThreshold
        |ORDER BY doc_contained, doc_container""".stripMargin
 
+  /** Pairwise SOURCE-overlap matrix: n-gram Jaccard and containment
+    * between whole sources — the "is crawl B a re-crawl / subset of
+    * crawl A" diagnostic that decides whether two feeds should even
+    * coexist in the mix (doc-level dedup then handles the remainder).
+    * Rides the memoized shingle set; a gram contributes through its
+    * DISTINCT source list (≤ |sources| entries), so pair expansion is
+    * bounded by S² per gram no matter how hot the gram — the
+    * hot-shingle problem that needs a stop-list at doc granularity
+    * vanishes at source granularity. Output is all overlapping source
+    * pairs with intersection size, Jaccard, and containment
+    * (inter / min side — 1.0 means the smaller source's gram set is
+    * fully inside the larger).
+    *
+    * Scale: one (source, gram) dedup shuffle, one per-gram aggregate,
+    * S² - bounded pair rows, |sources|-row count table broadcast. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.documents(spark, sfDir).select("doc_id", "source")
+    val sg = shingles(spark, sfDir).join(src, "doc_id")
+      .select("source", "s").distinct()
+    val perSrc = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sg.groupBy("s")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
+          |    named_struct('src_a', x, 'src_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"),
+        round(col("inter") / least(col("na"), col("nb")), 6).as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $shinglesSql, sg AS (
+       |  SELECT DISTINCT d.source, sh.s
+       |  FROM sh JOIN documents d USING (doc_id)
+       |), per AS (
+       |  SELECT source, count(*) AS n FROM sg GROUP BY source
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, inter,
+       |  round(inter / (pa.n + pb.n - inter)::DOUBLE, 6) AS jaccard,
+       |  round(inter / least(pa.n, pb.n)::DOUBLE, 6) AS containment
+       |FROM pairs
+       |JOIN per pa ON pa.source = src_a
+       |JOIN per pb ON pb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_containment"       -> (containment _),
     "q_fuzzy_names"       -> (fuzzyNames _),
@@ -873,6 +930,7 @@ object Dedup {
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_bloom"       -> (bloomDedup _),
     "q_dedup_substring"   -> (substringDedup _),
+    "q_source_overlap"    -> (sourceOverlap _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -887,5 +945,6 @@ object Dedup {
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_dedup_bloom"       -> bloomDedupSql,
     "q_dedup_substring"   -> substringDedupSql,
+    "q_source_overlap"    -> sourceOverlapSql,
   )
 }

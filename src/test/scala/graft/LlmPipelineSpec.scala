@@ -48,6 +48,22 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("source overlap: canonical pairs, containment >= jaccard, both in (0,1]") {
+    val rows = operators.Dedup.sourceOverlap(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val nSrc = Tables.documents(spark, sfTest).select("source").distinct().count()
+    assert(rows.length <= nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val j = r.getAs[Double]("jaccard"); val c = r.getAs[Double]("containment")
+      assert(j > 0.0 && j <= 1.0)
+      assert(c > 0.0 && c <= 1.0)
+      // inter/min >= inter/union, always
+      assert(c >= j - 1e-9)
+      assert(r.getAs[Long]("inter") > 0L)
+    }
+  }
+
   test("simhash pairs are ordered, deduped, within the hamming bound") {
     val rows = operators.Dedup.simhashPairs(spark, sfTest).collect()
     assert(rows.nonEmpty)
