@@ -442,12 +442,198 @@ object GraphRank {
        |)
        |ORDER BY d""".stripMargin
 
+  /** SimRank decay factor C = [[SimrankCNum]]/[[SimrankCDen]] (0.8,
+    * the Jeh–Widom default). */
+  val SimrankCNum = 4L
+  val SimrankCDen = 5L
+  /** Item pairs reported (top by SimRank score). */
+  val SimrankTop = 100
+  /** Support floor on the round-1 user-pair similarities: user pairs
+    * sharing fewer common items contribute nothing to round 2 — the
+    * [[EdgeMinCo]]-style sparsifier for the user-pair intermediate
+    * (the inter=1 long tail dominates the pair count and carries the
+    * smallest s₁ values).
+    */
+  val SimrankMinInter = 2L
+  /** Neighborhood truncation: each user contributes only its top-K
+    * most-similar users to round 2 (s₁ desc, id asc). This is THE
+    * standard scale lever for SimRank — the round-2 join volume is
+    * Σ dᵤ·dᵥ over surviving ordered pairs, so truncation bounds it at
+    * |U|·K·cap² regardless of how dense the user-pair space gets (the
+    * same discipline as UserCF's TopK neighborhood).
+    */
+  val SimrankNbrK = 5
+  /** Contribution item cap: in round 2 each scored user pair fans out
+    * only through each side's top-[[SimrankItemCap]] strongest items
+    * (strength desc, item asc). Without it the contribution pair space
+    * is Σ dᵤ·dᵥ ≈ |U|·K·MaxHistory² item pairs — ~10⁸ DISTINCT (a,b)
+    * groups at sf0.1 (measured: 104 s) because SimRank deliberately
+    * scores pairs with no co-occurrence at all. The cap keeps that
+    * zero-co property while bounding the fan-out at |U|·K·cap²; the
+    * dropped terms are the weakest-preference items on each side.
+    */
+  val SimrankItemCap = 10
+
+  /** Bipartite SimRank (Jeh–Widom 2002) on the user–item interaction
+    * graph, one full alternating round from the identity start, in
+    * integer fixed-point — "two items are similar when their users are
+    * similar; two users are similar when their items are similar."
+    * Unlike every co-occurrence tier (cosine/Jaccard/PMI/Swing), round
+    * 2 scores item pairs through OTHER similar-user pairs, so items
+    * with few or even zero common users can still rank.
+    *
+    * With s₀(items) = identity:
+    *   round 1 (users):  s₁(u,v) = C·|I(u)∩I(v)| / (dᵤ·dᵥ)
+    *   round 2 (items):  s₂(a,b) = C/(dₐ·d_b) · ( co(a,b)·1
+    *                       + Σ_{u∈U(a), v∈U(b), u≠v} s₁(u,v) )
+    * — the co(a,b) term is the surviving identity diagonal, the Σ runs
+    * over ORDERED user pairs (both (u,v) and (v,u)), truncated to each
+    * user's top-[[SimrankNbrK]] neighbors above [[SimrankMinInter]]
+    * (the neighborhood-truncated tier every at-scale SimRank ships —
+    * dropped terms are the SMALLEST s₁ values by construction). All
+    * arithmetic is BIGINT fixed-point at [[TotalUnits]] scale
+    * (floor-div, same as pagerank), so every engine computes
+    * bit-identical scores.
+    *
+    * Scale: round 1 rides the same capped user-pair space as UserCF
+    * (MaxHistory bounds it). Round 2's contribution join is
+    * s₁⋈edges⋈edges = Σ dᵤ·dᵥ over surviving ordered pairs ≤
+    * |U|·[[SimrankNbrK]]·[[SimrankItemCap]]² — linear in users at
+    * fixed knobs (see the cap scaladocs for what each drops). Fixed-point
+    * headroom: co·U and the contribution sum stay under 2⁶³ while
+    * co < 2·10⁶ and Σ terms < ~10⁶ pairs·U; hotter graphs move units
+    * to DECIMAL(38,0) — same plan shape (the pagerank note).
+    */
+  def simrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Recsys.cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val du = r.groupBy("user_id").agg(count(lit(1)).as("du"))
+    val di = r.groupBy("item_id").agg(count(lit(1)).as("di"))
+    // contribution-side interactions: top-[[SimrankItemCap]] per user
+    val wCap = Window.partitionBy(col("user_id"))
+      .orderBy(col("strength").desc, col("item_id").asc)
+    val rc = Recsys.cappedInteractions(spark, sfDir)
+      .withColumn("crk", row_number().over(wCap))
+      .where(col("crk") <= SimrankItemCap)
+      .select("user_id", "item_id")
+    // round-1 user-pair similarities from the SHARED memoized user-pair
+    // aggregate (one expansion per session, with UserCF)
+    val upairs = Recsys.unpack(Recsys.userPairAgg(spark, sfDir), "u", "v")
+      .withColumnRenamed("co", "inter")
+      .where(col("inter") >= SimrankMinInter)
+    val s1 = upairs // |users|-sized degree attach: unhinted (usercf policy)
+      .join(du.select(col("user_id").as("u"), col("du").as("dun")), "u")
+      .join(du.select(col("user_id").as("v"), col("du").as("dvn")), "v")
+      .select(col("u"), col("v"), expr(
+        s"($SimrankCNum * inter * ${TotalUnits}L) div ($SimrankCDen * dun * dvn)").as("s"))
+    val s1m = s1.select(explode(array(
+        struct(col("u"), col("v"), col("s")),
+        struct(col("v").as("u"), col("u").as("v"), col("s")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("p.s").as("s"))
+    // neighborhood truncation: each user keeps its top-K neighbors
+    val wNbr = Window.partitionBy(col("u")).orderBy(col("s").desc, col("v").asc)
+    val s1t = s1m.withColumn("nrk", row_number().over(wNbr))
+      .where(col("nrk") <= SimrankNbrK).drop("nrk")
+    // round-2 contribution: scored user pair -> every capped (item of u,
+    // item of v) combination
+    val contrib = s1t
+      .join(rc.select(col("user_id").as("u"), col("item_id").as("ia")), "u")
+      .join(rc.select(col("user_id").as("v"), col("item_id").as("ib")), "v")
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum("s").as("cs"))
+    // identity diagonal = plain co-occurrence; FULL join keeps the pure
+    // SimRank pairs that share no user at all (contrib without co)
+    val ip = Recsys.unpack(itemPairAgg0(spark, sfDir), "ia", "ib")
+    val scored = ip.join(contrib, Seq("ia", "ib"), "full")
+      .select(col("ia"), col("ib"),
+        coalesce(col("co"), lit(0L)).as("co"), coalesce(col("cs"), lit(0L)).as("cs"))
+      .join(broadcast(di.select(col("item_id").as("ia"), col("di").as("dia"))), "ia")
+      .join(broadcast(di.select(col("item_id").as("ib"), col("di").as("dib"))), "ib")
+      .select(col("ia"), col("ib"), expr(
+        s"($SimrankCNum * (co * ${TotalUnits}L + cs)) div ($SimrankCDen * dia * dib)")
+        .as("sr_units"))
+    val top = scored
+      .orderBy(col("sr_units").desc, col("ia").asc, col("ib").asc)
+      .limit(SimrankTop)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("sr_units").desc, col("ia").asc, col("ib").asc)))
+      .select(col("rk"), col("ia").as("item_i"), col("ib").as("item_j"),
+        col("sr_units"), round(col("sr_units") / TotalUnits.toDouble, 6).as("simrank"))
+      .orderBy("rk")
+  }
+
+  /** The shared memoized item-pair aggregate, co projection. */
+  private def itemPairAgg0(spark: SparkSession, sfDir: String): DataFrame =
+    Recsys.itemPairAgg(spark, sfDir).select("pk", "co")
+
+  val simrankSql: String =
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), du AS (
+       |  SELECT user_id, count(*) AS du FROM r GROUP BY user_id
+       |), di AS (
+       |  SELECT item_id, count(*) AS di FROM r GROUP BY item_id
+       |), upairs AS (
+       |  SELECT a.user_id AS u, b.user_id AS v, count(*) AS inter
+       |  FROM r a JOIN r b ON a.item_id = b.item_id AND a.user_id < b.user_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $SimrankMinInter
+       |), s1 AS (
+       |  SELECT u, v,
+       |    ($SimrankCNum * inter * $TotalUnits) // ($SimrankCDen * d1.du * d2.du) AS s
+       |  FROM upairs JOIN du d1 ON d1.user_id = u JOIN du d2 ON d2.user_id = v
+       |), s1m AS (
+       |  SELECT u, v, s FROM s1 UNION ALL SELECT v AS u, u AS v, s FROM s1
+       |), s1t AS (
+       |  SELECT u, v, s FROM (
+       |    SELECT u, v, s,
+       |      row_number() OVER (PARTITION BY u ORDER BY s DESC, v ASC) AS nrk
+       |    FROM s1m
+       |  ) WHERE nrk <= $SimrankNbrK
+       |), rc AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY strength DESC, item_id ASC) AS crk
+       |    FROM capped
+       |  ) WHERE crk <= $SimrankItemCap
+       |), contrib AS (
+       |  SELECT ea.item_id AS ia, eb.item_id AS ib, sum(p.s)::BIGINT AS cs
+       |  FROM s1t p
+       |  JOIN rc ea ON ea.user_id = p.u
+       |  JOIN rc eb ON eb.user_id = p.v
+       |  WHERE ea.item_id < eb.item_id
+       |  GROUP BY 1, 2
+       |), ip AS (
+       |  SELECT a.item_id AS ia, b.item_id AS ib, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT x.ia, x.ib,
+       |    ($SimrankCNum * (x.co * $TotalUnits + x.cs))
+       |      // ($SimrankCDen * d1.di * d2.di) AS sr_units
+       |  FROM (
+       |    SELECT coalesce(ip.ia, c.ia) AS ia, coalesce(ip.ib, c.ib) AS ib,
+       |      coalesce(ip.co, 0) AS co, coalesce(c.cs, 0) AS cs
+       |    FROM ip FULL JOIN contrib c ON c.ia = ip.ia AND c.ib = ip.ib
+       |  ) x
+       |  JOIN di d1 ON d1.item_id = x.ia
+       |  JOIN di d2 ON d2.item_id = x.ib
+       |)
+       |SELECT rk, ia AS item_i, ib AS item_j, sr_units::BIGINT AS sr_units,
+       |  round(sr_units / $TotalUnits.0, 6) AS simrank
+       |FROM (
+       |  SELECT ia, ib, sr_units,
+       |    row_number() OVER (ORDER BY sr_units DESC, ia ASC, ib ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $SimrankTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_item_bfs"       -> (itemBfs _),
     "q_item_pagerank"  -> (itemPagerank _),
     "q_pair_pmi"       -> (pairPmi _),
     "q_triangle_count" -> (triangleCount _),
-    "q_cooccur_jaccard" -> (cooccurJaccard _)
+    "q_cooccur_jaccard" -> (cooccurJaccard _),
+    "q_simrank"        -> (simrank _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -455,6 +641,7 @@ object GraphRank {
     "q_item_pagerank"  -> itemPagerankSql,
     "q_pair_pmi"       -> pairPmiSql,
     "q_triangle_count" -> triangleCountSql,
-    "q_cooccur_jaccard" -> cooccurJaccardSql
+    "q_cooccur_jaccard" -> cooccurJaccardSql,
+    "q_simrank"        -> simrankSql
   )
 }

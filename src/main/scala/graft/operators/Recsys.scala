@@ -94,7 +94,7 @@ object Recsys {
     */
   private val PackBase = graft.functions.PairPack.Base
 
-  private def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
+  private[operators] def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
     df.groupBy(key)
       .agg(sort_array(collect_list(col(elem))).as("es"))
       .select(col(key),
@@ -343,17 +343,24 @@ object Recsys {
   def usercfSimilarity(spark: SparkSession, sfDir: String): DataFrame =
     memoSim(spark, sfDir, "usercf") { usercfSimilarityPlan(spark, sfDir) }
 
+  /** Shared user-pair co-occurrence aggregate (pk → co) — read by the
+    * UserCF cosine AND GraphRank's SimRank round 1, so the ~|U·pairs|
+    * expansion happens once per session like [[itemPairAgg]]. */
+  private[operators] def userPairAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"recsys:userpairs:$sfDir") {
+      val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
+      // near-duplicate-free pair stream — single complete-mode
+      // aggregate after a pk exchange (see expandWeightedPairs)
+      pairsWithin(r, "item_id", "user_id").select("pk")
+        .repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("co"))
+    }
+
   private def usercfSimilarityPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
     // Same plan shape as itemcfSimilarity: broadcast count joins on the
     // half-space, then a single-generator mirror (see comments there).
     val counts = r.groupBy("user_id").agg(count(lit(1)).as("n_items"))
-    val pairs = unpack(
-      // near-duplicate-free pair stream — single complete-mode
-      // aggregate after a pk exchange (see expandWeightedPairs)
-      pairsWithin(r, "item_id", "user_id").select("pk")
-        .repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("co")),
-      "user_u", "user_v")
+    val pairs = unpack(userPairAgg(spark, sfDir), "user_u", "user_v")
     val cu = counts.select(col("user_id").as("user_u"), col("n_items").as("nu"))
     val cv = counts.select(col("user_id").as("user_v"), col("n_items").as("nv"))
     // count attach unhinted: unlike the CATALOG-sized item-count tables
@@ -1260,6 +1267,7 @@ object Recsys {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     cappedInteractions(spark, sfDir).count()
     itemPairAgg(spark, sfDir).count()
+    userPairAgg(spark, sfDir).count()
     memoSim(spark, sfDir, "itemcf") { itemcfSimilarityPlan(spark, sfDir) }.count()
     memoSim(spark, sfDir, "usercf") { usercfSimilarityPlan(spark, sfDir) }.count()
   }

@@ -49,6 +49,23 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("simrank: ranked output, scores bounded by the decay factor, partitioning-invariant") {
+    val out = GraphRank.simrank(spark, sfTest).collect()
+    assert(out.length === GraphRank.SimrankTop)
+    assert(out.map(_.getInt(0)).toSeq == (1 to GraphRank.SimrankTop))
+    val units = out.map(_.getAs[Long]("sr_units"))
+    assert(units.zip(units.tail).forall { case (a, b) => a >= b })
+    // s2 = C * (bounded-by-1 average) => never exceeds C = 4/5
+    val cap = GraphRank.SimrankCNum * GraphRank.TotalUnits / GraphRank.SimrankCDen
+    assert(units.forall(u => u > 0L && u <= cap))
+    out.foreach(r => assert(r.getAs[Long]("item_i") < r.getAs[Long]("item_j")))
+    // integer fixed-point: exact same result at a different parallelism
+    val repart = spark.newSession()
+    repart.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = GraphRank.simrank(repart, sfTest).collect().map(_.toSeq).toSeq
+    assert(b === out.map(_.toSeq).toSeq)
+  }
+
   test("triangle counting agrees with a hand-checked literal graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
