@@ -529,10 +529,16 @@ object GraphRank {
         struct(col("u"), col("v"), col("s")),
         struct(col("v").as("u"), col("u").as("v"), col("s")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"), col("p.s").as("s"))
-    // neighborhood truncation: each user keeps its top-K neighbors
-    val wNbr = Window.partitionBy(col("u")).orderBy(col("s").desc, col("v").asc)
-    val s1t = s1m.withColumn("nrk", row_number().over(wNbr))
-      .where(col("nrk") <= SimrankNbrK).drop("nrk")
+    // neighborhood truncation: each user keeps its top-K neighbors via
+    // the bounded aggregate (partial phase caps map-side — no sort
+    // shuffle of the full mirrored pair table; same CF-tier trick).
+    // Ranking casts s to double (exact: s < 0.8e12 << 2^53) while the
+    // extra slot carries the original BIGINT through unchanged.
+    val s1t = s1m.groupBy("u")
+      .agg(graft.functions.TopKByScore.topK(
+        SimrankNbrK, col("s").cast("double"), col("v"), col("s")).as("nb"))
+      .select(col("u"), explode(col("nb")).as("n"))
+      .select(col("u"), col("n.id").as("v"), col("n.extra").as("s"))
     // round-2 contribution: scored user pair -> every capped (item of u,
     // item of v) combination
     val contrib = s1t
