@@ -236,6 +236,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "above the ceiling ranks⋈edges must be a shuffled equi-join")
   }
 
+  test("simrank: no cartesian products; truncation stays a hash-based bounded aggregate") {
+    val pl = plan(operators.GraphRank.simrank(planSession, sfTest))
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      "every simrank stage must join on a key")
+    assert(pl.contains("ObjectHashAggregate"),
+      "neighborhood truncation must plan as the bounded TypedImperativeAggregate")
+  }
+
   test("embed_health: posexplode aggregate is partial (map-side combine before the shuffle)") {
     val pl = plan(operators.PipelineOps.embedHealth(planSession, sfTest))
     // two HashAggregate headers (partial + final) around one exchange:
