@@ -13,7 +13,10 @@ Test / fork := true
 run / fork := true
 // Scale-volume specs (>=1e5-doc synthesized corpora, minutes of
 // runtime) are excluded from the default `sbt test` sweep; run them
-// explicitly with:  sbt "testOnly graft.DedupScaleSpec -- -n graft.ScaleTest"
+// explicitly with the exclude cleared (sbt APPENDS `--` args to
+// testOptions and ScalaTest's exclude beats an include of the same
+// tag, so `-- -n graft.ScaleTest` alone runs nothing):
+//   sbt 'set Test/testOptions := Seq(); testOnly graft.DedupScaleSpec'
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.ScaleTest")
 // Forked run output must reach stdout RAW: sbt's default LoggedOutput
 // prepends "[info] " to every line, which breaks line-oriented JSON

@@ -63,16 +63,21 @@ object Similarity {
     * corpus streams past it with zero shuffle before the per-query
     * top-K window.
     */
-  def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
-    val q = broadcast(e.where(col("vec_id") < NQueries)
+  def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame =
+    knnBruteFrom(Tables.embeddings(spark, sfDir), NQueries, K)
+
+  /** Frame-parameterized exact tier — AnnScaleSpec runs it as ground
+    * truth on a synthesized corpus far larger than the fixture. */
+  private[graft] def knnBruteFrom(e0: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = withNorm(e0.select("vec_id", "embedding"))
+    val q = broadcast(e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm")))
     val scored = q.as("a").join(e.as("b"), col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("b.vec_id").as("neighbor_id"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= K)
+      .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
       .orderBy("query_id", "rk")
   }
@@ -106,9 +111,16 @@ object Similarity {
     * exact tier is measured in LlmPipelineSpec; the oracle checks the
     * pipeline itself.
     */
-  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
-    val cents = broadcast(e.where(col("vec_id") < NCells)
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    knnIvfFrom(Tables.embeddings(spark, sfDir), NCells, NProbe, NQueries, K)
+
+  /** The candidate set of the cell-probe search (the scored join before
+    * ranking) — exposed so AnnScaleSpec can COUNT candidates against
+    * the brute-force pair space on a large synthesized corpus. */
+  private[graft] def ivfScored(e0: DataFrame, nCells: Int, nProbe: Int,
+                               nQueries: Int): DataFrame = {
+    val e = withNorm(e0.select("vec_id", "embedding"))
+    val cents = broadcast(e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
     val ranked = e.as("b").join(cents.as("a"))
@@ -119,18 +131,26 @@ object Similarity {
     // the index: every corpus vector lives in exactly ONE cell
     val assigned = ranked.where(col("crk") === 1)
       .select("vec_id", "embedding", "nrm", "cid")
-    // the probe list: each query fans out to its NProbe nearest cells
-    val queries = ranked.where(col("vec_id") < NQueries && col("crk") <= NProbe)
+    // the probe list: each query fans out to its nProbe nearest cells
+    val queries = ranked.where(col("vec_id") < nQueries && col("crk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
     // a neighbor appears at most once per query (it lives in one cell)
-    val scored = queries.as("a")
+    queries.as("a")
       .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
               col("b.vec_id").as("neighbor_id"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+  }
+
+  /** Frame-parameterized IVF tier: the scale test widens cells to
+    * ~sqrt(N) (the standard IVF sizing) while the fixture query keeps
+    * the oracle-pinned constants. */
+  private[graft] def knnIvfFrom(e0: DataFrame, nCells: Int, nProbe: Int,
+                                nQueries: Int, k: Int): DataFrame = {
+    val scored = ivfScored(e0, nCells, nProbe, nQueries)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= K)
+      .where(col("rk") <= k)
       .select(col("query_id"), col("cell"), col("rk"), col("neighbor_id"), col("cos"))
       .orderBy("query_id", "rk")
   }

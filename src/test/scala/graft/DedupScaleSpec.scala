@@ -7,7 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Marks scale-volume tests excluded from the default `sbt test` run
   * (see build.sbt); run with
-  * `sbt "testOnly graft.DedupScaleSpec -- -n graft.ScaleTest"`.
+  * `sbt 'set Test/testOptions := Seq(); testOnly graft.DedupScaleSpec'`
+  * (the build-level `-l` exclude must be cleared: sbt APPENDS `--`
+  * args to `Test/testOptions`, and a ScalaTest exclude beats an
+  * include of the same tag, so a bare `-- -n graft.ScaleTest` runs
+  * nothing).
   */
 object ScaleTest extends Tag("graft.ScaleTest")
 
