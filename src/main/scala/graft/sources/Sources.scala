@@ -103,4 +103,23 @@ object Sources {
     */
   def warehouseTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Bucketed managed table: rows are hash-distributed into `nBuckets`
+    * files per partition by `bucketCols`, and the layout is recorded in
+    * the catalog. This is the pre-shuffle that pays for itself: two
+    * tables bucketed by the same key with the same bucket count join
+    * with ZERO exchange on either side (each task zips bucket i with
+    * bucket i), so a fact⋈fact join that would shuffle 100 TB per run
+    * shuffles once at write time and never again. `sortCols` addition-
+    * ally sorts within each bucket file, letting sort-merge join skip
+    * its sorts when one file per bucket is read. SourcesSpec pins the
+    * no-Exchange plan on a bucketed orders⋈customer join.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                         nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

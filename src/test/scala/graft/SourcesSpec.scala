@@ -103,6 +103,43 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     session.sql("DROP TABLE events_wh")
   }
 
+  test("bucketed warehouse tables join with zero Exchange on either side") {
+    val session = spark
+    // co-located join needs both sides bucketed on the join key with
+    // the same bucket count; disable auto-broadcast so the plan is the
+    // sort-merge join a fact⋈fact pair gets at scale
+    val prevThreshold = session.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(session, sfTest).select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = Tables.customer(session, sfTest).select("c_custkey", "c_name")
+      Sources.writeBucketedTable(orders, "orders_bkt", Seq("o_custkey"), 8, Seq("o_custkey"))
+      Sources.writeBucketedTable(cust, "customer_bkt", Seq("c_custkey"), 8, Seq("c_custkey"))
+      val joined = Sources.warehouseTable(session, "orders_bkt")
+        .join(Sources.warehouseTable(session, "customer_bkt"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name").agg(round(sum("o_totalprice"), 2).as("total"))
+      // the join itself must read bucket i ⋈ bucket i with no shuffle;
+      // the only Exchange allowed in the whole plan is the groupBy's
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1200)}")
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join must not shuffle either input:\n${joinPart.take(1500)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        "scan must report bucketed layout use")
+      // parity with the plain parquet join
+      val direct = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name").agg(round(sum("o_totalprice"), 2).as("total"))
+      assert(joined.orderBy("c_name").collect().toSeq ===
+             direct.orderBy("c_name").collect().toSeq)
+    } finally {
+      session.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      session.sql("DROP TABLE IF EXISTS orders_bkt")
+      session.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("ORC round-trip preserves schema and values") {
     import graft.sources.Sources
     val path = "target/tmp/orc_roundtrip"
