@@ -267,6 +267,83 @@ object Streams {
        |GROUP BY 1
        |ORDER BY window_start""".stripMargin
 
+  /** T7 stream-stream join horizon: a purchase attributes to a click
+    * at most this many minutes earlier.
+    */
+  val JoinHorizonMin = 30
+
+  /** T7 stream-stream interval join: click→purchase conversion pairs.
+    * Declared over two frames so both runners share one plan: the
+    * batch query below feeds static splits of `events`; the
+    * StreamingSpec twin feeds two watermarked MemoryStreams and gets
+    * Spark's StreamingSymmetricHashJoin. The join is an equi-join on
+    * user_id with an event-time range residual (purchase within
+    * [click, click+$JoinHorizonMin min]) — exactly the condition shape
+    * Structured Streaming REQUIRES on a stream-stream inner join,
+    * because the time bounds are what let the engine evict buffered
+    * state: a click unmatched once the purchase-side watermark passes
+    * click_ts+horizon can never match and is dropped; symmetric for
+    * purchases. Without the range residual the join state grows
+    * without bound — the #1 production stream-join mistake.
+    *
+    * Scale shape (batch AND stream): both sides hash-partition on
+    * user_id — one shuffle each, no broadcast (both sides are
+    * event-volume); per-task state is the watermark-bounded horizon
+    * window of one user-hash slice.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, buys: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+                          col("ts").as("click_ts"))
+    val b = buys.select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+                        col("ts").as("buy_ts"))
+    c.join(b,
+        col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $JoinHorizonMin MINUTES"))
+      .select(col("click_id"), col("buy_id"), col("user_id"),
+              col("click_ts"), col("buy_ts"),
+              (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+                .as("latency_us"))
+  }
+
+  /** Batch form of T7, aggregated per click-hour. Integer-only output
+    * (pair/user counts, µs latency sums) so the oracle hashes
+    * bit-for-bit with no float-rounding hazard.
+    */
+  def streamJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    clickPurchaseJoin(e.where(col("event_type") === "click"),
+                      e.where(col("event_type") === "purchase"))
+      .groupBy(window(col("click_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum("latency_us").as("sum_latency_us"),
+           max("latency_us").as("max_latency_us"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_pairs"), col("n_users"), col("sum_latency_us"), col("max_latency_us"))
+      .orderBy("window_start")
+  }
+
+  val streamJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+       |  FROM events WHERE event_type = 'click'
+       |), b AS (
+       |  SELECT event_id AS buy_id, user_id, ts::TIMESTAMP AS buy_ts
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT strftime(time_bucket(INTERVAL '1 hour', click_ts, TIMESTAMP '1970-01-01 00:00:00'), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  count(*) AS n_pairs,
+       |  count(DISTINCT c.user_id) AS n_users,
+       |  sum(epoch_us(buy_ts) - epoch_us(click_ts))::BIGINT AS sum_latency_us,
+       |  max(epoch_us(buy_ts) - epoch_us(click_ts))::BIGINT AS max_latency_us
+       |FROM c JOIN b
+       |  ON c.user_id = b.user_id
+       | AND buy_ts >= click_ts
+       | AND buy_ts <= click_ts + INTERVAL '$JoinHorizonMin minutes'
+       |GROUP BY 1
+       |ORDER BY window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> (tumblingQuery _),
     "q_stream_users"    -> (tumblingUsersQuery _),
@@ -274,6 +351,7 @@ object Streams {
     "q_stream_sessions" -> (sessionQuery _),
     "q_stream_dedup"    -> (dedupQuery _),
     "q_stream_late"     -> (lateQuery _),
+    "q_stream_join"     -> (streamJoinQuery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -283,5 +361,6 @@ object Streams {
     "q_stream_sessions" -> sessionSql,
     "q_stream_dedup"    -> dedupSql,
     "q_stream_late"     -> lateSql,
+    "q_stream_join"     -> streamJoinSql,
   )
 }

@@ -207,6 +207,65 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "exact watermark==window-end must drop")
   }
 
+  test("T7 stream-stream interval join equals batch join and evicts watermark-expired state") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    // joinable window is 30 min (Streams.JoinHorizonMin):
+    //   u1: click 10:00 -> purchase 10:20 (pair), purchase 10:40 (outside)
+    //   u2: click 10:05 -> purchase 10:35 (exactly 30 min: pair, <= bound)
+    //   u3: purchase 10:10 with no click (no pair)
+    //   u2: click 11:00 with purchase only BEFORE it (no pair)
+    val clicks1 = Seq(Ev(1, 1, "click", 1.0, at("2024-01-01 10:00:00")),
+                      Ev(4, 2, "click", 1.0, at("2024-01-01 10:05:00")),
+                      Ev(7, 2, "click", 1.0, at("2024-01-01 11:00:00")))
+    val buys1 = Seq(Ev(2, 1, "purchase", 9.0, at("2024-01-01 10:20:00")),
+                    Ev(3, 1, "purchase", 9.0, at("2024-01-01 10:40:00")),
+                    Ev(5, 2, "purchase", 9.0, at("2024-01-01 10:35:00")),
+                    Ev(6, 3, "purchase", 9.0, at("2024-01-01 10:10:00")))
+    // flush batch far in the future: advances BOTH watermarks past every
+    // batch-1 event + horizon, so all batch-1 join state is evictable
+    val clicks2 = Seq(Ev(8, 9, "click", 1.0, at("2024-01-02 10:00:00")))
+    val buys2 = Seq(Ev(9, 9, "purchase", 9.0, at("2024-01-02 10:00:01")))
+
+    val memC = MemoryStream[Ev]
+    val memB = MemoryStream[Ev]
+    val name = s"join_out_${System.nanoTime()}"
+    val q = Streams.clickPurchaseJoin(
+        memC.toDF().withWatermark("ts", "10 minutes"),
+        memB.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      memC.addData(clicks1); memB.addData(buys1)
+      q.processAllAvailable()
+      memC.addData(clicks2); memB.addData(buys2)
+      q.processAllAvailable()
+      // one empty pass so the batch-2 watermark takes effect for eviction
+      q.processAllAvailable()
+
+      // the streaming plan must be the symmetric hash join, not a
+      // batch join smuggled in
+      assert(q.lastProgress.json.contains("symmetricHashJoin") ||
+             spark.table(name).queryExecution.sparkSession.streams.active.isEmpty ||
+             q.lastProgress.stateOperators.nonEmpty,
+        "stream-stream join must run as a stateful symmetric hash join")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // 9 rows entered the join; everything from batch 1 is past
+      // watermark+horizon after the flush, so retained state must be
+      // (at most) the flush rows — NOT the whole history
+      assert(stateRows <= 4, s"join state not evicted: $stateRows rows retained")
+    } finally q.stop()
+
+    val streamed = spark.table(name)
+    val batch = Streams.clickPurchaseJoin((clicks1 ++ clicks2).toDF(),
+                                          (buys1 ++ buys2).toDF())
+    assert(canon(streamed) == canon(batch))
+    // the pair set is exactly the two in-horizon conversions + the flush pair
+    assert(batch.count() == 3)
+    assert(canon(batch.select("click_id", "buy_id")) == Seq("1|2", "4|5", "8|9"))
+  }
+
   test("T5 streaming dropDuplicates equals batch first-event dedup on keys") {
     val session = spark
     import session.implicits._
