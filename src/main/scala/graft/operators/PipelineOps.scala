@@ -644,6 +644,69 @@ object PipelineOps {
       |FROM capped CROSS JOIN denom
       |ORDER BY source""".stripMargin
 
+  /** Chunk width in whitespace tokens. */
+  val ChunkTokens = 32
+  /** Stride between chunk starts; ChunkTokens − ChunkStride = 8 tokens
+    * of overlap carried into the next chunk. */
+  val ChunkStride = 24
+
+  /** Sliding-window document chunking — the retrieval-pipeline step
+    * that turns a corpus into fixed-width, overlapping passages (every
+    * RAG index and most context-window packers run exactly this before
+    * embedding). Chunk k of a doc covers tokens
+    * [k·stride, k·stride + width); a doc of n tokens emits
+    * ceil((n − width)/stride) + 1 chunks (one if n ≤ width), so the
+    * final chunk may be short but no tail token is ever dropped and no
+    * chunk is wholly contained in its predecessor. Output carries the
+    * chunk's md5 fingerprint — the join key back to an embedding table
+    * and the dedup key across re-crawls.
+    *
+    * Scale shape: chunking is generate-only — split, a per-row
+    * `sequence`/explode bounded by n/stride, a slice; no join, no
+    * aggregate, no shuffle (the ORDER BY is presentation). At 100 TB
+    * this is the ideal map-only operator: it pipelines inside
+    * whole-stage codegen and parallelism is purely input-split count.
+    * All outputs are integers/strings (token counts, md5 prefix) so
+    * the oracle hashes bit-for-bit.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= ChunkTokens, lit(1L))
+          .otherwise(expr(s"(n_tokens - $ChunkTokens + $ChunkStride - 1) div $ChunkStride + 1")))
+      .select(col("doc_id"), col("toks"),
+              explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"slice(toks, cast(chunk_idx * $ChunkStride + 1 AS int), $ChunkTokens)"))
+      .select(col("doc_id"), col("chunk_idx"),
+              size(col("chunk")).cast("long").as("n_chunk_tokens"),
+              expr("chunk[0]").as("first_token"),
+              substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $ChunkTokens THEN 1
+       |         ELSE (len(toks) - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1 END AS n_chunks
+       |  FROM t
+       |), x AS (
+       |  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM n
+       |), c AS (
+       |  SELECT doc_id, chunk_idx,
+       |    toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens] AS chunk
+       |  FROM x
+       |)
+       |SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_chunk_tokens,
+       |  chunk[1] AS first_token,
+       |  substr(md5(array_to_string(chunk, ' ')), 1, 8) AS chunk_hash
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -656,6 +719,7 @@ object PipelineOps {
     "q_embed_health"        -> (embedHealth _),
     "q_train_shuffle"       -> (trainShuffle _),
     "q_mix_plan"            -> (mixPlan _),
+    "q_doc_chunks"          -> (docChunks _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -670,6 +734,7 @@ object PipelineOps {
     "q_embed_health"        -> embedHealthSql,
     "q_train_shuffle"       -> trainShuffleSql,
     "q_mix_plan"            -> mixPlanSql,
+    "q_doc_chunks"          -> docChunksSql,
   )
 
 }

@@ -243,4 +243,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rows.map(_.getAs[Double]("achieved_share")).sum - 1.0) < 1e-4)
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
+
+  test("doc chunks: full coverage, fixed stride, tail never dropped, interior chunks full-width") {
+    import operators.PipelineOps.{ChunkTokens, ChunkStride}
+    val nTokens = spark.read.parquet(s"$sfTest/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = operators.PipelineOps.docChunks(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_chunk_tokens")))
+      .groupBy(_._1)
+    assert(chunks.keySet === nTokens.keySet, "every doc must be chunked")
+    for ((doc, cs) <- chunks) {
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq, "chunk indices dense from 0")
+      val last = sorted.last
+      // the final chunk ends exactly at the last token: nothing dropped
+      assert(last._2 * ChunkStride + last._3 === n, s"doc $doc tail truncated")
+      // all interior chunks are full width, so overlap is exactly width-stride
+      sorted.init.foreach { c => assert(c._3 === ChunkTokens.toLong, s"doc $doc interior chunk short") }
+      // no chunk is contained in its predecessor (each adds >=1 new token)
+      assert(last._3 > 0 && (sorted.length == 1 || last._2 * ChunkStride + last._3 >
+        (last._2 - 1) * ChunkStride + ChunkTokens - ChunkStride))
+      val expected = if (n <= ChunkTokens) 1L else (n - ChunkTokens + ChunkStride - 1) / ChunkStride + 1
+      assert(sorted.length.toLong === expected, s"doc $doc chunk count")
+    }
+  }
 }
