@@ -118,11 +118,86 @@ object AsOf {
       |FROM e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** SCD2 history construction: turn a change log into type-2
+    * slowly-changing-dimension rows — the warehouse operator every
+    * dimension load runs. Source: each customer's order-priority
+    * signal over time (the max-orderkey order wins a same-day tie,
+    * the as-of determinism idiom above). Steps, all window passes over
+    * one customer-partitioned sort:
+    *   1. compress consecutive duplicates (a "change" row survives only
+    *      if the attribute differs from the previous one — without this
+    *      the dimension bloats with no-op versions);
+    *   2. validity intervals: valid_from = change date,
+    *      valid_to = next change's date (NULL = open);
+    *   3. version numbers and the is_current flag.
+    *
+    * Scale shape: ONE shuffle on custkey serves all three window steps
+    * (same partitioning, Catalyst collapses them into a single sort);
+    * no join, no self-join against the snapshot — the change log never
+    * leaves its partition. At 100 TB this is the difference between an
+    * SCD2 load that runs and one that cross-joins history.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    // the day-tiebreak ALSO rides the custkey-only partitioning: within
+    // a (change_date, orderkey)-sorted custkey window, the last row of
+    // each day IS the max-orderkey row — partitioning by (custkey, day)
+    // instead would cost a second shuffle the later windows can't reuse
+    val byCustDay = Window.partitionBy("custkey")
+      .orderBy(col("change_date").asc, col("okey").asc)
+    val byCust = Window.partitionBy("custkey").orderBy("change_date")
+    val daily = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"),
+              col("o_orderdate").as("change_date"),
+              col("o_orderpriority").as("priority"),
+              col("o_orderkey").as("okey"))
+      .withColumn("nxt", lead("change_date", 1).over(byCustDay))
+      .where(col("nxt").isNull || col("nxt") =!= col("change_date"))
+    daily
+      .withColumn("prev", lag("priority", 1).over(byCust))
+      .where(col("prev").isNull || col("prev") =!= col("priority"))
+      .withColumn("version", row_number().over(byCust))
+      .withColumn("valid_to_d", lead("change_date", 1).over(byCust))
+      .select(col("custkey"), col("version"), col("priority"),
+              date_format(col("change_date"), "yyyy-MM-dd").as("valid_from"),
+              date_format(col("valid_to_d"), "yyyy-MM-dd").as("valid_to"),
+              when(col("valid_to_d").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH daily AS (
+      |  SELECT o_custkey AS custkey, o_orderdate AS change_date,
+      |    o_orderpriority AS priority
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                                     ORDER BY o_orderkey DESC) AS rn
+      |        FROM orders)
+      |  WHERE rn = 1
+      |), chg AS (
+      |  SELECT custkey, change_date, priority,
+      |    lag(priority) OVER (PARTITION BY custkey ORDER BY change_date) AS prev
+      |  FROM daily
+      |  QUALIFY prev IS NULL OR prev <> priority
+      |), v AS (
+      |  SELECT custkey, priority, change_date,
+      |    row_number() OVER w AS version,
+      |    lead(change_date) OVER w AS valid_to_d
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY custkey ORDER BY change_date)
+      |)
+      |SELECT custkey, version, priority,
+      |  strftime(change_date, '%Y-%m-%d') AS valid_from,
+      |  strftime(valid_to_d, '%Y-%m-%d') AS valid_to,
+      |  CASE WHEN valid_to_d IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v
+      |ORDER BY custkey, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_asof_event_order" -> (asofEventOrder _),
+    "q_scd2_history"     -> (scd2History _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_event_order" -> asofEventOrderSql,
+    "q_scd2_history"     -> scd2HistorySql,
   )
 }

@@ -83,4 +83,29 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       .count()
     assert(diff == 0)
   }
+
+  test("SCD2 history: gapless intervals, one current version, no no-op versions, one shuffle") {
+    val hist = operators.AsOf.scd2History(spark, sfTest)
+    // all three window steps must ride ONE custkey shuffle: a single
+    // Exchange in the whole plan (plus the presentation sort's)
+    val plan = hist.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"SCD2 must reuse one custkey partitioning, saw $exchanges:\n${plan.take(800)}")
+    val rows = hist.collect().map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("version"),
+      r.getAs[String]("priority"), r.getAs[String]("valid_from"),
+      r.getAs[String]("valid_to"), r.getAs[Long]("is_current")))
+    rows.groupBy(_._1).foreach { case (ck, vs) =>
+      val s = vs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length), s"cust $ck versions not dense")
+      // intervals chain: valid_to of k == valid_from of k+1; only the last is open
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"cust $ck gap between v${a._2} and v${b._2}")
+          assert(a._3 != b._3, s"cust $ck no-op version survived compression")
+        case _ =>
+      }
+      assert(s.count(_._6 == 1L) == 1 && s.last._6 == 1L && s.last._5 == null,
+        s"cust $ck must have exactly one open current version")
+    }
+  }
 }
