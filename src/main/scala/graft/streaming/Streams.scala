@@ -291,7 +291,14 @@ object Streams {
     * event-volume); per-task state is the watermark-bounded horizon
     * window of one user-hash slice.
     */
-  def clickPurchaseJoin(clicks: DataFrame, buys: DataFrame): DataFrame = {
+  /** @param joinType "inner" (default) or "left_outer". On streams the
+    * outer form is the stricter discipline: an unmatched click can only
+    * be emitted (null-padded) once the purchase-side watermark proves
+    * no match can still arrive — i.e. passes click_ts + horizon — so
+    * outer results trail the watermark by design. The twin pins that.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, buys: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
                           col("ts").as("click_ts"))
     val b = buys.select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
@@ -299,7 +306,8 @@ object Streams {
     c.join(b,
         col("user_id") === col("buy_user") &&
         col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $JoinHorizonMin MINUTES"))
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $JoinHorizonMin MINUTES"),
+        joinType)
       .select(col("click_id"), col("buy_id"), col("user_id"),
               col("click_ts"), col("buy_ts"),
               (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))

@@ -266,6 +266,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(batch.select("click_id", "buy_id")) == Seq("1|2", "4|5", "8|9"))
   }
 
+  test("T7b left-outer stream join emits unmatched clicks only after the watermark proves no match") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val clicks1 = Seq(Ev(1, 1, "click", 1.0, at("2024-01-01 10:00:00")),   // matches
+                      Ev(2, 2, "click", 1.0, at("2024-01-01 10:05:00")))   // never matches
+    val buys1 = Seq(Ev(3, 1, "purchase", 9.0, at("2024-01-01 10:10:00")))
+    val flushC = Seq(Ev(8, 9, "click", 1.0, at("2024-01-02 10:00:00")))
+    val flushB = Seq(Ev(9, 9, "purchase", 9.0, at("2024-01-02 10:00:01")))
+
+    val memC = MemoryStream[Ev]
+    val memB = MemoryStream[Ev]
+    val name = s"louter_out_${System.nanoTime()}"
+    val q = Streams.clickPurchaseJoin(
+        memC.toDF().withWatermark("ts", "10 minutes"),
+        memB.toDF().withWatermark("ts", "10 minutes"), "left_outer")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      memC.addData(clicks1); memB.addData(buys1)
+      q.processAllAvailable()
+      // before any watermark advance past 10:05+30min, click 2 must NOT
+      // have been emitted null-padded — a match could still arrive
+      val early = spark.table(name).where(col("click_id") === 2).count()
+      assert(early == 0, "unmatched click emitted before the watermark proved no match")
+      memC.addData(flushC); memB.addData(flushB)
+      q.processAllAvailable()
+      q.processAllAvailable() // let the advanced watermark finalize outer results
+    } finally q.stop()
+    val streamed = spark.table(name)
+    // now click 2 appears exactly once, null-padded
+    val u2 = streamed.where(col("click_id") === 2).collect()
+    assert(u2.length == 1 && u2(0).isNullAt(u2(0).fieldIndex("buy_id")))
+    // and the stream equals the batch left join on the closed subset
+    // (the flush click's own row may still be held back by the final
+    // watermark, so compare on batch-1 clicks only)
+    val batch = Streams.clickPurchaseJoin((clicks1 ++ flushC).toDF(),
+                                          (buys1 ++ flushB).toDF(), "left_outer")
+    assert(canon(streamed.where(col("click_id") <= 2)) ==
+           canon(batch.where(col("click_id") <= 2)))
+  }
+
   test("T5 streaming dropDuplicates equals batch first-event dedup on keys") {
     val session = spark
     import session.implicits._
