@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -707,6 +707,67 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Seed for the train/val/test group split. */
+  val SplitSeed = "split42"
+
+  private def splitName(h: Column): Column =
+    when(h % 10 < 8, lit("train")).when(h % 10 === 8, lit("val")).otherwise(lit("test"))
+
+  private def h32(prefix: String, colName: String): Column =
+    expr(s"cast(conv(substring(md5(concat('$prefix:', $colName)), 1, 8), 16, 10) AS bigint)")
+
+  /** Grouped train/val/test split (8/1/1) with a leakage audit — the
+    * evaluation-hygiene gate: assigning by USER hash puts every event
+    * of a user in one split (a model can never see its test users in
+    * training), while the naive row-level split — also computed here as
+    * the contrast column — scatters almost every active user across
+    * splits. Per split: group-level user/event counts plus the number
+    * of distinct users the ROW-level split would have placed there;
+    * row-level totals exceeding the true user count IS the leakage,
+    * made visible in one table. Seeded hash ⇒ the split is stable
+    * across runs/engines — resharding never moves a user.
+    *
+    * Scale shape: two corpus aggregates (3-row outputs) joined on the
+    * 3-row split key — no corpus join, no window; the assignment
+    * itself is one map-side hash, exactly how a 100 TB split ships
+    * (partition the write by the same expression).
+    */
+  def groupSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
+    val grouped = e.withColumn("split", splitName(h32(SplitSeed, "user_id")))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val rowLevel = e.withColumn("split", splitName(h32(SplitSeed, "event_id")))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_users_row_level"))
+    grouped.join(rowLevel, "split")
+      .select(col("split"), col("n_users"), col("n_events"), col("n_users_row_level"))
+      .orderBy("split")
+  }
+
+  val groupSplitSql: String =
+    s"""WITH g AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5('$SplitSeed:' || user_id::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+       |              WHEN ('0x' || substr(md5('$SplitSeed:' || user_id::VARCHAR), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    user_id
+       |  FROM events
+       |), grouped AS (
+       |  SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       |  FROM g GROUP BY split
+       |), r AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5('$SplitSeed:' || event_id::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+       |              WHEN ('0x' || substr(md5('$SplitSeed:' || event_id::VARCHAR), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    user_id
+       |  FROM events
+       |), row_level AS (
+       |  SELECT split, count(DISTINCT user_id) AS n_users_row_level FROM r GROUP BY split
+       |)
+       |SELECT split, n_users, n_events, n_users_row_level
+       |FROM grouped JOIN row_level USING (split)
+       |ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -720,6 +781,7 @@ object PipelineOps {
     "q_train_shuffle"       -> (trainShuffle _),
     "q_mix_plan"            -> (mixPlan _),
     "q_doc_chunks"          -> (docChunks _),
+    "q_group_split"         -> (groupSplit _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -735,6 +797,7 @@ object PipelineOps {
     "q_train_shuffle"       -> trainShuffleSql,
     "q_mix_plan"            -> mixPlanSql,
     "q_doc_chunks"          -> docChunksSql,
+    "q_group_split"         -> groupSplitSql,
   )
 
 }

@@ -269,4 +269,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       assert(sorted.length.toLong === expected, s"doc $doc chunk count")
     }
   }
+
+  test("group split: splits partition users and events exactly; row-level split leaks users") {
+    val rows = operators.PipelineOps.groupSplit(spark, sfTest).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq === Seq("test", "train", "val"))
+    val ev = spark.read.parquet(s"$sfTest/events.parquet")
+    val nUsers = ev.select("user_id").distinct.count()
+    val nEvents = ev.count()
+    // grouped split is a PARTITION: per-split user counts sum to the
+    // distinct total (disjoint by construction — split is a function of
+    // the user), events are fully covered
+    assert(rows.map(_.getAs[Long]("n_users")).sum === nUsers)
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    // the row-level contrast overcounts users — that excess IS the
+    // train/test leakage a per-row split would cause
+    assert(rows.map(_.getAs[Long]("n_users_row_level")).sum > nUsers)
+    val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_events")).toMap
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{concat, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape assertions: the properties the 100 TB design
@@ -250,5 +251,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // network volume is dims x tasks, not dims x rows
     assert("""\(\d+\) HashAggregate""".r.findAllIn(pl).length >= 2,
       s"expected partial+final aggregates, plan:\n${pl.take(3000)}")
+  }
+
+  test("AQE splits a skewed join partition at runtime (the 100 TB hot-key path)") {
+    // SCALING.md's skew story is two-layered: salting where we control
+    // the query (q_salted_agg), AQE skew-join for everything else. This
+    // pins layer two actually FIRING: a hot key that dwarfs its
+    // siblings is split into multiple tasks by OptimizeSkewedJoin, so
+    // one straggler task can't hold a 1000-executor stage hostage.
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // shrink the thresholds so the fixture-scale hot key qualifies
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 100k rows, half of them on one hot key; dim side uniform
+    val fact = s.range(100000)
+      .select(when($"id" % 2 === 0, lit(7L)).otherwise($"id" % 97).as("k"),
+              concat(lit("payload-payload-payload-"), $"id").as("v"))
+    val dim = s.range(97).select($"id".as("k"), concat(lit("d"), $"id").as("w"))
+    val joined = fact.join(dim, "k")
+    // execute THIS queryExecution (count() would spawn its own, whose
+    // adaptive plan is the one that finalizes) then read the final plan
+    assert(joined.collect().length === 100000)
+    val pl = joined.queryExecution.executedPlan.toString
+    assert(pl.contains("isSkew=true") || pl.contains("skewed"),
+      s"AQE skew-join did not fire:\n${pl.take(2000)}")
   }
 }
