@@ -768,6 +768,75 @@ object PipelineOps {
        |FROM grouped JOIN row_level USING (split)
        |ORDER BY split""".stripMargin
 
+  /** Crawl-merge upsert — MERGE INTO semantics without a table format:
+    * reconcile a re-crawl batch against the base corpus by key +
+    * content hash and classify every row into the four merge actions
+    * (insert: new key; update: key present, content changed; keep:
+    * key re-crawled byte-identical; carry: key not in the batch, base
+    * row carried forward). The batch is synthesized deterministically
+    * from the corpus itself (every 3rd doc re-crawled, every 6th with
+    * revised text, every 7th spawning a brand-new doc under a shifted
+    * key) so both engines derive the identical merge input. Output:
+    * per (source, action) doc counts + merged-text char volume — the
+    * reconciliation report a crawl pipeline emits before committing.
+    *
+    * Scale shape: ONE full-outer equi-join on doc_id (the batch side
+    * is deliberately unhinted — re-crawl batches are corpus-sized in
+    * the worst case, broadcast only if AQE proves it small); change
+    * detection is a map-side md5 compare, no second pass. At 100 TB
+    * this is exactly the shuffle MERGE INTO performs under any table
+    * format — the format only adds the commit protocol.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").as("b_text"), col("source").as("b_source"))
+    val recrawl = Tables.documents(spark, sfDir).where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+              when(col("doc_id") % 6 === 0, concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("n_text"),
+              col("source").as("n_source"))
+    val fresh = Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text").as("n_text"),
+              lit("recrawl").as("n_source"))
+    base.join(recrawl.unionByName(fresh), Seq("doc_id"), "full_outer")
+      .withColumn("action",
+        when(col("b_text").isNull, lit("insert"))
+          .when(col("n_text").isNull, lit("carry"))
+          .when(md5(col("b_text")) === md5(col("n_text")), lit("keep"))
+          .otherwise(lit("update")))
+      .withColumn("m_source", coalesce(col("n_source"), col("b_source")))
+      .withColumn("m_chars", length(coalesce(col("n_text"), col("b_text"))).cast("long"))
+      .groupBy(col("m_source").as("source"), col("action"))
+      .agg(count(lit(1)).as("n_docs"), sum("m_chars").as("sum_chars"))
+      .orderBy("source", "action")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text AS b_text, source AS b_source FROM documents
+      |), batch AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' [rev2]' ELSE text END AS n_text,
+      |    source AS n_source
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text AS n_text, 'recrawl' AS n_source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), m AS (
+      |  SELECT coalesce(base.doc_id, batch.doc_id) AS doc_id, b_text, n_text,
+      |    coalesce(n_source, b_source) AS source,
+      |    CASE WHEN b_text IS NULL THEN 'insert'
+      |         WHEN n_text IS NULL THEN 'carry'
+      |         WHEN md5(b_text) = md5(n_text) THEN 'keep'
+      |         ELSE 'update' END AS action,
+      |    length(coalesce(n_text, b_text))::BIGINT AS m_chars
+      |  FROM base FULL OUTER JOIN batch ON base.doc_id = batch.doc_id
+      |)
+      |SELECT source, action, count(*) AS n_docs, sum(m_chars)::BIGINT AS sum_chars
+      |FROM m
+      |GROUP BY source, action
+      |ORDER BY source, action""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -782,6 +851,7 @@ object PipelineOps {
     "q_mix_plan"            -> (mixPlan _),
     "q_doc_chunks"          -> (docChunks _),
     "q_group_split"         -> (groupSplit _),
+    "q_merge_upsert"        -> (mergeUpsert _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -798,6 +868,7 @@ object PipelineOps {
     "q_mix_plan"            -> mixPlanSql,
     "q_doc_chunks"          -> docChunksSql,
     "q_group_split"         -> groupSplitSql,
+    "q_merge_upsert"        -> mergeUpsertSql,
   )
 
 }

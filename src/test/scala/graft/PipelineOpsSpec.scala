@@ -287,4 +287,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_events")).toMap
     assert(byName("train") > byName("val") && byName("train") > byName("test"))
   }
+
+  test("merge upsert: action counts reconcile exactly with the synthesized batch rules") {
+    val rows = operators.PipelineOps.mergeUpsert(spark, sfTest).collect()
+    val byAction = rows.groupBy(_.getAs[String]("action"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val ids = spark.read.parquet(s"$sfTest/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    assert(byAction("insert") === ids.count(_ % 7 == 0).toLong, "every 7th doc spawns an insert")
+    assert(byAction("update") === ids.count(_ % 6 == 0).toLong, "every 6th doc revises text")
+    assert(byAction("keep") === ids.count(i => i % 3 == 0 && i % 6 != 0).toLong,
+      "re-crawled-unchanged docs classify as keep")
+    assert(byAction("carry") === n - ids.count(_ % 3 == 0).toLong,
+      "docs outside the batch carry forward")
+    // merged corpus size = base + inserts (updates/keeps/carries replace in place)
+    assert(byAction.values.sum === n + byAction("insert"))
+    // inserts all land under the synthetic recrawl source
+    val insertSources = rows.filter(_.getAs[String]("action") == "insert")
+      .map(_.getAs[String]("source")).distinct.toSeq
+    assert(insertSources === Seq("recrawl"))
+  }
 }
