@@ -571,6 +571,14 @@ object GraphRank {
   private def itemPairAgg0(spark: SparkSession, sfDir: String): DataFrame =
     Recsys.itemPairAgg(spark, sfDir).select("pk", "co")
 
+  /** |V| of the EdgeMinCo-sparsified co-purchase graph (test hook). */
+  private[graft] def sparsifiedNodeCount(spark: SparkSession, sfDir: String): Long = {
+    val half = Recsys.unpack(itemPairAgg0(spark, sfDir), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
+    half.select(col("item_i").as("v"))
+      .unionByName(half.select(col("item_j").as("v"))).distinct().count()
+  }
+
   val simrankSql: String =
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
@@ -633,13 +641,108 @@ object GraphRank {
        |) WHERE rk <= $SimrankTop
        |ORDER BY rk""".stripMargin
 
+  /** Synchronous label-propagation rounds (unrolled in the oracle). */
+  val LpaRounds = 3
+  /** Rows emitted: top communities by size. */
+  val LpaTop = 30
+
+  /** One synchronous LPA round: every node adopts the label carrying
+    * the largest total edge weight among its neighbors, ties to the
+    * SMALLEST label — the deterministic tie-break that makes sync LPA
+    * reproducible (async/random-tie LPA is not, which is why this is
+    * the only variant an oracle can check). argmax is expressed as
+    * max(struct(sum_w, −label)) — an AGGREGATE, not a window — so the
+    * per-round cost is two partial-agg shuffles keyed on dst, and the
+    * label vector (node-sized) follows the same broadcast-vs-shuffle
+    * ceiling policy as the PageRank rank vector. Factored out for
+    * plan-shape pinning (the loop's localCheckpoint truncates lineage).
+    */
+  private[graft] def lpaRound(ew: DataFrame, lbls: DataFrame,
+                              fitsBroadcast: Boolean): DataFrame =
+    ew.join(if (fitsBroadcast) broadcast(lbls) else lbls, "src")
+      .groupBy(col("dst").as("item"), col("lbl"))
+      .agg(sum("w").as("sw"))
+      .groupBy("item")
+      .agg(max(struct(col("sw"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("item"), (-col("m.nl")).as("lbl"))
+
+  /** Label-propagation community detection over the mirrored
+    * co-purchase graph ([[EdgeMinCo]]-sparsified, same edge builder as
+    * [[itemPagerank]]): labels init to the node id, [[LpaRounds]]
+    * synchronous rounds, then communities rolled up by final label.
+    * Integer weights + min-label ties ⇒ bit-identical on any engine;
+    * the oracle unrolls the rounds as chained CTEs. Output: top
+    * [[LpaTop]] communities by (size desc, label asc) with member
+    * id range.
+    */
+  def itemCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
+    val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
+      .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
+      .coalesce(8).persist()
+    val nV = edges.select(col("src")).distinct().count()
+    require(nV > 0, "itemCommunities: empty co-purchase graph")
+    val fitsBroadcast = nV <= BroadcastNodeCeiling
+    var lbls = edges.select(col("src"), col("src").as("lbl")).distinct().localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      lbls = lpaRound(edges, lbls, fitsBroadcast)
+        .withColumnRenamed("item", "src")
+        .localCheckpoint() // label vector is |items| rows; truncate per round
+    }
+    edges.unpersist(blocking = false)
+    lbls
+      .groupBy(col("lbl").as("community_id"))
+      .agg(count(lit(1)).as("n_items"), min("src").as("min_item"), max("src").as("max_item"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_items").desc, col("community_id").asc)))
+      .where(col("rk") <= LpaTop)
+      .select("rk", "community_id", "n_items", "min_item", "max_item")
+      .orderBy("rk")
+  }
+
+  val itemCommunitiesSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""lp$k AS (
+         |  SELECT item, lbl FROM (
+         |    SELECT e.dst AS item, p.lbl, sum(e.w) AS sw,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY sum(e.w) DESC, p.lbl ASC) AS rn
+         |    FROM edges e JOIN lp${k - 1} p ON p.item = e.src
+         |    GROUP BY e.dst, p.lbl
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |), lp0 AS (
+       |  SELECT DISTINCT src AS item, src AS lbl FROM edges
+       |), $rounds
+       |SELECT rk, lbl AS community_id, n_items, min_item, max_item FROM (
+       |  SELECT lbl, count(*) AS n_items, min(item) AS min_item, max(item) AS max_item,
+       |    row_number() OVER (ORDER BY count(*) DESC, lbl ASC) AS rk
+       |  FROM lp$LpaRounds GROUP BY lbl
+       |) WHERE rk <= $LpaTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_item_bfs"       -> (itemBfs _),
     "q_item_pagerank"  -> (itemPagerank _),
     "q_pair_pmi"       -> (pairPmi _),
     "q_triangle_count" -> (triangleCount _),
     "q_cooccur_jaccard" -> (cooccurJaccard _),
-    "q_simrank"        -> (simrank _)
+    "q_simrank"        -> (simrank _),
+    "q_item_communities" -> (itemCommunities _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -648,6 +751,7 @@ object GraphRank {
     "q_pair_pmi"       -> pairPmiSql,
     "q_triangle_count" -> triangleCountSql,
     "q_cooccur_jaccard" -> cooccurJaccardSql,
-    "q_simrank"        -> simrankSql
+    "q_simrank"        -> simrankSql,
+    "q_item_communities" -> itemCommunitiesSql
   )
 }

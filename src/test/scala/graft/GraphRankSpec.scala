@@ -125,4 +125,26 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     val total = r.map(_.getAs[Long]("n_items")).sum
     assert(total > 0)
   }
+
+  test("label propagation: communities partition the node set, labels are node ids, deterministic") {
+    val out = operators.GraphRank.itemCommunities(spark, sfTest).collect()
+    assert(out.nonEmpty && out.length <= operators.GraphRank.LpaTop)
+    // ranked by (size desc, label asc)
+    val sizes = out.map(_.getAs[Long]("n_items"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getAs[Int]("rk")).toSeq === (1 to out.length))
+    // node-id ranges are sane and labels come from the id space
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_item") <= r.getAs[Long]("max_item"))
+      assert(r.getAs[Long]("n_items") >= 1L)
+    }
+    // the fixture graph has few communities, so the rollup is complete:
+    // sizes must sum to |V| of the sparsified graph
+    val nV = operators.GraphRank.sparsifiedNodeCount(spark, sfTest)
+    if (out.length < operators.GraphRank.LpaTop)
+      assert(sizes.sum === nV, "community sizes must partition the vertex set")
+    // synchronous rounds + min-label ties: a second run is bit-identical
+    val again = operators.GraphRank.itemCommunities(spark, sfTest).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
