@@ -959,6 +959,73 @@ object Recsys {
        |  sum(CASE WHEN mrr > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_users_with_hit
        |FROM per_user""".stripMargin
 
+  /** IPS weight scale: w(i) = IpsUnits div pop(i) in integer units, so
+    * the weighted sums are exact BIGINTs under any summation order. */
+  val IpsUnits = 1000000000L
+
+  /** M9c popularity-debiased evaluation — self-normalized inverse-
+    * propensity-scored recall@K. Offline eval of a popularity
+    * recommender against logged feedback is circular: the test set
+    * itself over-represents popular items, so plain recall rewards the
+    * bias. IPS reweights each test interaction by 1/propensity
+    * (propensity ≈ the item's train popularity), which hands the long
+    * tail its rightful mass; the debiased recall is the weighted hit
+    * fraction. Weights are integer fixed-point ([[IpsUnits]] div pop)
+    * so both engines sum exactly regardless of partitioning; the one
+    * float division happens once, on two exact BIGINTs. Cold test
+    * items (no train propensity) are counted, not silently dropped.
+    * Output: one row — raw recall vs IPS recall side by side (the gap
+    * IS the popularity bias of the recommender).
+    *
+    * Scale shape: per-item propensity is catalog-sized (broadcast by
+    * policy), the rec list is K rows; the corpus-sized test set is
+    * never shuffled except for the final 1-row aggregate.
+    */
+  def evalIps(spark: SparkSession, sfDir: String): DataFrame = {
+    val (train, test, recs) = popularitySplit(spark, sfDir)
+    val pop = train.groupBy("item_id").agg(countDistinct("user_id").as("pop"))
+    test
+      .join(broadcast(pop), Seq("item_id"), "left")
+      .join(broadcast(recs.select(col("item_id"), lit(1L).as("is_hit"))),
+            Seq("item_id"), "left")
+      .withColumn("w_units", expr(s"${IpsUnits}L div pop"))
+      .agg(count(lit(1)).as("n_test"),
+           sum(when(col("pop").isNull, 1L).otherwise(0L)).as("n_cold"),
+           round(sum(coalesce(col("is_hit"), lit(0L))) /
+                 sum(when(col("pop").isNotNull, 1L).otherwise(0L)).cast("double"), 6)
+             .as("recall_at_k"),
+           round(sum(when(col("is_hit") === 1L, col("w_units")).otherwise(0L)) /
+                 sum(col("w_units")).cast("double"), 6).as("ips_recall_at_k"))
+  }
+
+  val evalIpsSql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), train AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate < TIMESTAMP '$SplitDate'
+       |), test AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate >= TIMESTAMP '$SplitDate'
+       |), pop AS (
+       |  SELECT item_id, count(DISTINCT user_id) AS pop FROM train GROUP BY item_id
+       |), recs AS (
+       |  SELECT item_id, 1 AS is_hit FROM (
+       |    SELECT item_id FROM pop ORDER BY pop DESC, item_id ASC LIMIT $EvalK
+       |  )
+       |), j AS (
+       |  SELECT t.user_id, t.item_id, p.pop, r.is_hit,
+       |    $IpsUnits // p.pop AS w_units
+       |  FROM test t LEFT JOIN pop p ON p.item_id = t.item_id
+       |              LEFT JOIN recs r ON r.item_id = t.item_id
+       |)
+       |SELECT count(*) AS n_test,
+       |  sum(CASE WHEN pop IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_cold,
+       |  round(sum(coalesce(is_hit, 0))::DOUBLE
+       |        / sum(CASE WHEN pop IS NOT NULL THEN 1 ELSE 0 END), 6) AS recall_at_k,
+       |  round(sum(CASE WHEN is_hit = 1 THEN w_units ELSE 0 END)::DOUBLE
+       |        / sum(w_units), 6) AS ips_recall_at_k
+       |FROM j""".stripMargin
+
   /** M9 diversity metrics — intra-list diversity of the ItemCF top-N
     * via brand entropy: per user, the Shannon entropy of the brand
     * distribution of their recommended items (0 = all one brand,
@@ -1343,6 +1410,7 @@ object Recsys {
     "q_swing_similarity"  -> (swingSimilarity _),
     "q_content_recommend" -> (contentRecommend _),
     "q_eval_popularity"   -> (evalPopularity _),
+    "q_eval_ips"          -> (evalIps _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1362,5 +1430,6 @@ object Recsys {
     "q_swing_similarity"  -> swingSimilaritySql,
     "q_content_recommend" -> contentRecommendSql,
     "q_eval_popularity"   -> evalPopularitySql,
+    "q_eval_ips"          -> evalIpsSql,
   )
 }

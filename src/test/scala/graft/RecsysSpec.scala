@@ -136,4 +136,15 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(r >= 0.0 && r <= 1.0)
     assert(m.getAs[Long]("n_test_users") > 0)
   }
+
+  test("IPS eval debiases in the right direction for a popularity recommender") {
+    val m = operators.Recsys.evalIps(spark, sfTest).collect()(0)
+    val raw = m.getAs[Double]("recall_at_k")
+    val ips = m.getAs[Double]("ips_recall_at_k")
+    assert(raw >= 0.0 && raw <= 1.0 && ips >= 0.0 && ips <= 1.0)
+    // a popularity recommender's hits concentrate on high-propensity
+    // items, so stripping the propensity credit MUST lower recall
+    assert(ips < raw, s"IPS recall $ips should sit below raw $raw for a popularity recommender")
+    assert(m.getAs[Long]("n_test") > 0 && m.getAs[Long]("n_cold") >= 0)
+  }
 }
