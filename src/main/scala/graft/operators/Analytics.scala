@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over the event stream — the reporting
@@ -796,6 +797,85 @@ object Analytics {
       |FROM wau JOIN mau t ON t.wk = wau.wk
       |ORDER BY week_start""".stripMargin
 
+  /** Attribution lookback window, days. */
+  val AttribWindowDays = 7L
+  /** Fixed-point credit per purchase (1e6 units split across touches). */
+  val AttribUnits = 1000000L
+
+  /** Multi-touch attribution — split each purchase's credit across the
+    * user's preceding touchpoints (click/view) inside a
+    * [[AttribWindowDays]]-day lookback, under the three standard
+    * models at once: linear (equal split), first-touch, last-touch.
+    * Linear credit is integer fixed-point ([[AttribUnits]] div
+    * n_touches per touch) so sums are exact BIGINTs; first/last are
+    * picked by (ts, event_id) order — fully deterministic. Rollup per
+    * touch type: the "which channel earns the credit" table every
+    * marketing warehouse maintains, here as one query.
+    *
+    * Scale shape: ONE user-keyed shuffle joins purchases to touches
+    * (range predicate rides as a residual on the equi-join — never a
+    * BNLJ); the per-purchase touch count and first/last picks are one
+    * window over buy_id on the joined (bounded: touches-per-purchase ≤
+    * window days × user rate); rollup output is |event types| rows.
+    */
+  def multiTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val buys = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+              unix_micros(col("ts")).as("buy_us"))
+    val touches = e.where(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("touch_id"), col("user_id").as("touch_user"),
+              col("event_type").as("touch_type"), unix_micros(col("ts")).as("touch_us"))
+    val horizonUs = AttribWindowDays * 86400L * 1000000L
+    val joined = buys.join(touches,
+        col("buy_user") === col("touch_user") &&
+        col("touch_us") < col("buy_us") &&
+        col("touch_us") >= col("buy_us") - horizonUs)
+    val w = Window.partitionBy("buy_id")
+    val wAsc = w.orderBy(col("touch_us").asc, col("touch_id").asc)
+    val wDesc = w.orderBy(col("touch_us").desc, col("touch_id").desc)
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("is_first", when(row_number().over(wAsc) === 1, 1L).otherwise(0L))
+      .withColumn("is_last", when(row_number().over(wDesc) === 1, 1L).otherwise(0L))
+      .withColumn("linear_units", expr(s"${AttribUnits}L div n_touches"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+           countDistinct(col("buy_id")).as("n_purchases_touched"),
+           sum("linear_units").as("linear_credit_units"),
+           sum("is_first").as("n_first_touch"),
+           sum("is_last").as("n_last_touch"))
+      .orderBy("touch_type")
+  }
+
+  val multiTouchAttributionSql: String =
+    s"""WITH b AS (
+       |  SELECT event_id AS buy_id, user_id, epoch_us(ts::TIMESTAMP) AS buy_us
+       |  FROM events WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+       |    epoch_us(ts::TIMESTAMP) AS touch_us
+       |  FROM events WHERE event_type IN ('click', 'view')
+       |), j AS (
+       |  SELECT b.buy_id, t.touch_id, t.touch_type, t.touch_us,
+       |    count(*) OVER (PARTITION BY b.buy_id) AS n_touches,
+       |    CASE WHEN row_number() OVER (PARTITION BY b.buy_id
+       |           ORDER BY t.touch_us ASC, t.touch_id ASC) = 1 THEN 1 ELSE 0 END AS is_first,
+       |    CASE WHEN row_number() OVER (PARTITION BY b.buy_id
+       |           ORDER BY t.touch_us DESC, t.touch_id DESC) = 1 THEN 1 ELSE 0 END AS is_last
+       |  FROM b JOIN t ON b.user_id = t.user_id
+       |   AND t.touch_us < b.buy_us
+       |   AND t.touch_us >= b.buy_us - ${AttribWindowDays * 86400L * 1000000L}
+       |)
+       |SELECT touch_type, count(*) AS n_touches,
+       |  count(DISTINCT buy_id) AS n_purchases_touched,
+       |  sum($AttribUnits // n_touches)::BIGINT AS linear_credit_units,
+       |  sum(is_first)::BIGINT AS n_first_touch,
+       |  sum(is_last)::BIGINT AS n_last_touch
+       |FROM j
+       |GROUP BY touch_type
+       |ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stickiness"        -> (stickiness _),
     "q_new_vs_returning"  -> (newVsReturning _),
@@ -812,6 +892,7 @@ object Analytics {
     "q_anomaly_events"    -> (anomalyEvents _),
     "q_gap_fill"          -> (gapFillDaily _),
     "q_corr_stats"        -> (corrStats _),
+    "q_attribution"       -> (multiTouchAttribution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -830,5 +911,6 @@ object Analytics {
     "q_anomaly_events"    -> anomalyEventsSql,
     "q_gap_fill"          -> gapFillDailySql,
     "q_corr_stats"        -> corrStatsSql,
+    "q_attribution"       -> multiTouchAttributionSql,
   )
 }
