@@ -314,17 +314,115 @@ object Similarity {
        |FROM ranked WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
 
+  /** RRF rank constant (the standard 60 from Cormack et al.). */
+  val RrfK = 60L
+  /** Depth of the dense candidate list fed into the fusion. */
+  val RrfDepth = 20
+  /** Fused rows returned. */
+  val RrfTop = 20
+  /** Fixed-point scale: contribution = RrfUnits div (RrfK + rank). */
+  val RrfUnits = 1000000000L
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the modern
+    * lexical+dense composition: the BM25 ranking (TextAnalysis
+    * .bm25Rank, fixed term query) fused with the dense cosine ranking
+    * around query vector 0 (doc and vec ids share the 0..N-1 space by
+    * fixture construction). RRF score = Σ_lists units div (k + rank) —
+    * rank-only fusion, so the two engines' float score scales never
+    * meet: everything after the two input rankings is exact integer
+    * arithmetic. Docs missing from a list contribute nothing (their
+    * rank reports 0 in the output). Why RRF and not score mixing:
+    * BM25 and cosine live on incomparable scales; rank fusion needs
+    * no calibration, which is also exactly what makes it
+    * oracle-checkable.
+    *
+    * Scale shape: both input lists are top-K (bounded) — the fusion
+    * itself is a K-row full-outer join + sort, free at any corpus
+    * size; total cost is the two underlying retrieval queries, each
+    * already scale-shaped (BM25: map + broadcast stats +
+    * TakeOrdered; dense: broadcast query row past the corpus).
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = TextAnalysis.bm25Rank(spark, sfDir)
+      .select(col("doc_id"), col("rk").as("bm25_rk"))
+    val dense = knnBruteFrom(Tables.embeddings(spark, sfDir), 1, RrfDepth)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("knn_rk"))
+    rrfFuse(lex, dense)
+  }
+
+  /** The fusion core over any (doc_id, bm25_rk) × (doc_id, knn_rk)
+    * pair of ranked lists — factored out so the overlap semantics (a
+    * doc on BOTH lists gets the summed contribution and outranks
+    * single-list docs of like rank) is pinned on a constructed input
+    * in LlmPipelineSpec; the fixture's two lists happen to be disjoint.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_units",
+        coalesce(expr(s"${RrfUnits}L div (${RrfK}L + bm25_rk)"), lit(0L)) +
+        coalesce(expr(s"${RrfUnits}L div (${RrfK}L + knn_rk)"), lit(0L)))
+      .withColumn("bm25_rk", coalesce(col("bm25_rk"), lit(0)))
+      .withColumn("knn_rk", coalesce(col("knn_rk"), lit(0)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_units").desc, col("doc_id").asc)))
+      .where(col("rk") <= RrfTop)
+      .select("rk", "doc_id", "bm25_rk", "knn_rk", "rrf_units")
+      .orderBy("rk")
+
+  /** Oracle: both input rankings restated as derived tables (the BM25
+    * statement verbatim from its own oracle; the dense list is the
+    * brute-force oracle specialized to one query), then the identical
+    * integer fusion.
+    */
+  val hybridRrfSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, rk AS bm25_rk FROM (
+       |${TextAnalysis.bm25RankSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), dense AS (
+       |  SELECT neighbor_id AS doc_id, rk AS knn_rk FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |    ), scored AS (
+       |      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |        round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |      FROM e a JOIN e b ON a.vec_id < 1 AND a.vec_id <> b.vec_id
+       |    )
+       |    SELECT neighbor_id, rk FROM (
+       |      SELECT neighbor_id, cos,
+       |        row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |      FROM scored
+       |    ) WHERE rk <= $RrfDepth
+       |  )
+       |), f AS (
+       |  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |    lex.bm25_rk, dense.knn_rk,
+       |    (coalesce($RrfUnits // ($RrfK + lex.bm25_rk), 0)
+       |     + coalesce($RrfUnits // ($RrfK + dense.knn_rk), 0))::BIGINT AS rrf_units
+       |  FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
+       |)
+       |SELECT rk, doc_id, coalesce(bm25_rk, 0) AS bm25_rk,
+       |  coalesce(knn_rk, 0) AS knn_rk, rrf_units
+       |FROM (
+       |  SELECT doc_id, bm25_rk, knn_rk, rrf_units,
+       |    row_number() OVER (ORDER BY rrf_units DESC, doc_id ASC) AS rk
+       |  FROM f
+       |) WHERE rk <= $RrfTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
     "q_knn_lsh"         -> (knnLsh _),
     "q_lsh_hyperplane"  -> (lshHyperplane _),
+    "q_hybrid_rrf"      -> (hybridRrf _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_lsh_hyperplane"  -> lshHyperplaneSql,
+    "q_hybrid_rrf"      -> hybridRrfSql,
     // q_knn_lsh: MLlib hashing — not SQL-expressible, rows-only check
   )
 }

@@ -290,6 +290,31 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       s"shifted copy shares only $shared selected windows")
   }
 
+  test("RRF fusion: overlap sums contributions, ranks-only semantics, ties break on doc_id") {
+    val session = spark
+    import session.implicits._
+    // doc 10 is rank 2 lexical AND rank 3 dense; docs 11/12 are strong
+    // single-list docs; doc 13 dense-only tail
+    val lex = Seq((10L, 2), (11L, 1), (12L, 3)).toDF("doc_id", "bm25_rk")
+    val dense = Seq((10L, 3), (13L, 1), (12L, 2)).toDF("doc_id", "knn_rk")
+    val out = operators.Similarity.rrfFuse(lex, dense).collect()
+    val units = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_units")).toMap
+    val u = operators.Similarity.RrfUnits
+    val k = operators.Similarity.RrfK
+    // exact integer contributions
+    assert(units(10L) === u / (k + 2) + u / (k + 3), "both-list doc sums both contributions")
+    assert(units(11L) === u / (k + 1))
+    assert(units(12L) === u / (k + 3) + u / (k + 2))
+    assert(units(13L) === u / (k + 1))
+    // both-list docs outrank every single-list doc here
+    val order = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(order.take(2).toSet === Set(10L, 12L), s"fused docs must lead: $order")
+    // 10 and 12 tie exactly on units -> doc_id breaks the tie
+    assert(order.take(2) === Seq(10L, 12L))
+    // absent-list ranks report 0, never null
+    assert(out.forall(r => r.getAs[Int]("bm25_rk") >= 0 && r.getAs[Int]("knn_rk") >= 0))
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)
