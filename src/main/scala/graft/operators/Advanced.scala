@@ -222,6 +222,80 @@ object Advanced {
        |WHERE cnt * $HhDen >= total_n
        |ORDER BY cnt DESC, suppkey ASC""".stripMargin
 
+  /** CMS depth (independent hash rows). */
+  val CmsDepth = 4
+  /** CMS width (buckets per row). */
+  val CmsWidth = 256
+  /** Keys audited against the sketch. */
+  val CmsProbeK = 20
+
+  /** Count-min sketch over the lineitem supplier stream, audited
+    * against exact counts — completes the sketch family (HLL twin,
+    * linear counting, Bloom, Misra–Gries, MinHash/SimHash). The
+    * Spark-first insight: a CMS is just a BOUNDED GROUP-BY — cell
+    * (j, b) = count of rows hashing to bucket b under hash j — so
+    * Catalyst's partial aggregation IS the sketch merge (cell-wise
+    * sum, commutative), and no custom TypedImperativeAggregate is
+    * needed; the whole summary is depth × width = 1024 cells
+    * regardless of corpus size. Estimates depend only on final cell
+    * values, so they are exactly engine-reproducible (unlike MG,
+    * whose internal state is order-dependent — which is why THAT one
+    * needed the exact re-count pass). est(key) = min_j cell(j, h_j) ≥
+    * true count always; the output reports estimate, exact, and the
+    * overestimate (≥ 0 invariant, spec-pinned) for the top probe keys.
+    *
+    * At 100 TB: the corpus is read once with a 4× map-side explode and
+    * collapses into the 1024-cell aggregate; the probe join rides a
+    * broadcast of those cells. The exact column here is the AUDIT —
+    * a production stream would ship only the cells.
+    */
+  def cmSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey").cast("long").as("k"))
+    val cells = li
+      .select(explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"), col("k"))
+      .withColumn("b", expr(s"cast(conv(substring(md5(concat(j, ':', k)), 1, 8), 16, 10) AS bigint) % $CmsWidth"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val probes = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k").asc).limit(CmsProbeK)
+      .select(explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"),
+              col("k"), col("exact_cnt"))
+      .withColumn("b", expr(s"cast(conv(substring(md5(concat(j, ':', k)), 1, 8), 16, 10) AS bigint) % $CmsWidth"))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy("k", "exact_cnt")
+      .agg(min("c").as("cms_est"))
+      .select(col("k").as("suppkey"), col("exact_cnt"), col("cms_est"),
+              (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("suppkey").asc)
+  }
+
+  val cmSketchSql: String =
+    s"""WITH li AS (
+       |  SELECT l_suppkey::BIGINT AS k FROM lineitem
+       |), hs AS (
+       |  SELECT unnest(range($CmsDepth)) AS j
+       |), rws AS (
+       |  SELECT hs.j, li.k,
+       |    ('0x' || substr(md5(hs.j || ':' || li.k), 1, 8))::BIGINT % $CmsWidth AS b
+       |  FROM li CROSS JOIN hs
+       |), cells AS (
+       |  SELECT j, b, count(*) AS c FROM rws GROUP BY j, b
+       |), probes AS (
+       |  SELECT k, count(*) AS exact_cnt FROM li GROUP BY k
+       |  ORDER BY exact_cnt DESC, k ASC LIMIT $CmsProbeK
+       |), pj AS (
+       |  SELECT p.k, p.exact_cnt, hs.j,
+       |    ('0x' || substr(md5(hs.j || ':' || p.k), 1, 8))::BIGINT % $CmsWidth AS b
+       |  FROM probes p CROSS JOIN hs
+       |), est AS (
+       |  SELECT pj.k, pj.exact_cnt, min(c.c)::BIGINT AS cms_est
+       |  FROM pj JOIN cells c ON c.j = pj.j AND c.b = pj.b
+       |  GROUP BY pj.k, pj.exact_cnt
+       |)
+       |SELECT k AS suppkey, exact_cnt, cms_est,
+       |  (cms_est - exact_cnt)::BIGINT AS overestimate
+       |FROM est
+       |ORDER BY exact_cnt DESC, suppkey ASC""".stripMargin
+
   /** Keys reported by the skew profiler. */
   val SkewTop = 10
 
@@ -326,6 +400,7 @@ object Advanced {
     "q_tfidf_terms"        -> (tfidfTerms _),
     "q_tfidf_doc_sim"      -> (tfidfDocSim _),
     "q_heavy_hitters"      -> (heavyHitters _),
+    "q_cms_counts"         -> (cmSketch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -335,5 +410,6 @@ object Advanced {
     "q_tfidf_terms"        -> tfidfTermsSql,
     "q_tfidf_doc_sim"      -> tfidfDocSimSql,
     "q_heavy_hitters"      -> heavyHittersSql,
+    "q_cms_counts"         -> cmSketchSql,
   )
 }

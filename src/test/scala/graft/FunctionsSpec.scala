@@ -171,4 +171,21 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("pair_pack")), s"unexpected error: $e")
   }
+
+  test("count-min sketch never underestimates and ranks probes by exact count") {
+    val rows = operators.Advanced.cmSketch(spark, sfTest).collect()
+    assert(rows.nonEmpty && rows.length <= operators.Advanced.CmsProbeK)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS underestimated key ${r.getAs[Long]("suppkey")}: $est < $exact")
+      assert(r.getAs[Long]("overestimate") === est - exact)
+    }
+    val exacts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b }, "probes ranked by exact desc")
+    // sketch estimates are pure functions of the cell aggregate -> a
+    // second run is bit-identical regardless of partitioning
+    val again = operators.Advanced.cmSketch(spark, sfTest).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
