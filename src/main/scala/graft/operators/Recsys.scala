@@ -963,6 +963,104 @@ object Recsys {
     * the weighted sums are exact BIGINTs under any summation order. */
   val IpsUnits = 1000000000L
 
+  /** Next-item candidates scored per evaluation user. */
+  val MarkovEvalK = 5
+
+  /** M9d sequential-recommender eval — hit@K of the Markov transition
+    * model on each user's held-out LAST item. Leakage-correct by
+    * construction: the transition counts are trained with every
+    * user's final transition (second-to-last → last) EXCLUDED, then
+    * the model predicts exactly that transition. Per user: prev =
+    * second-to-last item in the deterministic sequence order (the
+    * [[markovNext]] ordering), actual = last; a hit means actual
+    * appears in prev's top-[[MarkovEvalK]] next items by
+    * (count desc, item asc). Output: one row — eval users, users
+    * whose prev exists in the trained model (cold prevs can never
+    * hit), hits, hit rate.
+    *
+    * Scale shape: sequence building + holdout marking is ONE
+    * user-keyed window pass; the train aggregate is |transitions|
+    * rows; the per-item top-K is a window over the (item, next)
+    * count table (bounded by catalog fanout, not corpus size); eval
+    * probes join that K-truncated model — broadcast by policy.
+    */
+  def evalMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
+    val seq0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
+              col("o_orderdate"), col("o_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc,
+               col("l_linenumber").asc, col("item_id").asc)
+    val seqd = seq0
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("next_item", lead(col("item_id"), 1).over(w))
+    // train: all transitions EXCEPT the one into each user's last row
+    val model = seqd
+      .where(col("next_item").isNotNull && col("rn") =!= col("m") - 1)
+      .groupBy(col("item_id"), col("next_item"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("item_id").orderBy(col("n").desc, col("next_item").asc)))
+      .where(col("rk") <= MarkovEvalK)
+      .select(col("item_id").as("prev_item"), col("next_item").as("cand"))
+    // eval probes: (prev=second-to-last, actual=last) per user with >=2 rows
+    val probes = seqd.where(col("m") >= 2 && col("rn") === col("m") - 1)
+      .select(col("user_id"), col("item_id").as("prev_item"), col("next_item").as("actual"))
+    probes
+      .join(broadcast(model.groupBy("prev_item")
+        .agg(collect_set(col("cand")).as("cands"))), Seq("prev_item"), "left")
+      .select(col("user_id"),
+              when(col("cands").isNotNull, 1L).otherwise(0L).as("known_prev"),
+              when(array_contains(col("cands"), col("actual")), 1L).otherwise(0L).as("hit"))
+      .agg(count(lit(1)).as("n_eval_users"),
+           sum("known_prev").as("n_known_prev"),
+           sum("hit").as("n_hits"),
+           round(sum("hit") / count(lit(1)).cast("double"), 6).as("hit_rate"))
+  }
+
+  val evalMarkovSql: String =
+    s"""WITH seq0 AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    o_orderdate, o_orderkey, l_linenumber
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), seqd AS (
+       |  SELECT user_id, item_id,
+       |    row_number() OVER w AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS m,
+       |    lead(item_id, 1) OVER w AS next_item
+       |  FROM seq0
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY o_orderdate ASC, o_orderkey ASC, l_linenumber ASC, item_id ASC)
+       |), model AS (
+       |  SELECT item_id AS prev_item, next_item AS cand FROM (
+       |    SELECT item_id, next_item,
+       |      row_number() OVER (PARTITION BY item_id
+       |        ORDER BY count(*) DESC, next_item ASC) AS rk
+       |    FROM seqd
+       |    WHERE next_item IS NOT NULL AND rn <> m - 1
+       |    GROUP BY item_id, next_item
+       |  ) WHERE rk <= $MarkovEvalK
+       |), probes AS (
+       |  SELECT user_id, item_id AS prev_item, next_item AS actual
+       |  FROM seqd WHERE m >= 2 AND rn = m - 1
+       |), j AS (
+       |  SELECT p.user_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM model mm WHERE mm.prev_item = p.prev_item)
+       |         THEN 1 ELSE 0 END AS known_prev,
+       |    CASE WHEN EXISTS (SELECT 1 FROM model mm
+       |                      WHERE mm.prev_item = p.prev_item AND mm.cand = p.actual)
+       |         THEN 1 ELSE 0 END AS hit
+       |  FROM probes p
+       |)
+       |SELECT count(*) AS n_eval_users,
+       |  sum(known_prev)::BIGINT AS n_known_prev,
+       |  sum(hit)::BIGINT AS n_hits,
+       |  round(sum(hit)::DOUBLE / count(*), 6) AS hit_rate
+       |FROM j""".stripMargin
+
   /** M9c popularity-debiased evaluation — self-normalized inverse-
     * propensity-scored recall@K. Offline eval of a popularity
     * recommender against logged feedback is circular: the test set
@@ -1411,6 +1509,7 @@ object Recsys {
     "q_content_recommend" -> (contentRecommend _),
     "q_eval_popularity"   -> (evalPopularity _),
     "q_eval_ips"          -> (evalIps _),
+    "q_eval_markov"       -> (evalMarkov _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1431,5 +1530,6 @@ object Recsys {
     "q_content_recommend" -> contentRecommendSql,
     "q_eval_popularity"   -> evalPopularitySql,
     "q_eval_ips"          -> evalIpsSql,
+    "q_eval_markov"       -> evalMarkovSql,
   )
 }
