@@ -837,6 +837,64 @@ object PipelineOps {
       |GROUP BY source, action
       |ORDER BY source, action""".stripMargin
 
+  /** Temporal split boundaries: train < T1, purge [T1, T2), test ≥ T2.
+    * The purge gap is the point — with lagged/windowed features, rows
+    * just before the test boundary leak future information INTO
+    * training (a 7-day rolling feature computed at T2−1day reads test
+    * rows); embargoing the gap is the standard fix (purged time-series
+    * CV). */
+  val SplitT1 = "2024-01-20"
+  val SplitT2 = "2024-01-23"
+
+  /** Purged temporal split audit over events: per slice (train, purge,
+    * test) the row/user counts and exact time bounds — the gate that
+    * proves the embargo actually separates the slices (max train ts <
+    * T1 ≤ min purge ts, etc.) plus the train∩test user overlap (users
+    * MAY span slices in a temporal split; the count makes the overlap
+    * explicit instead of silently assumed away). One corpus scan, one
+    * 3-row aggregate, one tiny self-join of the 3-row user sets.
+    */
+  def timeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("slice",
+        when(col("ts") < lit(SplitT1).cast("timestamp_ntz"), lit("1_train"))
+          .when(col("ts") < lit(SplitT2).cast("timestamp_ntz"), lit("2_purge"))
+          .otherwise(lit("3_test")))
+    val trainUsers = e.where(col("slice") === "1_train").select("user_id").distinct()
+    val testUsers = e.where(col("slice") === "3_test").select("user_id").distinct()
+    val overlap = trainUsers.join(testUsers, "user_id")
+      .agg(count(lit(1)).as("n_users_in_train_and_test"))
+    e.groupBy("slice")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct("user_id").as("n_users"),
+           date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+           date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .crossJoin(broadcast(overlap))
+      .orderBy("slice")
+  }
+
+  val timeSplitSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts::TIMESTAMP AS ts,
+       |    CASE WHEN ts::TIMESTAMP < TIMESTAMP '$SplitT1' THEN '1_train'
+       |         WHEN ts::TIMESTAMP < TIMESTAMP '$SplitT2' THEN '2_purge'
+       |         ELSE '3_test' END AS slice
+       |  FROM events
+       |), ovl AS (
+       |  SELECT count(*) AS n_users_in_train_and_test FROM (
+       |    SELECT DISTINCT user_id FROM e WHERE slice = '1_train'
+       |    INTERSECT
+       |    SELECT DISTINCT user_id FROM e WHERE slice = '3_test'
+       |  )
+       |)
+       |SELECT slice, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       |  (SELECT n_users_in_train_and_test FROM ovl) AS n_users_in_train_and_test
+       |FROM e
+       |GROUP BY slice
+       |ORDER BY slice""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -852,6 +910,7 @@ object PipelineOps {
     "q_doc_chunks"          -> (docChunks _),
     "q_group_split"         -> (groupSplit _),
     "q_merge_upsert"        -> (mergeUpsert _),
+    "q_time_split"          -> (timeSplit _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -869,6 +928,7 @@ object PipelineOps {
     "q_doc_chunks"          -> docChunksSql,
     "q_group_split"         -> groupSplitSql,
     "q_merge_upsert"        -> mergeUpsertSql,
+    "q_time_split"          -> timeSplitSql,
   )
 
 }

@@ -308,4 +308,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[String]("source")).distinct.toSeq
     assert(insertSources === Seq("recrawl"))
   }
+
+  test("time split: slices cover the corpus and the purge gap separates train from test") {
+    import operators.PipelineOps.{SplitT1, SplitT2}
+    val rows = operators.PipelineOps.timeSplit(spark, sfTest).collect()
+      .map(r => r.getAs[String]("slice") ->
+        (r.getAs[Long]("n_events"), r.getAs[String]("min_ts"), r.getAs[String]("max_ts"))).toMap
+    assert(rows.keySet === Set("1_train", "2_purge", "3_test"))
+    val total = spark.read.parquet(s"$sfTest/events.parquet").count()
+    assert(rows.values.map(_._1).sum === total, "slices must partition the corpus")
+    // boundary discipline: string compare works on yyyy-MM-dd HH:mm:ss
+    assert(rows("1_train")._3 < s"$SplitT1 00:00:00")
+    assert(rows("2_purge")._2 >= s"$SplitT1 00:00:00" && rows("2_purge")._3 < s"$SplitT2 00:00:00")
+    assert(rows("3_test")._2 >= s"$SplitT2 00:00:00")
+  }
 }
