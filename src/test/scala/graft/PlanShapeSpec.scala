@@ -253,6 +253,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected partial+final aggregates, plan:\n${pl.take(3000)}")
   }
 
+  test("doc_chunks: generate-only plan — no hash shuffle anywhere") {
+    val pl = plan(operators.PipelineOps.docChunks(planSession, sfTest))
+    // split + sequence/explode + slice pipeline inside the scan stage;
+    // the only exchange allowed is the presentation sort's range partition
+    assert(!pl.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${pl.take(2000)}")
+    assert(pl.contains("Generate"), "chunk fan-out must be a Generate node")
+  }
+
+  test("stream_join batch form: interval condition rides the user equi-join, no BNLJ") {
+    val pl = plan(streaming.Streams.streamJoinQuery(planSession, sfTest))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      s"range residual must not degrade the join:\n${pl.take(2000)}")
+  }
+
+  test("attribution: touch join is an equi-join on user with the window as residual") {
+    val pl = plan(operators.Analytics.multiTouchAttribution(planSession, sfTest))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      s"attribution join degraded:\n${pl.take(2000)}")
+  }
+
+  test("merge_upsert: reconciliation is a single full-outer equi-join") {
+    val pl = plan(operators.PipelineOps.mergeUpsert(planSession, sfTest))
+    assert(pl.contains("FullOuter"), s"expected full-outer merge join:\n${pl.take(2000)}")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("cms_counts: probe join rides a broadcast of the bounded cell table") {
+    val pl = plan(operators.Advanced.cmSketch(planSession, sfTest))
+    assert(pl.contains("BroadcastExchange"),
+      s"1024-cell sketch must broadcast into the probes:\n${pl.take(2000)}")
+  }
+
   test("AQE splits a skewed join partition at runtime (the 100 TB hot-key path)") {
     // SCALING.md's skew story is two-layered: salting where we control
     // the query (q_salted_agg), AQE skew-join for everything else. This
