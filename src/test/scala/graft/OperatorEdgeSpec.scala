@@ -72,4 +72,46 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(graft.streaming.Streams.sessionWindows(empty).count() == 0)
     assert(graft.streaming.Streams.firstEventPerType(empty).count() == 0)
   }
+
+  test("stream-stream join transform: empty either side yields no pairs; self-pair horizon exact") {
+    val session = spark
+    import session.implicits._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq((1L, 1L, at("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val empty = emptyDf(evSchema)
+    assert(graft.streaming.Streams.clickPurchaseJoin(clicks, empty).count() == 0)
+    assert(graft.streaming.Streams.clickPurchaseJoin(empty, clicks).count() == 0)
+    // purchase at click time exactly (latency 0) is inside the window
+    val buys = Seq((2L, 1L, at("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val same = graft.streaming.Streams.clickPurchaseJoin(clicks, buys).collect()
+    assert(same.length == 1 && same(0).getAs[Long]("latency_us") == 0L)
+  }
+
+  test("RRF fusion over empty lists is empty; one empty side degrades to the other ranking") {
+    val session = spark
+    import session.implicits._
+    val schemaL = StructType(Seq(StructField("doc_id", LongType), StructField("bm25_rk", IntegerType)))
+    val schemaD = StructType(Seq(StructField("doc_id", LongType), StructField("knn_rk", IntegerType)))
+    assert(operators.Similarity.rrfFuse(emptyDf(schemaL), emptyDf(schemaD)).count() == 0)
+    val lexOnly = operators.Similarity.rrfFuse(
+      Seq((7L, 1), (8L, 2)).toDF("doc_id", "bm25_rk"), emptyDf(schemaD)).collect()
+    assert(lexOnly.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 8L),
+      "one-list fusion must preserve that list's order")
+    assert(lexOnly.forall(_.getAs[Int]("knn_rk") == 0))
+  }
+
+  test("LPA round over an empty label frame or empty edges yields no labels") {
+    val session = spark
+    import session.implicits._
+    val edges = Seq((1L, 2L, 3L)).toDF("src", "dst", "w")
+    val noLbls = emptyDf(StructType(Seq(StructField("src", LongType), StructField("lbl", LongType))))
+    assert(operators.GraphRank.lpaRound(edges, noLbls, fitsBroadcast = true).count() == 0)
+    val noEdges = emptyDf(StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType), StructField("w", LongType))))
+    val lbls = Seq((1L, 1L)).toDF("src", "lbl")
+    assert(operators.GraphRank.lpaRound(noEdges, lbls, fitsBroadcast = true).count() == 0)
+  }
 }
