@@ -282,6 +282,22 @@ object TextAnalysis {
     * and the plan shape is otherwise unchanged.
     */
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docLl = docBigramLl(spark, sfDir)
+    docLl.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bi").as("n_bigrams"),
+           round(avg("ll"), 6).as("avg_ll"))
+      .withColumn("perplexity", round(exp(-col("avg_ll")), 4))
+      .orderBy("source")
+  }
+
+  /** Per-doc mean bigram log-likelihood under the corpus MLE model —
+    * shared by [[bigramLm]] (per-source rollup) and
+    * [[qualityCurriculum]] (quintile bucketing). Returns
+    * (doc_id, source, ll, n_bi); n_bi + 1 = the doc's token count,
+    * since the model is built from the same corpus so every bigram
+    * matches. */
+  private def docBigramLl(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(expr(normSpark), " ").as("ts"))
       // single-token docs have no bigrams: Spark's sequence(1, 0) would
@@ -294,19 +310,14 @@ object TextAnalysis {
     val headC = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = broadcast(pairC.join(headC, "w1")
       .select(col("w1"), col("w2"), col("c12"), col("c1")))
-    val docLl = bi.join(model, Seq("w1", "w2"))
+    bi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id", "source")
       .agg(avg(log(col("c12") / col("c1"))).as("ll"), count(lit(1)).as("n_bi"))
-    docLl.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-           sum("n_bi").as("n_bigrams"),
-           round(avg("ll"), 6).as("avg_ll"))
-      .withColumn("perplexity", round(exp(-col("avg_ll")), 4))
-      .orderBy("source")
   }
 
-  val bigramLmSql: String =
-    s"""WITH d AS (
+  /** Shared CTE block producing doc_ll — same text both oracles use. */
+  private val docLlCte: String =
+    s"""d AS (
        |  SELECT doc_id, source, string_split($normDuck, ' ') AS ts FROM documents
        |), bi AS (
        |  SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
@@ -319,7 +330,55 @@ object TextAnalysis {
        |  SELECT doc_id, source, avg(ln(c12 / c1::DOUBLE)) AS ll, count(*) AS n_bi
        |  FROM bi JOIN pair_c USING (w1, w2) JOIN head_c USING (w1)
        |  GROUP BY doc_id, source
+       |)""".stripMargin
+
+  /** Curriculum buckets. */
+  val CurriculumBuckets = 5
+
+  /** Quality-curriculum histogram — docs bucketed into
+    * [[CurriculumBuckets]] quintiles of (rounded) LM log-likelihood,
+    * the schedule table a quality-curriculum training run reads
+    * (lowest-likelihood bucket = hardest/noisiest slice; mass per
+    * bucket tells you what a quality-ascending epoch order costs).
+    * Bucketing uses ntile over 6dp-ROUNDED ll with doc_id tie-break,
+    * so boundary docs land identically on both engines. Per bucket:
+    * doc count, ll range, token mass, sources represented.
+    *
+    * Scale note: the global ntile sort is fixture-honest but at
+    * corpus scale you'd broadcast the 4 boundary values from one
+    * percentile aggregate and assign buckets map-side — same output,
+    * no global sort; the plan swap is mechanical and documented here
+    * deliberately (same trade as the W1 top-K family).
+    */
+  def qualityCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = docBigramLl(spark, sfDir).withColumn("rll", round(col("ll"), 6))
+      .withColumn("bucket", ntile(CurriculumBuckets).over(
+        Window.orderBy(col("rll").asc, col("doc_id").asc)))
+    q.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           round(min("rll"), 6).as("min_ll"),
+           round(max("rll"), 6).as("max_ll"),
+           sum(col("n_bi") + 1).as("n_tokens"),
+           countDistinct("source").as("n_sources"))
+      .orderBy("bucket")
+  }
+
+  val qualityCurriculumSql: String =
+    s"""WITH $docLlCte, q AS (
+       |  SELECT doc_id, source, n_bi, round(ll, 6) AS rll FROM doc_ll
+       |), b AS (
+       |  SELECT *, ntile($CurriculumBuckets) OVER (ORDER BY rll ASC, doc_id ASC) AS bucket FROM q
        |)
+       |SELECT bucket, count(*) AS n_docs,
+       |  round(min(rll), 6) AS min_ll, round(max(rll), 6) AS max_ll,
+       |  sum(n_bi + 1)::BIGINT AS n_tokens,
+       |  count(DISTINCT source) AS n_sources
+       |FROM b
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  val bigramLmSql: String =
+    s"""WITH $docLlCte
        |SELECT source, count(*) AS n_docs,
        |  sum(n_bi)::BIGINT AS n_bigrams,
        |  round(avg(ll), 6) AS avg_ll,
@@ -975,6 +1034,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_bigram_lm"      -> (bigramLm _),
+    "q_quality_curriculum" -> (qualityCurriculum _),
     "q_repetition"     -> (repetition _),
     "q_contamination"  -> (contamination _),
     "q_bm25_rank"      -> (bm25Rank _),
@@ -995,6 +1055,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_pii_scrub"      -> piiScrubSql,
     "q_bigram_lm"      -> bigramLmSql,
+    "q_quality_curriculum" -> qualityCurriculumSql,
     "q_repetition"     -> repetitionSql,
     "q_contamination"  -> contaminationSql,
     "q_bm25_rank"      -> bm25RankSql,
