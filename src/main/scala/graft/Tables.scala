@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * sf directory (TESTDATA.md). Loaders centralize two cross-cutting
   * concerns:
   *
-  *  1. `events.ts` is written as parquet `TIMESTAMP(NANOS)`, which
-  *     Spark's parquet reader rejects outright. We read it with
-  *     `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as
-  *     `long` nanos) and normalize to a microsecond `timestamp` column
-  *     — the same truncation DuckDB applies when it reads the file, so
-  *     oracle comparisons line up exactly.
+  *  1. `events.ts` has been written two ways across fixture
+  *     generations: parquet `TIMESTAMP(NANOS)` (which Spark's reader
+  *     rejects natively — read via
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` as `long` nanos and
+  *     truncated to µs, the same truncation DuckDB applies) and plain
+  *     `timestamp[us]` (readable directly). [[normalizeTs]] branches on
+  *     the type actually loaded so the engine is correct against either
+  *     encoding; both converge to the identical µs `timestamp` column,
+  *     so oracle comparisons line up exactly either way.
   *
   *  2. At 100 TB these reads would be partitioned tables, not single
   *     files; keeping every scan behind this one function means
@@ -39,14 +42,31 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Normalize a raw events frame's `ts` to a µs session-zone
+    * `timestamp` whatever physical type the fixture was written with:
+    * `long` (nanos under the nanosAsLong flag) is truncated `div 1000`;
+    * `timestamp_ntz` (pandas-written µs without timezone) is cast to
+    * `timestamp` — value-preserving because every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so the naive value is
+    * interpreted exactly as DuckDB reads it; a native `timestamp`
+    * passes through unchanged. Works on streaming frames too (pure
+    * schema inspection + projection).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
   /** `events` with `ts` normalized to a µs `timestamp` (see scaladoc above).
     * The nanos-as-long flag is a runtime SQLConf; set defensively here so
     * callers outside Verify/Bench (tests, spark-shell) work too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, sfDir, "events"))
   }
 
   /** User–item interactions derived from the star schema

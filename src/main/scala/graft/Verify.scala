@@ -30,12 +30,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A crashed query must surface in the correctness artifact, not
+    // vanish from it: record every failure (name -> error) and write the
+    // full registry alongside the dumps so the checker can enumerate
+    // queries that produced no output at all (see ADVICE round 5 — 46
+    // crashed queries once disappeared from a 111-green report).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = s"runtime_error: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -54,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      selected.keys.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -332,13 +332,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   test("file-source stream: tumbling counts over events parquet equal batch") {
     // readStream over the fixture parquet (schema must be declared for
-    // file streams; ts arrives as long nanos under nanosAsLong, exactly
-    // as the batch path reads it — the same normalization is applied)
+    // file streams; whatever physical ts type the fixture carries, the
+    // batch path's normalizer is applied identically)
     val batchRaw = spark.read.parquet(s"$sfTest/events.parquet")
-    val stream = spark.readStream.schema(batchRaw.schema)
+    val stream = Tables.normalizeTs(spark.readStream.schema(batchRaw.schema)
       .option("pathGlobFilter", "events.parquet") // file streams need a directory
-      .parquet(sfTest)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfTest))
       .withWatermark("ts", "10 minutes")
     val name = s"file_out_${System.nanoTime()}"
     val q = Streams.tumblingCounts(stream)

@@ -48,9 +48,28 @@ def main(sf_dir, out_dir):
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # Enumerate the FULL registry Verify ran (queries.json), not just the
+    # output dirs that happened to be written: a query that crashed inside
+    # Verify (recorded in failures.json, or simply absent) must show up as
+    # a failure here, never silently drop out of the report.
+    failures = {}
+    fj = out / "failures.json"
+    if fj.exists():
+        failures = json.loads(fj.read_text())
+    qj = out / "queries.json"
+    if qj.exists():
+        registry = sorted(json.loads(qj.read_text()))
+    else:  # pre-r6 Verify output: fall back to written dirs
+        registry = sorted(d.name for d in out.iterdir() if d.is_dir())
+
     n_pass = n_fail = n_noracle = 0
-    for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
-        name = qdir.name
+    for name in registry:
+        qdir = out / name
+        if not qdir.is_dir():
+            n_fail += 1
+            err = failures.get(name, "no output written (crash not recorded)")
+            print(f"  [FAIL-run ] {name}: {err}")
+            continue
         spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         spark_cols = [c for c in spark_rel.columns]
         spark_rows = spark_rel.fetchall()
