@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{QueryCache, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,35 +54,61 @@ object Training {
     * MLlib KMeans, whose float reductions make cluster boundaries
     * run-order-dependent.
     */
-  def kmeansEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
-      .select("vec_id", "pos", "q")
-      .localCheckpoint() // read KmRounds+1 times; truncate to a materialized table
-    val initIds = e.select("vec_id").distinct().orderBy("vec_id").limit(KClusters)
-      .withColumn("cluster", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
-    var cent = e.join(broadcast(initIds), "vec_id")
-      .select(col("cluster"), col("pos"), col("q").as("c"))
-      .localCheckpoint()
-
-    def assign(c: DataFrame): DataFrame =
-      e.join(broadcast(c), "pos")
-        .groupBy("vec_id", "cluster")
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
-
-    for (_ <- 1 to KmRounds) {
-      val asn = assign(cent)
-      cent = e.join(asn.select("vec_id", "cluster"), "vec_id")
-        .groupBy("cluster", "pos")
-        .agg(expr("sum(q) div count(1)").as("c"))
-        .localCheckpoint() // K·dims rows; keep each round's plan flat
+  /** Quantized (vec_id, pos, q) long table — shared input of every
+    * k-means stage; memoized per (session, sfDir) because the Lloyd's
+    * rounds re-read it KmRounds+1 times and SemDeDup reads it again.
+    */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"kmeans_e:$sfDir") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
+        .select("vec_id", "pos", "q")
     }
-    val fin = assign(cent)
+
+  private def assign(e: DataFrame, c: DataFrame): DataFrame =
+    e.join(broadcast(c), "pos")
+      .groupBy("vec_id", "cluster")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+  /** Converged centroids (cluster, pos, c) after [[KmRounds]] Lloyd's
+    * rounds; memoized — q_kmeans_embed and q_semantic_dedup share one
+    * training run per session, the feature-store pattern the other
+    * model tables follow.
+    */
+  private[operators] def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"kmeans_cent:$sfDir") {
+      val e = quantized(spark, sfDir)
+      val initIds = e.select("vec_id").distinct().orderBy("vec_id").limit(KClusters)
+        .withColumn("cluster", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      var cent = e.join(broadcast(initIds), "vec_id")
+        .select(col("cluster"), col("pos"), col("q").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to KmRounds) {
+        val asn = assign(e, cent)
+        cent = e.join(asn.select("vec_id", "cluster"), "vec_id")
+          .groupBy("cluster", "pos")
+          .agg(expr("sum(q) div count(1)").as("c"))
+          .localCheckpoint() // K·dims rows; keep each round's plan flat
+      }
+      cent
+    }
+
+  /** Final assignment (vec_id, cluster, dist) against the converged
+    * centroids; memoized for the same sharing reason.
+    */
+  private[operators] def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"kmeans_fin:$sfDir") {
+      assign(quantized(spark, sfDir), kmeansCentroids(spark, sfDir))
+    }
+
+  def kmeansEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, sfDir)
+    val fin = kmeansAssign(spark, sfDir)
     val centSum = cent.groupBy("cluster").agg(sum("c").as("centroid_checksum"))
     fin.groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia_units"))
@@ -91,10 +117,14 @@ object Training {
       .orderBy("cluster")
   }
 
-  /** Oracle: the identical integer recurrence, rounds unrolled as
-    * chained CTEs (assign k / update k), 1-based list subscripts.
+  private val KmFinal = KmRounds + 1
+
+  /** Shared oracle CTE chain: quantize (e), init, [[KmRounds]] unrolled
+    * assign/update rounds, and the final assignment a{KmFinal}
+    * (vec_id, cluster, dist). Reused verbatim by the k-means report and
+    * the SemDeDup oracle so both adjudicate the identical model.
     */
-  val kmeansEmbedSql: String = {
+  private[operators] val kmeansCteChain: String = {
     val rounds = (1 to KmRounds).map { k =>
       s"""d$k AS (
          |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
@@ -112,8 +142,7 @@ object Training {
          |  GROUP BY a.cluster, e.pos
          |)""".stripMargin
     }.mkString(", ")
-    val f = KmRounds + 1
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, i AS pos,
        |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
        |  FROM embeddings
@@ -125,25 +154,121 @@ object Training {
        |), c0 AS (
        |  SELECT init.cluster, e.pos, e.q AS c
        |  FROM e JOIN init ON e.vec_id = init.vec_id
-       |), $rounds, d$f AS (
+       |), $rounds, d$KmFinal AS (
        |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
        |  FROM e JOIN c$KmRounds c ON e.pos = c.pos
        |  GROUP BY e.vec_id, c.cluster
-       |), m$f AS (
-       |  SELECT vec_id, min(dist) AS md FROM d$f GROUP BY vec_id
-       |), a$f AS (
+       |), m$KmFinal AS (
+       |  SELECT vec_id, min(dist) AS md FROM d$KmFinal GROUP BY vec_id
+       |), a$KmFinal AS (
        |  SELECT d.vec_id, min(d.cluster) AS cluster, min(d.dist) AS dist
-       |  FROM d$f d JOIN m$f m ON d.vec_id = m.vec_id AND d.dist = m.md
+       |  FROM d$KmFinal d JOIN m$KmFinal m ON d.vec_id = m.vec_id AND d.dist = m.md
        |  GROUP BY d.vec_id
-       |), cs AS (
+       |)""".stripMargin
+  }
+
+  /** Oracle: the identical integer recurrence, rounds unrolled as
+    * chained CTEs (assign k / update k), 1-based list subscripts.
+    */
+  val kmeansEmbedSql: String =
+    s"""WITH $kmeansCteChain, cs AS (
        |  SELECT cluster, sum(c)::BIGINT AS centroid_checksum FROM c$KmRounds GROUP BY cluster
        |)
        |SELECT a.cluster, count(*) AS n_vecs, sum(a.dist)::BIGINT AS inertia_units,
        |  max(cs.centroid_checksum) AS centroid_checksum
-       |FROM a$f a JOIN cs ON a.cluster = cs.cluster
+       |FROM a$KmFinal a JOIN cs ON a.cluster = cs.cluster
        |GROUP BY a.cluster
        |ORDER BY a.cluster""".stripMargin
+
+  /** Squared-distance ceiling (fixed-point units) at or below which a
+    * within-cluster pair counts as a semantic duplicate. The fixture
+    * embeddings are near-random (min pair distance ≈ 0.97M units², 1st
+    * percentile ≈ 1.42M), so the ceiling is calibrated to the tightest
+    * ~1% of pairs — enough to exercise non-empty removal sets on every
+    * SF while staying far under the ~2M random-pair median.
+    */
+  val SemThreshold = 1300000L
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in embedding space — cluster the corpus with
+    * k-means, then compare pairs ONLY within a cluster and drop the
+    * higher-id member of every pair closer than [[SemThreshold]].
+    *
+    * Scale design — the whole point of the method is replacing the
+    * O(n²) all-pairs scan with Σ c_k² intra-cluster work:
+    *  - the k-means model is the memoized [[kmeansAssign]] (shared
+    *    with q_kmeans_embed — one training run per session);
+    *  - pair generation is an equi-join on `cluster`, so candidates
+    *    co-locate in one shuffle and no cross-cluster pair is ever
+    *    materialized. At production scale KClusters grows ∝ n to hold
+    *    the per-cluster quadratic bounded (the paper's n/√k regime) —
+    *    same knob the LSH band count plays in [[Dedup]];
+    *  - distance is exact integer squared-distance on the fixed-point
+    *    vectors via codegen'd zip_with/aggregate HOFs: the +1 shift of
+    *    the quantization cancels in the difference, so the comparison
+    *    is shift-invariant and bit-identical cross-engine (on unit-norm
+    *    embeddings squared distance orders identically to the paper's
+    *    cosine).
+    *
+    * Output: per-cluster audit — vectors, pairs examined, duplicate
+    * pairs, removed, kept.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, v -> cast(round((cast(v AS double) + 1.0d) * $KmScale, 0) AS bigint))")
+        .as("qv"))
+    val v = kmeansAssign(spark, sfDir).select("vec_id", "cluster").join(qv, "vec_id")
+    val pairs = v.select(col("cluster"), col("vec_id").as("a"), col("qv").as("qa"))
+      .join(v.select(col("cluster"), col("vec_id").as("b"), col("qv").as("qb")),
+            Seq("cluster"))
+      .where(col("a") < col("b"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
+      .select("cluster", "a", "b", "d")
+    val perPair = pairs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum((col("d") <= SemThreshold).cast("long")).as("n_dup_pairs"))
+    val removed = pairs.where(col("d") <= SemThreshold)
+      .select("cluster", "b").distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("n_removed"))
+    v.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(perPair, Seq("cluster"), "left")
+      .join(removed, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_pairs", "n_removed"))
+      .withColumn("n_kept", col("n_vecs") - col("n_removed"))
+      .select("cluster", "n_vecs", "n_pairs", "n_dup_pairs", "n_removed", "n_kept")
+      .orderBy("cluster")
   }
+
+  val semanticDedupSql: String =
+    s"""WITH $kmeansCteChain, v AS (
+       |  SELECT vec_id, cluster FROM a$KmFinal
+       |), p AS (
+       |  SELECT v1.cluster, v1.vec_id AS a, v2.vec_id AS b,
+       |    sum((e1.q - e2.q) * (e1.q - e2.q))::BIGINT AS d
+       |  FROM v v1 JOIN v v2 ON v1.cluster = v2.cluster AND v1.vec_id < v2.vec_id
+       |  JOIN e e1 ON e1.vec_id = v1.vec_id
+       |  JOIN e e2 ON e2.vec_id = v2.vec_id AND e2.pos = e1.pos
+       |  GROUP BY 1, 2, 3
+       |), cl AS (
+       |  SELECT cluster, count(*) AS n_vecs FROM v GROUP BY cluster
+       |), ps AS (
+       |  SELECT cluster, count(*) AS n_pairs,
+       |    sum(CASE WHEN d <= $SemThreshold THEN 1 ELSE 0 END)::BIGINT AS n_dup_pairs
+       |  FROM p GROUP BY cluster
+       |), rm AS (
+       |  SELECT cluster, count(DISTINCT b) AS n_removed
+       |  FROM p WHERE d <= $SemThreshold GROUP BY cluster
+       |)
+       |SELECT cl.cluster, cl.n_vecs,
+       |  coalesce(ps.n_pairs, 0)::BIGINT AS n_pairs,
+       |  coalesce(ps.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+       |  coalesce(rm.n_removed, 0)::BIGINT AS n_removed,
+       |  (cl.n_vecs - coalesce(rm.n_removed, 0))::BIGINT AS n_kept
+       |FROM cl LEFT JOIN ps ON cl.cluster = ps.cluster
+       |LEFT JOIN rm ON cl.cluster = rm.cluster
+       |ORDER BY cl.cluster""".stripMargin
 
   /** Negatives kept per user. */
   val NegK = 5
@@ -226,11 +351,13 @@ object Training {
 
   val queries: Map[String, Q] = Map(
     "q_kmeans_embed"    -> (kmeansEmbed _),
+    "q_semantic_dedup"  -> (semanticDedup _),
     "q_negative_sample" -> (negativeSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_kmeans_embed"    -> kmeansEmbedSql,
+    "q_semantic_dedup"  -> semanticDedupSql,
     "q_negative_sample" -> negativeSampleSql,
   )
 }

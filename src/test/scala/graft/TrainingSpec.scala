@@ -29,6 +29,23 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("semantic dedup: cluster audit reconciles and pair space stays intra-cluster") {
+    val r = operators.Training.semanticDedup(spark, sfTest).collect()
+    val n = Tables.embeddings(spark, sfTest).count()
+    assert(r.map(_.getAs[Long]("n_vecs")).sum === n, "clusters partition the corpus")
+    r.foreach { row =>
+      val (v, p, dp, rm, k) = (row.getAs[Long]("n_vecs"), row.getAs[Long]("n_pairs"),
+        row.getAs[Long]("n_dup_pairs"), row.getAs[Long]("n_removed"), row.getAs[Long]("n_kept"))
+      assert(p === v * (v - 1) / 2, "pairs examined = intra-cluster pair count exactly")
+      assert(dp >= rm, "a removed vec needs at least one dup pair")
+      assert(rm + k === v, "keep/remove partitions the cluster")
+      assert(k >= 1, "lowest-id member of any pair survives, so a cluster never empties")
+    }
+    // the method's point: Σ c² intra-cluster pairs ≪ the all-pairs scan
+    assert(r.map(_.getAs[Long]("n_pairs")).sum < n * (n - 1) / 4,
+      "clustered pair space must be well under half the all-pairs space")
+  }
+
   test("negative samples never collide with positives and respect K") {
     val negs = operators.Training.negativeSample(spark, sfTest)
       .select(col("user_id"), explode(split(col("neg_items"), ",")).as("item"))
