@@ -1022,7 +1022,118 @@ object TextAnalysis {
       |FROM e
       |ORDER BY lang""".stripMargin
 
+  /** Bigram shingle width for boilerplate phrases. The fixture's token
+    * streams draw from a ~40-word vocabulary, so bigrams (≤1600 types)
+    * repeat across documents while anything wider is almost surely
+    * unique — the widest gram with a non-degenerate document frequency.
+    */
+  val BoilerW = 2
+  /** A phrase is boilerplate within a source when it appears in at
+    * least this percent of the source's documents (and ≥ [[BoilerMinDf]]
+    * docs absolute, so tiny sources can't promote noise).
+    */
+  val BoilerFracPct = 10
+  val BoilerMinDf = 3
+
+  /** CCNet-style boilerplate detection, generalized from lines to
+    * phrase shingles: per source, find [[BoilerW]]-gram phrases present
+    * in ≥ [[BoilerFracPct]]% of the source's documents — the repeated
+    * navigation/footer/template content a crawl pipeline strips before
+    * training — and report the phrase inventory plus how much of the
+    * source's token stream the boilerplate set covers.
+    *
+    * Scale shape: gram generation is map-side (codegen [[graft.functions.Shingles]]);
+    * document frequency is one (source, gram) aggregate over per-doc
+    * DISTINCT grams; the boiler set joins back to the positional gram
+    * stream as an equi-join on (source, gram) — everything is keyed by
+    * source, so a 100 TB corpus processes source-parallel with no
+    * cross-source traffic. Coverage is a single division of exact
+    * integer totals (no per-doc float averaging).
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateOf(Tables.documents(spark, sfDir))
+
+  private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"), col("doc_id"),
+        explode(graft.functions.Shingles.shingles(split(expr(normSpark), " "), BoilerW)).as("gram"))
+    val docFreq = grams.select("source", "doc_id", "gram").distinct()
+      .groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val nDocs = docs
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val flagged = docFreq.join(broadcast(nDocs), "source")
+      .withColumn("is_boiler",
+        (col("df") * 100 >= col("n_docs") * BoilerFracPct) && (col("df") >= BoilerMinDf))
+    val inventory = flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_phrases"),
+           sum(col("is_boiler").cast("long")).as("n_boiler_phrases"),
+           max(struct(col("df"), col("gram"))).as("top"))
+    val coverage = grams
+      .join(flagged.where(col("is_boiler")).select("source", "gram"), Seq("source", "gram"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_boiler_positions"))
+    val positions = grams.groupBy("source").agg(count(lit(1)).as("n_positions"))
+    nDocs.join(inventory, "source")
+      .join(positions, "source")
+      .join(coverage, Seq("source"), "left")
+      .na.fill(0L, Seq("n_boiler_positions"))
+      .withColumn("boiler_coverage",
+        round(col("n_boiler_positions") / col("n_positions").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_phrases"), col("n_boiler_phrases"),
+              col("n_boiler_positions"), col("boiler_coverage"),
+              col("top.gram").as("top_phrase"), col("top.df").as("top_phrase_df"))
+      .orderBy("source")
+  }
+
+  /** Oracle note: `max(struct(df, gram))` picks the lexicographically
+    * LARGEST gram among the max-df ties; the SQL mirrors with
+    * `ORDER BY df DESC, gram DESC LIMIT 1` per source.
+    */
+  val boilerplateSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, string_split($normDuck, ' ') AS t FROM documents
+       |), g AS (
+       |  SELECT source, doc_id,
+       |    unnest(list_transform(range(0, len(t) - ${BoilerW - 1}),
+       |                          i -> array_to_string(list_slice(t, i + 1, i + $BoilerW), ' '))) AS gram
+       |  FROM toks WHERE len(t) >= $BoilerW
+       |), df AS (
+       |  SELECT source, gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1, 2
+       |), nd AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+       |), flagged AS (
+       |  SELECT df.source, df.gram, df.df,
+       |    (df.df * 100 >= nd.n_docs * $BoilerFracPct AND df.df >= $BoilerMinDf) AS is_boiler
+       |  FROM df JOIN nd ON df.source = nd.source
+       |), inv AS (
+       |  SELECT source, count(*) AS n_phrases,
+       |    sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler_phrases
+       |  FROM flagged GROUP BY source
+       |), top AS (
+       |  SELECT source, gram AS top_phrase, df AS top_phrase_df
+       |  FROM (SELECT source, gram, df,
+       |          row_number() OVER (PARTITION BY source ORDER BY df DESC, gram DESC) AS rk
+       |        FROM flagged)
+       |  WHERE rk = 1
+       |), pos AS (
+       |  SELECT source, count(*) AS n_positions FROM g GROUP BY source
+       |), cov AS (
+       |  SELECT g.source, count(*) AS n_boiler_positions
+       |  FROM g JOIN flagged f ON g.source = f.source AND g.gram = f.gram
+       |  WHERE f.is_boiler
+       |  GROUP BY g.source
+       |)
+       |SELECT nd.source, nd.n_docs, inv.n_phrases, inv.n_boiler_phrases,
+       |  coalesce(cov.n_boiler_positions, 0)::BIGINT AS n_boiler_positions,
+       |  round(coalesce(cov.n_boiler_positions, 0) / pos.n_positions::DOUBLE, 6) AS boiler_coverage,
+       |  top.top_phrase, top.top_phrase_df
+       |FROM nd JOIN inv ON nd.source = inv.source
+       |JOIN pos ON nd.source = pos.source
+       |JOIN top ON nd.source = top.source
+       |LEFT JOIN cov ON nd.source = cov.source
+       |ORDER BY nd.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate" -> (boilerplate _),
     "q_importance_sample" -> (importanceSample _),
     "q_corpus_entropy" -> (corpusEntropy _),
     "q_zipf_fit"       -> (zipfFit _),
@@ -1044,6 +1155,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_boilerplate" -> boilerplateSql,
     "q_importance_sample" -> importanceSampleSql,
     "q_corpus_entropy" -> corpusEntropySql,
     "q_zipf_fit"       -> zipfFitSql,

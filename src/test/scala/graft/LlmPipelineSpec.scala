@@ -159,6 +159,34 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(hits === top.length, s"only $hits/${top.length} top docs are target-lang")
   }
 
+  test("boilerplate: fixture audit reconciles; planted template is flagged") {
+    val r = operators.TextAnalysis.boilerplate(spark, sfTest).collect()
+    assert(r.map(_.getAs[String]("source")).distinct.length === r.length)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_boiler_phrases") <= row.getAs[Long]("n_phrases"))
+      val cov = row.getAs[Double]("boiler_coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+      assert(row.getAs[String]("top_phrase").split(" ").length === operators.TextAnalysis.BoilerW)
+      assert(row.getAs[Long]("top_phrase_df") >= 1L)
+    }
+    // planted template: every doc of srcA opens with the same header
+    // phrase; srcB shares nothing. The header bigram must be flagged in
+    // srcA (df = 100% of docs) and srcA's coverage must exceed srcB's.
+    import spark.implicits._
+    val docs = (0 until 12).map { i =>
+      if (i < 6) (i.toLong, "en", s"menu home login body$i word$i tail${i * 7 % 5}", "srcA")
+      else (i.toLong, "en", s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f", "srcB")
+    }.toDF("doc_id", "lang", "text", "source")
+    val p = operators.TextAnalysis.boilerplateOf(docs).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    assert(p("srcA").getAs[String]("top_phrase") === "menu home" ||
+           p("srcA").getAs[String]("top_phrase") === "home login")
+    assert(p("srcA").getAs[Long]("top_phrase_df") === 6L)
+    assert(p("srcA").getAs[Long]("n_boiler_phrases") >= 2L, "both header bigrams flagged")
+    assert(p("srcB").getAs[Long]("n_boiler_phrases") === 0L, "unique docs have no boilerplate")
+    assert(p("srcA").getAs[Double]("boiler_coverage") > p("srcB").getAs[Double]("boiler_coverage"))
+  }
+
   test("corpus entropy: bounds hold and every lang slice is covered") {
     val e = operators.TextAnalysis.corpusEntropy(spark, sfTest).collect()
     val total = Tables.documents(spark, sfTest).count()
