@@ -315,4 +315,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pl.contains("isSkew=true") || pl.contains("skewed"),
       s"AQE skew-join did not fire:\n${pl.take(2000)}")
   }
+
+  test("runtime bloom filter: selective dim predicate injects a bloom prefilter into the fact scan") {
+    // Third layer of the big-join story: when a dimension carries a
+    // selective predicate, Catalyst's InjectRuntimeFilter builds a
+    // bloom filter from the dim side and applies it to the fact side
+    // BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~1% that can
+    // possibly join. Production thresholds need a 10 GB application
+    // side; shrink them so the fixture-scale join qualifies, then pin
+    // that the optimized fact side carries bloom_filter_might_contain.
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val fact = s.range(200000).select(($"id" % 4096).as("k"), $"id".as("v"))
+    val dim = s.range(4096).select($"id".as("k"), concat(lit("d"), $"id").as("w"))
+      .where($"k" % 128 === 0) // selective: 32 of 4096 keys survive
+    val joined = fact.join(dim, "k")
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("bloom_filter_agg") ||
+           optimized.toLowerCase.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n${optimized.take(2000)}")
+    // and it must not change results: bloom is a prefilter, the join
+    // keeps exactly the fact rows whose key survives the dim predicate
+    assert(joined.count() === fact.where($"k" % 128 === 0).count())
+  }
 }
