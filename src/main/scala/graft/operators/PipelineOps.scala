@@ -895,7 +895,103 @@ object PipelineOps {
        |GROUP BY slice
        |ORDER BY slice""".stripMargin
 
+  /** Bits per dimension in the z-value (8+8 → 16-bit keys). */
+  val ZBits = 8
+  /** Target "file" count for the layout comparison. */
+  val ZFiles = 64
+  /** Probe coordinate for the skipping metric (a time-bucket lookup). */
+  val ProbeTx = 100
+
+  /** Morton/z-value bit interleave of the two 8-bit coordinates,
+    * generated once for each dialect from the same loop so the engines
+    * compute the identical key.
+    */
+  private val zSpark = (0 until ZBits).flatMap(i => Seq(
+    s"shiftleft(shiftright(ux, $i) & 1, ${2 * i + 1})",
+    s"shiftleft(shiftright(tx, $i) & 1, ${2 * i})")).mkString("(", " | ", ")")
+  private val zDuck = (0 until ZBits).flatMap(i => Seq(
+    s"(((ux >> $i) & 1) << ${2 * i + 1})",
+    s"(((tx >> $i) & 1) << ${2 * i})")).mkString("(", " | ", ")")
+
+  /** Z-order (Morton-curve) data layout vs single-key clustering — the
+    * file-skipping decision a 100 TB table layout rests on (Delta/
+    * Iceberg `OPTIMIZE ZORDER BY` semantics, built from scratch):
+    * map each event to an 8-bit user coordinate and an 8-bit
+    * min-max-scaled time coordinate, interleave the bits into a 16-bit
+    * z-value, and split the corpus into [[ZFiles]] "files" two ways —
+    * linearly by user (what a plain `ORDER BY user_id` write produces)
+    * and by z-value ranges. Per layout, report per-file time-bucket
+    * span totals and how many files a point probe on time can skip:
+    * the user-linear layout leaves every file spanning the whole time
+    * range (zero skippable), while z-ordering gives each file a 2-D
+    * tile so a time probe prunes ~(1 − span/256) of files.
+    *
+    * Scale shape: coordinates and the z-value are pure per-row integer
+    * expressions inside codegen (the min/max time bounds ride a 1-row
+    * broadcast); file assignment is `z div step`, i.e. exactly what a
+    * `repartitionByRange(z)` write would produce; the audit is two
+    * bounded aggregates. At production scale the same z column IS the
+    * range-partition write key — this query is its skipping audit.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("floor(unix_micros(ts) / 3600000000)").as("h"))
+    val bounds = ev.agg(min("h").as("hmin"), max("h").as("hmax"))
+    val coords = ev.crossJoin(broadcast(bounds))
+      .withColumn("ux", pmod(col("user_id"), lit(256)).cast("long"))
+      .withColumn("tx", expr("((h - hmin) * 256) div (hmax - hmin + 1)"))
+      .withColumn("z", expr(zSpark))
+      .withColumn("fid_lin", expr(s"ux div ${256 / ZFiles}"))
+      .withColumn("fid_z", expr(s"z div ${65536 / ZFiles}"))
+    val perFile = coords.select(lit("linear").as("layout"), col("fid_lin").as("fid"), col("tx"))
+      .union(coords.select(lit("zorder").as("layout"), col("fid_z").as("fid"), col("tx")))
+      .groupBy("layout", "fid")
+      .agg(count(lit(1)).as("n_rows"), min("tx").as("min_tx"), max("tx").as("max_tx"))
+    perFile.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+           sum("n_rows").as("n_rows"),
+           sum(col("max_tx") - col("min_tx") + 1).as("sum_tx_span"),
+           sum(((col("min_tx") > ProbeTx) || (col("max_tx") < ProbeTx)).cast("long"))
+             .as("prunable_files"))
+      .withColumn("avg_tx_span", round(col("sum_tx_span") / col("n_files").cast("double"), 4))
+      .withColumn("prune_share", round(col("prunable_files") / col("n_files").cast("double"), 4))
+      .select("layout", "n_files", "n_rows", "sum_tx_span", "avg_tx_span",
+              "prunable_files", "prune_share")
+      .orderBy("layout")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) // 3600000000 AS h FROM events
+       |), b AS (
+       |  SELECT min(h) AS hmin, max(h) AS hmax FROM ev
+       |), coords AS (
+       |  SELECT ((user_id % 256) + 256) % 256 AS ux,
+       |    ((h - hmin) * 256) // (hmax - hmin + 1) AS tx
+       |  FROM ev CROSS JOIN b
+       |), z AS (
+       |  SELECT ux, tx, $zDuck AS z FROM coords
+       |), files AS (
+       |  SELECT 'linear' AS layout, ux // ${256 / ZFiles} AS fid, tx FROM z
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, z // ${65536 / ZFiles} AS fid, tx FROM z
+       |), pf AS (
+       |  SELECT layout, fid, count(*) AS n_rows, min(tx) AS min_tx, max(tx) AS max_tx
+       |  FROM files GROUP BY 1, 2
+       |)
+       |SELECT layout, count(*) AS n_files, sum(n_rows)::BIGINT AS n_rows,
+       |  sum(max_tx - min_tx + 1)::BIGINT AS sum_tx_span,
+       |  round(sum(max_tx - min_tx + 1) / count(*)::DOUBLE, 4) AS avg_tx_span,
+       |  sum(CASE WHEN min_tx > $ProbeTx OR max_tx < $ProbeTx THEN 1 ELSE 0 END)::BIGINT
+       |    AS prunable_files,
+       |  round(sum(CASE WHEN min_tx > $ProbeTx OR max_tx < $ProbeTx THEN 1 ELSE 0 END)
+       |        / count(*)::DOUBLE, 4) AS prune_share
+       |FROM pf
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_layout"       -> (zorderLayout _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
     "q_stratified_sample"   -> (stratifiedSample _),
@@ -914,6 +1010,7 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zorder_layout"       -> zorderLayoutSql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_hash_sample"         -> hashSampleSql,
     "q_stratified_sample"   -> stratifiedSampleSql,

@@ -309,6 +309,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(insertSources === Seq("recrawl"))
   }
 
+  test("zorder layout: time probe prunes z-ordered files, never the user-linear ones") {
+    val r = operators.PipelineOps.zorderLayout(spark, sfTest).collect()
+      .map(row => row.getAs[String]("layout") -> row).toMap
+    assert(r.keySet === Set("linear", "zorder"))
+    val total = spark.read.parquet(s"$sfTest/events.parquet").count()
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("n_rows") === total, "every layout covers the corpus")
+      assert(row.getAs[Long]("n_files") <= operators.PipelineOps.ZFiles)
+    }
+    // the operator's reason to exist: interleaving buys time-locality
+    // that single-key clustering cannot have
+    assert(r("zorder").getAs[Double]("avg_tx_span") < r("linear").getAs[Double]("avg_tx_span"))
+    assert(r("zorder").getAs[Double]("prune_share") > r("linear").getAs[Double]("prune_share"))
+    assert(r("zorder").getAs[Double]("prune_share") > 0.5,
+      "a point probe must skip most z-ordered files")
+  }
+
   test("time split: slices cover the corpus and the purge gap separates train from test") {
     import operators.PipelineOps.{SplitT1, SplitT2}
     val rows = operators.PipelineOps.timeSplit(spark, sfTest).collect()
