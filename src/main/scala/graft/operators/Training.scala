@@ -58,13 +58,18 @@ object Training {
     * k-means stage; memoized per (session, sfDir) because the Lloyd's
     * rounds re-read it KmRounds+1 times and SemDeDup reads it again.
     */
+  private[graft] def quantizedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
+      .select("vec_id", "pos", "q")
+
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"kmeans_e:$sfDir") {
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
-        .select("vec_id", "pos", "q")
+      quantizedOf(Tables.embeddings(spark, sfDir))
     }
+
+  private[graft] def kmeansAssignOf(e: DataFrame, cent: DataFrame): DataFrame =
+    assign(e, cent)
 
   private def assign(e: DataFrame, c: DataFrame): DataFrame =
     e.join(broadcast(c), "pos")
@@ -79,23 +84,26 @@ object Training {
     * training run per session, the feature-store pattern the other
     * model tables follow.
     */
+  private[graft] def centroidsOf(e: DataFrame, k: Int): DataFrame = {
+    val initIds = e.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+    var cent = e.join(broadcast(initIds), "vec_id")
+      .select(col("cluster"), col("pos"), col("q").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to KmRounds) {
+      val asn = assign(e, cent)
+      cent = e.join(asn.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(q) div count(1)").as("c"))
+        .localCheckpoint() // K·dims rows; keep each round's plan flat
+    }
+    cent
+  }
+
   private[operators] def kmeansCentroids(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"kmeans_cent:$sfDir") {
-      val e = quantized(spark, sfDir)
-      val initIds = e.select("vec_id").distinct().orderBy("vec_id").limit(KClusters)
-        .withColumn("cluster", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
-      var cent = e.join(broadcast(initIds), "vec_id")
-        .select(col("cluster"), col("pos"), col("q").as("c"))
-        .localCheckpoint()
-      for (_ <- 1 to KmRounds) {
-        val asn = assign(e, cent)
-        cent = e.join(asn.select("vec_id", "cluster"), "vec_id")
-          .groupBy("cluster", "pos")
-          .agg(expr("sum(q) div count(1)").as("c"))
-          .localCheckpoint() // K·dims rows; keep each round's plan flat
-      }
-      cent
+      centroidsOf(quantized(spark, sfDir), KClusters)
     }
 
   /** Final assignment (vec_id, cluster, dist) against the converged
@@ -213,12 +221,23 @@ object Training {
     * Output: per-cluster audit — vectors, pairs examined, duplicate
     * pairs, removed, kept.
     */
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val qv = Tables.embeddings(spark, sfDir)
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupFrom(Tables.embeddings(spark, sfDir),
+      kmeansAssign(spark, sfDir), SemThreshold)
+
+  /** Frame-parameterized core: `emb` (vec_id, embedding) + a cluster
+    * assignment (vec_id, cluster) → the per-cluster dedup audit.
+    * Exposed for scale validation on synthesized corpora
+    * (SemDedupScaleSpec) with the √N cluster sizing the scaladoc
+    * prescribes.
+    */
+  private[graft] def semanticDedupFrom(emb: DataFrame, assignment: DataFrame,
+                                       threshold: Long): DataFrame = {
+    val qv = emb
       .select(col("vec_id"), expr(
         s"transform(embedding, v -> cast(round((cast(v AS double) + 1.0d) * $KmScale, 0) AS bigint))")
         .as("qv"))
-    val v = kmeansAssign(spark, sfDir).select("vec_id", "cluster").join(qv, "vec_id")
+    val v = assignment.select("vec_id", "cluster").join(qv, "vec_id")
     val pairs = v.select(col("cluster"), col("vec_id").as("a"), col("qv").as("qa"))
       .join(v.select(col("cluster"), col("vec_id").as("b"), col("qv").as("qb")),
             Seq("cluster"))
@@ -228,8 +247,8 @@ object Training {
       .select("cluster", "a", "b", "d")
     val perPair = pairs.groupBy("cluster")
       .agg(count(lit(1)).as("n_pairs"),
-           sum((col("d") <= SemThreshold).cast("long")).as("n_dup_pairs"))
-    val removed = pairs.where(col("d") <= SemThreshold)
+           sum((col("d") <= threshold).cast("long")).as("n_dup_pairs"))
+    val removed = pairs.where(col("d") <= threshold)
       .select("cluster", "b").distinct()
       .groupBy("cluster").agg(count(lit(1)).as("n_removed"))
     v.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
