@@ -990,8 +990,72 @@ object PipelineOps {
        |GROUP BY layout
        |ORDER BY layout""".stripMargin
 
+  /** k-anonymity threshold: a quasi-identifier combination shared by
+    * fewer than this many customers is re-identifiable. */
+  val AnonK = 5
+  /** Fine/coarse balance-bucket widths for the generalization contrast. */
+  val AnonFineWidth = 1000
+  val AnonCoarseWidth = 4000
+
+  /** k-anonymity release audit — the privacy gate a pipeline runs
+    * before shipping user-keyed training data: treat (nation, market
+    * segment, account-balance bucket) as the quasi-identifier, count
+    * customers per combination, and report per nation how many
+    * combinations (and customers) fall under [[AnonK]] — at two
+    * generalization levels, because coarsening the balance bucket is
+    * the standard k-anonymity remedy and the audit should quantify
+    * what the coarser release buys.
+    *
+    * Scale shape: bucket assignment is a per-row integer floor (inside
+    * codegen); each level is one (nation, segment, bucket) aggregate
+    * followed by a nation-level rollup — QI cardinality bounds every
+    * post-shuffle row count regardless of corpus size. The two levels
+    * are one scan each, unioned.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    def level(name: String, width: Int): DataFrame =
+      Tables.customer(spark, sfDir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / width).as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("c_nationkey")
+        .agg(sum("n").as("n_customers"),
+             count(lit(1)).as("n_combos"),
+             sum((col("n") < AnonK).cast("long")).as("n_risky_combos"),
+             sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("n_risky_customers"))
+        .withColumn("level", lit(name))
+    level("1_fine", AnonFineWidth).unionByName(level("2_coarse", AnonCoarseWidth))
+      .withColumn("risk_share",
+        round(col("n_risky_customers") / col("n_customers").cast("double"), 4))
+      .select("level", "c_nationkey", "n_customers", "n_combos",
+              "n_risky_combos", "n_risky_customers", "risk_share")
+      .orderBy("level", "c_nationkey")
+  }
+
+  val kAnonymitySql: String = {
+    def level(name: String, width: Int) =
+      s"""SELECT '$name' AS level, c_nationkey,
+         |  sum(n)::BIGINT AS n_customers, count(*) AS n_combos,
+         |  sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END)::BIGINT AS n_risky_combos,
+         |  sum(CASE WHEN n < $AnonK THEN n ELSE 0 END)::BIGINT AS n_risky_customers
+         |FROM (
+         |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / $width) AS bal_bucket,
+         |    count(*) AS n
+         |  FROM customer GROUP BY 1, 2, 3
+         |) GROUP BY c_nationkey""".stripMargin
+    s"""SELECT level, c_nationkey, n_customers, n_combos, n_risky_combos,
+       |  n_risky_customers,
+       |  round(n_risky_customers / n_customers::DOUBLE, 4) AS risk_share
+       |FROM (${level("1_fine", AnonFineWidth)}
+       |UNION ALL
+       |${level("2_coarse", AnonCoarseWidth)})
+       |ORDER BY level, c_nationkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout"       -> (zorderLayout _),
+    "q_k_anonymity"         -> (kAnonymity _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
     "q_stratified_sample"   -> (stratifiedSample _),
@@ -1011,6 +1075,7 @@ object PipelineOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_zorder_layout"       -> zorderLayoutSql,
+    "q_k_anonymity"         -> kAnonymitySql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_hash_sample"         -> hashSampleSql,
     "q_stratified_sample"   -> stratifiedSampleSql,

@@ -309,6 +309,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(insertSources === Seq("recrawl"))
   }
 
+  test("k-anonymity: audit reconciles per nation and coarsening reduces risk") {
+    val rows = operators.PipelineOps.kAnonymity(spark, sfTest).collect()
+    val byLevel = rows.groupBy(_.getAs[String]("level"))
+    assert(byLevel.keySet === Set("1_fine", "2_coarse"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risky_combos") <= r.getAs[Long]("n_combos"))
+      assert(r.getAs[Long]("n_risky_customers") <= r.getAs[Long]("n_customers"))
+      val share = r.getAs[Double]("risk_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    val total = Tables.customer(spark, sfTest).count()
+    byLevel.values.foreach { lv =>
+      assert(lv.map(_.getAs[Long]("n_customers")).sum === total, "audit covers every customer")
+    }
+    def risky(l: String) = byLevel(l).map(_.getAs[Long]("n_risky_customers")).sum
+    def combos(l: String) = byLevel(l).map(_.getAs[Long]("n_combos")).sum
+    assert(combos("2_coarse") < combos("1_fine"), "generalization merges combos")
+    // merging combos never lowers a combo's count, so the risky set is
+    // monotone non-increasing under generalization; at this tiny SF
+    // (150 customers over 125 QI cells) both levels stay fully risky,
+    // so equality is legitimate here — sf0.01 shows the strict drop
+    // (1447 → 743), verified by the oracle gate
+    assert(risky("2_coarse") <= risky("1_fine"),
+      "the coarser release must never grow the re-identifiable set")
+  }
+
   test("zorder layout: time probe prunes z-ordered files, never the user-linear ones") {
     val r = operators.PipelineOps.zorderLayout(spark, sfTest).collect()
       .map(row => row.getAs[String]("layout") -> row).toMap
