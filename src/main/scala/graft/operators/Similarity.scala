@@ -410,7 +410,75 @@ object Similarity {
        |) WHERE rk <= $RrfTop
        |ORDER BY rk""".stripMargin
 
+  /** Truncation tiers audited against the full 64-dim ranking. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, arXiv:
+    * 2205.13147): measure recall@[[K]] of brute-force retrieval over
+    * PREFIX-truncated embeddings against the full-dimension ranking —
+    * the "how few dims can the first-stage retriever read" table that
+    * prices the memory/recall trade of matryoshka-style indexes (a
+    * d-dim prefix scan reads d/64 of the bytes; at 100 TB of vectors
+    * that is the difference between an in-memory and an on-disk
+    * first stage).
+    *
+    * Scale shape: each tier is the exact tier's plan (broadcast query
+    * side, one ranked window) over a map-side `slice` projection —
+    * the fixture-honest correctness tier; a production first stage
+    * swaps in the IVF/LSH candidate generators over the same sliced
+    * column. The hit join is (query, neighbor) equi-keyed and
+    * K·queries-bounded. Ties round to 6dp with id tie-break before
+    * ranking, so every tier is engine-stable.
+    */
+  def matryoshka(spark: SparkSession, sfDir: String): DataFrame =
+    matryoshkaFrom(Tables.embeddings(spark, sfDir), NQueries, K)
+
+  private[graft] def matryoshkaFrom(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val truth = knnBruteFrom(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val levels = MatryoshkaDims.map { d =>
+      knnBruteFrom(emb.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $d)").as("embedding")), nQueries, k)
+        .select(lit(d).as("dims"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    levels.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_retrieved"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_queries", lit(nQueries))
+      .withColumn("recall", round(col("n_hits") / lit(nQueries * k).cast("double"), 4))
+      .select("dims", "n_queries", "n_retrieved", "n_hits", "recall")
+      .orderBy("dims")
+  }
+
+  val matryoshkaSql: String = {
+    def tier(d: Int, tag: String, sliceLen: Int) =
+      s"""e$tag AS (
+         |  SELECT vec_id, list_slice(embedding, 1, $sliceLen) AS embedding FROM embeddings
+         |), n$tag AS (
+         |  SELECT vec_id, embedding, $normDuck AS nrm FROM e$tag
+         |), t$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC) AS rk
+         |    FROM n$tag a JOIN n$tag b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id
+         |  ) WHERE rk <= $K
+         |)""".stripMargin
+    val tiers = (tier(64, "full", 9999) +: MatryoshkaDims.map(d => tier(d, d.toString, d)))
+      .mkString(",\n")
+    val unions = MatryoshkaDims.map { d =>
+      s"""SELECT $d AS dims, $NQueries AS n_queries, count(*) AS n_retrieved,
+         |  sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / ${NQueries * K}::DOUBLE, 4) AS recall
+         |FROM t$d a LEFT JOIN tfull t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $tiers\n$unions\nORDER BY dims"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_matryoshka"      -> (matryoshka _),
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
     "q_knn_lsh"         -> (knnLsh _),
@@ -419,6 +487,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_matryoshka"      -> matryoshkaSql,
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_lsh_hyperplane"  -> lshHyperplaneSql,

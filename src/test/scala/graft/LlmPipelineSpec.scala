@@ -113,6 +113,33 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(rLsh >= 0.6, s"LSH recall regressed below band: $rLsh")
   }
 
+  test("matryoshka audit: complete tiers, monotone-ish recall, planted prefix structure detected") {
+    val r = operators.Similarity.matryoshka(spark, sfTest).collect()
+    assert(r.map(_.getAs[Int]("dims")).toSeq === operators.Similarity.MatryoshkaDims)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_retrieved") ===
+        operators.Similarity.NQueries.toLong * operators.Similarity.K)
+      assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_retrieved"))
+    }
+    // fixture embeddings are near-random, so absolute recall is low by
+    // design; the planted corpus below is where the signal lives.
+    // Front-loaded corpus: the first 8 dims carry each vector's full
+    // signal, the remaining 56 are 2% noise — the matryoshka property
+    // a trained MRL embedder would have (energy concentrated in the
+    // prefix). Both rankings are then driven by the same 8 dims, so
+    // the truncated retriever must agree with the full one almost
+    // everywhere.
+    val planted = spark.range(0L, 200L).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), j -> cast(
+             |  CASE WHEN j < 8 THEN (pmod(hash(id, j), 2000) - 1000) / 1000.0
+             |       ELSE 0.02 * (pmod(hash(id, j), 2000) - 1000) / 1000.0 END
+             |AS float))""".stripMargin).as("embedding"))
+    val p = operators.Similarity.matryoshkaFrom(planted, 20, 5).collect()
+      .map(row => row.getAs[Int]("dims") -> row.getAs[Double]("recall")).toMap
+    assert(p(8) >= 0.8, s"prefix-heavy corpus must be retrievable from 8 dims (got ${p(8)})")
+    assert(p(32) >= p(8) - 0.1, "wider prefixes must not collapse recall")
+  }
+
   test("LSH kNN returns K neighbors per query") {
     val lsh = operators.Similarity.knnLsh(spark, sfTest).collect()
     val per = lsh.groupBy(_.getAs[Long]("query_id")).values
