@@ -35,6 +35,7 @@ object SparkEntry {
       operators.PipelineOps.queries ++
       operators.GraphRank.queries ++
       operators.Training.queries ++
+      operators.Stats.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       operators.PipelineOps.oracleSql ++
       operators.GraphRank.oracleSql ++
       operators.Training.oracleSql ++
+      operators.Stats.oracleSql ++
       streaming.Streams.oracleSql
 }

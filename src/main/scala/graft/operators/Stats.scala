@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced OLAP / optimizer-statistics operators: skyline (Pareto
+  * front), exact equi-depth histogram, differentially-private release
+  * counts, and sliding-window distinct users.
+  *
+  * Scale designs (the whole point of this file):
+  *
+  *  - Skyline uses the classic two-phase pruning: a LOCAL skyline per
+  *    hash bucket (any subset-dominance implies global dominance, so
+  *    bucket-local filtering is sound) shrinks n points to ~buckets ×
+  *    |skyline| survivors, and only that tiny set flows through the
+  *    global single-task pass. The O(n²) NOT-EXISTS formulation (the
+  *    DuckDB oracle) never runs on Spark.
+  *
+  *  - The equi-depth histogram is EXACT yet fully distributed: instead
+  *    of a global ntile sort over all rows, it aggregates to distinct
+  *    values, range-partitions them, computes a per-partition prefix
+  *    sum in parallel windows keyed by partition id, stitches
+  *    partitions with a driver-side offset table (|partitions| rows —
+  *    the one legitimate collect), and assigns each value's global
+  *    rank interval to ntile buckets in closed form. At 100 TB the
+  *    only global structure is the range partitioner's sample.
+  *
+  *  - Sliding distinct-users turns the per-day range self-join
+  *    (days × events) into a 7× explode of deduplicated (user, day)
+  *    pairs followed by one narrow shuffle — the standard rewrite that
+  *    keeps sliding DAU linear in input size.
+  */
+object Stats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Local-skyline pruning buckets. More buckets = more parallelism in
+    * phase 1 and more survivors into phase 2; survivors ≈ buckets ×
+    * E|skyline| ≈ buckets × ln(n) for random points — thousands at
+    * most, so phase 2's single task is never the bottleneck. */
+  val SkylineBuckets = 32
+
+  /** Pareto front over parts: minimize p_retailprice, maximize p_size
+    * (cheapest part at every size level). A point is dominated iff
+    * another point is ≤ on price AND ≥ on size and strictly better on
+    * at least one. Emits the non-dominated (price, size) points with
+    * the number of parts at each.
+    *
+    * Phase shape: groupBy to distinct points → window per hash bucket
+    * (sorted by price asc, size desc, a point survives iff its size
+    * exceeds every preceding size — sound and complete for strict
+    * 2-D dominance over distinct points) → identical window globally
+    * over the few survivors.
+    */
+  def paretoFront(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    def skyline(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn("mx", max("size").over(w.orderBy(col("price").asc, col("size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("mx").isNull || col("size") > col("mx"))
+        .drop("mx")
+    val local = skyline(
+      pts.withColumn("bkt", pmod(hash(col("price"), col("size")), lit(SkylineBuckets))),
+      Window.partitionBy("bkt")).drop("bkt")
+    skyline(local, Window.partitionBy())
+      .select("price", "size", "n_parts")
+      .orderBy("price", "size")
+  }
+
+  val paretoFrontSql: String =
+    """WITH pts AS (
+      |  SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+      |  FROM part GROUP BY 1, 2
+      |)
+      |SELECT price, size, n_parts FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.price <= p.price AND q.size >= p.size
+      |    AND (q.price < p.price OR q.size > p.size))
+      |ORDER BY price, size""".stripMargin
+
+  /** Equi-depth histogram buckets (the optimizer-statistics default). */
+  val HistBuckets = 10
+
+  /** Coarse prefix-sum bucket width over the l_extendedprice domain
+    * (~900..105000 → ~21 coarse buckets). At 100 TB these boundaries
+    * would come from approx_percentile instead of a fixed width; the
+    * mechanism below is unchanged. */
+  val HistCoarseWidth = 5000
+
+  /** Exact equi-depth histogram of l_extendedprice in [[HistBuckets]]
+    * buckets with SQL ntile semantics (first n%B buckets take the
+    * extra row), computed WITHOUT a global row sort:
+    *
+    *  1. aggregate to (value, cnt) — bounded by the value domain, not
+    *     row count;
+    *  2. global rank intervals via a two-level prefix sum keyed by a
+    *     DETERMINISTIC coarse bucket of the value itself
+    *     (floor(v / width)): within-coarse cumulative counts run as
+    *     parallel windows, the coarse totals (a few dozen rows) take
+    *     one tiny global prefix window and broadcast back as offsets.
+    *     No spark_partition_id, no collect — re-execution of any
+    *     subtree cannot change an assignment;
+    *  3. closed-form ntile: with q = n div B, rem = n mod B, bucket
+    *     boundaries E(b) = b·q + min(b, rem); a value's rows land in
+    *     buckets bucket(lo)..bucket(hi) with exact per-bucket counts
+    *     — independent of any tie-break, since equal values occupy a
+    *     contiguous rank range.
+    *
+    * Per-bucket stats: row count, min/max value, mean (exact weighted
+    * sum).
+    */
+  def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val byVal = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("v") / HistCoarseWidth).cast("long"))
+    val wIn = Window.partitionBy("coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
+    val totals = byVal.groupBy("coarse").agg(sum("cnt").as("tot"))
+    val wPre = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum("tot").over(wPre), lit(0L)))
+      .select("coarse", "off")
+    val nDf = totals.agg(sum("tot").as("n"))
+    // Integer-exact ceils; q/rem are columns of the broadcast n scalar.
+    def bucketOf(r: String): String =
+      s"CASE WHEN $r <= rem * (q + 1) THEN ($r + q) DIV (q + 1) " +
+      s"ELSE rem + ($r - rem * (q + 1) + q - 1) DIV q END"
+    val ranked = local.join(broadcast(offs), "coarse")
+      .crossJoin(broadcast(nDf))
+      .withColumn("q", expr(s"n DIV $HistBuckets"))
+      .withColumn("rem", expr(s"n % $HistBuckets"))
+      .withColumn("hi", col("cum_in") + col("off"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("b_lo", expr(bucketOf("lo")))
+      .withColumn("b_hi", expr(bucketOf("hi")))
+      .withColumn("bucket", explode(expr("sequence(b_lo, b_hi)")))
+      // E(b) = b*q + least(b, rem); rows of v in bucket b is the
+      // overlap of [lo, hi] with (E(b-1), E(b)].
+      .withColumn("e_b", col("bucket") * col("q") + least(col("bucket"), col("rem")))
+      .withColumn("e_prev",
+        (col("bucket") - 1) * col("q") + least(col("bucket") - 1, col("rem")))
+      .withColumn("rows_in",
+        least(col("hi"), col("e_b")) - greatest(col("lo"), col("e_prev") + 1) + 1)
+    ranked.groupBy("bucket")
+      .agg(sum("rows_in").as("n_rows"),
+           min("v").as("min_v"),
+           max("v").as("max_v"),
+           round(sum(col("v") * col("rows_in")) / sum("rows_in"), 4).as("avg_v"))
+      .orderBy("bucket")
+  }
+
+  val equidepthHistSql: String =
+    s"""WITH r AS (
+       |  SELECT l_extendedprice AS v,
+       |    ntile($HistBuckets) OVER (ORDER BY l_extendedprice) AS bucket
+       |  FROM lineitem
+       |)
+       |SELECT bucket, count(*) AS n_rows,
+       |  min(v) AS min_v, max(v) AS max_v,
+       |  round(sum(v) / count(*), 4) AS avg_v
+       |FROM r
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** Privacy budget for the DP release (Laplace scale = 1/ε). */
+  val DpEps = 1.0
+
+  /** Differentially-private release of the daily event-type counts:
+    * true count plus Laplace(1/ε) noise via inverse-CDF sampling of a
+    * DETERMINISTIC hash-derived uniform (u = md5(key)/2³² − ½, noise =
+    * −(1/ε)·sign(u)·ln(1−2|u|)) — the production shape of a DP count
+    * release (sensitivity 1 per (type, day) cell), made replayable so
+    * the oracle can reproduce it bit-for-bit. Companion to the
+    * k-anonymity audit (PipelineOps.kAnonymity): that one measures
+    * re-identification risk, this one bounds it by mechanism.
+    *
+    * Scale: one narrow groupBy on a low-cardinality composite key; the
+    * noise is a per-row scalar expression — no extra pass.
+    */
+  def dpCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws('|', event_type, cast(day AS string), 'dp')), 1, 8), 16, 10) AS bigint)"))
+      // (h + .5)/2³² keeps u strictly inside (−.5, .5): ln(1−2|u|)
+      // stays finite for every key.
+      .withColumn("u", (col("h") + 0.5) / 4294967296.0 - 0.5)
+      .withColumn("noise",
+        lit(-1.0 / DpEps) * signum(col("u")) * log(lit(1.0) - lit(2.0) * abs(col("u"))))
+      .withColumn("noisy_n", round(col("n_events") + col("noise"), 4))
+      .select("day", "event_type", "n_events", "noisy_n")
+      .orderBy("day", "event_type")
+
+  val dpCountsSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), u AS (
+       |  SELECT *,
+       |    (('0x' || substr(md5(event_type || '|' || day::VARCHAR || '|' || 'dp'), 1, 8))::BIGINT + 0.5)
+       |      / 4294967296.0 - 0.5 AS uu
+       |  FROM c
+       |)
+       |SELECT day, event_type, n_events,
+       |  round(n_events + (-1.0 / $DpEps) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 4) AS noisy_n
+       |FROM u
+       |ORDER BY day, event_type""".stripMargin
+
+  /** Trailing window of the sliding distinct-user count, in days. */
+  val DauWindowDays = 7
+
+  /** 7-day sliding distinct active users per day. Each deduplicated
+    * (user, day) pair is exploded into the [[DauWindowDays]] window-end
+    * days it contributes to (capped at the corpus max day), then one
+    * groupBy counts distinct users per window end — linear in input,
+    * no range self-join, no per-day rescan.
+    */
+  def slidingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val maxDay = ud.agg(max("d").as("max_d"))
+    ud.crossJoin(broadcast(maxDay))
+      .withColumn("day", explode(expr(s"sequence(d, least(date_add(d, ${DauWindowDays - 1}), max_d))")))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .orderBy("day")
+  }
+
+  val slidingDauSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events
+       |), wins AS (
+       |  SELECT DISTINCT d + i::INTEGER AS day
+       |  FROM (SELECT DISTINCT d FROM ud), range(0, $DauWindowDays) t(i)
+       |  WHERE d + i::INTEGER <= (SELECT max(d) FROM ud)
+       |)
+       |SELECT w.day, count(DISTINCT u.user_id) AS users_7d
+       |FROM wins w JOIN ud u
+       |  ON u.d BETWEEN w.day - ${DauWindowDays - 1} AND w.day
+       |GROUP BY w.day
+       |ORDER BY w.day""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pareto_front"   -> (paretoFront _),
+    "q_equidepth_hist" -> (equidepthHist _),
+    "q_dp_counts"      -> (dpCounts _),
+    "q_sliding_dau"    -> (slidingDau _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pareto_front"   -> paretoFrontSql,
+    "q_equidepth_hist" -> equidepthHistSql,
+    "q_dp_counts"      -> dpCountsSql,
+    "q_sliding_dau"    -> slidingDauSql,
+  )
+}
