@@ -876,7 +876,44 @@ object Analytics {
        |GROUP BY touch_type
        |ORDER BY touch_type""".stripMargin
 
+  /** Seasonal-naive forecast backtest: predict each day's per-type
+    * event value total with the value 7 days earlier (the
+    * weekly-seasonality baseline every forecast pipeline must beat),
+    * then score MAE/MAPE per event type over the days where a
+    * prediction exists. One narrow (type, day) aggregate + one
+    * co-partitioned self-join keyed on (type, day−7) — DAY-keyed, not
+    * row-lagged, so a gap in the series can never misalign the
+    * prediction. No training, linear in events.
+    */
+  def forecastNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 6).as("v"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("v").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+           round(avg(abs(col("v") - col("pred"))), 4).as("mae"),
+           round(avg(abs(col("v") - col("pred")) / col("v")), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
+  val forecastNaiveSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::TIMESTAMP::DATE AS day, round(sum(value), 6) AS v
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.event_type, count(*) AS n_days,
+      |  round(avg(abs(a.v - p.v)), 4) AS mae,
+      |  round(avg(abs(a.v - p.v) / a.v), 6) AS mape
+      |FROM daily a JOIN daily p
+      |  ON a.event_type = p.event_type AND p.day = a.day - 7
+      |GROUP BY a.event_type
+      |ORDER BY a.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_forecast_naive"    -> (forecastNaive _),
     "q_stickiness"        -> (stickiness _),
     "q_new_vs_returning"  -> (newVsReturning _),
     "q_conversion_lag"    -> (conversionLag _),
@@ -896,6 +933,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_forecast_naive"    -> forecastNaiveSql,
     "q_stickiness"        -> stickinessSql,
     "q_new_vs_returning"  -> newVsReturningSql,
     "q_conversion_lag"    -> conversionLagSql,

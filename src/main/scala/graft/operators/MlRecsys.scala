@@ -269,10 +269,90 @@ object MlRecsys {
       .limit(100)
   }
 
+  /** Association rules — the directional tier above
+    * [[fpgrowthItemsets]]: for every frequent ordered pair A→B, support
+    * count, confidence n(A,B)/n(A), and lift n(A,B)·N/(n(A)·n(B)) —
+    * exactly MLlib AssociationRules semantics at the pairwise
+    * granularity (single-item antecedent and consequent), mined
+    * EXACTLY in SQL so the whole rule set is oracle-backed, unlike the
+    * model-emitted variant.
+    *
+    * Plan shape: the basket self-join is a fact⋈fact equi-join on
+    * l_orderkey (bucketed by orderkey at rest at 100 TB = zero
+    * exchange); the per-item counts and the basket total ride
+    * broadcast (catalog-sized and 1-row — within the documented
+    * broadcast policy). Lift's numerator/denominator stay integer
+    * until one final division.
+    */
+  /** Rule-tier floors. The fixture's baskets are sparse (max pairwise
+    * support 3–5 at any SF), so the support floor is an absolute count
+    * and confidence sits at 2%; a production corpus would use a
+    * relative floor like [[FpMinSupport]] — one constant to change. */
+  val RuleMinCount    = 2
+  val RuleMinConf     = 0.02
+
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct()
+    val nBaskets = d.select("oid").distinct().agg(count(lit(1)).as("n_baskets"))
+    val singles = d.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val und = d.as("a").join(d.as("b"),
+        col("a.oid") === col("b.oid") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("n_ab"))
+    val directed = und.select(col("x").as("antecedent"), col("y").as("consequent"), col("n_ab"))
+      .unionByName(und.select(col("y").as("antecedent"), col("x").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(singles.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("n_item", "n_a")), "antecedent")
+      .join(broadcast(singles.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("n_item", "n_b")), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .where(col("n_ab") >= RuleMinCount)
+      .withColumn("confidence", round(col("n_ab") / col("n_a"), 6))
+      .where(col("confidence") >= RuleMinConf)
+      .withColumn("lift",
+        round(col("n_ab") * col("n_baskets") / (col("n_a") * col("n_b")), 6))
+      .select("antecedent", "consequent", "n_ab", "confidence", "lift")
+      .orderBy(col("confidence").desc, col("antecedent").asc, col("consequent").asc)
+      .limit(100)
+  }
+
+  val assocRulesSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+       |), nb AS (
+       |  SELECT count(DISTINCT oid) AS n_baskets FROM d
+       |), singles AS (
+       |  SELECT item, count(*) AS n_item FROM d GROUP BY item
+       |), und AS (
+       |  SELECT a.item AS x, b.item AS y, count(*) AS n_ab
+       |  FROM d a JOIN d b ON a.oid = b.oid AND a.item < b.item
+       |  GROUP BY 1, 2
+       |), directed AS (
+       |  SELECT x AS antecedent, y AS consequent, n_ab FROM und
+       |  UNION ALL
+       |  SELECT y AS antecedent, x AS consequent, n_ab FROM und
+       |), rules AS (
+       |  SELECT dd.antecedent, dd.consequent, dd.n_ab,
+       |    round(dd.n_ab / sa.n_item::DOUBLE, 6) AS confidence,
+       |    round(dd.n_ab * nb.n_baskets / (sa.n_item * sb.n_item)::DOUBLE, 6) AS lift
+       |  FROM directed dd
+       |  JOIN singles sa ON dd.antecedent = sa.item
+       |  JOIN singles sb ON dd.consequent = sb.item
+       |  CROSS JOIN nb
+       |  WHERE dd.n_ab >= $RuleMinCount
+       |)
+       |SELECT * FROM rules
+       |WHERE confidence >= $RuleMinConf
+       |ORDER BY confidence DESC, antecedent ASC, consequent ASC
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_als_recommend"     -> (alsRecommend _),
     "q_als_implicit"      -> (alsImplicit _),
     "q_fpgrowth_itemsets" -> (fpgrowthItemsets _),
+    "q_assoc_rules"       -> (assocRules _),
     "q_item2vec_synonyms" -> (item2vecSynonyms _),
     "q_lr_ranking"        -> (lrRanking _),
     "q_seq_patterns"      -> (seqPatterns _),
@@ -284,5 +364,6 @@ object MlRecsys {
     */
   val oracleSql: Map[String, String] = Map(
     "q_fpgrowth_itemsets" -> fpgrowthItemsetsSql,
+    "q_assoc_rules"       -> assocRulesSql,
   )
 }

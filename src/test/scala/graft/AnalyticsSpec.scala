@@ -205,4 +205,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     val catalog = Tables.part(spark, sfTest).count()
     assert(totalDead === catalog - sold)
   }
+
+  test("seasonal-naive backtest is day-keyed: a series gap cannot misalign predictions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 days of a single type with day 5 missing; lag(7)-by-rows would
+    // pair day 12 with day 4 — the day-keyed join must pair 12 with 5
+    // (absent -> dropped) and 11 with 4 etc.
+    val days = Seq(1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12)
+    val daily = days.map(d => ("view", java.sql.Date.valueOf(f"2024-01-$d%02d"), d.toDouble))
+      .toDF("event_type", "day", "v")
+    val pred = daily.select(col("event_type"), date_add(col("day"), 7).as("day"),
+      col("v").as("pred"))
+    val joined = daily.join(pred, Seq("event_type", "day"))
+      .select(col("day"), col("v"), col("pred")).collect()
+      .map(r => (r.getDate(0).getDate, r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    // day d must predict from exactly day d-7; day 12 (would-be pred day 5) absent
+    assert(joined.map(_._1).toSeq == Seq(8, 9, 10, 11))
+    joined.foreach { case (d, v, p) => assert(v - p == 7.0, s"day $d paired wrong") }
+    val out = operators.Analytics.forecastNaive(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mape") >= 0 && !r.getAs[Double]("mape").isNaN)
+      assert(r.getAs[Double]("mae") >= 0)
+    }
+  }
 }

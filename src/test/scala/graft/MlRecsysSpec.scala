@@ -71,4 +71,30 @@ class MlRecsysSpec extends AnyFunSuite with SparkFixture {
       .where(col("freq") =!= col("n_users")).count()
     assert(bad === 0)
   }
+
+  test("association rules: confidence/lift recompute exactly from the baskets") {
+    import org.apache.spark.sql.functions._
+    val rules = operators.MlRecsys.assocRules(spark, sfTest).collect()
+    assert(rules.nonEmpty)
+    val d = Tables.lineitem(spark, sfTest)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct().cache()
+    val n = d.select("oid").distinct().count().toDouble
+    val counts = d.groupBy("item").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = d.as("a").join(d.as("b"),
+        col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item"), col("b.item")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rules.foreach { r =>
+      val (a, b) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      val nab = r.getAs[Long]("n_ab")
+      assert(pair((a, b)) == nab)
+      val conf = r.getAs[Double]("confidence")
+      assert(math.abs(conf - nab.toDouble / counts(a)) < 1e-6)
+      assert(conf > 0 && conf <= 1.0)
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - nab * n / (counts(a).toDouble * counts(b))) < 1e-5)
+    }
+    d.unpersist()
+  }
 }
