@@ -228,6 +228,24 @@ object Advanced {
   val CmsWidth = 256
   /** Keys audited against the sketch. */
   val CmsProbeK = 20
+  /** Carter–Wegman hash family h_j(k) = ((a_j·k + b_j) mod P) mod W
+    * with a_j = CmsA0 + j·CmsAStep, b_j = CmsB0 + j·CmsBStep — the
+    * textbook pairwise-independent CMS family, pure 64-bit integer
+    * arithmetic (max product ≈ 5e6·2³¹ « 2⁶³). Replaced the earlier
+    * md5-substring hash: per-row MessageDigest over 4× the corpus was
+    * the whole query's cost (~4 s steady-state at sf0.1 → sub-second),
+    * and an LCG-mod-prime family is the theoretically standard choice
+    * anyway. Integer math is bit-identical cross-engine by
+    * construction. */
+  val CmsP = 2147483647L
+  val CmsA0 = 1103627L
+  val CmsAStep = 1217771L
+  val CmsB0 = 12345L
+  val CmsBStep = 67891L
+  /** The shared hash expression (identical text runs in Spark SQL and
+    * DuckDB): bucket of key `k` under hash row `j`. */
+  def cmsBucket(j: String, k: String): String =
+    s"((($CmsA0 + $j * $CmsAStep) * $k + $CmsB0 + $j * $CmsBStep) % $CmsP) % $CmsWidth"
 
   /** Count-min sketch over the lineitem supplier stream, audited
     * against exact counts — completes the sketch family (HLL twin,
@@ -253,13 +271,13 @@ object Advanced {
     val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey").cast("long").as("k"))
     val cells = li
       .select(explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"), col("k"))
-      .withColumn("b", expr(s"cast(conv(substring(md5(concat(j, ':', k)), 1, 8), 16, 10) AS bigint) % $CmsWidth"))
+      .withColumn("b", expr(cmsBucket("j", "k")))
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
     val probes = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("k").asc).limit(CmsProbeK)
       .select(explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"),
               col("k"), col("exact_cnt"))
-      .withColumn("b", expr(s"cast(conv(substring(md5(concat(j, ':', k)), 1, 8), 16, 10) AS bigint) % $CmsWidth"))
+      .withColumn("b", expr(cmsBucket("j", "k")))
     probes.join(broadcast(cells), Seq("j", "b"))
       .groupBy("k", "exact_cnt")
       .agg(min("c").as("cms_est"))
@@ -275,7 +293,7 @@ object Advanced {
        |  SELECT unnest(range($CmsDepth)) AS j
        |), rws AS (
        |  SELECT hs.j, li.k,
-       |    ('0x' || substr(md5(hs.j || ':' || li.k), 1, 8))::BIGINT % $CmsWidth AS b
+       |    ${cmsBucket("hs.j", "li.k")} AS b
        |  FROM li CROSS JOIN hs
        |), cells AS (
        |  SELECT j, b, count(*) AS c FROM rws GROUP BY j, b
@@ -284,7 +302,7 @@ object Advanced {
        |  ORDER BY exact_cnt DESC, k ASC LIMIT $CmsProbeK
        |), pj AS (
        |  SELECT p.k, p.exact_cnt, hs.j,
-       |    ('0x' || substr(md5(hs.j || ':' || p.k), 1, 8))::BIGINT % $CmsWidth AS b
+       |    ${cmsBucket("hs.j", "p.k")} AS b
        |  FROM probes p CROSS JOIN hs
        |), est AS (
        |  SELECT pj.k, pj.exact_cnt, min(c.c)::BIGINT AS cms_est
