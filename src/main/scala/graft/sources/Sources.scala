@@ -122,4 +122,33 @@ object Sources {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Raw-media ingestion (SURVEY.md §2.10 L5): Spark's built-in
+    * `binaryFile` source reads whole files as rows of (path,
+    * modificationTime, length, content BINARY) — the front door for
+    * image/audio/video corpora before the Multimodal decode stage.
+    * `pathGlobFilter` prunes at LISTING time (no bytes read for
+    * non-matching files); `maxBytesPerFile` guards an executor from a
+    * stray multi-GB file. One file = one row: at 100 TB the listing
+    * itself is parallelized by the driver, and small-file pressure is
+    * the operational concern — pack tiny assets into parquet binary
+    * columns (Multimodal's layout) once ingested.
+    */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: String = "*", maxBytesPerFile: Long = 64L << 20): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .where(org.apache.spark.sql.functions.col("length") <= maxBytesPerFile)
+
+  /** Plain-text ingestion: one line per row (`value` STRING) with the
+    * originating file attached — the shape a raw text-crawl dump
+    * arrives in before any schema exists. `wholetext=true` flips to
+    * one file = one row for document-per-file corpora.
+    */
+  def textLines(spark: SparkSession, path: String,
+                wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+      .withColumn("source_file",
+        org.apache.spark.sql.functions.input_file_name())
 }

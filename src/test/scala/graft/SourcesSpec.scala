@@ -155,4 +155,41 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val b = back.agg(sum("l_quantity")).head.getDouble(0)
     assert(math.abs(a - b) < 1e-9)
   }
+
+  test("binaryFile source: whole-file rows with glob pruning and byte fidelity") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, -128, 127),
+                       "b.img" -> Array[Byte](9, 8, 7),
+                       "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (n, bytes) =>
+      java.nio.file.Files.write(dir.resolve(n), bytes)
+    }
+    val df = Sources.binaryFiles(spark, dir.toString, glob = "*.img")
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.keySet == Set("a.img", "b.img"), "glob must prune skip.txt at listing")
+    assert(rows("a.img").toSeq == payloads("a.img").toSeq, "bytes must survive untouched")
+    // size guard filters oversized files out
+    assert(Sources.binaryFiles(spark, dir.toString, glob = "*.img",
+      maxBytesPerFile = 4).count() == 1)
+  }
+
+  test("text source: line rows with file attribution; wholetext flips to file rows") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("txtsrc")
+    java.nio.file.Files.writeString(dir.resolve("d1.txt"), "alpha\nbeta\n")
+    java.nio.file.Files.writeString(dir.resolve("d2.txt"), "gamma\n")
+    val lines = Sources.textLines(spark, dir.toString)
+    assert(lines.count() == 3)
+    assert(lines.where(lines("source_file").contains("d1.txt")).count() == 2)
+    val whole = Sources.textLines(spark, dir.toString, wholeFile = true)
+    assert(whole.count() == 2)
+    val d1 = whole.where(whole("source_file").contains("d1.txt"))
+      .head.getAs[String]("value")
+    assert(d1 == "alpha\nbeta\n")
+  }
 }
