@@ -105,4 +105,32 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       assert(got.contains(day) && got(day) == n, s"mismatch on $day")
     }
   }
+
+  test("skyline scale: 300k synthetic points match a local sweep; pruning bounds phase 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random points: price from a hash, size in 1..40
+    // => the true skyline has at most 40 points (one per size level)
+    val n = 300000
+    val pts = spark.range(n.toLong)
+      .withColumn("h", expr("cast(conv(substring(md5(cast(id AS string)), 1, 8), 16, 10) AS bigint)"))
+      .select((col("h") % 1000000 / 100.0).as("p_retailprice"),
+              (col("h") % 41 + 1).cast("int").as("p_size"))
+    val dir = java.nio.file.Files.createTempDirectory("skyscale").toString
+    pts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val t0 = System.nanoTime()
+    val got = operators.Stats.paretoFront(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // local reference: sweep distinct points by (price asc, size desc)
+    val distinctPts = pts.distinct().collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val sorted = distinctPts.sortBy { case (p, sz) => (p, -sz) }
+    var best = Int.MinValue
+    val ref = scala.collection.mutable.Set.empty[(Double, Int)]
+    sorted.foreach { case (p, sz) => if (sz > best) { ref += ((p, sz)); best = sz } }
+    assert(got == ref.toSet, s"skyline mismatch: got ${got.size}, ref ${ref.size}")
+    assert(got.size <= 41, "skyline bounded by the size-level count")
+    assert(secs < 30.0, f"two-phase skyline took $secs%.1f s on 300k points")
+  }
 }
