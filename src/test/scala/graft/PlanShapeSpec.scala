@@ -344,4 +344,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // keeps exactly the fact rows whose key survives the dim predicate
     assert(joined.count() === fact.where($"k" % 128 === 0).count())
   }
+
+  test("pareto_front: two-phase skyline never plans a quadratic join") {
+    val p = plan(operators.Stats.paretoFront(planSession, sfTest))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the NOT-EXISTS dominance form must exist only in the oracle")
+    assert(p.contains("Window"), "skyline phases are window passes")
+  }
+
+  test("sliding_dau: contribution-day explode plans no range join at all") {
+    val p = plan(operators.Stats.slidingDau(planSession, sfTest))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join expected — the rewrite is explode + groupBy, plan:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "the explode IS the operator")
+  }
+
+  test("assoc_rules: item-count attaches ride broadcast; basket join is the only shuffle join") {
+    val p = plan(operators.MlRecsys.assocRules(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"),
+      "catalog-sized per-item counts must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("equidepth_hist: no unpartitioned window touches the full value set") {
+    // the only global window is the coarse-total prefix (a few dozen
+    // rows); every per-value window must carry the coarse partition key
+    val df = operators.Stats.equidepthHist(planSession, sfTest)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // exactly the tiny coarse-prefix window may be unpartitioned, and it
+    // must sit above an Aggregate that has already collapsed to coarse
+    unpartitioned.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.isDefined,
+        "an unpartitioned window must only see post-aggregate (coarse) rows")
+      val groupCols = aggBelow.get.groupingExpressions.flatMap(_.references.map(_.name))
+      assert(groupCols.forall(_ == "coarse"),
+        s"unpartitioned window must read coarse totals only, saw grouping $groupCols")
+    }
+  }
 }
