@@ -912,7 +912,62 @@ object Analytics {
       |GROUP BY a.event_type
       |ORDER BY a.event_type""".stripMargin
 
+  /** Cohort LTV curve: cumulative purchase revenue per acquired user by
+    * weekly cohort and week offset — the revenue companion to
+    * [[retentionCohorts]] (same cohort definition: Monday-truncated
+    * week of the user's FIRST event of any type; revenue from purchase
+    * events only). Per-cell revenue is rounded before the running sum
+    * so the cumulative window is engine-stable.
+    *
+    * Scale: one user-keyed join of the purchase slice against the
+    * first-week table, one (cohort, offset) aggregate, one per-cohort
+    * window over ≤ |weeks| rows. Cohort sizes ride a broadcast.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"),
+              col("event_type"), col("value"))
+    val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = firstWk.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .join(firstWk, "user_id")
+      .withColumn("week_offset", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy("cohort", "week_offset")
+      .agg(round(sum("value"), 6).as("rev"))
+    val w = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cohort")
+      .withColumn("ltv_per_user", round(sum("rev").over(w) / col("cohort_size"), 4))
+      .select("cohort", "week_offset", "cohort_size", "rev", "ltv_per_user")
+      .orderBy("cohort", "week_offset")
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts::TIMESTAMP)::DATE AS wk,
+      |    event_type, value
+      |  FROM events
+      |), first_wk AS (
+      |  SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort, count(*) AS cohort_size FROM first_wk GROUP BY cohort
+      |), rev AS (
+      |  SELECT f.cohort,
+      |    (datediff('day', f.cohort, e.wk) / 7)::INT AS week_offset,
+      |    round(sum(e.value), 6) AS rev
+      |  FROM ev e JOIN first_wk f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r.cohort, r.week_offset, s.cohort_size, r.rev,
+      |  round(sum(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.week_offset
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        / s.cohort_size, 4) AS ltv_per_user
+      |FROM rev r JOIN sizes s ON s.cohort = r.cohort
+      |ORDER BY r.cohort, r.week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cohort_ltv"        -> (cohortLtv _),
     "q_forecast_naive"    -> (forecastNaive _),
     "q_stickiness"        -> (stickiness _),
     "q_new_vs_returning"  -> (newVsReturning _),
@@ -933,6 +988,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cohort_ltv"        -> cohortLtvSql,
     "q_forecast_naive"    -> forecastNaiveSql,
     "q_stickiness"        -> stickinessSql,
     "q_new_vs_returning"  -> newVsReturningSql,

@@ -1154,6 +1154,72 @@ object Recsys {
         sum(when(col("n_brands") === 1, 1L).otherwise(0L)).as("n_single_brand_users"))
   }
 
+  /** Aggregate coverage of the recommender: what fraction of the
+    * catalog ever gets recommended, and how concentrated the exposure
+    * is — catalog coverage plus the Gini coefficient of per-item
+    * exposure counts over the FULL catalog (never-recommended items
+    * enter as zeros, which is what makes Gini honest here), plus the
+    * top item's exposure share. The standard aggregate-diversity
+    * metrics next to [[recDiversity]]'s per-user entropy.
+    *
+    * Gini is computed from the closed form over counts sorted
+    * ascending: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, with a deterministic
+    * (count, partkey) order. The rank window is global over the
+    * CATALOG (the documented catalog-sized tier); a >10⁸-item catalog
+    * would swap in the same coarse-bucket two-level prefix sum the
+    * equi-depth histogram uses.
+    */
+  def recCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val expo = itemcfRecommend(spark, sfDir)
+      .groupBy("item_id").agg(count(lit(1)).as("n"))
+    val cat = Tables.part(spark, sfDir).select(col("p_partkey"))
+    val full = cat.join(expo, cat("p_partkey") === expo("item_id"), "left")
+      .select(col("p_partkey"), coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("x").asc, col("p_partkey").asc)
+    full.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_catalog"),
+           sum((col("x") > 0).cast("long")).as("n_recommended"),
+           sum("x").as("total_recs"),
+           sum(col("i") * col("x")).as("sum_ix"),
+           max("x").as("max_exposure"))
+      .withColumn("coverage", round(col("n_recommended") / col("n_catalog").cast("double"), 6))
+      .withColumn("gini", round(
+        lit(2.0) * col("sum_ix") / (col("n_catalog") * col("total_recs")).cast("double")
+          - (col("n_catalog") + 1).cast("double") / col("n_catalog"), 6))
+      .withColumn("top_share", round(col("max_exposure") / col("total_recs").cast("double"), 6))
+      .select("n_catalog", "n_recommended", "coverage", "gini", "max_exposure", "top_share")
+  }
+
+  val recCoverageSql: String =
+    s"""WITH recs AS (
+       |  SELECT user_id, item_id FROM (
+       |    ${itemcfRecommendSql.replace("\n", "\n    ")}
+       |  )
+       |), expo AS (
+       |  SELECT item_id, count(*) AS n FROM recs GROUP BY item_id
+       |), full_cat AS (
+       |  SELECT p.p_partkey, coalesce(e.n, 0) AS x
+       |  FROM part p LEFT JOIN expo e ON e.item_id = p.p_partkey
+       |), ranked AS (
+       |  SELECT x, p_partkey,
+       |    row_number() OVER (ORDER BY x ASC, p_partkey ASC) AS i
+       |  FROM full_cat
+       |), agg AS (
+       |  SELECT count(*) AS n_catalog,
+       |    sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::BIGINT AS n_recommended,
+       |    sum(x)::BIGINT AS total_recs,
+       |    sum(i * x)::BIGINT AS sum_ix,
+       |    max(x)::BIGINT AS max_exposure
+       |  FROM ranked
+       |)
+       |SELECT n_catalog, n_recommended,
+       |  round(n_recommended / n_catalog::DOUBLE, 6) AS coverage,
+       |  round(2.0 * sum_ix / (n_catalog * total_recs)::DOUBLE
+       |        - (n_catalog + 1)::DOUBLE / n_catalog, 6) AS gini,
+       |  max_exposure,
+       |  round(max_exposure / total_recs::DOUBLE, 6) AS top_share
+       |FROM agg""".stripMargin
+
   val recDiversitySql: String =
     s"""WITH recs AS (
        |  SELECT user_id, item_id FROM (
@@ -1496,6 +1562,7 @@ object Recsys {
     "q_seq_buy_pairs"     -> (seqBuyPairs _),
     "q_trending_items"    -> (trendingItems _),
     "q_rec_diversity"     -> (recDiversity _),
+    "q_rec_coverage"      -> (recCoverage _),
     "q_eval_ranking"      -> (evalRanking _),
     "q_markov_next"       -> (markovNext _),
     "q_itemcf_similarity" -> (itemcfSimilarity _),
@@ -1517,6 +1584,7 @@ object Recsys {
     "q_seq_buy_pairs"     -> seqBuyPairsSql,
     "q_trending_items"    -> trendingItemsSql,
     "q_rec_diversity"     -> recDiversitySql,
+    "q_rec_coverage"      -> recCoverageSql,
     "q_eval_ranking"      -> evalRankingSql,
     "q_markov_next"       -> markovNextSql,
     "q_itemcf_similarity" -> itemcfSimilaritySql,

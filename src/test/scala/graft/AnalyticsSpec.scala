@@ -230,4 +230,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("mae") >= 0)
     }
   }
+
+  test("cohort LTV: per-user curve is non-decreasing within every cohort") {
+    val rows = operators.Analytics.cohortLtv(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort")).foreach { case (c, rs) =>
+      val curve = rs.sortBy(_.getAs[Int]("week_offset")).map(_.getAs[Double]("ltv_per_user"))
+      curve.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, s"cohort $c LTV decreased: $a -> $b")
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Double]("rev") > 0))
+    }
+  }
 }

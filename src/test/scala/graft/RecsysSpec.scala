@@ -147,4 +147,26 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(ips < raw, s"IPS recall $ips should sit below raw $raw for a popularity recommender")
     assert(m.getAs[Long]("n_test") > 0 && m.getAs[Long]("n_cold") >= 0)
   }
+
+  test("rec coverage: bounds hold and Gini matches a direct computation") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Recsys.recCoverage(spark, sfTest).collect().head
+    val (nCat, nRec) = (r.getAs[Long]("n_catalog"), r.getAs[Long]("n_recommended"))
+    assert(nRec <= nCat && nRec > 0)
+    assert(r.getAs[Double]("coverage") > 0 && r.getAs[Double]("coverage") <= 1.0)
+    val gini = r.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    // direct Gini from the exposure multiset (zeros for unrecommended)
+    val expo = operators.Recsys.itemcfRecommend(spark, sfTest)
+      .groupBy("item_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val xs = Tables.part(spark, sfTest).select("p_partkey").collect()
+      .map(row => expo.getOrElse(row.getLong(0), 0L)).sorted
+    val n = xs.length.toLong
+    val tot = xs.sum.toDouble
+    val sumIx = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val direct = 2.0 * sumIx / (n * tot) - (n + 1).toDouble / n
+    assert(math.abs(gini - direct) < 1e-5, s"gini $gini vs direct $direct")
+    assert(r.getAs[Double]("top_share") >= 1.0 / nRec)
+  }
 }
