@@ -42,14 +42,25 @@ object AsOf {
     * @param rightKey     join key column in `right`
     * @param leftTimeUs   µs-epoch time column in `left`
     * @param rightTimeUs  µs-epoch time column in `right`
-    * @param toleranceUs  optional max age: matches older than this are nulled
+    * @param toleranceUs  optional max age: matches further away than
+    *                     this (in the match direction) are nulled
+    * @param direction    "backward" (default): most recent right row
+    *                     with right.time <= left.time — or "forward":
+    *                     earliest right row with right.time >=
+    *                     left.time (pandas merge_asof parity; both
+    *                     inclusive). Same tagged-union single-window
+    *                     plan either way, only the sort order flips.
     * @return all `left` columns plus `right`'s non-key payload columns
-    *         (null where no right row is at or before the left time)
+    *         (null where no right row is at or before/after the left time)
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTimeUs: String, rightTimeUs: String,
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val rightPayloadCols = right.columns.filterNot(c => c == rightKey).toSeq
     val rightStruct = struct(rightPayloadCols.map(col): _*)
     val rightStructType = right.select(rightStruct).schema.head.dataType
@@ -65,16 +76,23 @@ object AsOf {
       lit(1).as("__tag"), struct(left.columns.toIndexedSeq.map(col): _*).as("__left_row"),
       lit(null).cast(rightStructType).as("__right_row"))
 
+    // backward: sweep times ascending, carry the last right row seen;
+    // forward: sweep descending, so "last seen" is the nearest FUTURE
+    // right row. Tag order keeps equal-time right rows visible to the
+    // left row in both directions (inclusive match).
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(if (backward) col("__t").asc else col("__t").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedRight.unionByName(taggedLeft)
       .withColumn("__match", last(col("__right_row"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
 
     val aged = toleranceUs match {
-      case Some(tol) => matched.withColumn("__match",
-        when(col("__t") - col("__match")(rightTimeUs).cast("long") <= tol, col("__match")))
+      case Some(tol) =>
+        val age =
+          if (backward) col("__t") - col("__match")(rightTimeUs).cast("long")
+          else col("__match")(rightTimeUs).cast("long") - col("__t")
+        matched.withColumn("__match", when(age <= tol, col("__match")))
       case None => matched
     }
     val leftCols = left.columns.toSeq.map(c => col(s"__left_row.$c").as(c))
@@ -116,6 +134,43 @@ object AsOf {
       |  CASE WHEN r.o_orderkey IS NULL THEN NULL
       |       ELSE (e.e_us - r.o_us) // 86400000000 END AS gap_days
       |FROM e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** Forward as-of: each purchase event picks the customer's EARLIEST
+    * order at-or-after the event — the "next fulfillment" lookup, the
+    * mirror of [[asofEventOrder]] (same tie pre-resolution, same
+    * single-window plan with the sweep reversed). Gap is days from
+    * event to that order.
+    */
+  def asofNextOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("e_us"))
+    val r = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    asofJoin(e, r, leftKey = "user_id", rightKey = "o_custkey",
+             leftTimeUs = "e_us", rightTimeUs = "o_us", direction = "forward")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+              expr("CASE WHEN o_orderkey IS NULL THEN NULL ELSE (o_us - e_us) div 86400000000 END").as("gap_days"))
+      .orderBy("event_id")
+  }
+
+  val asofNextOrderSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |    epoch_us(o_orderdate) AS o_us
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |), e AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS e_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT e.event_id, e.user_id, r.o_orderkey,
+      |  CASE WHEN r.o_orderkey IS NULL THEN NULL
+      |       ELSE (r.o_us - e.e_us) // 86400000000 END AS gap_days
+      |FROM e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
   /** SCD2 history construction: turn a change log into type-2
@@ -193,11 +248,13 @@ object AsOf {
 
   val queries: Map[String, Q] = Map(
     "q_asof_event_order" -> (asofEventOrder _),
+    "q_asof_next_order"  -> (asofNextOrder _),
     "q_scd2_history"     -> (scd2History _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_event_order" -> asofEventOrderSql,
+    "q_asof_next_order"  -> asofNextOrderSql,
     "q_scd2_history"     -> scd2HistorySql,
   )
 }

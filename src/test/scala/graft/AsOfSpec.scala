@@ -108,4 +108,28 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
         s"cust $ck must have exactly one open current version")
     }
   }
+
+  test("forward as-of: literal frame picks the earliest future row, inclusive, with tolerance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, "at"), (100L, 20L, "next"), (100L, 5L, "past"),
+                    (200L, 40L, "earlier"))
+      .toDF("rk", "rt", "v")
+    val fwd = operators.AsOf.asofJoin(left, right, "k", "rk", "t", "rt",
+        direction = "forward")
+      .select(col("id"), col("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1: equal-time row matches (inclusive); id 2: t=25 has no future row -> null
+    // id 3: t=50, only right row is at 40 (past) -> null
+    assert(fwd(1L) == "at")
+    assert(fwd(2L) == null)
+    assert(fwd(3L) == null)
+    // tolerance: id 1 matched at distance 0; widen left times to check nulling
+    val tol = operators.AsOf.asofJoin(
+        Seq((9L, 100L, 1L)).toDF("id", "k", "t"), right, "k", "rk", "t", "rt",
+        toleranceUs = Some(3L), direction = "forward")
+      .select(col("id"), col("v")).collect()
+    assert(tol.head.getString(1) == null, "nearest future row at distance 4 must fall outside tolerance 3")
+  }
 }
