@@ -352,7 +352,55 @@ object Streams {
        |GROUP BY 1
        |ORDER BY window_start""".stripMargin
 
+  /** Ranked users per window in the top-K stage. */
+  val StreamTopK = 3
+
+  /** T8 stage 1 — per-(window, user) counts: the streaming-safe
+    * aggregation (single stateful aggregate, watermark-bounded). */
+  def windowUserCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T8 stage 2 — top-[[StreamTopK]] users per window via the BOUNDED
+    * TopKByScore aggregate (k entries per window survive the partial
+    * phase — no per-window sort, no full ranking state). Split from
+    * stage 1 because chained streaming aggregations don't exist in
+    * append mode: production runs this ranking per micro-batch in
+    * foreachBatch over stage 1's state — exactly how the StreamingSpec
+    * twin drives it. Ties break (count desc, user_id asc) in both
+    * engines.
+    */
+  def rankTopUsers(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("w"))
+      .agg(graft.functions.TopKByScore.topK(StreamTopK,
+        col("n").cast("double"), col("user_id"), col("n")).as("top"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + 1).as("rk"),
+              col("col.id").as("user_id"), col("col.extra").as("n_events"))
+
+  def topUsersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rankTopUsers(windowUserCounts(Tables.events(spark, sfDir)))
+      .orderBy("window_start", "rk")
+
+  val topUsersSql: String =
+    s"""WITH c AS (
+       |  SELECT time_bucket(INTERVAL '6 hours', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00') AS wb,
+       |    user_id, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT wb, user_id, n,
+       |    row_number() OVER (PARTITION BY wb ORDER BY n DESC, user_id ASC) AS rk
+       |  FROM c
+       |)
+       |SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS window_start, rk, user_id, n AS n_events
+       |FROM r WHERE rk <= $StreamTopK
+       |ORDER BY window_start, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_stream_topk"     -> (topUsersQuery _),
     "q_stream_tumbling" -> (tumblingQuery _),
     "q_stream_users"    -> (tumblingUsersQuery _),
     "q_stream_sliding"  -> (slidingQuery _),
@@ -363,6 +411,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_topk"     -> topUsersSql,
     "q_stream_tumbling" -> tumblingSql,
     "q_stream_users"    -> tumblingUsersSql,
     "q_stream_sliding"  -> slidingSql,

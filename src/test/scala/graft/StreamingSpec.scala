@@ -558,4 +558,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // tiny cardinalities: HLL at rsd=0.02 is exact in practice here
     assert(got.values.sum === exact.sum)
   }
+
+  test("T8 windowed top-K: streamed counts ranked per batch equal the batch form") {
+    val session = spark
+    import session.implicits._
+    // stage 1 (streaming-safe aggregate) runs on the stream; stage 2
+    // (bounded TopKByScore ranking) applies per micro-batch output —
+    // the foreachBatch deployment shape
+    val streamedCounts = runStream(Streams.windowUserCounts)
+    val streamed = Streams.rankTopUsers(streamedCounts)
+    val batch = Streams.rankTopUsers(Streams.windowUserCounts(fixture.toDF()))
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+    // bounded output: at most K users per window
+    val perWindow = batch.groupBy("window_start").count().collect()
+    perWindow.foreach(r => assert(r.getLong(1) <= Streams.StreamTopK))
+  }
 }
