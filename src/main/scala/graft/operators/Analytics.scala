@@ -966,7 +966,72 @@ object Analytics {
       |FROM rev r JOIN sizes s ON s.cohort = r.cohort
       |ORDER BY r.cohort, r.week_offset""".stripMargin
 
+  /** Horizon for the windowed funnel, in days. */
+  val FunnelWindowDays = 7
+
+  /** Windowed ordered funnel (the windowFunnel operator product
+    * analytics engines ship): view → click → purchase must ALL land
+    * within [[FunnelWindowDays]] of the user's first view — unlike
+    * [[sessionFunnel]], which is unbounded. Each stage still requires
+    * a strictly-later event. Single-row summary with per-depth
+    * populations and step rates.
+    *
+    * Plan shape identical to sessionFunnel: one repartition(user_id),
+    * three co-partitioned stage aggregates; the horizon is a residual
+    * predicate on the already-keyed joins, so bounding the window adds
+    * zero shuffles.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val horizonUs = FunnelWindowDays * 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .repartition(col("user_id"))
+    val tv = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("tv"))
+    val tc = ev.where(col("event_type") === "click")
+      .join(tv, "user_id")
+      .where(col("us") > col("tv") && col("us") <= col("tv") + horizonUs)
+      .groupBy("user_id").agg(min("us").as("tc"), min("tv").as("tv2"))
+    val tp = ev.where(col("event_type") === "purchase")
+      .join(tc, "user_id")
+      .where(col("us") > col("tc") && col("us") <= col("tv2") + horizonUs)
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val nv = tv.agg(count(lit(1)).as("n_depth1"))
+    val nc = tc.agg(count(lit(1)).as("n_depth2"))
+    val np = tp.agg(count(lit(1)).as("n_depth3"))
+    nv.crossJoin(nc).crossJoin(np)
+      .withColumn("view_to_click_w", round(col("n_depth2") / col("n_depth1"), 6))
+      .withColumn("click_to_purchase_w", round(col("n_depth3") / col("n_depth2"), 6))
+  }
+
+  val windowFunnelSql: String = {
+    val horizonUs = FunnelWindowDays * 86400L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+       |), tv AS (
+       |  SELECT user_id, min(us) AS tv FROM ev
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), tc AS (
+       |  SELECT e.user_id, min(e.us) AS tc, min(tv.tv) AS tv2
+       |  FROM ev e JOIN tv ON e.user_id = tv.user_id
+       |  WHERE e.event_type = 'click' AND e.us > tv.tv AND e.us <= tv.tv + $horizonUs
+       |  GROUP BY e.user_id
+       |), tp AS (
+       |  SELECT e.user_id, min(e.us) AS tp
+       |  FROM ev e JOIN tc ON e.user_id = tc.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us > tc.tc AND e.us <= tc.tv2 + $horizonUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM tv) AS n_depth1,
+       |  (SELECT count(*) FROM tc) AS n_depth2,
+       |  (SELECT count(*) FROM tp) AS n_depth3,
+       |  round((SELECT count(*) FROM tc) / (SELECT count(*)::DOUBLE FROM tv), 6) AS view_to_click_w,
+       |  round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) AS click_to_purchase_w""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_funnel"     -> (windowFunnel _),
     "q_cohort_ltv"        -> (cohortLtv _),
     "q_forecast_naive"    -> (forecastNaive _),
     "q_stickiness"        -> (stickiness _),
@@ -988,6 +1053,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_funnel"     -> windowFunnelSql,
     "q_cohort_ltv"        -> cohortLtvSql,
     "q_forecast_naive"    -> forecastNaiveSql,
     "q_stickiness"        -> stickinessSql,

@@ -247,7 +247,85 @@ object Stats {
        |GROUP BY w.day
        |ORDER BY w.day""".stripMargin
 
+  /** Bootstrap replicas. */
+  val BootB = 50
+  /** Laplace-free uniform → Poisson(1) inverse-CDF thresholds
+    * (cumulative e⁻¹·Σ1/k!): literal doubles, identical both engines. */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Poisson bootstrap CI for the mean purchase value — THE scalable
+    * bootstrap (Chamandy et al.): instead of resampling n rows with
+    * replacement per replica (a shuffle per replica), each row draws an
+    * independent Poisson(1) weight per replica — one map-side explode,
+    * one narrow aggregate, B replica means. Weights come from a
+    * DETERMINISTIC hash uniform through the Poisson inverse CDF, so
+    * the whole CI is replayable and oracle-backed. CI bounds are exact
+    * order statistics of the replica means (2nd / 49th of 50) — no
+    * quantile interpolation to disagree on.
+    *
+    * Scale: input × B rows flow through codegen (no shuffle until the
+    * B-row replica aggregate); B controls cost linearly and the final
+    * stats are over B values regardless of corpus size.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = PoissonCdf.zipWithIndex
+      .foldRight("8") { case ((c, k), e) => s"CASE WHEN u < $c THEN $k ELSE $e END" }
+    val rep = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+      .withColumn("b", explode(expr(s"sequence(1, $BootB)")))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws(':', cast(event_id AS string), cast(b AS string), 'boot')), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("u", (col("h") + 0.5) / 4294967296.0)
+      .withColumn("w", expr(w))
+      .groupBy("b")
+      .agg((sum(col("w") * col("value")) / sum("w")).as("mean_b"))
+    val ranked = rep
+      .withColumn("rk", row_number().over(Window.orderBy(col("mean_b").asc, col("b").asc)))
+    val point = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_obs"), round(avg("value"), 4).as("mean_value"))
+    point.crossJoin(broadcast(ranked.agg(
+        round(min(when(col("rk") === 2, col("mean_b"))), 4).as("ci_lo"),
+        round(min(when(col("rk") === BootB - 1, col("mean_b"))), 4).as("ci_hi"),
+        round(stddev_samp(col("mean_b")), 4).as("se_boot"))))
+      .select("n_obs", "mean_value", "ci_lo", "ci_hi", "se_boot")
+  }
+
+  val bootstrapCiSql: String = {
+    val w = PoissonCdf.zipWithIndex
+      .foldRight("8") { case ((c, k), e) => s"CASE WHEN u < $c THEN $k ELSE $e END" }
+    s"""WITH src AS (
+       |  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+       |), expanded AS (
+       |  SELECT s.value, t.b,
+       |    (('0x' || substr(md5(s.event_id || ':' || t.b || ':' || 'boot'), 1, 8))::BIGINT + 0.5)
+       |      / 4294967296.0 AS u
+       |  FROM src s CROSS JOIN (SELECT unnest(range(1, $BootB + 1)) AS b) t
+       |), weighted AS (
+       |  SELECT value, b, $w AS w FROM expanded
+       |), rep AS (
+       |  SELECT b, sum(w * value) / sum(w) AS mean_b FROM weighted GROUP BY b
+       |), ranked AS (
+       |  SELECT mean_b, row_number() OVER (ORDER BY mean_b ASC, b ASC) AS rk FROM rep
+       |), ci AS (
+       |  SELECT
+       |    round(min(CASE WHEN rk = 2 THEN mean_b END), 4) AS ci_lo,
+       |    round(min(CASE WHEN rk = ${BootB - 1} THEN mean_b END), 4) AS ci_hi,
+       |    round(stddev_samp(mean_b), 4) AS se_boot
+       |  FROM ranked
+       |)
+       |SELECT (SELECT count(*) FROM src) AS n_obs,
+       |  (SELECT round(avg(value), 4) FROM src) AS mean_value,
+       |  ci_lo, ci_hi, se_boot
+       |FROM ci""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bootstrap_ci"   -> (bootstrapCi _),
     "q_pareto_front"   -> (paretoFront _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_dp_counts"      -> (dpCounts _),
@@ -255,6 +333,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bootstrap_ci"   -> bootstrapCiSql,
     "q_pareto_front"   -> paretoFrontSql,
     "q_equidepth_hist" -> equidepthHistSql,
     "q_dp_counts"      -> dpCountsSql,

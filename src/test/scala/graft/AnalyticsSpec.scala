@@ -243,4 +243,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       rs.foreach(r => assert(r.getAs[Double]("rev") > 0))
     }
   }
+
+  test("windowed funnel: bounded by the unbounded funnel; horizon excludes late steps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = operators.Analytics.windowFunnel(spark, sfTest).collect().head
+    val u = operators.Analytics.sessionFunnel(spark, sfTest).collect().head
+    assert(w.getAs[Long]("n_depth1") == u.getAs[Long]("n_viewers"))
+    assert(w.getAs[Long]("n_depth2") <= u.getAs[Long]("n_clickers"))
+    assert(w.getAs[Long]("n_depth3") <= u.getAs[Long]("n_purchasers"))
+    assert(w.getAs[Long]("n_depth1") >= w.getAs[Long]("n_depth2"))
+    assert(w.getAs[Long]("n_depth2") >= w.getAs[Long]("n_depth3"))
+    // literal: u1 clicks inside the 7-day horizon, u2 clicks on day 9
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")), (1L, "click", ts("2024-01-03 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:00:00")), (2L, "click", ts("2024-01-10 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val horizonUs = operators.Analytics.FunnelWindowDays * 86400L * 1000000L
+    val e2 = ev.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val tv = e2.where(col("event_type") === "view").groupBy("user_id").agg(min("us").as("tv"))
+    val tc = e2.where(col("event_type") === "click").join(tv, "user_id")
+      .where(col("us") > col("tv") && col("us") <= col("tv") + horizonUs)
+    assert(tc.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "day-9 click must fall outside the 7-day horizon")
+  }
 }

@@ -133,4 +133,30 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(got.size <= 41, "skyline bounded by the size-level count")
     assert(secs < 30.0, f"two-phase skyline took $secs%.1f s on 300k points")
   }
+
+  test("bootstrap CI: brackets the point estimate, replayable, Poisson weights mean ~1") {
+    import org.apache.spark.sql.functions._
+    val r1 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
+    val r2 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
+    assert(r1.toSeq == r2.toSeq, "hash-driven bootstrap must be replayable")
+    val (lo, hi, mean) = (r1.getAs[Double]("ci_lo"), r1.getAs[Double]("ci_hi"),
+      r1.getAs[Double]("mean_value"))
+    assert(lo < hi)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket the point estimate $mean")
+    assert(r1.getAs[Double]("se_boot") > 0)
+    // the Poisson(1) weights should resample ~n rows per replica
+    val cdf = operators.Stats.PoissonCdf
+    val wExpr = cdf.zipWithIndex
+      .foldRight("8") { case ((c, k), e) => s"CASE WHEN u < $c THEN $k ELSE $e END" }
+    val meanW = Tables.events(spark, sfTest)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"))
+      .withColumn("b", explode(expr(s"sequence(1, ${operators.Stats.BootB})")))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws(':', cast(event_id AS string), cast(b AS string), 'boot')), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("u", (col("h") + 0.5) / 4294967296.0)
+      .withColumn("w", expr(wExpr))
+      .agg(avg("w")).head.getDouble(0)
+    assert(math.abs(meanW - 1.0) < 0.05, s"Poisson(1) weight mean was $meanW")
+  }
 }
