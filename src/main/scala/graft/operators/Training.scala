@@ -368,15 +368,68 @@ object Training {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** View-count cap for the calibration bins (the long tail collapses
+    * into the top bin) and the smoothing constant of the propensity
+    * score. */
+  val CalibCap = 15L
+  val CalibK = 5.0
+
+  /** Calibration audit of a purchase-propensity score: the smoothed
+    * monotone score p̂ = views/(views+K) per user, binned BY VALUE
+    * (capped view count — no population-wide ntile sort), with the
+    * observed purchase rate per bin and the calibration gap. This is
+    * the reliability-diagram table every ranking pipeline checks before
+    * trusting scores as probabilities — expressed engine-portably so
+    * the whole table is oracle-backed (unlike a learned model's).
+    *
+    * Scale: one user aggregate, one bin aggregate over ≤ cap+1 rows.
+    * Value-keyed bins are the deliberate choice: decile binning would
+    * need a global sort of the user population; capped-count bins are
+    * deterministic, stable across runs, and preserve the monotone
+    * score ordering.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "view").cast("long")).as("n_views"),
+           max((col("event_type") === "purchase").cast("long")).as("purchased"))
+      .withColumn("bin", least(col("n_views"), lit(CalibCap)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"),
+           round(avg(col("n_views") / (col("n_views") + CalibK)), 6).as("pred_rate"),
+           round(avg("purchased"), 6).as("obs_rate"))
+      .withColumn("gap", round(col("pred_rate") - col("obs_rate"), 6))
+      .orderBy("bin")
+  }
+
+  val calibrationBinsSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT least(n_views, $CalibCap)::BIGINT AS bin, count(*) AS n_users,
+       |  round(avg(n_views / (n_views + $CalibK)), 6) AS pred_rate,
+       |  round(avg(purchased), 6) AS obs_rate,
+       |  round(round(avg(n_views / (n_views + $CalibK)), 6)
+       |        - round(avg(purchased), 6), 6) AS gap
+       |FROM per_user
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_kmeans_embed"    -> (kmeansEmbed _),
-    "q_semantic_dedup"  -> (semanticDedup _),
-    "q_negative_sample" -> (negativeSample _),
+    "q_kmeans_embed"     -> (kmeansEmbed _),
+    "q_semantic_dedup"   -> (semanticDedup _),
+    "q_negative_sample"  -> (negativeSample _),
+    "q_calibration_bins" -> (calibrationBins _),
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_kmeans_embed"    -> kmeansEmbedSql,
-    "q_semantic_dedup"  -> semanticDedupSql,
-    "q_negative_sample" -> negativeSampleSql,
+    "q_kmeans_embed"     -> kmeansEmbedSql,
+    "q_semantic_dedup"   -> semanticDedupSql,
+    "q_negative_sample"  -> negativeSampleSql,
+    "q_calibration_bins" -> calibrationBinsSql,
   )
 }

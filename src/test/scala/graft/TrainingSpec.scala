@@ -157,4 +157,23 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
       .groupBy("l_orderkey", "l_linenumber").count().where(col("count") > 1).count()
     assert(m("dup_lineitem_pk") === dup)
   }
+
+  test("calibration bins: monotone predicted rate, populations partition users") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Training.calibrationBins(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    // value-keyed bins make the smoothed score strictly monotone in bin
+    val preds = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("pred_rate"))
+    preds.sliding(2).foreach {
+      case Array(a, b) => assert(b > a, "capped-count bins must order the score")
+      case _ =>
+    }
+    rows.foreach { r =>
+      val (p, o) = (r.getAs[Double]("pred_rate"), r.getAs[Double]("obs_rate"))
+      assert(p >= 0 && p < 1 && o >= 0 && o <= 1)
+      assert(math.abs(r.getAs[Double]("gap") - (BigDecimal(p) - BigDecimal(o)).toDouble) < 1e-9)
+    }
+    val nUsers = Tables.events(spark, sfTest).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers, "bins must partition the user base")
+  }
 }
