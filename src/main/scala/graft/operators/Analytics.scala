@@ -1030,7 +1030,63 @@ object Analytics {
        |  round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) AS click_to_purchase_w""".stripMargin
   }
 
+  /** Anchor Monday for the portable season index (well before any
+    * fixture date, so datediff stays non-negative). */
+  val SeasonAnchor = "2020-01-06"
+
+  /** Additive seasonal decomposition of the daily event-value series:
+    * v(day) = trend + seasonal(dow) + residual, the classical-
+    * decomposition baseline every anomaly/forecast pipeline starts
+    * from. Trend = 7-day centered moving average; seasonal = mean
+    * detrended value per weekday (a PORTABLE integer season index —
+    * days since an anchor Monday mod 7 — sidesteps the engines'
+    * different dayofweek numbering); residual = what's left. Every
+    * stage rounds before the next so the chain is engine-stable.
+    *
+    * Scale: the windows run on the POST-AGGREGATE daily series (one
+    * row per day); production decomposes many series at once by adding
+    * the series key to every partitionBy/groupBy — same plan, keyed.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 6).as("v"))
+    val wT = Window.orderBy("day").rowsBetween(-3, 3)
+    val d = daily
+      .withColumn("trend", round(avg("v").over(wT), 6))
+      .withColumn("season_idx",
+        datediff(col("day"), lit(java.sql.Date.valueOf(SeasonAnchor))) % 7)
+      .withColumn("detr", round(col("v") - col("trend"), 6))
+    val s = d.groupBy("season_idx").agg(round(avg("detr"), 6).as("seasonal"))
+    d.join(broadcast(s), "season_idx")
+      .withColumn("residual", round(col("detr") - col("seasonal"), 6))
+      .select("day", "v", "trend", "season_idx", "seasonal", "residual")
+      .orderBy("day")
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT ts::TIMESTAMP::DATE AS day, round(sum(value), 6) AS v
+       |  FROM events GROUP BY 1
+       |), t AS (
+       |  SELECT day, v,
+       |    round(avg(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+       |  FROM daily
+       |), d AS (
+       |  SELECT day, v, trend,
+       |    datediff('day', DATE '$SeasonAnchor', day) % 7 AS season_idx,
+       |    round(v - trend, 6) AS detr
+       |  FROM t
+       |), s AS (
+       |  SELECT season_idx, round(avg(detr), 6) AS seasonal FROM d GROUP BY 1
+       |)
+       |SELECT d.day, d.v, d.trend, d.season_idx, s.seasonal,
+       |  round(d.detr - s.seasonal, 6) AS residual
+       |FROM d JOIN s ON d.season_idx = s.season_idx
+       |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_window_funnel"     -> (windowFunnel _),
     "q_cohort_ltv"        -> (cohortLtv _),
     "q_forecast_naive"    -> (forecastNaive _),
@@ -1053,6 +1109,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_window_funnel"     -> windowFunnelSql,
     "q_cohort_ltv"        -> cohortLtvSql,
     "q_forecast_naive"    -> forecastNaiveSql,

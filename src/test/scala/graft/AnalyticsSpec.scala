@@ -268,4 +268,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(tc.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L),
       "day-9 click must fall outside the 7-day horizon")
   }
+
+  test("seasonal decomposition: components reassemble the series; seasonal sums to ~0") {
+    val rows = operators.Analytics.seasonalDecompose(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, t, se, res) = (r.getAs[Double]("v"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))
+      assert(math.abs(v - (t + se + res)) < 1e-4,
+        s"components must reassemble v on ${r.getAs[java.sql.Date]("day")}")
+      val idx = r.getAs[Int]("season_idx")
+      assert(idx >= 0 && idx <= 6)
+    }
+    // the seasonal component averages to ~0 across the series by construction
+    val meanSeasonal = rows.map(_.getAs[Double]("seasonal")).sum / rows.length
+    val meanAbsV = rows.map(r => math.abs(r.getAs[Double]("v"))).sum / rows.length
+    assert(math.abs(meanSeasonal) < 0.2 * meanAbsV)
+    // season index is stable per weekday: 7 distinct values at most
+    assert(rows.map(_.getAs[Int]("season_idx")).distinct.length <= 7)
+  }
 }
