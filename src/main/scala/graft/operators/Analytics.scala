@@ -47,10 +47,15 @@ object Analytics {
     val nv = tv.agg(count(lit(1)).as("n_viewers"))
     val nc = tc.agg(count(lit(1)).as("n_clickers"))
     val np = tp.agg(count(lit(1)).as("n_purchasers"))
+    // same empty-stage guard as windowFunnel: degenerate slices yield
+    // NULL rates instead of an ANSI DIVIDE_BY_ZERO
     nv.crossJoin(nc).crossJoin(np)
-      .withColumn("view_to_click", round(col("n_clickers") / col("n_viewers"), 6))
-      .withColumn("click_to_purchase", round(col("n_purchasers") / col("n_clickers"), 6))
-      .withColumn("overall", round(col("n_purchasers") / col("n_viewers"), 6))
+      .withColumn("view_to_click",
+        when(col("n_viewers") > 0, round(col("n_clickers") / col("n_viewers"), 6)))
+      .withColumn("click_to_purchase",
+        when(col("n_clickers") > 0, round(col("n_purchasers") / col("n_clickers"), 6)))
+      .withColumn("overall",
+        when(col("n_viewers") > 0, round(col("n_purchasers") / col("n_viewers"), 6)))
   }
 
   val sessionFunnelSql: String =
@@ -72,9 +77,12 @@ object Analytics {
       |  (SELECT count(*) FROM tv) AS n_viewers,
       |  (SELECT count(*) FROM tc) AS n_clickers,
       |  (SELECT count(*) FROM tp) AS n_purchasers,
-      |  round((SELECT count(*) FROM tc) / (SELECT count(*)::DOUBLE FROM tv), 6) AS view_to_click,
-      |  round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) AS click_to_purchase,
-      |  round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tv), 6) AS overall""".stripMargin
+      |  CASE WHEN (SELECT count(*) FROM tv) > 0
+      |    THEN round((SELECT count(*) FROM tc) / (SELECT count(*)::DOUBLE FROM tv), 6) END AS view_to_click,
+      |  CASE WHEN (SELECT count(*) FROM tc) > 0
+      |    THEN round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) END AS click_to_purchase,
+      |  CASE WHEN (SELECT count(*) FROM tv) > 0
+      |    THEN round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tv), 6) END AS overall""".stripMargin
 
   /** Weekly cohort retention: cohort = Monday-truncated week of a
     * user's FIRST event; for each (cohort, week offset) the distinct
@@ -999,9 +1007,14 @@ object Analytics {
     val nv = tv.agg(count(lit(1)).as("n_depth1"))
     val nc = tc.agg(count(lit(1)).as("n_depth2"))
     val np = tp.agg(count(lit(1)).as("n_depth3"))
+    // empty-stage guard: a degenerate slice (no viewers / no clickers)
+    // must yield NULL rates, not an ANSI DIVIDE_BY_ZERO crash — found
+    // by the single-view edge test
     nv.crossJoin(nc).crossJoin(np)
-      .withColumn("view_to_click_w", round(col("n_depth2") / col("n_depth1"), 6))
-      .withColumn("click_to_purchase_w", round(col("n_depth3") / col("n_depth2"), 6))
+      .withColumn("view_to_click_w",
+        when(col("n_depth1") > 0, round(col("n_depth2") / col("n_depth1"), 6)))
+      .withColumn("click_to_purchase_w",
+        when(col("n_depth2") > 0, round(col("n_depth3") / col("n_depth2"), 6)))
   }
 
   val windowFunnelSql: String = {
@@ -1026,8 +1039,10 @@ object Analytics {
        |  (SELECT count(*) FROM tv) AS n_depth1,
        |  (SELECT count(*) FROM tc) AS n_depth2,
        |  (SELECT count(*) FROM tp) AS n_depth3,
-       |  round((SELECT count(*) FROM tc) / (SELECT count(*)::DOUBLE FROM tv), 6) AS view_to_click_w,
-       |  round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) AS click_to_purchase_w""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM tv) > 0
+       |    THEN round((SELECT count(*) FROM tc) / (SELECT count(*)::DOUBLE FROM tv), 6) END AS view_to_click_w,
+       |  CASE WHEN (SELECT count(*) FROM tc) > 0
+       |    THEN round((SELECT count(*) FROM tp) / (SELECT count(*)::DOUBLE FROM tc), 6) END AS click_to_purchase_w""".stripMargin
   }
 
   /** Anchor Monday for the portable season index (well before any

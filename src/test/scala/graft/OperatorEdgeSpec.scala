@@ -114,4 +114,58 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     val lbls = Seq((1L, 1L)).toDF("src", "lbl")
     assert(operators.GraphRank.lpaRound(noEdges, lbls, fitsBroadcast = true).count() == 0)
   }
+
+  test("skyline degenerates: single point survives; identical points keep one entry with full count") {
+    import spark.implicits._
+    val dir1 = java.nio.file.Files.createTempDirectory("skyedge1").toString
+    Seq((10.0, 5)).toDF("p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir1/part.parquet")
+    val one = operators.Stats.paretoFront(spark, dir1).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 1L)
+    val dir2 = java.nio.file.Files.createTempDirectory("skyedge2").toString
+    Seq.fill(7)((10.0, 5)).toDF("p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir2/part.parquet")
+    val dup = operators.Stats.paretoFront(spark, dir2).collect()
+    assert(dup.length == 1 && dup(0).getLong(2) == 7L,
+      "identical points collapse to one skyline entry carrying the count")
+  }
+
+  test("equi-depth histogram with fewer rows than buckets emits one bucket per row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histedge").toString
+    Seq(3.0, 1.0, 2.0).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = operators.Stats.equidepthHist(spark, dir).collect()
+    // ntile(10) over 3 rows: buckets 1..3, one row each, value-ordered
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[Long]("n_rows") == 1L))
+    assert(rows.map(_.getAs[Double]("min_v")).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("sliding DAU over a single active day fills the trailing window ends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dauedge").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    Seq((1L, ts, 7L)).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Stats.slidingDau(spark, dir).collect()
+    // max day == the single day, so only that one window end survives the cap
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("users_7d") == 1L)
+  }
+
+  test("windowed funnel transform on a single-user single-view frame reports depth 1 only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funedge").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    Seq((1L, ts, 7L)).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Analytics.windowFunnel(spark, dir).collect().head
+    assert(r.getAs[Long]("n_depth1") == 1L)
+    assert(r.getAs[Long]("n_depth2") == 0L && r.getAs[Long]("n_depth3") == 0L)
+  }
 }
