@@ -324,7 +324,288 @@ object Stats {
        |FROM ci""".stripMargin
   }
 
+  /** Trailing frame (rows) for the rolling median. */
+  val MedianWindow = 7
+
+  /** 7-point rolling EXACT median of the daily value total per event
+    * type — the robust-trend smoother (EWMA's outlier-immune
+    * companion, see q_ewma_smooth). `percentile(v, 0.5)` over a ROWS
+    * frame interpolates exactly like DuckDB's windowed `median`, so
+    * the query is fully oracle-backed; daily totals are rounded
+    * BEFORE the median so both engines rank identical doubles.
+    *
+    * Scale: the frame is bounded (7 rows) and the series is bounded
+    * by calendar days × event types, so the window state is O(1) per
+    * row and the partition count is fixed — a 100 TB corpus changes
+    * only the one narrow daily pre-aggregate.
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(MedianWindow - 1), Window.currentRow)
+    daily
+      .withColumn("med_7d", round(expr("percentile(v, 0.5)").over(w), 4))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .select("event_type", "day", "v", "med_7d", "n_win")
+      .orderBy("event_type", "day")
+  }
+
+  val rollingMedianSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, ts::TIMESTAMP::DATE AS day, round(sum(value), 4) AS v
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day, v,
+       |  round(median(v) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN ${MedianWindow - 1} PRECEDING AND CURRENT ROW), 4) AS med_7d,
+       |  count(*) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN ${MedianWindow - 1} PRECEDING AND CURRENT ROW) AS n_win
+       |FROM daily ORDER BY event_type, day""".stripMargin
+
+  /** Trailing frame (rows = days) for the rolling correlation. */
+  val CorrWindow = 14
+
+  /** 14-day rolling Pearson correlation between daily purchase revenue
+    * and daily total event activity — the feature-engineering signal
+    * behind "is monetization tracking engagement this fortnight?".
+    * Emitted only for full frames, and NULL-guarded on zero variance
+    * (Spark yields NaN, DuckDB NULL — the guard makes both NULL).
+    *
+    * Scale: like [[rollingMedian]], everything after the first daily
+    * aggregate is calendar-bounded; the global single-partition window
+    * holds ≤ days rows regardless of corpus size.
+    */
+  def rollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("rev"),
+        count(lit(1)).cast("double").as("acts"))
+    val w = Window.orderBy("day").rowsBetween(-(CorrWindow - 1), Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("sd_r", stddev_samp(col("rev")).over(w))
+      .withColumn("sd_a", stddev_samp(col("acts")).over(w))
+      .withColumn("corr_14d",
+        when(col("sd_r") > 0 && col("sd_a") > 0,
+          round(corr(col("rev"), col("acts")).over(w), 4)))
+      .where(col("rn") >= CorrWindow)
+      .select("day", "rev", "acts", "corr_14d")
+      .orderBy("day")
+  }
+
+  val rollingCorrSql: String =
+    s"""WITH daily AS (
+       |  SELECT ts::TIMESTAMP::DATE AS day,
+       |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS rev,
+       |    count(*)::DOUBLE AS acts
+       |  FROM events GROUP BY 1
+       |), win AS (
+       |  SELECT day, rev, acts,
+       |    row_number() OVER (ORDER BY day) AS rn,
+       |    stddev_samp(rev) OVER w AS sd_r,
+       |    stddev_samp(acts) OVER w AS sd_a,
+       |    corr(rev, acts) OVER w AS c
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN ${CorrWindow - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT day, rev, acts,
+       |  CASE WHEN sd_r > 0 AND sd_a > 0 THEN round(c, 4) END AS corr_14d
+       |FROM win WHERE rn >= $CorrWindow ORDER BY day""".stripMargin
+
+  /** Decile edges for the PSI buckets. */
+  val PsiQuantiles: Seq[Double] = (1 to 9).map(_ / 10.0)
+  /** Laplace pseudo-count per bucket: shares are (n+α)/(tot+B·α), so an
+    * empty bucket contributes its honest ~p·ln(p/p̃) instead of the
+    * pathological p·ln(p/ε) a hard epsilon clamp produces (one empty
+    * decile under a 1e-6 clamp reads as PSI ≈ 1.1 on its own). */
+  val PsiAlpha = 0.5
+  /** Bucket count (decile edges + 1). */
+  val PsiBuckets: Int = PsiQuantiles.size + 1
+
+  /** Population Stability Index of the `value` distribution per event
+    * type, current half of the corpus vs the reference (first) half —
+    * the standard production drift monitor for ML feature inputs
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain).
+    *
+    * Decile breakpoints come from the REFERENCE period only (that is
+    * the definition: fixed expected bins), are rounded to 4 decimals
+    * on both engines before bucketing, and both halves are bucketed
+    * with one `aggregate` HOF pass — a missing bucket on either side
+    * shows up as a zero count Laplace-smoothed by [[PsiAlpha]].
+    *
+    * Scale: one exact percentile per event type over the reference
+    * half (at 100 TB this becomes approx_percentile — the mechanism
+    * is unchanged), a broadcast of the |types|×9 breakpoint table,
+    * then one narrow conditional aggregate. No self-joins.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = PsiQuantiles.mkString("array(", ", ", ")")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val bounds = ev.agg(min("day").as("min_d"), max("day").as("max_d"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref",
+        datediff(col("day"), col("min_d")) * 2 < datediff(col("max_d"), col("min_d")))
+    val bks = tagged.where(col("is_ref"))
+      .groupBy("event_type")
+      .agg(expr(s"transform(percentile(value, $qs), b -> round(b, 4))").as("bks"))
+    val counted = tagged.join(broadcast(bks), "event_type")
+      .withColumn("bucket",
+        expr("aggregate(bks, 0, (acc, b) -> acc + IF(value > b, 1, 0))"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        sum(when(col("is_ref"), 1).otherwise(0)).as("ref_n"),
+        sum(when(!col("is_ref"), 1).otherwise(0)).as("cur_n"))
+    val wT = Window.partitionBy("event_type")
+    counted
+      .withColumn("ref_tot", sum("ref_n").over(wT))
+      .withColumn("cur_tot", sum("cur_n").over(wT))
+      .withColumn("pr",
+        (col("ref_n") + lit(PsiAlpha)) / (col("ref_tot") + lit(PsiBuckets * PsiAlpha)))
+      .withColumn("pc",
+        (col("cur_n") + lit(PsiAlpha)) / (col("cur_tot") + lit(PsiBuckets * PsiAlpha)))
+      .groupBy("event_type")
+      .agg(
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4).as("psi"),
+        max("ref_tot").as("n_ref"),
+        max("cur_tot").as("n_cur"))
+      .orderBy("event_type")
+  }
+
+  val psiDriftSql: String = {
+    val qs = PsiQuantiles.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+       |), b AS (
+       |  SELECT min(day) AS min_d, max(day) AS max_d FROM ev
+       |), tagged AS (
+       |  SELECT e.*, (day - min_d) * 2 < (max_d - min_d) AS is_ref
+       |  FROM ev e CROSS JOIN b
+       |), bks AS (
+       |  SELECT event_type,
+       |    list_transform(quantile_cont(value, $qs), x -> round(x, 4)) AS bks
+       |  FROM tagged WHERE is_ref GROUP BY event_type
+       |), counted AS (
+       |  SELECT t.event_type,
+       |    len(list_filter(k.bks, b -> t.value > b)) AS bucket,
+       |    sum(CASE WHEN t.is_ref THEN 1 ELSE 0 END) AS ref_n,
+       |    sum(CASE WHEN t.is_ref THEN 0 ELSE 1 END) AS cur_n
+       |  FROM tagged t JOIN bks k USING (event_type)
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT *,
+       |    sum(ref_n) OVER (PARTITION BY event_type) AS ref_tot,
+       |    sum(cur_n) OVER (PARTITION BY event_type) AS cur_tot
+       |  FROM counted
+       |), p AS (
+       |  SELECT event_type, ref_tot, cur_tot,
+       |    (ref_n + $PsiAlpha) / (ref_tot + ${PsiBuckets * PsiAlpha}) AS pr,
+       |    (cur_n + $PsiAlpha) / (cur_tot + ${PsiBuckets * PsiAlpha}) AS pc
+       |  FROM tot
+       |)
+       |SELECT event_type,
+       |  round(sum((pc - pr) * ln(pc / pr)), 4) AS psi,
+       |  max(ref_tot)::BIGINT AS n_ref, max(cur_tot)::BIGINT AS n_cur
+       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** Pseudo-count mass of the global prior (Beta-Binomial m). */
+  val SmoothM = 20.0
+  /** Ranked output size. */
+  val SmoothTopN = 20
+
+  /** Empirical-Bayes smoothed per-user purchase rate: shrink each
+    * user's raw purchase share toward the global rate with prior mass
+    * [[SmoothM]] — the standard fix for "2/2 events beats 180/200" in
+    * CTR/popularity ranking (Beta(m·p₀, m·(1−p₀)) posterior mean).
+    * Top [[SmoothTopN]] users by the smoothed rate, rate ties broken
+    * by user id so the cut is total-ordered on both engines.
+    *
+    * Scale: one per-user aggregate, a 1-row global prior broadcast,
+    * and a TakeOrderedAndProject head — no shuffle beyond the agg.
+    */
+  def bayesRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
+    val prior = per.agg(
+      (sum("n_purchases").cast("double") / sum("n_events")).as("p0"))
+    per.crossJoin(broadcast(prior))
+      .withColumn("raw_rate",
+        round(col("n_purchases").cast("double") / col("n_events"), 4))
+      .withColumn("smoothed_rate",
+        round((col("n_purchases") + lit(SmoothM) * col("p0")) / (col("n_events") + lit(SmoothM)), 4))
+      .select("user_id", "n_events", "n_purchases", "raw_rate", "smoothed_rate")
+      .orderBy(col("smoothed_rate").desc, col("user_id").asc)
+      .limit(SmoothTopN)
+  }
+
+  val bayesRateSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
+       |  FROM events GROUP BY 1
+       |), prior AS (
+       |  SELECT sum(n_purchases)::DOUBLE / sum(n_events) AS p0 FROM per
+       |)
+       |SELECT user_id, n_events, n_purchases,
+       |  round(n_purchases::DOUBLE / n_events, 4) AS raw_rate,
+       |  round((n_purchases + $SmoothM * p0) / (n_events + $SmoothM), 4) AS smoothed_rate
+       |FROM per CROSS JOIN prior
+       |ORDER BY smoothed_rate DESC, user_id ASC
+       |LIMIT $SmoothTopN""".stripMargin
+
+  /** Benford first-digit audit of order totals — the forensic
+    * data-quality screen for fabricated or truncated monetary columns:
+    * observed leading-digit shares vs the Benford expectation
+    * log₁₀(1+1/d), with each digit's χ² contribution. The digit comes
+    * from the floor()ed integer part (never a double→int cast, whose
+    * rounding mode differs across engines).
+    *
+    * Scale: a 9-group aggregate over one projected column; the digit
+    * is a codegen scalar expression.
+    */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDigit = Tables.orders(spark, sfDir)
+      .withColumn("digit",
+        substring(floor(col("o_totalprice")).cast("string"), 1, 1).cast("int"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum("n").as("tot"))
+    byDigit.crossJoin(broadcast(total))
+      .withColumn("p_exp", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("obs_pct", round(col("n").cast("double") / col("tot"), 4))
+      .withColumn("benford_pct", round(col("p_exp"), 4))
+      .withColumn("chi2_term",
+        round(pow(col("n") - col("tot") * col("p_exp"), 2) / (col("tot") * col("p_exp")), 4))
+      .select("digit", "n", "obs_pct", "benford_pct", "chi2_term")
+      .orderBy("digit")
+  }
+
+  val benfordSql: String =
+    """WITH d AS (
+      |  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1
+      |), t AS (SELECT sum(n) AS tot FROM d)
+      |SELECT digit, n,
+      |  round(n::DOUBLE / tot, 4) AS obs_pct,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS benford_pct,
+      |  round(pow(n - tot * log10(1.0 + 1.0 / digit), 2)
+      |        / (tot * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+      |FROM d CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_median" -> (rollingMedian _),
+    "q_rolling_corr"   -> (rollingCorr _),
+    "q_psi_drift"      -> (psiDrift _),
+    "q_bayes_rate"     -> (bayesRate _),
+    "q_benford"        -> (benford _),
     "q_bootstrap_ci"   -> (bootstrapCi _),
     "q_pareto_front"   -> (paretoFront _),
     "q_equidepth_hist" -> (equidepthHist _),
@@ -333,6 +614,11 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rolling_median" -> rollingMedianSql,
+    "q_rolling_corr"   -> rollingCorrSql,
+    "q_psi_drift"      -> psiDriftSql,
+    "q_bayes_rate"     -> bayesRateSql,
+    "q_benford"        -> benfordSql,
     "q_bootstrap_ci"   -> bootstrapCiSql,
     "q_pareto_front"   -> paretoFrontSql,
     "q_equidepth_hist" -> equidepthHistSql,

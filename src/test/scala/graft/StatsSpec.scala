@@ -134,6 +134,113 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(secs < 30.0, f"two-phase skyline took $secs%.1f s on 300k points")
   }
 
+  test("rolling median: full-window rows equal a local exact median of the trailing frame") {
+    // (type -> day-ordered (day, v) series), recomputed locally
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toVector).toMap
+    def localMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      val m = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      math.rint(m * 1e4) / 1e4
+    }
+    val got = operators.Stats.rollingMedian(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (et, day) = (r.getString(0), r.getDate(1).toString)
+      val series = daily(et)
+      val i = series.indexWhere(_._1 == day)
+      assert(i >= 0, s"day $day missing from local series for $et")
+      val frame = series.slice(math.max(0, i - operators.Stats.MedianWindow + 1), i + 1).map(_._2)
+      assert(r.getLong(4) == frame.length, s"n_win mismatch at $et/$day")
+      assert(math.abs(r.getDouble(3) - localMedian(frame)) < 1e-9,
+        s"median mismatch at $et/$day: got ${r.getDouble(3)}, want ${localMedian(frame)}")
+    }
+  }
+
+  test("rolling corr: bounded in [-1,1] and matches a local Pearson on the last full frame") {
+    val rows = operators.Stats.rollingCorr(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+      }
+    }
+    // recompute the final row's correlation locally from the daily series
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("rev"),
+           count(lit(1)).cast("double").as("acts"))
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val frame = daily.takeRight(operators.Stats.CorrWindow)
+    val n = frame.length
+    val (mx, my) = (frame.map(_._1).sum / n, frame.map(_._2).sum / n)
+    val cov = frame.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val (sx, sy) = (math.sqrt(frame.map(p => math.pow(p._1 - mx, 2)).sum),
+                    math.sqrt(frame.map(p => math.pow(p._2 - my, 2)).sum))
+    val want = math.rint(cov / (sx * sy) * 1e4) / 1e4
+    val last = rows.last
+    assert(!last.isNullAt(3) && math.abs(last.getDouble(3) - want) < 1e-3,
+      s"final-frame corr ${last.getDouble(3)} vs local $want")
+  }
+
+  test("psi drift: non-negative, halves partition the corpus, near zero on an identical split") {
+    val rows = operators.Stats.psiDrift(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, sfTest)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val psi = r.getDouble(1)
+      assert(psi >= -1e-9, s"PSI must be non-negative, got $psi for ${r.getString(0)}")
+      assert(r.getLong(2) + r.getLong(3) == totals(r.getString(0)),
+        "ref + cur must partition the corpus")
+      // the fixture's value distribution is stationary by construction,
+      // but PSI has a small-sample bias of E[PSI] ~ B*(1/n_ref + 1/n_cur)
+      // for B bins (chi-square-like): allow the drift threshold plus
+      // three times that bias so tiny sf0.001 halves don't false-alarm
+      val bias = 10.0 * (1.0 / r.getLong(2) + 1.0 / r.getLong(3))
+      assert(psi < 0.1 + 3 * bias,
+        s"stationary fixture reads as drift: psi=$psi bias=$bias")
+    }
+  }
+
+  test("bayes rate: smoothing shrinks every raw rate toward the global prior") {
+    val per = Tables.events(spark, sfTest)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(sum("p").cast("double") / sum("n")).head.getDouble(0)
+    val rows = operators.Stats.bayesRate(spark, sfTest).collect()
+    assert(rows.length <= operators.Stats.SmoothTopN && rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, sm) = (r.getDouble(3), r.getDouble(4))
+      val (lo, hi) = (math.min(raw, per) - 1e-4, math.max(raw, per) + 1e-4)
+      assert(sm >= lo && sm <= hi,
+        s"smoothed $sm escapes [raw=$raw, prior=$per] for user ${r.getLong(0)}")
+    }
+    // ranked output is ordered by smoothed rate desc
+    val sms = rows.map(_.getDouble(4))
+    assert(sms.zip(sms.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("benford: shares sum to one, expectations are Benford, chi2 terms non-negative") {
+    val rows = operators.Stats.benford(spark, sfTest).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9), "all nine leading digits present")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(math.abs(r.getDouble(3) - math.rint(math.log10(1.0 + 1.0 / d) * 1e4) / 1e4) < 1e-9)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("bootstrap CI: brackets the point estimate, replayable, Poisson weights mean ~1") {
     import org.apache.spark.sql.functions._
     val r1 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
