@@ -600,7 +600,298 @@ object Stats {
       |FROM d CROSS JOIN t
       |ORDER BY digit""".stripMargin
 
+  /** KS significance threshold: c(α=0.05) for the two-sample statistic. */
+  val KsAlpha05 = 1.358
+
+  /** Two-sample Kolmogorov–Smirnov drift test per event type, current
+    * half vs reference half (same split as [[psiDrift]] — the two are
+    * companions: PSI quantifies binned share drift, KS tests the full
+    * CDF with a distribution-free critical value). D = max |F_ref −
+    * F_cur| over the pooled value support; ECDFs use the default RANGE
+    * window frame so ties (peers) are absorbed identically on both
+    * engines. Also emits the scaled statistic c = D·√(n₁n₂/(n₁+n₂))
+    * and the α=0.05 reject flag (c > 1.358).
+    *
+    * Scale: values pre-aggregate to (type, value, side-counts) —
+    * bounded by the distinct-value domain, not row count; one window
+    * pass per type over that compacted table.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val bounds = ev.agg(min("day").as("min_d"), max("day").as("max_d"))
+    val byVal = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref",
+        datediff(col("day"), col("min_d")) * 2 < datediff(col("max_d"), col("min_d")))
+      .groupBy("event_type", "value")
+      .agg(
+        sum(when(col("is_ref"), 1).otherwise(0)).as("ref_c"),
+        sum(when(!col("is_ref"), 1).otherwise(0)).as("cur_c"))
+    // default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: peers included
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val wT = Window.partitionBy("event_type")
+    byVal
+      .withColumn("ref_tot", sum("ref_c").over(wT))
+      .withColumn("cur_tot", sum("cur_c").over(wT))
+      .withColumn("d", abs(
+        sum("ref_c").over(w).cast("double") / col("ref_tot") -
+        sum("cur_c").over(w).cast("double") / col("cur_tot")))
+      .groupBy("event_type")
+      .agg(
+        max("ref_tot").as("n_ref"),
+        max("cur_tot").as("n_cur"),
+        round(max("d"), 4).as("ks_d"),
+        // double math before the product: n1*n2 as integers overflows
+        // long once the corpus passes ~3e9 rows/side
+        round(max("d") * sqrt(max("ref_tot").cast("double") * max("cur_tot") /
+          (max("ref_tot") + max("cur_tot")).cast("double")), 4).as("ks_stat"))
+      .withColumn("reject_05", col("ks_stat") > KsAlpha05)
+      .orderBy("event_type")
+  }
+
+  val ksTestSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+       |), b AS (
+       |  SELECT min(day) AS min_d, max(day) AS max_d FROM ev
+       |), byval AS (
+       |  SELECT event_type, value,
+       |    sum(CASE WHEN (day - min_d) * 2 < (max_d - min_d) THEN 1 ELSE 0 END) AS ref_c,
+       |    sum(CASE WHEN (day - min_d) * 2 < (max_d - min_d) THEN 0 ELSE 1 END) AS cur_c
+       |  FROM ev CROSS JOIN b
+       |  GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type,
+       |    sum(ref_c) OVER (PARTITION BY event_type) AS ref_tot,
+       |    sum(cur_c) OVER (PARTITION BY event_type) AS cur_tot,
+       |    abs(sum(ref_c) OVER (PARTITION BY event_type ORDER BY value)::DOUBLE
+       |          / sum(ref_c) OVER (PARTITION BY event_type)
+       |        - sum(cur_c) OVER (PARTITION BY event_type ORDER BY value)::DOUBLE
+       |          / sum(cur_c) OVER (PARTITION BY event_type)) AS d
+       |  FROM byval
+       |), agg AS (
+       |  SELECT event_type,
+       |    max(ref_tot)::BIGINT AS n_ref, max(cur_tot)::BIGINT AS n_cur,
+       |    round(max(d), 4) AS ks_d,
+       |    round(max(d) * sqrt(max(ref_tot)::DOUBLE * max(cur_tot)
+       |          / (max(ref_tot) + max(cur_tot))::DOUBLE), 4) AS ks_stat
+       |  FROM cum GROUP BY event_type
+       |)
+       |SELECT event_type, n_ref, n_cur, ks_d, ks_stat,
+       |  ks_stat > $KsAlpha05 AS reject_05
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** Items ranked for the Kendall-tau agreement audit. */
+  val TauTopN = 100
+
+  /** Kendall rank correlation (tau-a over tie-broken total orders)
+    * between two item rankers — order count vs revenue — on the top
+    * [[TauTopN]] items by count. The eval-side answer to "do my two
+    * rankers agree enough that the cheap one can gate the expensive
+    * one?"; complements q_eval_ranking's NDCG (position-weighted vs
+    * pair-order agreement). Ranks are made total orders by an item-id
+    * tiebreak, so C + D = N(N−1)/2 exactly and both engines count
+    * identical pairs.
+    *
+    * Scale: the pair space is the top-N² / 2 (4,950 pairs at N=100) —
+    * a broadcast self-join over a bounded head table, never the
+    * catalog.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_orders").desc, col("item_id").asc)
+      .limit(TauTopN)
+      .withColumn("rank_cnt", row_number().over(
+        Window.orderBy(col("n_orders").desc, col("item_id").asc)))
+      .withColumn("rank_rev", row_number().over(
+        Window.orderBy(col("revenue").desc, col("item_id").asc)))
+      .select("item_id", "rank_cnt", "rank_rev")
+    val a = items.as("a")
+    val b = items.as("b")
+    val pairs = a.join(broadcast(b), col("a.item_id") < col("b.item_id"))
+      .select(
+        ((col("a.rank_cnt") < col("b.rank_cnt")) === (col("a.rank_rev") < col("b.rank_rev")))
+          .cast("int").as("concordant"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum("concordant").as("n_concordant"))
+      .withColumn("n_discordant", col("n_pairs") - col("n_concordant"))
+      .withColumn("tau",
+        round((col("n_concordant") - col("n_discordant")).cast("double") / col("n_pairs"), 4))
+      .select("n_pairs", "n_concordant", "n_discordant", "tau")
+  }
+
+  val kendallTauSql: String =
+    s"""WITH items AS (
+       |  SELECT l_partkey AS item_id, count(*) AS n_orders,
+       |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       |  FROM lineitem GROUP BY 1
+       |  ORDER BY n_orders DESC, item_id ASC LIMIT $TauTopN
+       |), ranked AS (
+       |  SELECT item_id,
+       |    row_number() OVER (ORDER BY n_orders DESC, item_id ASC) AS rank_cnt,
+       |    row_number() OVER (ORDER BY revenue DESC, item_id ASC) AS rank_rev
+       |  FROM items
+       |), pairs AS (
+       |  SELECT CASE WHEN (a.rank_cnt < b.rank_cnt) = (a.rank_rev < b.rank_rev)
+       |    THEN 1 ELSE 0 END AS concordant
+       |  FROM ranked a JOIN ranked b ON a.item_id < b.item_id
+       |)
+       |SELECT count(*) AS n_pairs,
+       |  sum(concordant)::BIGINT AS n_concordant,
+       |  (count(*) - sum(concordant))::BIGINT AS n_discordant,
+       |  round((sum(concordant) - (count(*) - sum(concordant)))::DOUBLE / count(*), 4) AS tau
+       |FROM pairs""".stripMargin
+
+  /** Minimum days on each side of a change-point candidate. */
+  val CpMinSeg = 5
+
+  /** Single change-point detection on the daily total value series:
+    * the split day maximizing the two-sample t statistic between the
+    * segment means (binary segmentation, step 1 — the scalable
+    * classic). Prefix sums over one bounded window give every
+    * candidate's segment means and pooled variance in one pass; the
+    * argmax is a 1-row head over the rounded statistic with an
+    * earliest-day tiebreak, so both engines pick the same day.
+    *
+    * Scale: the series is calendar-bounded after the daily aggregate;
+    * the scan is a window over ≤ days rows.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(
+      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    daily
+      .withColumn("n1", count(lit(1)).over(w))
+      .withColumn("s1", sum("v").over(w))
+      .withColumn("ss1", sum(col("v") * col("v")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("n2", col("n") - col("n1"))
+      .where(col("n1") >= CpMinSeg && col("n2") >= CpMinSeg)
+      .withColumn("m1", col("s1") / col("n1"))
+      .withColumn("m2", (col("s") - col("s1")) / col("n2"))
+      .withColumn("pooled",
+        ((col("ss1") - col("n1") * col("m1") * col("m1")) +
+         (col("ss") - col("ss1") - col("n2") * col("m2") * col("m2"))) / (col("n") - 2))
+      .withColumn("t_stat", round(
+        abs(col("m1") - col("m2")) /
+        sqrt(col("pooled") * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4))
+      .select(col("day").as("split_day"), round(col("m1"), 4).as("mean_before"),
+        round(col("m2"), 4).as("mean_after"), col("t_stat"))
+      .orderBy(col("t_stat").desc, col("split_day").asc)
+      .limit(1)
+  }
+
+  val changepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT ts::TIMESTAMP::DATE AS day, round(sum(value), 4) AS v
+       |  FROM events GROUP BY 1
+       |), pre AS (
+       |  SELECT day,
+       |    count(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+       |    sum(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+       |    sum(v * v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss1
+       |  FROM daily
+       |), tot AS (
+       |  SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM daily
+       |), cand AS (
+       |  SELECT day, n1, s1, ss1, n, s, ss, n - n1 AS n2,
+       |    s1 / n1 AS m1, (s - s1) / (n - n1) AS m2
+       |  FROM pre CROSS JOIN tot
+       |  WHERE n1 >= $CpMinSeg AND n - n1 >= $CpMinSeg
+       |), scored AS (
+       |  SELECT day AS split_day, round(m1, 4) AS mean_before, round(m2, 4) AS mean_after,
+       |    round(abs(m1 - m2) / sqrt((((ss1 - n1 * m1 * m1)
+       |      + (ss - ss1 - n2 * m2 * m2)) / (n - 2))
+       |      * (1.0 / n1 + 1.0 / n2)), 4) AS t_stat
+       |  FROM cand
+       |)
+       |SELECT * FROM scored ORDER BY t_stat DESC, split_day ASC LIMIT 1""".stripMargin
+
+  /** Right-censoring horizon: a user whose last event is within this
+    * many days of the corpus end may still be active. */
+  val KmCensorDays = 7
+
+  /** Kaplan–Meier retention curve over user lifetimes: duration =
+    * days between a user's first and last event; a lifetime is an
+    * observed churn only if the last event predates the corpus end by
+    * more than [[KmCensorDays]] (otherwise right-censored — the user
+    * may still be active). S(t) = Π_{u ≤ t} (1 − d_u/n_u), computed
+    * as exp(Σ ln) with a cumulative zero-factor guard (both engines
+    * lack a product aggregate/window combination that agrees).
+    *
+    * The survival-analysis answer to "how long do users stay?" next
+    * to q_retention_cohorts' calendar-grid rates: KM handles censored
+    * users correctly instead of undercounting them as churned.
+    *
+    * Scale: one per-user aggregate, then everything is over distinct
+    * durations (≤ days rows).
+    */
+  def survivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val horizon = ev.agg(max("day").as("max_d"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_d"), max("day").as("last_d"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("duration", datediff(col("last_d"), col("first_d")))
+      .withColumn("churned",
+        (datediff(col("max_d"), col("last_d")) > KmCensorDays).cast("int"))
+    val byDur = users.groupBy("duration")
+      .agg(count(lit(1)).as("n_ending"), sum("churned").as("n_churn"))
+    val wPrev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totalDf = users.agg(count(lit(1)).as("n_users"))
+    byDur.crossJoin(broadcast(totalDf))
+      .withColumn("n_risk", col("n_users") - coalesce(sum("n_ending").over(wPrev), lit(0L)))
+      .withColumn("factor",
+        (col("n_risk") - col("n_churn")).cast("double") / col("n_risk"))
+      .withColumn("zero_seen", min(col("n_risk") - col("n_churn")).over(wCum))
+      .withColumn("survival",
+        when(col("zero_seen") === 0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("factor"))).over(wCum)), 4)))
+      .select("duration", "n_risk", "n_churn", "survival")
+      .orderBy("duration")
+  }
+
+  val survivalKmSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts::TIMESTAMP::DATE AS day FROM events
+       |), h AS (SELECT max(day) AS max_d FROM ev),
+       |users AS (
+       |  SELECT user_id, max_d, min(day) AS first_d, max(day) AS last_d,
+       |    max(day) - min(day) AS duration,
+       |    CASE WHEN max_d - max(day) > $KmCensorDays THEN 1 ELSE 0 END AS churned
+       |  FROM ev CROSS JOIN h GROUP BY user_id, max_d
+       |), bydur AS (
+       |  SELECT duration, count(*) AS n_ending, sum(churned) AS n_churn
+       |  FROM users GROUP BY 1
+       |), t AS (SELECT count(*) AS n_users FROM users),
+       |risk AS (
+       |  SELECT duration, n_churn,
+       |    n_users - coalesce(sum(n_ending) OVER
+       |      (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM bydur CROSS JOIN t
+       |)
+       |SELECT duration, n_risk::BIGINT AS n_risk, n_churn::BIGINT AS n_churn,
+       |  CASE WHEN min(n_risk - n_churn) OVER
+       |      (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+       |    THEN 0.0
+       |    ELSE round(exp(sum(ln((n_risk - n_churn)::DOUBLE / n_risk)) OVER
+       |      (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+       |  END AS survival
+       |FROM risk ORDER BY duration""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ks_test"        -> (ksTest _),
+    "q_kendall_tau"    -> (kendallTau _),
+    "q_changepoint"    -> (changepoint _),
+    "q_survival_km"    -> (survivalKm _),
     "q_rolling_median" -> (rollingMedian _),
     "q_rolling_corr"   -> (rollingCorr _),
     "q_psi_drift"      -> (psiDrift _),
@@ -614,6 +905,10 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks_test"        -> ksTestSql,
+    "q_kendall_tau"    -> kendallTauSql,
+    "q_changepoint"    -> changepointSql,
+    "q_survival_km"    -> survivalKmSql,
     "q_rolling_median" -> rollingMedianSql,
     "q_rolling_corr"   -> rollingCorrSql,
     "q_psi_drift"      -> psiDriftSql,

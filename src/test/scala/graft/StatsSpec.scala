@@ -241,6 +241,95 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ks test: D matches a local two-sample ECDF sweep per event type") {
+    val ev = Tables.events(spark, sfTest)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val (minD, maxD) = (ev.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)),
+                        ev.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+    val span = maxD.toEpochDay - minD.toEpochDay
+    val got = operators.Stats.ksTest(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val (ref, cur) = ev.filter(_._1 == et)
+        .partition(e => (e._2.toEpochDay - minD.toEpochDay) * 2 < span)
+      assert(r.getLong(1) == ref.length && r.getLong(2) == cur.length)
+      val support = (ref ++ cur).map(_._3).distinct.sorted
+      val d = support.map { v =>
+        math.abs(ref.count(_._3 <= v).toDouble / ref.length -
+                 cur.count(_._3 <= v).toDouble / cur.length)
+      }.max
+      assert(math.abs(r.getDouble(3) - math.rint(d * 1e4) / 1e4) < 1e-9,
+        s"KS D mismatch for $et: got ${r.getDouble(3)}, want $d")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
+
+  test("kendall tau: pair counts partition, tau bounded, matches a local pair count") {
+    val r = operators.Stats.kendallTau(spark, sfTest).collect().head
+    val (np, nc, nd, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val n = operators.Stats.TauTopN.toLong
+    assert(np <= n * (n - 1) / 2 && np > 0)
+    assert(nc + nd == np, "concordant + discordant must partition the pair set")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // local recompute from the two rankings
+    val items = Tables.lineitem(spark, sfTest)
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_orders").desc, col("item_id").asc)
+      .limit(operators.Stats.TauTopN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCnt = items.sortBy(i => (-i._2, i._1)).map(_._1).zipWithIndex.toMap
+    val byRev = items.sortBy(i => (-i._3, i._1)).map(_._1).zipWithIndex.toMap
+    val ids = items.map(_._1)
+    var c = 0L; var t = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      t += 1
+      if ((byCnt(a) < byCnt(b)) == (byRev(a) < byRev(b))) c += 1
+    }
+    assert(np == t && nc == c, s"pairs: got ($np,$nc), local ($t,$c)")
+  }
+
+  test("changepoint: matches a local exhaustive split scan") {
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val n = daily.length
+    val best = (operators.Stats.CpMinSeg to n - operators.Stats.CpMinSeg).map { k =>
+      val (a, b) = daily.splitAt(k)
+      val (m1, m2) = (a.map(_._2).sum / k, b.map(_._2).sum / (n - k))
+      val ss = a.map(x => math.pow(x._2 - m1, 2)).sum + b.map(x => math.pow(x._2 - m2, 2)).sum
+      val tstat = math.abs(m1 - m2) / math.sqrt(ss / (n - 2) * (1.0 / k + 1.0 / (n - k)))
+      (math.rint(tstat * 1e4) / 1e4, a.last._1)
+    }.sortBy { case (t, day) => (-t, day) }.head // t desc, earliest day on ties
+    val r = operators.Stats.changepoint(spark, sfTest).collect().head
+    assert(r.getDate(0).toString == best._2, s"split day ${r.getDate(0)} vs local ${best._2}")
+    assert(math.abs(r.getDouble(3) - best._1) < 1e-9)
+  }
+
+  test("survival KM: monotone non-increasing from full risk set, matches local product") {
+    val rows = operators.Stats.survivalKm(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sfTest).select("user_id").distinct().count()
+    assert(rows.head.getLong(1) == nUsers, "first risk set is every user")
+    val survs = rows.map(_.getDouble(3))
+    assert(survs.zip(survs.tail).forall { case (a, b) => a >= b - 1e-9 }, "S(t) non-increasing")
+    assert(survs.forall(s => s >= 0 && s <= 1))
+    // local KM product over the same (n_risk, n_churn) table
+    var s = 1.0
+    rows.foreach { r =>
+      val (nr, nc) = (r.getLong(1), r.getLong(2))
+      s *= (nr - nc).toDouble / nr
+      val want = if (s == 0.0) 0.0 else math.rint(s * 1e4) / 1e4
+      assert(math.abs(r.getDouble(3) - want) < 2e-4,
+        s"KM at duration ${r.getInt(0)}: got ${r.getDouble(3)}, want $want")
+    }
+  }
+
   test("bootstrap CI: brackets the point estimate, replayable, Poisson weights mean ~1") {
     import org.apache.spark.sql.functions._
     val r1 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
