@@ -1557,7 +1557,85 @@ object Recsys {
        |) WHERE rk <= $AffinityTop
        |ORDER BY rk""".stripMargin
 
+  /** MMR candidate pool / emitted list / relevance-diversity trade-off. */
+  val MmrCandidates = 50
+  val MmrTopN = 10
+  val MmrLambda = 0.7
+
+  /** MMR (Maximal Marginal Relevance) diversified re-rank of the
+    * revenue-top [[MmrCandidates]] items under a brand-indicator
+    * similarity, emitting the first [[MmrTopN]] picks — the standard
+    * "don't show ten near-identical items" re-ranker next to the
+    * diversity AUDITS (q_rec_diversity measures, this one acts).
+    *
+    * The greedy MMR loop (pick argmax λ·rel − (1−λ)·max-sim-to-
+    * selected, repeat) is inherently sequential — but with a 0/1
+    * brand-indicator similarity it collapses to a CLOSED FORM: a
+    * brand's relevance leader always outscores its brand-mates
+    * (λ·rel_lead ≥ λ·rel_mate > λ·rel_mate − (1−λ)), so the leader is
+    * always selected first and every non-leader is penalized by
+    * exactly (1−λ) at its own selection time. Greedy order ≡ sort by
+    * adj = λ·rel − (1−λ)·[brand_rank > 1]. Two windows replace an
+    * unparallelizable k-step loop; RecsysSpec runs the literal greedy
+    * loop and pins the equivalence.
+    *
+    * Scale: the quadratic-looking re-rank is over a bounded candidate
+    * head (TakeOrderedAndProject); the catalog-wide scoring feeding
+    * it is one aggregate. Relevance is normalized by the pool max so
+    * λ trades off against a [0,1] score as in the original
+    * formulation (Carbonell & Goldstein 1998).
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("item_id").asc)
+      .limit(MmrCandidates)
+    val brands = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val mx = cand.agg(max("revenue").as("max_rev"))
+    cand.join(broadcast(brands), col("item_id") === col("p_partkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("rel", col("revenue") / col("max_rev"))
+      .withColumn("brand_rn", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("rel").desc, col("item_id").asc)))
+      .withColumn("mmr_score", round(
+        lit(MmrLambda) * col("rel") -
+        lit(1 - MmrLambda) * (col("brand_rn") > 1).cast("int"), 6))
+      .withColumn("mmr_rank", row_number().over(
+        Window.orderBy(col("mmr_score").desc, col("item_id").asc)))
+      .where(col("mmr_rank") <= MmrTopN)
+      .select(col("mmr_rank"), col("item_id"), col("p_brand").as("brand"),
+        round(col("rel"), 4).as("relevance"), col("mmr_score"))
+      .orderBy("mmr_rank")
+  }
+
+  val mmrRerankSql: String =
+    s"""WITH cand AS (
+       |  SELECT l_partkey AS item_id,
+       |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       |  FROM lineitem GROUP BY 1
+       |  ORDER BY revenue DESC, item_id ASC LIMIT $MmrCandidates
+       |), scored AS (
+       |  SELECT c.item_id, p.p_brand AS brand,
+       |    c.revenue / (SELECT max(revenue) FROM cand) AS rel
+       |  FROM cand c JOIN part p ON c.item_id = p.p_partkey
+       |), adj AS (
+       |  SELECT item_id, brand, rel,
+       |    round($MmrLambda * rel - ${1 - MmrLambda} * CASE WHEN
+       |      row_number() OVER (PARTITION BY brand ORDER BY rel DESC, item_id ASC) > 1
+       |      THEN 1 ELSE 0 END, 6) AS mmr_score
+       |  FROM scored
+       |), ranked AS (
+       |  SELECT row_number() OVER (ORDER BY mmr_score DESC, item_id ASC) AS mmr_rank,
+       |    item_id, brand, round(rel, 4) AS relevance, mmr_score
+       |  FROM adj
+       |)
+       |SELECT mmr_rank, item_id, brand, relevance, mmr_score
+       |FROM ranked WHERE mmr_rank <= $MmrTopN
+       |ORDER BY mmr_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_mmr_rerank"        -> (mmrRerank _),
     "q_brand_affinity"    -> (brandAffinity _),
     "q_seq_buy_pairs"     -> (seqBuyPairs _),
     "q_trending_items"    -> (trendingItems _),
@@ -1580,6 +1658,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mmr_rerank"        -> mmrRerankSql,
     "q_brand_affinity"    -> brandAffinitySql,
     "q_seq_buy_pairs"     -> seqBuyPairsSql,
     "q_trending_items"    -> trendingItemsSql,

@@ -169,4 +169,42 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(gini - direct) < 1e-5, s"gini $gini vs direct $direct")
     assert(r.getAs[Double]("top_share") >= 1.0 / nRec)
   }
+
+  test("mmr rerank: closed form equals the literal sequential greedy MMR loop") {
+    import org.apache.spark.sql.functions._
+    val lam = operators.Recsys.MmrLambda
+    // candidate pool exactly as the query builds it
+    val cand = Tables.lineitem(spark, sfTest)
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("item_id").asc)
+      .limit(operators.Recsys.MmrCandidates)
+      .join(Tables.part(spark, sfTest).select(col("p_partkey"), col("p_brand")),
+        col("item_id") === col("p_partkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+    val maxRev = cand.map(_._2).max
+    // literal greedy: argmax lambda*rel - (1-lambda)*maxSim(selected),
+    // sim = 1 iff same brand, ties broken by item id
+    var remaining = cand.map { case (id, rev, b) => (id, rev / maxRev, b) }.toVector
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pickedBrands = scala.collection.mutable.Set.empty[String]
+    while (picked.length < operators.Recsys.MmrTopN && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel, b) =>
+        val sim = if (pickedBrands.contains(b)) 1.0 else 0.0
+        (id, lam * rel - (1 - lam) * sim, b)
+      }.minBy { case (id, s, _) => (-s, id) }
+      picked += best._1
+      pickedBrands += best._3
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val got = operators.Recsys.mmrRerank(spark, sfTest).collect()
+      .sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Long]("item_id")).toSeq
+    assert(got == picked.toSeq, s"closed form $got vs greedy ${picked.toSeq}")
+    // diversification actually engages: picked brands are more distinct
+    // than the raw relevance head's brands
+    val rawHead = cand.sortBy { case (id, rev, _) => (-rev, id) }
+      .take(operators.Recsys.MmrTopN).map(_._3)
+    val gotBrands = operators.Recsys.mmrRerank(spark, sfTest).collect().map(_.getAs[String]("brand"))
+    assert(gotBrands.distinct.length >= rawHead.distinct.length)
+  }
 }
