@@ -388,4 +388,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         s"unpartitioned window must read coarse totals only, saw grouping $groupCols")
     }
   }
+
+  test("kendall_tau: quadratic pair space is a broadcast over the bounded head, never a shuffle") {
+    val p = plan(operators.Stats.kendallTau(planSession, sfTest))
+    // the a.id < b.id theta join must plan as BNLJ over a BROADCAST of
+    // the 100-row head — a shuffled cartesian would be the catalog²
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pair join must broadcast the bounded head:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "no shuffled cartesian")
+    assert(p.contains("TakeOrderedAndProject"), "top-N head must not global-sort the catalog")
+  }
+
+  test("mmr_rerank: brand attach broadcasts; candidate head is TakeOrderedAndProject") {
+    val p = plan(operators.Recsys.mmrRerank(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "brand dimension must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "candidate pool must be a bounded head")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ks_test / psi_drift: drift audits plan no joins wider than a broadcast") {
+    for (q <- Seq(operators.Stats.ksTest(planSession, sfTest),
+                  operators.Stats.psiDrift(planSession, sfTest))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("SortMergeJoin"),
+        "breakpoint/bounds attaches must broadcast, not shuffle the corpus")
+    }
+  }
 }
