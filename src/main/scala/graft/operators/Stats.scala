@@ -779,6 +779,10 @@ object Stats {
       .withColumn("pooled",
         ((col("ss1") - col("n1") * col("m1") * col("m1")) +
          (col("ss") - col("ss1") - col("n2") * col("m2") * col("m2"))) / (col("n") - 2))
+      // zero-variance series: every candidate's t is 0/0 and NaN
+      // ORDERING differs across engines — declare "no change point"
+      // (empty result) instead
+      .where(col("pooled") > 0)
       .withColumn("t_stat", round(
         abs(col("m1") - col("m2")) /
         sqrt(col("pooled") * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4))
@@ -805,12 +809,13 @@ object Stats {
        |    s1 / n1 AS m1, (s - s1) / (n - n1) AS m2
        |  FROM pre CROSS JOIN tot
        |  WHERE n1 >= $CpMinSeg AND n - n1 >= $CpMinSeg
+       |), pooledv AS (
+       |  SELECT *, ((ss1 - n1 * m1 * m1) + (ss - ss1 - n2 * m2 * m2)) / (n - 2) AS pooled
+       |  FROM cand
        |), scored AS (
        |  SELECT day AS split_day, round(m1, 4) AS mean_before, round(m2, 4) AS mean_after,
-       |    round(abs(m1 - m2) / sqrt((((ss1 - n1 * m1 * m1)
-       |      + (ss - ss1 - n2 * m2 * m2)) / (n - 2))
-       |      * (1.0 / n1 + 1.0 / n2)), 4) AS t_stat
-       |  FROM cand
+       |    round(abs(m1 - m2) / sqrt(pooled * (1.0 / n1 + 1.0 / n2)), 4) AS t_stat
+       |  FROM pooledv WHERE pooled > 0
        |)
        |SELECT * FROM scored ORDER BY t_stat DESC, split_day ASC LIMIT 1""".stripMargin
 

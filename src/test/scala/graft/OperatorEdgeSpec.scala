@@ -168,4 +168,35 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_depth1") == 1L)
     assert(r.getAs[Long]("n_depth2") == 0L && r.getAs[Long]("n_depth3") == 0L)
   }
+
+  test("changepoint on a zero-variance series declares no change point (empty, not NaN)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cpedge").toString
+    // 12 days, constant value: every candidate split's pooled variance is 0
+    val rows = (1 to 12).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), d.toLong)
+    }
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(5.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(operators.Stats.changepoint(spark, dir).collect().isEmpty,
+      "constant series must yield no change point, not a NaN-ranked row")
+  }
+
+  test("survival KM with every user censored emits survival 1.0 throughout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmedge").toString
+    // all last events at the corpus max day: nobody clears the censor horizon
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val rows = (1 to 5).map(u => (u.toLong, ts, u.toLong))
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = operators.Stats.survivalKm(spark, dir).collect()
+    assert(km.nonEmpty)
+    km.foreach(r => assert(r.getAs[Double]("survival") == 1.0,
+      "censored-only lifetimes must not decrement survival"))
+  }
 }
