@@ -735,7 +735,149 @@ object GraphRank {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Authorities reported by the SALSA walk. */
+  val SalsaTop = 20
+
+  /** SALSA hub/authority scores (Lempel–Moran 2001 — HITS with
+    * stochastic normalization; the algorithm behind Twitter's
+    * Who-To-Follow) on the DIRECTED purchase-sequence graph
+    * ([[Recsys.transitionEdges]] — the Markov model's edge list,
+    * memoized once per session). Unlike PageRank over the mirrored
+    * co-purchase graph, SALSA separates two roles: authorities are
+    * items purchase paths LEAD TO, hubs are items that LEAD INTO
+    * strong authorities.
+    *
+    * One and a half alternations from the uniform hub start, exactly
+    * the pagerank discipline: row-stochastic contributions
+    * (h·w div out_w, then a·w div in_w) in [[TotalUnits]] integer
+    * fixed-point — mass is conserved by construction, so no explicit
+    * normalization step exists to disagree on, and HITS' unnormalized
+    * Σw·h products (which overflow 64-bit at ~10⁶-weight edges) never
+    * occur: every contribution is bounded by the sending node's score.
+    *
+    * Scale: two |edges|-row joins per half-round with the |V|-row
+    * score vector broadcast (the pagerank broadcast-ceiling note at
+    * [[BroadcastNodeCeiling]] applies identically); degree tables
+    * computed once. Self-loops (item followed by itself) are walk
+    * no-ops and dropped.
+    */
+  def salsa(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Recsys.transitionEdges(spark, sfDir)
+      .where(col("item_id") =!= col("next_item"))
+      .select(col("item_id").as("src"), col("next_item").as("dst"), col("n").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val inW  = e.groupBy("dst").agg(sum("w").as("in_w"))
+    val nSrc = outW.agg(count(lit(1)).as("n_src"))
+    // a1(j) = sum_i h0 * w(ij) div out_w(i), h0 uniform over hubs
+    val a1 = e.join(broadcast(outW), "src").crossJoin(broadcast(nSrc))
+      .select(col("dst"), expr(
+        s"((${TotalUnits}L div n_src) * w) div out_w").as("c"))
+      .groupBy("dst").agg(sum("c").as("a1"))
+    // h1(i) = sum_j a1(j) * w(ij) div in_w(j)
+    val h1 = e.join(broadcast(inW), "dst")
+      .join(broadcast(a1), "dst")
+      .select(col("src"), expr("(a1 * w) div in_w").as("c"))
+      .groupBy("src").agg(sum("c").as("h1"))
+    // a2(j) = sum_i h1(i) * w(ij) div out_w(i)
+    val a2 = e.join(broadcast(outW), "src")
+      .join(broadcast(h1), "src")
+      .select(col("dst"), expr("(h1 * w) div out_w").as("c"))
+      .groupBy("dst").agg(sum("c").as("a2"))
+    a2.join(broadcast(h1.select(col("src").as("dst"), col("h1"))), Seq("dst"), "left")
+      .select(col("dst").as("item_id"),
+        col("a2").as("auth_units"), coalesce(col("h1"), lit(0L)).as("hub_units"))
+      .orderBy(col("auth_units").desc, col("item_id").asc)
+      .limit(SalsaTop)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("auth_units").desc, col("item_id").asc)))
+      .select(col("rk"), col("item_id"), col("auth_units"), col("hub_units"),
+        round(col("auth_units") / TotalUnits.toDouble, 6).as("authority"),
+        round(col("hub_units") / TotalUnits.toDouble, 6).as("hub"))
+      .orderBy("rk")
+  }
+
+  val salsaSql: String =
+    s"""WITH ${Recsys.transitionEdgesSql}, e AS (
+       |  SELECT item_id AS src, next_item AS dst, n AS w
+       |  FROM trans WHERE item_id <> next_item
+       |), ow AS (SELECT src, sum(w)::BIGINT AS out_w FROM e GROUP BY src),
+       |iw AS (SELECT dst, sum(w)::BIGINT AS in_w FROM e GROUP BY dst),
+       |ns AS (SELECT count(*) AS n_src FROM ow),
+       |a1 AS (
+       |  SELECT dst, sum((($TotalUnits // n_src) * w) // out_w)::BIGINT AS a1
+       |  FROM e JOIN ow USING (src) CROSS JOIN ns GROUP BY dst
+       |), h1 AS (
+       |  SELECT src, sum((a1 * w) // in_w)::BIGINT AS h1
+       |  FROM e JOIN iw USING (dst) JOIN a1 USING (dst) GROUP BY src
+       |), a2 AS (
+       |  SELECT dst, sum((h1 * w) // out_w)::BIGINT AS a2
+       |  FROM e JOIN ow USING (src) JOIN h1 USING (src) GROUP BY dst
+       |), top AS (
+       |  SELECT a2.dst AS item_id, a2.a2 AS auth_units,
+       |    coalesce(h.h1, 0) AS hub_units,
+       |    row_number() OVER (ORDER BY a2.a2 DESC, a2.dst ASC) AS rk
+       |  FROM a2 LEFT JOIN h1 h ON h.src = a2.dst
+       |)
+       |SELECT rk, item_id, auth_units, hub_units::BIGINT AS hub_units,
+       |  round(auth_units / $TotalUnits.0, 6) AS authority,
+       |  round(hub_units / $TotalUnits.0, 6) AS hub
+       |FROM top WHERE rk <= $SalsaTop ORDER BY rk""".stripMargin
+
+  /** Degree assortativity of the EdgeMinCo-sparsified co-purchase
+    * graph: the Pearson correlation between endpoint degrees over the
+    * MIRRORED edge list (each undirected edge contributes both
+    * orientations — the standard estimator, Newman 2002). Negative =
+    * hub-to-leaf wiring (typical for co-purchase: popular staples
+    * co-occur with niche items), positive = hub-to-hub.
+    *
+    * Scale: degrees are one aggregate over the sparsified edges; the
+    * corr runs over |edges| rows with both degree attaches broadcast
+    * (|V|-row tables). No quadratic structure anywhere.
+    */
+  /** EdgeMinCo-sparsified half edge list (i<j), one row per undirected
+    * edge — shared by [[assortativity]] and its spec. */
+  private[graft] def sparsifiedHalfEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Recsys.unpack(Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
+      .select("item_i", "item_j")
+
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = sparsifiedHalfEdges(spark, sfDir)
+    val m = half.select(col("item_i").as("a"), col("item_j").as("b"))
+      .unionByName(half.select(col("item_j").as("a"), col("item_i").as("b")))
+    val deg = m.groupBy("a").agg(count(lit(1)).as("d"))
+    m.join(broadcast(deg.select(col("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("a").as("b"), col("d").as("db"))), "b")
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        countDistinct("a").as("n_nodes"),
+        round(avg(col("da").cast("double")), 4).as("avg_degree"),
+        round(corr(col("da").cast("double"), col("db").cast("double")), 4)
+          .as("assortativity"))
+      .select("n_nodes", "n_edges", "avg_degree", "assortativity")
+  }
+
+  val assortativitySql: String =
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), half AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j
+       |  FROM r a JOIN r b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $EdgeMinCo
+       |), m AS (
+       |  SELECT item_i AS a, item_j AS b FROM half
+       |  UNION ALL SELECT item_j AS a, item_i AS b FROM half
+       |), deg AS (SELECT a, count(*) AS d FROM m GROUP BY a)
+       |SELECT count(DISTINCT m.a)::BIGINT AS n_nodes,
+       |  (count(*) / 2)::BIGINT AS n_edges,
+       |  round(avg(d1.d), 4) AS avg_degree,
+       |  round(corr(d1.d::DOUBLE, d2.d::DOUBLE), 4) AS assortativity
+       |FROM m JOIN deg d1 ON d1.a = m.a JOIN deg d2 ON d2.a = m.b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_salsa"          -> (salsa _),
+    "q_assortativity"  -> (assortativity _),
     "q_item_bfs"       -> (itemBfs _),
     "q_item_pagerank"  -> (itemPagerank _),
     "q_pair_pmi"       -> (pairPmi _),
@@ -746,6 +888,8 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_salsa"          -> salsaSql,
+    "q_assortativity"  -> assortativitySql,
     "q_item_bfs"       -> itemBfsSql,
     "q_item_pagerank"  -> itemPagerankSql,
     "q_pair_pmi"       -> pairPmiSql,

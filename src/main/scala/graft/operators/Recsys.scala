@@ -761,19 +761,46 @@ object Recsys {
     * |interactions| rows, linear at any scale. Items with fewer than
     * $MarkovMinOut outgoing transitions are dropped (noise floor).
     */
+  /** Memoized directed transition-edge aggregate (item → next item,
+    * count) from the per-user purchase sequences — the edge list of
+    * the sequence graph, shared by the Markov model and GraphRank's
+    * SALSA hub/authority walk. One window pass, |interactions|-row
+    * aggregate; cached per session like the pair aggregates.
+    */
+  def transitionEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"recsys:transedges:$sfDir") {
+      val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
+      val seq0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
+                col("o_orderdate"), col("o_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc,
+                 col("l_linenumber").asc, col("item_id").asc)
+      seq0.withColumn("next_item", lead(col("item_id"), 1).over(w))
+        .where(col("next_item").isNotNull)
+        .groupBy(col("item_id"), col("next_item"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  /** Oracle CTE fragment producing the same `trans` table. */
+  val transitionEdgesSql: String =
+    """seq0 AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |    o_orderdate, o_orderkey, l_linenumber
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), trans AS (
+      |  SELECT item_id, next_item, count(*) AS n FROM (
+      |    SELECT item_id,
+      |      lead(item_id, 1) OVER (PARTITION BY user_id
+      |        ORDER BY o_orderdate ASC, o_orderkey ASC, l_linenumber ASC, item_id ASC) AS next_item
+      |    FROM seq0
+      |  ) WHERE next_item IS NOT NULL
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   def markovNext(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
-    val seq0 = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
-              col("o_orderdate"), col("o_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc,
-               col("l_linenumber").asc, col("item_id").asc)
-    val trans = seq0.withColumn("next_item", lead(col("item_id"), 1).over(w))
-      .where(col("next_item").isNotNull)
-      .groupBy(col("item_id"), col("next_item"))
-      .agg(count(lit(1)).as("n"))
+    val trans = transitionEdges(spark, sfDir)
     val outs = trans.groupBy("item_id").agg(sum("n").as("n_out"))
       .where(col("n_out") >= MarkovMinOut)
     trans.join(broadcast(outs), "item_id")
@@ -787,19 +814,7 @@ object Recsys {
   }
 
   val markovNextSql: String =
-    s"""WITH seq0 AS (
-       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
-       |    o_orderdate, o_orderkey, l_linenumber
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), trans AS (
-       |  SELECT item_id, next_item, count(*) AS n FROM (
-       |    SELECT item_id,
-       |      lead(item_id, 1) OVER (PARTITION BY user_id
-       |        ORDER BY o_orderdate ASC, o_orderkey ASC, l_linenumber ASC, item_id ASC) AS next_item
-       |    FROM seq0
-       |  ) WHERE next_item IS NOT NULL
-       |  GROUP BY 1, 2
-       |), outs AS (
+    s"""WITH $transitionEdgesSql, outs AS (
        |  SELECT item_id, sum(n)::BIGINT AS n_out FROM trans GROUP BY item_id
        |  HAVING sum(n) >= $MarkovMinOut
        |), ranked AS (

@@ -147,4 +147,55 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     val again = operators.GraphRank.itemCommunities(spark, sfTest).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("salsa: fixed-point walk matches an exact local recomputation") {
+    import org.apache.spark.sql.functions._
+    val total = operators.GraphRank.TotalUnits
+    val edges = operators.Recsys.transitionEdges(spark, sfTest)
+      .where(col("item_id") =!= col("next_item")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val inW = edges.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val h0 = total / outW.size
+    def sumBy(contribs: Seq[(Long, Long)]): Map[Long, Long] =
+      contribs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val a1 = sumBy(edges.map { case (s, d, w) => (d, h0 * w / outW(s)) }.toSeq)
+    val h1 = sumBy(edges.map { case (s, d, w) => (s, a1(d) * w / inW(d)) }.toSeq)
+    val a2 = sumBy(edges.map { case (s, d, w) => (d, h1(s) * w / outW(s)) }.toSeq)
+    val want = a2.toSeq.sortBy { case (id, a) => (-a, id) }
+      .take(operators.GraphRank.SalsaTop)
+    val got = operators.GraphRank.salsa(spark, sfTest).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (id, a)) =>
+      assert(r.getAs[Long]("item_id") == id && r.getAs[Long]("auth_units") == a,
+        s"rank ${r.getAs[Int]("rk")}: got (${r.getAs[Long]("item_id")}, " +
+        s"${r.getAs[Long]("auth_units")}), want ($id, $a)")
+      assert(r.getAs[Long]("hub_units") == h1.getOrElse(id, 0L))
+    }
+    // stochastic contributions conserve mass up to floor loss
+    assert(a1.values.sum <= total && a2.values.sum <= total)
+    assert(a1.values.sum > total * 9 / 10, "floor loss must stay small")
+  }
+
+  test("assortativity: matches the exact local Pearson over mirrored endpoint degrees") {
+    import org.apache.spark.sql.functions._
+    val half = operators.GraphRank.sparsifiedHalfEdges(spark, sfTest)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = half ++ half.map(_.swap)
+    val deg = m.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = m.map { case (a, _) => deg(a).toDouble }
+    val ys = m.map { case (_, b) => deg(b).toDouble }
+    val n = xs.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+                            ys.map(y => (y - my) * (y - my)).sum)
+    val row = operators.GraphRank.assortativity(spark, sfTest).collect().head
+    assert(row.getAs[Long]("n_edges") == half.length)
+    assert(row.getAs[Long]("n_nodes") == deg.size)
+    val got = row.getAs[Double]("assortativity")
+    assert(got >= -1.0 && got <= 1.0)
+    assert(math.abs(got - math.rint(r * 1e4) / 1e4) < 1e-3,
+      s"assortativity $got vs local $r")
+  }
 }
