@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryCache, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-training data-prep operators: deterministic k-means over the
@@ -419,7 +420,189 @@ object Training {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** Hashed feature space dimensionality (the hashing trick). */
+  val FhDims = 32
+  /** Documents whose vectors are emitted (bounded demonstration head;
+    * the vectorizer itself is corpus-wide by construction). */
+  val FhDocs = 20
+
+  /** Feature hashing (Weinberger et al. 2009): signed hashed
+    * bag-of-words vectors over the document corpus — the fixed-width,
+    * vocabulary-free featurizer every large-scale text trainer uses
+    * when a learned vocab is too big or too slow to ship. Each token
+    * lands in bucket h mod [[FhDims]] with sign from the next hash
+    * bit (the unbiasedness trick: collisions cancel in expectation
+    * instead of accumulating), via the engine-portable h32(md5)
+    * hash. Emits the sparse (doc, dim, value) triples for the first
+    * [[FhDocs]] docs.
+    *
+    * Scale: pure map + one narrow aggregate keyed (doc, dim); the
+    * doc-id head filter pushes into the parquet scan. No vocabulary
+    * table exists at any scale.
+    */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < FhDocs)
+      .select(col("doc_id"),
+        explode(split(expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("dim", (col("h") % FhDims).cast("int"))
+      .withColumn("sgn", when(expr(s"(h div $FhDims) % 2") === 0, 1).otherwise(-1))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sgn").as("val"))
+      .where(col("val") =!= 0)
+      .orderBy("doc_id", "dim")
+
+  val featureHashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents WHERE doc_id < $FhDocs
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+       |  FROM toks WHERE len(tok) > 0
+       |)
+       |SELECT doc_id, (h % $FhDims)::INT AS dim,
+       |  sum(CASE WHEN (h // $FhDims) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS val
+       |FROM hashed
+       |GROUP BY 1, 2
+       |HAVING sum(CASE WHEN (h // $FhDims) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+       |ORDER BY doc_id, dim""".stripMargin
+
+  /** Prior pseudo-count mass for the target encoder. */
+  val TeM = 50.0
+
+  /** Leave-one-out target encoding of item brand against the return
+    * outcome (l_returnflag = 'R') — the tabular-ML categorical encoder
+    * done leakage-safe: each row's own label is excluded from its
+    * encoding, with the global rate as a smoothing prior. Because the
+    * target is binary, the per-row LOO values collapse to exactly two
+    * per brand (own label 0 or 1), so the audit emits the CLOSED FORM
+    * per brand — loo_pos/loo_neg, the blended mean, and the plain
+    * smoothed encoding — without materializing a per-row table.
+    *
+    * Scale: one brand aggregate (broadcast dim attach) + a 1-row
+    * global prior. The per-row encoded column, when a training job
+    * materializes it, is a broadcast join of this 25-row table keyed
+    * by (brand, own-label) — no per-row state.
+    */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), (col("l_returnflag") === "R").cast("int").as("y"))
+      .join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val byBrand = rows.groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val prior = byBrand.agg((sum("n_pos").cast("double") / sum("n")).as("p0"))
+    byBrand.crossJoin(broadcast(prior))
+      .withColumn("raw_rate", round(col("n_pos").cast("double") / col("n"), 6))
+      .withColumn("enc_rate",
+        round((col("n_pos") + lit(TeM) * col("p0")) / (col("n") + lit(TeM)), 6))
+      .withColumn("loo_pos",
+        round((col("n_pos") - 1 + lit(TeM) * col("p0")) / (col("n") - 1 + lit(TeM)), 6))
+      .withColumn("loo_neg",
+        round((col("n_pos") + lit(TeM) * col("p0")) / (col("n") - 1 + lit(TeM)), 6))
+      .select("brand", "n", "n_pos", "raw_rate", "enc_rate", "loo_pos", "loo_neg")
+      .orderBy("brand")
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT p.p_brand AS brand,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |), by_brand AS (
+       |  SELECT brand, count(*) AS n, sum(y)::BIGINT AS n_pos FROM rows_ GROUP BY 1
+       |), prior AS (
+       |  SELECT sum(n_pos)::DOUBLE / sum(n) AS p0 FROM by_brand
+       |)
+       |SELECT brand, n, n_pos,
+       |  round(n_pos::DOUBLE / n, 6) AS raw_rate,
+       |  round((n_pos + $TeM * p0) / (n + $TeM), 6) AS enc_rate,
+       |  round((n_pos - 1 + $TeM * p0) / (n - 1 + $TeM), 6) AS loo_pos,
+       |  round((n_pos + $TeM * p0) / (n - 1 + $TeM), 6) AS loo_neg
+       |FROM by_brand CROSS JOIN prior
+       |ORDER BY brand""".stripMargin
+
+  /** Reference source whose length distribution others are mapped onto. */
+  val QnRef = "src0"
+
+  /** Quantile normalization of document length across crawl sources:
+    * each doc's within-source percent-rank is mapped onto the
+    * REFERENCE source's empirical quantile function (linear
+    * interpolation between the two bracketing reference order
+    * statistics) — the batch-effect correction that makes one global
+    * length/quality threshold meaningful when sources have shifted
+    * scales (the microarray-normalization classic applied to corpus
+    * mixing). Emits the per-source before/after audit.
+    *
+    * Scale: the reference's ranked table is |ref| rows (a curated
+    * reference corpus — bounded by design) and broadcasts into the
+    * per-doc lookup; everything else is windows within source.
+    */
+  def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars"))
+    val ref = d.where(col("source") === QnRef)
+      .select(col("n_chars").as("rv"),
+        (row_number().over(Window.orderBy(col("n_chars").asc, col("doc_id").asc)) - 1).as("rk"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val pr = d.withColumn("prk",
+      percent_rank().over(Window.partitionBy("source").orderBy(col("n_chars").asc)))
+    val pos = pr.crossJoin(broadcast(nRef))
+      .withColumn("pos", col("prk") * (col("n_ref") - 1))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val normed = pos
+      .join(broadcast(ref.select(col("rk").as("lo"), col("rv").as("v_lo"))), "lo")
+      .join(broadcast(ref.select(col("rk").as("hi"), col("rv").as("v_hi"))), "hi")
+      .withColumn("norm_chars",
+        col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("lo")))
+    normed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 4).as("mean_raw"),
+           round(avg("norm_chars"), 4).as("mean_norm"),
+           round(min("norm_chars"), 4).as("min_norm"),
+           round(max("norm_chars"), 4).as("max_norm"))
+      .orderBy("source")
+  }
+
+  val quantileNormSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |), ref AS (
+       |  SELECT n_chars AS rv,
+       |    row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS rk
+       |  FROM d WHERE source = '$QnRef'
+       |), nr AS (SELECT count(*) AS n_ref FROM ref),
+       |pr AS (
+       |  SELECT doc_id, source, n_chars,
+       |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC) AS prk
+       |  FROM d
+       |), pos AS (
+       |  SELECT *, prk * (n_ref - 1) AS pos,
+       |    floor(prk * (n_ref - 1))::BIGINT AS lo,
+       |    ceil(prk * (n_ref - 1))::BIGINT AS hi
+       |  FROM pr CROSS JOIN nr
+       |), normed AS (
+       |  SELECT p.source, p.n_chars,
+       |    rl.rv + (rh.rv - rl.rv) * (p.pos - p.lo) AS norm_chars
+       |  FROM pos p
+       |  JOIN ref rl ON rl.rk = p.lo
+       |  JOIN ref rh ON rh.rk = p.hi
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(n_chars), 4) AS mean_raw,
+       |  round(avg(norm_chars), 4) AS mean_norm,
+       |  round(min(norm_chars), 4) AS min_norm,
+       |  round(max(norm_chars), 4) AS max_norm
+       |FROM normed GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_feature_hash"     -> (featureHash _),
+    "q_target_encode"    -> (targetEncode _),
+    "q_quantile_norm"    -> (quantileNorm _),
     "q_kmeans_embed"     -> (kmeansEmbed _),
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_negative_sample"  -> (negativeSample _),
@@ -427,6 +610,9 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_feature_hash"     -> featureHashSql,
+    "q_target_encode"    -> targetEncodeSql,
+    "q_quantile_norm"    -> quantileNormSql,
     "q_kmeans_embed"     -> kmeansEmbedSql,
     "q_semantic_dedup"   -> semanticDedupSql,
     "q_negative_sample"  -> negativeSampleSql,

@@ -176,4 +176,63 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     val nUsers = Tables.events(spark, sfTest).select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers, "bins must partition the user base")
   }
+
+  test("feature hash: dims bounded, signed values bounded by token counts, deterministic") {
+    val rows = operators.Training.featureHash(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dim = r.getAs[Int]("dim")
+      assert(dim >= 0 && dim < operators.Training.FhDims)
+      assert(r.getAs[Long]("doc_id") < operators.Training.FhDocs)
+      assert(r.getAs[Long]("val") != 0L, "zero entries must be pruned from the sparse vectors")
+    }
+    // |signed sum| per doc can never exceed the doc's token count
+    val tokCounts = Tables.documents(spark, sfTest)
+      .where(col("doc_id") < operators.Training.FhDocs)
+      .select(col("doc_id"),
+        size(split(expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      assert(rs.map(r => math.abs(r.getAs[Long]("val"))).sum <= tokCounts(doc))
+    }
+    val again = operators.Training.featureHash(spark, sfTest).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("target encode: LOO values bracket correctly and exclude own label") {
+    val rows = operators.Training.targetEncode(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val p0 = rows.map(_.getAs[Long]("n_pos")).sum.toDouble / rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val (n, np) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))
+      val (lp, ln) = (r.getAs[Double]("loo_pos"), r.getAs[Double]("loo_neg"))
+      // removing a positive lowers the rate; removing a negative raises it
+      assert(lp <= ln + 1e-9, s"loo_pos $lp must not exceed loo_neg $ln")
+      // closed forms match a direct recompute
+      val m = operators.Training.TeM
+      val wantLp = math.rint((np - 1 + m * p0) / (n - 1 + m) * 1e6) / 1e6
+      val wantLn = math.rint((np + m * p0) / (n - 1 + m) * 1e6) / 1e6
+      assert(math.abs(lp - wantLp) < 1e-9 && math.abs(ln - wantLn) < 1e-9)
+      // smoothing keeps encodings strictly inside (0, 1)
+      assert(r.getAs[Double]("enc_rate") > 0 && r.getAs[Double]("enc_rate") < 1)
+    }
+  }
+
+  test("quantile norm: reference source maps onto itself; normalized range stays in ref range") {
+    val rows = operators.Training.quantileNorm(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val refRow = rows.find(_.getAs[String]("source") == operators.Training.QnRef).get
+    // the reference mapped through its own quantile function is (near-)identity
+    assert(math.abs(refRow.getAs[Double]("mean_raw") - refRow.getAs[Double]("mean_norm")) < 1e-6,
+      "reference source must map onto itself")
+    val refStats = Tables.documents(spark, sfTest)
+      .where(col("source") === operators.Training.QnRef)
+      .agg(min("n_chars"), max("n_chars")).head
+    val (rMin, rMax) = (refStats.getLong(0).toDouble, refStats.getLong(1).toDouble)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_norm") >= rMin - 1e-9 &&
+             r.getAs[Double]("max_norm") <= rMax + 1e-9,
+        s"normalized values must live inside the reference range for ${r.getString(0)}")
+    }
+  }
 }
