@@ -892,7 +892,157 @@ object Stats {
        |  END AS survival
        |FROM risk ORDER BY duration""".stripMargin
 
+  /** Winsorization clip quantiles. */
+  val WinsLo = 0.05
+  val WinsHi = 0.95
+
+  /** Winsorization audit per event type: exact p05/p95 clip bounds
+    * (rounded cross-engine BEFORE clipping so both engines clip the
+    * same rows), clip counts, and the raw vs winsorized mean/stddev —
+    * the outlier-robust preprocessing step a feature pipeline applies
+    * before z-scoring (companion to q_mad_outliers, which flags rows;
+    * this one conditions the column).
+    *
+    * Scale: one exact percentile pass per type (approx_percentile at
+    * 100 TB, same shape) + one conditional aggregate; bounds join back
+    * by broadcast.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $WinsLo)"), 4).as("p_lo"),
+      round(expr(s"percentile(value, $WinsHi)"), 4).as("p_hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", greatest(least(col("value"), col("p_hi")), col("p_lo")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("p_lo").as("p_lo"),
+        max("p_hi").as("p_hi"),
+        sum((col("value") < col("p_lo")).cast("long")).as("n_clip_lo"),
+        sum((col("value") > col("p_hi")).cast("long")).as("n_clip_hi"),
+        round(avg("value"), 4).as("mean_raw"),
+        round(avg("w"), 4).as("mean_wins"),
+        round(stddev_samp("w"), 4).as("std_wins"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeSql: String =
+    s"""WITH ev AS (SELECT event_type, value FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |    round(quantile_cont(value, $WinsLo), 4) AS p_lo,
+       |    round(quantile_cont(value, $WinsHi), 4) AS p_hi
+       |  FROM ev GROUP BY 1
+       |)
+       |SELECT ev.event_type, count(*) AS n,
+       |  max(p_lo) AS p_lo, max(p_hi) AS p_hi,
+       |  sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+       |  sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+       |  round(avg(value), 4) AS mean_raw,
+       |  round(avg(greatest(least(value, p_hi), p_lo)), 4) AS mean_wins,
+       |  round(stddev_samp(greatest(least(value, p_hi), p_lo)), 4) AS std_wins
+       |FROM ev JOIN b USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hill estimator order statistics used (top-k tail sample). */
+  val HillK = 100
+
+  /** Hill tail-index estimator per event type: α̂ = k / Σᵢ₌₁..k
+    * ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest values — the extreme-value-
+    * theory standard for "how heavy is this tail?" (α ≤ 2 means
+    * infinite variance: mean-based monitoring is lying to you). The
+    * rank-frequency companion q_zipf_fit measures the discrete analog;
+    * Hill measures the continuous magnitude tail.
+    *
+    * Ties at the k/k+1 boundary are harmless by construction — equal
+    * values produce identical log-ratios whichever row is selected —
+    * and the per-type top-(k+1) is a bounded window head, never a
+    * global sort.
+    */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= HillK + 1)
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === HillK + 1, col("value"))).as("x_k1"),
+        sum(when(col("rn") <= HillK, log(col("value")))).as("sum_ln"))
+      .withColumn("alpha",
+        round(lit(HillK) / (col("sum_ln") - lit(HillK) * log(col("x_k1"))), 4))
+      .select(col("event_type"), lit(HillK).as("k"),
+        round(col("x_k1"), 4).as("x_tail"), col("alpha"))
+      .orderBy("event_type")
+  }
+
+  val hillTailSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value DESC, event_id ASC) AS rn
+       |  FROM events
+       |), agg AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN rn = ${HillK + 1} THEN value END) AS x_k1,
+       |    sum(CASE WHEN rn <= $HillK THEN ln(value) END) AS sum_ln
+       |  FROM ranked WHERE rn <= ${HillK + 1} GROUP BY 1
+       |)
+       |SELECT event_type, $HillK AS k, round(x_k1, 4) AS x_tail,
+       |  round($HillK / (sum_ln - $HillK * ln(x_k1)), 4) AS alpha
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** Wilson interval z for 95% confidence. */
+  val WilsonZ = 1.96
+
+  /** Wilson score lower bound of the per-user purchase rate, top
+    * [[SmoothTopN]] users — the OTHER canonical fix for small-sample
+    * rate ranking next to [[bayesRate]]'s empirical-Bayes shrinkage
+    * ("how not to sort by average rating"): a pessimistic confidence
+    * bound instead of a prior. Shipping both lets a pipeline A/B the
+    * two standard rankers on identical inputs.
+    */
+  def wilsonLb(spark: SparkSession, sfDir: String): DataFrame = {
+    val z2 = WilsonZ * WilsonZ
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("pos"))
+      .withColumn("p", col("pos").cast("double") / col("n"))
+    per
+      .withColumn("wilson_lb", round(
+        (col("p") + lit(z2) / (lit(2.0) * col("n")) -
+          lit(WilsonZ) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+            lit(z2) / (lit(4.0) * col("n") * col("n")))) /
+        (lit(1.0) + lit(z2) / col("n")), 4))
+      .withColumn("raw_rate", round(col("p"), 4))
+      .select(col("user_id"), col("n").as("n_events"), col("pos").as("n_purchases"),
+        col("raw_rate"), col("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("user_id").asc)
+      .limit(SmoothTopN)
+  }
+
+  val wilsonLbSql: String = {
+    val z2 = WilsonZ * WilsonZ
+    s"""WITH per AS (
+       |  SELECT user_id, count(*) AS n,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS pos
+       |  FROM events GROUP BY 1
+       |), p AS (SELECT *, pos::DOUBLE / n AS p FROM per)
+       |SELECT user_id, n AS n_events, pos AS n_purchases,
+       |  round(p, 4) AS raw_rate,
+       |  round((p + $z2 / (2.0 * n) - $WilsonZ * sqrt(p * (1.0 - p) / n
+       |        + $z2 / (4.0 * n * n))) / (1.0 + $z2 / n), 4) AS wilson_lb
+       |FROM p
+       |ORDER BY wilson_lb DESC, user_id ASC
+       |LIMIT $SmoothTopN""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorize"      -> (winsorize _),
+    "q_hill_tail"      -> (hillTail _),
+    "q_wilson_lb"      -> (wilsonLb _),
     "q_ks_test"        -> (ksTest _),
     "q_kendall_tau"    -> (kendallTau _),
     "q_changepoint"    -> (changepoint _),
@@ -910,6 +1060,9 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_winsorize"      -> winsorizeSql,
+    "q_hill_tail"      -> hillTailSql,
+    "q_wilson_lb"      -> wilsonLbSql,
     "q_ks_test"        -> ksTestSql,
     "q_kendall_tau"    -> kendallTauSql,
     "q_changepoint"    -> changepointSql,

@@ -330,6 +330,56 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winsorize: clipped stats bounded by clip bounds, clip counts ~ tail mass") {
+    val rows = operators.Stats.winsorize(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"))
+      assert(lo <= hi)
+      assert(r.getAs[Double]("mean_wins") >= lo - 1e-9 && r.getAs[Double]("mean_wins") <= hi + 1e-9)
+      // ~5% in each tail (interpolated bounds: allow slack)
+      val (cl, ch) = (r.getAs[Long]("n_clip_lo"), r.getAs[Long]("n_clip_hi"))
+      assert(cl <= n * 0.08 + 2 && ch <= n * 0.08 + 2, s"clip counts $cl/$ch out of band for n=$n")
+      assert(r.getAs[Double]("std_wins") > 0)
+    }
+  }
+
+  test("hill tail: alpha matches a local recompute from the top-k order statistics") {
+    val k = operators.Stats.HillK
+    val byType = Tables.events(spark, sfTest)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted(Ordering[Double].reverse).toVector).toMap
+    val rows = operators.Stats.hillTail(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      assert(vs.length > k + 1, "fixture must exceed the tail sample")
+      val xk1 = vs(k)
+      val alpha = k / vs.take(k).map(v => math.log(v / xk1)).sum
+      assert(math.abs(r.getAs[Double]("alpha") - math.rint(alpha * 1e4) / 1e4) < 1e-3,
+        s"alpha ${r.getAs[Double]("alpha")} vs local $alpha for ${r.getString(0)}")
+      assert(r.getAs[Double]("alpha") > 0)
+    }
+  }
+
+  test("wilson lower bound is pessimistic: always below the raw rate, monotone in evidence") {
+    val rows = operators.Stats.wilsonLb(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, lb) = (r.getAs[Double]("raw_rate"), r.getAs[Double]("wilson_lb"))
+      assert(lb <= raw + 1e-9, s"Wilson LB $lb must not exceed the raw rate $raw")
+      assert(lb >= -1e-9 && lb <= 1.0)
+    }
+    // more evidence at the same rate -> strictly higher bound
+    def lb(pos: Long, n: Long): Double = {
+      val z = operators.Stats.WilsonZ; val z2 = z * z
+      val p = pos.toDouble / n
+      (p + z2 / (2 * n) - z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) / (1 + z2 / n)
+    }
+    assert(lb(50, 100) > lb(5, 10))
+  }
+
   test("bootstrap CI: brackets the point estimate, replayable, Poisson weights mean ~1") {
     import org.apache.spark.sql.functions._
     val r1 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
