@@ -399,7 +399,119 @@ object Streams {
        |FROM r WHERE rk <= $StreamTopK
        |ORDER BY window_start, rk""".stripMargin
 
+  /** T9 drift-monitor knobs: window width, reference decile edges,
+    * Laplace pseudo-count (the q_psi_drift smoothing, reused so empty
+    * window buckets read honestly). */
+  val DriftWindow = "6 hours"
+  val DriftQuantiles: Seq[Double] = (1 to 9).map(_ / 10.0)
+  val DriftAlpha = 0.5
+  val DriftBuckets: Int = DriftQuantiles.size + 1
+
+  /** T9 stage 1 — bucket every event against STATIC reference
+    * breakpoints (a literal array: the deployed monitor ships its
+    * reference config, it does not recompute it mid-stream) and count
+    * per (window, bucket). One watermark-bounded streaming aggregate —
+    * the append-safe stage.
+    */
+  def driftBucketCounts(events: DataFrame, bks: Seq[Double]): DataFrame = {
+    val arr = bks.mkString("array(", ", ", ")")
+    events
+      .withColumn("bucket",
+        expr(s"aggregate($arr, 0, (acc, b) -> acc + IF(value > b, 1, 0))"))
+      .groupBy(window(col("ts"), DriftWindow).as("w"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** T9 stage 2 — per-window PSI against the reference shares
+    * (bucket, pr): complete the window×reference-bucket grid (a
+    * missing bucket is real drift evidence, not a skippable row),
+    * Laplace-smooth the window shares, and roll up. Runs per
+    * micro-batch over stage 1's state in production (foreachBatch —
+    * the same split as T8; chained streaming aggs don't exist in
+    * append mode).
+    */
+  def driftPsi(counts: DataFrame, ref: DataFrame): DataFrame =
+    // ONE pass over the counts (no tot⋈counts self-join — that plan
+    // trips conflicting-reference resolution on a MemorySink view):
+    // fold each window's buckets into a tiny map, then expand the
+    // static reference list against it so absent buckets surface as 0
+    counts.groupBy("w")
+      .agg(sum("n").as("tot"),
+           map_from_entries(collect_list(struct(col("bucket"), col("n")))).as("m"))
+      .crossJoin(broadcast(ref))
+      .withColumn("nb", coalesce(expr("m[bucket]"), lit(0L)))
+      .withColumn("pc",
+        (col("nb") + lit(DriftAlpha)) / (col("tot") + lit(DriftBuckets * DriftAlpha)))
+      .groupBy("w")
+      .agg(max("tot").as("n_events"),
+           round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4).as("psi"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_events"), col("psi"))
+
+  /** Reference share table (bucket, pr) for a batch corpus, smoothed
+    * like the window shares. */
+  def driftReference(events: DataFrame, bks: Seq[Double]): DataFrame = {
+    val arr = bks.mkString("array(", ", ", ")")
+    val cnt = events
+      .withColumn("bucket",
+        expr(s"aggregate($arr, 0, (acc, b) -> acc + IF(value > b, 1, 0))"))
+      .groupBy("bucket").agg(count(lit(1)).as("rn"))
+    cnt.crossJoin(broadcast(cnt.agg(sum("rn").as("rtot"))))
+      .select(col("bucket"),
+        ((col("rn") + lit(DriftAlpha)) / (col("rtot") + lit(DriftBuckets * DriftAlpha))).as("pr"))
+  }
+
+  /** T9 batch form: windowed PSI of the value distribution against the
+    * whole-corpus reference — what the monitor reports when replayed
+    * over its own history. The 9 rounded breakpoints are collected
+    * once as static monitor config (the deployed stream ships them as
+    * literals — this is configuration, not a data-path collect).
+    */
+  def driftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val qs = DriftQuantiles.mkString("array(", ", ", ")")
+    val bks = ev
+      .agg(expr(s"transform(percentile(value, $qs), b -> round(b, 4))").as("b"))
+      .head.getSeq[Double](0)
+    driftPsi(driftBucketCounts(ev, bks), driftReference(ev, bks))
+      .orderBy("window_start")
+  }
+
+  val driftSql: String = {
+    val qs = DriftQuantiles.mkString("[", ", ", "]")
+    val denom = DriftBuckets * DriftAlpha
+    s"""WITH bks AS (
+       |  SELECT list_transform(quantile_cont(value, $qs), x -> round(x, 4)) AS b
+       |  FROM events
+       |), ev AS (
+       |  SELECT ts, len(list_filter((SELECT b FROM bks), x -> value > x)) AS bucket
+       |  FROM events
+       |), refc AS (
+       |  SELECT bucket, count(*) AS rn FROM ev GROUP BY 1
+       |), ref AS (
+       |  SELECT bucket,
+       |    (rn + $DriftAlpha) / ((SELECT sum(rn) FROM refc) + $denom) AS pr
+       |  FROM refc
+       |), wc AS (
+       |  SELECT time_bucket(INTERVAL '$DriftWindow', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00') AS wb,
+       |    bucket, count(*) AS n
+       |  FROM ev GROUP BY 1, 2
+       |), tot AS (SELECT wb, sum(n) AS tot FROM wc GROUP BY 1),
+       |grid AS (
+       |  SELECT t.wb, t.tot, r.bucket, r.pr, coalesce(w.n, 0) AS n
+       |  FROM tot t CROSS JOIN ref r
+       |  LEFT JOIN wc w ON w.wb = t.wb AND w.bucket = r.bucket
+       |), p AS (
+       |  SELECT wb, tot, pr, (n + $DriftAlpha) / (tot + $denom) AS pc FROM grid
+       |)
+       |SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  max(tot)::BIGINT AS n_events,
+       |  round(sum((pc - pr) * ln(pc / pr)), 4) AS psi
+       |FROM p GROUP BY wb ORDER BY window_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_drift"    -> (driftQuery _),
     "q_stream_topk"     -> (topUsersQuery _),
     "q_stream_tumbling" -> (tumblingQuery _),
     "q_stream_users"    -> (tumblingUsersQuery _),
@@ -411,6 +523,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_drift"    -> driftSql,
     "q_stream_topk"     -> topUsersSql,
     "q_stream_tumbling" -> tumblingSql,
     "q_stream_users"    -> tumblingUsersSql,

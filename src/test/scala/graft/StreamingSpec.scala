@@ -574,4 +574,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val perWindow = batch.groupBy("window_start").count().collect()
     perWindow.foreach(r => assert(r.getLong(1) <= Streams.StreamTopK))
   }
+
+  test("T9 drift monitor: streamed bucket counts rolled to PSI equal the batch form") {
+    val session = spark
+    import session.implicits._
+    val batchDf = fixture.toDF()
+    // static monitor config: reference breakpoints from the corpus
+    val qs = Streams.DriftQuantiles.mkString("array(", ", ", ")")
+    val bks = batchDf
+      .agg(expr(s"transform(percentile(value, $qs), b -> round(b, 4))").as("b"))
+      .head.getSeq[Double](0)
+    val ref = Streams.driftReference(batchDf, bks)
+    // stage 1 on the stream, stage 2 per batch output (foreachBatch shape)
+    val streamed = Streams.driftPsi(runStream(Streams.driftBucketCounts(_, bks)), ref)
+    val batch = Streams.driftPsi(Streams.driftBucketCounts(batchDf, bks), ref)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+    // a window drawn from the reference itself must read as stable
+    batch.collect().foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= -1e-9, s"PSI must be non-negative, got $psi")
+    }
+  }
 }
