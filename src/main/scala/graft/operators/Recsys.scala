@@ -1649,7 +1649,88 @@ object Recsys {
        |FROM ranked WHERE mmr_rank <= $MmrTopN
        |ORDER BY mmr_rank""".stripMargin
 
+  /** Recommendations explained per user (head of each rec list). */
+  val ExplainRk = 3
+
+  /** Recommendation explanations — "because you bought X": for each of
+    * a user's top-[[ExplainRk]] ItemCF recommendations, the history
+    * item contributing the largest sim×strength term to its score,
+    * with that term's share of the total. The explainability surface
+    * every production recommender ships next to the recs themselves;
+    * reuses the memoized similarity model and capped history, so the
+    * extra cost over the recommend itself is one broadcast-sim join on
+    * the 3-per-user rec head.
+    *
+    * The argmax is a struct-max aggregate (contribution desc, seed id
+    * asc via negated id) — no per-(user,rec) sort; ties on the rounded
+    * contribution resolve to the smallest seed on both engines.
+    */
+  def itemcfExplain(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = itemcfRecommend(spark, sfDir)
+      .where(col("rk") <= ExplainRk)
+      .select(col("user_id"), col("rk"), col("item_id").as("rec_item"), col("score"))
+    val hist = cappedInteractions(spark, sfDir)
+      .select(col("user_id"), col("item_id").as("seed"), col("strength"))
+    val sim = broadcast(itemcfSimilarity(spark, sfDir).select("item_i", "item_j", "sim"))
+    recs.join(hist, "user_id")
+      .join(sim, col("rec_item") === col("item_j") && col("seed") === col("item_i"))
+      .withColumn("contribution", round(col("sim") * col("strength"), 6))
+      .groupBy("user_id", "rk", "rec_item", "score")
+      .agg(max(struct(col("contribution"), (-col("seed")).as("ns"))).as("top"))
+      .select(col("user_id"), col("rk"), col("rec_item"),
+        (-col("top.ns")).as("because_item"),
+        col("top.contribution").as("contribution"),
+        round(col("top.contribution") / col("score"), 4).as("share"))
+      .orderBy("user_id", "rk")
+  }
+
+  val itemcfExplainSql: String =
+    s"""WITH recs AS (
+       |  SELECT user_id, rk, item_id AS rec_item, score FROM (
+       |    ${itemcfRecommendSql.replace("\n", "\n    ")}
+       |  ) WHERE rk <= $ExplainRk
+       |), ${cappedSql.replace("interactions AS", "interactions2 AS").replace("FROM interactions", "FROM interactions2").replace("capped AS", "capped2 AS")}, h AS (
+       |  SELECT user_id, item_id AS seed, strength FROM capped2
+       |), r2 AS (
+       |  SELECT user_id, item_id FROM capped2
+       |), counts2 AS (
+       |  SELECT item_id, count(*) AS n_users FROM r2 GROUP BY item_id
+       |), pairs2 AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r2 a JOIN r2 b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), mirrored2 AS (
+       |  SELECT item_i, item_j, co FROM pairs2
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, co FROM pairs2
+       |), sim2 AS (
+       |  SELECT item_i, item_j,
+       |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
+       |  FROM mirrored2
+       |  JOIN counts2 ci ON ci.item_id = item_i
+       |  JOIN counts2 cj ON cj.item_id = item_j
+       |), knn2 AS (
+       |  SELECT item_i, item_j, sim FROM (
+       |    SELECT item_i, item_j, sim,
+       |      row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS nrk
+       |    FROM sim2
+       |  ) WHERE nrk <= $TopK
+       |), contrib AS (
+       |  SELECT recs.user_id, recs.rk, recs.rec_item, recs.score,
+       |    h.seed, round(s.sim * h.strength, 6) AS contribution,
+       |    row_number() OVER (PARTITION BY recs.user_id, recs.rk
+       |      ORDER BY round(s.sim * h.strength, 6) DESC, h.seed ASC) AS crk
+       |  FROM recs
+       |  JOIN h ON h.user_id = recs.user_id
+       |  JOIN knn2 s ON s.item_j = recs.rec_item AND s.item_i = h.seed
+       |)
+       |SELECT user_id, rk, rec_item, seed AS because_item, contribution,
+       |  round(contribution / score, 4) AS share
+       |FROM contrib WHERE crk = 1
+       |ORDER BY user_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_itemcf_explain"    -> (itemcfExplain _),
     "q_mmr_rerank"        -> (mmrRerank _),
     "q_brand_affinity"    -> (brandAffinity _),
     "q_seq_buy_pairs"     -> (seqBuyPairs _),
@@ -1673,6 +1754,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_itemcf_explain"    -> itemcfExplainSql,
     "q_mmr_rerank"        -> mmrRerankSql,
     "q_brand_affinity"    -> brandAffinitySql,
     "q_seq_buy_pairs"     -> seqBuyPairsSql,

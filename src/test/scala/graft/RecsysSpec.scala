@@ -170,6 +170,33 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("top_share") >= 1.0 / nRec)
   }
 
+  test("itemcf explain: because-item comes from the user's history and dominates the score") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Recsys.itemcfExplain(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    // capped history is a subset of the raw interactions
+    val hist = Tables.interactions(spark, sfTest)
+      .select("user_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recs = operators.Recsys.itemcfRecommend(spark, sfTest)
+      .where(col("rk") <= operators.Recsys.ExplainRk).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    rows.foreach { r =>
+      val (u, rk) = (r.getLong(0), r.getInt(1))
+      // the explanation seed is something the user actually interacted with
+      assert(hist.contains((u, r.getLong(3))),
+        s"because_item ${r.getLong(3)} not in user $u's history")
+      // every explained rec IS a rec, with its score
+      val (recItem, score) = recs((u, rk))
+      assert(r.getLong(2) == recItem)
+      // the top term is positive and no bigger than the whole sum
+      val c = r.getDouble(4)
+      assert(c > 0 && c <= score + 1e-9)
+      val share = r.getDouble(5)
+      assert(share > 0 && share <= 1.0 + 1e-9)
+    }
+  }
+
   test("mmr rerank: closed form equals the literal sequential greedy MMR loop") {
     import org.apache.spark.sql.functions._
     val lam = operators.Recsys.MmrLambda
