@@ -1100,7 +1100,193 @@ object Analytics {
        |FROM d JOIN s ON d.season_idx = s.season_idx
        |ORDER BY d.day""".stripMargin
 
+  /** Per-user pre/post purchase value around the corpus midpoint, with
+    * the hash A/B arm — the shared frame for the experimentation
+    * trio (CUPED, DiD; q_ab_test uses its own conversion flag).
+    * Users with no purchases in a period carry 0 (the standard
+    * all-randomized-units frame — dropping them biases both methods).
+    */
+  private def prePostFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", col("value")).otherwise(0.0).as("pv"))
+    val bounds = ev.agg(min("day").as("min_d"), max("day").as("max_d"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("is_pre",
+        datediff(col("day"), col("min_d")) * 2 < datediff(col("max_d"), col("min_d")))
+      .groupBy("user_id")
+      .agg(round(sum(when(col("is_pre"), col("pv")).otherwise(0.0)), 4).as("pre"),
+           round(sum(when(!col("is_pre"), col("pv")).otherwise(0.0)), 4).as("post"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'ab')), 1, 8), 16, 10) AS bigint)") % 2)
+  }
+
+  private val prePostSql: String =
+    """ev AS (
+      |  SELECT user_id, ts::TIMESTAMP::DATE AS day,
+      |    CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS pv
+      |  FROM events
+      |), b AS (SELECT min(day) AS min_d, max(day) AS max_d FROM ev),
+      |pp AS (
+      |  SELECT user_id,
+      |    round(sum(CASE WHEN (day - min_d) * 2 < (max_d - min_d) THEN pv ELSE 0 END), 4) AS pre,
+      |    round(sum(CASE WHEN (day - min_d) * 2 < (max_d - min_d) THEN 0 ELSE pv END), 4) AS post,
+      |    ('0x' || substr(md5(user_id || '-' || 'ab'), 1, 8))::BIGINT % 2 AS arm
+      |  FROM ev CROSS JOIN b GROUP BY user_id
+      |)""".stripMargin
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each user's
+    * post-period purchase value by their pre-period covariate,
+    * adjusted = post − θ·(pre − E[pre]) with θ = cov(post,pre)/var(pre)
+    * computed on ALL users (θ from the pooled frame is unbiased under
+    * randomization). Reports per-arm raw vs adjusted means plus the
+    * variance-reduction ratio — the experimentation platform's "same
+    * test, tighter CI for free" workhorse.
+    *
+    * Scale: one per-user aggregate, one global 1-row moment aggregate
+    * broadcast back, one final per-arm aggregate.
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = prePostFrame(spark, sfDir)
+    val moments = pp.agg(
+      covar_samp(col("post"), col("pre")).as("cv"),
+      var_samp(col("pre")).as("vp"),
+      avg("pre").as("mp"),
+      var_samp(col("post")).as("vpost"))
+      .withColumn("theta", when(col("vp") > 0, col("cv") / col("vp")).otherwise(lit(0.0)))
+    val adj = pp.crossJoin(broadcast(moments))
+      .withColumn("adj", col("post") - col("theta") * (col("pre") - col("mp")))
+    // the reduction practitioners quote is POOLED (= ρ² in-sample,
+    // non-negative by construction since θ is the pooled OLS
+    // minimizer); a per-arm ratio at small n is sampling noise
+    val red = adj.agg(
+      round(lit(1.0) - var_samp(col("adj")) / max("vpost"), 4).as("var_reduction"))
+    adj.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+           round(avg("post"), 4).as("mean_post"),
+           round(avg("adj"), 4).as("mean_adj"),
+           round(max("theta"), 4).as("theta"))
+      .crossJoin(broadcast(red))
+      .orderBy("arm")
+  }
+
+  val cupedSql: String =
+    s"""WITH $prePostSql, m AS (
+       |  SELECT covar_samp(post, pre) AS cv, var_samp(pre) AS vp,
+       |    avg(pre) AS mp, var_samp(post) AS vpost,
+       |    CASE WHEN var_samp(pre) > 0 THEN covar_samp(post, pre) / var_samp(pre)
+       |         ELSE 0.0 END AS theta
+       |  FROM pp
+       |), adj AS (
+       |  SELECT arm, post, post - theta * (pre - mp) AS adjv, theta, vpost
+       |  FROM pp CROSS JOIN m
+       |), red AS (
+       |  SELECT round(1.0 - var_samp(adjv) / max(vpost), 4) AS var_reduction FROM adj
+       |)
+       |SELECT arm, count(*) AS n_users,
+       |  round(avg(post), 4) AS mean_post,
+       |  round(avg(adjv), 4) AS mean_adj,
+       |  round(max(theta), 4) AS theta,
+       |  var_reduction
+       |FROM adj CROSS JOIN red GROUP BY arm, var_reduction ORDER BY arm""".stripMargin
+
+  /** Difference-in-differences on the same pre/post × arm frame: the
+    * causal-inference workhorse when assignment isn't randomized (here
+    * the arms ARE randomized, so DiD ≈ the plain post difference — the
+    * spec pins that consistency). Estimate = mean per-user (post−pre)
+    * in treatment minus control, with the two-sample t statistic over
+    * per-user diffs.
+    */
+  def diffInDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = prePostFrame(spark, sfDir).withColumn("d", col("post") - col("pre"))
+    pp.agg(
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("n_treat"),
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("n_ctrl"),
+        round(avg(when(col("arm") === 1, col("pre"))), 4).as("pre_treat"),
+        round(avg(when(col("arm") === 1, col("post"))), 4).as("post_treat"),
+        round(avg(when(col("arm") === 0, col("pre"))), 4).as("pre_ctrl"),
+        round(avg(when(col("arm") === 0, col("post"))), 4).as("post_ctrl"),
+        avg(when(col("arm") === 1, col("d"))).as("dt"),
+        avg(when(col("arm") === 0, col("d"))).as("dc"),
+        var_samp(when(col("arm") === 1, col("d"))).as("vt"),
+        var_samp(when(col("arm") === 0, col("d"))).as("vc"))
+      .withColumn("did", round(col("dt") - col("dc"), 4))
+      .withColumn("t_stat", round((col("dt") - col("dc")) /
+        sqrt(col("vt") / col("n_treat") + col("vc") / col("n_ctrl")), 4))
+      .select("n_treat", "n_ctrl", "pre_treat", "post_treat",
+        "pre_ctrl", "post_ctrl", "did", "t_stat")
+  }
+
+  val diffInDiffSql: String =
+    s"""WITH $prePostSql, d AS (SELECT *, post - pre AS dv FROM pp)
+       |SELECT
+       |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+       |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+       |  round(avg(CASE WHEN arm = 1 THEN pre END), 4) AS pre_treat,
+       |  round(avg(CASE WHEN arm = 1 THEN post END), 4) AS post_treat,
+       |  round(avg(CASE WHEN arm = 0 THEN pre END), 4) AS pre_ctrl,
+       |  round(avg(CASE WHEN arm = 0 THEN post END), 4) AS post_ctrl,
+       |  round(avg(CASE WHEN arm = 1 THEN dv END)
+       |      - avg(CASE WHEN arm = 0 THEN dv END), 4) AS did,
+       |  round((avg(CASE WHEN arm = 1 THEN dv END) - avg(CASE WHEN arm = 0 THEN dv END))
+       |    / sqrt(var_samp(CASE WHEN arm = 1 THEN dv END) / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+       |         + var_samp(CASE WHEN arm = 0 THEN dv END) / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)), 4) AS t_stat
+       |FROM d""".stripMargin
+
+  /** Two-sided z for the MDE (α=0.05) and the 80%-power z. */
+  val PowerZa = 1.96
+  val PowerZb = 0.8416
+
+  /** A/B pre-test power analysis: the minimum detectable effect on the
+    * conversion rate at 80% power / 95% confidence given the arms the
+    * hash assignment actually produced — the "is this test even worth
+    * running?" gate that belongs next to q_ab_test's z score.
+    * MDE = (z_{α/2}+z_β)·√(p̂(1−p̂)(1/n_a+1/n_b)) on the pooled rate.
+    */
+  def abPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum((col("event_type") === "purchase").cast("long")) * 5 > count(lit(1)))
+        .cast("long").as("converted"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'ab')), 1, 8), 16, 10) AS bigint)") % 2)
+    perUser.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("na"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("nb"),
+        (sum("converted").cast("double") / count(lit(1))).as("p"))
+      .withColumn("mde_abs", round(lit(PowerZa + PowerZb) *
+        sqrt(col("p") * (lit(1.0) - col("p")) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4))
+      .withColumn("mde_rel", round(col("mde_abs") / col("p"), 4))
+      .select(col("na"), col("nb"), round(col("p"), 4).as("pooled_rate"),
+        col("mde_abs"), col("mde_rel"))
+  }
+
+  val abPowerSql: String = {
+    val zsum = PowerZa + PowerZb
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 > count(*)
+       |         THEN 1 ELSE 0 END AS converted,
+       |    ('0x' || substr(md5(user_id || '-' || 'ab'), 1, 8))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY user_id
+       |), agg AS (
+       |  SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+       |    sum(converted)::DOUBLE / count(*) AS p
+       |  FROM per_user
+       |)
+       |SELECT na, nb, round(p, 4) AS pooled_rate,
+       |  round($zsum * sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 4) AS mde_abs,
+       |  round(round($zsum * sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 4) / p, 4) AS mde_rel
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cuped"             -> (cuped _),
+    "q_diff_in_diff"      -> (diffInDiff _),
+    "q_ab_power"          -> (abPower _),
     "q_seasonal_decompose" -> (seasonalDecompose _),
     "q_window_funnel"     -> (windowFunnel _),
     "q_cohort_ltv"        -> (cohortLtv _),
@@ -1124,6 +1310,9 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cuped"             -> cupedSql,
+    "q_diff_in_diff"      -> diffInDiffSql,
+    "q_ab_power"          -> abPowerSql,
     "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_window_funnel"     -> windowFunnelSql,
     "q_cohort_ltv"        -> cohortLtvSql,

@@ -287,4 +287,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // season index is stable per weekday: 7 distinct values at most
     assert(rows.map(_.getAs[Int]("season_idx")).distinct.length <= 7)
   }
+
+  test("cuped: adjustment is mean-preserving overall and never inflates variance") {
+    val rows = operators.Analytics.cuped(spark, sfTest).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val vr = r.getAs[Double]("var_reduction")
+      // pooled reduction = in-sample rho^2: theta is the pooled OLS
+      // minimizer, so it is non-negative by construction
+      assert(vr >= -1e-9 && vr < 1.0, s"pooled var reduction $vr out of range")
+    }
+    // adjustment subtracts theta*(pre - E[pre]): zero-mean over the
+    // pooled users, so the user-weighted means agree before/after
+    val (n0, n1) = (rows(0).getAs[Long]("n_users"), rows(1).getAs[Long]("n_users"))
+    val pooledPost = (rows(0).getAs[Double]("mean_post") * n0 +
+      rows(1).getAs[Double]("mean_post") * n1) / (n0 + n1)
+    val pooledAdj = (rows(0).getAs[Double]("mean_adj") * n0 +
+      rows(1).getAs[Double]("mean_adj") * n1) / (n0 + n1)
+    assert(math.abs(pooledPost - pooledAdj) < 0.01,
+      s"CUPED must be mean-preserving: $pooledPost vs $pooledAdj")
+  }
+
+  test("diff-in-diff: estimate equals the cell-mean identity; arms partition users") {
+    val r = operators.Analytics.diffInDiff(spark, sfTest).collect().head
+    val nUsers = Tables.events(spark, sfTest).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") == nUsers)
+    val identity = (r.getAs[Double]("post_treat") - r.getAs[Double]("pre_treat")) -
+      (r.getAs[Double]("post_ctrl") - r.getAs[Double]("pre_ctrl"))
+    assert(math.abs(r.getAs[Double]("did") - identity) < 1e-3,
+      s"DiD ${r.getAs[Double]("did")} vs cell identity $identity")
+  }
+
+  test("ab power: MDE matches the closed form and shrinks with sample size") {
+    val r = operators.Analytics.abPower(spark, sfTest).collect().head
+    val (na, nb, p) = (r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Double]("pooled_rate"))
+    assert(na > 0 && nb > 0 && p > 0 && p < 1)
+    def mde(a: Long, b: Long, pr: Double): Double =
+      (operators.Analytics.PowerZa + operators.Analytics.PowerZb) *
+        math.sqrt(pr * (1 - pr) * (1.0 / a + 1.0 / b))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde(na, nb, p)) < 1e-3)
+    assert(mde(na * 4, nb * 4, p) < mde(na, nb, p) / 1.9, "4x users ~ halves the MDE")
+  }
 }
