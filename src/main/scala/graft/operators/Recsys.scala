@@ -1516,6 +1516,7 @@ object Recsys {
     userPairAgg(spark, sfDir).count()
     memoSim(spark, sfDir, "itemcf") { itemcfSimilarityPlan(spark, sfDir) }.count()
     memoSim(spark, sfDir, "usercf") { usercfSimilarityPlan(spark, sfDir) }.count()
+    transitionEdges(spark, sfDir).count()
   }
 
   /** Brand pairs reported by the affinity rollup. */
@@ -1729,7 +1730,57 @@ object Recsys {
        |FROM contrib WHERE crk = 1
        |ORDER BY user_id, rk""".stripMargin
 
+  /** Novelty (self-information) profile of the ItemCF rec lists by
+    * rank position (Vargas & Castells 2011): novelty(i) = −log₂ of
+    * the item's user-share in the interaction corpus; averaged over
+    * every rec at each rank. The long-tail counterpart to accuracy
+    * metrics — a recommender that only surfaces head items scores
+    * high precision and ~0 novelty; the per-rank profile shows where
+    * in the list the tail actually appears.
+    *
+    * Scale: popularity is one aggregate; the attach to the rec lists
+    * broadcasts the |items|-row share table.
+    */
+  def evalNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = cappedInteractions(spark, sfDir)
+    val nUsers = hist.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val pop = hist.select("user_id", "item_id").distinct()
+      .groupBy("item_id").agg(count(lit(1)).as("n_u"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_id"),
+        (-log2(col("n_u").cast("double") / col("n_total"))).as("nov"))
+    itemcfRecommend(spark, sfDir)
+      .join(broadcast(pop), "item_id")
+      .groupBy("rk")
+      .agg(count(lit(1)).as("n_recs"),
+           round(avg("nov"), 4).as("avg_novelty"),
+           round(min("nov"), 4).as("min_novelty"),
+           round(max("nov"), 4).as("max_novelty"))
+      .orderBy("rk")
+  }
+
+  val evalNoveltySql: String =
+    s"""WITH recs AS (
+       |  SELECT user_id, rk, item_id FROM (
+       |    ${itemcfRecommendSql.replace("\n", "\n    ")}
+       |  )
+       |), ${cappedSql.replace("interactions AS", "interactions3 AS").replace("FROM interactions", "FROM interactions3").replace("capped AS", "capped3 AS")}, hist AS (
+       |  SELECT DISTINCT user_id, item_id FROM capped3
+       |), nt AS (SELECT count(DISTINCT user_id) AS n_total FROM hist),
+       |pop AS (
+       |  SELECT item_id, -log2(count(*)::DOUBLE / (SELECT n_total FROM nt)) AS nov
+       |  FROM hist GROUP BY item_id
+       |)
+       |SELECT rk, count(*) AS n_recs,
+       |  round(avg(nov), 4) AS avg_novelty,
+       |  round(min(nov), 4) AS min_novelty,
+       |  round(max(nov), 4) AS max_novelty
+       |FROM recs JOIN pop USING (item_id)
+       |GROUP BY rk ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_eval_novelty"      -> (evalNovelty _),
     "q_itemcf_explain"    -> (itemcfExplain _),
     "q_mmr_rerank"        -> (mmrRerank _),
     "q_brand_affinity"    -> (brandAffinity _),
@@ -1754,6 +1805,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_eval_novelty"      -> evalNoveltySql,
     "q_itemcf_explain"    -> itemcfExplainSql,
     "q_mmr_rerank"        -> mmrRerankSql,
     "q_brand_affinity"    -> brandAffinitySql,

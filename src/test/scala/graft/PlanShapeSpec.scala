@@ -406,6 +406,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("itemcf_explain: sim model and popularity attaches broadcast onto the rec head") {
+    val p = plan(operators.Recsys.itemcfExplain(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"), "sim model must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ks_test / psi_drift: drift audits plan no joins wider than a broadcast") {
     for (q <- Seq(operators.Stats.ksTest(planSession, sfTest),
                   operators.Stats.psiDrift(planSession, sfTest))) {

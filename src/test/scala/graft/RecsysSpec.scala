@@ -170,6 +170,22 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("top_share") >= 1.0 / nRec)
   }
 
+  test("eval novelty: bounded by corpus self-information, ranks all present") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Recsys.evalNovelty(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.interactions(spark, sfTest).select("user_id").distinct().count()
+    val maxNov = math.log(nUsers.toDouble) / math.log(2.0) // item with a single user
+    rows.foreach { r =>
+      val (avg, mn, mx) = (r.getAs[Double]("avg_novelty"),
+        r.getAs[Double]("min_novelty"), r.getAs[Double]("max_novelty"))
+      assert(mn >= -1e-9 && mx <= maxNov + 1e-6, s"novelty [$mn,$mx] out of [0, $maxNov]")
+      assert(mn <= avg && avg <= mx)
+    }
+    // every emitted rank has a full user population of recs
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+  }
+
   test("itemcf explain: because-item comes from the user's history and dominates the score") {
     import org.apache.spark.sql.functions._
     val rows = operators.Recsys.itemcfExplain(spark, sfTest).collect()
