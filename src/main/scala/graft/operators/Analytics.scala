@@ -1283,7 +1283,57 @@ object Analytics {
        |FROM agg""".stripMargin
   }
 
+  /** Debounce horizon (seconds): a same-user same-type event closer
+    * than this to its predecessor is an instrumentation echo. */
+  val DebounceSecs = 5
+
+  /** Telemetry debounce audit: collapse each burst of same-user
+    * same-type events to its head — double-click / retry echoes that
+    * inflate every downstream count. A burst is a maximal chain whose
+    * consecutive gaps are all ≤ [[DebounceSecs]] (the session-window
+    * idiom at seconds scale), so an event survives iff its gap to the
+    * immediate predecessor exceeds the horizon. Emits the per-type
+    * keep/drop audit.
+    *
+    * Scale: one user-keyed window pass with a µs-exact gap, one
+    * narrow rollup.
+    */
+  def debounce(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("keep",
+        (col("gap_us").isNull || col("gap_us") > DebounceSecs * 1000000L).cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum("keep").as("n_kept"),
+           (count(lit(1)) - sum("keep")).as("n_dropped"),
+           round((count(lit(1)) - sum("keep")).cast("double") / count(lit(1)), 6)
+             .as("drop_rate"))
+      .orderBy("event_type")
+  }
+
+  val debounceSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+       |  FROM events
+       |), k AS (
+       |  SELECT event_type,
+       |    CASE WHEN gap_us IS NULL OR gap_us > ${DebounceSecs} * 1000000 THEN 1 ELSE 0 END AS keep
+       |  FROM g
+       |)
+       |SELECT event_type, count(*) AS n_events,
+       |  sum(keep)::BIGINT AS n_kept,
+       |  (count(*) - sum(keep))::BIGINT AS n_dropped,
+       |  round((count(*) - sum(keep))::DOUBLE / count(*), 6) AS drop_rate
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_debounce"          -> (debounce _),
     "q_cuped"             -> (cuped _),
     "q_diff_in_diff"      -> (diffInDiff _),
     "q_ab_power"          -> (abPower _),
@@ -1310,6 +1360,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_debounce"          -> debounceSql,
     "q_cuped"             -> cupedSql,
     "q_diff_in_diff"      -> diffInDiffSql,
     "q_ab_power"          -> abPowerSql,

@@ -1039,7 +1039,52 @@ object Stats {
        |LIMIT $SmoothTopN""".stripMargin
   }
 
+  /** Overdispersion check of the daily event counts per type: the
+    * variance/mean dispersion index (Poisson ⇒ 1) and the
+    * method-of-moments negative-binomial size r = μ²/(σ²−μ) when
+    * overdispersed — the test that decides whether Poisson-based
+    * alerting thresholds (and the Poisson bootstrap's weight model)
+    * are honest for this stream, or whether burstiness demands NB
+    * quantiles. NULL r (var ≤ mean) means Poisson is fine.
+    *
+    * Scale: two nested narrow aggregates, both calendar-bounded.
+    */
+  def overdispersion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+           avg("n").as("mu"),
+           var_samp(col("n").cast("double")).as("v"))
+      .withColumn("dispersion", round(col("v") / col("mu"), 4))
+      .withColumn("nb_r",
+        when(col("v") > col("mu"),
+          round(col("mu") * col("mu") / (col("v") - col("mu")), 4)))
+      .select(col("event_type"), col("n_days"),
+        round(col("mu"), 4).as("mean_daily"),
+        round(col("v"), 4).as("var_daily"),
+        col("dispersion"), col("nb_r"))
+      .orderBy("event_type")
+
+  val overdispersionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    avg(n) AS mu, var_samp(n::DOUBLE) AS v
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT event_type, n_days,
+      |  round(mu, 4) AS mean_daily,
+      |  round(v, 4) AS var_daily,
+      |  round(v / mu, 4) AS dispersion,
+      |  CASE WHEN v > mu THEN round(mu * mu / (v - mu), 4) END AS nb_r
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_overdispersion" -> (overdispersion _),
     "q_winsorize"      -> (winsorize _),
     "q_hill_tail"      -> (hillTail _),
     "q_wilson_lb"      -> (wilsonLb _),
@@ -1060,6 +1105,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_overdispersion" -> overdispersionSql,
     "q_winsorize"      -> winsorizeSql,
     "q_hill_tail"      -> hillTailSql,
     "q_wilson_lb"      -> wilsonLbSql,

@@ -184,6 +184,28 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
       "constant series must yield no change point, not a NaN-ranked row")
   }
 
+  test("debounce: a chained burst keeps only its head; spaced events all survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("debedge").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: burst of 4 clicks 3s apart (chained: every gap <= 5s) +
+    // one click 10s later; user 2: two clicks 60s apart
+    val rows = Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L), (2L, ts("2024-01-05 10:00:03"), 1L),
+      (3L, ts("2024-01-05 10:00:06"), 1L), (4L, ts("2024-01-05 10:00:09"), 1L),
+      (5L, ts("2024-01-05 10:00:19"), 1L),
+      (6L, ts("2024-01-05 10:00:00"), 2L), (7L, ts("2024-01-05 10:01:00"), 2L))
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Analytics.debounce(spark, dir).collect().head
+    assert(r.getAs[Long]("n_events") == 7L)
+    // kept: burst head (1), the 10s-later click (5), both of user 2
+    assert(r.getAs[Long]("n_kept") == 4L, s"kept ${r.getAs[Long]("n_kept")}")
+    assert(r.getAs[Long]("n_dropped") == 3L)
+  }
+
   test("survival KM with every user censored emits survival 1.0 throughout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kmedge").toString

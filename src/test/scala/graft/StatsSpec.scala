@@ -380,6 +380,24 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(lb(50, 100) > lb(5, 10))
   }
 
+  test("overdispersion: index matches a local recompute; NB r present iff var exceeds mean") {
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val rows = operators.Stats.overdispersion(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = daily(r.getString(0)).toSeq
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(r.getAs[Double]("dispersion") - math.rint(v / mu * 1e4) / 1e4) < 1e-3)
+      if (v > mu) assert(!r.isNullAt(r.fieldIndex("nb_r")) && r.getAs[Double]("nb_r") > 0)
+      else assert(r.isNullAt(r.fieldIndex("nb_r")))
+    }
+  }
+
   test("bootstrap CI: brackets the point estimate, replayable, Poisson weights mean ~1") {
     import org.apache.spark.sql.functions._
     val r1 = operators.Stats.bootstrapCi(spark, sfTest).collect().head
