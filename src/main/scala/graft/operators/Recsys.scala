@@ -263,7 +263,17 @@ object Recsys {
     * over each history item's top-K neighbors, minus already-seen items
     * (left anti), top-N per user ranked on the ROUNDED score.
     */
-  def itemcfRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memoized like the similarity models: five queries serve from the
+    * same recommendation table (recommend itself, explanations,
+    * novelty, coverage, diversity) — in production this IS the
+    * materialized serving table, built once per model refresh.
+    */
+  def itemcfRecommend(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"recsys:itemcfrecs:$sfDir") {
+      itemcfRecommendPlan(spark, sfDir)
+    }
+
+  private def itemcfRecommendPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = cappedInteractions(spark, sfDir)
     // K·|items| rows — small relative to the fact side at any SF: broadcast
     val sim = broadcast(itemcfSimilarity(spark, sfDir).select("item_i", "item_j", "sim"))
