@@ -761,29 +761,42 @@ object GraphRank {
     * computed once. Self-loops (item followed by itself) are walk
     * no-ops and dropped.
     */
-  def salsa(spark: SparkSession, sfDir: String): DataFrame = {
+  def salsa(spark: SparkSession, sfDir: String): DataFrame =
+    salsa(spark, sfDir, BroadcastNodeCeiling)
+
+  /** Ceiling-parameterized variant (same discipline as
+    * [[itemPagerank]]): below the ceiling the node-sized degree and
+    * score vectors broadcast into the edge joins; above it the same
+    * recurrence runs with shuffled equi-joins. GraphRankSpec proves
+    * both branches bit-identical (integer fixed-point). */
+  private[graft] def salsa(spark: SparkSession, sfDir: String,
+                           bcastCeiling: Long): DataFrame = {
     val e = Recsys.transitionEdges(spark, sfDir)
       .where(col("item_id") =!= col("next_item"))
       .select(col("item_id").as("src"), col("next_item").as("dst"), col("n").as("w"))
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     val inW  = e.groupBy("dst").agg(sum("w").as("in_w"))
-    val nSrc = outW.agg(count(lit(1)).as("n_src"))
+    // tiny driver-side counts fix the uniform start and pick the branch
+    val nHub = outW.count()
+    require(nHub > 0, "salsa: empty transition graph")
+    val fitsBroadcast = math.max(nHub, inW.count()) <= bcastCeiling
+    def maybe(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
+    val h0 = TotalUnits / nHub
     // a1(j) = sum_i h0 * w(ij) div out_w(i), h0 uniform over hubs
-    val a1 = e.join(broadcast(outW), "src").crossJoin(broadcast(nSrc))
-      .select(col("dst"), expr(
-        s"((${TotalUnits}L div n_src) * w) div out_w").as("c"))
+    val a1 = e.join(maybe(outW), "src")
+      .select(col("dst"), expr(s"(${h0}L * w) div out_w").as("c"))
       .groupBy("dst").agg(sum("c").as("a1"))
     // h1(i) = sum_j a1(j) * w(ij) div in_w(j)
-    val h1 = e.join(broadcast(inW), "dst")
-      .join(broadcast(a1), "dst")
+    val h1 = e.join(maybe(inW), "dst")
+      .join(maybe(a1), "dst")
       .select(col("src"), expr("(a1 * w) div in_w").as("c"))
       .groupBy("src").agg(sum("c").as("h1"))
     // a2(j) = sum_i h1(i) * w(ij) div out_w(i)
-    val a2 = e.join(broadcast(outW), "src")
-      .join(broadcast(h1), "src")
+    val a2 = e.join(maybe(outW), "src")
+      .join(maybe(h1), "src")
       .select(col("dst"), expr("(h1 * w) div out_w").as("c"))
       .groupBy("dst").agg(sum("c").as("a2"))
-    a2.join(broadcast(h1.select(col("src").as("dst"), col("h1"))), Seq("dst"), "left")
+    a2.join(maybe(h1.select(col("src").as("dst"), col("h1"))), Seq("dst"), "left")
       .select(col("dst").as("item_id"),
         col("a2").as("auth_units"), coalesce(col("h1"), lit(0L)).as("hub_units"))
       .orderBy(col("auth_units").desc, col("item_id").asc)

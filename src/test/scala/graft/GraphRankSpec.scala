@@ -177,6 +177,13 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(a1.values.sum > total * 9 / 10, "floor loss must stay small")
   }
 
+  test("salsa shuffled-join branch (forced ceiling 0) is bit-identical to the broadcast branch") {
+    val bcast = operators.GraphRank.salsa(spark, sfTest).collect()
+    val shuffled = operators.GraphRank.salsa(spark, sfTest, 0L).collect()
+    assert(bcast.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
+      "integer fixed-point walk must not depend on the join strategy")
+  }
+
   test("assortativity: matches the exact local Pearson over mirrored endpoint degrees") {
     import org.apache.spark.sql.functions._
     val half = operators.GraphRank.sparsifiedHalfEdges(spark, sfTest)
