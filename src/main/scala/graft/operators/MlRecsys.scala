@@ -243,6 +243,11 @@ object MlRecsys {
     * check; the spec cross-checks the length-1 patterns against plain
     * counts.
     */
+  /** Absolute support floor for sequential patterns (users). At the
+    * sf0.01 gate this reproduces the former relative 1% exactly
+    * (15/1500 sequences). */
+  val SeqPatternMinUsers = 15
+
   def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
@@ -253,13 +258,23 @@ object MlRecsys {
       .agg(transform(
         sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"), col("basket")))),
         s => s.getField("basket")).as("sequence"))
+    // Support floor as an ABSOLUTE sequence count converted to the
+    // relative threshold PrefixSpan wants: with a fixed relative floor
+    // the query silently empties as the corpus grows (catalog size
+    // scales with SF, so any one item's user-share dilutes ~1/SF — at
+    // sf0.1, 1% of sequences exceeds every item's support). A count
+    // floor is the scale-invariant statement "seen by at least
+    // SeqPatternMinUsers users"; the one driver-side count is a model
+    // hyperparameter from data size (same discipline as pagerank's |V|).
+    val nSeqs = seqs.count().max(1L)
     val ps = new org.apache.spark.ml.fpm.PrefixSpan()
       .setSequenceCol("sequence")
       // length cap 2 = the "A then B" granularity every downstream
       // consumer (next-item shelf, transition features) actually uses;
       // the projected-database search space is exponential in the cap,
       // so 3 paid several-fold the runtime for patterns nothing read
-      .setMinSupport(0.01).setMaxPatternLength(2)
+      .setMinSupport(math.max(SeqPatternMinUsers.toDouble / nSeqs, 1e-4))
+      .setMaxPatternLength(2)
     ps.findFrequentSequentialPatterns(seqs)
       .select(concat_ws(";", expr(
         "transform(sequence, step -> concat_ws(',', transform(step, x -> cast(x AS string))))"))
