@@ -110,4 +110,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         kept == left.toSet.diff(exclSet)
     })
   }
+
+  test("MMR closed form equals the sequential greedy for ANY pool under indicator similarity") {
+    // the theorem behind q_mmr_rerank, checked on random pools (the
+    // RecsysSpec test ties the Spark plan to one instance; this pins
+    // the equivalence itself across shapes: ties, singleton brands,
+    // one-brand pools, lambda extremes)
+    val lamGen = Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    val poolGen = Gen.chooseNum(1, 25).flatMap { n =>
+      Gen.listOfN(n, for {
+        rel <- Gen.chooseNum(0.0, 1.0)
+        brand <- Gen.chooseNum(0, 4)
+      } yield (rel, brand))
+    }
+    val params200 = SCTest.Parameters.default.withMinSuccessfulTests(200)
+    val p = Prop.forAll(poolGen, lamGen) { (pool0: List[(Double, Int)], lam: Double) =>
+      val pool = pool0.zipWithIndex.map { case ((r, b), id) => (id.toLong, r, b) }
+      val k = math.min(10, pool.size)
+      // closed form: brand leader by (rel desc, id asc); adj sort
+      val leaders = pool.groupBy(_._3).values.flatMap { g =>
+        val sorted = g.sortBy(x => (-x._2, x._1))
+        sorted.zipWithIndex.map { case ((id, r, b), i) => id -> (i == 0) }
+      }.toMap
+      val closed = pool.map { case (id, r, b) =>
+        (id, lam * r - (if (leaders(id)) 0.0 else 1 - lam))
+      }.sortBy { case (id, adj) => (-adj, id) }.take(k).map(_._1)
+      // literal greedy
+      var remaining = pool
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val pb = scala.collection.mutable.Set.empty[Int]
+      while (picked.length < k && remaining.nonEmpty) {
+        val best = remaining.map { case (id, r, b) =>
+          (id, lam * r - (if (pb.contains(b)) 1 - lam else 0.0), b)
+        }.minBy { case (id, s, _) => (-s, id) }
+        picked += best._1
+        pb += pool.find(_._1 == best._1).get._3
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      closed == picked.toList
+    }
+    val res = SCTest.check(params200, p)
+    assert(res.passed, s"mmr-equivalence: $res")
+  }
 }
