@@ -243,10 +243,16 @@ object MlRecsys {
     * check; the spec cross-checks the length-1 patterns against plain
     * counts.
     */
-  /** Absolute support floor for sequential patterns (users). At the
-    * sf0.01 gate this reproduces the former relative 1% exactly
-    * (15/1500 sequences). */
+  /** Support floor for sequential patterns at the reference corpus
+    * size, in users; the effective floor scales with √(n/GateSeqs) —
+    * count-data noise grows like √n (Poisson), so a √-scaled floor
+    * keeps the same signal-to-noise bar AND keeps the projected-
+    * database search space bounded as corpora grow (a flat absolute
+    * floor admitted ~0.1%-support patterns at sf0.1 and quadrupled
+    * the mining time). At the sf0.01 gate (1500 sequences) this is
+    * exactly the former 15-user / 1% floor. */
   val SeqPatternMinUsers = 15
+  val SeqPatternGateSeqs = 1500.0
 
   def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
@@ -267,13 +273,14 @@ object MlRecsys {
     // SeqPatternMinUsers users"; the one driver-side count is a model
     // hyperparameter from data size (same discipline as pagerank's |V|).
     val nSeqs = seqs.count().max(1L)
+    val minUsers = SeqPatternMinUsers * math.sqrt(nSeqs / SeqPatternGateSeqs)
     val ps = new org.apache.spark.ml.fpm.PrefixSpan()
       .setSequenceCol("sequence")
       // length cap 2 = the "A then B" granularity every downstream
       // consumer (next-item shelf, transition features) actually uses;
       // the projected-database search space is exponential in the cap,
       // so 3 paid several-fold the runtime for patterns nothing read
-      .setMinSupport(math.max(SeqPatternMinUsers.toDouble / nSeqs, 1e-4))
+      .setMinSupport(math.min(math.max(minUsers / nSeqs, 1e-4), 0.5))
       .setMaxPatternLength(2)
     ps.findFrequentSequentialPatterns(seqs)
       .select(concat_ws(";", expr(
