@@ -1332,7 +1332,85 @@ object Analytics {
        |  round((count(*) - sum(keep))::DOUBLE / count(*), 6) AS drop_rate
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Peak concurrent sessions per day — the capacity-planning sweep
+    * line. Sessions are the 30-minute-gap sessions of
+    * `Relational.sessionStats`; each contributes a +1 point at its
+    * start instant and a −1 at its end, and peak concurrency is the
+    * maximum of the running sum over time-ordered points (starts sort
+    * before ends at the same instant, so touching sessions count as
+    * concurrent — the closed-interval convention).
+    *
+    * Scale: the running sum is NEVER one single-partition global
+    * window. Points carry their day; within-day running sums execute
+    * as parallel day-partitioned windows, the day NET totals
+    * (calendar-bounded rows) take one tiny global prefix window, and
+    * each day's carry-in offset broadcasts back — the same two-level
+    * prefix sum as [[Stats.equidepthHist]]. Cross-midnight sessions
+    * are exact for free: a day's carry-in IS the number of sessions
+    * still open at its midnight. The per-day max is order-invariant
+    * among equal (instant, delta) points, so the result is
+    * deterministic even though individual running-sum rows are not.
+    */
+  def concurrencyPeak(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+    val pts = sess.select(col("start_ts").as("pt"), lit(1).as("delta"))
+      .unionAll(sess.select(col("end_ts").as("pt"), lit(-1).as("delta")))
+      .withColumn("day", to_date(col("pt")))
+    val wd = Window.partitionBy("day").orderBy(col("pt").asc, col("delta").desc)
+    val within = pts.withColumn("run",
+      sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = pts.groupBy("day").agg(sum("delta").as("net"))
+      .withColumn("carry_in",
+        coalesce(sum("net").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "carry_in")
+    within.join(broadcast(carry), Seq("day"))
+      .groupBy("day")
+      .agg(max(col("carry_in") + col("run")).as("peak_concurrency"),
+           sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"))
+      .orderBy("day")
+  }
+
+  val concurrencyPeakSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+      |  FROM s GROUP BY 1, 2
+      |), pts AS (
+      |  SELECT start_ts AS pt, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT end_ts AS pt, -1 AS delta FROM sess
+      |), run AS (
+      |  SELECT pt, delta,
+      |    sum(delta) OVER (ORDER BY pt ASC, delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM pts
+      |)
+      |SELECT pt::DATE AS day,
+      |  max(conc)::BIGINT AS peak_concurrency,
+      |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts
+      |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_concurrency_peak"  -> (concurrencyPeak _),
     "q_debounce"          -> (debounce _),
     "q_cuped"             -> (cuped _),
     "q_diff_in_diff"      -> (diffInDiff _),
@@ -1360,6 +1438,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_concurrency_peak"  -> concurrencyPeakSql,
     "q_debounce"          -> debounceSql,
     "q_cuped"             -> cupedSql,
     "q_diff_in_diff"      -> diffInDiffSql,

@@ -1083,7 +1083,191 @@ object Stats {
       |  CASE WHEN v > mu THEN round(mu * mu / (v - mu), 4) END AS nb_r
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Mutual information / association audit between two categorical
+    * features — market segment × nation over customers. Emits the MI
+    * (nats), the normalized MI (MI / √(H(X)·H(Y))), and Cramér's V in
+    * one row: the feature-relevance triple a training pipeline runs
+    * before one-hot-encoding a high-cardinality column.
+    *
+    * Scale: one broadcast dim join + one groupBy to the JOINT
+    * contingency table — at most |X|·|Y| cells regardless of row
+    * count. Marginals are window sums over those cells (no second
+    * scan), and the χ² over UNOBSERVED cells is closed-form:
+    * Σ_all e = n, so their contribution is n − Σ_observed e — no
+    * dense cross join of the category domains ever materializes.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val joint = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("x"), col("n_name").as("y"))
+      .agg(count(lit(1)).cast("double").as("nxy"))
+    val cells = joint
+      .withColumn("nx", sum("nxy").over(Window.partitionBy("x")))
+      .withColumn("ny", sum("nxy").over(Window.partitionBy("y")))
+      .withColumn("n", sum("nxy").over(Window.partitionBy()))
+    cells
+      .agg(
+        first(col("n")).as("n0"),
+        countDistinct("x").as("x_card"),
+        countDistinct("y").as("y_card"),
+        sum(col("nxy") / col("n") *
+          log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("mi"),
+        sum(col("nxy") / col("n") * log(col("nx") / col("n"))).as("shx"),
+        sum(col("nxy") / col("n") * log(col("ny") / col("n"))).as("shy"),
+        sum(pow(col("nxy") - col("nx") * col("ny") / col("n"), 2)
+          / (col("nx") * col("ny") / col("n"))).as("chi_obs"),
+        sum(col("nx") * col("ny") / col("n")).as("e_obs"))
+      .select(
+        col("n0").cast("long").as("n"),
+        col("x_card"), col("y_card"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / sqrt(col("shx") * col("shy")), 6).as("nmi"),
+        round(sqrt((col("chi_obs") + col("n0") - col("e_obs"))
+          / (col("n0") * (least(col("x_card"), col("y_card")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH joint AS (
+      |  SELECT c_mktsegment AS x, n_name AS y, count(*)::DOUBLE AS nxy
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT nxy,
+      |    sum(nxy) OVER (PARTITION BY x) AS nx,
+      |    sum(nxy) OVER (PARTITION BY y) AS ny,
+      |    sum(nxy) OVER () AS n,
+      |    x, y
+      |  FROM joint
+      |), agg AS (
+      |  SELECT first(n) AS n0,
+      |    count(DISTINCT x) AS x_card, count(DISTINCT y) AS y_card,
+      |    sum(nxy / n * ln(nxy * n / (nx * ny))) AS mi,
+      |    sum(nxy / n * ln(nx / n)) AS shx,
+      |    sum(nxy / n * ln(ny / n)) AS shy,
+      |    sum(pow(nxy - nx * ny / n, 2) / (nx * ny / n)) AS chi_obs,
+      |    sum(nx * ny / n) AS e_obs
+      |  FROM cells
+      |)
+      |SELECT n0::BIGINT AS n, x_card::BIGINT AS x_card, y_card::BIGINT AS y_card,
+      |  round(mi, 6) AS mi_nats,
+      |  round(mi / sqrt(shx * shy), 6) AS nmi,
+      |  round(sqrt((chi_obs + n0 - e_obs)
+      |    / (n0 * (least(x_card, y_card) - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
+  /** Longest ACF lag reported (days). The fixture event stream spans
+    * 30 calendar days at every sf, so lag 14 still has ≥ 16 pairs. */
+  val AcfMaxLag = 14
+
+  /** Autocorrelation function of the daily total event value at lags
+    * 1..[[AcfMaxLag]] — the seasonality detector that decides the
+    * period for [[Analytics.seasonalDecompose]] / the naive
+    * forecaster. Daily totals are exact 1e-2 fixed-point longs (the
+    * house cross-engine determinism idiom); ACF(ℓ) =
+    * Σ(x_t−μ)(x_{t+ℓ}−μ) / Σ(x_t−μ)² with the mean and denominator
+    * over the FULL series (the standard biased estimator, so acf ≤ 1
+    * and comparable across lags).
+    *
+    * Scale: one narrow aggregate collapses the stream to
+    * calendar-bounded daily rows; everything after — the lag
+    * explode, the self-join on day+ℓ, the scalar mean/denominator —
+    * runs on that bounded series via broadcasts. No window over the
+    * raw stream, no stream self-join.
+    */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val mu = daily.agg(avg(col("cents").cast("double")).as("mu"))
+    val centered = daily.crossJoin(broadcast(mu))
+      .select(col("day"), (col("cents") - col("mu")).as("dev"))
+    val denom = centered.agg(sum(col("dev") * col("dev")).as("s0"))
+    val lags = spark.range(1, AcfMaxLag + 1).select(col("id").cast("int").as("lag"))
+    centered
+      .crossJoin(broadcast(lags))
+      .withColumn("day2", date_add(col("day"), col("lag")))
+      .join(broadcast(centered.select(col("day").as("day2"), col("dev").as("dev2"))),
+        Seq("day2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_pairs"), round(col("num") / col("s0"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  val acfSql: String =
+    s"""WITH daily AS (
+       |  SELECT ts::TIMESTAMP::DATE AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1
+       |), c AS (
+       |  SELECT day, cents::DOUBLE - (SELECT avg(cents::DOUBLE) FROM daily) AS dev
+       |  FROM daily
+       |), den AS (SELECT sum(dev * dev) AS s0 FROM c),
+       |lags AS (SELECT range::INTEGER AS lag FROM range(1, ${AcfMaxLag + 1}))
+       |SELECT l.lag, count(*)::BIGINT AS n_pairs,
+       |  round(sum(a.dev * b.dev) / (SELECT s0 FROM den), 6) AS acf
+       |FROM c a CROSS JOIN lags l JOIN c b ON b.day = a.day + l.lag
+       |GROUP BY l.lag ORDER BY l.lag""".stripMargin
+
+  /** Theil–Sen robust trend of the daily total event value: the
+    * median of all pairwise slopes (v_j−v_i)/(t_j−t_i) over day pairs
+    * plus the matching median intercept — the outlier-proof
+    * alternative to OLS for "is this metric drifting" alerts (a
+    * single anomalous day moves OLS, not the pairwise-slope median).
+    *
+    * Scale: the O(d²) pair space is over DAYS, not rows — bounded by
+    * the calendar² (30 days → 435 pairs here; a decade of days →
+    * ~6.7M pairs), so the theta-join over the broadcast day series is
+    * sound at any corpus size. The raw stream is touched once, by the
+    * daily fixed-point aggregate.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val d0 = daily.agg(min("day").as("d0"))
+    val pts = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).as("t"),
+        col("cents").cast("double").as("v"))
+    val slopes = pts.select(col("t").as("t1"), col("v").as("v1"))
+      .join(broadcast(pts.select(col("t").as("t2"), col("v").as("v2"))),
+        col("t2") > col("t1"))
+      .select(((col("v2") - col("v1")) / (col("t2") - col("t1"))).as("slope"))
+    val fit = slopes.agg(expr("percentile(slope, 0.5)").as("slope"),
+      count(lit(1)).as("n_pairs"))
+    pts.crossJoin(broadcast(fit))
+      .groupBy("n_pairs", "slope")
+      .agg(count(lit(1)).as("n_days"),
+           expr("percentile(v - slope * t, 0.5)").as("intercept"))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_cents_per_day"),
+        round(col("intercept"), 4).as("intercept_cents"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT ts::TIMESTAMP::DATE AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1
+      |), pts AS (
+      |  SELECT (day - (SELECT min(day) FROM daily))::INTEGER AS t, cents::DOUBLE AS v
+      |  FROM daily
+      |), slopes AS (
+      |  SELECT (b.v - a.v) / (b.t - a.t) AS slope
+      |  FROM pts a JOIN pts b ON b.t > a.t
+      |), s AS (SELECT median(slope) AS slope, count(*) AS n_pairs FROM slopes)
+      |SELECT count(*)::BIGINT AS n_days, (SELECT n_pairs FROM s)::BIGINT AS n_pairs,
+      |  round((SELECT slope FROM s), 6) AS slope_cents_per_day,
+      |  round(median(v - (SELECT slope FROM s) * t), 4) AS intercept_cents
+      |FROM pts""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_mutual_info"    -> (mutualInfo _),
+    "q_acf"            -> (acf _),
+    "q_theil_sen"      -> (theilSen _),
     "q_overdispersion" -> (overdispersion _),
     "q_winsorize"      -> (winsorize _),
     "q_hill_tail"      -> (hillTail _),
@@ -1105,6 +1289,9 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mutual_info"    -> mutualInfoSql,
+    "q_acf"            -> acfSql,
+    "q_theil_sen"      -> theilSenSql,
     "q_overdispersion" -> overdispersionSql,
     "q_winsorize"      -> winsorizeSql,
     "q_hill_tail"      -> hillTailSql,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 class AnalyticsSpec extends AnyFunSuite with SparkFixture {
@@ -327,5 +328,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
         math.sqrt(pr * (1 - pr) * (1.0 / a + 1.0 / b))
     assert(math.abs(r.getAs[Double]("mde_abs") - mde(na, nb, p)) < 1e-3)
     assert(mde(na * 4, nb * 4, p) < mde(na, nb, p) / 1.9, "4x users ~ halves the MDE")
+  }
+
+  test("concurrency peak matches a local global sweep over the session intervals") {
+    // recompute sessions locally with the same 30-min gap rule
+    val ev = Tables.events(spark, sfTest)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val sessions = ev.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((_, ts, _) <- sorted) {
+        if (out.isEmpty || ts - out.last._2 > 1800L * 1000000L) out += ((ts, ts))
+        else out(out.length - 1) = (out.last._1, ts)
+      }
+      out
+    }.toSeq
+    // global sweep: +1 at start, -1 at end; starts first at equal instants
+    val points = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var conc = 0
+    val perDay = scala.collection.mutable.Map.empty[java.time.LocalDate, Int]
+    for ((t, d) <- points) {
+      conc += d
+      val day = java.time.Instant.ofEpochSecond(t / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      perDay(day) = math.max(perDay.getOrElse(day, Int.MinValue), conc)
+    }
+    val got = operators.Analytics.concurrencyPeak(spark, sfTest).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getAs[Long]("peak_concurrency"))).toMap
+    assert(got.keySet == perDay.keySet)
+    for ((day, peak) <- perDay)
+      assert(got(day) == peak.toLong, s"day $day: got ${got(day)}, sweep says $peak")
+    // sanity: some day holds >1 concurrent session on the fixture
+    assert(perDay.values.max > 1)
   }
 }

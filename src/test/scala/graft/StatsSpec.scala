@@ -423,4 +423,90 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       .agg(avg("w")).head.getDouble(0)
     assert(math.abs(meanW - 1.0) < 0.05, s"Poisson(1) weight mean was $meanW")
   }
+
+  test("mutual info: matches a local recompute from the contingency table; bounds hold") {
+    val cells = Tables.customer(spark, sfTest)
+      .join(Tables.nation(spark, sfTest), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2).toDouble))
+    val n = cells.map(_._2).sum
+    val nx = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ny = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val mi = cells.map { case ((x, y), nxy) =>
+      nxy / n * math.log(nxy * n / (nx(x) * ny(y))) }.sum
+    val hx = -nx.values.map(v => v / n * math.log(v / n)).sum
+    val hy = -ny.values.map(v => v / n * math.log(v / n)).sum
+    val chiObs = cells.map { case ((x, y), nxy) =>
+      val e = nx(x) * ny(y) / n; math.pow(nxy - e, 2) / e }.sum
+    val eObs = cells.map { case ((x, y), _) => nx(x) * ny(y) / n }.sum
+    val chi2 = chiObs + n - eObs
+    val v = math.sqrt(chi2 / (n * (math.min(nx.size, ny.size) - 1)))
+    val r = operators.Stats.mutualInfo(spark, sfTest).head
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(math.abs(r.getAs[Double]("mi_nats") - mi) < 1e-4)
+    assert(math.abs(r.getAs[Double]("nmi") - mi / math.sqrt(hx * hy)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-4)
+    assert(r.getAs[Double]("mi_nats") > -1e-9 && r.getAs[Double]("nmi") <= 1 + 1e-9)
+    assert(r.getAs[Double]("cramers_v") >= 0 && r.getAs[Double]("cramers_v") <= 1 + 1e-9)
+  }
+
+  test("acf: matches a local recompute of the biased estimator; |acf| bounded by 1") {
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1).toDouble))
+    val mu = daily.map(_._2).sum / daily.length
+    val dev = daily.map { case (d, v) => (d, v - mu) }.toMap
+    val s0 = dev.values.map(d => d * d).sum
+    val rows = operators.Stats.acf(spark, sfTest).collect()
+    assert(rows.nonEmpty && rows.length <= operators.Stats.AcfMaxLag)
+    rows.foreach { r =>
+      val lag = r.getAs[Int]("lag")
+      val pairs = dev.toSeq.flatMap { case (d, x) =>
+        dev.get(d.plusDays(lag)).map(y => x * y) }
+      assert(r.getAs[Long]("n_pairs") == pairs.length)
+      assert(math.abs(r.getAs[Double]("acf") - pairs.sum / s0) < 1e-6)
+      assert(math.abs(r.getAs[Double]("acf")) <= 1 + 1e-9)
+    }
+  }
+
+  test("theil-sen: matches a local median-of-pairwise-slopes; robust to a spiked day") {
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("day").collect()
+    val d0 = daily.map(_.getDate(0).toLocalDate).min
+    val pts = daily.map(r => (java.time.temporal.ChronoUnit.DAYS.between(
+      d0, r.getDate(0).toLocalDate).toDouble, r.getLong(1).toDouble))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2
+    }
+    val slopes = for {
+      i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+    val slope = median(slopes)
+    val intercept = median(pts.toSeq.map { case (t, v) => v - slope * t })
+    val r = operators.Stats.theilSen(spark, sfTest).head
+    assert(r.getAs[Long]("n_days") == pts.length)
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    assert(math.abs(r.getAs[Double]("slope_cents_per_day") - slope) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept_cents") - intercept) < 1e-2)
+    // robustness: spiking ONE day by 100x moves the pairwise-slope
+    // median far less than it moves the OLS slope on the same series
+    val spiked = pts.updated(pts.length / 2, (pts(pts.length / 2)._1, pts(pts.length / 2)._2 * 100))
+    val sSlopes = for {
+      i <- spiked.indices; j <- spiked.indices if spiked(j)._1 > spiked(i)._1
+    } yield (spiked(j)._2 - spiked(i)._2) / (spiked(j)._1 - spiked(i)._1)
+    def ols(ps: Seq[(Double, Double)]): Double = {
+      val n = ps.length; val sx = ps.map(_._1).sum; val sy = ps.map(_._2).sum
+      val sxx = ps.map(p => p._1 * p._1).sum; val sxy = ps.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val tsShift = math.abs(median(sSlopes) - slope)
+    val olsShift = math.abs(ols(spiked.toSeq) - ols(pts.toSeq))
+    assert(tsShift < olsShift / 5,
+      s"Theil-Sen shift $tsShift should be far below OLS shift $olsShift")
+  }
 }
