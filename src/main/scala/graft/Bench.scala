@@ -44,6 +44,8 @@ object Bench {
     // misattribute shared-infrastructure cost to that query.
     operators.Recsys.warm(spark, sfDir)
     operators.Dedup.warm(spark, sfDir)
+    operators.GraphRank.warm(spark, sfDir)
+    operators.Training.warm(spark, sfDir)
     // SPARK_GRAFT_BENCH_RUNS>1 sweeps the whole suite that many times
     // and reports PER-QUERY MEDIANS: this VM's run-to-run noise is
     // ±25% on the total and 3-6x on individual queries, so a single

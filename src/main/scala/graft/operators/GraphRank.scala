@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.QueryCache
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,27 +98,49 @@ object GraphRank {
       .groupBy(col("dst").as("item"))
       .agg(sum(expr("(rank * w) div ow")).as("s"))
 
+  /** Memoized co-purchase edge table with out-degree attached
+    * (src, dst, w, ow) — the iterated input of the PageRank-family
+    * recurrences (plain PageRank and RWR serve from one build, the
+    * feature-store pattern of [[Recsys.itemPairAgg]]). A few
+    * partitions are plenty for the sparsified graph: per-round task
+    * scheduling otherwise dominates the tiny per-task work. The
+    * out-degree join is left unhinted — AQE broadcasts the
+    * node-sized side from runtime stats at catalog scale, and at a
+    * web-scale node count the same build degrades gracefully to a
+    * shuffled join.
+    */
+  private[graft] def copurchaseEw(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"copurchase_ew:$sfDir") {
+      val half = weightedHalfEdges(spark, sfDir)
+      val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
+        .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
+      val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+      edges.join(outW, "src").coalesce(8)
+    }
+
+  /** Memoized node set of [[copurchaseEw]]. */
+  private[graft] def copurchaseNodes(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"copurchase_nodes:$sfDir") {
+      copurchaseEw(spark, sfDir).select(col("src").as("item")).distinct()
+    }
+
+  /** Force-build the memoized graph tables (see [[Recsys.warm]]). */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    copurchaseEw(spark, sfDir).count()
+    copurchaseNodes(spark, sfDir).count()
+  }
+
   private[graft] def itemPagerank(spark: SparkSession, sfDir: String,
                                   bcastCeiling: Long): DataFrame = {
-    val half = Recsys.unpack(
-        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
-      .where(col("co") >= EdgeMinCo)
-    val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
-      .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
-    val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-    val nodes = edges.select(col("src").as("item")).distinct()
+    val ew = copurchaseEw(spark, sfDir)
+    val nodes = copurchaseNodes(spark, sfDir)
     val nV = nodes.count() // one tiny driver-side count to fix the base rank
     require(nV > 0, "itemPagerank: empty co-purchase graph")
     val base = TotalUnits / nV
-    // catalog-sized node set → broadcast the node-sized tables (out-degree
-    // once, rank vector every round) into the edge joins; web-scale node
-    // set → the same recurrence with shuffled equi-joins on src
+    // catalog-sized node set → broadcast the rank vector into the
+    // per-round edge join; web-scale node set → the same recurrence
+    // with shuffled equi-joins on src
     val fitsBroadcast = nV <= bcastCeiling
-    // one edge table with out-degree attached, reused every round; a few
-    // partitions are plenty for the sparsified graph (per-round task
-    // scheduling otherwise dominates the tiny per-task work)
-    val ew = edges.join(if (fitsBroadcast) broadcast(outW) else outW, "src")
-      .coalesce(8).persist()
     var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
     for (_ <- 1 to Rounds) {
       val contrib = rankContribJoin(
@@ -127,7 +150,6 @@ object GraphRank {
           expr(s"(${100 - DampPct} * ${base}L + $DampPct * coalesce(s, 0L)) div 100").as("rank"))
         .localCheckpoint() // rank vector is |items| rows; truncate lineage per round
     }
-    ew.unpersist(blocking = false)
     ranks
       .withColumn("rk", row_number().over(Window.orderBy(col("rank").desc, col("item").asc)))
       .where(col("rk") <= TopOut)
@@ -888,7 +910,114 @@ object GraphRank {
        |  round(corr(d1.d::DOUBLE, d2.d::DOUBLE), 4) AS assortativity
        |FROM m JOIN deg d1 ON d1.a = m.a JOIN deg d2 ON d2.a = m.b""".stripMargin
 
+  /** Rows emitted by the RWR proximity ranking. */
+  val RwrTop = 20
+
+  /** Random walk with restart (personalized PageRank) from a
+    * deterministic seed item — the strongest-hub item (max total edge
+    * weight, ties to the smaller id) of the co-purchase graph. The
+    * restart mass re-injects at the SEED only, so the stationary
+    * vector measures graph proximity TO THAT ITEM — the "customers
+    * also bought, two hops out" ranking that plain PageRank (uniform
+    * restart) cannot produce.
+    *
+    * Same integer fixed-point recurrence and broadcast-vs-shuffle
+    * ceiling as [[itemPagerank]]:
+    *   rank'(j) = ([j=seed]·(100−d)·U + d·Σ_i rank(i)·w(i,j) div ow(i)) div 100
+    * — all BIGINT, bit-identical on any engine/partitioning. The seed
+    * lookup is a 1-row driver-side head over the out-weight table (a
+    * scalar argument, same class as the CC convergence witness).
+    */
+  def rwrProximity(spark: SparkSession, sfDir: String): DataFrame =
+    rwrProximity(spark, sfDir, BroadcastNodeCeiling)
+
+  /** Weighted sparsified half-edges (co ≥ [[EdgeMinCo]]) — shared by
+    * the PageRank-family recurrences and their specs. */
+  private[graft] def weightedHalfEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= EdgeMinCo)
+
+  private[graft] def rwrProximity(spark: SparkSession, sfDir: String,
+                                  bcastCeiling: Long): DataFrame = {
+    val ew = copurchaseEw(spark, sfDir)
+    val nodes = copurchaseNodes(spark, sfDir)
+    val nV = nodes.count()
+    require(nV > 0, "rwrProximity: empty co-purchase graph")
+    val seed = ew.select("src", "ow").distinct()
+      .orderBy(col("ow").desc, col("src").asc)
+      .select("src").head.getLong(0)
+    val fitsBroadcast = nV <= bcastCeiling
+    var ranks = nodes.withColumn("rank",
+      when(col("item") === seed, lit(TotalUnits)).otherwise(lit(0L))).localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      val contrib = rankContribJoin(
+        ew, ranks.withColumnRenamed("item", "src"), fitsBroadcast)
+      ranks = nodes.join(contrib, Seq("item"), "left")
+        .select(col("item"),
+          expr(s"((CASE WHEN item = ${seed}L THEN ${100 - DampPct} * ${TotalUnits}L ELSE 0L END)" +
+            s" + $DampPct * coalesce(s, 0L)) div 100").as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+      .withColumn("rk", row_number().over(Window.orderBy(col("rank").desc, col("item").asc)))
+      .where(col("rk") <= RwrTop)
+      .select(col("rk"), col("item").as("item_id"), col("rank").as("rank_units"),
+        (col("item") === seed).cast("int").as("is_seed"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: identical recurrence unrolled, seed chosen by the same
+    * (ow desc, src asc) rule as a scalar subquery. */
+  val rwrProximitySql: String = {
+    val rounds = (1 to Rounds).map { k =>
+      s"""pr$k AS (
+         |  SELECT nd.item,
+         |    (((CASE WHEN nd.item = (SELECT s FROM seed)
+         |        THEN ${100 - DampPct} * $TotalUnits ELSE 0 END)
+         |      + $DampPct * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS item, sum((p.rank * e.w) // e.ow)::BIGINT AS s
+         |    FROM ew e JOIN pr${k - 1} p ON p.item = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.item = nd.item
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |), ow AS (
+       |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
+       |), seed AS (
+       |  SELECT src AS s FROM ow ORDER BY ow DESC, src ASC LIMIT 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON o.src = e.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS item FROM edges
+       |), pr0 AS (
+       |  SELECT item,
+       |    (CASE WHEN item = (SELECT s FROM seed) THEN $TotalUnits ELSE 0 END)::BIGINT AS rank
+       |  FROM nodes
+       |), $rounds
+       |SELECT rk, item AS item_id, rank AS rank_units,
+       |  (CASE WHEN item = (SELECT s FROM seed) THEN 1 ELSE 0 END)::INTEGER AS is_seed
+       |FROM (
+       |  SELECT item, rank,
+       |    row_number() OVER (ORDER BY rank DESC, item ASC) AS rk
+       |  FROM pr$Rounds
+       |) WHERE rk <= $RwrTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rwr_proximity"  -> (rwrProximity _),
     "q_salsa"          -> (salsa _),
     "q_assortativity"  -> (assortativity _),
     "q_item_bfs"       -> (itemBfs _),
@@ -901,6 +1030,7 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rwr_proximity"  -> rwrProximitySql,
     "q_salsa"          -> salsaSql,
     "q_assortativity"  -> assortativitySql,
     "q_item_bfs"       -> itemBfsSql,

@@ -599,7 +599,185 @@ object Training {
        |  round(max(norm_chars), 4) AS max_norm
        |FROM normed GROUP BY source ORDER BY source""".stripMargin
 
+  /** PQ subspace width in dims (64-dim fixture → 32 subspaces). The
+    * fixture embeddings are near-isotropic — PQ's hardest case (no
+    * variance to concentrate) — so narrow subspaces are what buys
+    * recall. Measured mean recall@10 at K=16: 8-dim 0.30, 4-dim 0.46,
+    * 2-dim 0.56; 2-dim at K=32 reaches 0.70 (TrainingSpec floors the
+    * band at 0.5). Real text/image embeddings concentrate variance
+    * and do better at the same code budget. */
+  val PqSubDim = 2
+  /** Codewords per subspace (production 8-bit PQ uses 256; 32 keeps
+    * the oracle unroll tractable while exercising the identical
+    * plan shape — the constant, not the mechanism, changes at scale). */
+  val PqK = 32
+  /** Lloyd's rounds per subspace codebook (unrolled in the oracle). */
+  val PqRounds = 2
+  /** ADC query vectors (the lowest vec_ids) and neighbors returned. */
+  val PqNQueries = 5
+  val PqTopK = 10
+
+  /** Quantized table with the subspace key attached. */
+  private def pqSub(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).withColumn("sub", expr(s"pos div $PqSubDim"))
+
+  /** One PQ assignment pass: nearest codeword PER SUBSPACE by exact
+    * integer squared distance, (dist, cluster) lexicographic
+    * tie-break — [[kmeansAssignOf]] generalized with `sub` carried
+    * through every grouping. */
+  private def pqAssign(es: DataFrame, c: DataFrame): DataFrame =
+    es.join(broadcast(c), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "cluster")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+  /** Product-quantization codebooks: an INDEPENDENT deterministic
+    * k-means per subspace ([[PqK]] codewords, [[PqRounds]] Lloyd's
+    * rounds, init = the K lowest vec_ids' sub-vectors), run as ONE
+    * dataflow with `sub` as a grouping key — M trainings for the
+    * price of one shuffle per round. Memoized: codes and ADC share
+    * the model.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"pq_cb:$sfDir") {
+      val es = pqSub(spark, sfDir)
+      val initIds = es.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
+        .withColumn("cluster", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      var cent = es.join(broadcast(initIds), "vec_id")
+        .select(col("sub"), col("cluster"), col("pos"), col("q").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to PqRounds) {
+        val asn = pqAssign(es, cent)
+        cent = es.join(asn.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
+          .groupBy("sub", "cluster", "pos")
+          .agg(expr("sum(q) div count(1)").as("c"))
+          .localCheckpoint() // M·K·subdim rows; keep each round's plan flat
+      }
+      cent
+    }
+
+  /** Product quantization + asymmetric distance computation — the
+    * billion-scale ANN serving layout (Jégou et al., PAMI 2011). Each
+    * vector is compressed to M = dims/[[PqSubDim]] codeword ids; a
+    * query's distance to ANY database vector is then a SUM OF M TABLE
+    * LOOKUPS against a per-query lookup table of exact integer
+    * squared distances to every codeword.
+    *
+    * Emits the ADC top-[[PqTopK]] neighbors of the [[PqNQueries]]
+    * lowest-id vectors (self excluded), all arithmetic BIGINT.
+    *
+    * Scale: this is THE pattern that replaces brute force at 10⁹
+    * vectors — codebooks (M·K·subdim rows) and LUTs (Q·M·K rows)
+    * broadcast; the only big table is codes (N·M rows ≪ raw floats),
+    * scanned once with a broadcast hash join + partial aggregate. No
+    * pair blow-up, no shuffle of the corpus; at real scale the same
+    * scan nests inside IVF cells ([[Similarity]]'s q_knn_ivf tier).
+    */
+  def pqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = pqSub(spark, sfDir)
+    val cent = pqCodebooks(spark, sfDir)
+    val codes = pqAssign(es, cent).select("vec_id", "sub", "cluster")
+    val qIds = es.select("vec_id").distinct().orderBy("vec_id").limit(PqNQueries)
+    val lut = es.join(broadcast(qIds), "vec_id")
+      .select(col("vec_id").as("query_id"), col("sub"), col("pos"), col("q").as("qq"))
+      .join(broadcast(cent), Seq("sub", "pos"))
+      .groupBy("query_id", "sub", "cluster")
+      .agg(sum((col("qq") - col("c")) * (col("qq") - col("c"))).as("d"))
+    codes.join(broadcast(lut), Seq("sub", "cluster"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc_dist_units"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc_dist_units").asc, col("vec_id").asc)))
+      .where(col("rk") <= PqTopK)
+      .select("query_id", "rk", "vec_id", "adc_dist_units")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Oracle: identical integer PQ training (rounds unrolled, `sub` in
+    * every grouping), codes, LUT, and ADC ranking. */
+  val pqAdcSql: String = {
+    val pqFinal = PqRounds + 1
+    val rounds = (1 to PqRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT e.vec_id, e.sub, c.cluster,
+         |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
+         |  FROM e JOIN c${k - 1} c ON e.sub = c.sub AND e.pos = c.pos
+         |  GROUP BY 1, 2, 3
+         |), m$k AS (
+         |  SELECT vec_id, sub, min(dist) AS md FROM d$k GROUP BY 1, 2
+         |), a$k AS (
+         |  SELECT d.vec_id, d.sub, min(d.cluster) AS cluster
+         |  FROM d$k d JOIN m$k m
+         |    ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
+         |  GROUP BY 1, 2
+         |), c$k AS (
+         |  SELECT e.sub, a.cluster, e.pos, (sum(e.q) // count(*))::BIGINT AS c
+         |  FROM e JOIN a$k a ON e.vec_id = a.vec_id AND e.sub = a.sub
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS pos, ((i - 1) // $PqSubDim) AS sub,
+       |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |  WHERE i <= len(embedding)
+       |), init AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cluster
+       |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $PqK)
+       |), c0 AS (
+       |  SELECT e.sub, init.cluster, e.pos, e.q AS c
+       |  FROM e JOIN init ON e.vec_id = init.vec_id
+       |), $rounds, d$pqFinal AS (
+       |  SELECT e.vec_id, e.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
+       |  FROM e JOIN c$PqRounds c ON e.sub = c.sub AND e.pos = c.pos
+       |  GROUP BY 1, 2, 3
+       |), m$pqFinal AS (
+       |  SELECT vec_id, sub, min(dist) AS md FROM d$pqFinal GROUP BY 1, 2
+       |), codes AS (
+       |  SELECT d.vec_id, d.sub, min(d.cluster) AS cluster
+       |  FROM d$pqFinal d JOIN m$pqFinal m
+       |    ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
+       |  GROUP BY 1, 2
+       |), qs AS (
+       |  SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $PqNQueries
+       |), lut AS (
+       |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
+       |  FROM e JOIN qs ON e.vec_id = qs.vec_id
+       |  JOIN c$PqRounds c ON c.sub = e.sub AND c.pos = e.pos
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT l.query_id, cd.vec_id, sum(l.d)::BIGINT AS adc_dist_units
+       |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cluster = cd.cluster
+       |  WHERE l.query_id <> cd.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, rk, vec_id, adc_dist_units FROM (
+       |  SELECT query_id, vec_id, adc_dist_units,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist_units ASC, vec_id ASC) AS rk
+       |  FROM adc
+       |) WHERE rk <= $PqTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Force-build the memoized model tables (k-means centroids +
+    * assignment, PQ codebooks) — see [[Recsys.warm]]. */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    kmeansAssign(spark, sfDir).count()
+    pqCodebooks(spark, sfDir).count()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pq_adc"           -> (pqAdc _),
     "q_feature_hash"     -> (featureHash _),
     "q_target_encode"    -> (targetEncode _),
     "q_quantile_norm"    -> (quantileNorm _),
@@ -610,6 +788,7 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pq_adc"           -> pqAdcSql,
     "q_feature_hash"     -> featureHashSql,
     "q_target_encode"    -> targetEncodeSql,
     "q_quantile_norm"    -> quantileNormSql,

@@ -205,4 +205,31 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got - math.rint(r * 1e4) / 1e4) < 1e-3,
       s"assortativity $got vs local $r")
   }
+
+  test("rwr proximity matches a local integer fixed-point replay; seed leads") {
+    val half = GraphRank.weightedHalfEdges(spark, sfTest)
+      .select("item_i", "item_j", "co")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = half.flatMap { case (i, j, w) => Seq((i, j, w), (j, i, w)) }
+    val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val seed = ow.toSeq.minBy { case (s, w) => (-w, s) }._1
+    val nodes = ow.keySet
+    val U = GraphRank.TotalUnits; val d = GraphRank.DampPct
+    var rank = nodes.map(v => v -> (if (v == seed) U else 0L)).toMap
+    for (_ <- 1 to GraphRank.Rounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, t, w) <- edges) contrib(t) += rank(s) * w / ow(s)
+      rank = nodes.map { v =>
+        v -> (((if (v == seed) (100 - d) * U else 0L) + d * contrib(v)) / 100)
+      }.toMap
+    }
+    val expected = rank.toSeq.sortBy { case (v, r) => (-r, v) }
+      .take(GraphRank.RwrTop)
+    val got = GraphRank.rwrProximity(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("rank_units")))
+    assert(got.toSeq == expected, "fixed-point replay mismatch")
+    val head = GraphRank.rwrProximity(spark, sfTest).head
+    assert(head.getAs[Long]("item_id") == seed && head.getAs[Int]("is_seed") == 1,
+      "the restart seed must hold rank 1")
+  }
 }

