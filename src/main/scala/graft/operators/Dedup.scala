@@ -918,7 +918,122 @@ object Dedup {
        |JOIN per pb ON pb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Sorted-neighborhood comparison window (records checked against
+    * their w successors in sort order). */
+  val SnWindow = 3
+  /** Edit-distance match ceiling for a candidate pair. */
+  val SnMaxEdit = 3
+
+  /** Sorted-neighborhood entity-resolution blocking (Hernández &
+    * Stolfo 1995): sort the distinct part names within a first-letter
+    * block, compare each name ONLY to its [[SnWindow]] successors via
+    * lead(), keep pairs within [[SnMaxEdit]] edits. The complement of
+    * [[fuzzyNames]]' block-join: that tier compares all pairs inside
+    * a block (quadratic in block size, complete within the edit
+    * radius); this one is strictly linear — n·w comparisons however
+    * skewed the blocks — at the cost of missing pairs the sort order
+    * separates. Production ER runs several passes with different sort
+    * keys; one deterministic pass is the operator.
+    *
+    * Scale: distinct-names aggregate → per-block parallel window with
+    * a BOUNDED frame (lead 1..w) → per-row edit distance. No pair
+    * table ever exceeds n·w rows; blocks shard the sort.
+    */
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name")).distinct()
+      .withColumn("blk", substring(col("p_name"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("p_name")
+    names
+      .withColumn("nbrs",
+        array((1 to SnWindow).map(k => lead(col("p_name"), k).over(w)): _*))
+      .select(col("p_name").as("name_a"),
+        posexplode(col("nbrs")).as(Seq("off", "name_b")))
+      .where(col("name_b").isNotNull)
+      .withColumn("w_offset", (col("off") + 1).cast("int"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist").between(1, SnMaxEdit))
+      .select("name_a", "name_b", "w_offset", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  val sortedNeighborhoodSql: String = {
+    val leads = (1 to SnWindow).map { k =>
+      s"""SELECT p_name AS name_a, $k AS w_offset,
+         |    lead(p_name, $k) OVER (PARTITION BY blk ORDER BY p_name) AS name_b
+         |  FROM names""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name, substr(p_name, 1, 1) AS blk FROM part
+       |), leads AS (
+       |  $leads
+       |)
+       |SELECT name_a, name_b, w_offset::INTEGER AS w_offset,
+       |  levenshtein(name_a, name_b)::INTEGER AS dist
+       |FROM leads
+       |WHERE name_b IS NOT NULL
+       |  AND levenshtein(name_a, name_b) BETWEEN 1 AND $SnMaxEdit
+       |ORDER BY name_a, name_b""".stripMargin
+  }
+
+  /** Rows reported by the novelty audit (most-derivative docs first). */
+  val NoveltyTop = 25
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct shingles whose FIRST corpus occurrence (minimum doc_id
+    * on the shingle's posting list) is the document itself. Low
+    * novelty = the document is assembled from n-grams already seen in
+    * earlier documents — the "derivative content" signal that ranks
+    * removal candidates where near-dup tiers (which need one LARGE
+    * shared n-gram mass with a single partner) stay silent. Emits the
+    * [[NoveltyTop]] most-derivative documents.
+    *
+    * Scale: one aggregate over the memoized shingle set builds the
+    * first-occurrence index; one shingle-keyed equi-join + per-doc
+    * aggregate scores every document. Linear end to end — never a
+    * doc×doc comparison.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum((col("first_doc") < col("doc_id")).cast("long")).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("novelty").asc, col("doc_id").asc)))
+      .where(col("rk") <= NoveltyTop)
+      .select("rk", "doc_id", "n_shingles", "n_seen", "novelty")
+      .orderBy("rk")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH $shinglesSql, first AS (
+       |  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+       |), per AS (
+       |  SELECT sh.doc_id, count(*) AS n_shingles,
+       |    sum(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_seen
+       |  FROM sh JOIN first f ON f.s = sh.s
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, n_shingles, n_seen,
+       |    round(1.0 - n_seen / n_shingles::DOUBLE, 6) AS novelty
+       |  FROM per
+       |)
+       |SELECT rk, doc_id, n_shingles, n_seen, novelty FROM (
+       |  SELECT doc_id, n_shingles, n_seen, novelty,
+       |    row_number() OVER (ORDER BY novelty ASC, doc_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $NoveltyTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q_ngram_novelty"     -> (ngramNovelty _),
     "q_containment"       -> (containment _),
     "q_fuzzy_names"       -> (fuzzyNames _),
     "q_dedup_exact"       -> (exactDedup _),
@@ -934,6 +1049,8 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "q_ngram_novelty"     -> ngramNoveltySql,
     "q_containment"       -> containmentSql,
     "q_fuzzy_names"       -> fuzzyNamesSql,
     "q_dedup_exact"       -> exactDedupSql,

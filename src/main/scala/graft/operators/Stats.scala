@@ -1264,7 +1264,85 @@ object Stats {
       |  round(median(v - (SELECT slope FROM s) * t), 4) AS intercept_cents
       |FROM pts""".stripMargin
 
+  /** The two event-type samples the rank-sum test compares. */
+  val MwA = "purchase"
+  val MwB = "click"
+
+  /** Mann–Whitney U rank-sum test on the event `value` distributions
+    * of [[MwA]] vs [[MwB]] — the nonparametric complement to
+    * [[ksTest]] (KS asks "are the distributions different anywhere";
+    * U asks "does one stochastically dominate"). Average ranks with
+    * exact tie handling, tie-corrected normal approximation for z,
+    * and the rank-biserial effect size r = 1 − 2U/(n₁n₂).
+    *
+    * Scale: ranks are NEVER assigned per row — one aggregate
+    * collapses the stream to (value, n_a, n_b) groups (bounded by the
+    * value domain: 2-decimal readings), and a prefix sum over that
+    * bounded aggregate yields every tie group's average rank in
+    * closed form (before + (t+1)/2). Rank sums are then weighted
+    * sums. Ranks stay in exact .5 steps (doubles are exact there), so
+    * U is exact and the rounded outputs are engine-invariant. At an
+    * unbounded value domain the prefix would take the
+    * [[equidepthHist]] coarse-bucket two-level form.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(MwA, MwB))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === MwA, 1).otherwise(0)).as("na"),
+           sum(when(col("event_type") === MwB, 1).otherwise(0)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g
+      .withColumn("before", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("avg_rank", col("before") + (col("t") + 1.0) / 2.0)
+    ranked
+      .agg(sum("na").as("n1"), sum("nb").as("n2"),
+           sum(col("na") * col("avg_rank")).as("r1"),
+           sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select(col("n1"), col("n2"),
+        (col("r1") - col("n1") * (col("n1") + 1) / 2.0).as("u1"),
+        col("tie3"), (col("n1") + col("n2")).as("n"))
+      .select(col("n1"), col("n2"), round(col("u1"), 4).as("u1"),
+        round((col("u1") - col("n1") * col("n2") / 2.0) /
+          sqrt(col("n1") * col("n2") / 12.0 *
+            ((col("n") + 1) - col("tie3") / (col("n") * (col("n") - 1.0)))), 4)
+          .as("z"),
+        round(lit(1.0) - lit(2.0) * col("u1") / (col("n1") * col("n2")), 6)
+          .as("rank_biserial"))
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH g AS (
+       |  SELECT value AS v,
+       |    sum(CASE WHEN event_type = '$MwA' THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN event_type = '$MwB' THEN 1 ELSE 0 END)::BIGINT AS nb
+       |  FROM events WHERE event_type IN ('$MwA', '$MwB')
+       |  GROUP BY 1
+       |), t AS (
+       |  SELECT v, na, nb, na + nb AS t,
+       |    coalesce(sum(na + nb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM g
+       |), r AS (
+       |  SELECT v, na, nb, t, before + (t + 1.0) / 2.0 AS avg_rank FROM t
+       |), agg AS (
+       |  SELECT sum(na)::BIGINT AS n1, sum(nb)::BIGINT AS n2,
+       |    sum(na * avg_rank) AS r1,
+       |    sum(t * t * t - t)::BIGINT AS tie3
+       |  FROM r
+       |), u AS (
+       |  SELECT n1, n2, r1 - n1 * (n1 + 1) / 2.0 AS u1, tie3, n1 + n2 AS n
+       |  FROM agg
+       |)
+       |SELECT n1, n2, round(u1, 4) AS u1,
+       |  round((u1 - n1 * n2 / 2.0) /
+       |    sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))), 4) AS z,
+       |  round(1.0 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial
+       |FROM u""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_mann_whitney"   -> (mannWhitney _),
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
@@ -1289,6 +1367,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mann_whitney"   -> mannWhitneySql,
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,

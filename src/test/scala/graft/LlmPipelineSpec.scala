@@ -377,4 +377,58 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       .as[(String, Array[Byte])].collect()
     sample.foreach { case (t, b) => assert(java.util.Arrays.equals(b, t.getBytes("UTF-8"))) }
   }
+
+  test("sorted neighborhood matches a local sort+window sweep") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val D = operators.Dedup
+    val names = Tables.part(spark, sfTest).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val expected = names.groupBy(_.take(1)).values.flatMap { blk =>
+      val s = blk.sorted
+      for {
+        i <- s.indices; k <- 1 to D.SnWindow if i + k < s.length
+        d = lev(s(i), s(i + k)) if d >= 1 && d <= D.SnMaxEdit
+      } yield (s(i), s(i + k), k, d)
+    }.toSet
+    val got = D.sortedNeighborhood(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected, s"got ${got.size} pairs, sweep says ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("ngram novelty matches a local first-occurrence recompute; earliest doc is fully novel") {
+    val D = operators.Dedup
+    val sh = D.shingles(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firstDoc = sh.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val perDoc = sh.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length
+      val seen = rows.count { case (d, s) => firstDoc(s) < d }
+      (n.toLong, seen.toLong, math.rint((1.0 - seen.toDouble / n) * 1e6) / 1e6)
+    }.toMap
+    // the emitted top-NoveltyTop rows agree exactly with the local scores
+    val got = D.ngramNovelty(spark, sfTest).collect()
+    assert(got.length == D.NoveltyTop)
+    got.foreach { r =>
+      val (n, seen, nov) = perDoc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") == n)
+      assert(r.getAs[Long]("n_seen") == seen)
+      assert(math.abs(r.getAs[Double]("novelty") - nov) < 1e-9)
+    }
+    // ranking is ascending novelty, and is the global bottom of the corpus
+    val novs = got.map(_.getAs[Double]("novelty"))
+    assert(novs.sameElements(novs.sorted))
+    val cutoff = novs.last
+    assert(perDoc.values.count(_._3 < cutoff) <= D.NoveltyTop)
+    // the earliest doc's shingles cannot have appeared earlier
+    assert(perDoc(perDoc.keys.min)._3 == 1.0)
+  }
 }

@@ -471,6 +471,38 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mann-whitney: matches a local rank-sum recompute with ties") {
+    val S = operators.Stats
+    val vals = Tables.events(spark, sfTest)
+      .where(col("event_type").isin(S.MwA, S.MwB))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = vals.sortBy(_._2)
+    // average ranks with ties
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      ranks(sorted(i)._2) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val n1 = vals.count(_._1 == S.MwA).toLong
+    val n2 = vals.count(_._1 == S.MwB).toLong
+    val r1 = vals.filter(_._1 == S.MwA).map(v => ranks(v._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val n = n1 + n2
+    val tie3 = vals.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val z = (u1 - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0))))
+    val row = S.mannWhitney(spark, sfTest).head
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("u1") - u1) < 1e-3)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+    assert(math.abs(row.getAs[Double]("rank_biserial") - (1 - 2 * u1 / (n1 * n2))) < 1e-5)
+  }
+
   test("theil-sen: matches a local median-of-pairwise-slopes; robust to a spiked day") {
     val daily = Tables.events(spark, sfTest)
       .groupBy(to_date(col("ts")).as("day"))
