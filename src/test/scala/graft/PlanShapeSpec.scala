@@ -421,4 +421,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         "breakpoint/bounds attaches must broadcast, not shuffle the corpus")
     }
   }
+
+  test("concurrency_peak: the big running sum windows on day; carry-in broadcasts back") {
+    val p = plan(operators.Analytics.concurrencyPeak(planSession, sfTest))
+    assert(p.contains("windowspecdefinition(day#"),
+      "the point-level running sum must be a day-partitioned window, not a global one")
+    assert(p.contains("BroadcastHashJoin"),
+      "the calendar-bounded carry-in table must broadcast onto the points")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pq_adc: codebooks and LUT ride broadcasts; the code scan never cross-joins") {
+    val p = plan(operators.Training.pqAdc(planSession, sfTest))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-query lookup table must broadcast into the code scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ADC must join codes to LUT entries on (sub, cluster), never all-pairs")
+  }
+
+  test("rwr_proximity: every stage joins on a key (no all-pairs anywhere)") {
+    val p = plan(operators.GraphRank.rwrProximity(planSession, sfTest))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sorted_neighborhood: one part scan, bounded window, zero joins") {
+    val p = plan(operators.Dedup.sortedNeighborhood(planSession, sfTest))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, "exactly one part scan")
+    assert(!p.contains("Join"), "the window sweep replaces every pair join")
+  }
+
+  test("ngram_novelty: first-occurrence index attaches by shingle equi-join") {
+    val p = plan(operators.Dedup.ngramNovelty(planSession, sfTest))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty scoring must never compare documents pairwise")
+  }
 }
