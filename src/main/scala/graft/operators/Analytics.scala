@@ -1409,7 +1409,129 @@ object Analytics {
       |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts
       |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bursts reported by the temporal surprise scan. */
+  val BurstTop = 20
+
+  /** Temporal burst detection: hourly event counts per type scored by
+    * Poisson surprise — the log-likelihood ratio of the observed hour
+    * against the type's uniform baseline rate,
+    * llr = n·ln(n/μ) − (n − μ) for n > μ (0 otherwise; the one-sided
+    * GLR test statistic for rate elevation, the scoring inside
+    * Kleinberg's burst model). Complements [[anomalyEvents]], which
+    * z-scores the VALUE axis — this scans the TIME axis. Top
+    * [[BurstTop]] (type, hour) bursts.
+    *
+    * Scale: one narrow (type, hour) aggregate over the stream; the
+    * baseline is a per-type rollup of that aggregate (calendar-bounded
+    * rows) broadcast back; ranking is a bounded head. Nothing touches
+    * the raw stream twice.
+    */
+  def burstDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val span = Tables.events(spark, sfDir)
+      .agg(((unix_micros(date_trunc("hour", max(col("ts")))) -
+             unix_micros(date_trunc("hour", min(col("ts"))))) / 3600000000L + 1L)
+        .as("n_hours"))
+    val base = hourly.groupBy("event_type").agg(sum("n").as("total"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        (col("total").cast("double") / col("n_hours")).as("mu"))
+    hourly.join(broadcast(base), "event_type")
+      .withColumn("llr",
+        when(col("n") > col("mu"),
+          col("n") * log(col("n") / col("mu")) - (col("n") - col("mu")))
+          .otherwise(lit(0.0)))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("llr").desc, col("event_type").asc, col("hour").asc)))
+      .where(col("rk") <= BurstTop)
+      .select(col("rk"), col("event_type"), col("hour"), col("n"),
+        round(col("mu"), 6).as("mu"), round(col("llr"), 4).as("llr"))
+      .orderBy("rk")
+  }
+
+  val burstDetectSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT (epoch_us(date_trunc('hour', max(ts::TIMESTAMP))) -
+       |          epoch_us(date_trunc('hour', min(ts::TIMESTAMP)))) // 3600000000 + 1 AS n_hours
+       |  FROM events
+       |), base AS (
+       |  SELECT event_type, sum(n)::DOUBLE / (SELECT n_hours FROM span) AS mu
+       |  FROM hourly GROUP BY 1
+       |), scored AS (
+       |  SELECT h.event_type, h.hour, h.n, b.mu,
+       |    CASE WHEN h.n > b.mu
+       |         THEN h.n * ln(h.n / b.mu) - (h.n - b.mu) ELSE 0.0 END AS llr
+       |  FROM hourly h JOIN base b ON b.event_type = h.event_type
+       |)
+       |SELECT rk, event_type, hour, n, round(mu, 6) AS mu, round(llr, 4) AS llr
+       |FROM (
+       |  SELECT event_type, hour, n, mu, llr,
+       |    row_number() OVER (ORDER BY llr DESC, event_type ASC, hour ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $BurstTop
+       |ORDER BY rk""".stripMargin
+
+  /** Users reported by the behavioral-diversity ranking. */
+  val EntropyTop = 20
+
+  /** Per-user behavioral entropy: Shannon entropy of the user's
+    * event-type mix (nats) with evenness = H/ln(k) — the
+    * exploration-vs-routine segmentation signal (a user who only ever
+    * clicks scores 0; a uniform mixer scores ln(k)). Top
+    * [[EntropyTop]] most-diverse users, ties to the smaller id.
+    *
+    * Scale: two nested narrow aggregates (user×type, then user) —
+    * per-user state is ≤ |event types| rows; one bounded head.
+    */
+  def sessionEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    byType
+      .withColumn("tot", sum("n").over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(first("tot").as("n_events"),
+           count(lit(1)).as("n_types"),
+           (-sum((col("n") / col("tot")) * log(col("n") / col("tot")))).as("h"))
+      .withColumn("evenness",
+        when(col("n_types") > 1, col("h") / log(col("n_types"))).otherwise(lit(0.0)))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("h").desc, col("user_id").asc)))
+      .where(col("rk") <= EntropyTop)
+      .select(col("rk"), col("user_id"), col("n_events"), col("n_types"),
+        round(col("h"), 6).as("entropy_nats"), round(col("evenness"), 6).as("evenness"))
+      .orderBy("rk")
+  }
+
+  val sessionEntropySql: String =
+    s"""WITH bt AS (
+       |  SELECT user_id, event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT user_id, sum(n) AS tot FROM bt GROUP BY 1
+       |), per AS (
+       |  SELECT b.user_id, max(t.tot)::BIGINT AS n_events, count(*) AS n_types,
+       |    -sum((b.n / t.tot::DOUBLE) * ln(b.n / t.tot::DOUBLE)) AS h
+       |  FROM bt b JOIN tot t ON t.user_id = b.user_id
+       |  GROUP BY 1
+       |)
+       |SELECT rk, user_id, n_events, n_types,
+       |  round(h, 6) AS entropy_nats,
+       |  round(CASE WHEN n_types > 1 THEN h / ln(n_types) ELSE 0.0 END, 6) AS evenness
+       |FROM (
+       |  SELECT user_id, n_events, n_types, h,
+       |    row_number() OVER (ORDER BY h DESC, user_id ASC) AS rk
+       |  FROM per
+       |) WHERE rk <= $EntropyTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_burst_detect"      -> (burstDetect _),
+    "q_session_entropy"   -> (sessionEntropy _),
     "q_concurrency_peak"  -> (concurrencyPeak _),
     "q_debounce"          -> (debounce _),
     "q_cuped"             -> (cuped _),
@@ -1438,6 +1560,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_burst_detect"      -> burstDetectSql,
+    "q_session_entropy"   -> sessionEntropySql,
     "q_concurrency_peak"  -> concurrencyPeakSql,
     "q_debounce"          -> debounceSql,
     "q_cuped"             -> cupedSql,

@@ -1031,7 +1031,81 @@ object Dedup {
        |) WHERE rk <= $NoveltyTop
        |ORDER BY rk""".stripMargin
 
+  /** Candidate floor (shared shingles) and report floor for the
+    * IDF-weighted tier. */
+  val WJacMinInter = 2
+  val WJacThreshold = 0.2
+
+  /** IDF-weighted Jaccard: near-dup similarity where each shingle
+    * counts its CORPUS INFORMativeness, w(s) = ln(D/df(s)), so two
+    * documents sharing rare content score high while shared
+    * boilerplate (high-df shingles) contributes almost nothing —
+    * the weighting that separates true near-dups from
+    * template-siblings once a real crawl's boilerplate floods the
+    * plain-Jaccard numerator. sim = Σ_{A∩B} w / Σ_{A∪B} w, union via
+    * inclusion–exclusion from per-doc weight sums.
+    *
+    * Scale: the candidate set comes from the memoized stop-listed
+    * pair aggregate ([[pairScores]] — banding infrastructure, never
+    * O(n²)); the exact intersection re-score is the standard
+    * candidate→verify join, bounded by candidate count; the IDF and
+    * per-doc weight tables are one aggregate each over the memoized
+    * shingle set. The stop-list makes candidate GENERATION ignore
+    * boilerplate-only pairs — exactly the pairs this scorer would
+    * zero anyway (fixture df ≪ [[HotShingleDf]], so engine and
+    * all-pairs oracle see identical candidates).
+    */
+  def jaccardIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val idf = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val nDocs = sh.select(countDistinct("doc_id").as("d"))
+    val idfW = idf.crossJoin(broadcast(nDocs))
+      .select(col("s"), log(col("d").cast("double") / col("df")).as("w"))
+    val docW = sh.join(idfW, "s").groupBy("doc_id").agg(sum("w").as("wsum"))
+    val cands = pairScores(spark, sfDir)
+      .where(col("inter") >= WJacMinInter).select("doc_a", "doc_b")
+    val interW = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(idfW, "s")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), sum("w").as("iw"))
+    interW
+      .join(docW.select(col("doc_id").as("doc_a"), col("wsum").as("wa")), Seq("doc_a"))
+      .join(docW.select(col("doc_id").as("doc_b"), col("wsum").as("wb")), Seq("doc_b"))
+      .withColumn("w_jaccard", col("iw") / (col("wa") + col("wb") - col("iw")))
+      .where(col("w_jaccard") >= WJacThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("w_jaccard"), 6).as("w_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardIdfSql: String =
+    s"""WITH $shinglesSql, df AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY s
+       |), nd AS (SELECT count(DISTINCT doc_id) AS d FROM sh),
+       |idf AS (
+       |  SELECT s, ln((SELECT d FROM nd)::DOUBLE / df) AS w FROM df
+       |), docw AS (
+       |  SELECT doc_id, sum(w) AS wsum
+       |  FROM sh JOIN idf USING (s) GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS inter, sum(i.w) AS iw
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN idf i ON i.s = a.s
+       |  GROUP BY 1, 2 HAVING count(*) >= $WJacMinInter
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |  round(iw / (wa.wsum + wb.wsum - iw), 6) AS w_jaccard
+       |FROM pairs
+       |JOIN docw wa ON wa.doc_id = doc_a
+       |JOIN docw wb ON wb.doc_id = doc_b
+       |WHERE iw / (wa.wsum + wb.wsum - iw) >= $WJacThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_jaccard_idf"       -> (jaccardIdf _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_ngram_novelty"     -> (ngramNovelty _),
     "q_containment"       -> (containment _),
@@ -1049,6 +1123,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_jaccard_idf"       -> jaccardIdfSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q_ngram_novelty"     -> ngramNoveltySql,
     "q_containment"       -> containmentSql,

@@ -1341,7 +1341,198 @@ object Stats {
        |  round(1.0 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial
        |FROM u""".stripMargin
 
+  /** Coarse prefix-sum bucket width over per-customer revenue cents
+    * (~$1000 buckets). Same role as [[HistCoarseWidth]]: shard the
+    * rank prefix sums so no global row sort exists. */
+  val GiniCoarseWidth = 10000000L
+
+  /** Revenue concentration audit: exact Gini coefficient and top-10%
+    * revenue share over per-customer lifetime revenue — the 80/20
+    * audit behind every "whale" segmentation decision. All arithmetic
+    * is integer until the final two divisions: revenue is exact
+    * cents; ranks come from the coarse-bucketed two-level prefix sum
+    * ([[equidepthHist]]'s mechanism — parallel within-bucket windows
+    * + a tiny global bucket prefix, no global sort, no collect); a
+    * tie group of value v spanning ranks lo..hi contributes
+    * v·(lo+hi)·cnt to 2S in closed form, so
+    * G = (2S − (n+1)T) / (nT) is bit-exact on any engine. The
+    * boundary tie-group for the top-decile share is resolved in
+    * closed form too (no per-row rank materialization).
+    *
+    * Long-range note: 2S ≤ 2nT ≈ 7·10¹⁶ at sf0.1 — at population
+    * scale these moments move to DECIMAL(38), mechanism unchanged.
+    */
+  def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val byVal = rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", expr(s"v div $GiniCoarseWidth"))
+    val wIn = Window.partitionBy("coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = byVal
+      .withColumn("cb_in", coalesce(sum("cnt").over(wIn), lit(0L)))
+      .withColumn("sb_in", coalesce(sum(col("v") * col("cnt")).over(wIn), lit(0L)))
+    val wCoarse = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byVal.groupBy("coarse")
+      .agg(sum("cnt").as("c_cnt"), sum(col("v") * col("cnt")).as("c_sum"))
+      .withColumn("cb_off", coalesce(sum("c_cnt").over(wCoarse), lit(0L)))
+      .withColumn("sb_off", coalesce(sum("c_sum").over(wCoarse), lit(0L)))
+      .select("coarse", "cb_off", "sb_off")
+    val groups = within.join(broadcast(offsets), "coarse")
+      .select(col("v"), col("cnt"),
+        (col("cb_off") + col("cb_in") + 1L).as("lo"),
+        (col("cb_off") + col("cb_in") + col("cnt")).as("hi"),
+        (col("sb_off") + col("sb_in")).as("cumrev_before"))
+    val tot = groups.agg(
+      sum(col("v") * col("cnt")).as("t"),
+      sum(col("cnt")).as("n"),
+      sum(col("v") * (col("lo") + col("hi")) * col("cnt")).as("s2"))
+    groups.crossJoin(broadcast(tot))
+      .withColumn("n0", col("n") - expr("n div 10"))
+      .where(col("lo") <= col("n0") && col("n0") <= col("hi"))
+      .select(
+        col("n").as("n_customers"),
+        col("t").as("total_cents"),
+        round((col("s2") - (col("n") + 1) * col("t")).cast("double") /
+          (col("n").cast("double") * col("t")), 6).as("gini"),
+        round((col("t") - (col("cumrev_before") +
+            (col("n0") - col("lo") + 1) * col("v"))).cast("double") / col("t"), 6)
+          .as("top10_share"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1
+      |), g AS (
+      |  SELECT cents AS v, count(*) AS cnt FROM rev GROUP BY 1
+      |), p AS (
+      |  SELECT v, cnt,
+      |    coalesce(sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |    coalesce(sum(v * cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+      |  FROM g
+      |), gg AS (
+      |  SELECT v, cnt, cb + 1 AS lo, cb + cnt AS hi, sb AS cumrev_before FROM p
+      |), tot AS (
+      |  SELECT sum(v * cnt)::BIGINT AS t, sum(cnt)::BIGINT AS n,
+      |    sum(v * (lo + hi) * cnt)::BIGINT AS s2
+      |  FROM gg
+      |)
+      |SELECT n AS n_customers, t AS total_cents,
+      |  round((s2 - (n + 1) * t)::DOUBLE / (n::DOUBLE * t), 6) AS gini,
+      |  round((t - (cumrev_before + (n - n // 10 - lo + 1) * v))::DOUBLE / t, 6)
+      |    AS top10_share
+      |FROM gg, tot
+      |WHERE lo <= n - n // 10 AND n - n // 10 <= hi""".stripMargin
+
+  /** Per-brand price elasticity of demand: OLS slope of ln(quantity)
+    * on ln(unit price) across the brand's line items — the classic
+    * log-log demand regression (slope = % quantity change per % price
+    * change), with r² as the fit audit. One broadcast dim join + one
+    * aggregate computing the five OLS moments; nothing shuffles twice.
+    * (On synthetic TPC-H-ish data the slope is a mechanism check, not
+    * an economic claim — the spec asserts the algebra, the oracle the
+    * cross-engine value.)
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("x"),
+        log(col("l_quantity").cast("double")).as("y"))
+    li.groupBy("brand")
+      .agg(count(lit(1)).as("n_lines"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col("brand"), col("n_lines"),
+        round((col("n_lines") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_lines") * col("sxx") - col("sx") * col("sx")), 4).as("elasticity"),
+        round(pow(col("n_lines") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n_lines") * col("sxx") - col("sx") * col("sx")) *
+           (col("n_lines") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+      .orderBy("brand")
+  }
+
+  val priceElasticitySql: String =
+    """WITH li AS (
+      |  SELECT p_brand AS brand,
+      |    ln(l_extendedprice / l_quantity) AS x,
+      |    ln(l_quantity::DOUBLE) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), m AS (
+      |  SELECT brand, count(*) AS n_lines,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT brand, n_lines,
+      |  round((n_lines * sxy - sx * sy) / (n_lines * sxx - sx * sx), 4) AS elasticity,
+      |  round(pow(n_lines * sxy - sx * sy, 2) /
+      |    ((n_lines * sxx - sx * sx) * (n_lines * syy - sy * sy)), 4) AS r2
+      |FROM m ORDER BY brand""".stripMargin
+
+  /** Nation-pair trade flows (TPC-H Q7's shape): discounted revenue
+    * between supplier nation and customer nation by order year — the
+    * six-table join graph (lineitem ⋈ orders ⋈ customer ⋈ nation,
+    * lineitem ⋈ supplier ⋈ nation) every OLAP engine's join planner
+    * is judged on. Revenue is exact fixed-point: the per-line
+    * discounted price is rounded to cents BEFORE summation (one IEEE
+    * double op per row, then integer adds), so the nation-pair totals
+    * are bit-identical across engines and partitionings.
+    *
+    * Scale: ONE fact⋈fact shuffle (lineitem ⋈ orders on the order
+    * key; both bucketable at rest); customer, supplier, and both
+    * nation attaches ride broadcasts; the rollup keys are
+    * |nations|²·years rows. This is the plan Catalyst should pick and
+    * PlanShapeSpec pins it.
+    */
+  def tradeFlows(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_cents"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .groupBy("supp_nation", "cust_nation", "yr")
+      .agg(sum("rev_cents").as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  val tradeFlowsSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(o_orderdate) AS yr,
+      |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::BIGINT
+      |    AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_trade_flows"    -> (tradeFlows _),
+    "q_revenue_gini"   -> (revenueGini _),
+    "q_price_elasticity" -> (priceElasticity _),
     "q_mann_whitney"   -> (mannWhitney _),
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
@@ -1367,6 +1558,9 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_trade_flows"    -> tradeFlowsSql,
+    "q_revenue_gini"   -> revenueGiniSql,
+    "q_price_elasticity" -> priceElasticitySql,
     "q_mann_whitney"   -> mannWhitneySql,
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,

@@ -330,6 +330,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(mde(na * 4, nb * 4, p) < mde(na, nb, p) / 1.9, "4x users ~ halves the MDE")
   }
 
+  test("burst detect matches a local Poisson-surprise recompute") {
+    val rows = Tables.events(spark, sfTest)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val span = rows.map(_._2).max - rows.map(_._2).min + 1
+    val hourly = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def llr(n: Long, mu: Double): Double =
+      if (n > mu) n * math.log(n / mu) - (n - mu) else 0.0
+    val expected = hourly.toSeq.map { case ((t, h), n) =>
+      (llr(n, totals(t).toDouble / span), t, h, n)
+    }.sortBy { case (l, t, h, _) => (-l, t, h) }.take(operators.Analytics.BurstTop)
+    val got = operators.Analytics.burstDetect(spark, sfTest).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (l, t, h, n)) =>
+      assert(r.getString(1) == t && r.getAs[Long]("n") == n)
+      assert(r.getTimestamp(2).getTime / 1000 / 3600 == h, "hour bucket must match")
+      assert(math.abs(r.getAs[Double]("llr") - l) < 1e-3)
+    }
+    assert(got.head.getAs[Double]("llr") > 0, "the fixture stream must show some burst")
+  }
+
+  test("session entropy matches a local recompute; bounds hold") {
+    val rows = Tables.events(spark, sfTest)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = rows.groupBy(_._1).view.mapValues { es =>
+      val counts = es.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val n = counts.sum.toDouble
+      val h = -counts.map(c => c / n * math.log(c / n)).sum
+      (es.length.toLong, counts.length.toLong, h)
+    }.toMap
+    val expectedTop = per.toSeq.map { case (u, (_, _, h)) => (-h, u) }.sorted
+      .take(operators.Analytics.EntropyTop).map(_._2)
+    val got = operators.Analytics.sessionEntropy(spark, sfTest).collect()
+    assert(got.map(_.getAs[Long]("user_id")).toSeq == expectedTop)
+    got.foreach { r =>
+      val (n, k, h) = per(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n && r.getAs[Long]("n_types") == k)
+      assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-4)
+      val ev = r.getAs[Double]("evenness")
+      assert(ev >= 0 && ev <= 1 + 1e-9, s"evenness $ev out of bounds")
+    }
+  }
+
   test("concurrency peak matches a local global sweep over the session intervals") {
     // recompute sessions locally with the same 30-min gap rule
     val ev = Tables.events(spark, sfTest)

