@@ -1016,7 +1016,95 @@ object GraphRank {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Bellman–Ford relaxation rounds (= max path hops; unrolled in the
+    * oracle) and rows reported. */
+  val SpRounds = 3
+  val SpTop = 20
+  /** Edge cost = SpCostUnit div co — stronger co-purchase ties are
+    * cheaper hops, so min-cost paths follow the strongest chains. */
+  val SpCostUnit = 1000000L
+
+  /** Hop-bounded weighted shortest paths from the strongest-hub item
+    * (same deterministic seed rule as [[rwrProximity]]): [[SpRounds]]
+    * min-plus (Bellman–Ford) relaxations over the co-purchase graph
+    * with integer edge costs [[SpCostUnit]] div co. The weighted
+    * companion to [[itemBfs]] (hop counts): BFS says "reachable in k",
+    * this says "HOW STRONGLY connected within k" — the
+    * related-items-with-path-strength shelf. All BIGINT arithmetic ⇒
+    * engine-exact; paths longer than [[SpRounds]] hops are
+    * deliberately not explored (the frontier is a bounded
+    * neighborhood, not the whole graph, which is what makes the
+    * operator safe on a web-scale graph).
+    *
+    * Scale: each round is one equi-join of the CURRENT distance
+    * frontier (≤ reached nodes) against the memoized edge table +
+    * one min-aggregate; localCheckpoint truncates the loop lineage.
+    * Emits the [[SpTop]] nearest items by (dist, item).
+    */
+  def shortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ew = copurchaseEw(spark, sfDir)
+    val seed = ew.select("src", "ow").distinct()
+      .orderBy(col("ow").desc, col("src").asc)
+      .select("src").head.getLong(0)
+    val edges = ew.select(col("src"), col("dst"),
+      expr(s"${SpCostUnit}L div w").as("cost"))
+    var dist = edges.sparkSession.range(1)
+      .select(lit(seed).as("item"), lit(0L).as("dist"))
+    for (_ <- 1 to SpRounds) {
+      val relaxed = edges.join(dist.withColumnRenamed("item", "src"), "src")
+        .select(col("dst").as("item"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("item").agg(min("dist").as("dist"))
+        .localCheckpoint() // frontier is ≤ |reached nodes| rows per round
+    }
+    dist
+      .withColumn("rk", row_number().over(Window.orderBy(col("dist").asc, col("item").asc)))
+      .where(col("rk") <= SpTop)
+      .select(col("rk"), col("item").as("item_id"), col("dist").as("path_cost_units"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: identical min-plus recurrence unrolled. */
+  val shortestPathsSql: String = {
+    val rounds = (1 to SpRounds).map { k =>
+      s"""d$k AS (
+         |  SELECT item, min(dist)::BIGINT AS dist FROM (
+         |    SELECT item, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS item, p.dist + ($SpCostUnit // e.w) AS dist
+         |    FROM ew e JOIN d${k - 1} p ON p.item = e.src
+         |  ) GROUP BY item
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT item_i AS src, item_j AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
+       |), ow AS (
+       |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
+       |), seed AS (
+       |  SELECT src AS s FROM ow ORDER BY ow DESC, src ASC LIMIT 1
+       |), ew AS (
+       |  SELECT src, dst, w FROM edges
+       |), d0 AS (
+       |  SELECT s AS item, 0::BIGINT AS dist FROM seed
+       |), $rounds
+       |SELECT rk, item AS item_id, dist AS path_cost_units FROM (
+       |  SELECT item, dist,
+       |    row_number() OVER (ORDER BY dist ASC, item ASC) AS rk
+       |  FROM d$SpRounds
+       |) WHERE rk <= $SpTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_shortest_paths" -> (shortestPaths _),
     "q_rwr_proximity"  -> (rwrProximity _),
     "q_salsa"          -> (salsa _),
     "q_assortativity"  -> (assortativity _),
@@ -1030,6 +1118,7 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_shortest_paths" -> shortestPathsSql,
     "q_rwr_proximity"  -> rwrProximitySql,
     "q_salsa"          -> salsaSql,
     "q_assortativity"  -> assortativitySql,

@@ -1132,7 +1132,86 @@ object TextAnalysis {
        |LEFT JOIN cov ON nd.source = cov.source
        |ORDER BY nd.source""".stripMargin
 
+  /** Keywords reported by the RAKE ranking. */
+  val RakeTop = 30
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are the maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ candidate length over its
+    * occurrences — co-occurrence credit), and a phrase scores the sum
+    * of its words' scores. Emits the top [[RakeTop]] corpus keywords
+    * by (score desc, phrase) with occurrence counts — the
+    * unsupervised topic surface for corpus exploration, alongside the
+    * supervised χ² terms and TF-IDF tiers.
+    *
+    * Scale: candidate generation is a per-row regex split (map-side
+    * generator); word stats and phrase scores are two
+    * vocabulary-bounded aggregates; the word-score table broadcasts
+    * into the phrase scoring join; ranking is a bounded head.
+    */
+  def rakeKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopRe = Stopwords.mkString("\\\\b(", "|", ")\\\\b")
+    val phrases = Tables.documents(spark, sfDir)
+      .select(explode(split(
+        expr(s"regexp_replace($normSpark, '$stopRe', '§')"), "§")).as("raw"))
+      .select(trim(col("raw")).as("phrase"))
+      .where(length(col("phrase")) > 0)
+    val words = phrases
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("w"),
+        size(split(col("phrase"), " ")).as("phlen"))
+    val wordStats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("phlen").as("degree"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wordStats), "w")
+      .groupBy("phrase", "n_occ")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("degree").cast("double") / col("freq")).as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .where(col("rk") <= RakeTop)
+      .select(col("rk"), col("phrase"), col("n_occ"), col("n_words"),
+        round(col("score"), 4).as("score"))
+      .orderBy("rk")
+  }
+
+  val rakeKeywordsSql: String = {
+    val stopRe = Stopwords.mkString("\\b(", "|", ")\\b")
+    s"""WITH phrases AS (
+       |  SELECT trim(p) AS phrase FROM (
+       |    SELECT unnest(string_split(
+       |      regexp_replace($normDuck, '$stopRe', '§', 'g'), '§')) AS p
+       |    FROM documents
+       |  ) WHERE len(trim(p)) > 0
+       |), words AS (
+       |  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+       |    len(string_split(phrase, ' ')) AS phlen
+       |  FROM phrases
+       |), ws AS (
+       |  SELECT w, count(*) AS freq, sum(phlen)::BIGINT AS degree FROM words GROUP BY w
+       |), dp AS (
+       |  SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase
+       |), scored AS (
+       |  SELECT d.phrase, d.n_occ, count(*) AS n_words,
+       |    sum(ws.degree::DOUBLE / ws.freq) AS score
+       |  FROM dp d, unnest(string_split(d.phrase, ' ')) AS t(w)
+       |  JOIN ws ON ws.w = t.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT rk, phrase, n_occ, n_words, round(score, 4) AS score FROM (
+       |  SELECT phrase, n_occ, n_words, score,
+       |    row_number() OVER (ORDER BY score DESC, phrase ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $RakeTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rake_keywords" -> (rakeKeywords _),
     "q_boilerplate" -> (boilerplate _),
     "q_importance_sample" -> (importanceSample _),
     "q_corpus_entropy" -> (corpusEntropy _),
@@ -1155,6 +1234,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rake_keywords" -> rakeKeywordsSql,
     "q_boilerplate" -> boilerplateSql,
     "q_importance_sample" -> importanceSampleSql,
     "q_corpus_entropy" -> corpusEntropySql,

@@ -206,6 +206,28 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
       s"assortativity $got vs local $r")
   }
 
+  test("shortest paths matches a local bellman-ford replay; seed at distance zero") {
+    val half = GraphRank.weightedHalfEdges(spark, sfTest)
+      .select("item_i", "item_j", "co")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = half.flatMap { case (i, j, w) => Seq((i, j, w), (j, i, w)) }
+    val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val seed = ow.toSeq.minBy { case (s, w) => (-w, s) }._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to GraphRank.SpRounds) {
+      val relaxed = edges.flatMap { case (s, t, w) =>
+        dist.get(s).map(d => t -> (d + GraphRank.SpCostUnit / w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    val expected = dist.toSeq.sortBy { case (v, d) => (d, v) }.take(GraphRank.SpTop)
+    val got = GraphRank.shortestPaths(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("path_cost_units")))
+    assert(got.toSeq == expected, "min-plus replay mismatch")
+    assert(got.head == (seed, 0L), "the seed must sit at distance zero")
+    assert(got.tail.forall(_._2 > 0))
+  }
+
   test("rwr proximity matches a local integer fixed-point replay; seed leads") {
     val half = GraphRank.weightedHalfEdges(spark, sfTest)
       .select("item_i", "item_j", "co")

@@ -404,6 +404,39 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
   }
 
+  test("rake keywords: phrases are stopword-free; scores match a local recompute") {
+    val T = operators.TextAnalysis
+    val texts = Tables.documents(spark, sfTest).select("text").collect()
+      .map(_.getString(0))
+    val stops = T.Stopwords.toSet
+    val phrases = texts.flatMap { t =>
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      for (w <- toks) {
+        if (stops(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.map(_.mkString(" "))
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val degree = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (p <- phrases; ws = p.split(" "); w <- ws) { freq(w) += 1; degree(w) += ws.length }
+    val scores = phrases.groupBy(identity).map { case (p, occ) =>
+      (p, occ.length.toLong, p.split(" ").map(w => degree(w).toDouble / freq(w)).sum)
+    }.toSeq
+    val expected = scores.sortBy { case (p, _, s) => (-s, p) }.take(T.RakeTop)
+    val got = operators.TextAnalysis.rakeKeywords(spark, sfTest).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (p, occ, s)) =>
+      assert(r.getString(1) == p, s"rank ${r.getInt(0)}: ${r.getString(1)} vs $p")
+      assert(r.getAs[Long]("n_occ") == occ)
+      assert(math.abs(r.getAs[Double]("score") - s) < 1e-3)
+      assert(!p.split(" ").exists(stops), s"phrase '$p' contains a stopword")
+    }
+  }
+
   test("jaccard idf matches a local weighted recompute and downweights boilerplate") {
     val D = operators.Dedup
     val sh = D.shingles(spark, sfTest).collect()

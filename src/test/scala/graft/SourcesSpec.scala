@@ -192,4 +192,52 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       .head.getAs[String]("value")
     assert(d1 == "alpha\nbeta\n")
   }
+
+  test("malformed CSV: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    // the three ingestion policies a crawl loader must choose between —
+    // a bad row must never silently corrupt neighbors
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("rows.csv"),
+      "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,30.25\nbroken\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString).cache()
+    assert(permissive.count() == 4, "PERMISSIVE keeps every input row")
+    val bad = permissive.where(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 2, "both malformed rows are quarantined, no more")
+    assert(permissive.where(col("_corrupt_record").isNull)
+      .agg(sum("v")).head.getDouble(0) == 40.75, "clean rows parse exactly")
+    // CSV column pruning means count() parses nothing — materialize the
+    // typed columns so the parser actually exercises the policy
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir.toString)
+    assert(dropped.collect().length == 2, "DROPMALFORMED emits only fully-parsed rows")
+    val failfast = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").csv(dir.toString).collect()
+    }
+    assert(failfast.getMessage != null)
+    permissive.unpersist()
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // generation 1 lacks the column generation 2 adds — the standard
+    // long-lived-table drift; mergeSchema must union, not truncate
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    Seq((3L, "c", 9.5), (4L, "d", 2.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "gen"))
+    assert(merged.count() == 4)
+    assert(merged.where(col("gen") === 1).agg(sum("score")).head.isNullAt(0),
+      "pre-evolution rows read the new column as NULL")
+    assert(merged.where(col("gen") === 2).agg(sum("score")).head.getDouble(0) == 12.0)
+  }
 }
