@@ -1529,7 +1529,73 @@ object Analytics {
        |) WHERE rk <= $EntropyTop
        |ORDER BY rk""".stripMargin
 
+  /** χ² critical value at α=0.05 for df=2 (3 arms) — the literal SRM
+    * alarm threshold, kept as config like the PSI reference bounds. */
+  val SrmChi2Crit = 5.991
+
+  /** Sample-ratio-mismatch guardrail: users hash-assigned to a 50/25/25
+    * three-arm split (the same deterministic md5 bucketing as
+    * [[abTest]]), observed arm counts χ²-tested against the intended
+    * ratios. SRM is the first validity gate every experimentation
+    * platform runs — a mismatch means the assignment or logging is
+    * broken and every downstream metric is untrustworthy. Emits one
+    * row per arm (observed, expected, χ² contribution) plus the total
+    * χ² and the df=2 / α=0.05 alarm flag.
+    *
+    * Scale: one per-user aggregate, a 3-row rollup, a broadcast total.
+    */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select("user_id").distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'srm')), 1, 8), 16, 10) AS bigint)") % 4)
+      .withColumn("arm", when(col("h") <= 1, 0).when(col("h") === 2, 1).otherwise(2))
+    val arms = perUser.groupBy("arm").agg(count(lit(1)).as("n_users"))
+    val tot = arms.agg(sum("n_users").as("n"))
+    val withExp = arms.crossJoin(broadcast(tot))
+      .withColumn("expected",
+        when(col("arm") === 0, col("n") * 0.5).otherwise(col("n") * 0.25))
+      .withColumn("contrib",
+        pow(col("n_users") - col("expected"), 2) / col("expected"))
+    val chi2 = withExp.agg(sum("contrib").as("chi2"))
+    withExp.crossJoin(broadcast(chi2))
+      .select(col("arm"), col("n_users"),
+        round(col("expected"), 2).as("expected"),
+        round(col("contrib"), 4).as("chi2_contrib"),
+        round(col("chi2"), 4).as("chi2_total"),
+        (col("chi2") > SrmChi2Crit).cast("int").as("srm_alarm"))
+      .orderBy("arm")
+  }
+
+  val abSrmSql: String =
+    s"""WITH pu AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), h AS (
+       |  SELECT CASE WHEN hv <= 1 THEN 0 WHEN hv = 2 THEN 1 ELSE 2 END AS arm
+       |  FROM (SELECT ('0x' || substr(md5(user_id::VARCHAR || '-srm'), 1, 8))::BIGINT % 4 AS hv
+       |        FROM pu)
+       |), arms AS (
+       |  SELECT arm, count(*) AS n_users FROM h GROUP BY arm
+       |), tot AS (SELECT sum(n_users) AS n FROM arms),
+       |we AS (
+       |  SELECT arm, n_users,
+       |    CASE WHEN arm = 0 THEN (SELECT n FROM tot)::DOUBLE * 0.5
+       |         ELSE (SELECT n FROM tot)::DOUBLE * 0.25 END AS expected
+       |  FROM arms
+       |), wc AS (
+       |  SELECT arm, n_users, expected,
+       |    pow(n_users - expected, 2) / expected AS contrib
+       |  FROM we
+       |)
+       |SELECT arm, n_users, round(expected, 2) AS expected,
+       |  round(contrib, 4) AS chi2_contrib,
+       |  round((SELECT sum(contrib) FROM wc), 4) AS chi2_total,
+       |  (CASE WHEN (SELECT sum(contrib) FROM wc) > $SrmChi2Crit
+       |        THEN 1 ELSE 0 END)::INTEGER AS srm_alarm
+       |FROM wc ORDER BY arm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ab_srm"            -> (abSrm _),
     "q_burst_detect"      -> (burstDetect _),
     "q_session_entropy"   -> (sessionEntropy _),
     "q_concurrency_peak"  -> (concurrencyPeak _),
@@ -1560,6 +1626,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ab_srm"            -> abSrmSql,
     "q_burst_detect"      -> burstDetectSql,
     "q_session_entropy"   -> sessionEntropySql,
     "q_concurrency_peak"  -> concurrencyPeakSql,

@@ -330,6 +330,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(mde(na * 4, nb * 4, p) < mde(na, nb, p) / 1.9, "4x users ~ halves the MDE")
   }
 
+  test("ab srm: arm counts partition users, chi2 matches a local recompute, no alarm on a clean split") {
+    val rows = operators.Analytics.abSrm(spark, sfTest).collect()
+    assert(rows.map(_.getAs[Int]("arm")).toSeq == Seq(0, 1, 2))
+    val n = Tables.events(spark, sfTest).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == n, "arms must partition the users")
+    val chi2 = rows.map { r =>
+      val exp = if (r.getAs[Int]("arm") == 0) n * 0.5 else n * 0.25
+      math.pow(r.getAs[Long]("n_users") - exp, 2) / exp
+    }.sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("chi2_total") - math.rint(chi2 * 1e4) / 1e4) < 1e-9)
+      assert(r.getAs[Int]("srm_alarm") == (if (chi2 > operators.Analytics.SrmChi2Crit) 1 else 0))
+    }
+    // a healthy hash split over the fixture population must not alarm
+    assert(rows.head.getAs[Int]("srm_alarm") == 0, s"clean split alarmed, chi2=$chi2")
+  }
+
   test("burst detect matches a local Poisson-surprise recompute") {
     val rows = Tables.events(spark, sfTest)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()

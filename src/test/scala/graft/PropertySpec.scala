@@ -152,4 +152,67 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val res = SCTest.check(params200, p)
     assert(res.passed, s"mmr-equivalence: $res")
   }
+
+  test("gini tie-group closed form equals the naive sorted-rank form on 200 random multisets") {
+    // the algebra Stats.revenueGini distributes: a tie group of value v
+    // spanning ranks lo..hi contributes v·(lo+hi)·cnt to 2S
+    val params200 = SCTest.Parameters.default.withMinSuccessfulTests(200)
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)) // heavy ties
+    val p = Prop.forAll(genVals) { vs: List[Long] =>
+      val sorted = vs.sorted
+      val n = sorted.length.toLong
+      val t = sorted.sum
+      val naive2S = 2L * sorted.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+      val groups = sorted.groupBy(identity).toSeq.sortBy(_._1)
+      var before = 0L
+      var closed2S = 0L
+      for ((v, g) <- groups) {
+        val cnt = g.length.toLong
+        val lo = before + 1; val hi = before + cnt
+        closed2S += v * (lo + hi) * cnt
+        before = hi
+      }
+      // top-decile boundary: closed-form split of the boundary tie group
+      val n0 = (n - n / 10).toInt
+      val naiveTop = sorted.drop(n0).sum
+      var cum = 0L; var closedTop = -1L; before = 0L
+      for ((v, g) <- groups if closedTop < 0) {
+        val cnt = g.length.toLong
+        val lo = before + 1; val hi = before + cnt
+        if (n0 >= lo && n0 <= hi) closedTop = t - (cum + (n0 - lo + 1) * v)
+        cum += v * cnt; before = hi
+      }
+      closed2S == naive2S && (n0 == 0 || closedTop == naiveTop)
+    }
+    val res = SCTest.check(params200, p)
+    assert(res.passed, s"gini-closed-form: $res")
+  }
+
+  test("mann-whitney prefix-rank closed form equals naive average ranks on 200 random samples") {
+    val params200 = SCTest.Parameters.default.withMinSuccessfulTests(200)
+    val genPair = for {
+      a <- Gen.nonEmptyListOf(Gen.chooseNum(0, 15))
+      b <- Gen.nonEmptyListOf(Gen.chooseNum(0, 15))
+    } yield (a.map(_.toDouble), b.map(_.toDouble))
+    val p = Prop.forAll(genPair) { case (as: List[Double], bs: List[Double]) =>
+      // naive: rank every observation, average within ties
+      val all = (as.map((_, 'a')) ++ bs.map((_, 'b'))).sortBy(_._1)
+      val avgRank = all.map(_._1).zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+      val naiveR1 = as.map(avgRank).sum
+      // closed form: per-value group, before + (t+1)/2, weighted by na
+      val groups = (as.map((_, 1, 0)) ++ bs.map((_, 0, 1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.map(_._2).sum.toLong, g.size.toLong) }
+      var before = 0L
+      var closedR1 = 0.0
+      for ((_, na, t) <- groups) {
+        closedR1 += na * (before + (t + 1.0) / 2.0)
+        before += t
+      }
+      math.abs(closedR1 - naiveR1) < 1e-9
+    }
+    val res = SCTest.check(params200, p)
+    assert(res.passed, s"mw-closed-form: $res")
+  }
 }
