@@ -1529,7 +1529,44 @@ object Stats {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Fulfillment-lag profile: ship_date − order_date days per order
+    * priority — count, mean, exact median/p95 (the SLA percentiles),
+    * and the late tail beyond 60 days. One fact⋈fact join on the
+    * order key (the same bucketable shuffle as every l⋈o query) and
+    * one aggregate; percentiles are exact over the bounded lag-days
+    * domain (integers 0..~120), so they hash-match DuckDB's
+    * interpolated quantiles.
+    */
+  def shipLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+           round(avg("lag_days"), 4).as("mean_days"),
+           expr("percentile(lag_days, 0.5)").as("p50"),
+           expr("percentile(lag_days, 0.95)").as("p95"),
+           round(avg((col("lag_days") > 60).cast("double")), 6).as("late_share"))
+      .orderBy("priority")
+  }
+
+  val shipLagSql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n_lines,
+      |  round(avg(lag_days), 4) AS mean_days,
+      |  quantile_cont(lag_days, 0.5) AS p50,
+      |  quantile_cont(lag_days, 0.95) AS p95,
+      |  round(avg(CASE WHEN lag_days > 60 THEN 1.0 ELSE 0.0 END), 6) AS late_share
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ship_lag"       -> (shipLag _),
     "q_trade_flows"    -> (tradeFlows _),
     "q_revenue_gini"   -> (revenueGini _),
     "q_price_elasticity" -> (priceElasticity _),
@@ -1558,6 +1595,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ship_lag"       -> shipLagSql,
     "q_trade_flows"    -> tradeFlowsSql,
     "q_revenue_gini"   -> revenueGiniSql,
     "q_price_elasticity" -> priceElasticitySql,

@@ -619,7 +619,11 @@ object Training {
 
   /** Quantized table with the subspace key attached. */
   private def pqSub(spark: SparkSession, sfDir: String): DataFrame =
-    quantized(spark, sfDir).withColumn("sub", expr(s"pos div $PqSubDim"))
+    pqSubOf(quantized(spark, sfDir))
+
+  /** Frame-parameterized variant (scale specs feed synthetic corpora). */
+  private[graft] def pqSubOf(eq: DataFrame): DataFrame =
+    eq.withColumn("sub", expr(s"pos div $PqSubDim"))
 
   /** One PQ assignment pass: nearest codeword PER SUBSPACE by exact
     * integer squared distance, (dist, cluster) lexicographic
@@ -643,22 +647,25 @@ object Training {
     */
   private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"pq_cb:$sfDir") {
-      val es = pqSub(spark, sfDir)
-      val initIds = es.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
-        .withColumn("cluster", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
-      var cent = es.join(broadcast(initIds), "vec_id")
-        .select(col("sub"), col("cluster"), col("pos"), col("q").as("c"))
-        .localCheckpoint()
-      for (_ <- 1 to PqRounds) {
-        val asn = pqAssign(es, cent)
-        cent = es.join(asn.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
-          .groupBy("sub", "cluster", "pos")
-          .agg(expr("sum(q) div count(1)").as("c"))
-          .localCheckpoint() // M·K·subdim rows; keep each round's plan flat
-      }
-      cent
+      pqCodebooksOf(pqSub(spark, sfDir))
     }
+
+  private[graft] def pqCodebooksOf(es: DataFrame): DataFrame = {
+    val initIds = es.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+    var cent = es.join(broadcast(initIds), "vec_id")
+      .select(col("sub"), col("cluster"), col("pos"), col("q").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to PqRounds) {
+      val asn = pqAssign(es, cent)
+      cent = es.join(asn.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
+        .groupBy("sub", "cluster", "pos")
+        .agg(expr("sum(q) div count(1)").as("c"))
+        .localCheckpoint() // M·K·subdim rows; keep each round's plan flat
+    }
+    cent
+  }
 
   /** Product quantization + asymmetric distance computation — the
     * billion-scale ANN serving layout (Jégou et al., PAMI 2011). Each
@@ -677,11 +684,13 @@ object Training {
     * pair blow-up, no shuffle of the corpus; at real scale the same
     * scan nests inside IVF cells ([[Similarity]]'s q_knn_ivf tier).
     */
-  def pqAdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val es = pqSub(spark, sfDir)
-    val cent = pqCodebooks(spark, sfDir)
+  def pqAdc(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcFrom(pqSub(spark, sfDir), pqCodebooks(spark, sfDir), PqNQueries, PqTopK)
+
+  private[graft] def pqAdcFrom(es: DataFrame, cent: DataFrame,
+                               nQueries: Int, topK: Int): DataFrame = {
     val codes = pqAssign(es, cent).select("vec_id", "sub", "cluster")
-    val qIds = es.select("vec_id").distinct().orderBy("vec_id").limit(PqNQueries)
+    val qIds = es.select("vec_id").distinct().orderBy("vec_id").limit(nQueries)
     val lut = es.join(broadcast(qIds), "vec_id")
       .select(col("vec_id").as("query_id"), col("sub"), col("pos"), col("q").as("qq"))
       .join(broadcast(cent), Seq("sub", "pos"))
@@ -694,10 +703,15 @@ object Training {
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("adc_dist_units").asc, col("vec_id").asc)))
-      .where(col("rk") <= PqTopK)
+      .where(col("rk") <= topK)
       .select("query_id", "rk", "vec_id", "adc_dist_units")
       .orderBy("query_id", "rk")
   }
+
+  /** Code table (vec_id, sub, cluster) for a frame — exposed for the
+    * scale spec's compression accounting. */
+  private[graft] def pqCodesOf(es: DataFrame, cent: DataFrame): DataFrame =
+    pqAssign(es, cent).select("vec_id", "sub", "cluster")
 
   /** Oracle: identical integer PQ training (rounds unrolled, `sub` in
     * every grouping), codes, LUT, and ADC ranking. */
@@ -769,6 +783,88 @@ object Training {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Coreset size for the greedy k-center selection. */
+  val KcK = 8
+
+  /** Greedy k-center coreset (farthest-first traversal, Gonzalez
+    * 1985 — the 2-approximation): seed at the lowest vec_id, then
+    * repeatedly select the vector FARTHEST from every already-selected
+    * center (exact integer squared distance, ties to the smaller id).
+    * The classic diversity-sampling pass for training-data selection:
+    * the chosen K vectors cover the corpus with the smallest max
+    * distance any greedy method guarantees, and the recorded
+    * radius_units (the picked point's distance at selection) is the
+    * coverage-radius curve — how much diversity each additional
+    * sample buys. Complements [[semanticDedup]]: that removes
+    * redundancy, this picks the spanning exemplars.
+    *
+    * Scale: each round is ONE broadcast join (the new center is a
+    * dims-row table) + a partial aggregate over the corpus, and the
+    * min-dist state is one long per vector — K linear passes, no
+    * pairwise table. The per-round 1-row `head` is the greedy
+    * selection witness (same driver-side class as the CC convergence
+    * check). All arithmetic BIGINT ⇒ engine-exact. At 10⁹ vectors the
+    * same rounds run over the PQ-compressed table.
+    */
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = quantized(spark, sfDir)
+    val seed = e.agg(min("vec_id")).head.getLong(0)
+    def d2To(center: Long): DataFrame =
+      e.join(broadcast(e.where(col("vec_id") === center)
+          .select(col("pos"), col("q").as("cq"))), "pos")
+        .groupBy("vec_id")
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("nd"))
+    var dist = d2To(seed).withColumnRenamed("nd", "dist").localCheckpoint()
+    val sel = scala.collection.mutable.ArrayBuffer((1, seed, 0L))
+    for (k <- 2 to KcK) {
+      val pick = dist.orderBy(col("dist").desc, col("vec_id").asc).head
+      sel += ((k, pick.getLong(0), pick.getLong(1)))
+      dist = dist.join(d2To(pick.getLong(0)), "vec_id")
+        .select(col("vec_id"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint() // state = one long per vector; flat lineage
+    }
+    import spark.implicits._
+    sel.toSeq.toDF("rk", "vec_id", "radius_units").orderBy("rk")
+  }
+
+  /** Oracle: the greedy rounds unrolled — each round recomputes the
+    * distance to the newly selected center and folds it in with
+    * least(). */
+  val kcenterCoresetSql: String = {
+    val rounds = (2 to KcK).map { k =>
+      s"""s$k AS (
+         |  SELECT vec_id, dist FROM d${k - 1}
+         |  ORDER BY dist DESC, vec_id ASC LIMIT 1
+         |), n$k AS (
+         |  SELECT e.vec_id, sum((e.q - c.q) * (e.q - c.q))::BIGINT AS dist
+         |  FROM e JOIN e c ON c.vec_id = (SELECT vec_id FROM s$k) AND c.pos = e.pos
+         |  GROUP BY e.vec_id
+         |), d$k AS (
+         |  SELECT d.vec_id, least(d.dist, n.dist) AS dist
+         |  FROM d${k - 1} d JOIN n$k n ON n.vec_id = d.vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (2 to KcK).map { k =>
+      s"SELECT $k AS rk, vec_id, dist AS radius_units FROM s$k"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, i AS pos,
+       |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |  WHERE i <= len(embedding)
+       |), d1 AS (
+       |  SELECT e.vec_id, sum((e.q - c.q) * (e.q - c.q))::BIGINT AS dist
+       |  FROM e JOIN e c ON c.vec_id = (SELECT min(vec_id) FROM e) AND c.pos = e.pos
+       |  GROUP BY e.vec_id
+       |), $rounds
+       |SELECT rk::INTEGER AS rk, vec_id, radius_units FROM (
+       |  SELECT 1 AS rk, (SELECT min(vec_id) FROM e) AS vec_id, 0::BIGINT AS radius_units
+       |  UNION ALL
+       |  $out
+       |) ORDER BY rk""".stripMargin
+  }
+
   /** Force-build the memoized model tables (k-means centroids +
     * assignment, PQ codebooks) — see [[Recsys.warm]]. */
   def warm(spark: SparkSession, sfDir: String): Unit = {
@@ -777,6 +873,7 @@ object Training {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_kcenter_coreset"  -> (kcenterCoreset _),
     "q_pq_adc"           -> (pqAdc _),
     "q_feature_hash"     -> (featureHash _),
     "q_target_encode"    -> (targetEncode _),
@@ -788,6 +885,7 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kcenter_coreset"  -> kcenterCoresetSql,
     "q_pq_adc"           -> pqAdcSql,
     "q_feature_hash"     -> featureHashSql,
     "q_target_encode"    -> targetEncodeSql,

@@ -465,4 +465,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "novelty scoring must never compare documents pairwise")
   }
+
+  test("revenue_gini: rank prefix windows on the coarse bucket, offsets broadcast") {
+    val p = plan(operators.Stats.revenueGini(planSession, sfTest))
+    assert(p.contains("windowspecdefinition(coarse#"),
+      "within-bucket prefix sums must be coarse-partitioned windows, not global")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket offset table must broadcast back onto the value groups")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("burst_detect / rake_keywords: model sides broadcast, single-scan aggregates") {
+    for (df <- Seq(operators.Analytics.burstDetect(planSession, sfTest),
+                   operators.TextAnalysis.rakeKeywords(planSession, sfTest))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), "baseline/word-score side must broadcast")
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("SortMergeJoin"),
+        "nothing in these queries justifies shuffling both join sides")
+    }
+  }
 }

@@ -471,6 +471,35 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ship lag matches a local per-priority recompute with interpolated quantiles") {
+    val rows = Tables.lineitem(spark, sfTest)
+      .join(Tables.orders(spark, sfTest), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    def qtl(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt; val hi = math.ceil(pos).toInt
+      s(lo) + (s(hi) - s(lo)) * (pos - lo)
+    }
+    val local = rows.groupBy(_._1).view.mapValues { g =>
+      val lags = g.map(_._2.toDouble).toSeq
+      (g.length.toLong, lags.sum / lags.length, qtl(lags, 0.5), qtl(lags, 0.95),
+        lags.count(_ > 60).toDouble / lags.length)
+    }.toMap
+    val got = operators.Stats.shipLag(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, mean, p50, p95, late) = local(r.getString(0))
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(math.abs(r.getAs[Double]("mean_days") - mean) < 1e-3)
+      assert(math.abs(r.getAs[Double]("p50") - p50) < 1e-9)
+      assert(math.abs(r.getAs[Double]("p95") - p95) < 1e-9)
+      assert(math.abs(r.getAs[Double]("late_share") - late) < 1e-5)
+      assert(p50 <= p95)
+    }
+  }
+
   test("revenue gini matches a local sorted-rank recompute; decile boundary exact") {
     val rev = Tables.orders(spark, sfTest)
       .groupBy("o_custkey")

@@ -236,6 +236,34 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kcenter coreset matches a local greedy replay; radius curve is non-increasing") {
+    val T = operators.Training
+    val vecs = Tables.embeddings(spark, sfTest)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round((col("v").cast("double") + 1.0d) * T.KmScale, 0).cast("long"))
+      .select("vec_id", "pos", "q").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getLong(2))).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = vecs.keys.min
+    var dist = vecs.keys.map(v => v -> d2(vecs(v), vecs(seed))).toMap
+    var expected = List((1, seed, 0L))
+    for (k <- 2 to T.KcK) {
+      val (pid, pd) = dist.toSeq.minBy { case (v, d) => (-d, v) }
+      expected = (k, pid, pd) :: expected
+      dist = dist.map { case (v, d) => v -> math.min(d, d2(vecs(v), vecs(pid))) }
+    }
+    val got = operators.Training.kcenterCoreset(spark, sfTest).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList == expected.reverse, "greedy replay mismatch")
+    // farthest-first: each later pick can never be farther than an earlier one
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radii must be non-increasing: ${radii.mkString(",")}")
+    assert(got.map(_._2).distinct.length == T.KcK, "selected centers are distinct")
+  }
+
   test("pq adc: recall vs exact brute force, and codes cover every vector fully") {
     val T = operators.Training
     // exact integer top-K per query from the same quantized vectors
