@@ -1594,7 +1594,49 @@ object Analytics {
        |        THEN 1 ELSE 0 END)::INTEGER AS srm_alarm
        |FROM wc ORDER BY arm""".stripMargin
 
+  /** Day-of-week × hour-of-day load heatmap with the lift of each
+    * cell over the independence expectation (dow marginal × hour
+    * marginal / n) — the capacity-planning view that says WHEN load
+    * concentrates and whether the weekly and daily cycles interact
+    * (lift ≈ 1 everywhere ⇔ separable cycles). Same closed-form
+    * marginal mechanics as [[Stats.mutualInfo]], on the time axes.
+    *
+    * Scale: one (dow, hour) aggregate — at most 168 cells regardless
+    * of stream size; marginals are window sums over those cells.
+    */
+  def loadHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    cells
+      .withColumn("nd", sum("n").over(Window.partitionBy("dow")))
+      .withColumn("nh", sum("n").over(Window.partitionBy("hod")))
+      .withColumn("nt", sum("n").over(Window.partitionBy()))
+      .select(col("dow"), col("hod"), col("n").cast("long").as("n_events"),
+        round(col("nd") * col("nh") / col("nt"), 4).as("expected"),
+        round(col("n") * col("nt") / (col("nd") * col("nh")), 4).as("lift"))
+      .orderBy("dow", "hod")
+  }
+
+  val loadHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT dayofweek(ts::TIMESTAMP) + 1 AS dow, hour(ts::TIMESTAMP) AS hod,
+      |    count(*)::DOUBLE AS n
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT dow, hod, n,
+      |    sum(n) OVER (PARTITION BY dow) AS nd,
+      |    sum(n) OVER (PARTITION BY hod) AS nh,
+      |    sum(n) OVER () AS nt
+      |  FROM cells
+      |)
+      |SELECT dow, hod, n::BIGINT AS n_events,
+      |  round(nd * nh / nt, 4) AS expected,
+      |  round(n * nt / (nd * nh), 4) AS lift
+      |FROM m ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_load_heatmap"      -> (loadHeatmap _),
     "q_ab_srm"            -> (abSrm _),
     "q_burst_detect"      -> (burstDetect _),
     "q_session_entropy"   -> (sessionEntropy _),
@@ -1626,6 +1668,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_load_heatmap"      -> loadHeatmapSql,
     "q_ab_srm"            -> abSrmSql,
     "q_burst_detect"      -> burstDetectSql,
     "q_session_entropy"   -> sessionEntropySql,

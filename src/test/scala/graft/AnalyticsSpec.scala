@@ -330,6 +330,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(mde(na * 4, nb * 4, p) < mde(na, nb, p) / 1.9, "4x users ~ halves the MDE")
   }
 
+  test("load heatmap: cells partition events, lift matches the marginal product") {
+    val rows = operators.Analytics.loadHeatmap(spark, sfTest).collect()
+    val total = Tables.events(spark, sfTest).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total, "cells must partition the stream")
+    val nd = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+    val nh = rows.groupBy(_.getInt(1)).view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+    rows.foreach { r =>
+      val exp = nd(r.getInt(0)).toDouble * nh(r.getInt(1)) / total
+      assert(math.abs(r.getAs[Double]("expected") - math.rint(exp * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getAs[Double]("lift") -
+        math.rint(r.getAs[Long]("n_events") / exp * 1e4) / 1e4) < 1e-3)
+    }
+    // lift averages to ~1 when weighted by expectation
+    val wsum = rows.map(r => r.getAs[Double]("expected") * r.getAs[Double]("lift")).sum
+    assert(math.abs(wsum / total - 1.0) < 1e-3)
+  }
+
   test("ab srm: arm counts partition users, chi2 matches a local recompute, no alarm on a clean split") {
     val rows = operators.Analytics.abSrm(spark, sfTest).collect()
     assert(rows.map(_.getAs[Int]("arm")).toSeq == Seq(0, 1, 2))
