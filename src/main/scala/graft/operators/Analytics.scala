@@ -1439,15 +1439,17 @@ object Analytics {
       .select(col("event_type"),
         (col("total").cast("double") / col("n_hours")).as("mu"))
     hourly.join(broadcast(base), "event_type")
-      .withColumn("llr",
+      .withColumn("llr", round(
         when(col("n") > col("mu"),
           col("n") * log(col("n") / col("mu")) - (col("n") - col("mu")))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0.0)), 4))
+      // rank on the ROUNDED score (see sessionEntropy — float-order
+      // noise must never decide a rank)
       .withColumn("rk", row_number().over(Window.orderBy(
         col("llr").desc, col("event_type").asc, col("hour").asc)))
       .where(col("rk") <= BurstTop)
       .select(col("rk"), col("event_type"), col("hour"), col("n"),
-        round(col("mu"), 6).as("mu"), round(col("llr"), 4).as("llr"))
+        round(col("mu"), 6).as("mu"), col("llr"))
       .orderBy("rk")
   }
 
@@ -1464,11 +1466,11 @@ object Analytics {
        |  FROM hourly GROUP BY 1
        |), scored AS (
        |  SELECT h.event_type, h.hour, h.n, b.mu,
-       |    CASE WHEN h.n > b.mu
-       |         THEN h.n * ln(h.n / b.mu) - (h.n - b.mu) ELSE 0.0 END AS llr
+       |    round(CASE WHEN h.n > b.mu
+       |         THEN h.n * ln(h.n / b.mu) - (h.n - b.mu) ELSE 0.0 END, 4) AS llr
        |  FROM hourly h JOIN base b ON b.event_type = h.event_type
        |)
-       |SELECT rk, event_type, hour, n, round(mu, 6) AS mu, round(llr, 4) AS llr
+       |SELECT rk, event_type, hour, n, round(mu, 6) AS mu, llr
        |FROM (
        |  SELECT event_type, hour, n, mu, llr,
        |    row_number() OVER (ORDER BY llr DESC, event_type ASC, hour ASC) AS rk
@@ -1499,11 +1501,15 @@ object Analytics {
            (-sum((col("n") / col("tot")) * log(col("n") / col("tot")))).as("h"))
       .withColumn("evenness",
         when(col("n_types") > 1, col("h") / log(col("n_types"))).otherwise(lit(0.0)))
+      // rank on the ROUNDED score: unrounded float order flips tied
+      // users between engines (1e-16 summation-order noise — caught
+      // by the sf0.1 cross-check), rounded + id tie-break cannot
+      .withColumn("entropy_nats", round(col("h"), 6))
       .withColumn("rk", row_number().over(Window.orderBy(
-        col("h").desc, col("user_id").asc)))
+        col("entropy_nats").desc, col("user_id").asc)))
       .where(col("rk") <= EntropyTop)
       .select(col("rk"), col("user_id"), col("n_events"), col("n_types"),
-        round(col("h"), 6).as("entropy_nats"), round(col("evenness"), 6).as("evenness"))
+        col("entropy_nats"), round(col("evenness"), 6).as("evenness"))
       .orderBy("rk")
   }
 
@@ -1519,12 +1525,11 @@ object Analytics {
        |  FROM bt b JOIN tot t ON t.user_id = b.user_id
        |  GROUP BY 1
        |)
-       |SELECT rk, user_id, n_events, n_types,
-       |  round(h, 6) AS entropy_nats,
+       |SELECT rk, user_id, n_events, n_types, entropy_nats,
        |  round(CASE WHEN n_types > 1 THEN h / ln(n_types) ELSE 0.0 END, 6) AS evenness
        |FROM (
-       |  SELECT user_id, n_events, n_types, h,
-       |    row_number() OVER (ORDER BY h DESC, user_id ASC) AS rk
+       |  SELECT user_id, n_events, n_types, h, round(h, 6) AS entropy_nats,
+       |    row_number() OVER (ORDER BY round(h, 6) DESC, user_id ASC) AS rk
        |  FROM per
        |) WHERE rk <= $EntropyTop
        |ORDER BY rk""".stripMargin

@@ -1789,7 +1789,88 @@ object Recsys {
        |FROM recs JOIN pop USING (item_id)
        |GROUP BY rk ORDER BY rk""".stripMargin
 
+  /** Cold quantile: catalog items at or below this per-item
+    * interaction-count percentile are "cold". Relative, not an
+    * absolute floor — the fixture (and any healthy marketplace head)
+    * has no zero-history items, and a relative tail stays meaningful
+    * at every scale (the scale-invariant-floor precedent of the
+    * sequential-pattern support). */
+  val ColdQuantile = 0.25
+
+  /** Cold-start exposure audit: the catalog's bottom-[[ColdQuantile]]
+    * items by interacting-user count (never-interacted items
+    * included at 0), and what share of recommendation exposure the
+    * CF ranker gives that cold tail. CF amplifies history, so
+    * exposure_lift < 1 is the expected popularity-bias reading —
+    * this query MEASURES the blind spot the content-based and
+    * popularity tiers exist to fill (the ops number behind "do we
+    * need an exploration slate").
+    *
+    * Scale: per-item counts from the memoized capped interactions;
+    * exposure from the memoized recommend table; the quantile
+    * threshold is one scalar over catalog-sized counts, broadcast
+    * back; one left join on the part dim and a single-row rollup.
+    */
+  def coldStart(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = cappedInteractions(spark, sfDir)
+      .groupBy("item_id").agg(count(lit(1)).as("n_users"))
+    val cat = Tables.part(spark, sfDir).select(col("p_partkey").as("item_id"))
+    val expo = itemcfRecommend(spark, sfDir)
+      .groupBy("item_id").agg(count(lit(1)).as("n_rec"))
+    val perItem = cat.join(counts, Seq("item_id"), "left")
+      .join(expo, Seq("item_id"), "left")
+      .select(col("item_id"),
+        coalesce(col("n_users"), lit(0L)).as("x"),
+        coalesce(col("n_rec"), lit(0L)).as("n_rec"))
+    val thr = perItem.agg(expr(s"percentile(x, $ColdQuantile)").as("thr"))
+    perItem.crossJoin(broadcast(thr))
+      .select((col("x") <= col("thr")).cast("long").as("is_cold"), col("n_rec"))
+      .agg(count(lit(1)).as("n_catalog"),
+           sum("is_cold").as("n_cold"),
+           sum("n_rec").as("n_recs"),
+           sum(col("is_cold") * col("n_rec")).as("recs_to_cold"))
+      .select(col("n_catalog"), col("n_cold"),
+        round(col("n_cold") / col("n_catalog").cast("double"), 6).as("cold_share"),
+        col("n_recs"), col("recs_to_cold"),
+        round(col("recs_to_cold") / col("n_recs").cast("double"), 6)
+          .as("cold_exposure_share"),
+        round((col("recs_to_cold") / col("n_recs").cast("double")) /
+          (col("n_cold") / col("n_catalog").cast("double")), 4).as("exposure_lift"))
+  }
+
+  val coldStartSql: String =
+    s"""WITH $cappedSql, counts AS (
+       |  SELECT item_id, count(*) AS n_users FROM capped GROUP BY item_id
+       |), recs AS (
+       |  SELECT item_id, count(*) AS n_rec FROM (
+       |    ${itemcfRecommendSql.replace("\n", "\n    ")}
+       |  ) GROUP BY item_id
+       |), pi AS (
+       |  SELECT coalesce(c.n_users, 0) AS x, coalesce(r.n_rec, 0) AS n_rec
+       |  FROM part p
+       |  LEFT JOIN counts c ON c.item_id = p.p_partkey
+       |  LEFT JOIN recs r ON r.item_id = p.p_partkey
+       |), per_item AS (
+       |  SELECT CASE WHEN x <= (SELECT quantile_cont(x, $ColdQuantile) FROM pi)
+       |              THEN 1 ELSE 0 END AS is_cold,
+       |    n_rec
+       |  FROM pi
+       |), agg AS (
+       |  SELECT count(*) AS n_catalog, sum(is_cold)::BIGINT AS n_cold,
+       |    sum(n_rec)::BIGINT AS n_recs,
+       |    sum(is_cold * n_rec)::BIGINT AS recs_to_cold
+       |  FROM per_item
+       |)
+       |SELECT n_catalog, n_cold,
+       |  round(n_cold / n_catalog::DOUBLE, 6) AS cold_share,
+       |  n_recs, recs_to_cold,
+       |  round(recs_to_cold / n_recs::DOUBLE, 6) AS cold_exposure_share,
+       |  round((recs_to_cold / n_recs::DOUBLE)
+       |    / (n_cold / n_catalog::DOUBLE), 4) AS exposure_lift
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cold_start"         -> (coldStart _),
     "q_eval_novelty"      -> (evalNovelty _),
     "q_itemcf_explain"    -> (itemcfExplain _),
     "q_mmr_rerank"        -> (mmrRerank _),
@@ -1815,6 +1896,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cold_start"        -> coldStartSql,
     "q_eval_novelty"      -> evalNoveltySql,
     "q_itemcf_explain"    -> itemcfExplainSql,
     "q_mmr_rerank"        -> mmrRerankSql,

@@ -1169,13 +1169,14 @@ object TextAnalysis {
       .join(broadcast(wordStats), "w")
       .groupBy("phrase", "n_occ")
       .agg(count(lit(1)).as("n_words"),
-           sum(col("degree").cast("double") / col("freq")).as("score"))
+           round(sum(col("degree").cast("double") / col("freq")), 4).as("score"))
+      // rank on the ROUNDED score — float-order noise must never
+      // decide a rank (the sessionEntropy sf0.1 lesson)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("phrase").asc)))
       .where(col("rk") <= RakeTop)
-      .select(col("rk"), col("phrase"), col("n_occ"), col("n_words"),
-        round(col("score"), 4).as("score"))
+      .select("rk", "phrase", "n_occ", "n_words", "score")
       .orderBy("rk")
   }
 
@@ -1197,12 +1198,12 @@ object TextAnalysis {
        |  SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase
        |), scored AS (
        |  SELECT d.phrase, d.n_occ, count(*) AS n_words,
-       |    sum(ws.degree::DOUBLE / ws.freq) AS score
+       |    round(sum(ws.degree::DOUBLE / ws.freq), 4) AS score
        |  FROM dp d, unnest(string_split(d.phrase, ' ')) AS t(w)
        |  JOIN ws ON ws.w = t.w
        |  GROUP BY 1, 2
        |)
-       |SELECT rk, phrase, n_occ, n_words, round(score, 4) AS score FROM (
+       |SELECT rk, phrase, n_occ, n_words, score FROM (
        |  SELECT phrase, n_occ, n_words, score,
        |    row_number() OVER (ORDER BY score DESC, phrase ASC) AS rk
        |  FROM scored

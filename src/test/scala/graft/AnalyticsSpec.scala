@@ -374,7 +374,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     def llr(n: Long, mu: Double): Double =
       if (n > mu) n * math.log(n / mu) - (n - mu) else 0.0
     val expected = hourly.toSeq.map { case ((t, h), n) =>
-      (llr(n, totals(t).toDouble / span), t, h, n)
+      (math.rint(llr(n, totals(t).toDouble / span) * 1e4) / 1e4, t, h, n)
     }.sortBy { case (l, t, h, _) => (-l, t, h) }.take(operators.Analytics.BurstTop)
     val got = operators.Analytics.burstDetect(spark, sfTest).collect()
     assert(got.length == expected.length)
@@ -396,7 +396,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       val h = -counts.map(c => c / n * math.log(c / n)).sum
       (es.length.toLong, counts.length.toLong, h)
     }.toMap
-    val expectedTop = per.toSeq.map { case (u, (_, _, h)) => (-h, u) }.sorted
+    val expectedTop = per.toSeq
+      .map { case (u, (_, _, h)) => (-math.rint(h * 1e6) / 1e6, u) }.sorted
       .take(operators.Analytics.EntropyTop).map(_._2)
     val got = operators.Analytics.sessionEntropy(spark, sfTest).collect()
     assert(got.map(_.getAs[Long]("user_id")).toSeq == expectedTop)

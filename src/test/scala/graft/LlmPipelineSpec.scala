@@ -424,7 +424,8 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     val degree = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for (p <- phrases; ws = p.split(" "); w <- ws) { freq(w) += 1; degree(w) += ws.length }
     val scores = phrases.groupBy(identity).map { case (p, occ) =>
-      (p, occ.length.toLong, p.split(" ").map(w => degree(w).toDouble / freq(w)).sum)
+      (p, occ.length.toLong,
+        math.rint(p.split(" ").map(w => degree(w).toDouble / freq(w)).sum * 1e4) / 1e4)
     }.toSeq
     val expected = scores.sortBy { case (p, _, s) => (-s, p) }.take(T.RakeTop)
     val got = operators.TextAnalysis.rakeKeywords(spark, sfTest).collect()

@@ -250,4 +250,22 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     val gotBrands = operators.Recsys.mmrRerank(spark, sfTest).collect().map(_.getAs[String]("brand"))
     assert(gotBrands.distinct.length >= rawHead.distinct.length)
   }
+
+  test("cold start: books reconcile, cold tail ~ the quantile, CF under-exposes it") {
+    val R = operators.Recsys
+    val r = R.coldStart(spark, sfTest).head
+    val nCat = r.getAs[Long]("n_catalog")
+    val nCold = r.getAs[Long]("n_cold")
+    assert(nCat == Tables.part(spark, sfTest).count())
+    assert(nCold > 0 && nCold < nCat)
+    // quantile threshold with ties: at least the quantile mass, not wildly more
+    val share = r.getAs[Double]("cold_share")
+    assert(share >= R.ColdQuantile - 1e-9 && share <= R.ColdQuantile + 0.25,
+      s"cold share $share should sit at/above the ${R.ColdQuantile} quantile (ties only)")
+    assert(r.getAs[Long]("recs_to_cold") <= r.getAs[Long]("n_recs"))
+    val lift = r.getAs[Double]("exposure_lift")
+    assert(lift >= 0)
+    assert(lift < 1.0 + 1e-9,
+      s"CF must not OVER-expose the low-history tail on the fixture (lift=$lift)")
+  }
 }
