@@ -865,6 +865,117 @@ object Training {
        |) ORDER BY rk""".stripMargin
   }
 
+  /** Power-iteration rounds for the PC1 estimate (unrolled in the
+    * oracle) and the per-round vector scale. */
+  val Pc1Rounds = 8
+  val Pc1Scale = 1000L
+
+  /** Leading principal component of the embedding corpus by
+    * fixed-point power iteration — the "is there a dominant
+    * direction" diagnostic behind anisotropy audits and
+    * mean-centering decisions (a PC1 that explains a large variance
+    * share means cosine similarities are dominated by one axis and
+    * whitening would help; the near-isotropic fixture should show a
+    * LOW ratio). Covariance is EXACT BIGINT (integer-centered
+    * quantized values), and each iteration renormalizes with
+    * sign(x)·((|x|·scale) div max|x|) — abs before the integer
+    * division, because floor-vs-truncate on negatives is exactly
+    * where Spark `div` and DuckDB `//` disagree. After
+    * [[Pc1Rounds]] rounds the vector is integer-exact on both
+    * engines (v_checksum pins it); only the final Rayleigh ratio is
+    * floating point, rounded well above its 1e-12 cross-engine
+    * noise.
+    *
+    * Scale: the only corpus-sized pass is the covariance aggregate
+    * (dims² accumulators via a per-vector pos×pos self-join — at
+    * billion-vector scale this is the one shuffle, map-side
+    * combined); the iteration itself runs on dims² × dims rows
+    * behind broadcasts.
+    */
+  def embedPc1(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = quantized(spark, sfDir)
+    val m = e.groupBy("pos").agg(expr("sum(q) div count(1)").as("m"))
+    val c = e.join(broadcast(m), "pos")
+      .select(col("vec_id"), col("pos"), (col("q") - col("m")).as("c"))
+    val cov = c.select(col("vec_id"), col("pos").as("i"), col("c").as("ci"))
+      .join(c.select(col("vec_id"), col("pos").as("j"), col("c").as("cj")), "vec_id")
+      .groupBy("i", "j").agg(sum(col("ci") * col("cj")).as("cij"))
+      .localCheckpoint()
+    var v = cov.select(col("j").as("pos")).distinct()
+      .withColumn("v", lit(Pc1Scale))
+    for (_ <- 1 to Pc1Rounds) {
+      val raw = cov.join(broadcast(v.withColumnRenamed("pos", "j")), "j")
+        .groupBy(col("i").as("pos")).agg(sum(col("cij") * col("v")).as("w"))
+      val mx = raw.agg(max(abs(col("w"))).as("mx"))
+      v = raw.crossJoin(broadcast(mx))
+        .select(col("pos"),
+          (signum(col("w")).cast("long") *
+            expr(s"(abs(w) * $Pc1Scale) div mx")).as("v"))
+        .localCheckpoint()
+    }
+    val trace = cov.where(col("i") === col("j")).agg(sum("cij").as("trace"))
+    val quad = cov
+      .join(broadcast(v.select(col("pos").as("i"), col("v").as("vi"))), "i")
+      .join(broadcast(v.select(col("pos").as("j"), col("v").as("vj"))), "j")
+      .agg(sum(col("cij").cast("double") * col("vi") * col("vj")).as("num"))
+    val norm2 = v.agg(sum(col("v") * col("v")).as("n2"), sum("v").as("v_checksum"))
+    val top = v.orderBy(abs(col("v")).desc, col("pos").asc).limit(1)
+      .select(col("pos").as("top_dim"))
+    c.sparkSession.range(1).select(lit(1).as("one"))
+      .crossJoin(broadcast(quad)).crossJoin(broadcast(norm2))
+      .crossJoin(broadcast(trace)).crossJoin(broadcast(top))
+      .select(
+        col("top_dim"),
+        col("v_checksum"),
+        round(col("num") / (col("n2").cast("double") * col("trace")), 6)
+          .as("pc1_var_share"))
+  }
+
+  val embedPc1Sql: String = {
+    val rounds = (1 to Pc1Rounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT cov.i AS pos, sum(cov.cij * p.v)::BIGINT AS w
+         |  FROM cov JOIN v${k - 1} p ON p.pos = cov.j
+         |  GROUP BY cov.i
+         |), v$k AS MATERIALIZED (
+         |  SELECT pos,
+         |    (sign(w)::BIGINT * ((abs(w) * $Pc1Scale) // (SELECT max(abs(w)) FROM r$k)))::BIGINT AS v
+         |  FROM r$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
+       |  WHERE i <= len(embedding)
+       |), m AS (
+       |  SELECT pos, (sum(q) // count(*))::BIGINT AS m FROM e GROUP BY pos
+       |), c AS (
+       |  SELECT e.vec_id, e.pos, e.q - m.m AS c FROM e JOIN m ON m.pos = e.pos
+       |), cov AS MATERIALIZED (
+       |  SELECT a.pos AS i, b.pos AS j, sum(a.c * b.c)::BIGINT AS cij
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2
+       |), v0 AS MATERIALIZED (
+       |  SELECT DISTINCT j AS pos, $Pc1Scale AS v FROM cov
+       |), $rounds, tr AS (
+       |  SELECT sum(cij)::BIGINT AS trace FROM cov WHERE i = j
+       |), quad AS (
+       |  SELECT sum(cov.cij::DOUBLE * vi.v * vj.v) AS num
+       |  FROM cov JOIN v$Pc1Rounds vi ON vi.pos = cov.i
+       |  JOIN v$Pc1Rounds vj ON vj.pos = cov.j
+       |), n2 AS (
+       |  SELECT sum(v * v)::BIGINT AS n2, sum(v)::BIGINT AS v_checksum FROM v$Pc1Rounds
+       |), top AS (
+       |  SELECT pos AS top_dim FROM v$Pc1Rounds
+       |  ORDER BY abs(v) DESC, pos ASC LIMIT 1
+       |)
+       |SELECT top.top_dim, n2.v_checksum,
+       |  round(quad.num / (n2.n2::DOUBLE * tr.trace), 6) AS pc1_var_share
+       |FROM top, n2, quad, tr""".stripMargin
+  }
+
   /** Force-build the memoized model tables (k-means centroids +
     * assignment, PQ codebooks) — see [[Recsys.warm]]. */
   def warm(spark: SparkSession, sfDir: String): Unit = {
@@ -873,6 +984,7 @@ object Training {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_embed_pc1"        -> (embedPc1 _),
     "q_kcenter_coreset"  -> (kcenterCoreset _),
     "q_pq_adc"           -> (pqAdc _),
     "q_feature_hash"     -> (featureHash _),
@@ -885,6 +997,7 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pc1"        -> embedPc1Sql,
     "q_kcenter_coreset"  -> kcenterCoresetSql,
     "q_pq_adc"           -> pqAdcSql,
     "q_feature_hash"     -> featureHashSql,

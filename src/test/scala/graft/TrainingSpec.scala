@@ -236,6 +236,44 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embed pc1 matches a local integer power-iteration replay; isotropic share is low") {
+    val T = operators.Training
+    val vecs = Tables.embeddings(spark, sfTest)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round((col("v").cast("double") + 1.0d) * T.KmScale, 0).cast("long"))
+      .select("vec_id", "pos", "q").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getLong(2))).toMap
+    val dims = vecs.values.head.length
+    val n = vecs.size
+    val mean = Array.tabulate(dims)(j => {
+      val s = vecs.values.map(_(j)).sum
+      Math.floorDiv(s, n.toLong)
+    })
+    val centered = vecs.values.map(v => Array.tabulate(dims)(j => v(j) - mean(j))).toSeq
+    val cov = Array.tabulate(dims, dims)((i, j) => centered.map(c => c(i) * c(j)).sum)
+    var vv = Array.fill(dims)(T.Pc1Scale)
+    for (_ <- 1 to T.Pc1Rounds) {
+      val w = Array.tabulate(dims)(i => (0 until dims).map(j => cov(i)(j) * vv(j)).sum)
+      val mx = w.map(math.abs).max
+      vv = w.map(x => math.signum(x) * (math.abs(x) * T.Pc1Scale / mx))
+    }
+    val trace = (0 until dims).map(i => cov(i)(i)).sum
+    val num = (for (i <- 0 until dims; j <- 0 until dims)
+      yield cov(i)(j).toDouble * vv(i) * vv(j)).sum
+    val n2 = vv.map(x => x * x).sum
+    val share = num / (n2.toDouble * trace)
+    val r = T.embedPc1(spark, sfTest).head
+    assert(r.getAs[Long]("v_checksum") == vv.sum, "integer iterate must replay exactly")
+    assert(r.getAs[Int]("top_dim") ==
+      vv.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2)
+    assert(math.abs(r.getAs[Double]("pc1_var_share") - share) < 1e-4)
+    // the fixture embeddings are near-isotropic: no dominant axis
+    assert(r.getAs[Double]("pc1_var_share") > 0 &&
+           r.getAs[Double]("pc1_var_share") < 0.2,
+      s"isotropic corpus must not show a dominant PC1: ${r.getAs[Double]("pc1_var_share")}")
+  }
+
   test("kcenter coreset matches a local greedy replay; radius curve is non-increasing") {
     val T = operators.Training
     val vecs = Tables.embeddings(spark, sfTest)
