@@ -466,6 +466,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "novelty scoring must never compare documents pairwise")
   }
 
+  test("embed_pc1: every corpus-side join broadcasts (no SMJ); kcenter emits a local frame") {
+    // pc1's final scalar assembly legitimately nested-loop-joins four
+    // 1-ROW frames, so the pin is the absence of shuffled joins:
+    // nothing after the checkpointed covariance may sort-merge.
+    val p = plan(operators.Training.embedPc1(planSession, sfTest))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "every corpus join in the pc1 iteration must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // kcenter's K selected rows are assembled driver-side (the greedy
+    // witness), so its FINAL plan must be a bare local scan — the
+    // heavy per-round joins live behind the checkpointed dist state
+    val k = plan(operators.Training.kcenterCoreset(planSession, sfTest))
+    assert(k.contains("LocalTableScan") && !k.contains("Join"))
+  }
+
   test("revenue_gini: rank prefix windows on the coarse bucket, offsets broadcast") {
     val p = plan(operators.Stats.revenueGini(planSession, sfTest))
     assert(p.contains("windowspecdefinition(coarse#"),
