@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -865,30 +865,93 @@ object Relational {
       |ORDER BY n_above DESC, o_custkey ASC
       |LIMIT 100""".stripMargin
 
+  /** Coarse-range bucket count for the distributed exact-rank quartile
+    * scoring below: bounds the broadcast prefix table regardless of
+    * the key domain's spread. */
+  private val RfmCoarseBuckets = 1024L
+
+  /** SQL-exact ntile(4) bucket of every row under (key ASC, o_custkey
+    * ASC) — computed WITHOUT a single-partition global sort. Same
+    * two-level prefix idea as [[Stats.equidepthHist]], extended to
+    * per-ROW assignment (a value that straddles a quartile boundary is
+    * split among its customers by the custkey tie-break):
+    *
+    *  1. aggregate to (key, cnt) — one parallel shuffle on key;
+    *  2. deterministic coarse range bucket floor((key−min)/width) with
+    *     width sized so ≤ [[RfmCoarseBuckets]] buckets exist whatever
+    *     the domain spread; within-coarse cumulative counts run as
+    *     PARTITIONED windows, and the ≤1k coarse totals get their
+    *     prefix sum via a broadcast triangle join (b.coarse < a.coarse)
+    *     — no SinglePartition exchange anywhere, no driver collect;
+    *  3. each key's global rank interval [lo, lo+cnt) joins back
+    *     (broadcastable offsets, key-partitioned ranks), a row's exact
+    *     rank is lo + row_number within its key ordered by custkey
+    *     (partitioned window — worst case one task sorts one tied key's
+    *     customers), and the score is the closed-form ntile bucket
+    *     (first n mod 4 buckets take the extra row).
+    */
+  private def quartileScore(df: DataFrame, keyCol: Column, scoreName: String): DataFrame = {
+    val keyed = df.withColumn("__k", keyCol)
+    val byVal = keyed.groupBy("__k").agg(count(lit(1)).as("__cnt"))
+    val mm = byVal.agg(min("__k").as("__mn"), max("__k").as("__mx"))
+    val bv = byVal.crossJoin(broadcast(mm))
+      .withColumn("__w",
+        greatest(lit(1L),
+          ((col("__mx") - col("__mn")) / lit(RfmCoarseBuckets)).cast("long") + lit(1L)))
+      .withColumn("__coarse", ((col("__k") - col("__mn")) / col("__w")).cast("long"))
+      .select("__k", "__cnt", "__coarse")
+    val wIn = Window.partitionBy("__coarse").orderBy("__k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bv.withColumn("__cum", sum("__cnt").over(wIn))
+    val totals = bv.groupBy("__coarse").agg(sum("__cnt").as("__tot"))
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.__coarse") < col("a.__coarse"), "left")
+      .groupBy(col("a.__coarse").as("__coarse"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val ranks = local.join(broadcast(offs), Seq("__coarse"))
+      .withColumn("__lo", col("__off") + col("__cum") - col("__cnt") + 1)
+      .select("__k", "__lo")
+    val wTie = Window.partitionBy("__k").orderBy("o_custkey")
+    keyed.join(ranks, Seq("__k"))
+      .withColumn("__rank", col("__lo") + row_number().over(wTie) - 1)
+      .withColumn(scoreName, expr(
+        "CAST(CASE WHEN __rank <= __rem * (__q + 1) THEN (__rank + __q) DIV (__q + 1) " +
+          "ELSE __rem + (__rank - __rem * (__q + 1) + __q - 1) DIV __q END AS INT)"))
+      .drop("__k", "__lo", "__rank")
+  }
+
   /** RFM customer segmentation — the classic recsys-companion
     * analysis: per-customer Recency (days since last order, from the
     * corpus max date — deterministic "now"), Frequency (order count),
-    * Monetary (total spend), each quartile-scored with ntile over a
-    * fully tie-broken order (scores are then engine-independent row
-    * positions), rolled up to segment sizes. At 100 TB the global
-    * ntile windows become precomputed percentile cutpoints
-    * (approx_percentile) joined back — noted here because a global
-    * sort of all customers is the one piece that doesn't scale as
-    * written.
+    * Monetary (total spend), each quartile-scored with exact SQL
+    * ntile(4) semantics over a fully tie-broken order (scores are then
+    * engine-independent row positions), rolled up to segment sizes.
+    * The scoring goes through [[quartileScore]]'s distributed exact
+    * rank — the naive formulation (three ntile windows with no
+    * PARTITION BY) funnels the whole customer dimension through one
+    * task three times, the one plan shape this suite bans at 100 TB.
+    * Monetary ranks on the integer fixed-point of the already-rounded
+    * spend (house rule: never order on an unrounded float), descending
+    * dims negate their keys so every dimension ranks ascending.
     */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val nowDf = o.agg(max(to_date(col("o_orderdate"))).as("now_d"))
+    val nDf = o.select("o_custkey").distinct().agg(count(lit(1)).as("__n"))
     val rfm = o.groupBy("o_custkey")
       .agg(max(to_date(col("o_orderdate"))).as("last_d"),
            count(lit(1)).as("f"),
            round(sum("o_totalprice"), 4).as("m"))
       .crossJoin(broadcast(nowDf))
       .withColumn("r_days", datediff(col("now_d"), col("last_d")))
-    val scored = rfm
-      .withColumn("r_score", ntile(4).over(Window.orderBy(col("r_days").asc, col("o_custkey").asc)))
-      .withColumn("f_score", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey").asc)))
-      .withColumn("m_score", ntile(4).over(Window.orderBy(col("m").desc, col("o_custkey").asc)))
+      .crossJoin(broadcast(nDf))
+      .withColumn("__q", expr("__n DIV 4"))
+      .withColumn("__rem", expr("__n % 4"))
+    val scored = Seq[(Column, String)](
+      (col("r_days").cast("long"), "r_score"),
+      (-col("f"), "f_score"),
+      (-round(col("m") * 10000).cast("long"), "m_score"))
+      .foldLeft(rfm) { case (acc, (k, name)) => quartileScore(acc, k, name) }
     scored.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
            round(avg("m"), 4).as("avg_monetary"),

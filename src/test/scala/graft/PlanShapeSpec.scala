@@ -490,6 +490,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rfm segments: quartile scoring has no single-partition exchange and no ntile window") {
+    // r6 verdict's one confirmed scale-killer: three ntile(4) windows
+    // with no PARTITION BY each funneled the whole customer dimension
+    // through one task. The rewrite ranks via coarse-partitioned
+    // prefix windows + broadcast offsets (quartileScore), so the plan
+    // must never serialize the customer base.
+    val p = plan(operators.Relational.rfmSegments(planSession, sfTest))
+    assert(!p.contains("Exchange SinglePartition"),
+      "quartile scoring must not funnel all customers through one task")
+    assert(!p.contains("ntile"),
+      "scores must come from the closed-form rank bucket, not a global ntile window")
+    assert(p.contains("windowspecdefinition(__coarse#") || p.contains("windowspecdefinition(__k#"),
+      "prefix/tie windows must be partitioned")
+  }
+
   test("burst_detect / rake_keywords: model sides broadcast, single-scan aggregates") {
     for (df <- Seq(operators.Analytics.burstDetect(planSession, sfTest),
                    operators.TextAnalysis.rakeKeywords(planSession, sfTest))) {
