@@ -886,20 +886,44 @@ object Training {
     * floating point, rounded well above its 1e-12 cross-engine
     * noise.
     *
-    * Scale: the only corpus-sized pass is the covariance aggregate
-    * (dims² accumulators via a per-vector pos×pos self-join — at
-    * billion-vector scale this is the one shuffle, map-side
-    * combined); the iteration itself runs on dims² × dims rows
-    * behind broadcasts.
+    * Scale: the covariance aggregate is JOIN-FREE — each embedding
+    * row already holds its whole vector, so the centered values come
+    * from a zip_with against the broadcast mean array and the dims²
+    * products are emitted map-side by two generators straight into
+    * the partial aggregate. Nothing corpus-sized ever shuffles: the
+    * only exchange in the covariance stage carries the dims²
+    * partially-combined cells (the r6 formulation self-joined the
+    * exploded corpus on vec_id, shuffling corpus×dims rows twice for
+    * the same result). The iteration itself runs on dims² × dims
+    * rows behind broadcasts. Overflow headroom: a cell |cij| ≤
+    * N·KmScale² and the renorm product |w|·Pc1Scale ≤
+    * dims·N·KmScale²·Pc1Scale — int64-safe to ~10¹⁰ vectors at the
+    * fixture's dims/scales; beyond that move cij/w to DECIMAL(38,0)
+    * (both engines support it; same escape hatch revenueGini
+    * documents for its rank sums).
     */
-  def embedPc1(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = quantized(spark, sfDir)
+  /** Join-free integer covariance of the quantized embedding corpus:
+    * (i, j, cij) cells from map-side generated per-row outer products
+    * (see [[embedPc1]]'s scale note). Exposed for the plan-shape pin —
+    * the checkpoint in embedPc1 hides this stage from the final plan.
+    */
+  private[graft] def pc1CovOf(emb: DataFrame, e: DataFrame): DataFrame = {
     val m = e.groupBy("pos").agg(expr("sum(q) div count(1)").as("m"))
-    val c = e.join(broadcast(m), "pos")
-      .select(col("vec_id"), col("pos"), (col("q") - col("m")).as("c"))
-    val cov = c.select(col("vec_id"), col("pos").as("i"), col("c").as("ci"))
-      .join(c.select(col("vec_id"), col("pos").as("j"), col("c").as("cj")), "vec_id")
+    val mArr = m.agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+      .select(transform(col("ms"), s => s.getField("m")).as("m_arr"))
+    emb
+      .select(expr(
+        s"transform(embedding, v -> cast(round((cast(v AS double) + 1.0d) * $KmScale, 0) AS bigint))")
+        .as("q_arr"))
+      .crossJoin(broadcast(mArr))
+      .select(zip_with(col("q_arr"), col("m_arr"), (q, mm) => q - mm).as("c_arr"))
+      .select(col("c_arr"), posexplode(col("c_arr")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c_arr")).as(Seq("j", "cj")))
       .groupBy("i", "j").agg(sum(col("ci") * col("cj")).as("cij"))
+  }
+
+  def embedPc1(spark: SparkSession, sfDir: String): DataFrame = {
+    val cov = pc1CovOf(Tables.embeddings(spark, sfDir), quantized(spark, sfDir))
       .localCheckpoint()
     var v = cov.select(col("j").as("pos")).distinct()
       .withColumn("v", lit(Pc1Scale))
@@ -921,7 +945,7 @@ object Training {
     val norm2 = v.agg(sum(col("v") * col("v")).as("n2"), sum("v").as("v_checksum"))
     val top = v.orderBy(abs(col("v")).desc, col("pos").asc).limit(1)
       .select(col("pos").as("top_dim"))
-    c.sparkSession.range(1).select(lit(1).as("one"))
+    spark.range(1).select(lit(1).as("one"))
       .crossJoin(broadcast(quad)).crossJoin(broadcast(norm2))
       .crossJoin(broadcast(trace)).crossJoin(broadcast(top))
       .select(

@@ -474,6 +474,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "every corpus join in the pc1 iteration must broadcast")
     assert(p.contains("BroadcastHashJoin"))
+    // r7: the covariance is join-free — dims² products are generated
+    // map-side from each row's own centered array, so no join operator
+    // may key on vec_id (the r6 corpus self-join shape). Pinned on the
+    // covariance stage itself (embedPc1's checkpoint hides it).
+    val cov = plan(operators.Training.pc1CovOf(
+      Tables.embeddings(planSession, sfTest),
+      operators.Training.quantizedOf(Tables.embeddings(planSession, sfTest))))
+    assert(!"""(?i)join[^\n]*vec_id""".r.findFirstIn(cov).isDefined,
+      "covariance must not self-join the exploded corpus on vec_id")
+    assert(!cov.contains("SortMergeJoin") && !cov.contains("ShuffledHashJoin"),
+      "nothing corpus-sized may shuffle into the covariance")
+    assert(cov.contains("Generate") && cov.contains("posexplode"),
+      "dims² covariance cells must come from map-side generators")
     // kcenter's K selected rows are assembled driver-side (the greedy
     // witness), so its FINAL plan must be a bare local scan — the
     // heavy per-round joins live behind the checkpointed dist state
