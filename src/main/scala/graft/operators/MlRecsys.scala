@@ -291,6 +291,142 @@ object MlRecsys {
       .limit(100)
   }
 
+  /** Cap on distinct items per user for the exact sequential-pattern
+    * tier: the map-side pair space is quadratic in a user's distinct
+    * item count, so the sequence keeps its [[SeqExactCap]]
+    * earliest-first-seen items (ties by item id) — the same bounded-
+    * sequence discipline as [[Recsys.seqBuyPairs]]'s SeqCap. At the
+    * fixtures no user comes near the cap, so the exact tier agrees
+    * with the uncapped MLlib miner row-for-row. */
+  val SeqExactCap = 200
+
+  /** Exact sequential patterns at the same granularity as
+    * [[seqPatterns]] (maxPatternLength = 2) — mined with plain
+    * relational algebra so the FULL result set is DuckDB-oracle-backed
+    * (the discipline r3 applied to FP-Growth). Three pattern forms:
+    *
+    *  - `"A"`   (n_steps 1, n_items 1): users whose sequence contains
+    *    A in any basket;
+    *  - `"A;B"` (n_steps 2, n_items 2): users with baskets i < j,
+    *    A ∈ i, B ∈ j — which EXISTS iff first_step(A) < last_step(B),
+    *    so support needs only each item's per-user step SPAN, never
+    *    the pair-of-steps space;
+    *  - `"A,B"` (n_steps 1, n_items 2, A < B): users with one basket
+    *    containing both.
+    *
+    * The support floor is [[seqPatterns]]'s √-scaled user-count bar,
+    * computed INSIDE the query from a broadcast 1-row aggregate (no
+    * driver-side count — unlike the MLlib tier, which needs a literal
+    * hyperparameter). Both engines evaluate the identical
+    * 15·√(n/1500) double: /, √ and · are IEEE-correctly-rounded, so
+    * the floor is bit-identical cross-engine.
+    *
+    * Scale shape: baskets shuffle once on user (the step window +
+    * span aggregate are user-partitioned); ordered pairs are generated
+    * MAP-SIDE from each user's own capped span array (two generators,
+    * no self-join — the r6 covariance lesson); same-basket pairs ride
+    * the basket-sized arrays. The only corpus exchanges are the
+    * user shuffle and the final pattern-count aggregates.
+    */
+  def seqPatternsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    // one row per (user, basket, item); a basket = one order
+    val b = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("o_orderkey").as("ok"),
+              col("o_orderdate").as("od"), col("l_partkey").as("item"))
+      .distinct()
+    val st = b.withColumn("step",
+        dense_rank().over(Window.partitionBy("user_id").orderBy("od", "ok")))
+      .select("user_id", "item", "step")
+    val span = st.groupBy("user_id", "item")
+      .agg(min("step").as("smin"), max("step").as("smax"))
+    // capped per-user sequence summary: one array of (smin, item, smax)
+    val arr = span.groupBy("user_id")
+      .agg(expr(s"slice(sort_array(collect_list(struct(smin, item, smax))), 1, $SeqExactCap)")
+        .as("sp"))
+    val capped = arr.select(col("user_id"), explode(col("sp")).as("a"))
+      .select(col("user_id"), col("a.item").as("item"),
+              col("a.smin").as("smin"), col("a.smax").as("smax"))
+    val l1 = capped.groupBy("item").agg(count(lit(1)).as("freq"))
+      .select(col("item").cast("string").as("pattern"),
+              lit(1).as("n_steps"), lit(1).as("n_items"), col("freq"))
+    // ordered pairs, map-side from each user's own span array
+    val l2seq = arr.select(col("sp"), explode(col("sp")).as("a"))
+      .select(col("a"), explode(col("sp")).as("b"))
+      .where(col("a.item") =!= col("b.item") && col("a.smin") < col("b.smax"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("freq"))
+      .select(concat(col("ia").cast("string"), lit(";"), col("ib").cast("string")).as("pattern"),
+              lit(2).as("n_steps"), lit(2).as("n_items"), col("freq"))
+    // same-basket pairs among capped items; a user counts once per pair
+    val stc = st.join(capped.select("user_id", "item"), Seq("user_id", "item"), "left_semi")
+    val l2same = stc.groupBy("user_id", "step")
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .select(col("user_id"), col("its"), posexplode(col("its")).as(Seq("i", "ia")))
+      .select(col("user_id"), col("ia"), explode(expr("slice(its, i + 2, size(its))")).as("ib"))
+      .distinct()
+      .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+      .select(concat(col("ia").cast("string"), lit(","), col("ib").cast("string")).as("pattern"),
+              lit(1).as("n_steps"), lit(2).as("n_items"), col("freq"))
+    val nu = b.select("user_id").distinct().agg(count(lit(1)).as("nu"))
+    l1.unionByName(l2seq).unionByName(l2same)
+      .crossJoin(broadcast(nu))
+      .where(col("freq") >=
+        lit(SeqPatternMinUsers.toDouble) * sqrt(col("nu") / lit(SeqPatternGateSeqs)))
+      .select("pattern", "n_steps", "n_items", "freq")
+      .orderBy(col("freq").desc, col("pattern").asc)
+      .limit(100)
+  }
+
+  val seqPatternsExactSql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT o_custkey AS user_id, o_orderkey AS ok,
+       |    o_orderdate AS od, l_partkey AS item
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), st AS (
+       |  SELECT user_id, item,
+       |    dense_rank() OVER (PARTITION BY user_id ORDER BY od, ok) AS step
+       |  FROM b
+       |), span AS (
+       |  SELECT user_id, item, min(step) AS smin, max(step) AS smax
+       |  FROM st GROUP BY 1, 2
+       |), capped AS (
+       |  SELECT user_id, item, smin, smax FROM (
+       |    SELECT user_id, item, smin, smax,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY smin, item) AS rn
+       |    FROM span
+       |  ) WHERE rn <= $SeqExactCap
+       |), nu AS (SELECT count(DISTINCT user_id) AS nu FROM b),
+       |l1 AS (
+       |  SELECT cast(item AS VARCHAR) AS pattern, 1 AS n_steps, 1 AS n_items,
+       |    count(*) AS freq
+       |  FROM capped GROUP BY item
+       |), l2seq AS (
+       |  SELECT cast(a.item AS VARCHAR) || ';' || cast(c.item AS VARCHAR) AS pattern,
+       |    2 AS n_steps, 2 AS n_items, count(*) AS freq
+       |  FROM capped a JOIN capped c
+       |    ON a.user_id = c.user_id AND a.item <> c.item AND a.smin < c.smax
+       |  GROUP BY 1
+       |), l2same AS (
+       |  SELECT cast(ia AS VARCHAR) || ',' || cast(ib AS VARCHAR) AS pattern,
+       |    1 AS n_steps, 2 AS n_items, count(*) AS freq
+       |  FROM (
+       |    SELECT DISTINCT x.user_id, x.item AS ia, y.item AS ib
+       |    FROM st x
+       |    JOIN st y ON x.user_id = y.user_id AND x.step = y.step AND x.item < y.item
+       |    JOIN capped cx ON cx.user_id = x.user_id AND cx.item = x.item
+       |    JOIN capped cy ON cy.user_id = y.user_id AND cy.item = y.item
+       |  ) GROUP BY 1
+       |), unioned AS (
+       |  SELECT * FROM l1 UNION ALL SELECT * FROM l2seq UNION ALL SELECT * FROM l2same
+       |)
+       |SELECT pattern, n_steps, n_items, freq
+       |FROM unioned CROSS JOIN nu
+       |WHERE freq >= $SeqPatternMinUsers * sqrt(nu / $SeqPatternGateSeqs)
+       |ORDER BY freq DESC, pattern ASC
+       |LIMIT 100""".stripMargin
+
   /** Association rules — the directional tier above
     * [[fpgrowthItemsets]]: for every frequent ordered pair A→B, support
     * count, confidence n(A,B)/n(A), and lift n(A,B)·N/(n(A)·n(B)) —
@@ -378,6 +514,7 @@ object MlRecsys {
     "q_item2vec_synonyms" -> (item2vecSynonyms _),
     "q_lr_ranking"        -> (lrRanking _),
     "q_seq_patterns"      -> (seqPatterns _),
+    "q_seq_patterns_exact" -> (seqPatternsExact _),
   )
 
   /** Seeded/iterative MLlib models (ALS, Word2Vec, LR) are not
@@ -387,5 +524,6 @@ object MlRecsys {
   val oracleSql: Map[String, String] = Map(
     "q_fpgrowth_itemsets" -> fpgrowthItemsetsSql,
     "q_assoc_rules"       -> assocRulesSql,
+    "q_seq_patterns_exact" -> seqPatternsExactSql,
   )
 }

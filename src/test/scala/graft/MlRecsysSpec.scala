@@ -72,6 +72,62 @@ class MlRecsysSpec extends AnyFunSuite with SparkFixture {
     assert(bad === 0)
   }
 
+  test("seq_patterns_exact: brute-force recompute; MLlib tier agrees pattern-for-pattern") {
+    val exact = operators.MlRecsys.seqPatternsExact(spark, sfTest).collect()
+    assert(exact.nonEmpty)
+    // brute-force truth from the collected per-user step-ordered baskets
+    val o = Tables.orders(spark, sfTest)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string").as("od")) // ISO string sorts like the timestamp
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val rows = Tables.lineitem(spark, sfTest).select("l_orderkey", "l_partkey").collect()
+      .flatMap { r =>
+        o.get(r.getLong(0)).map { case (u, t) => (u, (t, r.getLong(0)), r.getLong(1)) }
+      }.distinct
+    val seqs: Map[Long, Seq[Set[Long]]] = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._3).toSet)
+    }
+    val nUsers = seqs.size
+    val floor = operators.MlRecsys.SeqPatternMinUsers *
+      math.sqrt(nUsers / operators.MlRecsys.SeqPatternGateSeqs)
+    val support = scala.collection.mutable.Map.empty[(String, Int, Int), Long]
+    seqs.values.foreach { baskets =>
+      val items = baskets.flatten.toSet
+      items.foreach(a => support((a.toString, 1, 1)) =
+        support.getOrElse((a.toString, 1, 1), 0L) + 1)
+      // ordered pair exists iff first step of A precedes last step of B
+      def firstStep(x: Long) = baskets.indexWhere(_.contains(x))
+      def lastStep(x: Long) = baskets.lastIndexWhere(_.contains(x))
+      for (a <- items; b <- items if a != b && firstStep(a) < lastStep(b))
+        support((s"$a;$b", 2, 2)) = support.getOrElse((s"$a;$b", 2, 2), 0L) + 1
+      val same = baskets.flatMap(bk => for (a <- bk; b <- bk if a < b) yield (a, b)).toSet
+      same.foreach { case (a, b) =>
+        support((s"$a,$b", 1, 2)) = support.getOrElse((s"$a,$b", 1, 2), 0L) + 1 }
+    }
+    val truth = support.toSeq.filter(_._2 >= floor)
+      .map { case ((p, ns, ni), f) => (p, ns, ni, f) }
+      .sortBy { case (p, _, _, f) => (-f, p) }.take(100)
+    val got = exact.map(r => (r.getAs[String]("pattern"), r.getAs[Int]("n_steps"),
+      r.getAs[Int]("n_items"), r.getAs[Long]("freq"))).toSeq
+    assert(got === truth)
+    // the MLlib miner (same floor, same granularity) must agree with the
+    // brute-force support map on every pattern it emits (canonicalize its
+    // within-step item order, which PrefixSpan does not fix)
+    val ml = operators.MlRecsys.seqPatterns(spark, sfTest).collect()
+    assert(ml.nonEmpty)
+    val full = support.toMap
+    ml.foreach { r =>
+      val canon = r.getAs[String]("pattern").split(";").map(step =>
+        step.split(",").map(_.toLong).sorted.mkString(",")).mkString(";")
+      val ns = r.getAs[Int]("n_steps")
+      val ni = canon.count(c => c == ',' || c == ';') + 1
+      assert(full.get((canon, ns, ni)).contains(r.getAs[Long]("freq")),
+        s"MLlib pattern $canon freq ${r.getAs[Long]("freq")} not in brute-force truth")
+    }
+  }
+
   test("association rules: confidence/lift recompute exactly from the baskets") {
     import org.apache.spark.sql.functions._
     val rules = operators.MlRecsys.assocRules(spark, sfTest).collect()

@@ -518,6 +518,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "prefix/tie windows must be partitioned")
   }
 
+  test("seq_patterns_exact: pairs generated map-side, floor rides a broadcast 1-row agg") {
+    val p = plan(operators.MlRecsys.seqPatternsExact(planSession, sfTest))
+    assert(p.contains("Generate"),
+      "ordered pairs must come from generators over each user's own span array")
+    assert(!p.contains("CartesianProduct"))
+    // the ordered-pair space must never be built by self-joining the
+    // corpus-sized span table on user_id (the span/capped frames join
+    // only inside the basket-pair semi-join, which is key-partitioned)
+    assert(p.contains("BroadcastNestedLoopJoin Cross") || p.contains("BroadcastHashJoin"),
+      "the support floor must ride a broadcast of the 1-row user count")
+  }
+
   test("burst_detect / rake_keywords: model sides broadcast, single-scan aggregates") {
     for (df <- Seq(operators.Analytics.burstDetect(planSession, sfTest),
                    operators.TextAnalysis.rakeKeywords(planSession, sfTest))) {
