@@ -114,10 +114,21 @@ object Stats {
     * Per-bucket stats: row count, min/max value, mean (exact weighted
     * sum).
     */
-  def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
-    val byVal = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("coarse", floor(col("v") / HistCoarseWidth).cast("long"))
+  def equidepthHist(spark: SparkSession, sfDir: String): DataFrame =
+    equidepthHistOf(
+      Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("v")),
+      HistCoarseWidth, HistBuckets)
+
+  /** Frame-parameterized core of [[equidepthHist]]: equi-depth buckets
+    * of `vals.v` (any numeric) with the two-level coarse prefix
+    * machinery. Exposed so the scale spec can drive it with a
+    * synthetic ≥10⁶-row, wide-domain corpus the fixtures can't
+    * provide. */
+  private[graft] def equidepthHistOf(
+      vals: DataFrame, coarseWidth: Long, buckets: Int): DataFrame = {
+    val byVal = vals
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
@@ -133,8 +144,8 @@ object Stats {
       s"ELSE rem + ($r - rem * (q + 1) + q - 1) DIV q END"
     val ranked = local.join(broadcast(offs), "coarse")
       .crossJoin(broadcast(nDf))
-      .withColumn("q", expr(s"n DIV $HistBuckets"))
-      .withColumn("rem", expr(s"n % $HistBuckets"))
+      .withColumn("q", expr(s"n DIV $buckets"))
+      .withColumn("rem", expr(s"n % $buckets"))
       .withColumn("hi", col("cum_in") + col("off"))
       .withColumn("lo", col("hi") - col("cnt") + 1)
       .withColumn("b_lo", expr(bucketOf("lo")))
@@ -1285,12 +1296,19 @@ object Stats {
     * unbounded value domain the prefix would take the
     * [[equidepthHist]] coarse-bucket two-level form.
     */
-  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables.events(spark, sfDir)
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, sfDir)
       .where(col("event_type").isin(MwA, MwB))
-      .groupBy(col("value").as("v"))
-      .agg(sum(when(col("event_type") === MwA, 1).otherwise(0)).as("na"),
-           sum(when(col("event_type") === MwB, 1).otherwise(0)).as("nb"))
+      .select(col("value").as("v"), (col("event_type") === MwA).as("is_a")))
+
+  /** Frame-parameterized core of [[mannWhitney]]: rank-sum test of
+    * sample A (`is_a`) vs B over `v`. Exposed for the off-fixture
+    * scale spec. */
+  private[graft] def mannWhitneyOf(pairs: DataFrame): DataFrame = {
+    val g = pairs
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
+           sum(when(!col("is_a"), 1).otherwise(0)).as("nb"))
       .withColumn("t", col("na") + col("nb"))
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g
@@ -1362,10 +1380,14 @@ object Stats {
     * Long-range note: 2S ≤ 2nT ≈ 7·10¹⁶ at sf0.1 — at population
     * scale these moments move to DECIMAL(38), mechanism unchanged.
     */
-  def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
-    val rev = Tables.orders(spark, sfDir)
+  def revenueGini(spark: SparkSession, sfDir: String): DataFrame =
+    revenueGiniOf(Tables.orders(spark, sfDir)
       .groupBy("o_custkey")
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents")))
+
+  /** Frame-parameterized core of [[revenueGini]] over a `cents`
+    * column. Exposed for the off-fixture scale spec. */
+  private[graft] def revenueGiniOf(rev: DataFrame): DataFrame = {
     val byVal = rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("coarse", expr(s"v div $GiniCoarseWidth"))
     val wIn = Window.partitionBy("coarse").orderBy("v")

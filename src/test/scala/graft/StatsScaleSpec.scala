@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical validation of the exact-rank stats machinery beyond
+  * fixture size and value domain (the gap the r6 verdict flagged: the
+  * coarse-bucket prefix mechanics had only ever run on sf0.1's narrow
+  * domains, so their off-fixture correctness was an argument, not a
+  * measurement — the same closure AnnScaleSpec gave the IVF tier).
+  *
+  * Every synthetic corpus is a PURE INTEGER recurrence (id·K mod P),
+  * replicated bit-for-bit in local Scala — so the expected histogram /
+  * Gini / U statistics are computed by an independent driver-side
+  * implementation (flat sorted arrays, textbook formulas) and compared
+  * against the distributed two-level-prefix closed forms:
+  *
+  *  - equi-depth: 1.2M ALL-DISTINCT values over a ~[0, 10^7) domain —
+  *    ~2000 coarse buckets (the fixture has ~21), rem = 0 path;
+  *  - Gini: 1M customers over ~500k distinct cent values (real tie
+  *    groups straddling bucket boundaries), 2S ≈ 5·10^17 exercising
+  *    the int64 headroom the docstring claims;
+  *  - Mann–Whitney: 1.5M observations in ~100k tie groups with a
+  *    planted +20.00 shift on sample A, so z must be large-positive
+  *    and every rank moment agrees with the flat-sort recompute
+  *    (half-integer rank sums are exact in double, so agreement is
+  *    exact, not approximate).
+  */
+class StatsScaleSpec extends AnyFunSuite with SparkFixture {
+
+  import operators.Stats
+
+  private val MulK = 2654435761L // Knuth's 2^32 golden-ratio multiplier
+
+  test("equi-depth histogram: 1.2M distinct values over a 10^7 domain", ScaleTest) {
+    val n = 1200000
+    val p = 999999937L
+    val vals = spark.range(0L, n.toLong)
+      .select(expr(s"cast((id * ${MulK}L) % ${p}L AS double) / 100.0").as("v"))
+    val got = Stats.equidepthHistOf(vals, coarseWidth = 5000L, buckets = 10)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+
+    val raw = Array.tabulate(n)(i => (i.toLong * MulK) % p)
+    assert(raw.distinct.length === n) // injective below P: every value distinct
+    val sorted = raw.sorted.map(_.toDouble / 100.0)
+    val per = n / 10 // rem = 0: every bucket takes exactly q rows
+    assert(got.length === 10)
+    for (b <- 1 to 10) {
+      val r = got(b - 1)
+      val slice = sorted.slice((b - 1) * per, b * per)
+      assert(r.getAs[Long]("bucket") === b.toLong)
+      assert(r.getAs[Long]("n_rows") === per.toLong)
+      assert(r.getAs[Double]("min_v") === slice.head)
+      assert(r.getAs[Double]("max_v") === slice.last)
+      assert(math.abs(r.getAs[Double]("avg_v") - slice.sum / per) < 1e-3)
+    }
+  }
+
+  test("gini: 1M customers, tie groups across bucket boundaries", ScaleTest) {
+    val n = 1000000
+    val p = 500009L
+    val rev = spark.range(0L, n.toLong)
+      .select((expr(s"(id * ${MulK}L) % ${p}L") + lit(1L)).as("cents"))
+    val r = Stats.revenueGiniOf(rev).collect().head
+
+    val cents = Array.tabulate(n)(i => (i.toLong * MulK) % p + 1L).sorted
+    val t = cents.foldLeft(BigInt(0))(_ + _)
+    val s = cents.zipWithIndex.foldLeft(BigInt(0)) { case (acc, (v, i)) =>
+      acc + BigInt(v) * (i + 1L)
+    }
+    val gini = (2 * BigDecimal(s) - BigDecimal(n + 1L) * BigDecimal(t)).toDouble /
+      (n.toDouble * t.toDouble)
+    val n0 = n - n / 10
+    val topShare = cents.drop(n0).foldLeft(BigInt(0))(_ + _).toDouble / t.toDouble
+    assert(2 * s < BigInt(Long.MaxValue), "2S must sit inside the documented int64 headroom")
+    assert(r.getAs[Long]("n_customers") === n.toLong)
+    assert(r.getAs[Long]("total_cents") === t.toLong)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-6)
+    assert(math.abs(r.getAs[Double]("top10_share") - topShare) < 1e-6)
+  }
+
+  test("mann-whitney: 1.5M observations, 100k tie groups, planted shift", ScaleTest) {
+    val n = 1500000
+    val p = 100003L
+    val shiftCents = 2000L
+    val pairs = spark.range(0L, n.toLong)
+      .select(
+        (expr(s"cast((id * ${MulK}L) % ${p}L AS double)") +
+          when(col("id") % 3 === 0, lit(shiftCents.toDouble)).otherwise(lit(0.0)))
+          .divide(lit(100.0)).as("v"),
+        (col("id") % 3 === 0).as("is_a"))
+    val r = Stats.mannWhitneyOf(pairs).collect().head
+
+    // independent flat recompute: average ranks from one sorted pass
+    val obs = Array.tabulate(n) { i =>
+      val isA = i % 3 == 0
+      val base = (i.toLong * MulK) % p + (if (isA) shiftCents else 0L)
+      (base.toDouble / 100.0, isA)
+    }.sortBy(_._1)
+    var idx = 0
+    var r1 = 0.0
+    var tie3 = 0L
+    var n1 = 0L
+    while (idx < n) {
+      var j = idx
+      while (j < n && obs(j)._1 == obs(idx)._1) j += 1
+      val t = (j - idx).toLong
+      val avgRank = idx + (t + 1.0) / 2.0 // idx = ranks before the group
+      val na = obs.slice(idx, j).count(_._2).toLong
+      r1 += na * avgRank
+      tie3 += t * t * t - t
+      n1 += na
+      idx = j
+    }
+    val n2 = n - n1
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val z = (u1 - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3.toDouble / (n.toDouble * (n - 1.0))))
+    val rb = 1.0 - 2.0 * u1 / (n1.toDouble * n2)
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-6 * math.abs(u1))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+    assert(math.abs(r.getAs[Double]("rank_biserial") - rb) < 1e-6)
+    assert(r.getAs[Double]("z") > 10.0, "the planted +20.00 shift on A must dominate")
+  }
+}
