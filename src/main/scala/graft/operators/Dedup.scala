@@ -925,55 +925,84 @@ object Dedup {
   val SnMaxEdit = 3
 
   /** Sorted-neighborhood entity-resolution blocking (Hernández &
-    * Stolfo 1995): sort the distinct part names within a first-letter
-    * block, compare each name ONLY to its [[SnWindow]] successors via
-    * lead(), keep pairs within [[SnMaxEdit]] edits. The complement of
-    * [[fuzzyNames]]' block-join: that tier compares all pairs inside
-    * a block (quadratic in block size, complete within the edit
-    * radius); this one is strictly linear — n·w comparisons however
-    * skewed the blocks — at the cost of missing pairs the sort order
-    * separates. Production ER runs several passes with different sort
-    * keys; one deterministic pass is the operator.
+    * Stolfo 1995), MULTI-PASS as production ER actually runs it: sort
+    * the distinct part names under two independent deterministic keys
+    * — pass 1 the name itself (first-letter blocks), pass 2 the
+    * REVERSED name (last-letter blocks, the classic second key: a typo
+    * in the first characters moves a record across pass-1 blocks but
+    * leaves its reversed sort position adjacent) — compare each name
+    * ONLY to its [[SnWindow]] successors per pass via lead(), union
+    * the candidate pairs, then verify once with edit distance ≤
+    * [[SnMaxEdit]]. The complement of [[fuzzyNames]]' block-join: that
+    * tier compares all pairs inside a block (quadratic in block size,
+    * complete within the edit radius); this one is strictly linear —
+    * n·w·passes comparisons however skewed the blocks — at the cost
+    * of missing pairs BOTH sort orders separate. `n_passes` records
+    * how many passes surfaced each survivor (the standard multi-pass
+    * audit column).
     *
-    * Scale: distinct-names aggregate → per-block parallel window with
-    * a BOUNDED frame (lead 1..w) → per-row edit distance. No pair
-    * table ever exceeds n·w rows; blocks shard the sort.
+    * Scale: ONE distinct-names aggregate fans out to (pass, key) rows
+    * map-side (no second scan); per-(pass, block) parallel windows
+    * with a BOUNDED frame (lead 1..w); candidates dedup on the
+    * canonical pair before the per-row edit-distance verify. No pair
+    * table ever exceeds n·w·2 rows; blocks shard every sort.
     */
-  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
-    val names = Tables.part(spark, sfDir)
-      .select(col("p_name")).distinct()
-      .withColumn("blk", substring(col("p_name"), 1, 1))
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
+    sortedNeighborhoodOf(Tables.part(spark, sfDir).select(col("p_name")).distinct())
+
+  /** Frame-parameterized core of [[sortedNeighborhood]] over a
+    * `p_name` column (exposed so the spec can plant a pair only the
+    * reversed-key pass can find). */
+  private[graft] def sortedNeighborhoodOf(names: DataFrame): DataFrame = {
+    val keyed = names
+      .select(col("p_name"), explode(array(
+        struct(lit(1).as("pass"), col("p_name").as("k")),
+        struct(lit(2).as("pass"), reverse(col("p_name")).as("k")))).as("e"))
+      .select(col("p_name"), col("e.pass").as("pass"), col("e.k").as("k"))
+      .withColumn("blk", substring(col("k"), 1, 1))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("blk").orderBy("p_name")
-    names
+      .partitionBy("pass", "blk").orderBy("k")
+    keyed
       .withColumn("nbrs",
-        array((1 to SnWindow).map(k => lead(col("p_name"), k).over(w)): _*))
-      .select(col("p_name").as("name_a"),
-        posexplode(col("nbrs")).as(Seq("off", "name_b")))
-      .where(col("name_b").isNotNull)
-      .withColumn("w_offset", (col("off") + 1).cast("int"))
+        array((1 to SnWindow).map(j => lead(col("p_name"), j).over(w)): _*))
+      .select(col("pass"), col("p_name").as("x"), explode(col("nbrs")).as("y"))
+      .where(col("y").isNotNull)
+      .select(col("pass"), least(col("x"), col("y")).as("name_a"),
+              greatest(col("x"), col("y")).as("name_b"))
+      .distinct()
+      .groupBy("name_a", "name_b")
+      .agg(count(lit(1)).cast("int").as("n_passes"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist").between(1, SnMaxEdit))
-      .select("name_a", "name_b", "w_offset", "dist")
+      .select("name_a", "name_b", "n_passes", "dist")
       .orderBy("name_a", "name_b")
   }
 
   val sortedNeighborhoodSql: String = {
     val leads = (1 to SnWindow).map { k =>
-      s"""SELECT p_name AS name_a, $k AS w_offset,
-         |    lead(p_name, $k) OVER (PARTITION BY blk ORDER BY p_name) AS name_b
-         |  FROM names""".stripMargin
+      s"""SELECT pass, p_name AS x,
+         |    lead(p_name, $k) OVER (PARTITION BY pass, blk ORDER BY k) AS y
+         |  FROM keyed""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH names AS (
-       |  SELECT DISTINCT p_name, substr(p_name, 1, 1) AS blk FROM part
+       |  SELECT DISTINCT p_name FROM part
+       |), keyed AS (
+       |  SELECT p_name, pass,
+       |    CASE WHEN pass = 1 THEN p_name ELSE reverse(p_name) END AS k,
+       |    substr(CASE WHEN pass = 1 THEN p_name ELSE reverse(p_name) END, 1, 1) AS blk
+       |  FROM names, (VALUES (1), (2)) AS t(pass)
        |), leads AS (
        |  $leads
+       |), cand AS (
+       |  SELECT DISTINCT pass, least(x, y) AS name_a, greatest(x, y) AS name_b
+       |  FROM leads WHERE y IS NOT NULL
+       |), uni AS (
+       |  SELECT name_a, name_b, count(*) AS n_passes FROM cand GROUP BY 1, 2
        |)
-       |SELECT name_a, name_b, w_offset::INTEGER AS w_offset,
+       |SELECT name_a, name_b, n_passes::INTEGER AS n_passes,
        |  levenshtein(name_a, name_b)::INTEGER AS dist
-       |FROM leads
-       |WHERE name_b IS NOT NULL
-       |  AND levenshtein(name_a, name_b) BETWEEN 1 AND $SnMaxEdit
+       |FROM uni
+       |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND $SnMaxEdit
        |ORDER BY name_a, name_b""".stripMargin
   }
 

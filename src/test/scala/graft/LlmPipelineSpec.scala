@@ -391,17 +391,40 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     val D = operators.Dedup
     val names = Tables.part(spark, sfTest).select("p_name").distinct()
       .collect().map(_.getString(0))
-    val expected = names.groupBy(_.take(1)).values.flatMap { blk =>
-      val s = blk.sorted
-      for {
-        i <- s.indices; k <- 1 to D.SnWindow if i + k < s.length
-        d = lev(s(i), s(i + k)) if d >= 1 && d <= D.SnMaxEdit
-      } yield (s(i), s(i + k), k, d)
-    }.toSet
+    def passCands(key: String => String): Set[(String, String)] =
+      names.groupBy(n => key(n).take(1)).values.flatMap { blk =>
+        val s = blk.sortBy(key)
+        for (i <- s.indices; k <- 1 to D.SnWindow if i + k < s.length) yield {
+          val (a, b) = (s(i), s(i + k))
+          if (a <= b) (a, b) else (b, a)
+        }
+      }.toSet
+    val c1 = passCands(identity)
+    val c2 = passCands(_.reverse)
+    val expected = (c1 ++ c2).flatMap { case (a, b) =>
+      val d = lev(a, b)
+      if (d >= 1 && d <= D.SnMaxEdit)
+        Some((a, b, (if (c1((a, b))) 1 else 0) + (if (c2((a, b))) 1 else 0), d))
+      else None
+    }
     val got = D.sortedNeighborhood(spark, sfTest).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
     assert(got == expected, s"got ${got.size} pairs, sweep says ${expected.size}")
     assert(got.nonEmpty)
+  }
+
+  test("sorted neighborhood pass 2 finds a first-letter typo pass 1 cannot") {
+    import spark.implicits._
+    val D = operators.Dedup
+    // the planted pair differs ONLY in its first character: pass 1
+    // puts the two names in different first-letter blocks, but their
+    // reversals are adjacent in pass 2's last-letter block
+    val planted = Seq("aqua steel spring", "zqua steel spring")
+    val filler = ('b' to 'y').map(c => s"${c}ilver mint coral")
+    val res = D.sortedNeighborhoodOf((planted ++ filler).toDF("p_name")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(res.contains(("aqua steel spring", "zqua steel spring", 1, 1)),
+      s"pass 2 must surface the cross-block pair (got ${res.mkString("; ")})")
   }
 
   test("rake keywords: phrases are stopword-free; scores match a local recompute") {
