@@ -162,7 +162,7 @@ object GraphRank {
     * = `div` in Spark for the non-negative values here). */
   val itemPagerankSql: String = {
     val rounds = (1 to Rounds).map { k =>
-      s"""pr$k AS (
+      s"""pr$k AS MATERIALIZED (
          |  SELECT nd.item,
          |    ((${100 - DampPct} * (SELECT base FROM b) + $DampPct * coalesce(c.s, 0)) // 100)::BIGINT AS rank
          |  FROM nodes nd LEFT JOIN (
@@ -174,7 +174,7 @@ object GraphRank {
     }.mkString(", ")
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
@@ -184,7 +184,7 @@ object GraphRank {
        |  SELECT item_j AS src, item_i AS dst, co AS w FROM pairs WHERE co >= $EdgeMinCo
        |), ow AS (
        |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
-       |), ew AS (
+       |), ew AS MATERIALIZED (
        |  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON o.src = e.src
        |), nodes AS (
        |  SELECT DISTINCT src AS item FROM edges
@@ -241,7 +241,7 @@ object GraphRank {
        |  SELECT count(DISTINCT user_id) AS u FROM r
        |), counts AS (
        |  SELECT item_id, count(*) AS n FROM r GROUP BY item_id
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
@@ -362,7 +362,7 @@ object GraphRank {
        |  SELECT user_id, item_id FROM capped
        |), counts AS (
        |  SELECT item_id, count(*) AS n FROM r GROUP BY item_id
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2 HAVING count(*) >= $MinCo
@@ -738,7 +738,7 @@ object GraphRank {
     }.mkString(", ")
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
@@ -971,7 +971,7 @@ object GraphRank {
     * (ow desc, src asc) rule as a scalar subquery. */
   val rwrProximitySql: String = {
     val rounds = (1 to Rounds).map { k =>
-      s"""pr$k AS (
+      s"""pr$k AS MATERIALIZED (
          |  SELECT nd.item,
          |    (((CASE WHEN nd.item = (SELECT s FROM seed)
          |        THEN ${100 - DampPct} * $TotalUnits ELSE 0 END)
@@ -985,7 +985,7 @@ object GraphRank {
     }.mkString(", ")
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
@@ -997,7 +997,7 @@ object GraphRank {
        |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
        |), seed AS (
        |  SELECT src AS s FROM ow ORDER BY ow DESC, src ASC LIMIT 1
-       |), ew AS (
+       |), ew AS MATERIALIZED (
        |  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON o.src = e.src
        |), nodes AS (
        |  SELECT DISTINCT src AS item FROM edges
@@ -1078,7 +1078,7 @@ object GraphRank {
     }.mkString(", ")
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
