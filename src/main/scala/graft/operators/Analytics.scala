@@ -1347,9 +1347,14 @@ object Analytics {
     * each day's carry-in offset broadcasts back — the same two-level
     * prefix sum as [[Stats.equidepthHist]]. Cross-midnight sessions
     * are exact for free: a day's carry-in IS the number of sessions
-    * still open at its midnight. The per-day max is order-invariant
-    * among equal (instant, delta) points, so the result is
-    * deterministic even though individual running-sum rows are not.
+    * still open at its midnight. The output covers the FULL calendar
+    * range between the first and last point day: a day fully spanned
+    * by long-running sessions (no start/end point of its own) emits
+    * peak = carry_in, n_starts = 0 — without the fill, exactly the
+    * days with sustained load went missing. The per-day max is
+    * order-invariant among equal (instant, delta) points, so the
+    * result is deterministic even though individual running-sum rows
+    * are not.
     */
   def concurrencyPeak(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -1367,15 +1372,24 @@ object Analytics {
     val wd = Window.partitionBy("day").orderBy(col("pt").asc, col("delta").desc)
     val within = pts.withColumn("run",
       sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val carry = pts.groupBy("day").agg(sum("delta").as("net"))
+    val dayAgg = within.groupBy("day")
+      .agg(max("run").as("max_run"),
+           sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"),
+           sum("delta").as("net"))
+    // union the full calendar range: a day fully spanned by
+    // long-running sessions has no start/end point but a positive
+    // peak (= the concurrency carried into it) — without the fill the
+    // guardrail silently skipped exactly those days
+    val allDays = dayAgg.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    allDays.join(dayAgg, Seq("day"), "left")
+      .withColumn("net_f", coalesce(col("net"), lit(0L)))
       .withColumn("carry_in",
-        coalesce(sum("net").over(
+        coalesce(sum("net_f").over(
           Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("day", "carry_in")
-    within.join(broadcast(carry), Seq("day"))
-      .groupBy("day")
-      .agg(max(col("carry_in") + col("run")).as("peak_concurrency"),
-           sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"))
+      .select(col("day"),
+        (col("carry_in") + coalesce(col("max_run"), lit(0L))).as("peak_concurrency"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"))
       .orderBy("day")
   }
 
@@ -1403,11 +1417,24 @@ object Analytics {
       |    sum(delta) OVER (ORDER BY pt ASC, delta DESC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       |  FROM pts
+      |), dayagg AS (
+      |  SELECT pt::DATE AS day, max(conc)::BIGINT AS peak_pts,
+      |    sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+      |    sum(delta)::BIGINT AS net
+      |  FROM run GROUP BY 1
+      |), days AS (
+      |  SELECT unnest(generate_series((SELECT min(day) FROM dayagg),
+      |                                (SELECT max(day) FROM dayagg),
+      |                                INTERVAL 1 DAY))::DATE AS day
+      |), filled AS (
+      |  SELECT d.day, a.peak_pts, coalesce(a.n_starts, 0) AS n_starts,
+      |    coalesce(sum(coalesce(a.net, 0)) OVER (ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+      |  FROM days d LEFT JOIN dayagg a ON a.day = d.day
       |)
-      |SELECT pt::DATE AS day,
-      |  max(conc)::BIGINT AS peak_concurrency,
-      |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts
-      |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
+      |SELECT day, coalesce(peak_pts, carry_in)::BIGINT AS peak_concurrency,
+      |  n_starts::BIGINT AS n_starts
+      |FROM filled ORDER BY day""".stripMargin
 
   /** Bursts reported by the temporal surprise scan. */
   val BurstTop = 20
@@ -1547,6 +1574,12 @@ object Analytics {
     * row per arm (observed, expected, χ² contribution) plus the total
     * χ² and the df=2 / α=0.05 alarm flag.
     *
+    * The observed counts RIGHT-JOIN a literal 3-arm frame with
+    * coalesce(n, 0): a completely empty arm must still contribute its
+    * full expected count to χ² — with a bare groupBy the guardrail
+    * understated SRM precisely when assignment was most broken (an
+    * arm that logs nothing produced no row at all).
+    *
     * Scale: one per-user aggregate, a 3-row rollup, a broadcast total.
     */
   def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1555,7 +1588,18 @@ object Analytics {
       .withColumn("h", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'srm')), 1, 8), 16, 10) AS bigint)") % 4)
       .withColumn("arm", when(col("h") <= 1, 0).when(col("h") === 2, 1).otherwise(2))
-    val arms = perUser.groupBy("arm").agg(count(lit(1)).as("n_users"))
+    abSrmOf(spark, perUser)
+  }
+
+  /** Core of [[abSrm]] over any arm-assigned user frame (exposed so
+    * the spec can hand it a split with a fully EMPTY arm — the exact
+    * case the literal-frame right join exists for). */
+  private[graft] def abSrmOf(spark: SparkSession, perUser: DataFrame): DataFrame = {
+    val armFrame = spark.range(3).select(col("id").cast("int").as("arm"))
+    val arms = armFrame
+      .join(perUser.groupBy("arm").agg(count(lit(1)).as("n_obs")), Seq("arm"), "left")
+      .withColumn("n_users", coalesce(col("n_obs"), lit(0L)))
+      .select("arm", "n_users")
     val tot = arms.agg(sum("n_users").as("n"))
     val withExp = arms.crossJoin(broadcast(tot))
       .withColumn("expected",
@@ -1580,7 +1624,10 @@ object Analytics {
        |  FROM (SELECT ('0x' || substr(md5(user_id::VARCHAR || '-srm'), 1, 8))::BIGINT % 4 AS hv
        |        FROM pu)
        |), arms AS (
-       |  SELECT arm, count(*) AS n_users FROM h GROUP BY arm
+       |  SELECT t.arm, coalesce(o.n_users, 0)::BIGINT AS n_users
+       |  FROM (VALUES (0), (1), (2)) AS t(arm)
+       |  LEFT JOIN (SELECT arm, count(*) AS n_users FROM h GROUP BY arm) o
+       |    ON o.arm = t.arm
        |), tot AS (SELECT sum(n_users) AS n FROM arms),
        |we AS (
        |  SELECT arm, n_users,

@@ -1081,8 +1081,11 @@ object Dedup {
     * per-doc weight tables are one aggregate each over the memoized
     * shingle set. The stop-list makes candidate GENERATION ignore
     * boilerplate-only pairs — exactly the pairs this scorer would
-    * zero anyway (fixture df ≪ [[HotShingleDf]], so engine and
-    * all-pairs oracle see identical candidates).
+    * zero anyway — and the oracle applies the SAME stop-list in its
+    * candidate CTE (df ≤ [[HotShingleDf]], floor counted on non-hot
+    * shingles only, re-score over all), so engine and oracle stay
+    * equivalent BY CONSTRUCTION at any corpus size, not by fixture
+    * df luck.
     */
   def jaccardIdf(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
@@ -1118,12 +1121,20 @@ object Dedup {
        |), docw AS (
        |  SELECT doc_id, sum(w) AS wsum
        |  FROM sh JOIN idf USING (s) GROUP BY 1
-       |), pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    count(*) AS inter, sum(i.w) AS iw
+       |), keep AS (
+       |  SELECT s FROM df WHERE df <= $HotShingleDf
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  JOIN idf i ON i.s = a.s
+       |  JOIN keep k ON k.s = a.s
        |  GROUP BY 1, 2 HAVING count(*) >= $WJacMinInter
+       |), pairs AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter, sum(i.w) AS iw
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  JOIN idf i ON i.s = a.s
+       |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b, inter,
        |  round(iw / (wa.wsum + wb.wsum - iw), 6) AS w_jaccard

@@ -364,6 +364,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getAs[Int]("srm_alarm") == 0, s"clean split alarmed, chi2=$chi2")
   }
 
+  test("ab srm: a fully empty arm still contributes its expected count to chi2") {
+    import spark.implicits._
+    // 100 users in arm 0, 100 in arm 1, arm 2 logs NOTHING — the broken
+    // assignment the guardrail exists for. Without the literal 3-arm
+    // right join the empty arm dropped out and chi2 was understated by
+    // exactly the expected count (50).
+    val perUser = (1 to 200).map(i => (i.toLong, if (i <= 100) 0 else 1))
+      .toDF("user_id", "arm")
+    val rows = operators.Analytics.abSrmOf(spark, perUser).collect()
+    assert(rows.map(_.getAs[Int]("arm")).toSeq == Seq(0, 1, 2), "all 3 arms must emit")
+    val empty = rows.find(_.getAs[Int]("arm") == 2).get
+    assert(empty.getAs[Long]("n_users") == 0L)
+    assert(empty.getAs[Double]("expected") == 50.0)
+    assert(empty.getAs[Double]("chi2_contrib") == 50.0) // (0-50)^2/50
+    // chi2 = (100-100)^2/100 + (100-50)^2/50 + (0-50)^2/50 = 100
+    assert(rows.head.getAs[Double]("chi2_total") == 100.0)
+    assert(rows.head.getAs[Int]("srm_alarm") == 1, "a dead arm must alarm")
+  }
+
   test("burst detect matches a local Poisson-surprise recompute") {
     val rows = Tables.events(spark, sfTest)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
@@ -430,16 +449,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       .sortBy { case (t, d) => (t, -d) }
     var conc = 0
     val perDay = scala.collection.mutable.Map.empty[java.time.LocalDate, Int]
+    val endConc = scala.collection.mutable.Map.empty[java.time.LocalDate, Int]
     for ((t, d) <- points) {
       conc += d
       val day = java.time.Instant.ofEpochSecond(t / 1000000L)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate
       perDay(day) = math.max(perDay.getOrElse(day, Int.MinValue), conc)
+      endConc(day) = conc
     }
+    // calendar fill: a point-free day peaks at the concurrency carried in
+    val d0 = perDay.keys.min
+    val d1 = perDay.keys.max
+    var carry = 0
+    val expected = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).map { day =>
+      val peak = perDay.getOrElse(day, carry)
+      if (perDay.contains(day)) carry = endConc(day)
+      (day, peak)
+    }.toMap
     val got = operators.Analytics.concurrencyPeak(spark, sfTest).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getAs[Long]("peak_concurrency"))).toMap
-    assert(got.keySet == perDay.keySet)
-    for ((day, peak) <- perDay)
+    assert(got.keySet == expected.keySet)
+    for ((day, peak) <- expected)
       assert(got(day) == peak.toLong, s"day $day: got ${got(day)}, sweep says $peak")
     // sanity: some day holds >1 concurrent session on the fixture
     assert(perDay.values.max > 1)
