@@ -1288,13 +1288,14 @@ object Stats {
     *
     * Scale: ranks are NEVER assigned per row — one aggregate
     * collapses the stream to (value, n_a, n_b) groups (bounded by the
-    * value domain: 2-decimal readings), and a prefix sum over that
-    * bounded aggregate yields every tie group's average rank in
-    * closed form (before + (t+1)/2). Rank sums are then weighted
-    * sums. Ranks stay in exact .5 steps (doubles are exact there), so
-    * U is exact and the rounded outputs are engine-invariant. At an
-    * unbounded value domain the prefix would take the
-    * [[equidepthHist]] coarse-bucket two-level form.
+    * value domain: 2-decimal readings), and the prefix sum over that
+    * aggregate runs in the [[equidepthHist]] coarse-bucket two-level
+    * form (within-coarse partitioned windows + a tiny coarse-total
+    * prefix broadcast back), so even an UNBOUNDED value domain never
+    * funnels through one task. Every tie group's average rank is the
+    * closed form before + (t+1)/2; rank sums are then weighted sums.
+    * Ranks stay in exact .5 steps (doubles are exact there), so U is
+    * exact and the rounded outputs are engine-invariant.
     */
   def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
     mannWhitneyOf(Tables.events(spark, sfDir)
@@ -1304,15 +1305,28 @@ object Stats {
   /** Frame-parameterized core of [[mannWhitney]]: rank-sum test of
     * sample A (`is_a`) vs B over `v`. Exposed for the off-fixture
     * scale spec. */
+  /** Coarse prefix-bucket width over the value domain (events.value
+    * is ~[0, 1000] 2-decimal readings → ~20 coarse cells; the scale
+    * spec drives ~2000). Same role as [[HistCoarseWidth]]. */
+  val MwCoarseWidth = 50.0
+
   private[graft] def mannWhitneyOf(pairs: DataFrame): DataFrame = {
     val g = pairs
       .groupBy(col("v"))
       .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
            sum(when(!col("is_a"), 1).otherwise(0)).as("nb"))
       .withColumn("t", col("na") + col("nb"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("coarse", floor(col("v") / MwCoarseWidth).cast("long"))
+    val wIn = Window.partitionBy("coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(
+        Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("coarse", "off")
     val ranked = g
-      .withColumn("before", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("b_in", coalesce(sum(col("t")).over(wIn), lit(0L)))
+      .join(broadcast(offs), "coarse")
+      .withColumn("before", col("off") + col("b_in"))
       .withColumn("avg_rank", col("before") + (col("t") + 1.0) / 2.0)
     ranked
       .agg(sum("na").as("n1"), sum("nb").as("n2"),

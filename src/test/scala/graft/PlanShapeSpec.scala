@@ -503,6 +503,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mann-whitney: rank prefix on coarse-partitioned windows, offsets broadcast") {
+    // r6 watch item: the tie-group prefix ran as one global
+    // Window.orderBy(v) — bounded by the value domain on the fixture,
+    // but a single-task funnel the moment the domain is wide. Now the
+    // same two-level coarse machinery as equidepth/gini.
+    val p = plan(operators.Stats.mannWhitney(planSession, sfTest))
+    assert(p.contains("windowspecdefinition(coarse#"),
+      "within-bucket rank prefixes must be coarse-partitioned windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "the coarse offset table must broadcast back onto the value groups")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("rfm segments: quartile scoring has no single-partition exchange and no ntile window") {
     // r6 verdict's one confirmed scale-killer: three ntile(4) windows
     // with no PARTITION BY each funneled the whole customer dimension
