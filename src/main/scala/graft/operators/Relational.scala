@@ -870,8 +870,11 @@ object Relational {
     * the key domain's spread. */
   private val RfmCoarseBuckets = 1024L
 
-  /** SQL-exact ntile(4) bucket of every row under (key ASC, o_custkey
-    * ASC) — computed WITHOUT a single-partition global sort. Same
+  /** SQL-exact ntile bucket of every row under (key ASC, tie ASC) —
+    * computed WITHOUT a single-partition global sort (caller supplies
+    * `__q`/`__rem` = n DIV B / n % B for its bucket count B; rfm uses
+    * B = 4, the quality curriculum B = [[TextAnalysis]]'s bucket
+    * count). Same
     * two-level prefix idea as [[Stats.equidepthHist]], extended to
     * per-ROW assignment (a value that straddles a quartile boundary is
     * split among its customers by the custkey tie-break):
@@ -890,7 +893,8 @@ object Relational {
     *     customers), and the score is the closed-form ntile bucket
     *     (first n mod 4 buckets take the extra row).
     */
-  private def quartileScore(df: DataFrame, keyCol: Column, scoreName: String): DataFrame = {
+  private[graft] def quartileScore(df: DataFrame, keyCol: Column, scoreName: String,
+      tieCol: Column = col("o_custkey")): DataFrame = {
     val keyed = df.withColumn("__k", keyCol)
     val byVal = keyed.groupBy("__k").agg(count(lit(1)).as("__cnt"))
     val mm = byVal.agg(min("__k").as("__mn"), max("__k").as("__mx"))
@@ -911,7 +915,7 @@ object Relational {
     val ranks = local.join(broadcast(offs), Seq("__coarse"))
       .withColumn("__lo", col("__off") + col("__cum") - col("__cnt") + 1)
       .select("__k", "__lo")
-    val wTie = Window.partitionBy("__k").orderBy("o_custkey")
+    val wTie = Window.partitionBy("__k").orderBy(tieCol)
     keyed.join(ranks, Seq("__k"))
       .withColumn("__rank", col("__lo") + row_number().over(wTie) - 1)
       .withColumn(scoreName, expr(

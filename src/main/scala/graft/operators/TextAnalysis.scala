@@ -344,16 +344,23 @@ object TextAnalysis {
     * so boundary docs land identically on both engines. Per bucket:
     * doc count, ll range, token mass, sources represented.
     *
-    * Scale note: the global ntile sort is fixture-honest but at
-    * corpus scale you'd broadcast the 4 boundary values from one
-    * percentile aggregate and assign buckets map-side — same output,
-    * no global sort; the plan swap is mechanical and documented here
-    * deliberately (same trade as the W1 top-K family).
+    * Scale: bucket assignment goes through [[Relational.quartileScore]]'s
+    * distributed exact rank (two-level coarse prefix over the
+    * 6dp-fixed-point ll key + closed-form ntile bucket) — the r6 rfm
+    * lesson applied here: the previous global `ntile` window funneled
+    * the whole corpus through one task. The 1e6 fixed-point key is
+    * round()ed, not truncated, so equal 6dp scores share a key and
+    * distinct ones never collide; output is bit-identical to the
+    * oracle's ntile.
     */
   def qualityCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = docBigramLl(spark, sfDir).withColumn("rll", round(col("ll"), 6))
-      .withColumn("bucket", ntile(CurriculumBuckets).over(
-        Window.orderBy(col("rll").asc, col("doc_id").asc)))
+    val q0 = docBigramLl(spark, sfDir).withColumn("rll", round(col("ll"), 6))
+    val nDf = q0.agg(count(lit(1)).as("__n"))
+    val prepared = q0.crossJoin(broadcast(nDf))
+      .withColumn("__q", expr(s"__n DIV $CurriculumBuckets"))
+      .withColumn("__rem", expr(s"__n % $CurriculumBuckets"))
+    val q = Relational.quartileScore(prepared,
+      round(col("rll") * 1e6, 0).cast("long"), "bucket", col("doc_id"))
     q.groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
            round(min("rll"), 6).as("min_ll"),

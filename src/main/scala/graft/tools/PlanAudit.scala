@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: sweep EVERY SparkEntry query's physical plan for the
+  * shapes this suite bans at 100 TB — `Exchange SinglePartition` and
+  * window specs with an empty PARTITION BY — and print one line per
+  * offender with the matched fragment. The whitelist logic lives in
+  * the audit's consumer (PlanShapeSpec pins); this tool is the raw
+  * sweep that finds candidates. Not part of the driver contract.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Formatted mode dedupes reused subtrees, so counts reflect the
+    // actual physical plan. Two detectors:
+    //  - "Arguments: SinglePartition" = a single-partition exchange
+    //    (benign when it feeds a 1-row/bounded final aggregate; a
+    //    scale-killer when corpus-sized rows flow through it);
+    //  - a windowspecdefinition whose FIRST argument is already a sort
+    //    order = a window with an empty PARTITION BY (global sort).
+    val globalWin = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
+    var nOff = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try {
+        val plan = q(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val sp = "Arguments: SinglePartition".r.findAllIn(plan).length
+        val gw = globalWin.findAllIn(plan).length
+        if (sp > 0 || gw > 0) {
+          nOff += 1
+          println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw")
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[audit] $name FAILED TO PLAN: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+      }
+    }
+    println(s"[audit] done: $nOff queries flagged")
+    spark.stop()
+  }
+}

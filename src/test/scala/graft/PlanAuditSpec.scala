@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry physical-plan audit (ScaleTest-tagged: plans every
+  * query, which trains the eager MLlib models — minutes, not part of
+  * the default suite; run with `set Test/testOptions := Seq()`).
+  *
+  * Detector: a `windowspecdefinition` whose first argument is already
+  * a sort order has an empty PARTITION BY — the signature of a global
+  * single-task sort. Every query carrying one must appear below with
+  * the reason its global window input is BOUNDED (so the single task
+  * sees K, calendar-, domain- or catalog-sized rows, never the
+  * corpus). The r6/r7 fixes (rfm quartiles, quality curriculum,
+  * mann-whitney prefix) came from exactly this sweep — the pin keeps
+  * new corpus-sized global sorts from creeping in unnoticed.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private val GlobalWindowRe = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
+
+  /** K-bounded final ranking heads: the window's input is pre-limited
+    * (explicit limit or a rank-filter the optimizer turns into
+    * WindowGroupLimit), so the single task sorts ≤ top-N rows. */
+  private val HeadRank = Set(
+    "q_bm25_rank", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
+    "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
+    "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
+    "q_rec_coverage", "q_reorder_rate", "q_session_entropy", "q_session_paths",
+    "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
+    "q_window_ranks", "q_zipf_fit")
+
+  /** Calendar/time-bounded series: rows are days/months/hours of the
+    * observed span, bounded by the calendar however large the corpus. */
+  private val CalendarSeries = Set(
+    "q_burst_detect", "q_changepoint", "q_concurrency_peak", "q_mom_growth",
+    "q_rolling_corr", "q_seasonal_decompose", "q_survival_km", "q_stream_late")
+
+  /** The tiny coarse-totals prefix of the two-level rank machinery
+    * (≤ a few thousand coarse cells by construction). */
+  private val CoarsePrefix = Set(
+    "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini")
+
+  /** Catalog/graph-node-bounded ranks (items, not interactions): the
+    * documented broadcast-ceiling policy treats the item catalog as
+    * dimension-sized. */
+  private val CatalogGraph = Set(
+    "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
+    "q_shortest_paths", "q_simrank", "q_negative_sample")
+
+  /** Model-/reference-bounded tables: BPE merge rounds, the curated
+    * quantile reference source, skyline survivors, bootstrap's B
+    * replicate rows. */
+  private val BoundedModel = Set(
+    "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci")
+
+  private val Allow =
+    HeadRank ++ CalendarSeries ++ CoarsePrefix ++ CatalogGraph ++ BoundedModel
+
+  test("every global (unpartitioned) window sits on a documented bounded input",
+      ScaleTest) {
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val p = q(spark, sfTest).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      if (GlobalWindowRe.findFirstIn(p).isDefined) Some(name) else None
+    }.toSet
+    val undocumented = flagged -- Allow
+    assert(undocumented.isEmpty,
+      s"queries with a NEW global window — audit their input bound and either " +
+        s"repartition the plan or add them to the allowlist with a reason: " +
+        undocumented.toSeq.sorted.mkString(", "))
+    val stale = Allow -- flagged
+    assert(stale.isEmpty,
+      s"allowlist entries whose global window is gone — prune them: " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+}

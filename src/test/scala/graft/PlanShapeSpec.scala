@@ -22,6 +22,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** A windowspecdefinition whose FIRST argument is already a sort
+    * order has an empty PARTITION BY — the textual signature of a
+    * global single-task sort in formatted explain output. */
+  private val GlobalWindowRe = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
+
   test("revenue_by_nation: lineitem scan is column-pruned and dims broadcast") {
     val p = plan(operators.Relational.revenueByNation(planSession, sfTest))
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
@@ -523,10 +528,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // prefix windows + broadcast offsets (quartileScore), so the plan
     // must never serialize the customer base.
     val p = plan(operators.Relational.rfmSegments(planSession, sfTest))
-    assert(!p.contains("Exchange SinglePartition"),
-      "quartile scoring must not funnel all customers through one task")
+    // NOTE: formatted mode prints exchanges as "Exchange" + an
+    // "Arguments: SinglePartition" detail line — the old substring
+    // "Exchange SinglePartition" never matched, so the real detector
+    // is the empty-PARTITION-BY window spec (a global sort's signature)
+    assert(GlobalWindowRe.findFirstIn(p).isEmpty,
+      "quartile scoring must not run any global (unpartitioned) window")
     assert(!p.contains("ntile"),
       "scores must come from the closed-form rank bucket, not a global ntile window")
+    assert(p.contains("windowspecdefinition(__coarse#") || p.contains("windowspecdefinition(__k#"),
+      "prefix/tie windows must be partitioned")
+  }
+
+  test("quality curriculum: exact-rank buckets, no global ntile window") {
+    // the last corpus-sized global ntile (after r6's rfm fix): bucket
+    // assignment now rides the same two-level quartileScore machinery
+    val p = plan(operators.TextAnalysis.qualityCurriculum(planSession, sfTest))
+    assert(GlobalWindowRe.findFirstIn(p).isEmpty,
+      "curriculum bucketing must not run any global (unpartitioned) window")
+    assert(!p.contains("ntile"))
     assert(p.contains("windowspecdefinition(__coarse#") || p.contains("windowspecdefinition(__k#"),
       "prefix/tie windows must be partitioned")
   }
