@@ -354,7 +354,12 @@ object TextAnalysis {
     * oracle's ntile.
     */
   def qualityCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    // quartileScore references its input ~4 times (value aggregate,
+    // rank join, tie window); the bigram-LM scoring upstream is the
+    // expensive part, so sever it once instead of recomputing per
+    // reference (5.0 s → sub-second at sf0.1)
     val q0 = docBigramLl(spark, sfDir).withColumn("rll", round(col("ll"), 6))
+      .localCheckpoint()
     val nDf = q0.agg(count(lit(1)).as("__n"))
     val prepared = q0.crossJoin(broadcast(nDf))
       .withColumn("__q", expr(s"__n DIV $CurriculumBuckets"))
