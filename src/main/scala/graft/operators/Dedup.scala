@@ -102,7 +102,7 @@ object Dedup {
         .distinct()
     }
 
-  private val shinglesSql: String =
+  private[graft] val shinglesSql: String =
     s"""toks AS (
        |  SELECT doc_id, string_split($normDuck, ' ') AS t FROM documents
        |), sh AS (

@@ -1053,7 +1053,82 @@ object PipelineOps {
        |ORDER BY level, c_nationkey""".stripMargin
   }
 
+  /** Seed for the document-level split in the leakage audit. */
+  val DocSplitSeed = "docsplit42"
+
+  /** Near-dup SPLIT-LEAKAGE audit — the eval-hygiene closure over the
+    * dedup tiers: assign every document to train/val/test by the same
+    * stable md5 hash [[groupSplit]] uses (doc-level here), then class
+    * every n-gram-Jaccard near-dup pair (≥ [[Dedup.JaccardThreshold]],
+    * the exact pairs q_dedup_ngram_jaccard emits) by the UNORDERED
+    * split pair it straddles. A `train|test` or `train|val` row with
+    * n_pairs > 0 is measured evaluation contamination: the model will
+    * train on a near-copy of an eval document — the leak a row-level
+    * random split makes almost surely and a hash split makes visible.
+    * Complements q_contamination (benchmark n-gram overlap) and
+    * q_group_split (user-grouped event split): this one audits the
+    * DOCUMENT corpus against its own near-duplicate structure.
+    *
+    * Scale shape: pairs come from the memoized stop-listed pair
+    * aggregate (banding infrastructure, never O(n²)); the split is one
+    * map-side hash per endpoint; the rollup is ≤6 rows. Nothing new
+    * shuffles except the final tiny aggregate.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.pairScores(spark, sfDir)
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= Dedup.JaccardThreshold)
+    val withSplits = pairs
+      .withColumn("sa", splitName(h32(DocSplitSeed, "doc_a")))
+      .withColumn("sb", splitName(h32(DocSplitSeed, "doc_b")))
+      .withColumn("split_a", least(col("sa"), col("sb")))
+      .withColumn("split_b", greatest(col("sa"), col("sb")))
+    withSplits.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg("jaccard"), 6).as("avg_jaccard"))
+      .withColumn("is_leak", (col("split_a") =!= col("split_b")).cast("int"))
+      .select("split_a", "split_b", "n_pairs", "avg_jaccard", "is_leak")
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String = {
+    def splitCase(c: String): String =
+      s"""CASE WHEN ('0x' || substr(md5('$DocSplitSeed:' || $c::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+         |       WHEN ('0x' || substr(md5('$DocSplitSeed:' || $c::VARCHAR), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""WITH ${Dedup.shinglesSql}, sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), keep AS (
+       |  SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.HotShingleDf}
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  JOIN keep k ON k.s = x.s
+       |  GROUP BY 1, 2
+       |), jp AS (
+       |  SELECT doc_a, doc_b,
+       |    round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE round(inter / (na.ns + nb.ns - inter), 6) >= ${Dedup.JaccardThreshold}
+       |), sp AS (
+       |  SELECT doc_a, doc_b, jaccard,
+       |    least(${splitCase("doc_a")}, ${splitCase("doc_b")}) AS split_a,
+       |    greatest(${splitCase("doc_a")}, ${splitCase("doc_b")}) AS split_b
+       |  FROM jp
+       |)
+       |SELECT split_a, split_b, count(*) AS n_pairs,
+       |  round(avg(jaccard), 6) AS avg_jaccard,
+       |  (CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::INTEGER AS is_leak
+       |FROM sp
+       |GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_split_leakage"       -> (splitLeakage _),
     "q_zorder_layout"       -> (zorderLayout _),
     "q_k_anonymity"         -> (kAnonymity _),
     "q_dedup_clusters"      -> (dedupClusters _),
@@ -1074,6 +1149,7 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_split_leakage"       -> splitLeakageSql,
     "q_zorder_layout"       -> zorderLayoutSql,
     "q_k_anonymity"         -> kAnonymitySql,
     "q_dedup_clusters"      -> dedupClustersSql,

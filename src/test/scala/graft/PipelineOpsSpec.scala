@@ -288,6 +288,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(byName("train") > byName("val") && byName("train") > byName("test"))
   }
 
+  test("split leakage: classes partition the near-dup pair set, splits recomputed locally") {
+    val P = operators.PipelineOps
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(doc: Long): String = {
+      val h = java.lang.Long.parseLong(md5hex(s"${P.DocSplitSeed}:$doc").take(8), 16)
+      val m = h % 10
+      if (m < 8) "train" else if (m == 8) "val" else "test"
+    }
+    // the pair universe IS q_dedup_ngram_jaccard's output (already
+    // locally verified elsewhere); here we re-class every pair with a
+    // driver-side md5 and demand the audit's rollup matches exactly
+    val pairs = operators.Dedup.ngramJaccard(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.nonEmpty)
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum / g.length) }
+    val got = P.splitLeakage(spark, sfTest).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, avg) = expected((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_pairs") === n)
+      assert(math.abs(r.getAs[Double]("avg_jaccard") - avg) < 1e-6)
+      assert(r.getAs[Int]("is_leak") === (if (r.getString(0) == r.getString(1)) 0 else 1))
+    }
+    assert(got.map(_.getAs[Long]("n_pairs")).sum === pairs.length.toLong)
+  }
+
   test("merge upsert: action counts reconcile exactly with the synthesized batch rules") {
     val rows = operators.PipelineOps.mergeUpsert(spark, sfTest).collect()
     val byAction = rows.groupBy(_.getAs[String]("action"))
