@@ -153,6 +153,36 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(res.passed, s"mmr-equivalence: $res")
   }
 
+  test("quartileScore equals Spark's own ntile on random tied multisets") {
+    // the distributed exact-rank machinery behind q_rfm_segments and
+    // q_quality_curriculum: coarse buckets + closed-form ntile must be
+    // row-for-row identical to a real global ntile window, including
+    // negative keys, heavy ties, and n % B boundary groups
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      keys <- Gen.listOfN(n, Gen.chooseNum(-5L, 5L)) // heavy ties, negatives
+      b <- Gen.chooseNum(2, 7)
+    } yield (keys, b)
+    val p = Prop.forAll(gen) { case (keys: List[Long], b: Int) =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("key", "o_custkey")
+      val n = keys.length.toLong
+      val prepared = df.withColumn("__q", lit(n / b)).withColumn("__rem", lit(n % b))
+      val got = operators.Relational.quartileScore(prepared, col("key"), "score")
+        .select("o_custkey", "score").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val exp = df.withColumn("score",
+          ntile(b).over(Window.orderBy(col("key").asc, col("o_custkey").asc)))
+        .select("o_custkey", "score").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == exp
+    }
+    check("quartile-ntile-parity", p)
+  }
+
   test("gini tie-group closed form equals the naive sorted-rank form on 200 random multisets") {
     // the algebra Stats.revenueGini distributes: a tie group of value v
     // spanning ranks lo..hi contributes v·(lo+hi)·cnt to 2S
