@@ -19,16 +19,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   private val GlobalWindowRe = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
 
-  /** K-bounded final ranking heads: the window's input is pre-limited
-    * (explicit limit or a rank-filter the optimizer turns into
-    * WindowGroupLimit), so the single task sorts ≤ top-N rows. */
+  /** K-bounded final ranking heads: the optimizer pushes the bounded
+    * head UNDER the global window (LimitPushDownThroughWindow →
+    * TakeOrderedAndProject, or a WindowGroupLimit), so the single
+    * task sorts ≤ top-N rows — and the audit below asserts that
+    * mechanism is actually present in each of these plans, not just
+    * claimed. */
   private val HeadRank = Set(
     "q_bm25_rank", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
-    "q_rec_coverage", "q_reorder_rate", "q_session_entropy", "q_session_paths",
+    "q_reorder_rate", "q_session_entropy", "q_session_paths",
     "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
-    "q_window_ranks", "q_zipf_fit")
+    "q_zipf_fit")
 
   /** Calendar/time-bounded series: rows are days/months/hours of the
     * observed span, bounded by the calendar however large the corpus. */
@@ -43,26 +46,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   /** Catalog/graph-node-bounded ranks (items, not interactions): the
     * documented broadcast-ceiling policy treats the item catalog as
-    * dimension-sized. */
+    * dimension-sized. rec_coverage's Gini ranks the full catalog's
+    * exposure counts by the same argument. */
   private val CatalogGraph = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
-    "q_shortest_paths", "q_simrank", "q_negative_sample")
+    "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage")
 
-  /** Model-/reference-bounded tables: BPE merge rounds, the curated
-    * quantile reference source, skyline survivors, bootstrap's B
-    * replicate rows. */
+  /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
+    * curated quantile reference source, skyline survivors, bootstrap's
+    * B replicate rows, the 25-nation rank demo. */
   private val BoundedModel = Set(
-    "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci")
+    "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci",
+    "q_window_ranks")
 
   private val Allow =
     HeadRank ++ CalendarSeries ++ CoarsePrefix ++ CatalogGraph ++ BoundedModel
 
   test("every global (unpartitioned) window sits on a documented bounded input",
       ScaleTest) {
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val p = q(spark, sfTest).queryExecution.explainString(
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> q(spark, sfTest).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      if (GlobalWindowRe.findFirstIn(p).isDefined) Some(name) else None
+    }.toMap
+    val flagged = plans.collect {
+      case (name, p) if GlobalWindowRe.findFirstIn(p).isDefined => name
     }.toSet
     val undocumented = flagged -- Allow
     assert(undocumented.isEmpty,
@@ -73,5 +80,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(stale.isEmpty,
       s"allowlist entries whose global window is gone — prune them: " +
         stale.toSeq.sorted.mkString(", "))
+    // HeadRank is not taken on faith: the optimizer must actually have
+    // pushed a bounded head under each global window
+    val unbounded = HeadRank.filter { name =>
+      val p = plans(name)
+      !p.contains("TakeOrderedAndProject") && !p.contains("WindowGroupLimit")
+    }
+    assert(unbounded.isEmpty,
+      s"HeadRank entries whose plan lacks the bounding head operator " +
+        s"(TakeOrderedAndProject/WindowGroupLimit): " +
+        unbounded.toSeq.sorted.mkString(", "))
   }
 }
