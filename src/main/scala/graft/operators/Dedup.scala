@@ -953,7 +953,18 @@ object Dedup {
   /** Frame-parameterized core of [[sortedNeighborhood]] over a
     * `p_name` column (exposed so the spec can plant a pair only the
     * reversed-key pass can find). */
-  private[graft] def sortedNeighborhoodOf(names: DataFrame): DataFrame = {
+  private[graft] def sortedNeighborhoodOf(names: DataFrame): DataFrame =
+    snCandidatesOf(names)
+      .where(col("dist").between(1, SnMaxEdit))
+      .select("name_a", "name_b", "n_passes", "dist")
+      .orderBy("name_a", "name_b")
+
+  /** The UNVERIFIED two-pass candidate set (every pair either sort
+    * order put within the window, with pass count and edit distance,
+    * no match filter) — shared by the edit-distance verify above and
+    * the Fellegi–Sunter linkage scorer, which needs the non-matches
+    * too (they estimate its u-probabilities). */
+  private[graft] def snCandidatesOf(names: DataFrame): DataFrame = {
     val keyed = names
       .select(col("p_name"), explode(array(
         struct(lit(1).as("pass"), col("p_name").as("k")),
@@ -973,9 +984,6 @@ object Dedup {
       .groupBy("name_a", "name_b")
       .agg(count(lit(1)).cast("int").as("n_passes"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist").between(1, SnMaxEdit))
-      .select("name_a", "name_b", "n_passes", "dist")
-      .orderBy("name_a", "name_b")
   }
 
   val sortedNeighborhoodSql: String = {
@@ -1004,6 +1012,110 @@ object Dedup {
        |FROM uni
        |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND $SnMaxEdit
        |ORDER BY name_a, name_b""".stripMargin
+  }
+
+  /** m-probability (P(field agrees | true match)) for every linkage
+    * field — the classic 0.9 default; a production deployment learns
+    * these by EM over labeled pairs. Kept as two EXACT decimal
+    * constants so both engines parse the identical double. */
+  val RlM = 0.9
+  val RlM1 = 0.1
+  /** Pairs reported by the linkage scorer. */
+  val RlTop = 50
+
+  /** Probabilistic record linkage (Fellegi & Sunter 1969) over the
+    * two-pass sorted-neighborhood candidate set — the SCORING layer
+    * above the blocking tiers: each candidate pair gets an agreement
+    * vector (edit distance within [[SnMaxEdit]]; same first token;
+    * length within 2), and a log-likelihood match weight
+    * w = Σ_k a_k·log₂(m/u_k) + (1−a_k)·log₂((1−m)/(1−u_k)).
+    * m is the standard 0.9 prior; each field's u-probability
+    * (P(agree | non-match)) is estimated from the candidate set
+    * itself — candidate pairs are overwhelmingly non-matches, the
+    * standard unlabeled approximation — with Laplace smoothing
+    * (Σa+1)/(n+2) so a field that always/never agrees cannot produce
+    * an infinite weight. Ranks the [[RlTop]] strongest pairs on the
+    * ROUNDED weight (house rule) with a name tie-break.
+    *
+    * Scale: candidates are the linear n·w·2 sorted-neighborhood set
+    * (never a pair cross-product); the u-estimates are one 1-row
+    * aggregate broadcast back; scoring is map-side; the head is a
+    * bounded rank. */
+  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = snCandidatesOf(Tables.part(spark, sfDir).select(col("p_name")).distinct())
+      .withColumn("a_edit", (col("dist") <= SnMaxEdit).cast("int"))
+      .withColumn("a_tok", (substring_index(col("name_a"), " ", 1) ===
+        substring_index(col("name_b"), " ", 1)).cast("int"))
+      .withColumn("a_len",
+        (abs(length(col("name_a")) - length(col("name_b"))) <= 2).cast("int"))
+    val u = cand.agg(count(lit(1)).as("n"),
+      sum("a_edit").as("se"), sum("a_tok").as("st"), sum("a_len").as("sl"))
+    def uOf(s: Column) = (s + 1.0) / (col("n") + 2.0)
+    def term(a: Column, s: Column) =
+      when(a === 1, log2(lit(RlM) / uOf(s)))
+        .otherwise(log2(lit(RlM1) / (lit(1.0) - uOf(s))))
+    val scored = cand.crossJoin(broadcast(u))
+      .withColumn("weight", round(
+        term(col("a_edit"), col("se")) + term(col("a_tok"), col("st")) +
+          term(col("a_len"), col("sl")), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight").desc, col("name_a").asc, col("name_b").asc)))
+      .where(col("rk") <= RlTop)
+      .select("rk", "name_a", "name_b", "n_passes", "dist",
+              "a_edit", "a_tok", "a_len", "weight")
+      .orderBy("rk")
+  }
+
+  val recordLinkageSql: String = {
+    val leads = (1 to SnWindow).map { k =>
+      s"""SELECT pass, p_name AS x,
+         |    lead(p_name, $k) OVER (PARTITION BY pass, blk ORDER BY k) AS y
+         |  FROM keyed""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    def uOf(s: String) = s"(($s + 1.0) / (n + 2.0))"
+    def term(a: String, s: String) =
+      s"(CASE WHEN $a = 1 THEN log2($RlM / ${uOf(s)}) " +
+        s"ELSE log2($RlM1 / (1.0 - ${uOf(s)})) END)"
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name FROM part
+       |), keyed AS (
+       |  SELECT p_name, pass,
+       |    CASE WHEN pass = 1 THEN p_name ELSE reverse(p_name) END AS k,
+       |    substr(CASE WHEN pass = 1 THEN p_name ELSE reverse(p_name) END, 1, 1) AS blk
+       |  FROM names, (VALUES (1), (2)) AS t(pass)
+       |), leads AS (
+       |  $leads
+       |), cand0 AS (
+       |  SELECT DISTINCT pass, least(x, y) AS name_a, greatest(x, y) AS name_b
+       |  FROM leads WHERE y IS NOT NULL
+       |), uni AS (
+       |  SELECT name_a, name_b, count(*)::INTEGER AS n_passes FROM cand0 GROUP BY 1, 2
+       |), c AS (
+       |  SELECT name_a, name_b, n_passes,
+       |    levenshtein(name_a, name_b)::INTEGER AS dist,
+       |    CASE WHEN levenshtein(name_a, name_b) <= $SnMaxEdit THEN 1 ELSE 0 END AS a_edit,
+       |    CASE WHEN string_split(name_a, ' ')[1] = string_split(name_b, ' ')[1]
+       |         THEN 1 ELSE 0 END AS a_tok,
+       |    CASE WHEN abs(length(name_a) - length(name_b)) <= 2 THEN 1 ELSE 0 END AS a_len
+       |  FROM uni
+       |), u AS (
+       |  SELECT count(*) AS n, sum(a_edit) AS se, sum(a_tok) AS st, sum(a_len) AS sl
+       |  FROM c
+       |), s AS (
+       |  SELECT c.name_a, c.name_b, c.n_passes, c.dist,
+       |    c.a_edit::INTEGER AS a_edit, c.a_tok::INTEGER AS a_tok,
+       |    c.a_len::INTEGER AS a_len,
+       |    round(${term("a_edit", "se")} + ${term("a_tok", "st")}
+       |          + ${term("a_len", "sl")}, 4) AS weight
+       |  FROM c CROSS JOIN u
+       |)
+       |SELECT rk, name_a, name_b, n_passes, dist, a_edit, a_tok, a_len, weight FROM (
+       |  SELECT *, row_number() OVER (ORDER BY weight DESC, name_a ASC, name_b ASC) AS rk
+       |  FROM s
+       |) WHERE rk <= $RlTop
+       |ORDER BY rk""".stripMargin
   }
 
   /** Rows reported by the novelty audit (most-derivative docs first). */
@@ -1147,6 +1259,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_jaccard_idf"       -> (jaccardIdf _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q_record_linkage"    -> (recordLinkage _),
     "q_ngram_novelty"     -> (ngramNovelty _),
     "q_containment"       -> (containment _),
     "q_fuzzy_names"       -> (fuzzyNames _),
@@ -1165,6 +1278,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q_jaccard_idf"       -> jaccardIdfSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "q_record_linkage"    -> recordLinkageSql,
     "q_ngram_novelty"     -> ngramNoveltySql,
     "q_containment"       -> containmentSql,
     "q_fuzzy_names"       -> fuzzyNamesSql,

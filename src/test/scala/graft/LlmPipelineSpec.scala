@@ -413,6 +413,40 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
   }
 
+  test("record linkage: weights recompute from candidate agreement rates; matches outrank") {
+    val D = operators.Dedup
+    val cands = D.snCandidatesOf(
+        Tables.part(spark, sfTest).select(col("p_name")).distinct())
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(cands.nonEmpty)
+    def agree(a: String, b: String, dist: Int): (Int, Int, Int) = (
+      if (dist <= D.SnMaxEdit) 1 else 0,
+      if (a.split(" ").head == b.split(" ").head) 1 else 0,
+      if (math.abs(a.length - b.length) <= 2) 1 else 0)
+    val vecs = cands.map { case (a, b, _, d) => agree(a, b, d) }
+    val n = vecs.length.toDouble
+    val (se, st, sl) = (vecs.map(_._1).sum, vecs.map(_._2).sum, vecs.map(_._3).sum)
+    def u(s: Int) = (s + 1.0) / (n + 2.0)
+    def term(a: Int, s: Int) =
+      if (a == 1) math.log(D.RlM / u(s)) / math.log(2.0)
+      else math.log(D.RlM1 / (1.0 - u(s))) / math.log(2.0)
+    val expected = cands.map { case (a, b, np, d) =>
+      val (ae, at, al) = agree(a, b, d)
+      val w = term(ae, se) + term(at, st) + term(al, sl)
+      (a, b, np, d, ae, at, al, math.rint(w * 1e4) / 1e4)
+    }.sortBy { case (a, b, _, _, _, _, _, w) => (-w, a, b) }.take(D.RlTop)
+      .zipWithIndex.map { case (t, i) => (i + 1) +: t.productIterator.toSeq }
+    val got = D.recordLinkage(spark, sfTest).collect()
+      .map(r => Seq(r.getInt(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getDouble(8)))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g === e.toSeq) }
+    // an all-agreeing pair must outweigh an all-disagreeing one
+    val top = got.head; val a1 = (top(5), top(6), top(7))
+    assert(a1._1 == 1, "the strongest pair should agree on the edit field")
+  }
+
   test("sorted neighborhood pass 2 finds a first-letter typo pass 1 cannot") {
     import spark.implicits._
     val D = operators.Dedup

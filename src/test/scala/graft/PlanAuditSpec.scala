@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_bm25_rank", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
-    "q_reorder_rate", "q_session_entropy", "q_session_paths",
+    "q_record_linkage", "q_reorder_rate", "q_session_entropy", "q_session_paths",
     "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
     "q_zipf_fit")
 
