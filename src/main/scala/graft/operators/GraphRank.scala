@@ -130,12 +130,14 @@ object GraphRank {
     copurchaseNodes(spark, sfDir).count()
   }
 
-  private[graft] def itemPagerank(spark: SparkSession, sfDir: String,
-                                  bcastCeiling: Long): DataFrame = {
-    val ew = copurchaseEw(spark, sfDir)
-    val nodes = copurchaseNodes(spark, sfDir)
-    val nV = nodes.count() // one tiny driver-side count to fix the base rank
-    require(nV > 0, "itemPagerank: empty co-purchase graph")
+  /** The iterated integer PageRank recurrence over ANY (src, dst, w,
+    * ow) edge frame + node frame — extracted so the scale spec can
+    * drive it with a synthetic multi-million-edge graph on both sides
+    * of the broadcast ceiling (the fixture's sparsified graph is
+    * catalog-sized). Returns the final (item, rank) vector. */
+  private[graft] def pagerankOf(ew: DataFrame, nodes: DataFrame,
+                                nV: Long, bcastCeiling: Long): DataFrame = {
+    require(nV > 0, "pagerankOf: empty graph")
     val base = TotalUnits / nV
     // catalog-sized node set → broadcast the rank vector into the
     // per-round edge join; web-scale node set → the same recurrence
@@ -151,6 +153,13 @@ object GraphRank {
         .localCheckpoint() // rank vector is |items| rows; truncate lineage per round
     }
     ranks
+  }
+
+  private[graft] def itemPagerank(spark: SparkSession, sfDir: String,
+                                  bcastCeiling: Long): DataFrame = {
+    val nodes = copurchaseNodes(spark, sfDir)
+    val nV = nodes.count() // one tiny driver-side count to fix the base rank
+    pagerankOf(copurchaseEw(spark, sfDir), nodes, nV, bcastCeiling)
       .withColumn("rk", row_number().over(Window.orderBy(col("rank").desc, col("item").asc)))
       .where(col("rk") <= TopOut)
       .select(col("rk"), col("item").as("item_id"), col("rank").as("rank_units"))
