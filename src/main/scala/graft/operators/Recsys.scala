@@ -94,14 +94,14 @@ object Recsys {
     */
   private val PackBase = graft.functions.PairPack.Base
 
-  private[operators] def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
+  private[graft] def pairsWithin(df: DataFrame, key: String, elem: String): DataFrame =
     df.groupBy(key)
       .agg(sort_array(collect_list(col(elem))).as("es"))
       .select(col(key),
         explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"))
 
   /** Split a packed pair column into its (a, b) halves. */
-  private[operators] def unpack(df: DataFrame, aName: String, bName: String): DataFrame =
+  private[graft] def unpack(df: DataFrame, aName: String, bName: String): DataFrame =
     df.withColumn(aName, shiftright(col("pk"), 32))
       .withColumn(bName, col("pk").bitwiseAND(PackBase - 1L))
       .drop("pk")
