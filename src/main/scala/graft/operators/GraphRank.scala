@@ -1112,7 +1112,202 @@ object GraphRank {
        |ORDER BY rk""".stripMargin
   }
 
+  /** HITS fixed-point rounds (each = one auth half-step + one hub
+    * half-step, both renormalized; unrolled identically in the
+    * oracle). 3 rounds separate the authority head clearly on graphs
+    * this shape; more rounds only sharpen an already-stable ranking. */
+  val HitsRounds = 3
+  /** HITS score scale (1e4 fixed-point). Kept deliberately smaller
+    * than [[TotalUnits]]: the renorm product a·HitsScale is bounded by
+    * |U|·HitsScale² — int64-safe to ~10¹⁰ users at 1e4 (1e6 would cap
+    * at ~10⁶ users). Resolution 1e-4 is ample for a top-20 ranking;
+    * ties break on item id either way. */
+  val HitsScale = 10000L
+  /** Rows emitted: top items by final authority. */
+  val HitsTop = 20
+
+  /** Kleinberg HITS hubs/authorities on the USER→ITEM bipartite
+    * interaction graph: auth(i) = Σ_{u→i} hub(u), hub(u) = Σ_{u→i}
+    * auth(i), each half-step renormalized to [[HitsScale]] by the
+    * current max (integer floor-div — the fixed-point analogue of the
+    * usual L∞ normalization, same move as [[Training]]'s power
+    * iteration). Complements [[salsa]]: SALSA divides by degrees
+    * (random-walk stationarity), HITS is the unnormalized mutual
+    * reinforcement, so high-degree hubs dominate — the classic
+    * "authoritative item" score. All arithmetic is BIGINT, so every
+    * engine computes bit-identical scores.
+    *
+    * Scale shape: each half-step is ONE aggregate over the capped edge
+    * list (≤ MaxHistory rows/user) with the opposite score vector
+    * joined in — broadcast below [[BroadcastNodeCeiling]], shuffled
+    * equi-join above (decided once from driver-side |U|/|I| counts);
+    * the renorm max is a 1-row broadcast. localCheckpoint truncates
+    * per-round lineage exactly as [[pagerankOf]].
+    */
+  def hits(spark: SparkSession, sfDir: String): DataFrame =
+    hits(spark, sfDir, BroadcastNodeCeiling)
+
+  private[graft] def hits(spark: SparkSession, sfDir: String,
+                          bcastCeiling: Long): DataFrame = {
+    val e = Recsys.cappedInteractions(spark, sfDir).select("user_id", "item_id")
+    val users = e.select("user_id").distinct()
+    val items = e.select("item_id").distinct()
+    val fitsBroadcast = math.max(users.count(), items.count()) <= bcastCeiling
+    def maybe(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
+    def renorm(raw0: DataFrame, key: String, v: String): DataFrame = {
+      // checkpoint the raw vector once: it feeds both the 1-row max
+      // and the renormed projection (and truncates per-round lineage)
+      val raw = raw0.localCheckpoint()
+      raw.crossJoin(broadcast(raw.agg(max(col(v)).as("mx"))))
+        .select(col(key), expr(s"($v * ${HitsScale}L) div mx").as(v))
+    }
+    var hub = users.withColumn("h", lit(HitsScale))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      auth = renorm(
+        e.join(maybe(hub), "user_id").groupBy("item_id").agg(sum("h").as("a")),
+        "item_id", "a")
+      hub = renorm(
+        e.join(maybe(auth), "item_id").groupBy("user_id").agg(sum("a").as("h")),
+        "user_id", "h")
+    }
+    auth
+      .withColumn("rk", row_number().over(Window.orderBy(col("a").desc, col("item_id").asc)))
+      .where(col("rk") <= HitsTop)
+      .select(col("rk"), col("item_id"), col("a").as("auth_units"),
+        round(col("a") / HitsScale.toDouble, 6).as("authority"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: the identical renormalized recurrence unrolled (a1..aR /
+    * h1..hR chained CTEs; `//` = BIGINT floor-div = Spark's `div`). */
+  val hitsSql: String = {
+    val rounds = (1 to HitsRounds).map { k =>
+      s"""a${k}r AS (
+         |  SELECT item_id, sum(h)::BIGINT AS a
+         |  FROM e JOIN h${k - 1} USING (user_id) GROUP BY item_id
+         |), a$k AS (
+         |  SELECT item_id, ((a * $HitsScale) // (SELECT max(a) FROM a${k}r))::BIGINT AS a
+         |  FROM a${k}r
+         |), h${k}r AS (
+         |  SELECT user_id, sum(a)::BIGINT AS h
+         |  FROM e JOIN a$k USING (item_id) GROUP BY user_id
+         |), h$k AS (
+         |  SELECT user_id, ((h * $HitsScale) // (SELECT max(h) FROM h${k}r))::BIGINT AS h
+         |  FROM h${k}r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, e AS MATERIALIZED (
+       |  SELECT user_id, item_id FROM capped
+       |), h0 AS (
+       |  SELECT DISTINCT user_id, ${HitsScale}::BIGINT AS h FROM e
+       |), $rounds
+       |SELECT rk, item_id, a AS auth_units,
+       |  round(a / $HitsScale.0, 6) AS authority
+       |FROM (
+       |  SELECT item_id, a,
+       |    row_number() OVER (ORDER BY a DESC, item_id ASC) AS rk
+       |  FROM a$HitsRounds
+       |) WHERE rk <= $HitsTop
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** Peel rounds for the k-core (unrolled identically in the oracle).
+    * A fixed-round peel is the oracle-portable form of the fixpoint;
+    * GraphRankSpec proves one extra round changes nothing on the
+    * fixture, so the output IS the true k-core there. At genuinely
+    * larger diameters more rounds = more chained aggregates, same
+    * per-round cost. */
+  val KcoreRounds = 6
+  /** Core threshold: nodes must keep ≥ this many surviving neighbors. */
+  val KcoreK = 3
+  /** Rows emitted: top core members by within-core degree. */
+  val KcoreTop = 50
+
+  /** k-core decomposition (membership at k = [[KcoreK]]) of the
+    * EdgeMinCo-sparsified co-purchase graph: repeatedly drop nodes
+    * with current degree < k and restrict edges to surviving
+    * endpoints — the standard "dense nucleus" extraction that strips
+    * the long tail before community/embedding work. Run for
+    * [[KcoreRounds]] fixed peel rounds (deterministic; the fixture
+    * reaches the fixpoint well inside them — spec-pinned). Output:
+    * top [[KcoreTop]] core members by (within-core degree desc, item
+    * asc).
+    *
+    * Scale shape: per round ONE degree aggregate over the surviving
+    * edge list plus two semi-restrictions against the |V|-sized
+    * survivor set (broadcast under [[BroadcastNodeCeiling]], shuffled
+    * equi-joins above — bucketed by endpoint on a real cluster). The
+    * edge list only shrinks; localCheckpoint truncates per-round
+    * lineage.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcore(spark, sfDir, BroadcastNodeCeiling)
+
+  private[graft] def kcore(spark: SparkSession, sfDir: String,
+                           bcastCeiling: Long): DataFrame = {
+    val half = sparsifiedHalfEdges(spark, sfDir)
+    val m = half.select(col("item_i").as("a"), col("item_j").as("b"))
+      .unionByName(half.select(col("item_j").as("a"), col("item_i").as("b")))
+    val fitsBroadcast =
+      m.select("a").distinct().count() <= bcastCeiling
+    val out = kcoreOf(m, KcoreK, KcoreRounds, fitsBroadcast)
+    out
+      .withColumn("rk", row_number().over(Window.orderBy(col("d").desc, col("a").asc)))
+      .where(col("rk") <= KcoreTop)
+      .select(col("rk"), col("a").as("item_id"), col("d").as("core_deg"))
+      .orderBy("rk")
+  }
+
+  /** The fixed-round peel over ANY mirrored (a, b) edge frame —
+    * extracted so the fixpoint spec can drive it at rounds and
+    * rounds+1. Returns surviving (a, d) degrees. */
+  private[graft] def kcoreOf(m: DataFrame, k: Int, rounds: Int,
+                             fitsBroadcast: Boolean): DataFrame = {
+    def maybe(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
+    var edges = m.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val surv = edges.groupBy("a").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("a")
+      edges = edges.join(maybe(surv), "a")
+        .join(maybe(surv.withColumnRenamed("a", "b")), "b")
+        .select("a", "b")
+        .localCheckpoint() // edge list shrinks monotonically per round
+    }
+    edges.groupBy("a").agg(count(lit(1)).as("d"))
+  }
+
+  /** Oracle: identical peel unrolled (s1/e1..sR/eR chained CTEs). */
+  val kcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { k =>
+      s"""s$k AS (
+         |  SELECT a FROM e${k - 1} GROUP BY a HAVING count(*) >= $KcoreK
+         |), e$k AS (
+         |  SELECT e.a, e.b FROM e${k - 1} e
+         |  JOIN s$k x ON x.a = e.a JOIN s$k y ON y.a = e.b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), e0 AS MATERIALIZED (
+       |  SELECT item_i AS a, item_j AS b FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS a, item_i AS b FROM pairs WHERE co >= $EdgeMinCo
+       |), $rounds
+       |SELECT rk, a AS item_id, d AS core_deg FROM (
+       |  SELECT a, d, row_number() OVER (ORDER BY d DESC, a ASC) AS rk
+       |  FROM (SELECT a, count(*)::BIGINT AS d FROM e$KcoreRounds GROUP BY a)
+       |) WHERE rk <= $KcoreTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hits"           -> (hits _),
+    "q_kcore"          -> (kcore _),
     "q_shortest_paths" -> (shortestPaths _),
     "q_rwr_proximity"  -> (rwrProximity _),
     "q_salsa"          -> (salsa _),
@@ -1127,6 +1322,8 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_hits"           -> hitsSql,
+    "q_kcore"          -> kcoreSql,
     "q_shortest_paths" -> shortestPathsSql,
     "q_rwr_proximity"  -> rwrProximitySql,
     "q_salsa"          -> salsaSql,

@@ -1310,7 +1310,13 @@ object Stats {
     * spec drives ~2000). Same role as [[HistCoarseWidth]]. */
   val MwCoarseWidth = 50.0
 
-  private[graft] def mannWhitneyOf(pairs: DataFrame): DataFrame = {
+  /** Shared rank-sum aggregate over (v, is_a) pairs: the coarse-bucket
+    * two-level average-rank prefix (see [[mannWhitney]]'s scaladoc)
+    * reduced to ONE row (n1, n2, r1, tie3) — r1 = Σ avg-ranks of
+    * group A. Feeds both the U test and [[evalAuc]] (AUC is exactly
+    * U1/(n1·n2), the probability a random positive outranks a random
+    * negative). */
+  private[graft] def rankSumAgg(pairs: DataFrame): DataFrame = {
     val g = pairs
       .groupBy(col("v"))
       .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
@@ -1323,15 +1329,17 @@ object Stats {
       .withColumn("off", coalesce(sum("tot").over(
         Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("coarse", "off")
-    val ranked = g
-      .withColumn("b_in", coalesce(sum(col("t")).over(wIn), lit(0L)))
+    g.withColumn("b_in", coalesce(sum(col("t")).over(wIn), lit(0L)))
       .join(broadcast(offs), "coarse")
       .withColumn("before", col("off") + col("b_in"))
       .withColumn("avg_rank", col("before") + (col("t") + 1.0) / 2.0)
-    ranked
       .agg(sum("na").as("n1"), sum("nb").as("n2"),
            sum(col("na") * col("avg_rank")).as("r1"),
            sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+  }
+
+  private[graft] def mannWhitneyOf(pairs: DataFrame): DataFrame = {
+    rankSumAgg(pairs)
       .select(col("n1"), col("n2"),
         (col("r1") - col("n1") * (col("n1") + 1) / 2.0).as("u1"),
         col("tie3"), (col("n1") + col("n2")).as("n"))
@@ -1372,6 +1380,82 @@ object Stats {
        |    sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))), 4) AS z,
        |  round(1.0 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial
        |FROM u""".stripMargin
+
+  /** Propensity-AUC split: behavior observed before this bound scores
+    * the user; the label window starts at [[AucLabelStart]] — the 4
+    * days between are an embargo gap (neither scored nor labeled),
+    * the same leakage discipline as [[PipelineOps.timeSplit]]. */
+  val AucObsEnd = "2024-01-24"
+  val AucLabelStart = "2024-01-28"
+
+  /** Ranking-model AUC without a model registry: score each user by
+    * observed click+view volume before [[AucObsEnd]], label by whether
+    * they purchase on/after [[AucLabelStart]], and compute ROC AUC =
+    * P(score_pos > score_neg) + ½P(tie) — which is EXACTLY the
+    * Mann-Whitney U₁/(n₁·n₂), so the query rides [[rankSumAgg]]'s
+    * coarse-bucket average-rank machinery unchanged (no global sort,
+    * no per-pair comparison — the rank-sum identity turns the n₁·n₂
+    * pair space into one aggregate). The propensity baseline "activity
+    * predicts conversion" is the eval every ranking team runs before
+    * trusting a learned score; Gini = 2·AUC−1 is its accompanying
+    * lift form. Ranks stay in exact .5 steps ⇒ U is exact; the two
+    * final divisions are rounded once each.
+    */
+  def evalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val scores = e
+      .where(col("event_type").isin("click", "view") &&
+        col("ts") < lit(AucObsEnd).cast("timestamp_ntz"))
+      .groupBy("user_id").agg(count(lit(1)).as("score"))
+    val pos = e
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
+      .select("user_id").distinct()
+    val pairs = scores.join(pos.withColumn("is_a", lit(true)), Seq("user_id"), "left")
+      .select(col("score").cast("double").as("v"),
+        coalesce(col("is_a"), lit(false)).as("is_a"))
+    rankSumAgg(pairs)
+      .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+        ((col("r1") - col("n1") * (col("n1") + 1) / 2.0) /
+          (col("n1") * col("n2"))).as("auc0"))
+      .select(col("n_pos"), col("n_neg"), round(col("auc0"), 6).as("auc"),
+        round(col("auc0") * 2.0 - 1.0, 6).as("gini"))
+  }
+
+  /** Oracle: group-by-score counts + the closed-form average-rank
+    * prefix (same shape as [[mannWhitneySql]]; the oracle's global
+    * ORDER BY window is fine at verify scale). */
+  val evalAucSql: String =
+    s"""WITH scores AS (
+       |  SELECT user_id, count(*)::BIGINT AS score
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view') AND ts::TIMESTAMP < TIMESTAMP '$AucObsEnd'
+       |  GROUP BY user_id
+       |), pos AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND ts::TIMESTAMP >= TIMESTAMP '$AucLabelStart'
+       |), lab AS (
+       |  SELECT s.score::DOUBLE AS v, (p.user_id IS NOT NULL) AS is_a
+       |  FROM scores s LEFT JOIN pos p ON p.user_id = s.user_id
+       |), g AS (
+       |  SELECT v,
+       |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS nb
+       |  FROM lab GROUP BY v
+       |), t AS (
+       |  SELECT v, na, nb, na + nb AS t,
+       |    coalesce(sum(na + nb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM g
+       |), agg AS (
+       |  SELECT sum(na)::BIGINT AS n1, sum(nb)::BIGINT AS n2,
+       |    sum(na * (before + (t + 1.0) / 2.0)) AS r1
+       |  FROM t
+       |)
+       |SELECT n1 AS n_pos, n2 AS n_neg,
+       |  round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS auc,
+       |  round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) * 2.0 - 1.0, 6) AS gini
+       |FROM agg""".stripMargin
 
   /** Coarse prefix-sum bucket width over per-customer revenue cents
     * (~$1000 buckets). Same role as [[HistCoarseWidth]]: shard the
@@ -1607,6 +1691,7 @@ object Stats {
     "q_revenue_gini"   -> (revenueGini _),
     "q_price_elasticity" -> (priceElasticity _),
     "q_mann_whitney"   -> (mannWhitney _),
+    "q_eval_auc"       -> (evalAuc _),
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
@@ -1636,6 +1721,7 @@ object Stats {
     "q_revenue_gini"   -> revenueGiniSql,
     "q_price_elasticity" -> priceElasticitySql,
     "q_mann_whitney"   -> mannWhitneySql,
+    "q_eval_auc"       -> evalAucSql,
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,

@@ -177,6 +177,82 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(a1.values.sum > total * 9 / 10, "floor loss must stay small")
   }
 
+  test("hits: renormalized fixed-point matches an exact local recomputation") {
+    val scale = operators.GraphRank.HitsScale
+    // replay the MaxHistory cap locally to get the exact bipartite edges
+    val inter = Tables.interactions(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val edges: Seq[(Long, Long)] = inter.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy { case (_, i, s) => (-s, i) }
+        .take(operators.Recsys.MaxHistory).map { case (_, i, _) => (u, i) }
+    }
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => v * scale / mx).toMap
+    }
+    var hub = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to operators.GraphRank.HitsRounds) {
+      auth = renorm(edges.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap)
+      hub = renorm(edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap)
+    }
+    val want = auth.toSeq.sortBy { case (id, a) => (-a, id) }
+      .take(operators.GraphRank.HitsTop)
+    val got = operators.GraphRank.hits(spark, sfTest).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (id, a)) =>
+      assert(r.getAs[Long]("item_id") == id && r.getAs[Long]("auth_units") == a,
+        s"rank ${r.getAs[Int]("rk")}: got (${r.getAs[Long]("item_id")}, " +
+          s"${r.getAs[Long]("auth_units")}), want ($id, $a)")
+    }
+    // renorm pins the max at exactly HitsScale every half-step
+    assert(got.head.getAs[Long]("auth_units") == scale)
+  }
+
+  test("hits shuffled-join branch (forced ceiling 0) is bit-identical to the broadcast branch") {
+    val bcast = operators.GraphRank.hits(spark, sfTest).collect()
+    val shuffled = operators.GraphRank.hits(spark, sfTest, 0L).collect()
+    assert(bcast.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
+      "integer fixed-point recurrence must not depend on the join strategy")
+  }
+
+  test("kcore: fixed rounds reach the fixpoint on the fixture (one more round is a no-op)") {
+    import org.apache.spark.sql.functions.col
+    val half = operators.GraphRank.sparsifiedHalfEdges(spark, sfTest)
+    val m = half.select(col("item_i").as("a"), col("item_j").as("b"))
+      .unionByName(half.select(col("item_j").as("a"), col("item_i").as("b")))
+    def run(rounds: Int) =
+      operators.GraphRank.kcoreOf(m, operators.GraphRank.KcoreK, rounds, fitsBroadcast = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val atRounds = run(operators.GraphRank.KcoreRounds)
+    assert(atRounds.nonEmpty, "fixture 3-core must not be empty")
+    assert(run(operators.GraphRank.KcoreRounds + 1) == atRounds,
+      "declared rounds must already be the peel fixpoint on the fixture")
+    // core invariant: every surviving node keeps >= k surviving neighbors
+    assert(atRounds.forall(_._2 >= operators.GraphRank.KcoreK))
+  }
+
+  test("kcore peels a planted tail but keeps the clique, fixpoint stable") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-5-6: the 3-core is exactly
+    // the clique (each member keeps 3 neighbors); the chain peels off
+    val halfEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val m = halfEdges.toDF("a", "b")
+      .unionByName(halfEdges.map(_.swap).toDF("a", "b"))
+    val out = operators.GraphRank.kcoreOf(m, k = 3, rounds = 4, fitsBroadcast = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // one more round changes nothing — the peel is at its fixpoint
+    val more = operators.GraphRank.kcoreOf(m, k = 3, rounds = 5, fitsBroadcast = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(more.toSeq == out.toSeq)
+    // and the shuffled branch agrees
+    val shuffled = operators.GraphRank.kcoreOf(m, k = 3, rounds = 4, fitsBroadcast = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
   test("salsa shuffled-join branch (forced ceiling 0) is bit-identical to the broadcast branch") {
     val bcast = operators.GraphRank.salsa(spark, sfTest).collect()
     val shuffled = operators.GraphRank.salsa(spark, sfTest, 0L).collect()

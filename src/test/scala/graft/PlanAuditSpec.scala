@@ -42,7 +42,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   /** The tiny coarse-totals prefix of the two-level rank machinery
     * (≤ a few thousand coarse cells by construction). */
   private val CoarsePrefix = Set(
-    "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini")
+    "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc")
 
   /** Catalog/graph-node-bounded ranks (items, not interactions): the
     * documented broadcast-ceiling policy treats the item catalog as
@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * exposure counts by the same argument. */
   private val CatalogGraph = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
-    "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage")
+    "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage",
+    "q_hits", "q_kcore")
 
   /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
     * curated quantile reference source, skyline survivors, bootstrap's

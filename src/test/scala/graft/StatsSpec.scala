@@ -578,6 +578,33 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getAs[Double]("rank_biserial") - (1 - 2 * u1 / (n1 * n2))) < 1e-5)
   }
 
+  test("eval auc: matches the brute-force pairwise P(pos > neg) + half-ties on the fixture") {
+    val S = operators.Stats
+    // replay the score/label construction locally
+    val ev = Tables.events(spark, sfTest)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp]("ts").toLocalDateTime))
+    val obsEnd = java.time.LocalDateTime.parse(S.AucObsEnd + "T00:00:00")
+    val labStart = java.time.LocalDateTime.parse(S.AucLabelStart + "T00:00:00")
+    val scores = ev.filter(e => (e._2 == "click" || e._2 == "view") && e._3.isBefore(obsEnd))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val posU = ev.filter(e => e._2 == "purchase" && !e._3.isBefore(labStart)).map(_._1).toSet
+    val pos = scores.filter { case (u, _) => posU(u) }.values.toSeq
+    val neg = scores.filter { case (u, _) => !posU(u) }.values.toSeq
+    // brute force over the n1*n2 pair space — the definition the
+    // rank-sum identity replaces
+    var wins = 0.0
+    for (p <- pos; n <- neg) wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val aucWant = wins / (pos.size.toLong * neg.size)
+    val row = S.evalAuc(spark, sfTest).head
+    assert(row.getAs[Long]("n_pos") == pos.size && row.getAs[Long]("n_neg") == neg.size)
+    assert(math.abs(row.getAs[Double]("auc") - aucWant) < 1e-6,
+      s"auc ${row.getAs[Double]("auc")} vs brute-force $aucWant")
+    assert(math.abs(row.getAs[Double]("gini") - (2 * aucWant - 1)) < 1e-5)
+    assert(row.getAs[Double]("auc") >= 0.0 && row.getAs[Double]("auc") <= 1.0)
+  }
+
   test("theil-sen: matches a local median-of-pairwise-slopes; robust to a spiked day") {
     val daily = Tables.events(spark, sfTest)
       .groupBy(to_date(col("ts")).as("day"))
