@@ -1053,6 +1053,79 @@ object PipelineOps {
        |ORDER BY level, c_nationkey""".stripMargin
   }
 
+  /** l-diversity floor: a quasi-identifier group whose records carry
+    * fewer than this many DISTINCT sensitive values is weak — every
+    * member is re-identifiable down to a near-certain sensitive value
+    * even when the group passes k-anonymity on size. */
+  val DiversityL = 3
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    * gate to [[kAnonymity]]: k-anonymity bounds group SIZE, but a
+    * size-k group whose records all share one sensitive value still
+    * leaks it (the homogeneity attack). Records here are ORDERS;
+    * quasi-identifiers are the owning customer's (nationkey,
+    * mktsegment, coarse balance bucket) — what a linker could know —
+    * and the sensitive attribute is o_orderpriority. Per nation:
+    * group count, weak groups (distinct sensitive < [[DiversityL]]),
+    * exposed records inside weak groups, the minimum diversity, and
+    * the exposed-record share.
+    *
+    * Scale shape: one orders⋈customer join (customer side is the
+    * dimension — broadcast/AQE), then two nested aggregates: records →
+    * (QI, sensitive) counts → QI groups with count(distinct) computed
+    * exactly from the already-distinct inner rows, then the per-nation
+    * rollup. No window, no quadratic structure.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / AnonCoarseWidth).as("bal_bucket"),
+        col("o_orderpriority").as("sens"))
+    recs
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket", "sens")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(sum("n").as("n_rec"), count(lit(1)).as("l"))
+      .groupBy("c_nationkey")
+      .agg(sum("n_rec").as("n_records"),
+           count(lit(1)).as("n_groups"),
+           sum((col("l") < DiversityL).cast("long")).as("n_weak_groups"),
+           sum(when(col("l") < DiversityL, col("n_rec")).otherwise(0L))
+             .as("n_exposed_records"),
+           min("l").as("min_l"))
+      .withColumn("exposed_share",
+        round(col("n_exposed_records") / col("n_records").cast("double"), 4))
+      .select("c_nationkey", "n_records", "n_groups", "n_weak_groups",
+              "n_exposed_records", "min_l", "exposed_share")
+      .orderBy("c_nationkey")
+  }
+
+  val lDiversitySql: String =
+    s"""WITH recs AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / $AnonCoarseWidth) AS bal_bucket,
+       |    o_orderpriority AS sens
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), gs AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket, sens, count(*) AS n
+       |  FROM recs GROUP BY 1, 2, 3, 4
+       |), grp AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+       |    sum(n)::BIGINT AS n_rec, count(*) AS l
+       |  FROM gs GROUP BY 1, 2, 3
+       |)
+       |SELECT c_nationkey, sum(n_rec)::BIGINT AS n_records,
+       |  count(*) AS n_groups,
+       |  sum(CASE WHEN l < $DiversityL THEN 1 ELSE 0 END)::BIGINT AS n_weak_groups,
+       |  sum(CASE WHEN l < $DiversityL THEN n_rec ELSE 0 END)::BIGINT AS n_exposed_records,
+       |  min(l) AS min_l,
+       |  round(sum(CASE WHEN l < $DiversityL THEN n_rec ELSE 0 END)
+       |    / sum(n_rec)::DOUBLE, 4) AS exposed_share
+       |FROM grp GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   /** Seed for the document-level split in the leakage audit. */
   val DocSplitSeed = "docsplit42"
 
@@ -1131,6 +1204,7 @@ object PipelineOps {
     "q_split_leakage"       -> (splitLeakage _),
     "q_zorder_layout"       -> (zorderLayout _),
     "q_k_anonymity"         -> (kAnonymity _),
+    "q_l_diversity"         -> (lDiversity _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
     "q_stratified_sample"   -> (stratifiedSample _),
@@ -1152,6 +1226,7 @@ object PipelineOps {
     "q_split_leakage"       -> splitLeakageSql,
     "q_zorder_layout"       -> zorderLayoutSql,
     "q_k_anonymity"         -> kAnonymitySql,
+    "q_l_diversity"         -> lDiversitySql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_hash_sample"         -> hashSampleSql,
     "q_stratified_sample"   -> stratifiedSampleSql,

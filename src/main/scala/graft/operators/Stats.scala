@@ -1457,6 +1457,102 @@ object Stats {
        |  round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) * 2.0 - 1.0, 6) AS gini
        |FROM agg""".stripMargin
 
+  /** Coarse widths for the two Spearman rank passes (balance dollars /
+    * lifetime-spend cents) — same two-level prefix role as
+    * [[MwCoarseWidth]]. */
+  val SpearBalCoarse = 500.0
+  val SpearCentsCoarse = 10000000.0
+
+  /** Doubled average rank (2·avg-rank, an exact INTEGER even for tie
+    * groups: 2·before + t + 1) of every distinct value, via the
+    * [[equidepthHist]]-style coarse-bucket two-level prefix — the
+    * building block that lets [[spearman]] run entirely in BIGINT. */
+  private def avgRanks2(vals: DataFrame, coarseWidth: Double): DataFrame = {
+    val g = vals.groupBy("v").agg(count(lit(1)).as("t"))
+      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
+    val wIn = Window.partitionBy("coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(
+        Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("coarse", "off")
+    g.withColumn("b_in", coalesce(sum(col("t")).over(wIn), lit(0L)))
+      .join(broadcast(offs), "coarse")
+      .select(col("v"),
+        (lit(2L) * (col("off") + col("b_in")) + col("t") + lit(1L)).as("r2"))
+  }
+
+  /** Spearman rank correlation between customer account balance and
+    * lifetime order spend — the monotone-association check behind
+    * "does stated wealth track actual purchasing". Ties get average
+    * ranks; both rank passes run the coarse-bucket two-level prefix
+    * (no global row sort), and because DOUBLED average ranks are exact
+    * integers, every moment (Σrx, Σrx², Σrx·ry …) is a BIGINT — the
+    * only floating-point is the single closed-form division
+    * ρ = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)), IEEE-identical
+    * cross-engine, rounded once. The 2× scale cancels algebraically.
+    *
+    * Scale shape: one orders aggregate + dimension join builds the
+    * base; each rank pass aggregates by value (bounded by the value
+    * domain, sharded by coarse cell) and equi-joins back on the value
+    * key; one final 1-row moment aggregate. Moments are int64-safe to
+    * ~10⁵ customers (n·Σxy ≲ n²·4n² ≈ 4·10¹⁸ at n=10⁵); past that the
+    * moments move to DECIMAL(38) — mechanism unchanged (same escape
+    * hatch as [[revenueGini]]).
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val base = spend.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_acctbal").as("bal"), col("cents").cast("double").as("cts"))
+    val rx = avgRanks2(base.select(col("bal").as("v")), SpearBalCoarse)
+      .select(col("v").as("bal"), col("r2").as("rx"))
+    val ry = avgRanks2(base.select(col("cts").as("v")), SpearCentsCoarse)
+      .select(col("v").as("cts"), col("r2").as("ry"))
+    base.join(rx, "bal").join(ry, "cts")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("rho_spearman"))
+  }
+
+  val spearmanSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+       |  FROM orders GROUP BY o_custkey
+       |), base AS (
+       |  SELECT c_acctbal AS bal, cents::DOUBLE AS cts
+       |  FROM spend JOIN customer ON o_custkey = c_custkey
+       |), rx AS (
+       |  SELECT v AS bal, 2 * before + t + 1 AS rx FROM (
+       |    SELECT v, count(*)::BIGINT AS t,
+       |      coalesce(sum(count(*)) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |    FROM (SELECT bal AS v FROM base) GROUP BY v)
+       |), ry AS (
+       |  SELECT v AS cts, 2 * before + t + 1 AS ry FROM (
+       |    SELECT v, count(*)::BIGINT AS t,
+       |      coalesce(sum(count(*)) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |    FROM (SELECT cts AS v FROM base) GROUP BY v)
+       |), m AS (
+       |  SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+       |    sum(rx * ry)::BIGINT AS sxy, sum(rx * rx)::BIGINT AS sxx,
+       |    sum(ry * ry)::BIGINT AS syy
+       |  FROM base JOIN rx USING (bal) JOIN ry USING (cts)
+       |)
+       |SELECT n, round((n * sxy - sx * sy)::DOUBLE /
+       |  sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+       |  AS rho_spearman
+       |FROM m""".stripMargin
+
   /** Coarse prefix-sum bucket width over per-customer revenue cents
     * (~$1000 buckets). Same role as [[HistCoarseWidth]]: shard the
     * rank prefix sums so no global row sort exists. */
@@ -1692,6 +1788,7 @@ object Stats {
     "q_price_elasticity" -> (priceElasticity _),
     "q_mann_whitney"   -> (mannWhitney _),
     "q_eval_auc"       -> (evalAuc _),
+    "q_spearman"       -> (spearman _),
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
@@ -1722,6 +1819,7 @@ object Stats {
     "q_price_elasticity" -> priceElasticitySql,
     "q_mann_whitney"   -> mannWhitneySql,
     "q_eval_auc"       -> evalAucSql,
+    "q_spearman"       -> spearmanSql,
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,

@@ -365,6 +365,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "the coarser release must never grow the re-identifiable set")
   }
 
+  test("l-diversity: matches a local per-group distinct-sensitive recompute") {
+    val P = operators.PipelineOps
+    val cust = Tables.customer(spark, sfTest)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2), math.floor(r.getDouble(3) / P.AnonCoarseWidth).toLong))
+      .toMap
+    val recs = Tables.orders(spark, sfTest)
+      .select("o_custkey", "o_orderpriority").collect()
+      .flatMap { r =>
+        cust.get(r.getLong(0)).map { case (nk, seg, bb) => ((nk, seg, bb), r.getString(1)) }
+      }
+    val groups = recs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).distinct.length.toLong)
+    }.toMap
+    val byNation = groups.groupBy(_._1._1)
+    val out = P.lDiversity(spark, sfTest).collect()
+    assert(out.map(_.getInt(0)).toSet == byNation.keySet)
+    out.foreach { r =>
+      val gs = byNation(r.getInt(0)).values
+      assert(r.getAs[Long]("n_records") == gs.map(_._1).sum)
+      assert(r.getAs[Long]("n_groups") == gs.size)
+      assert(r.getAs[Long]("n_weak_groups") == gs.count(_._2 < P.DiversityL))
+      assert(r.getAs[Long]("n_exposed_records") ==
+        gs.filter(_._2 < P.DiversityL).map(_._1).sum)
+      assert(r.getAs[Long]("min_l") == gs.map(_._2).min)
+    }
+  }
+
   test("zorder layout: time probe prunes z-ordered files, never the user-linear ones") {
     val r = operators.PipelineOps.zorderLayout(spark, sfTest).collect()
       .map(row => row.getAs[String]("layout") -> row).toMap

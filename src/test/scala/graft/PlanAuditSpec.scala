@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   /** The tiny coarse-totals prefix of the two-level rank machinery
     * (≤ a few thousand coarse cells by construction). */
   private val CoarsePrefix = Set(
-    "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc")
+    "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc",
+    "q_spearman")
 
   /** Catalog/graph-node-bounded ranks (items, not interactions): the
     * documented broadcast-ceiling policy treats the item catalog as

@@ -605,6 +605,35 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[Double]("auc") >= 0.0 && row.getAs[Double]("auc") <= 1.0)
   }
 
+  test("spearman: matches a local sorted-rank Pearson with tie-averaged ranks") {
+    val S = operators.Stats
+    val spend = Tables.orders(spark, sfTest)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val bal = Tables.customer(spark, sfTest)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pairs = spend.toSeq.collect { case (ck, c) if bal.contains(ck) => (bal(ck), c.toDouble) }
+    def ranks(xs: Seq[Double]): Map[Double, Double] = {
+      val sorted = xs.sorted
+      sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+    }
+    val rx = ranks(pairs.map(_._1)); val ry = ranks(pairs.map(_._2))
+    val xs = pairs.map(p => rx(p._1)); val ys = pairs.map(p => ry(p._2))
+    val n = pairs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val want = cov / math.sqrt(vx * vy)
+    val row = S.spearman(spark, sfTest).head
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("rho_spearman") - want) < 1e-6,
+      s"rho ${row.getAs[Double]("rho_spearman")} vs local $want")
+  }
+
   test("theil-sen: matches a local median-of-pairwise-slopes; robust to a spiked day") {
     val daily = Tables.events(spark, sfTest)
       .groupBy(to_date(col("ts")).as("day"))
