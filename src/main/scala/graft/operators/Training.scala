@@ -189,6 +189,103 @@ object Training {
        |GROUP BY a.cluster
        |ORDER BY a.cluster""".stripMargin
 
+  /** External clustering evaluation of the deterministic k-means
+    * model against the embeddings' ground-truth `label` column —
+    * purity (Σ_c max_l n_cl / N) and NMI
+    * (I(C;L) / √(H(C)·H(L))), the two numbers every clustering run is
+    * judged by before anyone trusts the clusters for curriculum /
+    * SemDeDup decisions. Rides the memoized [[kmeansAssign]] (one
+    * training run per session, shared with q_kmeans_embed /
+    * q_semantic_dedup), so the model the eval grades IS the model the
+    * pipeline uses. Per-cluster rows carry the dominant label (ties →
+    * smaller label id) and its share; the corpus-level purity and NMI
+    * are attached to every row from 1-row broadcasts. The contingency
+    * table is K×L cells — entropy/MI sums run over dozens of terms
+    * from identical integer counts on both engines (the
+    * [[TextAnalysis.corpusEntropy]] precedent), rounded once.
+    *
+    * Scale shape: one vec_id equi-join (assignment ⋈ labels), one
+    * K×L aggregate, then everything downstream is cell-sized;
+    * no window, no quadratic structure.
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cont = kmeansAssign(spark, sfDir).select("vec_id", "cluster")
+      .join(Tables.embeddings(spark, sfDir).select("vec_id", "label"), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // K·L cells feed five consumers below
+    val nTot = cont.agg(sum("n").as("nn"))
+    val cTot = cont.groupBy("cluster").agg(sum("n").as("nc"))
+    val lTot = cont.groupBy("label").agg(sum("n").as("nl"))
+    val top = cont
+      .groupBy("cluster")
+      .agg(max(struct(col("n").as("n"), (-col("label")).as("neglab"))).as("m"))
+      .select(col("cluster"), col("m.n").as("top_label_n"),
+        (-col("m.neglab")).as("top_label"))
+    val purity = top.crossJoin(broadcast(nTot))
+      .agg(round(sum(col("top_label_n")) / max(col("nn")).cast("double"), 6)
+        .as("purity"))
+    val mi = cont.join(broadcast(cTot), "cluster").join(broadcast(lTot), "label")
+      .crossJoin(broadcast(nTot))
+      .agg(round(sum(col("n") / col("nn").cast("double") *
+        log(col("n") * col("nn") / (col("nc") * col("nl")).cast("double"))), 6)
+        .as("mi"))
+    def entropy(tot: DataFrame, cnt: String) =
+      tot.crossJoin(broadcast(nTot))
+        .agg(sum(-col(cnt) / col("nn").cast("double") *
+          log(col(cnt) / col("nn").cast("double"))).as("h"))
+    val nmi = mi.crossJoin(entropy(cTot, "nc").select(col("h").as("hc")))
+      .crossJoin(entropy(lTot, "nl").select(col("h").as("hl")))
+      .select(col("mi"),
+        round(col("mi") / sqrt(col("hc") * col("hl")), 6).as("nmi"))
+    cTot.join(top, "cluster")
+      .withColumn("top_share",
+        round(col("top_label_n") / col("nc").cast("double"), 4))
+      .crossJoin(broadcast(purity))
+      .crossJoin(broadcast(nmi))
+      .select(col("cluster"), col("nc").as("n_vecs"), col("top_label"),
+        col("top_label_n"), col("top_share"), col("purity"), col("mi"),
+        col("nmi"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle: the shared k-means CTE chain + the identical contingency
+    * algebra (DuckDB `ln`; Spark `log` is natural log too). `cont` is
+    * MATERIALIZED — five consumers read it, and without the hint DuckDB
+    * inlines the whole unrolled Lloyd chain into each (the
+    * q_item_pagerank temp-disk lesson). */
+  val clusterPuritySql: String =
+    s"""WITH $kmeansCteChain, cont AS MATERIALIZED (
+       |  SELECT a.cluster, emb.label, count(*)::BIGINT AS n
+       |  FROM a$KmFinal a JOIN embeddings emb ON emb.vec_id = a.vec_id
+       |  GROUP BY 1, 2
+       |), ntot AS MATERIALIZED (SELECT sum(n)::BIGINT AS nn FROM cont),
+       |ctot AS MATERIALIZED (SELECT cluster, sum(n)::BIGINT AS nc FROM cont GROUP BY cluster),
+       |ltot AS MATERIALIZED (SELECT label, sum(n)::BIGINT AS nl FROM cont GROUP BY label),
+       |top AS (
+       |  SELECT cluster, n AS top_label_n, label AS top_label FROM (
+       |    SELECT cluster, n, label,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rk
+       |    FROM cont) WHERE rk = 1
+       |), purity AS (
+       |  SELECT round(sum(top_label_n) / (SELECT nn FROM ntot)::DOUBLE, 6) AS purity
+       |  FROM top
+       |), mi AS (
+       |  SELECT round(sum(n / nn::DOUBLE * ln(n * nn / (nc * nl)::DOUBLE)), 6) AS mi
+       |  FROM cont JOIN ctot USING (cluster) JOIN ltot USING (label) CROSS JOIN ntot
+       |), hc AS (
+       |  SELECT sum(-nc / nn::DOUBLE * ln(nc / nn::DOUBLE)) AS hc
+       |  FROM ctot CROSS JOIN ntot
+       |), hl AS (
+       |  SELECT sum(-nl / nn::DOUBLE * ln(nl / nn::DOUBLE)) AS hl
+       |  FROM ltot CROSS JOIN ntot
+       |)
+       |SELECT c.cluster, c.nc AS n_vecs, t.top_label, t.top_label_n,
+       |  round(t.top_label_n / c.nc::DOUBLE, 4) AS top_share,
+       |  p.purity, m.mi, round(m.mi / sqrt(h1.hc * h2.hl), 6) AS nmi
+       |FROM ctot c JOIN top t ON t.cluster = c.cluster
+       |CROSS JOIN purity p CROSS JOIN mi m CROSS JOIN hc h1 CROSS JOIN hl h2
+       |ORDER BY c.cluster""".stripMargin
+
   /** Squared-distance ceiling (fixed-point units) at or below which a
     * within-cluster pair counts as a semantic duplicate. The fixture
     * embeddings are near-random (min pair distance ≈ 0.97M units², 1st
@@ -1015,6 +1112,7 @@ object Training {
     "q_target_encode"    -> (targetEncode _),
     "q_quantile_norm"    -> (quantileNorm _),
     "q_kmeans_embed"     -> (kmeansEmbed _),
+    "q_cluster_purity"   -> (clusterPurity _),
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_negative_sample"  -> (negativeSample _),
     "q_calibration_bins" -> (calibrationBins _),
@@ -1028,6 +1126,7 @@ object Training {
     "q_target_encode"    -> targetEncodeSql,
     "q_quantile_norm"    -> quantileNormSql,
     "q_kmeans_embed"     -> kmeansEmbedSql,
+    "q_cluster_purity"   -> clusterPuritySql,
     "q_semantic_dedup"   -> semanticDedupSql,
     "q_negative_sample"  -> negativeSampleSql,
     "q_calibration_bins" -> calibrationBinsSql,

@@ -29,6 +29,46 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("cluster purity: purity/MI/NMI match a local recompute from the raw assignment") {
+    val out = operators.Training.clusterPurity(spark, sfTest).collect()
+    val e = operators.Training.quantizedOf(Tables.embeddings(spark, sfTest))
+    val cent = operators.Training.centroidsOf(e, operators.Training.KClusters)
+    val asn = operators.Training.kmeansAssignOf(e, cent)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lab = Tables.embeddings(spark, sfTest).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asn.keySet === lab.keySet, "assignment covers exactly the corpus")
+    val contingency = asn.toSeq
+      .map { case (v, c) => (c, lab(v)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val n = lab.size.toDouble
+    val cTot = contingency.groupBy(_._1._1).map { case (c, g) => c -> g.values.sum }
+    val lTot = contingency.groupBy(_._1._2).map { case (l, g) => l -> g.values.sum }
+    val purity = cTot.keys.toSeq.map { c =>
+      contingency.collect { case ((`c`, _), cnt) => cnt }.max.toDouble
+    }.sum / n
+    val mi = contingency.map { case ((c, l), cnt) =>
+      cnt / n * math.log(cnt * n / (cTot(c).toDouble * lTot(l)))
+    }.sum
+    def h(tot: Iterable[Long]) = tot.map(x => -x / n * math.log(x / n)).sum
+    val nmi = mi / math.sqrt(h(cTot.values) * h(lTot.values))
+    assert(math.abs(out.head.getAs[Double]("purity") - purity) < 2e-6)
+    assert(math.abs(out.head.getAs[Double]("mi") - mi) < 2e-6)
+    assert(math.abs(out.head.getAs[Double]("nmi") - nmi) < 2e-6)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === lab.size.toLong)
+    out.foreach { row =>
+      val c = row.getAs[Int]("cluster")
+      assert(cTot(c) === row.getAs[Long]("n_vecs"))
+      // dominant label with smaller-label tie-break
+      val cells = contingency.collect { case ((`c`, l), cnt) => (l, cnt) }
+      val best = cells.minBy { case (l, cnt) => (-cnt, l) }
+      assert(row.getAs[Int]("top_label") === best._1)
+      assert(row.getAs[Long]("top_label_n") === best._2)
+      assert(row.getAs[Double]("nmi") >= -1e-9 && row.getAs[Double]("nmi") <= 1.0 + 1e-9)
+    }
+  }
+
   test("semantic dedup: cluster audit reconciles and pair space stays intra-cluster") {
     val r = operators.Training.semanticDedup(spark, sfTest).collect()
     val n = Tables.embeddings(spark, sfTest).count()
