@@ -330,4 +330,128 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(head.getAs[Long]("item_id") == seed && head.getAs[Int]("is_seed") == 1,
       "the restart seed must hold rank 1")
   }
+
+  test("local clustering: cc and transitivity match an exact local recompute") {
+    val e = GraphRank.weightedHalfEdges(spark, sfTest)
+      .where(col("co") >= GraphRank.TriMinCo).select("item_i", "item_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e.map(p => p._1 -> p._2) ++ e.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val edgeSet = e.toSet
+    def tri(i: Long): Long = {
+      val ns = adj(i).toSeq
+      ns.combinations(2).count { case Seq(x, y) =>
+        edgeSet.contains((math.min(x, y), math.max(x, y)))
+      }.toLong
+    }
+    // keysIterator, not keys: .map over a key SET would collapse
+    // duplicate per-node triangle counts before the sum
+    val tTotal = adj.keysIterator.map(tri).sum / 3
+    val wTotal = deg.values.map(d => d * (d - 1) / 2).sum
+    val transitivity = BigDecimal(3.0 * tTotal / wTotal)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = GraphRank.localClustering(spark, sfTest).collect()
+    assert(out.nonEmpty && out.length <= GraphRank.LccTop)
+    out.foreach { r =>
+      val i = r.getAs[Long]("item_id")
+      assert(r.getAs[Long]("deg") === deg(i))
+      assert(r.getAs[Long]("n_triangles") === tri(i))
+      assert(r.getAs[Long]("cc_units") ===
+        2 * tri(i) * 1000000L / (deg(i) * (deg(i) - 1)))
+      assert(math.abs(r.getAs[Double]("transitivity") - transitivity) < 2e-6,
+        s"local transitivity=$transitivity engine=${r.getAs[Double]("transitivity")} " +
+          s"T=$tTotal W=$wTotal")
+    }
+    // emitted head really is the cc-ordered top of the eligible set
+    val expectedHead = deg.toSeq.filter(_._2 >= 2)
+      .map { case (i, d) => (2 * tri(i) * 1000000L / (d * (d - 1)), d, i) }
+      .sortBy { case (cc, d, i) => (-cc, -d, i) }.take(out.length)
+      .map(_._3)
+    assert(out.map(_.getAs[Long]("item_id")).toSeq === expectedHead)
+  }
+
+  test("link predict: AA units match a local recompute; no emitted pair is an edge") {
+    val e = GraphRank.sparsifiedHalfEdges(spark, sfTest)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e.map(p => p._1 -> p._2) ++ e.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = e.toSet
+    val aa = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((mid, ns) <- adj; d = ns.size.toLong
+         if d >= 2 && d <= GraphRank.AaMidDegCap) {
+      val u = math.round(1000000.0 / math.log(d.toDouble))
+      for (Seq(x, y) <- ns.toSeq.sorted.combinations(2)) {
+        val prev = aa.getOrElse((x, y), (0L, 0L))
+        aa((x, y)) = (prev._1 + 1, prev._2 + u)
+      }
+    }
+    val expected = aa.toSeq.filterNot { case (p, _) => edgeSet.contains(p) }
+      .sortBy { case ((x, y), (_, units)) => (-units, x, y) }
+      .take(GraphRank.AaTop)
+    val out = GraphRank.linkPredict(spark, sfTest).collect()
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, ((x, y), (cn, units))) =>
+      assert((r.getAs[Long]("item_i"), r.getAs[Long]("item_j")) === ((x, y)))
+      assert(r.getAs[Long]("common_neighbors") === cn)
+      assert(r.getAs[Long]("aa_units") === units)
+      assert(!edgeSet.contains((r.getAs[Long]("item_i"), r.getAs[Long]("item_j"))))
+    }
+  }
+
+  test("link predict: the middle-degree cap drops super-hub middles") {
+    import spark.implicits._
+    // hub 1000 connects to 300 spokes (degree 300 > cap); spokes 1 and 2
+    // also share the low-degree middle 2000 (degree 2)
+    val hub = (1L to 300L).map(i => (i, 1000L))
+    val low = Seq((1L, 2000L), (2L, 2000L))
+    val out = GraphRank.linkPredictOf((hub ++ low).toDF("item_i", "item_j"))
+      .collect()
+    // every spoke pair's ONLY common neighbor is the hub -> absent.
+    // Survivors: (1,2) via middle 2000, and (1000,2000) via the two
+    // degree-2 middles 1 and 2.
+    val got = out.map(r => (r.getAs[Long]("item_i"), r.getAs[Long]("item_j"))).toSet
+    assert(got === Set((1L, 2L), (1000L, 2000L)),
+      "hub-only pairs must vanish; only the low-degree-middle pairs survive")
+    val u2 = math.round(1000000.0 / math.log(2.0))
+    val byPair = out.map(r => (r.getAs[Long]("item_i"), r.getAs[Long]("item_j")) ->
+      (r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_units"))).toMap
+    assert(byPair((1L, 2L)) === ((1L, u2)))
+    assert(byPair((1000L, 2000L)) === ((2L, 2 * u2)))
+  }
+
+  test("modularity: Q and per-community moments match a local recompute") {
+    val edges = GraphRank.copurchaseEw(spark, sfTest)
+      .select("src", "dst", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = GraphRank.lpaLabels(spark, sfTest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = edges.map(_._3).sum
+    val internal = edges.filter { case (s, d, _) => lbl(s) == lbl(d) }
+      .groupBy { case (s, _, _) => lbl(s) }.view.mapValues(_.map(_._3).sum).toMap
+    val strength = edges.groupBy { case (s, _, _) => lbl(s) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val q = internal.values.sum.toDouble / m2 -
+      (strength.values.map(d => d.toDouble * d).sum / m2) / m2
+    val sizes = lbl.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val out = GraphRank.modularity(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Long]("community_id")
+      assert(r.getAs[Long]("n_items") === sizes(c))
+      assert(r.getAs[Long]("internal_w") === internal.getOrElse(c, 0L))
+      assert(r.getAs[Long]("degree_w") === strength(c))
+      val contrib = internal.getOrElse(c, 0L).toDouble / m2 -
+        (strength(c).toDouble / m2) * (strength(c).toDouble / m2)
+      assert(math.abs(r.getAs[Double]("contrib") - contrib) < 2e-6)
+      assert(math.abs(r.getAs[Double]("q_modularity") - q) < 2e-6)
+    }
+    // partition labels and community rollup agree with q_item_communities
+    val comm = GraphRank.itemCommunities(spark, sfTest).collect()
+      .map(r => r.getAs[Long]("community_id") -> r.getAs[Long]("n_items")).toMap
+    out.foreach { r =>
+      val c = r.getAs[Long]("community_id")
+      if (comm.contains(c)) assert(comm(c) === r.getAs[Long]("n_items"))
+    }
+  }
 }
