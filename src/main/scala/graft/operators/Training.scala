@@ -134,24 +134,28 @@ object Training {
     * the SemDeDup oracle so both adjudicate the identical model.
     */
   private[operators] val kmeansCteChain: String = {
+    // every round's d$k is read by BOTH m$k and a$k (and c$k re-reads
+    // e + a$k): without MATERIALIZED DuckDB re-inlines the upstream
+    // chain at each reference, doubling work per round — the same
+    // CTE-inlining hazard the pagerank oracles hit (verify skill)
     val rounds = (1 to KmRounds).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
          |  FROM e JOIN c${k - 1} c ON e.pos = c.pos
          |  GROUP BY e.vec_id, c.cluster
          |), m$k AS (
          |  SELECT vec_id, min(dist) AS md FROM d$k GROUP BY vec_id
-         |), a$k AS (
+         |), a$k AS MATERIALIZED (
          |  SELECT d.vec_id, min(d.cluster) AS cluster
          |  FROM d$k d JOIN m$k m ON d.vec_id = m.vec_id AND d.dist = m.md
          |  GROUP BY d.vec_id
-         |), c$k AS (
+         |), c$k AS MATERIALIZED (
          |  SELECT a.cluster, e.pos, (sum(e.q) // count(*))::BIGINT AS c
          |  FROM e JOIN a$k a ON e.vec_id = a.vec_id
          |  GROUP BY a.cluster, e.pos
          |)""".stripMargin
     }.mkString(", ")
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, i AS pos,
        |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
        |  FROM embeddings
@@ -163,13 +167,13 @@ object Training {
        |), c0 AS (
        |  SELECT init.cluster, e.pos, e.q AS c
        |  FROM e JOIN init ON e.vec_id = init.vec_id
-       |), $rounds, d$KmFinal AS (
+       |), $rounds, d$KmFinal AS MATERIALIZED (
        |  SELECT e.vec_id, c.cluster, sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
        |  FROM e JOIN c$KmRounds c ON e.pos = c.pos
        |  GROUP BY e.vec_id, c.cluster
        |), m$KmFinal AS (
        |  SELECT vec_id, min(dist) AS md FROM d$KmFinal GROUP BY vec_id
-       |), a$KmFinal AS (
+       |), a$KmFinal AS MATERIALIZED (
        |  SELECT d.vec_id, min(d.cluster) AS cluster, min(d.dist) AS dist
        |  FROM d$KmFinal d JOIN m$KmFinal m ON d.vec_id = m.vec_id AND d.dist = m.md
        |  GROUP BY d.vec_id
@@ -285,6 +289,108 @@ object Training {
        |FROM ctot c JOIN top t ON t.cluster = c.cluster
        |CROSS JOIN purity p CROSS JOIN mi m CROSS JOIN hc h1 CROSS JOIN hl h2
        |ORDER BY c.cluster""".stripMargin
+
+  /** Internal clustering validity of the same memoized k-means model —
+    * the no-label companion to [[clusterPurity]]: simplified silhouette
+    * s(x) = (b−a)/max(a,b) with a = squared distance to the own
+    * centroid and b = the nearest OTHER centroid (the
+    * centroid-distance variant that makes silhouette linear instead of
+    * O(n²) — the only form that scales), and the Davies-Bouldin index
+    * mean_i max_j (S_i+S_j)/M_ij with S the mean member scatter and M
+    * the centroid separation, all in the model's squared fixed-point
+    * units. Every numerator/denominator is an exact BIGINT (distance
+    * sums, counts, centroid gaps); each emitted double is a closed-form
+    * IEEE expression of them. The two corpus means (silhouette, DB) sum
+    * doubles once and round — the corpusEntropy precedent.
+    *
+    * Scale shape: b rides ONE corpus×K aggregate (the same shape as a
+    * Lloyd assign round), the DB table is K² cells, and nothing else
+    * leaves the cluster grain.
+    */
+  def clusterValidity(spark: SparkSession, sfDir: String): DataFrame = {
+    val asn = kmeansAssign(spark, sfDir)
+    val cent = kmeansCentroids(spark, sfDir)
+    val allDist = quantized(spark, sfDir).join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cluster")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val b = allDist
+      .join(asn.select(col("vec_id"), col("cluster").as("own")), "vec_id")
+      .where(col("cluster") =!= col("own"))
+      .groupBy("vec_id").agg(min("d2").as("b"))
+    val sil = asn.select(col("vec_id"), col("cluster"), col("dist").as("a"))
+      .join(b, "vec_id")
+      .withColumn("s", when(greatest(col("a"), col("b")) === 0L, lit(0.0d))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .localCheckpoint() // feeds the per-cluster rows and the corpus mean
+    val perC = sil.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("a").as("intra_units"),
+        round(avg("s"), 6).as("s_mean"))
+    val silAll = sil.agg(round(avg("s"), 6).as("silhouette"))
+    val m = cent.select(col("cluster").as("ci"), col("pos"), col("c").as("vi"))
+      .join(cent.select(col("cluster").as("cj"), col("pos"), col("c").as("vj")), "pos")
+      .where(col("ci") =!= col("cj"))
+      .groupBy("ci", "cj")
+      .agg(sum((col("vi") - col("vj")) * (col("vi") - col("vj"))).as("m2"))
+    val scatter = perC.select(col("cluster"), (col("intra_units") / col("n_vecs")).as("sc"))
+    val db = m
+      .join(broadcast(scatter.select(col("cluster").as("ci"), col("sc").as("si"))), "ci")
+      .join(broadcast(scatter.select(col("cluster").as("cj"), col("sc").as("sj"))), "cj")
+      .withColumn("r", (col("si") + col("sj")) / col("m2"))
+      .groupBy(col("ci").as("cluster"))
+      .agg(max(struct(col("r"), (-col("cj")).as("nj"))).as("mx"))
+      .select(col("cluster"), round(col("mx.r"), 6).as("db_ratio"),
+        (-col("mx.nj")).as("db_peer"))
+      .localCheckpoint() // K rows feed both the row join and the corpus mean
+    val dbAll = db.agg(round(avg(col("db_ratio")), 6).as("db_index"))
+    perC.join(db, "cluster")
+      .crossJoin(broadcast(silAll))
+      .crossJoin(broadcast(dbAll))
+      .select(col("cluster"), col("n_vecs"), col("intra_units"), col("s_mean"),
+        col("db_peer"), col("db_ratio"), col("silhouette"), col("db_index"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle: the shared (materialized) k-means chain + identical
+    * silhouette/DB algebra. The corpus DB mean averages the ROUNDED
+    * per-cluster ratios, exactly as the engine emits them. */
+  val clusterValiditySql: String =
+    s"""WITH $kmeansCteChain, b AS MATERIALIZED (
+       |  SELECT d.vec_id, min(d.dist) AS b
+       |  FROM d$KmFinal d JOIN a$KmFinal a ON a.vec_id = d.vec_id
+       |  WHERE d.cluster != a.cluster
+       |  GROUP BY d.vec_id
+       |), sil AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cluster, a.dist AS a,
+       |    CASE WHEN greatest(a.dist, b.b) = 0 THEN 0.0
+       |         ELSE (b.b - a.dist) / greatest(a.dist, b.b)::DOUBLE END AS s
+       |  FROM a$KmFinal a JOIN b ON b.vec_id = a.vec_id
+       |), per_c AS MATERIALIZED (
+       |  SELECT cluster, count(*)::BIGINT AS n_vecs, sum(a)::BIGINT AS intra_units,
+       |    round(avg(s), 6) AS s_mean
+       |  FROM sil GROUP BY cluster
+       |), sil_all AS (SELECT round(avg(s), 6) AS silhouette FROM sil),
+       |m AS (
+       |  SELECT i.cluster AS ci, j.cluster AS cj,
+       |    sum((i.c - j.c) * (i.c - j.c))::BIGINT AS m2
+       |  FROM c$KmRounds i JOIN c$KmRounds j ON i.pos = j.pos AND i.cluster != j.cluster
+       |  GROUP BY 1, 2
+       |), scatter AS (
+       |  SELECT cluster, intra_units / n_vecs::DOUBLE AS sc FROM per_c
+       |), db AS MATERIALIZED (
+       |  SELECT ci AS cluster, round(r, 6) AS db_ratio, cj AS db_peer FROM (
+       |    SELECT m.ci, m.cj, (si.sc + sj.sc) / m.m2::DOUBLE AS r,
+       |      row_number() OVER (PARTITION BY m.ci ORDER BY
+       |        (si.sc + sj.sc) / m.m2::DOUBLE DESC, m.cj ASC) AS rk
+       |    FROM m JOIN scatter si ON si.cluster = m.ci
+       |    JOIN scatter sj ON sj.cluster = m.cj
+       |  ) WHERE rk = 1
+       |), db_all AS (SELECT round(avg(db_ratio), 6) AS db_index FROM db)
+       |SELECT p.cluster, p.n_vecs, p.intra_units, p.s_mean,
+       |  d.db_peer, d.db_ratio,
+       |  (SELECT silhouette FROM sil_all) AS silhouette,
+       |  (SELECT db_index FROM db_all) AS db_index
+       |FROM per_c p JOIN db d ON d.cluster = p.cluster
+       |ORDER BY p.cluster""".stripMargin
 
   /** Squared-distance ceiling (fixed-point units) at or below which a
     * within-cluster pair counts as a semantic duplicate. The fixture
@@ -1113,6 +1219,7 @@ object Training {
     "q_quantile_norm"    -> (quantileNorm _),
     "q_kmeans_embed"     -> (kmeansEmbed _),
     "q_cluster_purity"   -> (clusterPurity _),
+    "q_cluster_validity" -> (clusterValidity _),
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_negative_sample"  -> (negativeSample _),
     "q_calibration_bins" -> (calibrationBins _),
@@ -1127,6 +1234,7 @@ object Training {
     "q_quantile_norm"    -> quantileNormSql,
     "q_kmeans_embed"     -> kmeansEmbedSql,
     "q_cluster_purity"   -> clusterPuritySql,
+    "q_cluster_validity" -> clusterValiditySql,
     "q_semantic_dedup"   -> semanticDedupSql,
     "q_negative_sample"  -> negativeSampleSql,
     "q_calibration_bins" -> calibrationBinsSql,

@@ -69,6 +69,54 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster validity: silhouette and DB index match a local recompute from raw distances") {
+    val out = operators.Training.clusterValidity(spark, sfTest).collect()
+    val e = operators.Training.quantizedOf(Tables.embeddings(spark, sfTest))
+    val cent = operators.Training.centroidsOf(e, operators.Training.KClusters)
+    val vecs = e.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val cents = cent.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def d2(v: Map[Int, Long], c: Map[Int, Long]): Long =
+      v.keysIterator.map { p => val d = v(p) - c(p); d * d }.sum
+    val rows = vecs.toSeq.map { case (vid, v) =>
+      val ds = cents.view.mapValues(c => d2(v, c)).toMap
+      val (own, a) = ds.toSeq.minBy { case (c, d) => (d, c) }
+      val b = ds.collect { case (c, d) if c != own => d }.min
+      val s = if (math.max(a, b) == 0L) 0.0
+              else (b - a).toDouble / math.max(a, b).toDouble
+      (vid, own, a, s)
+    }
+    val silAll = rows.map(_._4).sum / rows.size
+    val perC = rows.groupBy(_._2)
+    val scatter = perC.view.mapValues(g => g.map(_._3).sum.toDouble / g.size).toMap
+    def m2(i: Int, j: Int): Long = d2(
+      cents(i).map { case (p, v) => p -> v }, cents(j))
+    val dbR = cents.keys.map { i =>
+      i -> cents.keys.filter(_ != i)
+        .map(j => (scatter(i) + scatter(j)) / m2(i, j).toDouble -> j)
+        .minBy { case (r, j) => (-r, j) }
+    }.toMap
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dbIndex = dbR.values.map(v => rnd6(v._1)).sum / dbR.size
+    assert(out.length === cents.size)
+    out.foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      val g = perC(c)
+      assert(r.getAs[Long]("n_vecs") === g.size.toLong)
+      assert(r.getAs[Long]("intra_units") === g.map(_._3).sum)
+      assert(math.abs(r.getAs[Double]("s_mean") - g.map(_._4).sum / g.size) < 2e-6)
+      assert(r.getAs[Int]("db_peer") === dbR(c)._2)
+      assert(math.abs(r.getAs[Double]("db_ratio") - dbR(c)._1) < 2e-6)
+      assert(math.abs(r.getAs[Double]("silhouette") - silAll) < 2e-6)
+      assert(math.abs(r.getAs[Double]("db_index") - dbIndex) < 2e-6)
+      // simplified silhouette is bounded like the true one
+      assert(r.getAs[Double]("s_mean") >= -1.0 - 1e-9 &&
+        r.getAs[Double]("s_mean") <= 1.0 + 1e-9)
+    }
+  }
+
   test("semantic dedup: cluster audit reconciles and pair space stays intra-cluster") {
     val r = operators.Training.semanticDedup(spark, sfTest).collect()
     val n = Tables.embeddings(spark, sfTest).count()
