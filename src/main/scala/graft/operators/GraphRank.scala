@@ -1341,11 +1341,16 @@ object GraphRank {
     * guard, same note as the triangle count); the per-item rollup and
     * the two global sums are map-side partials.
     */
-  def localClustering(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Recsys.unpack(
+  def localClustering(spark: SparkSession, sfDir: String): DataFrame =
+    localClusteringOf(Recsys.unpack(
         Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "a", "b")
       .where(col("co") >= TriMinCo)
-      .select("a", "b")
+      .select("a", "b"))
+
+  /** The wedge/cc/transitivity computation over ANY oriented (a, b)
+    * half-edge frame — extracted so the scale spec can drive it on a
+    * synthesized closed-form graph far past the fixture size. */
+  private[graft] def localClusteringOf(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("item_id"))
       .unionByName(e.select(col("b").as("item_id")))
       .groupBy("item_id").agg(count(lit(1)).as("deg"))

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val HeadRank = Set(
     "q_bm25_rank", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
+    "q_link_predict", "q_local_clustering",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
     "q_record_linkage", "q_reorder_rate", "q_session_entropy", "q_session_paths",
     "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
@@ -52,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val CatalogGraph = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
     "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage",
-    "q_hits", "q_kcore")
+    "q_hits", "q_kcore", "q_modularity")
 
   /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
     * curated quantile reference source, skyline survivors, bootstrap's
