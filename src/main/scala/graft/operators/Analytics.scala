@@ -1687,6 +1687,112 @@ object Analytics {
       |  round(n * nt / (nd * nh), 4) AS lift
       |FROM m ORDER BY dow, hod""".stripMargin
 
+  /** Matched cells reported by the CEM uplift query. */
+  val CemTop = 15
+  /** Account-balance coarsening width (dollars per band). */
+  val CemBalBand = 2000.0
+
+  /** Coarsened Exact Matching (Iacus-King-Porro) uplift estimate —
+    * the causal-inference workhorse when assignment is NOT randomized
+    * (the gap between [[cuped]]/[[diffInDiff]], which assume an
+    * experiment, and the observational question "did segment
+    * membership cause higher spend?"). Treatment = the BUILDING
+    * market segment; covariates coarsened to exact cells (nation ×
+    * account-balance band × order-count band); only cells containing
+    * BOTH arms contribute, and the ATT weights each cell's
+    * treated-control mean gap by its treated count — self-selection on
+    * the coarsened covariates is matched away by construction.
+    *
+    * Exactness: outcomes are integer cents, every cell moment (counts,
+    * treated/control cent sums) an exact BIGINT; per-cell gaps and the
+    * ATT are closed-form IEEE expressions of them. The ATT numerator's
+    * Σ nt·(syc/nc) sums one double per cell (noise « the 1e-4 round;
+    * the dollar rescale happens AFTER the division precisely so the
+    * rounding digit sits 8+ orders above the summation noise).
+    *
+    * Scale: one per-customer aggregate, one cell aggregate (the cell
+    * grid is domain-bounded: nations × ~7 balance bands × 4 order
+    * bands), then everything is cell-sized. The rank head is
+    * group-limited by the optimizer (PlanAuditSpec HeadRank).
+    */
+  def cemUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y_cents"),
+        count(lit(1)).as("n_orders"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / CemBalBand).cast("int").as("bband"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("t"))
+      .join(spend, Seq("c_custkey"), "left")
+      .select(col("nation"), col("bband"),
+        least(coalesce(col("n_orders"), lit(0L)), lit(3L)).cast("int").as("oband"),
+        col("t"), coalesce(col("y_cents"), lit(0L)).as("y"))
+    val matched = cust.groupBy("nation", "bband", "oband")
+      .agg(sum(col("t")).as("n_treated"),
+        sum(lit(1) - col("t")).as("n_control"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"))
+      .where(col("n_treated") > 0 && col("n_control") > 0)
+      .localCheckpoint() // cell grid feeds the global ATT and the row head
+    val g = matched.agg(
+      count(lit(1)).as("n_matched_cells"),
+      sum("n_treated").as("treated_matched"),
+      round((sum(col("syt")) - sum(col("n_treated") * (col("syc") / col("n_control"))))
+        / sum(col("n_treated")) / 100.0, 4).as("att"))
+    matched
+      .withColumn("att_cell", round(
+        (col("syt") / col("n_treated") - col("syc") / col("n_control")) / 100.0, 4))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n_treated").desc,
+        col("nation").asc, col("bband").asc, col("oband").asc)))
+      .where(col("rk") <= CemTop)
+      .crossJoin(broadcast(g))
+      .select("rk", "nation", "bband", "oband", "n_treated", "n_control",
+        "att_cell", "n_matched_cells", "treated_matched", "att")
+      .orderBy("rk")
+  }
+
+  /** Oracle: identical coarsening, cell moments and ATT algebra. */
+  val cemUpliftSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y_cents,
+       |    count(*) AS n_orders
+       |  FROM orders GROUP BY 1
+       |), cust AS (
+       |  SELECT c.c_nationkey AS nation,
+       |    floor(c.c_acctbal / $CemBalBand)::INT AS bband,
+       |    least(coalesce(s.n_orders, 0), 3)::INT AS oband,
+       |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+       |    coalesce(s.y_cents, 0)::BIGINT AS y
+       |  FROM customer c LEFT JOIN spend s ON s.c_custkey = c.c_custkey
+       |), matched AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT nation, bband, oband,
+       |      sum(t)::BIGINT AS n_treated, sum(1 - t)::BIGINT AS n_control,
+       |      sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS syt,
+       |      sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS syc
+       |    FROM cust GROUP BY 1, 2, 3
+       |  ) WHERE n_treated > 0 AND n_control > 0
+       |), g AS (
+       |  SELECT count(*) AS n_matched_cells, sum(n_treated)::BIGINT AS treated_matched,
+       |    round((sum(syt) - sum(n_treated * (syc / n_control::DOUBLE)))
+       |      / sum(n_treated)::DOUBLE / 100.0, 4) AS att
+       |  FROM matched
+       |)
+       |SELECT rk, nation, bband, oband, n_treated, n_control, att_cell,
+       |  (SELECT n_matched_cells FROM g) AS n_matched_cells,
+       |  (SELECT treated_matched FROM g) AS treated_matched,
+       |  (SELECT att FROM g) AS att
+       |FROM (
+       |  SELECT nation, bband, oband, n_treated, n_control,
+       |    round((syt / n_treated::DOUBLE - syc / n_control::DOUBLE) / 100.0, 4) AS att_cell,
+       |    row_number() OVER (ORDER BY n_treated DESC, nation ASC,
+       |      bband ASC, oband ASC) AS rk
+       |  FROM matched
+       |) WHERE rk <= $CemTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_load_heatmap"      -> (loadHeatmap _),
     "q_ab_srm"            -> (abSrm _),
@@ -1717,6 +1823,7 @@ object Analytics {
     "q_gap_fill"          -> (gapFillDaily _),
     "q_corr_stats"        -> (corrStats _),
     "q_attribution"       -> (multiTouchAttribution _),
+    "q_cem_uplift"        -> (cemUplift _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1749,5 +1856,6 @@ object Analytics {
     "q_gap_fill"          -> gapFillDailySql,
     "q_corr_stats"        -> corrStatsSql,
     "q_attribution"       -> multiTouchAttributionSql,
+    "q_cem_uplift"        -> cemUpliftSql,
   )
 }

@@ -474,4 +474,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // sanity: some day holds >1 concurrent session on the fixture
     assert(perDay.values.max > 1)
   }
+
+  test("cem uplift: cell moments and ATT match a local matched-cell recompute") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.cemUplift(spark, sfTest).collect()
+    val spend = Tables.orders(spark, sfTest)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap
+    val cells = Tables.customer(spark, sfTest)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment")).collect()
+      .map { r =>
+        val (y, nOrd) = spend.getOrElse(r.getLong(0), (0L, 0L))
+        val key = (r.getInt(1), math.floor(r.getDouble(2) / 2000.0).toInt,
+          math.min(nOrd, 3L).toInt)
+        val t = if (r.getString(3) == "BUILDING") 1 else 0
+        (key, t, y)
+      }
+      .groupBy(_._1).view.mapValues { g =>
+        val nt = g.count(_._2 == 1).toLong
+        val nc = g.count(_._2 == 0).toLong
+        val syt = g.collect { case (_, 1, y) => y }.sum
+        val syc = g.collect { case (_, 0, y) => y }.sum
+        (nt, nc, syt, syc)
+      }.toMap.filter { case (_, (nt, nc, _, _)) => nt > 0 && nc > 0 }
+    val att = (cells.values.map(_._3.toDouble).sum -
+      cells.values.map { case (nt, nc, _, syc) => nt * (syc.toDouble / nc) }.sum) /
+      cells.values.map(_._1).sum / 100.0
+    assert(out.nonEmpty && out.length <= operators.Analytics.CemTop)
+    out.foreach { r =>
+      val key = (r.getAs[Int]("nation"), r.getAs[Int]("bband"), r.getAs[Int]("oband"))
+      val (nt, nc, syt, syc) = cells(key)
+      assert(r.getAs[Long]("n_treated") === nt)
+      assert(r.getAs[Long]("n_control") === nc)
+      assert(math.abs(r.getAs[Double]("att_cell") -
+        (syt.toDouble / nt - syc.toDouble / nc) / 100.0) < 2e-4)
+      assert(r.getAs[Long]("n_matched_cells") === cells.size.toLong)
+      assert(r.getAs[Long]("treated_matched") === cells.values.map(_._1).sum)
+      assert(math.abs(r.getAs[Double]("att") - att) < 2e-4)
+    }
+    // the head really is the treated-count-ordered top of the matched grid
+    val expectedHead = cells.toSeq
+      .sortBy { case ((n, b, o), (nt, _, _, _)) => (-nt, n, b, o) }
+      .take(out.length).map(_._1)
+    assert(out.map(r => (r.getAs[Int]("nation"), r.getAs[Int]("bband"),
+      r.getAs[Int]("oband"))).toSeq === expectedHead)
+  }
 }

@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * mechanism is actually present in each of these plans, not just
     * claimed. */
   private val HeadRank = Set(
-    "q_bm25_rank", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
+    "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
