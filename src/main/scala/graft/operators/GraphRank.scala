@@ -1429,8 +1429,12 @@ object GraphRank {
     */
   val AaMidDegCap = 256L
 
-  /** Adamic-Adar link prediction over the [[EdgeMinCo]]-sparsified
-    * co-purchase graph: for item pairs NOT currently connected, score
+  /** Adamic-Adar link prediction over the [[TriMinCo]] co-purchase
+    * graph (the same robust-edge floor as the triangle count, and for
+    * the same reason: wedge expansion is quadratic in degree, and a
+    * co=2 edge is noise you'd be predicting MORE noise from — at sf0.1
+    * the floor cuts the wedge space from 19.5M to 11k with the top
+    * candidates intact): for item pairs NOT currently connected, score
     * AA(i,j) = Σ_{z ∈ N(i)∩N(j)} 1/ln(deg z) — shared rare neighbors
     * are strong evidence, shared hubs weak. The classic "which edge
     * appears next" ranking (Liben-Nowell & Kleinberg 2003), i.e.
@@ -1450,7 +1454,10 @@ object GraphRank {
     * aggregate every bucketed ANN/dedup tier already runs.
     */
   def linkPredict(spark: SparkSession, sfDir: String): DataFrame =
-    linkPredictOf(sparsifiedHalfEdges(spark, sfDir))
+    linkPredictOf(Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+      .where(col("co") >= TriMinCo)
+      .select("item_i", "item_j"))
 
   /** The capped AA expansion over ANY (item_i, item_j) half-edge frame
     * — extracted so the spec can plant a super-cap hub and prove the
@@ -1458,16 +1465,26 @@ object GraphRank {
   private[graft] def linkPredictOf(e: DataFrame): DataFrame = {
     val adj = e.select(col("item_i").as("mid"), col("item_j").as("x"))
       .unionByName(e.select(col("item_j").as("mid"), col("item_i").as("x")))
-    val u = adj.groupBy("mid").agg(count(lit(1)).as("d"))
-      .where(col("d") >= 2 && col("d") <= AaMidDegCap)
-      .withColumn("u", round(lit(1000000.0d) / log(col("d")), 0).cast("long"))
-      .select("mid", "u")
-    val wed = adj.join(adj.select(col("mid"), col("x").as("y")), "mid")
-      .where(col("x") < col("y"))
-    val scored = wed.join(broadcast(u), "mid")
-      .groupBy(col("x").as("item_i"), col("y").as("item_j"))
+    // per-middle sorted neighbor list; the degree cap drops hub lists
+    // BEFORE pair expansion (generating a hub's d² wedges only to drop
+    // them afterwards is the whole cost the cap exists to avoid), and
+    // the expansion itself is the memoized CF aggregate's codegen path:
+    // PairPack emits single-long packed keys map-side, so the wedge
+    // space shuffles once as (pk, u) instead of twice as two-column
+    // join rows. (At a web-scale degree distribution you'd pre-count
+    // degrees and semi-join before the collect; here the cap bounds
+    // every retained list and a hub's transient list is one row.)
+    val lists = adj.groupBy("mid")
+      .agg(sort_array(collect_list(col("x"))).as("ns"))
+      .where(size(col("ns")) >= 2 && size(col("ns")) <= AaMidDegCap.toInt)
+      .withColumn("u",
+        round(lit(1000000.0d) / log(size(col("ns")).cast("double")), 0).cast("long"))
+    val scored = lists
+      .select(col("u"), explode(graft.functions.PairPack.pairPack(col("ns"))).as("pk"))
+      .repartition(col("pk"))
+      .groupBy("pk")
       .agg(count(lit(1)).as("common_neighbors"), sum("u").as("aa_units"))
-    scored
+    Recsys.unpack(scored, "item_i", "item_j")
       .join(e, Seq("item_i", "item_j"), "left_anti")
       .withColumn("rk", row_number().over(Window.orderBy(
         col("aa_units").desc, col("item_i").asc, col("item_j").asc)))
@@ -1486,7 +1503,7 @@ object GraphRank {
        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
        |  GROUP BY 1, 2
        |), e AS MATERIALIZED (
-       |  SELECT item_i, item_j FROM pairs WHERE co >= $EdgeMinCo
+       |  SELECT item_i, item_j FROM pairs WHERE co >= $TriMinCo
        |), adj AS MATERIALIZED (
        |  SELECT item_i AS mid, item_j AS x FROM e
        |  UNION ALL

@@ -372,7 +372,8 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("link predict: AA units match a local recompute; no emitted pair is an edge") {
-    val e = GraphRank.sparsifiedHalfEdges(spark, sfTest)
+    val e = GraphRank.weightedHalfEdges(spark, sfTest)
+      .where(col("co") >= GraphRank.TriMinCo).select("item_i", "item_j")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = (e.map(p => p._1 -> p._2) ++ e.map(p => p._2 -> p._1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
