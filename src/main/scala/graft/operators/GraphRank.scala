@@ -128,6 +128,7 @@ object GraphRank {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     copurchaseEw(spark, sfDir).count()
     copurchaseNodes(spark, sfDir).count()
+    lpaLabels(spark, sfDir).count()
   }
 
   /** The iterated integer PageRank recurrence over ANY (src, dst, w,
