@@ -1687,6 +1687,76 @@ object Analytics {
       |  round(n * nt / (nd * nh), 4) AS lift
       |FROM m ORDER BY dow, hod""".stripMargin
 
+  /** Display positions modeled by the examination curve. */
+  val PbPositions = 10
+
+  /** Position-bias (examination model) estimation from the raw event
+    * log — the input counterfactual learning-to-rank needs before any
+    * click data can train a ranker: CTR by display position, the
+    * examination bias relative to the top slot, and the inverse-
+    * propensity weight 1/bias that reweights clicks for unbiased
+    * training (Joachims' IPS correction). Display position derives
+    * deterministically from the event's props.k (k mod
+    * [[PbPositions]]); views are impressions, clicks the positives.
+    *
+    * Exactness: per-position view/click counts are exact BIGINTs, and
+    * bias/IPS are ratios of INTEGER PRODUCTS (c_p·v_1)/(v_p·c_1) — one
+    * IEEE division each, no float accumulation anywhere. The two mean
+    * positions (views vs clicks — the one-number bias signature) are
+    * single divisions of exact integer dot products.
+    *
+    * Scale: one map-side position projection + one [[PbPositions]]-row
+    * aggregate; everything downstream is position-grain.
+    */
+  def positionBias(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("long") % PbPositions).as("pos"))
+    val perPos = ev.groupBy("pos")
+      .agg(sum((col("event_type") === "view").cast("long")).as("n_views"),
+        sum((col("event_type") === "click").cast("long")).as("n_clicks"))
+      .localCheckpoint() // 10 rows feed the ref slot, the means and the rows
+    val ref = perPos.orderBy("pos").limit(1)
+      .select(col("n_views").as("v1"), col("n_clicks").as("c1"))
+    val means = perPos.agg(
+      round(sum(col("pos") * col("n_views")) / sum(col("n_views")), 6).as("mean_view_pos"),
+      round(sum(col("pos") * col("n_clicks")) / sum(col("n_clicks")), 6).as("mean_click_pos"))
+    perPos.crossJoin(broadcast(ref)).crossJoin(broadcast(means))
+      .select(col("pos"), col("n_views"), col("n_clicks"),
+        round(col("n_clicks") / col("n_views"), 6).as("ctr"),
+        round((col("n_clicks") * col("v1")) / (col("n_views") * col("c1")), 6).as("exam_bias"),
+        round((col("n_views") * col("c1")) / (col("n_clicks") * col("v1")), 6).as("ips_weight"),
+        col("mean_view_pos"), col("mean_click_pos"))
+      .orderBy("pos")
+  }
+
+  /** Oracle: identical position projection and integer-ratio algebra. */
+  val positionBiasSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % $PbPositions AS pos
+       |  FROM events WHERE event_type IN ('view', 'click')
+       |), per_pos AS MATERIALIZED (
+       |  SELECT pos,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_views,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks
+       |  FROM ev GROUP BY pos
+       |), ref AS (
+       |  SELECT n_views AS v1, n_clicks AS c1 FROM per_pos ORDER BY pos LIMIT 1
+       |), means AS (
+       |  SELECT round(sum(pos * n_views) / sum(n_views)::DOUBLE, 6) AS mean_view_pos,
+       |    round(sum(pos * n_clicks) / sum(n_clicks)::DOUBLE, 6) AS mean_click_pos
+       |  FROM per_pos
+       |)
+       |SELECT pos, n_views, n_clicks,
+       |  round(n_clicks / n_views::DOUBLE, 6) AS ctr,
+       |  round((n_clicks * v1) / (n_views * c1)::DOUBLE, 6) AS exam_bias,
+       |  round((n_views * c1) / (n_clicks * v1)::DOUBLE, 6) AS ips_weight,
+       |  means.mean_view_pos, means.mean_click_pos
+       |FROM per_pos CROSS JOIN ref CROSS JOIN means
+       |ORDER BY pos""".stripMargin
+
   /** Matched cells reported by the CEM uplift query. */
   val CemTop = 15
   /** Account-balance coarsening width (dollars per band). */
@@ -1824,6 +1894,7 @@ object Analytics {
     "q_corr_stats"        -> (corrStats _),
     "q_attribution"       -> (multiTouchAttribution _),
     "q_cem_uplift"        -> (cemUplift _),
+    "q_position_bias"     -> (positionBias _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1857,5 +1928,6 @@ object Analytics {
     "q_corr_stats"        -> corrStatsSql,
     "q_attribution"       -> multiTouchAttributionSql,
     "q_cem_uplift"        -> cemUpliftSql,
+    "q_position_bias"     -> positionBiasSql,
   )
 }

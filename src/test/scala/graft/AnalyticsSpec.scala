@@ -475,6 +475,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(perDay.values.max > 1)
   }
 
+  test("position bias: curve and IPS weights match a local recompute; identities hold") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.positionBias(spark, sfTest).collect()
+    val ev = Tables.events(spark, sfTest)
+      .where(col("event_type").isin("view", "click"))
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1) % operators.Analytics.PbPositions))
+    val views = ev.filter(_._1 == "view").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val clicks = ev.filter(_._1 == "click").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val p0 = out.map(_.getAs[Long]("pos")).min
+    val (v1, c1) = (views(p0), clicks(p0))
+    assert(out.length === views.keySet.union(clicks.keySet).size)
+    out.foreach { r =>
+      val p = r.getAs[Long]("pos")
+      assert(r.getAs[Long]("n_views") === views.getOrElse(p, 0L))
+      assert(r.getAs[Long]("n_clicks") === clicks.getOrElse(p, 0L))
+      val ctr = clicks(p).toDouble / views(p)
+      assert(math.abs(r.getAs[Double]("ctr") - ctr) < 2e-6)
+      val bias = (clicks(p) * v1).toDouble / (views(p) * c1)
+      assert(math.abs(r.getAs[Double]("exam_bias") - bias) < 2e-6)
+      // bias and weight are reciprocal by construction
+      assert(math.abs(r.getAs[Double]("exam_bias") * r.getAs[Double]("ips_weight") - 1.0) < 1e-4)
+    }
+    // the reference slot's bias is exactly 1 and its IPS weight 1
+    val refRow = out.find(_.getAs[Long]("pos") == p0).get
+    assert(refRow.getAs[Double]("exam_bias") === 1.0)
+    assert(refRow.getAs[Double]("ips_weight") === 1.0)
+    // mean positions: exact integer dot products
+    val mv = views.map { case (p, n) => p * n }.sum.toDouble / views.values.sum
+    val mc = clicks.map { case (p, n) => p * n }.sum.toDouble / clicks.values.sum
+    assert(math.abs(refRow.getAs[Double]("mean_view_pos") - mv) < 2e-6)
+    assert(math.abs(refRow.getAs[Double]("mean_click_pos") - mc) < 2e-6)
+  }
+
   test("cem uplift: cell moments and ATT match a local matched-cell recompute") {
     import org.apache.spark.sql.functions._
     val out = operators.Analytics.cemUplift(spark, sfTest).collect()
