@@ -1687,6 +1687,114 @@ object Analytics {
       |  round(n * nt / (nd * nh), 4) AS lift
       |FROM m ORDER BY dow, hod""".stripMargin
 
+  /** mSPRT mixture variance (dollars², the metric's scale). */
+  val MsprtTau = 1.0
+
+  /** Always-valid sequential test (mixture SPRT, Johari et al. — the
+    * "peek whenever you want" inference every modern experimentation
+    * platform ships, vs the fixed-horizon [[abTest]] z which is invalid
+    * under continuous monitoring): per day, the cumulative two-arm
+    * Welch mean-difference of purchase value under the hash-parity A/A
+    * split, the mixture likelihood ratio
+    * Λ = √(V/(V+τ))·exp(Z²τ / (2V(V+τ))), and the always-valid p =
+    * running min of 1/Λ — monotone by construction, valid at every
+    * peek. On an A/A split the p should hug 1.0, the platform's
+    * false-positive sanity check.
+    *
+    * Exactness: cumulative per-arm moments (n, Σcents, Σcents²) are
+    * exact BIGINT window sums over the per-day aggregate; Z, V, Λ are
+    * one closed-form IEEE expression each (exp is the only libm call;
+    * a last-ulp wobble sits ~11 orders below the emitted rounding).
+    * The cumulative windows order by DAY — calendar-bounded input,
+    * documented in PlanAuditSpec's CalendarSeries.
+    *
+    * Scale: one map projection, one per-(day) aggregate, two
+    * calendar-length windows; nothing touches event grain after the
+    * first aggregate.
+    */
+  def msprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        (expr("cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'ab')), 1, 8), 16, 10) AS bigint)") % 2).as("arm"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("day")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dnt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dnc"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("dst"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("dsc"),
+        sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("dsst"),
+        sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("dssc"))
+    val cum = perDay
+      .select(col("day"),
+        sum("dnt").over(w).as("nt"), sum("dnc").over(w).as("nc"),
+        sum("dst").over(w).as("st"), sum("dsc").over(w).as("sc"),
+        sum("dsst").over(w).as("sst"), sum("dssc").over(w).as("ssc"))
+      .where(col("nt") >= 2 && col("nc") >= 2)
+      .withColumn("vt", (col("sst") / 10000.0 -
+        (col("st") / 100.0) * (col("st") / 100.0) / col("nt")) / (col("nt") - 1))
+      .withColumn("vc", (col("ssc") / 10000.0 -
+        (col("sc") / 100.0) * (col("sc") / 100.0) / col("nc")) / (col("nc") - 1))
+      .withColumn("vn", col("vt") / col("nt") + col("vc") / col("nc"))
+      .withColumn("zn", col("st") / 100.0 / col("nt") - col("sc") / 100.0 / col("nc"))
+      .where(col("vn") > 0)
+      .withColumn("lam", sqrt(col("vn") / (col("vn") + MsprtTau)) *
+        exp(col("zn") * col("zn") * MsprtTau /
+          (lit(2.0) * col("vn") * (col("vn") + MsprtTau))))
+    cum
+      .withColumn("p_always", round(min(least(lit(1.0), lit(1.0) / col("lam"))).over(w), 6))
+      .select(col("day"), col("nt"), col("nc"),
+        round(col("zn"), 4).as("mean_diff"),
+        round(col("vn"), 6).as("v_n"),
+        round(col("lam"), 4).as("lambda"),
+        col("p_always"))
+      .orderBy("day")
+  }
+
+  /** Oracle: identical cumulative moments and mixture-LR algebra. */
+  val msprtSql: String =
+    s"""WITH pd AS (
+       |  SELECT ts::TIMESTAMP::DATE AS day,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS dnt,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS dnc,
+       |    sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)::BIGINT AS dst,
+       |    sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)::BIGINT AS dsc,
+       |    sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)::BIGINT AS dsst,
+       |    sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)::BIGINT AS dssc
+       |  FROM (
+       |    SELECT ts, ('0x' || substr(md5(user_id || '-' || 'ab'), 1, 8))::BIGINT % 2 AS arm,
+       |      round(value * 100)::BIGINT AS cents
+       |    FROM events WHERE event_type = 'purchase'
+       |  ) GROUP BY 1
+       |), cum AS (
+       |  SELECT day,
+       |    sum(dnt) OVER wv AS nt, sum(dnc) OVER wv AS nc,
+       |    sum(dst) OVER wv AS st, sum(dsc) OVER wv AS sc,
+       |    sum(dsst) OVER wv AS sst, sum(dssc) OVER wv AS ssc
+       |  FROM pd
+       |  WINDOW wv AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), lr AS (
+       |  SELECT day, nt, nc,
+       |    st / 100.0 / nt - sc / 100.0 / nc AS zn,
+       |    (sst / 10000.0 - (st / 100.0) * (st / 100.0) / nt) / (nt - 1) / nt
+       |      + (ssc / 10000.0 - (sc / 100.0) * (sc / 100.0) / nc) / (nc - 1) / nc AS vn
+       |  FROM cum WHERE nt >= 2 AND nc >= 2
+       |), lam AS (
+       |  SELECT day, nt, nc, zn, vn,
+       |    sqrt(vn / (vn + $MsprtTau)) *
+       |      exp(zn * zn * $MsprtTau / (2.0 * vn * (vn + $MsprtTau))) AS lam
+       |  FROM lr WHERE vn > 0
+       |)
+       |SELECT day, nt::BIGINT AS nt, nc::BIGINT AS nc,
+       |  round(zn, 4) AS mean_diff, round(vn, 6) AS v_n,
+       |  round(lam, 4) AS lambda,
+       |  round(min(least(1.0, 1.0 / lam))
+       |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |    AS p_always
+       |FROM lam
+       |ORDER BY day""".stripMargin
+
   /** Display positions modeled by the examination curve. */
   val PbPositions = 10
 
@@ -1895,6 +2003,7 @@ object Analytics {
     "q_attribution"       -> (multiTouchAttribution _),
     "q_cem_uplift"        -> (cemUplift _),
     "q_position_bias"     -> (positionBias _),
+    "q_msprt"             -> (msprt _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1929,5 +2038,6 @@ object Analytics {
     "q_attribution"       -> multiTouchAttributionSql,
     "q_cem_uplift"        -> cemUpliftSql,
     "q_position_bias"     -> positionBiasSql,
+    "q_msprt"             -> msprtSql,
   )
 }

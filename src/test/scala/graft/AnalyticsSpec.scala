@@ -475,6 +475,54 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(perDay.values.max > 1)
   }
 
+  test("msprt: mixture LR matches a local replay; always-valid p is monotone") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.msprt(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    // the always-valid envelope never rises and never exceeds 1
+    val ps = out.map(_.getAs[Double]("p_always"))
+    assert(ps.forall(p => p > 0.0 && p <= 1.0))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // local replay from the raw purchase log
+    val ev = Tables.events(spark, sfTest)
+      .where(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        expr("cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'ab')), 1, 8), 16, 10) AS bigint) % 2").as("arm"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val days = ev.map(_._1).distinct.sorted
+    var (nt, nc, st, sc, sst, ssc) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var pMin = 1.0
+    val tau = operators.Analytics.MsprtTau
+    val expected = days.flatMap { d =>
+      ev.filter(_._1 == d).foreach { case (_, arm, cents) =>
+        if (arm == 1) { nt += 1; st += cents; sst += cents * cents }
+        else { nc += 1; sc += cents; ssc += cents * cents }
+      }
+      if (nt >= 2 && nc >= 2) {
+        val vt = (sst / 10000.0 - (st / 100.0) * (st / 100.0) / nt) / (nt - 1)
+        val vc = (ssc / 10000.0 - (sc / 100.0) * (sc / 100.0) / nc) / (nc - 1)
+        val vn = vt / nt + vc / nc
+        val zn = st / 100.0 / nt - sc / 100.0 / nc
+        if (vn > 0) {
+          val lam = math.sqrt(vn / (vn + tau)) *
+            math.exp(zn * zn * tau / (2.0 * vn * (vn + tau)))
+          pMin = math.min(pMin, math.min(1.0, 1.0 / lam))
+          Some((d, nt, nc, zn, vn, lam, pMin))
+        } else None
+      } else None
+    }
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, (d, ent, enc, zn, vn, lam, p)) =>
+      assert(r.getDate(0).toLocalDate === d)
+      assert(r.getAs[Long]("nt") === ent && r.getAs[Long]("nc") === enc)
+      assert(math.abs(r.getAs[Double]("mean_diff") - zn) < 2e-4)
+      assert(math.abs(r.getAs[Double]("v_n") - vn) < 2e-6)
+      assert(math.abs(r.getAs[Double]("lambda") - lam) < 2e-4)
+      assert(math.abs(r.getAs[Double]("p_always") - p) < 2e-6)
+    }
+  }
+
   test("position bias: curve and IPS weights match a local recompute; identities hold") {
     import org.apache.spark.sql.functions._
     val out = operators.Analytics.positionBias(spark, sfTest).collect()

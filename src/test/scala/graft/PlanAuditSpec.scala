@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * observed span, bounded by the calendar however large the corpus. */
   private val CalendarSeries = Set(
     "q_burst_detect", "q_changepoint", "q_concurrency_peak", "q_mom_growth",
-    "q_rolling_corr", "q_seasonal_decompose", "q_survival_km", "q_stream_late")
+    "q_rolling_corr", "q_seasonal_decompose", "q_survival_km", "q_stream_late",
+    "q_msprt")
 
   /** The tiny coarse-totals prefix of the two-level rank machinery
     * (≤ a few thousand coarse cells by construction). */
