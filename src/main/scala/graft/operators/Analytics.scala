@@ -1687,6 +1687,105 @@ object Analytics {
       |  round(n * nt / (nd * nh), 4) AS lift
       |FROM m ORDER BY dow, hod""".stripMargin
 
+  /** RDD cutoff on the running variable (account balance, dollars). */
+  val RddCutoff = 5000.0
+  /** RDD local-fit bandwidth (dollars either side of the cutoff). */
+  val RddBandwidth = 3000.0
+
+  /** Sharp regression discontinuity — the third causal design beside
+    * [[cemUplift]] (matching) and [[diffInDiff]]: customers just above
+    * vs just below an account-balance threshold, local linear fits on
+    * each side within [[RddBandwidth]], treatment effect = the jump
+    * between the two intercepts AT the cutoff (Imbens-Lemieux). The
+    * running variable and outcome are both quantized to integer cents,
+    * so all five OLS moments per side (n, Σx, Σx², Σy, Σxy) are exact
+    * BIGINTs; slope/intercept/effect are closed-form expressions with
+    * every moment cast to DOUBLE FIRST (n·Σxy overflows int64 at
+    * population scale; the double conversion is round-to-nearest and
+    * identical on both engines, so the result stays bit-deterministic
+    * even where it is no longer exact — the documented trade the
+    * revenueGini DECIMAL(38) note makes the other way).
+    *
+    * Scale: one map-side bandwidth filter + one 2-row moment
+    * aggregate; everything downstream is 2-row algebra.
+    */
+  def rddEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val cCents = math.round(RddCutoff * 100)
+    val hCents = math.round(RddBandwidth * 100)
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        (round(col("c_acctbal") * 100, 0).cast("long") - cCents).as("dx"))
+      .where(col("dx") >= -hCents && col("dx") <= hCents)
+      .join(spend, Seq("c_custkey"), "left")
+      .select(when(col("dx") >= 0, lit("2_right")).otherwise(lit("1_left")).as("side"),
+        col("dx"), coalesce(col("y"), lit(0L)).as("y"))
+    val sides = base.groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("dx").as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum("y").as("sy"), sum(col("dx") * col("y")).as("sxy"))
+      .withColumn("b", (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("a", (col("sy").cast("double") - col("b") * col("sx").cast("double"))
+        / col("n"))
+      .localCheckpoint() // 2 rows feed the jump and the emitted rows
+    val jump = sides.agg(round((sum(when(col("side") === "2_right", col("a")).otherwise(0.0))
+        - sum(when(col("side") === "1_left", col("a")).otherwise(0.0))) / 100.0, 4)
+      .as("effect_at_cutoff"))
+    sides
+      .crossJoin(broadcast(jump))
+      .select(col("side"), col("n"),
+        round(col("a") / 100.0, 4).as("intercept"),
+        round(col("b") * 100.0, 6).as("slope_per_dollar"),
+        round(col("sy") / col("n") / 100.0, 4).as("mean_y"),
+        col("effect_at_cutoff"))
+      .orderBy("side")
+  }
+
+  /** Oracle: identical moments and cast-to-double-first algebra. */
+  val rddEffectSql: String = {
+    val cC = math.round(RddCutoff * 100)
+    val hC = math.round(RddBandwidth * 100)
+    s"""WITH spend AS (
+       |  SELECT o_custkey AS c_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+       |  FROM orders GROUP BY 1
+       |), base AS (
+       |  SELECT CASE WHEN dx >= 0 THEN '2_right' ELSE '1_left' END AS side, dx, y
+       |  FROM (
+       |    SELECT round(c.c_acctbal * 100)::BIGINT - $cC AS dx,
+       |      coalesce(s.y, 0)::BIGINT AS y
+       |    FROM customer c LEFT JOIN spend s ON s.c_custkey = c.c_custkey
+       |  ) WHERE dx >= -$hC AND dx <= $hC
+       |), sides AS (
+       |  SELECT side, n, sx, sxx, sy, sxy,
+       |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b
+       |  FROM (
+       |    SELECT side, count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx,
+       |      sum(dx * dx)::BIGINT AS sxx, sum(y)::BIGINT AS sy,
+       |      sum(dx * y)::BIGINT AS sxy
+       |    FROM base GROUP BY side
+       |  )
+       |), ab AS (
+       |  SELECT side, n, sy, b, (sy::DOUBLE - b * sx::DOUBLE) / n AS a FROM sides
+       |), jump AS (
+       |  SELECT round((sum(CASE WHEN side = '2_right' THEN a ELSE 0.0 END)
+       |    - sum(CASE WHEN side = '1_left' THEN a ELSE 0.0 END)) / 100.0, 4)
+       |    AS effect_at_cutoff
+       |  FROM ab
+       |)
+       |SELECT side, n, round(a / 100.0, 4) AS intercept,
+       |  round(b * 100.0, 6) AS slope_per_dollar,
+       |  round(sy / n::DOUBLE / 100.0, 4) AS mean_y,
+       |  (SELECT effect_at_cutoff FROM jump) AS effect_at_cutoff
+       |FROM ab
+       |ORDER BY side""".stripMargin
+  }
+
   /** mSPRT mixture variance (dollars², the metric's scale). */
   val MsprtTau = 1.0
 
@@ -2004,6 +2103,7 @@ object Analytics {
     "q_cem_uplift"        -> (cemUplift _),
     "q_position_bias"     -> (positionBias _),
     "q_msprt"             -> (msprt _),
+    "q_rdd_effect"        -> (rddEffect _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2039,5 +2139,6 @@ object Analytics {
     "q_cem_uplift"        -> cemUpliftSql,
     "q_position_bias"     -> positionBiasSql,
     "q_msprt"             -> msprtSql,
+    "q_rdd_effect"        -> rddEffectSql,
   )
 }

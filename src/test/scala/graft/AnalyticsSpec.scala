@@ -475,6 +475,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(perDay.values.max > 1)
   }
 
+  test("rdd effect: side fits match a local closed-form OLS; jump is intercept diff") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.rddEffect(spark, sfTest).collect()
+    assert(out.map(_.getAs[String]("side")).toSeq === Seq("1_left", "2_right"))
+    val spend = Tables.orders(spark, sfTest)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cC = math.round(operators.Analytics.RddCutoff * 100)
+    val hC = math.round(operators.Analytics.RddBandwidth * 100)
+    val pts = Tables.customer(spark, sfTest)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (math.round(r.getDouble(1) * 100) - cC,
+        spend.getOrElse(r.getLong(0), 0L)))
+      .filter { case (dx, _) => dx >= -hC && dx <= hC }
+    def fit(side: Seq[(Long, Long)]): (Long, Double, Double) = {
+      val n = side.size.toLong
+      val sx = side.map(_._1).sum; val sy = side.map(_._2).sum
+      val sxx = side.map(p => p._1 * p._1).sum
+      val sxy = side.map(p => p._1 * p._2).sum
+      val b = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val a = (sy.toDouble - b * sx.toDouble) / n
+      (n, a, b)
+    }
+    val (nl, al, bl) = fit(pts.filter(_._1 < 0).toSeq)
+    val (nr, ar, br) = fit(pts.filter(_._1 >= 0).toSeq)
+    val byside = out.map(r => r.getAs[String]("side") -> r).toMap
+    assert(byside("1_left").getAs[Long]("n") === nl)
+    assert(byside("2_right").getAs[Long]("n") === nr)
+    assert(math.abs(byside("1_left").getAs[Double]("intercept") - al / 100.0) < 2e-4)
+    assert(math.abs(byside("2_right").getAs[Double]("intercept") - ar / 100.0) < 2e-4)
+    assert(math.abs(byside("1_left").getAs[Double]("slope_per_dollar") - bl * 100.0) < 2e-6)
+    assert(math.abs(byside("2_right").getAs[Double]("slope_per_dollar") - br * 100.0) < 2e-6)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("effect_at_cutoff") - (ar - al) / 100.0) < 2e-4)
+    }
+  }
+
   test("msprt: mixture LR matches a local replay; always-valid p is monotone") {
     import org.apache.spark.sql.functions._
     val out = operators.Analytics.msprt(spark, sfTest).collect()
