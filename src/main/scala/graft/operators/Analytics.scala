@@ -1687,6 +1687,163 @@ object Analytics {
       |  round(n * nt / (nd * nh), 4) AS lift
       |FROM m ORDER BY dow, hod""".stripMargin
 
+  /** Fixed-point unit for the Markov attribution walk. */
+  val MkAttrU = 1000000L
+  /** Matrix squarings: the walk evaluates P^(2^MkAttrSq) = P^16. */
+  val MkAttrSq = 4
+  /** The touchpoint alphabet (event types that are not the conversion). */
+  val MkAttrChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov removal-effect attribution (Anderl et al.) — the
+    * data-driven counterpart of [[multiTouchAttribution]]'s heuristic
+    * credit rules: model user journeys as a first-order Markov chain
+    * over touchpoint states (journey = events up to each purchase;
+    * START/CONV/NULL absorbing scaffold), then credit each channel by
+    * its REMOVAL EFFECT — how much conversion probability disappears
+    * when the channel's incoming transitions divert to NULL. The
+    * conversion probability is the absorbed CONV mass of a 16-step
+    * walk, computed as [[MkAttrSq]] integer fixed-point matrix
+    * squarings; all five matrix variants (full + one per removed
+    * channel) ride ONE tagged frame through the same squarings.
+    *
+    * Exactness: transition counts are exact BIGINTs; probabilities and
+    * every squaring cell are fixed-point integer div — bit-identical
+    * cross-engine (floor quantization can make a removal effect
+    * marginally negative at the last unit; emitted raw, both engines
+    * agree). Effects and shares are single divisions of exact BIGINTs.
+    *
+    * Scale: per-user lag/lead windows (user-partitioned), one
+    * transition aggregate, then everything is matrix-cell-sized
+    * (5 variants × ≤49 cells).
+    */
+  def markovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(wUser))
+      .withColumn("next_type", lead("event_type", 1).over(wUser))
+    val starts = ev.where(col("prev_type").isNull || col("prev_type") === "purchase")
+      .select(lit("START").as("src"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("dst"))
+    val steps = ev.where(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        when(col("next_type").isNull, lit("NULL"))
+          .when(col("next_type") === "purchase", lit("CONV"))
+          .otherwise(col("next_type")).as("dst"))
+    val trans = starts.unionByName(steps)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ (channels+1)² cells feed five variants
+    val variants = spark.createDataFrame(
+      ("full" +: MkAttrChannels.map("rm_" + _)).map(Tuple1(_))).toDF("v")
+    val vt = trans.crossJoin(broadcast(variants))
+      .where(col("v") === "full" || concat(lit("rm_"), col("src")) =!= col("v"))
+      .withColumn("dst2", when(concat(lit("rm_"), col("dst")) === col("v"), lit("NULL"))
+        .otherwise(col("dst")))
+      .groupBy(col("v"), col("src"), col("dst2").as("dst"))
+      .agg(sum("cnt").as("cnt"))
+    val tot = vt.groupBy("v", "src").agg(sum("cnt").as("tot"))
+    val absorb = variants.crossJoin(
+        spark.createDataFrame(Seq(Tuple1("CONV"), Tuple1("NULL"))).toDF("s"))
+      .select(col("v"), col("s").as("src"), col("s").as("dst"), lit(MkAttrU).as("p"))
+    var m = vt.join(tot, Seq("v", "src"))
+      .select(col("v"), col("src"), col("dst"),
+        expr(s"cnt * ${MkAttrU}L div tot").as("p"))
+      .unionByName(absorb)
+      .localCheckpoint()
+    for (_ <- 1 to MkAttrSq) {
+      m = m.as("a").join(m.as("b"),
+          col("a.v") === col("b.v") && col("a.dst") === col("b.src"))
+        .groupBy(col("a.v").as("v"), col("a.src").as("src"), col("b.dst").as("dst"))
+        .agg(expr(s"sum(a.p * b.p) div ${MkAttrU}L").as("p"))
+        .localCheckpoint() // cell-sized; keep each squaring's plan flat
+    }
+    val pconv = m.where(col("src") === "START" && col("dst") === "CONV")
+      .select(col("v"), col("p"))
+    val pf = pconv.where(col("v") === "full").select(col("p").as("p_full_units"))
+    val chDf = spark.createDataFrame(MkAttrChannels.map(Tuple1(_))).toDF("channel")
+    val rm = chDf
+      .join(pconv.where(col("v") =!= "full")
+        .select(expr("substring(v, 4)").as("channel"), col("p").as("p_rm")),
+        Seq("channel"), "left")
+      .crossJoin(broadcast(pf))
+      .withColumn("removal_units", col("p_full_units") - coalesce(col("p_rm"), lit(0L)))
+      .localCheckpoint() // 4 rows feed the share total and the output
+    val totRm = rm.agg(sum("removal_units").as("rm_tot"))
+    rm.crossJoin(broadcast(totRm))
+      .select(col("channel"),
+        round(col("p_full_units") / MkAttrU.toDouble, 6).as("p_conv"),
+        round(coalesce(col("p_rm"), lit(0L)) / MkAttrU.toDouble, 6).as("p_removed"),
+        round(col("removal_units") / col("p_full_units").cast("double"), 6)
+          .as("removal_effect"),
+        round(col("removal_units") / col("rm_tot").cast("double"), 6).as("share"))
+      .orderBy("channel")
+  }
+
+  /** Oracle: identical journey segmentation, variant tagging and
+    * fixed-point squarings, unrolled m1→m16. */
+  val markovAttributionSql: String = {
+    val sq = (1 to MkAttrSq).map { k =>
+      val (prev, cur) = (1 << (k - 1), 1 << k)
+      s"""m$cur AS MATERIALIZED (
+         |  SELECT a.v, a.src, b.dst, (sum(a.p * b.p) // $MkAttrU)::BIGINT AS p
+         |  FROM m$prev a JOIN m$prev b ON a.v = b.v AND a.dst = b.src
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(", ")
+    val chValues = MkAttrChannels.map(c => s"('$c')").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER w AS prev_type,
+       |    lead(event_type) OVER w AS next_type
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), trans AS MATERIALIZED (
+       |  SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+       |    SELECT 'START' AS src,
+       |      CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS dst
+       |    FROM ev WHERE prev_type IS NULL OR prev_type = 'purchase'
+       |    UNION ALL
+       |    SELECT event_type,
+       |      CASE WHEN next_type IS NULL THEN 'NULL'
+       |           WHEN next_type = 'purchase' THEN 'CONV'
+       |           ELSE next_type END
+       |    FROM ev WHERE event_type != 'purchase'
+       |  ) GROUP BY 1, 2
+       |), variants(v) AS (
+       |  SELECT * FROM (VALUES ('full'), ${MkAttrChannels.map(c => s"('rm_$c')").mkString(", ")})
+       |), vt AS (
+       |  SELECT v, src, CASE WHEN 'rm_' || dst = v THEN 'NULL' ELSE dst END AS dst,
+       |    sum(cnt)::BIGINT AS cnt
+       |  FROM trans CROSS JOIN variants
+       |  WHERE v = 'full' OR 'rm_' || src != v
+       |  GROUP BY 1, 2, 3
+       |), m1 AS MATERIALIZED (
+       |  SELECT v, src, dst, ((cnt * $MkAttrU) // tot)::BIGINT AS p FROM (
+       |    SELECT v, src, dst, cnt, sum(cnt) OVER (PARTITION BY v, src) AS tot FROM vt
+       |  )
+       |  UNION ALL
+       |  SELECT v, s, s, $MkAttrU FROM variants CROSS JOIN (VALUES ('CONV'), ('NULL')) t(s)
+       |), $sq, pc AS (
+       |  SELECT v, p FROM m${1 << MkAttrSq} WHERE src = 'START' AND dst = 'CONV'
+       |), pf AS (SELECT p AS p_full FROM pc WHERE v = 'full'),
+       |rm AS MATERIALIZED (
+       |  SELECT ch.channel, pf.p_full,
+       |    coalesce(pc.p, 0)::BIGINT AS p_rm,
+       |    (pf.p_full - coalesce(pc.p, 0))::BIGINT AS removal_units
+       |  FROM (VALUES $chValues) ch(channel)
+       |  CROSS JOIN pf
+       |  LEFT JOIN pc ON pc.v = 'rm_' || ch.channel
+       |)
+       |SELECT channel,
+       |  round(p_full / $MkAttrU.0, 6) AS p_conv,
+       |  round(p_rm / $MkAttrU.0, 6) AS p_removed,
+       |  round(removal_units / p_full::DOUBLE, 6) AS removal_effect,
+       |  round(removal_units / (SELECT sum(removal_units) FROM rm)::DOUBLE, 6) AS share
+       |FROM rm
+       |ORDER BY channel""".stripMargin
+  }
+
   /** RDD cutoff on the running variable (account balance, dollars). */
   val RddCutoff = 5000.0
   /** RDD local-fit bandwidth (dollars either side of the cutoff). */
@@ -2104,6 +2261,7 @@ object Analytics {
     "q_position_bias"     -> (positionBias _),
     "q_msprt"             -> (msprt _),
     "q_rdd_effect"        -> (rddEffect _),
+    "q_markov_attribution" -> (markovAttribution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2140,5 +2298,6 @@ object Analytics {
     "q_position_bias"     -> positionBiasSql,
     "q_msprt"             -> msprtSql,
     "q_rdd_effect"        -> rddEffectSql,
+    "q_markov_attribution" -> markovAttributionSql,
   )
 }

@@ -475,6 +475,66 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(perDay.values.max > 1)
   }
 
+  test("markov attribution: removal effects match an exact local fixed-point replay") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Analytics.markovAttribution(spark, sfTest).collect()
+    assert(out.map(_.getAs[String]("channel")).toSeq ===
+      operators.Analytics.MkAttrChannels)
+    // local replay: journeys -> transition counts
+    val ev = Tables.events(spark, sfTest)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2)).map(_._4).toSeq).toMap
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    def add(s: String, d: String): Unit = cnt((s, d)) = cnt.getOrElse((s, d), 0L) + 1
+    ev.values.foreach { seq =>
+      seq.zipWithIndex.foreach { case (t, i) =>
+        val prev = if (i == 0) None else Some(seq(i - 1))
+        if (prev.isEmpty || prev.contains("purchase"))
+          add("START", if (t == "purchase") "CONV" else t)
+        if (t != "purchase") {
+          val next = if (i == seq.length - 1) None else Some(seq(i + 1))
+          add(t, next match {
+            case None => "NULL"; case Some("purchase") => "CONV"; case Some(x) => x
+          })
+        }
+      }
+    }
+    val u = operators.Analytics.MkAttrU
+    def walk(removed: Option[String]): Long = {
+      val vtc = scala.collection.mutable.Map.empty[(String, String), Long]
+      cnt.foreach { case ((s, d), c) =>
+        if (!removed.contains(s)) {
+          val d2 = if (removed.contains(d)) "NULL" else d
+          vtc((s, d2)) = vtc.getOrElse((s, d2), 0L) + c
+        }
+      }
+      val tot = vtc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      var m = vtc.map { case ((s, d), c) => (s, d) -> c * u / tot(s) }.toMap ++
+        Map(("CONV", "CONV") -> u, ("NULL", "NULL") -> u)
+      for (_ <- 1 to operators.Analytics.MkAttrSq) {
+        val next = scala.collection.mutable.Map.empty[(String, String), Long]
+        for (((s, k), p1) <- m; ((k2, d), p2) <- m if k2 == k)
+          next((s, d)) = next.getOrElse((s, d), 0L) + p1 * p2
+        m = next.view.mapValues(_ / u).toMap
+      }
+      m.getOrElse(("START", "CONV"), 0L)
+    }
+    val pFull = walk(None)
+    val removals = operators.Analytics.MkAttrChannels
+      .map(c => c -> (pFull - walk(Some(c)))).toMap
+    val rmTot = removals.values.sum
+    out.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("p_conv") - pFull.toDouble / u) < 2e-6)
+      assert(math.abs(r.getAs[Double]("p_removed") - (pFull - removals(c)).toDouble / u) < 2e-6)
+      assert(math.abs(r.getAs[Double]("removal_effect") - removals(c).toDouble / pFull) < 2e-6)
+      assert(math.abs(r.getAs[Double]("share") - removals(c).toDouble / rmTot) < 2e-6)
+    }
+    // shares partition the credit
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
   test("rdd effect: side fits match a local closed-form OLS; jump is intercept diff") {
     import org.apache.spark.sql.functions._
     val out = operators.Analytics.rddEffect(spark, sfTest).collect()
