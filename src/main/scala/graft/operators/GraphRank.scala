@@ -1613,7 +1613,115 @@ object GraphRank {
        |) WHERE rk <= $LpaTop
        |ORDER BY rk""".stripMargin
 
+  /** Katz attenuation α as an integer ratio (α = 0.05; must sit below
+    * 1/λ_max of the adjacency for the series to be meaningful — at
+    * α·max_indegree ≥ 1 the fixed-point units also outgrow int64
+    * within a few rounds, the same DECIMAL(38) escape hatch the other
+    * fixed-point recurrences document). */
+  val KatzAlphaNum = 5L
+  val KatzAlphaDen = 100L
+  /** β injection per node per round, in fixed-point units (1e9). */
+  val KatzUnit = 1000000000L
+  /** Fixed rounds — c_K sums attenuated path counts of length ≤ K. */
+  val KatzRounds = 4
+  /** Rows emitted: top items by Katz index. */
+  val KatzTop = 25
+
+  /** Katz centrality over the sparsified co-purchase graph — the
+    * attenuated-path-count complement of the centrality family
+    * ([[itemPagerank]] = stationary visit mass, [[hits]] = mutual
+    * reinforcement, [[kcore]] = cohesion depth): c(v) = Σ_k α^k ·
+    * |paths of length k ending at v|, computed as the fixed-round
+    * recurrence c_k(v) = Σ_{u→v} α·(1 + c_{k-1}(u)) in integer
+    * fixed-point ([[KatzUnit]] = the "1", α = [[KatzAlphaNum]]/
+    * [[KatzAlphaDen]] with BIGINT floor-div), so every round is
+    * exactly reproducible cross-engine. Unweighted adjacency — Katz
+    * counts paths, not co-purchase mass; the sparsification floor
+    * ([[EdgeMinCo]]) already removed noise edges.
+    *
+    * Scale: same shape as [[pagerankOf]] — per round ONE equi-join of
+    * the edge list with the |V|-row index vector (broadcast under
+    * [[BroadcastNodeCeiling]], shuffled-join above it) and one
+    * aggregate by dst; the vector localCheckpoints per round to
+    * truncate lineage. Output is a global top-[[KatzTop]] on the
+    * exact integer index (TakeOrderedAndProject — no tie hazard).
+    */
+  def katz(spark: SparkSession, sfDir: String): DataFrame =
+    katz(spark, sfDir, BroadcastNodeCeiling)
+
+  private[graft] def katz(spark: SparkSession, sfDir: String,
+                          bcastCeiling: Long): DataFrame = {
+    val nodes = copurchaseNodes(spark, sfDir)
+    val nV = nodes.count()
+    katzOf(copurchaseEw(spark, sfDir).select("src", "dst"), nodes, nV, bcastCeiling)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("katz").desc, col("item").asc)))
+      .where(col("rk") <= KatzTop)
+      .select(col("rk"), col("item").as("item_id"), col("katz").as("katz_units"))
+      .orderBy("rk")
+  }
+
+  /** The iterated integer Katz recurrence over ANY (src, dst) edge
+    * frame + node frame — frame-parameterized like [[pagerankOf]] so
+    * the scale spec can drive it off-fixture on both ceiling sides. */
+  private[graft] def katzOf(edges: DataFrame, nodes: DataFrame,
+                            nV: Long, bcastCeiling: Long): DataFrame = {
+    require(nV > 0, "katzOf: empty graph")
+    val fitsBroadcast = nV <= bcastCeiling
+    var c = nodes.withColumn("katz", lit(0L)).localCheckpoint()
+    for (_ <- 1 to KatzRounds) {
+      val cSrc = c.withColumnRenamed("item", "src")
+      val contrib = edges
+        .join(if (fitsBroadcast) broadcast(cSrc) else cSrc, "src")
+        .groupBy(col("dst").as("item"))
+        .agg(sum(expr(
+          s"($KatzAlphaNum * (${KatzUnit}L + katz)) div $KatzAlphaDen")).as("s"))
+      c = nodes.join(contrib, Seq("item"), "left")
+        .select(col("item"), coalesce(col("s"), lit(0L)).as("katz"))
+        .localCheckpoint()
+    }
+    c
+  }
+
+  /** Oracle: the identical recurrence unrolled as kz0..kzN chained
+    * MATERIALIZED CTEs over the same capped-interaction edge build. */
+  val katzSql: String = {
+    val rounds = (1 to KatzRounds).map { k =>
+      s"""kz$k AS MATERIALIZED (
+         |  SELECT nd.item, coalesce(c.s, 0)::BIGINT AS katz
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS item,
+         |      sum(($KatzAlphaNum * ($KatzUnit + p.katz)) // $KatzAlphaDen)::BIGINT AS s
+         |    FROM ew e JOIN kz${k - 1} p ON p.item = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.item = nd.item
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), ew AS MATERIALIZED (
+       |  SELECT item_i AS src, item_j AS dst FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst FROM pairs WHERE co >= $EdgeMinCo
+       |), nodes AS (
+       |  SELECT DISTINCT src AS item FROM ew
+       |), kz0 AS (
+       |  SELECT item, 0::BIGINT AS katz FROM nodes
+       |), $rounds
+       |SELECT rk, item AS item_id, katz AS katz_units FROM (
+       |  SELECT item, katz,
+       |    row_number() OVER (ORDER BY katz DESC, item ASC) AS rk
+       |  FROM kz$KatzRounds
+       |) WHERE rk <= $KatzTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_katz"           -> (katz(_, _)),
     "q_hits"           -> (hits _),
     "q_kcore"          -> (kcore _),
     "q_shortest_paths" -> (shortestPaths _),
@@ -1633,6 +1741,7 @@ object GraphRank {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_katz"           -> katzSql,
     "q_hits"           -> hitsSql,
     "q_kcore"          -> kcoreSql,
     "q_shortest_paths" -> shortestPathsSql,

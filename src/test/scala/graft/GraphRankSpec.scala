@@ -455,4 +455,36 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
       if (comm.contains(c)) assert(comm(c) === r.getAs[Long]("n_items"))
     }
   }
+
+  test("katz: fixed-point attenuated path counts match an exact local replay") {
+    val half = GraphRank.weightedHalfEdges(spark, sfTest)
+      .select("item_i", "item_j", "co")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 >= GraphRank.EdgeMinCo)
+    val edges = half.flatMap { case (i, j, _) => Seq((i, j), (j, i)) }
+    val nodes = edges.map(_._1).toSet
+    val aN = GraphRank.KatzAlphaNum; val aD = GraphRank.KatzAlphaDen
+    val unit = GraphRank.KatzUnit
+    var c = nodes.map(v => v -> 0L).toMap
+    for (_ <- 1 to GraphRank.KatzRounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s0, t) <- edges) contrib(t) += aN * (unit + c(s0)) / aD
+      c = nodes.map(v => v -> contrib(v)).toMap
+    }
+    val expected = c.toSeq.sortBy { case (v, k) => (-k, v) }.take(GraphRank.KatzTop)
+    val got = GraphRank.katz(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("katz_units")))
+    assert(got.toSeq == expected, "katz integer replay mismatch")
+    // a path-counting index must rank some multi-hop-reachable hub
+    // strictly above an EdgeMinCo-degree-1 leaf: top katz exceeds the
+    // single-in-edge value alpha*unit*K
+    assert(expected.head._2 > aN * unit / aD * GraphRank.KatzRounds)
+  }
+
+  test("katz shuffled-join branch (forced ceiling 0) is bit-identical to the broadcast branch") {
+    val bcast = GraphRank.katz(spark, sfTest).collect()
+    val shuffled = GraphRank.katz(spark, sfTest, 0L).collect()
+    assert(bcast.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
+      "integer fixed-point recurrence must not depend on the join strategy")
+  }
 }
