@@ -1210,7 +1210,82 @@ object Training {
     pqCodebooks(spark, sfDir).count()
   }
 
+  /** Chosen/rejected candidates kept per user BEFORE pairing — the
+    * cap that keeps the per-user pair product at C² = 4, not |items|². */
+  val DpoCandC = 2
+  /** Pairs emitted (global head on the exact integer margin). */
+  val DpoTop = 100
+
+  /** Preference-pair construction — the DPO/RLHF-style training-data
+    * step that turns graded interactions into (prompt, chosen,
+    * rejected) triples: per user, the [[DpoCandC]] strongest items
+    * (quantity-weighted implicit rating, ties broken ascending by
+    * item) pair against the [[DpoCandC]] weakest (ties broken
+    * descending, so the two candidate sets stay disjoint whenever the
+    * user has > 2·C items), keeping only strict-preference pairs
+    * (margin > 0, distinct items). Margin = exact integer strength
+    * difference, so ranking needs no float tie-break.
+    *
+    * Scale: both candidate ranks are per-user partitioned windows
+    * over the SAME partitioning (one shuffle, two row_numbers), the
+    * pair join fans out ≤ C² = 4 rows per user, and the output head is
+    * a global top-[[DpoTop]] on exact BIGINTs (TakeOrderedAndProject).
+    * Nothing corpus-sized ever sorts globally.
+    */
+  def dpoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val i = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"),
+        round(col("strength"), 0).cast("long").as("s"))
+    val wTop = Window.partitionBy("user_id")
+      .orderBy(col("s").desc, col("item_id").asc)
+    val wBot = Window.partitionBy("user_id")
+      .orderBy(col("s").asc, col("item_id").desc)
+    val ranked = i.withColumn("rt", row_number().over(wTop))
+      .withColumn("rb", row_number().over(wBot))
+    val chosen = ranked.where(col("rt") <= DpoCandC)
+      .select(col("user_id"), col("item_id").as("chosen_item"), col("s").as("s_c"))
+    val rejected = ranked.where(col("rb") <= DpoCandC)
+      .select(col("user_id"), col("item_id").as("rejected_item"), col("s").as("s_r"))
+    chosen.join(rejected, "user_id")
+      .where(col("chosen_item") =!= col("rejected_item") && col("s_c") > col("s_r"))
+      .withColumn("margin", col("s_c") - col("s_r"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("margin").desc, col("user_id").asc,
+        col("chosen_item").asc, col("rejected_item").asc)))
+      .where(col("rk") <= DpoTop)
+      .select("rk", "user_id", "chosen_item", "rejected_item", "margin")
+      .orderBy("rk")
+  }
+
+  val dpoPairsSql: String =
+    s"""WITH inter AS (
+       |${Tables.interactionsSql}
+       |), i AS (
+       |  SELECT user_id, item_id, CAST(round(strength) AS BIGINT) AS s FROM inter
+       |), rnk AS (
+       |  SELECT user_id, item_id, s,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY s DESC, item_id ASC) AS rt,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY s ASC, item_id DESC) AS rb
+       |  FROM i
+       |), c AS (
+       |  SELECT user_id, item_id AS chosen_item, s AS s_c FROM rnk WHERE rt <= $DpoCandC
+       |), rj AS (
+       |  SELECT user_id, item_id AS rejected_item, s AS s_r FROM rnk WHERE rb <= $DpoCandC
+       |), p AS (
+       |  SELECT c.user_id, c.chosen_item, rj.rejected_item, c.s_c - rj.s_r AS margin
+       |  FROM c JOIN rj ON rj.user_id = c.user_id
+       |  WHERE c.chosen_item <> rj.rejected_item AND c.s_c > rj.s_r
+       |)
+       |SELECT rk, user_id, chosen_item, rejected_item, margin FROM (
+       |  SELECT user_id, chosen_item, rejected_item, margin,
+       |    row_number() OVER (ORDER BY margin DESC, user_id ASC,
+       |      chosen_item ASC, rejected_item ASC) AS rk
+       |  FROM p
+       |) WHERE rk <= $DpoTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dpo_pairs"        -> (dpoPairs _),
     "q_embed_pc1"        -> (embedPc1 _),
     "q_kcenter_coreset"  -> (kcenterCoreset _),
     "q_pq_adc"           -> (pqAdc _),
@@ -1226,6 +1301,7 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dpo_pairs"        -> dpoPairsSql,
     "q_embed_pc1"        -> embedPc1Sql,
     "q_kcenter_coreset"  -> kcenterCoresetSql,
     "q_pq_adc"           -> pqAdcSql,

@@ -423,4 +423,29 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(nCodes <= (dims / T.PqSubDim).toLong * T.PqK)
     assert(codes.count() == T.PqNQueries.toLong * T.PqTopK)
   }
+
+  test("dpo pairs: candidate caps, strict preference and margins match a local replay") {
+    val inter = Tables.interactions(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2))))
+    val byUser = inter.groupBy(_._1)
+    val pairs = byUser.toSeq.flatMap { case (u, rows) =>
+      val top = rows.toSeq.sortBy(r => (-r._3, r._2)).take(operators.Training.DpoCandC)
+      val bot = rows.toSeq.sortBy(r => (r._3, -r._2)).take(operators.Training.DpoCandC)
+      for {
+        c <- top; rj <- bot
+        if c._2 != rj._2 && c._3 > rj._3
+      } yield (u, c._2, rj._2, c._3 - rj._3)
+    }
+    val expected = pairs.sortBy { case (u, c, rj, m) => (-m, u, c, rj) }
+      .take(operators.Training.DpoTop)
+    val got = operators.Training.dpoPairs(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("chosen_item"),
+        r.getAs[Long]("rejected_item"), r.getAs[Long]("margin")))
+    assert(got.toSeq == expected, "dpo pair replay mismatch")
+    // every emitted pair is a strict preference between distinct items
+    assert(got.forall(p => p._2 != p._3 && p._4 > 0))
+    // per-user pair count is bounded by the C*C cap
+    val cap = operators.Training.DpoCandC * operators.Training.DpoCandC
+    assert(got.groupBy(_._1).values.forall(_.length <= cap))
+  }
 }
