@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
-    "q_record_linkage", "q_reorder_rate", "q_session_entropy", "q_session_paths",
+    "q_record_linkage", "q_reorder_rate", "q_dpo_pairs", "q_session_entropy", "q_session_paths",
     "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
     "q_zipf_fit")
 
@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * (≤ a few thousand coarse cells by construction). */
   private val CoarsePrefix = Set(
     "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc",
-    "q_spearman")
+    "q_spearman", "q_kruskal_wallis")
 
   /** Catalog/graph-node-bounded ranks (items, not interactions): the
     * documented broadcast-ceiling policy treats the item catalog as
@@ -54,14 +54,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val CatalogGraph = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
     "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage",
-    "q_hits", "q_kcore", "q_modularity")
+    "q_hits", "q_kcore", "q_modularity", "q_katz")
 
   /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
     * curated quantile reference source, skyline survivors, bootstrap's
     * B replicate rows, the 25-nation rank demo. */
   private val BoundedModel = Set(
     "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci",
-    "q_window_ranks")
+    "q_window_ranks", "q_gain_deciles")
 
   private val Allow =
     HeadRank ++ CalendarSeries ++ CoarsePrefix ++ CatalogGraph ++ BoundedModel
