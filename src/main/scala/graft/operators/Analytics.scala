@@ -2227,7 +2227,104 @@ object Analytics {
        |) WHERE rk <= $CemTop
        |ORDER BY rk""".stripMargin
 
+  /** Cochran–Mantel–Haenszel pooled 2×2 association across strata —
+    * the confounder-controlled complement of [[cemUplift]] (same
+    * treatment: BUILDING-segment membership) for a BINARY outcome
+    * (placed ≥1 urgent-priority order), stratified by nation so a
+    * nation-skewed segment mix can't masquerade as an effect
+    * (Simpson's-paradox guard). Per stratum i with cells a,b,c,d and
+    * n = a+b+c+d:
+    *   OR_CMH = Σ(a·d/n) / Σ(b·c/n),
+    *   χ²_CMH = (|Σa − ΣE| − ½)² / ΣV,  E = (a+b)(a+c)/n,
+    *   V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))  (continuity-corrected).
+    * All cells are exact integer counts from ONE customer aggregate
+    * (outcome flag via a left-semi join on urgent orders); every
+    * per-stratum term is a single IEEE division of exact BIGINT
+    * products (the integer-product-ratio idiom), summed over ≤25
+    * nation rows. Output: per-stratum cells + odds ratio with the
+    * pooled OR/χ² attached from a broadcast 1-row aggregate.
+    */
+  def cmhTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val c = Tables.customer(spark, sfDir)
+      .join(urgent.distinct().withColumn("y", lit(1)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").as("stratum"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("t"),
+        coalesce(col("y"), lit(0)).as("y"))
+    val cells = c.groupBy("stratum")
+      .agg(sum(expr("t * y")).as("a"),
+        sum(expr("t * (1 - y)")).as("b"),
+        sum(expr("(1 - t) * y")).as("cc"),
+        sum(expr("(1 - t) * (1 - y)")).as("d"))
+      .withColumn("n", col("a") + col("b") + col("cc") + col("d"))
+      // strata where either arm is empty contribute nothing to the
+      // pooled sums (their ad/n, bc/n, E and V terms are still
+      // well-defined below; n > 1 guards the V denominator)
+      .where(col("n") > 1)
+    val glob = cells
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("a").cast("double") * col("d") / col("n")).as("sad"),
+        sum(col("b").cast("double") * col("cc") / col("n")).as("sbc"),
+        sum(col("a").cast("double")).as("sa"),
+        sum((col("a") + col("b")).cast("double") * (col("a") + col("cc")) / col("n"))
+          .as("se"),
+        sum((col("a") + col("b")).cast("double") * (col("cc") + col("d")) *
+          (col("a") + col("cc")) * (col("b") + col("d")) /
+          (col("n").cast("double") * col("n") * (col("n") - 1.0))).as("sv"))
+      .select(col("n_strata"),
+        (col("sad") / col("sbc")).as("or0"),
+        (pow(abs(col("sa") - col("se")) - 0.5, 2.0) / col("sv")).as("chi0"))
+    cells.crossJoin(broadcast(glob))
+      .select(col("stratum"), col("a"), col("b"), col("cc").as("c"), col("d"),
+        round(when(col("b") * col("cc") > 0,
+          col("a").cast("double") * col("d") / (col("b") * col("cc")))
+          .otherwise(lit(null)), 4).as("stratum_or"),
+        col("n_strata"),
+        round(col("or0"), 4).as("cmh_or"),
+        round(col("chi0"), 4).as("cmh_chi2"))
+      .orderBy("stratum")
+  }
+
+  val cmhTestSql: String =
+    """WITH urgent AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), base AS (
+      |  SELECT c.c_nationkey AS stratum,
+      |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |  FROM customer c LEFT JOIN urgent u ON u.o_custkey = c.c_custkey
+      |), cells AS (
+      |  SELECT stratum,
+      |    sum(t * y)::BIGINT AS a, sum(t * (1 - y))::BIGINT AS b,
+      |    sum((1 - t) * y)::BIGINT AS cc, sum((1 - t) * (1 - y))::BIGINT AS d
+      |  FROM base GROUP BY stratum
+      |), cn AS (
+      |  SELECT stratum, a, b, cc, d, a + b + cc + d AS n FROM cells
+      |  WHERE a + b + cc + d > 1
+      |), gl AS (
+      |  SELECT count(*)::BIGINT AS n_strata,
+      |    sum(a::DOUBLE * d / n) AS sad,
+      |    sum(b::DOUBLE * cc / n) AS sbc,
+      |    sum(a::DOUBLE) AS sa,
+      |    sum((a + b)::DOUBLE * (a + cc) / n) AS se,
+      |    sum((a + b)::DOUBLE * (cc + d) * (a + cc) * (b + d) /
+      |      (n::DOUBLE * n * (n - 1.0))) AS sv
+      |  FROM cn
+      |)
+      |SELECT cn.stratum, cn.a, cn.b, cn.cc AS c, cn.d,
+      |  round(CASE WHEN cn.b * cn.cc > 0
+      |    THEN cn.a::DOUBLE * cn.d / (cn.b * cn.cc) END, 4) AS stratum_or,
+      |  gl.n_strata,
+      |  round(gl.sad / gl.sbc, 4) AS cmh_or,
+      |  round(pow(abs(gl.sa - gl.se) - 0.5, 2.0) / gl.sv, 4) AS cmh_chi2
+      |FROM cn, gl
+      |ORDER BY stratum""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cmh"               -> (cmhTest _),
     "q_load_heatmap"      -> (loadHeatmap _),
     "q_ab_srm"            -> (abSrm _),
     "q_burst_detect"      -> (burstDetect _),
@@ -2265,6 +2362,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cmh"               -> cmhTestSql,
     "q_load_heatmap"      -> loadHeatmapSql,
     "q_ab_srm"            -> abSrmSql,
     "q_burst_detect"      -> burstDetectSql,

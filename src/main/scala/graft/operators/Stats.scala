@@ -1942,6 +1942,79 @@ object Stats {
       |FROM pg, d
       |ORDER BY segment""".stripMargin
 
+  /** Brown–Forsythe / Levene variance-homogeneity test on the same
+    * segment × balance frame as [[anovaSegments]] — the assumption
+    * check every ANOVA report runs first: a one-way F on the absolute
+    * deviations z = |x − median_g| (the median-centered Brown–Forsythe
+    * form, robust where the mean-centered original is not). Group
+    * medians are exact interpolated percentiles over integer cents
+    * (IEEE-identical cross-engine), so every z lands on an exact .5
+    * step and the z moments are exact doubles far below the 2⁵³
+    * mantissa bound; the F is one closed-form expression.
+    *
+    * Scale: one aggregate computes the 5 group medians (bounded
+    * percentile state per group), a broadcast join centers the rows
+    * map-side, one more aggregate collapses to k z-moment rows.
+    */
+  def leveneTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    val meds = c.groupBy("segment")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val z = c.join(broadcast(meds), "segment")
+      .withColumn("z", abs(col("cents").cast("double") - col("med")))
+    val perG = z.groupBy("segment")
+      .agg(count(lit(1)).as("n_j"), sum("z").as("s_j"),
+        sum(col("z") * col("z")).as("ss_j"), first("med").as("med"))
+    val glob = perG
+      .agg(count(lit(1)).as("k"), sum("n_j").as("nn"),
+        sum("s_j").as("s"), sum("ss_j").as("ss"),
+        sum(col("s_j") * col("s_j") / col("n_j")).as("sb0"))
+      .select(col("k"), col("nn"),
+        (col("sb0") - col("s") * col("s") / col("nn")).as("ssb"),
+        (col("ss") - col("sb0")).as("ssw"))
+    perG.crossJoin(broadcast(glob))
+      .select(col("segment"), col("n_j").as("n"),
+        round(col("med") / 100.0, 4).as("median_bal"),
+        round(col("s_j") / col("n_j") / 100.0, 4).as("mean_absdev"),
+        round((col("ssb") / (col("k") - 1.0)) /
+          (col("ssw") / (col("nn") - col("k"))), 4).as("f_stat"),
+        (col("k") - 1).as("df_between"),
+        (col("nn") - col("k")).as("df_within"))
+      .orderBy("segment")
+  }
+
+  val leveneTestSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), meds AS (
+      |  SELECT segment, quantile_cont(cents, 0.5) AS med FROM c GROUP BY segment
+      |), z AS (
+      |  SELECT c.segment, abs(c.cents::DOUBLE - m.med) AS z, m.med
+      |  FROM c JOIN meds m ON m.segment = c.segment
+      |), pg AS (
+      |  SELECT segment, count(*)::BIGINT AS n_j, sum(z) AS s_j,
+      |    sum(z * z) AS ss_j, any_value(med) AS med
+      |  FROM z GROUP BY segment
+      |), gl AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS nn,
+      |    sum(s_j) AS s, sum(ss_j) AS ss, sum(s_j * s_j / n_j) AS sb0
+      |  FROM pg
+      |), d AS (
+      |  SELECT k, nn, sb0 - s * s / nn AS ssb, ss - sb0 AS ssw FROM gl
+      |)
+      |SELECT pg.segment, pg.n_j AS n,
+      |  round(pg.med / 100.0, 4) AS median_bal,
+      |  round(pg.s_j / pg.n_j / 100.0, 4) AS mean_absdev,
+      |  round((d.ssb / (d.k - 1.0)) / (d.ssw / (d.nn - d.k)), 4) AS f_stat,
+      |  (d.k - 1)::BIGINT AS df_between,
+      |  (d.nn - d.k)::BIGINT AS df_within
+      |FROM pg, d
+      |ORDER BY segment""".stripMargin
+
   /** Cumulative-gains / lift table for the [[evalAuc]] propensity
     * ranking — the decile view every targeting campaign reads before
     * trusting a score: users ranked by pre-window activity, cut into
@@ -2035,6 +2108,7 @@ object Stats {
   val queries: Map[String, Q] = Map(
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_anova"          -> (anovaSegments _),
+    "q_levene"         -> (leveneTest _),
     "q_gain_deciles"   -> (gainDeciles _),
     "q_ship_lag"       -> (shipLag _),
     "q_trade_flows"    -> (tradeFlows _),
@@ -2069,6 +2143,7 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_anova"          -> anovaSegmentsSql,
+    "q_levene"         -> leveneTestSql,
     "q_gain_deciles"   -> gainDecilesSql,
     "q_ship_lag"       -> shipLagSql,
     "q_trade_flows"    -> tradeFlowsSql,

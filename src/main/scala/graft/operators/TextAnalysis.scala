@@ -1223,7 +1223,65 @@ object TextAnalysis {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Vocabulary size for the coverage audit — the top-V corpus tokens
+    * stand in for a trained tokenizer's vocab. */
+  val VocabSize = 500
+
+  /** Tokenizer-fit / OOV audit per source — the "will my tokenizer
+    * cover this corpus" check run before committing a vocab: build the
+    * top-[[VocabSize]] token vocabulary by corpus frequency (ties
+    * ascending by token — deterministic), then measure each source's
+    * out-of-vocabulary token share and mean per-doc OOV rate. A source
+    * whose coverage sits well below the rest either needs vocab budget
+    * or gets tokenized into fragment soup.
+    *
+    * Scale: explode → one token-frequency aggregate → the vocab head
+    * is a TakeOrderedAndProject (V rows) broadcast into a map-side
+    * membership join — the corpus is touched twice, shuffled once
+    * (token agg), and nothing corpus-sized sorts globally.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(expr(normSpark), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(VocabSize)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_oov").as("n_oov"),
+        round(avg(col("n_oov").cast("double") / col("n_tok")), 6).as("avg_oov_rate"))
+      .withColumn("token_coverage",
+        round(lit(1.0) - col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split($normDuck, ' ')) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+       |  ORDER BY n DESC, tok ASC LIMIT $VocabSize
+       |), per_doc AS (
+       |  SELECT t.doc_id, any_value(t.source) AS source, count(*)::BIGINT AS n_tok,
+       |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+       |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_tok)::BIGINT AS n_tokens, sum(n_oov)::BIGINT AS n_oov,
+       |  round(avg(n_oov::DOUBLE / n_tok), 6) AS avg_oov_rate,
+       |  round(1.0 - sum(n_oov)::DOUBLE / sum(n_tok), 6) AS token_coverage
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_rake_keywords" -> (rakeKeywords _),
     "q_boilerplate" -> (boilerplate _),
     "q_importance_sample" -> (importanceSample _),
@@ -1247,6 +1305,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_boilerplate" -> boilerplateSql,
     "q_importance_sample" -> importanceSampleSql,

@@ -703,4 +703,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(r => (r.getAs[Int]("nation"), r.getAs[Int]("bband"),
       r.getAs[Int]("oband"))).toSeq === expectedHead)
   }
+
+  test("cmh: stratum cells, pooled OR and continuity-corrected chi2 match a local recompute") {
+    val urgent = Tables.orders(spark, sfTest)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val rows = Tables.customer(spark, sfTest)
+      .select("c_custkey", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getAs[Number](1).longValue, r.getString(2) == "BUILDING",
+        urgent(r.getAs[Number](0).longValue)))
+    val cells = rows.groupBy(_._1).view.mapValues { g =>
+      val a = g.count(x => x._2 && x._3).toLong
+      val b = g.count(x => x._2 && !x._3).toLong
+      val c = g.count(x => !x._2 && x._3).toLong
+      val d = g.count(x => !x._2 && !x._3).toLong
+      (a, b, c, d)
+    }.toMap.filter { case (_, (a, b, c, d)) => a + b + c + d > 1 }
+    def n(t: (Long, Long, Long, Long)) = t._1 + t._2 + t._3 + t._4
+    val sad = cells.values.map(t => t._1.toDouble * t._4 / n(t)).sum
+    val sbc = cells.values.map(t => t._2.toDouble * t._3 / n(t)).sum
+    val sa = cells.values.map(_._1.toDouble).sum
+    val se = cells.values.map(t => (t._1 + t._2).toDouble * (t._1 + t._3) / n(t)).sum
+    val sv = cells.values.map { t =>
+      (t._1 + t._2).toDouble * (t._3 + t._4) * (t._1 + t._3) * (t._2 + t._4) /
+        (n(t).toDouble * n(t) * (n(t) - 1.0))
+    }.sum
+    val out = operators.Analytics.cmhTest(spark, sfTest).collect()
+    assert(out.length == cells.size)
+    for (r <- out) {
+      val st = r.getAs[Number]("stratum").longValue
+      val (a, b, c, d) = cells(st)
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+        r.getAs[Long]("d")) == ((a, b, c, d)))
+      assert(math.abs(r.getAs[Double]("cmh_or") - sad / sbc) < 1e-3)
+      assert(math.abs(r.getAs[Double]("cmh_chi2") -
+        math.pow(math.abs(sa - se) - 0.5, 2) / sv) < 1e-3)
+      if (b * c > 0)
+        assert(math.abs(r.getAs[Double]("stratum_or") - a.toDouble * d / (b * c)) < 1e-3)
+    }
+  }
 }

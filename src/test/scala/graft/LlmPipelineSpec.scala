@@ -555,4 +555,32 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     // the earliest doc's shingles cannot have appeared earlier
     assert(perDoc(perDoc.keys.min)._3 == 1.0)
   }
+
+  test("vocab coverage: OOV shares match a local top-V vocab replay; vocab covers more than its token share") {
+    val docs = Tables.documents(spark, sfTest).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq))
+    val freq = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(operators.TextAnalysis.VocabSize).map(_._1).toSet
+    val bySrc = docs.groupBy(_._2)
+    val out = operators.TextAnalysis.vocabCoverage(spark, sfTest).collect()
+    assert(out.length == bySrc.size)
+    for (r <- out) {
+      val src = r.getAs[String]("source")
+      val g = bySrc(src)
+      val nTok = g.map(_._3.length.toLong).sum
+      val nOov = g.map(_._3.count(t => !vocab(t)).toLong).sum
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_oov") == nOov)
+      assert(math.abs(r.getAs[Double]("token_coverage") - (1.0 - nOov.toDouble / nTok)) < 1e-5)
+      val localAvg = g.map(d => d._3.count(t => !vocab(t)).toDouble / d._3.length).sum / g.length
+      assert(math.abs(r.getAs[Double]("avg_oov_rate") - localAvg) < 1e-5)
+      // a frequency-ranked vocab must cover a super-proportional share
+      // of occurrences: coverage >= vocab fraction of distinct tokens
+      assert(r.getAs[Double]("token_coverage") >=
+        math.min(1.0, vocab.size.toDouble / freq.size) - 1e-9)
+    }
+  }
 }

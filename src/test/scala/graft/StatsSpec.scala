@@ -766,4 +766,36 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     // its population share of converters (weak monotone sanity)
     assert(out.head.getAs[Double]("cum_capture") >= 0.0)
   }
+
+  test("levene (brown-forsythe): group medians, abs-dev moments and F match a local recompute") {
+    val rows = Tables.customer(spark, sfTest)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val gs = rows.groupBy(_._1)
+    def med(xs: Seq[Long]): Double = {
+      val s0 = xs.sorted; val m = s0.length
+      if (m % 2 == 1) s0(m / 2).toDouble else (s0(m / 2 - 1) + s0(m / 2)) / 2.0
+    }
+    val meds = gs.view.mapValues(g => med(g.map(_._2).toSeq)).toMap
+    val z = rows.map { case (g, c) => (g, math.abs(c - meds(g))) }
+    val zs = z.groupBy(_._1)
+    val n = rows.length; val k = gs.size
+    val sb0 = zs.values.map { g => val s0 = g.map(_._2).sum; s0 * s0 / g.length }.sum
+    val sAll = z.map(_._2).sum
+    val ssb = sb0 - sAll * sAll / n
+    val ssw = z.map(x => x._2 * x._2).sum - sb0
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val out = operators.Stats.leveneTest(spark, sfTest).collect()
+    assert(out.length == k)
+    for (r <- out) {
+      val g = r.getAs[String]("segment")
+      assert(r.getAs[Long]("n") == gs(g).length)
+      assert(math.abs(r.getAs[Double]("median_bal") - meds(g) / 100.0) < 1e-3)
+      assert(math.abs(r.getAs[Double]("mean_absdev") -
+        zs(g).map(_._2).sum / zs(g).length / 100.0) < 1e-3)
+      assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-3)
+      assert(r.getAs[Long]("df_between") == k - 1)
+      assert(r.getAs[Long]("df_within") == n - k)
+    }
+  }
 }
