@@ -69,4 +69,36 @@ class GraphScaleSpec extends AnyFunSuite with SparkFixture {
       assert(got.values.min >= floor)
     }
   }
+
+  test("2M-edge graph: Katz integer recurrence bit-exact on both broadcast branches",
+      ScaleTest) {
+    val edges = spark.range(0L, E.toLong)
+      .select((col("id") % N).as("src"),
+        ((col("id") % N + 1L + (col("id") * MulK) % (N - 1)) % N).as("dst"))
+      .localCheckpoint()
+    val nodes = spark.range(0L, N.toLong).select(col("id").as("item"))
+    // local exact replay (duplicate directed edges contribute once each,
+    // exactly as the engine's edge-list aggregate does)
+    val es = Array.tabulate(E) { i =>
+      val (s0, d, _) = edgeTriple(i.toLong); (s0, d)
+    }
+    val aN = GraphRank.KatzAlphaNum; val aD = GraphRank.KatzAlphaDen
+    val unit = GraphRank.KatzUnit
+    var c = Array.fill(N)(0L)
+    for (_ <- 1 to GraphRank.KatzRounds) {
+      val contrib = new Array[Long](N)
+      es.foreach { case (s0, d) => contrib(d.toInt) += aN * (unit + c(s0.toInt)) / aD }
+      c = contrib
+    }
+    for (ceiling <- Seq(Long.MaxValue, 0L)) {
+      val got = GraphRank.katzOf(edges, nodes, N.toLong, ceiling)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === N)
+      val mismatch = (0 until N).find(i => got(i.toLong) != c(i))
+      assert(mismatch.isEmpty, s"ceiling=$ceiling: first mismatching node $mismatch " +
+        mismatch.map(i => s"(got ${got(i.toLong)}, truth ${c(i)})").getOrElse(""))
+    }
+    // attenuated path counts are positive wherever an in-edge exists
+    assert(c.count(_ > 0) > N / 2)
+  }
 }
