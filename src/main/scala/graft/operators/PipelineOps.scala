@@ -1126,6 +1126,97 @@ object PipelineOps {
        |FROM grp GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  /** t-closeness threshold, as the exact ratio num/den = 0.2 — kept
+    * as integers so the weak-group comparison is an exact BIGINT
+    * cross-multiply, never a float compare. */
+  val TclNum = 1L
+  val TclDen = 5L
+
+  /** t-closeness audit — the third rung of the privacy-triad ladder
+    * ([[kAnonymity]] bounds group size, [[lDiversity]] bounds sensitive
+    * variety, t-closeness bounds sensitive SKEW): a size-k, l-diverse
+    * group whose priority mix still differs wildly from the corpus
+    * leaks through a distribution-skew attack. Same records and QI
+    * grouping as [[lDiversity]]; the sensitive attribute
+    * o_orderpriority is ORDINAL (1-URGENT … 5-LOW), so closeness is
+    * the 1-D earth-mover distance t(g) = Σᵢ |CumQ_g(i) − CumP(i)| /
+    * (m−1) over the m = 5 ordered values.
+    *
+    * Exactness: with cum counts cq_i (group) and cp_i (corpus),
+    * |cq_i/n_g − cp_i/N| = |cq_i·N − cp_i·n_g| / (n_g·N) — every EMD
+    * numerator is an exact BIGINT (the integer-product-ratio idiom;
+    * int64-safe to ~10⁹ records, DECIMAL(38) beyond), and the weak
+    * test t > [[TclNum]]/[[TclDen]] cross-multiplies integers, so
+    * group verdicts are engine-exact with zero float comparisons.
+    *
+    * Scale shape: one orders⋈customer dimension join, ONE aggregate to
+    * QI groups (the 4 cumulative cells are conditional sums inside
+    * it), a broadcast 1-row corpus distribution, then the per-nation
+    * rollup. No window, no per-value explode.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / AnonCoarseWidth).as("bal_bucket"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("ord"))
+    def cums(pre: String): Seq[org.apache.spark.sql.Column] = (1 to 4).map(i =>
+      sum((col("ord") <= i).cast("long")).as(s"$pre$i"))
+    val gs = recs.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("n_g"), cums("cq"): _*)
+    val corpus = recs.agg(count(lit(1)).as("nn"), cums("cp"): _*)
+    val scored = gs.crossJoin(broadcast(corpus))
+      .withColumn("t_num", (1 to 4).map(i =>
+        abs(col(s"cq$i") * col("nn") - col(s"cp$i") * col("n_g"))).reduce(_ + _))
+      .withColumn("weak",
+        col("t_num") * TclDen > lit(4L) * TclNum * col("n_g") * col("nn"))
+    scored.groupBy("c_nationkey")
+      .agg(sum("n_g").as("n_records"),
+        count(lit(1)).as("n_groups"),
+        sum(col("weak").cast("long")).as("n_weak_groups"),
+        sum(when(col("weak"), col("n_g")).otherwise(0L)).as("n_exposed_records"),
+        max(round(col("t_num") / (lit(4.0) * col("n_g") * col("nn")), 6)).as("max_t"))
+      .withColumn("exposed_share",
+        round(col("n_exposed_records") / col("n_records").cast("double"), 4))
+      .select("c_nationkey", "n_records", "n_groups", "n_weak_groups",
+        "n_exposed_records", "max_t", "exposed_share")
+      .orderBy("c_nationkey")
+  }
+
+  val tClosenessSql: String = {
+    val cq = (1 to 4).map(i =>
+      s"sum(CASE WHEN ord <= $i THEN 1 ELSE 0 END)::BIGINT AS cq$i").mkString(", ")
+    val cp = (1 to 4).map(i =>
+      s"sum(CASE WHEN ord <= $i THEN 1 ELSE 0 END)::BIGINT AS cp$i").mkString(", ")
+    val tnum = (1 to 4).map(i => s"abs(cq$i * nn - cp$i * n_g)").mkString(" + ")
+    s"""WITH recs AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / $AnonCoarseWidth) AS bal_bucket,
+       |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS ord
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), gs AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+       |    count(*)::BIGINT AS n_g, $cq
+       |  FROM recs GROUP BY 1, 2, 3
+       |), corpus AS (
+       |  SELECT count(*)::BIGINT AS nn, $cp FROM recs
+       |), scored AS (
+       |  SELECT gs.*, corpus.nn, $tnum AS t_num,
+       |    ($tnum) * $TclDen > 4 * $TclNum * n_g * nn AS weak
+       |  FROM gs, corpus
+       |)
+       |SELECT c_nationkey, sum(n_g)::BIGINT AS n_records,
+       |  count(*) AS n_groups,
+       |  sum(CASE WHEN weak THEN 1 ELSE 0 END)::BIGINT AS n_weak_groups,
+       |  sum(CASE WHEN weak THEN n_g ELSE 0 END)::BIGINT AS n_exposed_records,
+       |  max(round(t_num / (4.0 * n_g * nn), 6)) AS max_t,
+       |  round(sum(CASE WHEN weak THEN n_g ELSE 0 END) / sum(n_g)::DOUBLE, 4)
+       |    AS exposed_share
+       |FROM scored GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+  }
+
   /** Seed for the document-level split in the leakage audit. */
   val DocSplitSeed = "docsplit42"
 
@@ -1204,6 +1295,7 @@ object PipelineOps {
     "q_split_leakage"       -> (splitLeakage _),
     "q_zorder_layout"       -> (zorderLayout _),
     "q_k_anonymity"         -> (kAnonymity _),
+    "q_t_closeness"         -> (tCloseness _),
     "q_l_diversity"         -> (lDiversity _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_hash_sample"         -> (hashSample _),
@@ -1226,6 +1318,7 @@ object PipelineOps {
     "q_split_leakage"       -> splitLeakageSql,
     "q_zorder_layout"       -> zorderLayoutSql,
     "q_k_anonymity"         -> kAnonymitySql,
+    "q_t_closeness"         -> tClosenessSql,
     "q_l_diversity"         -> lDiversitySql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_hash_sample"         -> hashSampleSql,

@@ -424,4 +424,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows("2_purge")._2 >= s"$SplitT1 00:00:00" && rows("2_purge")._3 < s"$SplitT2 00:00:00")
     assert(rows("3_test")._2 >= s"$SplitT2 00:00:00")
   }
+
+  test("t-closeness: ordinal EMD, weak verdicts and rollups match a local recompute") {
+    val ops = operators.PipelineOps
+    val cust = Tables.customer(spark, sfTest)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getAs[Number](1).longValue,
+        r.getString(2), math.floor(r.getDouble(3) / ops.AnonCoarseWidth).toLong))
+      .toMap
+    val recs = Tables.orders(spark, sfTest)
+      .select("o_custkey", "o_orderpriority").collect()
+      .flatMap { r =>
+        cust.get(r.getAs[Number](0).longValue).map { case (nat, seg, bb) =>
+          ((nat, seg, bb), r.getString(1).substring(0, 1).toInt)
+        }
+      }
+    val nn = recs.length.toLong
+    val cp = (1 to 4).map(i => recs.count(_._2 <= i).toLong)
+    val groups = recs.groupBy(_._1)
+    case class G(nat: Long, nG: Long, tNum: Long, weak: Boolean)
+    val gs = groups.map { case ((nat, _, _), rows) =>
+      val nG = rows.length.toLong
+      val cq = (1 to 4).map(i => rows.count(_._2 <= i).toLong)
+      val tNum = (0 until 4).map(i => math.abs(cq(i) * nn - cp(i) * nG)).sum
+      G(nat, nG, tNum, tNum * ops.TclDen > 4L * ops.TclNum * nG * nn)
+    }
+    val byNat = gs.groupBy(_.nat)
+    val out = operators.PipelineOps.tCloseness(spark, sfTest).collect()
+    assert(out.length == byNat.size)
+    for (r <- out) {
+      val nat = r.getAs[Number]("c_nationkey").longValue
+      val g = byNat(nat)
+      assert(r.getAs[Long]("n_records") == g.map(_.nG).sum)
+      assert(r.getAs[Long]("n_groups") == g.size)
+      assert(r.getAs[Long]("n_weak_groups") == g.count(_.weak))
+      assert(r.getAs[Long]("n_exposed_records") == g.filter(_.weak).map(_.nG).sum)
+      val maxT = g.map(x => x.tNum.toDouble / (4.0 * x.nG * nn)).max
+      assert(math.abs(r.getAs[Double]("max_t") - maxT) < 1e-5)
+    }
+    // the triad must order: a perfectly corpus-distributed group has t = 0
+    // and can never be weak; verify no group with t_num == 0 is weak
+    assert(gs.filter(_.tNum == 0L).forall(!_.weak))
+  }
 }
