@@ -1869,7 +1869,141 @@ object Recsys {
        |    / (n_cold / n_catalog::DOUBLE), 4) AS exposure_lift
        |FROM agg""".stripMargin
 
+  /** Support floor on train-period co-occurrence for the serendipity
+    * recommender (pairs below it are noise, and the floor keeps the
+    * pair space sparsified exactly as [[GraphRank.EdgeMinCo]] does). */
+  val SerCoMin = 2
+
+  /** Serendipity@K — the one standard eval metric the family was
+    * missing (beside precision/recall, NDCG/MRR, diversity, coverage,
+    * novelty, IPS): the share of recommendations that are BOTH
+    * unexpected (absent from the obvious popularity top-K every user
+    * sees anyway) AND useful (confirmed by the user's holdout
+    * purchases). Leak-clean by construction: a co-visitation
+    * recommender is trained on the SAME pre-[[SplitDate]] train period
+    * as [[popularitySplit]]'s baseline — per user, candidates score by
+    * Σ train co-occurrence with the user's capped train history, seen
+    * items anti-joined away, top [[EvalK]] kept ((score desc, cand
+    * asc) — scores are exact integer co-sums, no float tie hazard).
+    *
+    * Scale: the capped-history pair expansion rides the same
+    * [[pairsWithin]] codegen generator as the CF tiers (bounded by
+    * cap², support-floored), candidate scoring is one equi-join on the
+    * history item, ranking is the bounded [[graft.functions.TopKByScore]]
+    * aggregate, and both metric joins (popularity set, holdout) are
+    * broadcast/key joins. Single-row output.
+    */
+  def serendipity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (train, test, popRecs) = popularitySplit(spark, sfDir)
+    // deterministic train-history cap: the MaxHistory smallest item ids
+    // (all-equal strengths make TopKByScore's tie order = id asc, which
+    // this window states explicitly and the oracle mirrors)
+    val wCap = Window.partitionBy("user_id").orderBy("item_id")
+    val capped = train.withColumn("hrk", row_number().over(wCap))
+      .where(col("hrk") <= MaxHistory).select("user_id", "item_id")
+      .localCheckpoint() // feeds pair gen, scoring join, anti-join
+    val co = unpack(
+      pairsWithin(capped, "user_id", "item_id")
+        .repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("co"))
+        .where(col("co") >= SerCoMin),
+      "item_i", "item_j")
+    val sym = co.select(explode(array(
+        struct(col("item_i").as("item"), col("item_j").as("cand"), col("co")),
+        struct(col("item_j").as("item"), col("item_i").as("cand"), col("co"))))
+        .as("p"))
+      .select(col("p.item").as("item"), col("p.cand").as("cand"), col("p.co").as("co"))
+    val scored = capped.join(sym, col("item_id") === col("item"))
+      .groupBy("user_id", "cand").agg(sum("co").as("score"))
+    val unseen = scored.join(
+        capped.select(col("user_id").as("hu"), col("item_id").as("hi")),
+        col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
+    val recs = unseen.groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        EvalK, col("score").cast("double"), col("cand"), lit(0L)).as("recs"))
+      .select(col("user_id"), explode(col("recs")).as("r"))
+      .select(col("user_id"), col("r.id").as("cand"))
+    val perUser = recs
+      .join(broadcast(popRecs.select(col("item_id"), lit(1).as("expected"))),
+        col("cand") === col("item_id"), "left")
+      .join(test.select(col("user_id").as("tu"), col("item_id").as("ti"),
+          lit(1).as("useful")),
+        col("user_id") === col("tu") && col("cand") === col("ti"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(when(col("expected").isNull, 1).otherwise(0)).as("n_unexp"),
+        sum(coalesce(col("useful"), lit(0))).as("n_useful"),
+        sum(when(col("expected").isNull && col("useful") === 1, 1).otherwise(0))
+          .as("n_serendip"))
+    perUser.agg(
+      count(lit(1)).as("n_eval_users"),
+      round(avg(col("n_unexp").cast("double") / col("n_recs")), 6)
+        .as("unexpected_share"),
+      round(avg(col("n_useful").cast("double") / EvalK), 6).as("precision_at_k"),
+      round(avg(col("n_serendip").cast("double") / EvalK), 6).as("serendipity_at_k"),
+      sum("n_serendip").as("total_serendipitous"))
+  }
+
+  val serendipitySql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), train AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate < TIMESTAMP '$SplitDate'
+       |), test AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate >= TIMESTAMP '$SplitDate'
+       |), capped AS MATERIALIZED (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY item_id) AS hrk
+       |    FROM train
+       |  ) WHERE hrk <= $MaxHistory
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*)::BIGINT AS co
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $SerCoMin
+       |), sym AS (
+       |  SELECT item_i AS item, item_j AS cand, co FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS item, item_i AS cand, co FROM pairs
+       |), scored AS MATERIALIZED (
+       |  SELECT c.user_id, s.cand, sum(s.co)::BIGINT AS score
+       |  FROM capped c JOIN sym s ON s.item = c.item_id
+       |  GROUP BY 1, 2
+       |), unseen AS (
+       |  SELECT sc.user_id, sc.cand, sc.score FROM scored sc
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped h WHERE h.user_id = sc.user_id AND h.item_id = sc.cand)
+       |), recs AS (
+       |  SELECT user_id, cand FROM (
+       |    SELECT user_id, cand,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY score DESC, cand ASC) AS rk
+       |    FROM unseen
+       |  ) WHERE rk <= $EvalK
+       |), pop AS (
+       |  SELECT item_id FROM (
+       |    SELECT item_id, count(DISTINCT user_id) AS pop FROM train GROUP BY item_id
+       |  ) ORDER BY pop DESC, item_id ASC LIMIT $EvalK
+       |), per_user AS (
+       |  SELECT r.user_id, count(*)::BIGINT AS n_recs,
+       |    sum(CASE WHEN p.item_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unexp,
+       |    sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_useful,
+       |    sum(CASE WHEN p.item_id IS NULL AND t.user_id IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_serendip
+       |  FROM recs r
+       |  LEFT JOIN pop p ON p.item_id = r.cand
+       |  LEFT JOIN test t ON t.user_id = r.user_id AND t.item_id = r.cand
+       |  GROUP BY r.user_id
+       |)
+       |SELECT count(*)::BIGINT AS n_eval_users,
+       |  round(avg(n_unexp::DOUBLE / n_recs), 6) AS unexpected_share,
+       |  round(avg(n_useful::DOUBLE / $EvalK), 6) AS precision_at_k,
+       |  round(avg(n_serendip::DOUBLE / $EvalK), 6) AS serendipity_at_k,
+       |  sum(n_serendip)::BIGINT AS total_serendipitous
+       |FROM per_user""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_serendipity"       -> (serendipity _),
     "q_cold_start"         -> (coldStart _),
     "q_eval_novelty"      -> (evalNovelty _),
     "q_itemcf_explain"    -> (itemcfExplain _),
@@ -1917,6 +2051,7 @@ object Recsys {
     "q_swing_similarity"  -> swingSimilaritySql,
     "q_content_recommend" -> contentRecommendSql,
     "q_eval_popularity"   -> evalPopularitySql,
+    "q_serendipity"       -> serendipitySql,
     "q_eval_ips"          -> evalIpsSql,
     "q_eval_markov"       -> evalMarkovSql,
   )

@@ -268,4 +268,55 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(lift < 1.0 + 1e-9,
       s"CF must not OVER-expose the low-history tail on the fixture (lift=$lift)")
   }
+
+  test("serendipity: co-visitation recs, unexpectedness and usefulness match a local replay") {
+    val R = operators.Recsys
+    val ui = Tables.orders(spark, sfTest)
+      .join(Tables.lineitem(spark, sfTest),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_custkey", "l_partkey", "o_orderdate").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.get(2).toString))
+    val train = ui.filter(_._3 < R.SplitDate).map(r => (r._1, r._2)).distinct
+    val test = ui.filter(_._3 >= R.SplitDate).map(r => (r._1, r._2)).toSet
+    val capped = train.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.map(_._2).distinct.sorted.take(R.MaxHistory).map(u -> _)
+    }
+    val hist = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for ((_, items) <- hist; Seq(a, b) <- items.toSeq.sorted.combinations(2))
+      co((a, b)) += 1
+    val coF = co.filter(_._2 >= R.SerCoMin)
+    val pop = train.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toSeq
+      .sortBy { case (i, p) => (-p, i) }.take(R.EvalK).map(_._1).toSet
+    var totSer = 0L; var nUsers = 0L
+    var sumUnexp = 0.0; var sumPrec = 0.0; var sumSer = 0.0
+    for ((u, items) <- hist) {
+      val scores = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((a, b), c) <- coF) {
+        if (items(a) && !items(b)) scores(b) += c
+        if (items(b) && !items(a)) scores(a) += c
+      }
+      val recs = scores.toSeq.sortBy { case (c, s0) => (-s0, c) }.take(R.EvalK).map(_._1)
+      if (recs.nonEmpty) {
+        nUsers += 1
+        val unexp = recs.count(c => !pop(c))
+        val useful = recs.count(c => test((u, c)))
+        val ser = recs.count(c => !pop(c) && test((u, c)))
+        totSer += ser
+        sumUnexp += unexp.toDouble / recs.length
+        sumPrec += useful.toDouble / R.EvalK
+        sumSer += ser.toDouble / R.EvalK
+      }
+    }
+    val r = R.serendipity(spark, sfTest).head
+    assert(r.getAs[Long]("n_eval_users") == nUsers)
+    assert(math.abs(r.getAs[Double]("unexpected_share") - sumUnexp / nUsers) < 1e-5)
+    assert(math.abs(r.getAs[Double]("precision_at_k") - sumPrec / nUsers) < 1e-5)
+    assert(math.abs(r.getAs[Double]("serendipity_at_k") - sumSer / nUsers) < 1e-5)
+    assert(r.getAs[Long]("total_serendipitous") == totSer)
+    // definitional bound: serendipity can never exceed precision
+    assert(r.getAs[Double]("serendipity_at_k") <= r.getAs[Double]("precision_at_k") + 1e-12)
+  }
 }
