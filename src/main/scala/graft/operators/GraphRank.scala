@@ -1720,8 +1720,110 @@ object GraphRank {
        |ORDER BY rk""".stripMargin
   }
 
+  /** k for the truss (every surviving edge sits in ≥ k−2 triangles
+    * among surviving edges). */
+  val TrussK = 4
+  /** Fixed peel rounds, unrolled identically in the oracle; the spec
+    * proves they reach the fixture's fixpoint. */
+  val TrussRounds = 3
+
+  /** k-truss decomposition — the EDGE-cohesion complement of
+    * [[kcore]]'s node peel: iteratively delete edges supported by
+    * fewer than k−2 triangles until only the dense, triangle-reinforced
+    * mesh remains (the standard community-core extraction one notch
+    * stricter than k-core, Cohen 2008). Emits the peel curve: edge and
+    * triangle counts of the graph state before each round and after
+    * the last — the shape analysts read to pick k.
+    *
+    * Scale: each round is ONE oriented wedge join over the current
+    * (a<b) edge half-list (the identical plan as [[triangleCount]] —
+    * quadratic only in per-node degree, bounded by the [[TriMinCo]]
+    * sparsification), an explode of 3 edge-corners per triangle, an
+    * edge-support aggregate, and a semi-restriction of the edge list;
+    * the survivor list localCheckpoints per round. Counts are exact
+    * integers throughout.
+    */
+  def ktruss(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Recsys.unpack(
+        Recsys.itemPairAgg(spark, sfDir).select("pk", "co"), "a", "b")
+      .where(col("co") >= TriMinCo)
+      .select("a", "b")
+    def trisOf(e: DataFrame): DataFrame = {
+      val wedges = e.select(col("a"), col("b").as("m"))
+        .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        .select("a", "m", "c")
+    }
+    def stats(e: DataFrame, tris: DataFrame, r: Int): DataFrame =
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+        .select(lit(r).as("round"), col("n_edges"), col("n_triangles"))
+    var e = base.localCheckpoint()
+    var curve: DataFrame = null
+    for (r <- 1 to TrussRounds) {
+      // one wedge join per round, read twice (curve point + supports)
+      val tris = trisOf(e).localCheckpoint()
+      val st = stats(e, tris, r - 1)
+      curve = if (curve == null) st else curve.unionByName(st)
+      val supp = tris.select(explode(array(
+          struct(col("a").as("x"), col("m").as("y")),
+          struct(col("m").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("p"))
+        .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+        .agg(count(lit(1)).as("supp"))
+      e = e.join(supp.where(col("supp") >= TrussK - 2), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+    }
+    curve.unionByName(stats(e, trisOf(e), TrussRounds)).orderBy("round")
+  }
+
+  /** Oracle: the peel unrolled as e0..eN MATERIALIZED CTEs, each round
+    * recomputing supports over the previous survivor list. */
+  val ktrussSql: String = {
+    def round(k: Int): String =
+      s"""t$k AS MATERIALIZED (
+         |  SELECT w.a, w.m, w.c
+         |  FROM (SELECT x.a, x.b AS m, y.b AS c
+         |        FROM e${k - 1} x JOIN e${k - 1} y ON x.b = y.a) w
+         |  WHERE EXISTS (SELECT 1 FROM e${k - 1} z WHERE z.a = w.a AND z.b = w.c)
+         |), s$k AS (
+         |  SELECT x, y, count(*) AS supp FROM (
+         |    SELECT a AS x, m AS y FROM t$k
+         |    UNION ALL SELECT m, c FROM t$k
+         |    UNION ALL SELECT a, c FROM t$k
+         |  ) GROUP BY 1, 2
+         |), e$k AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${k - 1} e
+         |  JOIN s$k ON s$k.x = e.a AND s$k.y = e.b
+         |  WHERE s$k.supp >= ${TrussK - 2}
+         |)""".stripMargin
+    val rounds = (1 to TrussRounds).map(round).mkString(", ")
+    val lastTri =
+      s"""tf AS (
+         |  SELECT w.a, w.m, w.c
+         |  FROM (SELECT x.a, x.b AS m, y.b AS c
+         |        FROM e$TrussRounds x JOIN e$TrussRounds y ON x.b = y.a) w
+         |  WHERE EXISTS (SELECT 1 FROM e$TrussRounds z WHERE z.a = w.a AND z.b = w.c)
+         |)""".stripMargin
+    val curve = (0 to TrussRounds).map { r =>
+      val tri = if (r == 0) "t1" else if (r == TrussRounds) "tf" else s"t${r + 1}"
+      s"SELECT $r AS round, (SELECT count(*) FROM e$r)::BIGINT AS n_edges, " +
+        s"(SELECT count(*) FROM $tri)::BIGINT AS n_triangles"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.item_id AS a, b.item_id AS b
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinCo
+       |), $rounds, $lastTri
+       |SELECT round, n_edges, n_triangles FROM ($curve)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_katz"           -> (katz(_, _)),
+    "q_ktruss"         -> (ktruss _),
     "q_hits"           -> (hits _),
     "q_kcore"          -> (kcore _),
     "q_shortest_paths" -> (shortestPaths _),
@@ -1742,6 +1844,7 @@ object GraphRank {
 
   val oracleSql: Map[String, String] = Map(
     "q_katz"           -> katzSql,
+    "q_ktruss"         -> ktrussSql,
     "q_hits"           -> hitsSql,
     "q_kcore"          -> kcoreSql,
     "q_shortest_paths" -> shortestPathsSql,

@@ -487,4 +487,41 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(bcast.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
       "integer fixed-point recurrence must not depend on the join strategy")
   }
+
+  test("ktruss: peel curve matches a local replay and the declared rounds reach the fixpoint") {
+    val half = GraphRank.weightedHalfEdges(spark, sfTest)
+      .select("item_i", "item_j", "co").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 >= GraphRank.TriMinCo)
+    var edges = half.map(e => (e._1, e._2)).toSet // a < b half-edges
+    def trisOf(es: Set[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val byA = es.groupBy(_._1)
+      (for {
+        (a, m) <- es.toSeq
+        (_, c) <- byA.getOrElse(m, Set.empty)
+        if es((a, c))
+      } yield (a, m, c))
+    }
+    val need = GraphRank.TrussK - 2
+    var curve = Vector.empty[(Long, Long)]
+    for (_ <- 1 to GraphRank.TrussRounds) {
+      val tris = trisOf(edges)
+      curve :+= (edges.size.toLong, tris.length.toLong)
+      val supp = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+      for ((a, m, c) <- tris) { supp((a, m)) += 1; supp((m, c)) += 1; supp((a, c)) += 1 }
+      edges = edges.filter(e => supp(e) >= need)
+    }
+    val finalTris = trisOf(edges)
+    curve :+= (edges.size.toLong, finalTris.length.toLong)
+    val got = operators.GraphRank.ktruss(spark, sfTest).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles")))
+    assert(got.toSeq == curve.zipWithIndex.map { case ((e, t), r) => (r, e, t) })
+    // the declared rounds are the fixpoint on the fixture: one more peel is a no-op
+    val supp2 = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    for ((a, m, c) <- finalTris) { supp2((a, m)) += 1; supp2((m, c)) += 1; supp2((a, c)) += 1 }
+    assert(edges.forall(e => supp2(e) >= need),
+      "a surviving edge below support would mean TrussRounds is not the fixpoint")
+    // truss is monotone: edge counts never increase along the curve
+    assert(curve.map(_._1) == curve.map(_._1).sorted.reverse)
+  }
 }
