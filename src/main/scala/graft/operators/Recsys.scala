@@ -1873,6 +1873,10 @@ object Recsys {
     * recommender (pairs below it are noise, and the floor keeps the
     * pair space sparsified exactly as [[GraphRank.EdgeMinCo]] does). */
   val SerCoMin = 2
+  /** Per-item neighbor cap before candidate scoring — the standard
+    * CF-kNN sparsification (mirrors [[TopK]] in the ItemCF tiers):
+    * scoring fan-out becomes |history|·M instead of |history|·degree. */
+  val SerTopM = 10
 
   /** Serendipity@K — the one standard eval metric the family was
     * missing (beside precision/recall, NDCG/MRR, diversity, coverage,
@@ -1902,8 +1906,15 @@ object Recsys {
     val capped = train.withColumn("hrk", row_number().over(wCap))
       .where(col("hrk") <= MaxHistory).select("user_id", "item_id")
       .localCheckpoint() // feeds pair gen, scoring join, anti-join
+    // a-priori prune (exact for the floored pair space — pair co ≤ min
+    // item frequency, the house lesson from q_link_predict): items in
+    // fewer than SerCoMin capped train histories can never reach the
+    // floor, so they leave pair GENERATION before the quadratic
+    // expansion; the oracle needs no mirror
+    val frequent = capped.groupBy("item_id").agg(count(lit(1)).as("nf"))
+      .where(col("nf") >= SerCoMin).select("item_id")
     val co = unpack(
-      pairsWithin(capped, "user_id", "item_id")
+      pairsWithin(capped.join(frequent, "item_id"), "user_id", "item_id")
         .repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("co"))
         .where(col("co") >= SerCoMin),
       "item_i", "item_j")
@@ -1912,7 +1923,13 @@ object Recsys {
         struct(col("item_j").as("item"), col("item_i").as("cand"), col("co"))))
         .as("p"))
       .select(col("p.item").as("item"), col("p.cand").as("cand"), col("p.co").as("co"))
-    val scored = capped.join(sym, col("item_id") === col("item"))
+    // bounded per-item neighbor head ((co desc, cand asc) — exact ints)
+    val knn = sym.groupBy("item")
+      .agg(graft.functions.TopKByScore.topK(
+        SerTopM, col("co").cast("double"), col("cand"), lit(0L)).as("nbrs"))
+      .select(col("item"), explode(col("nbrs")).as("nb"))
+      .select(col("item"), col("nb.id").as("cand"), col("nb.score").cast("long").as("co"))
+    val scored = capped.join(knn, col("item_id") === col("item"))
       .groupBy("user_id", "cand").agg(sum("co").as("score"))
     val unseen = scored.join(
         capped.select(col("user_id").as("hu"), col("item_id").as("hi")),
@@ -1966,9 +1983,15 @@ object Recsys {
        |  SELECT item_i AS item, item_j AS cand, co FROM pairs
        |  UNION ALL
        |  SELECT item_j AS item, item_i AS cand, co FROM pairs
+       |), knn AS MATERIALIZED (
+       |  SELECT item, cand, co FROM (
+       |    SELECT item, cand, co,
+       |      row_number() OVER (PARTITION BY item ORDER BY co DESC, cand ASC) AS nrk
+       |    FROM sym
+       |  ) WHERE nrk <= $SerTopM
        |), scored AS MATERIALIZED (
        |  SELECT c.user_id, s.cand, sum(s.co)::BIGINT AS score
-       |  FROM capped c JOIN sym s ON s.item = c.item_id
+       |  FROM capped c JOIN knn s ON s.item = c.item_id
        |  GROUP BY 1, 2
        |), unseen AS (
        |  SELECT sc.user_id, sc.cand, sc.score FROM scored sc

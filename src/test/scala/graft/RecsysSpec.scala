@@ -288,16 +288,17 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     for ((_, items) <- hist; Seq(a, b) <- items.toSeq.sorted.combinations(2))
       co((a, b)) += 1
     val coF = co.filter(_._2 >= R.SerCoMin)
+    // per-item top-M neighbor cap, (co desc, cand asc)
+    val nbrs = coF.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).take(R.SerTopM)).toMap
     val pop = train.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toSeq
       .sortBy { case (i, p) => (-p, i) }.take(R.EvalK).map(_._1).toSet
     var totSer = 0L; var nUsers = 0L
     var sumUnexp = 0.0; var sumPrec = 0.0; var sumSer = 0.0
     for ((u, items) <- hist) {
       val scores = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-      for (((a, b), c) <- coF) {
-        if (items(a) && !items(b)) scores(b) += c
-        if (items(b) && !items(a)) scores(a) += c
-      }
+      for (i <- items; (_, cand, c) <- nbrs.getOrElse(i, Seq.empty) if !items(cand))
+        scores(cand) += c
       val recs = scores.toSeq.sortBy { case (c, s0) => (-s0, c) }.take(R.EvalK).map(_._1)
       if (recs.nonEmpty) {
         nUsers += 1
