@@ -1313,11 +1313,19 @@ object Training {
     */
   def embedMmd(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.floatDot
-    val wCap = Window.partitionBy("label").orderBy("vec_id")
-    val capped = Tables.embeddings(spark, sfDir)
+    // per-label sample selection via the bounded top-K AGGREGATE, not a
+    // per-label window — a 2-value partition key would funnel each
+    // label's whole corpus through one sorting task at scale, while the
+    // partial top-K keeps every task's state at MmdN ids
+    val sampleIds = Tables.embeddings(spark, sfDir)
       .where(col("label").isin(0, 1))
-      .withColumn("crk", row_number().over(wCap))
-      .where(col("crk") <= MmdN)
+      .groupBy("label")
+      .agg(graft.functions.TopKByScore.topK(
+        MmdN, -col("vec_id").cast("double"), col("vec_id"), lit(0L)).as("ids"))
+      .select(col("label"), explode(col("ids")).as("s"))
+      .select(col("label"), col("s.id").as("vec_id"))
+    val capped = Tables.embeddings(spark, sfDir)
+      .join(broadcast(sampleIds.select("vec_id")), "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"),
         floatDot(col("embedding"), col("embedding")).as("nsq"))
       .localCheckpoint() // three kernel blocks read it
