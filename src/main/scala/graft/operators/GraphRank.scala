@@ -1720,6 +1720,124 @@ object GraphRank {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Landmarks for the closeness probe: the L highest-degree nodes
+    * (item-id tie-break) — the standard landmark-selection heuristic
+    * (hubs cover the most shortest-path mass). */
+  val NLandmarks = 6
+  /** Hop bound for the landmark BFS (matches [[BfsMaxHops]]'s
+    * small-world argument: the co-purchase graph's effective diameter). */
+  val CloseHops = 4
+  /** lcm(1..CloseHops): 12/d is an exact integer for every reachable
+    * hop count, so harmonic sums are BIGINT-exact (no float ranking). */
+  val HarmonicLcm = 12L
+  /** Ranked head size. */
+  val CloseTop = 25
+
+  /** Landmark-based harmonic closeness centrality — the third
+    * centrality view beside the eigenvector family (PageRank/HITS/
+    * Katz) and the cohesion family (k-core/k-truss): how CLOSE a node
+    * sits to the graph's hubs, not how much rank flows into it.
+    * Exact all-pairs closeness is O(V·E) (a BFS per node) — never
+    * viable at catalog scale — so the standard estimator runs BFS
+    * from [[NLandmarks]] deterministic high-degree landmarks and
+    * scores each node by the harmonic sum Σ_ℓ 1/d(ℓ,v) over the
+    * landmarks that reach it within [[CloseHops]] hops (harmonic
+    * handles unreachable landmarks gracefully: they contribute 0,
+    * no ∞-distance special case). Distances are exact hop counts and
+    * the harmonic sum is kept in [[HarmonicLcm]]-units (12/d ∈
+    * {12,6,4,3}), so scores are exact BIGINTs and the ranking needs
+    * no float tie policy.
+    *
+    * Scale shape: the BFS state is ≤ L·|V| (landmark, item, d) rows —
+    * L× the pagerank rank vector, still dimension-sized — and each
+    * hop is one equi-join frontier⋈edges + a min-aggregate, the
+    * textbook distributed multi-source BFS ([[itemBfs]] with a
+    * landmark tag). The frontier broadcasts only under the node
+    * ceiling scaled by L; above it the hop join shuffles on src.
+    * Landmark selection is a global top-L on the degree table —
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def closeness(spark: SparkSession, sfDir: String): DataFrame =
+    closeness(spark, sfDir, BroadcastNodeCeiling)
+
+  private[graft] def closeness(spark: SparkSession, sfDir: String,
+                               bcastCeiling: Long): DataFrame = {
+    val nodes = copurchaseNodes(spark, sfDir)
+    closenessOf(copurchaseEw(spark, sfDir).select("src", "dst"),
+                nodes.count(), bcastCeiling)
+  }
+
+  /** Frame-parameterized core (scale-spec entry point): edges must be
+    * the MIRRORED (src, dst) pair set. */
+  private[graft] def closenessOf(edges: DataFrame, nV: Long,
+                                 bcastCeiling: Long): DataFrame = {
+    require(nV > 0, "closenessOf: empty graph")
+    val fitsBroadcast = nV * NLandmarks <= bcastCeiling
+    val landmarks = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src").asc).limit(NLandmarks)
+      .select(col("src").as("lid"))
+    var dist = landmarks
+      .select(col("lid"), col("lid").as("item"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (k <- 1 to CloseHops) {
+      val frontier = dist.where(col("d") === k - 1)
+        .select(col("lid"), col("item").as("src"))
+      val stepped = edges
+        .join(if (fitsBroadcast) broadcast(frontier) else frontier, "src")
+        .select(col("lid"), col("dst").as("item")).distinct()
+        .withColumn("d", lit(k.toLong))
+      dist = dist.unionByName(stepped)
+        .groupBy("lid", "item").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist.where(col("d") >= 1)
+      .groupBy("item")
+      .agg(count(lit(1)).as("reached"),
+           sum(expr(s"$HarmonicLcm div d")).as("hu"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("hu").desc, col("item").asc)))
+      .where(col("rk") <= CloseTop)
+      .select(col("rk"), col("item").as("item_id"), col("reached"),
+              col("hu").as("harmonic_units"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: identical landmark top-L + recursive BFS walk (UNION
+    * dedups states; min-hop after) + the exact integer harmonic sum. */
+  val closenessSql: String =
+    s"""WITH RECURSIVE ${Recsys.cappedSql}, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), ew AS MATERIALIZED (
+       |  SELECT item_i AS src, item_j AS dst FROM pairs WHERE co >= $EdgeMinCo
+       |  UNION ALL
+       |  SELECT item_j AS src, item_i AS dst FROM pairs WHERE co >= $EdgeMinCo
+       |), lm AS (
+       |  SELECT src AS lid FROM (
+       |    SELECT src, count(*) AS dg FROM ew GROUP BY src
+       |  ) ORDER BY dg DESC, src ASC LIMIT $NLandmarks
+       |), walk(lid, item, d) AS (
+       |  SELECT lid, lid, 0 FROM lm
+       |  UNION
+       |  SELECT w.lid, e.dst, w.d + 1
+       |  FROM walk w JOIN ew e ON e.src = w.item
+       |  WHERE w.d < $CloseHops
+       |), dist AS (
+       |  SELECT lid, item, min(d) AS d FROM walk GROUP BY lid, item
+       |), harm AS (
+       |  SELECT item, count(*) AS reached, sum($HarmonicLcm // d)::BIGINT AS hu
+       |  FROM dist WHERE d >= 1 GROUP BY item
+       |)
+       |SELECT rk, item AS item_id, reached, hu AS harmonic_units FROM (
+       |  SELECT item, reached, hu,
+       |    row_number() OVER (ORDER BY hu DESC, item ASC) AS rk
+       |  FROM harm
+       |) WHERE rk <= $CloseTop
+       |ORDER BY rk""".stripMargin
+
   /** k for the truss (every surviving edge sits in ≥ k−2 triangles
     * among surviving edges). */
   val TrussK = 4
@@ -1823,6 +1941,7 @@ object GraphRank {
 
   val queries: Map[String, Q] = Map(
     "q_katz"           -> (katz(_, _)),
+    "q_closeness"      -> (closeness(_, _)),
     "q_ktruss"         -> (ktruss _),
     "q_hits"           -> (hits _),
     "q_kcore"          -> (kcore _),
@@ -1844,6 +1963,7 @@ object GraphRank {
 
   val oracleSql: Map[String, String] = Map(
     "q_katz"           -> katzSql,
+    "q_closeness"      -> closenessSql,
     "q_ktruss"         -> ktrussSql,
     "q_hits"           -> hitsSql,
     "q_kcore"          -> kcoreSql,

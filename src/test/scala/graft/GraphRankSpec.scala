@@ -481,6 +481,48 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(expected.head._2 > aN * unit / aD * GraphRank.KatzRounds)
   }
 
+  test("closeness: landmark harmonic centrality matches an exact local BFS replay") {
+    val half = GraphRank.weightedHalfEdges(spark, sfTest)
+      .select("item_i", "item_j", "co").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 >= GraphRank.EdgeMinCo)
+    val adj = half.flatMap { case (i, j, _) => Seq((i, j), (j, i)) }
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    // landmark selection: top-L by mirrored degree, id tie-break
+    val landmarks = adj.toSeq.map { case (v, ns) => (v, ns.size) }
+      .sortBy { case (v, d) => (-d, v) }.take(GraphRank.NLandmarks).map(_._1)
+    val hu = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val reached = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (l <- landmarks) {
+      val distm = scala.collection.mutable.Map(l -> 0)
+      var frontier = Set(l)
+      for (d <- 1 to GraphRank.CloseHops) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+          .filterNot(distm.contains)
+        frontier.foreach(v => distm(v) = d)
+      }
+      for ((v, d) <- distm if d >= 1) {
+        hu(v) += GraphRank.HarmonicLcm / d; reached(v) += 1
+      }
+    }
+    val expected = hu.toSeq.sortBy { case (v, h) => (-h, v) }
+      .take(GraphRank.CloseTop)
+      .map { case (v, h) => (v, reached(v), h) }
+    val got = GraphRank.closeness(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("reached"),
+                 r.getAs[Long]("harmonic_units")))
+    assert(got.toSeq == expected, "closeness integer replay mismatch")
+    // a landmark's direct neighbor must appear with the full 12-unit
+    // contribution from at least that landmark
+    assert(expected.head._3 >= GraphRank.HarmonicLcm)
+  }
+
+  test("closeness shuffled-frontier branch (forced ceiling 0) is bit-identical to the broadcast branch") {
+    val a = GraphRank.closeness(spark, sfTest).collect().map(_.toSeq).toSeq
+    val b = GraphRank.closeness(spark, sfTest, 0L).collect().map(_.toSeq).toSeq
+    assert(a == b, "hop-exact BFS must not depend on the frontier join strategy")
+  }
+
   test("katz shuffled-join branch (forced ceiling 0) is bit-identical to the broadcast branch") {
     val bcast = GraphRank.katz(spark, sfTest).collect()
     val shuffled = GraphRank.katz(spark, sfTest, 0L).collect()

@@ -101,4 +101,50 @@ class GraphScaleSpec extends AnyFunSuite with SparkFixture {
     // attenuated path counts are positive wherever an in-edge exists
     assert(c.count(_ > 0) > N / 2)
   }
+
+  test("2M-edge graph: landmark closeness BFS hop-exact on both broadcast branches",
+      ScaleTest) {
+    val edges = spark.range(0L, E.toLong)
+      .select((col("id") % N).as("src"),
+        ((col("id") % N + 1L + (col("id") * MulK) % (N - 1)) % N).as("dst"))
+      .localCheckpoint()
+    // local replay: adjacency (dups harmless for BFS, but degree —
+    // the landmark selector — counts edge ROWS, as the engine does)
+    val deg = new Array[Int](N)
+    val adj = Array.fill(N)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    (0 until E).foreach { i =>
+      val (s0, d, _) = edgeTriple(i.toLong)
+      deg(s0.toInt) += 1; adj(s0.toInt) += d.toInt
+    }
+    val landmarks = (0 until N).sortBy(v => (-deg(v), v)).take(GraphRank.NLandmarks)
+    val hu = new Array[Long](N); val reached = new Array[Long](N)
+    for (l <- landmarks) {
+      val dist = Array.fill(N)(-1); dist(l) = 0
+      var frontier = Array(l)
+      for (d <- 1 to GraphRank.CloseHops) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+        frontier.foreach(v => adj(v).foreach { u =>
+          if (dist(u) < 0) { dist(u) = d; next += u }
+        })
+        frontier = next.toArray
+      }
+      (0 until N).foreach { v =>
+        if (dist(v) >= 1) { hu(v) += GraphRank.HarmonicLcm / dist(v); reached(v) += 1 }
+      }
+    }
+    val expected = (0 until N).filter(hu(_) > 0)
+      .sortBy(v => (-hu(v), v)).take(GraphRank.CloseTop)
+      .map(v => (v.toLong, reached(v), hu(v)))
+    for (ceiling <- Seq(Long.MaxValue, 0L)) {
+      val got = GraphRank.closenessOf(edges, N.toLong, ceiling).collect()
+        .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("reached"),
+                   r.getAs[Long]("harmonic_units")))
+      assert(got.toSeq == expected, s"ceiling=$ceiling: closeness replay mismatch")
+    }
+    // the head must at least be some landmark's direct neighbor (12
+    // units per hop-1 adjacency); with ~10 out-edges/node and 4 hops
+    // each landmark covers only ~10⁴ of the 2·10⁵ nodes, so full
+    // 6-landmark coverage is NOT assumed
+    assert(expected.head._3 >= GraphRank.HarmonicLcm)
+  }
 }

@@ -54,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val CatalogGraph = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
     "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage",
-    "q_hits", "q_kcore", "q_modularity", "q_katz")
+    "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness")
 
   /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
     * curated quantile reference source, skyline survivors, bootstrap's
