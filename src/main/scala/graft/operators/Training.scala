@@ -1397,8 +1397,121 @@ object Training {
        |FROM xx, yy, xy, ns""".stripMargin
   }
 
+  /** Corruption span length (characters — the fixture has no token
+    * column; the machinery is identical either way). */
+  val SpanLen = 20L
+  /** Target corruption rate, percent of characters. */
+  val MaskPct = 15L
+  /** Hard per-doc span cap: bounds the explode fan-out regardless of
+    * document length (a 1 GB outlier doc must not emit millions of
+    * span rows into the window). */
+  val MaxSpans = 64L
+  /** Seed prefix for the engine-portable span-position hash. */
+  val SpanSeed = "span42"
+  /** Docs shorter than two spans are left uncorrupted (excluded). */
+  val SpanMinChars: Long = 2 * SpanLen
+
+  /** Span-corruption planning (the T5/UL2 denoising-objective prep):
+    * for every document, place n = clamp(1, [[MaxSpans]],
+    * n_chars·[[MaskPct]]% / [[SpanLen]]) deterministic mask spans of
+    * [[SpanLen]] chars at hash-derived positions, merge overlapping/
+    * touching spans into islands (the exact interval-union via the
+    * sessionization idiom: running max-end → island flag → cumulative
+    * island id), and audit the REALIZED corruption rate per source —
+    * random placement overlaps, so realized masking always undershoots
+    * the target and the training-data pipeline needs the audit before
+    * fixing the objective's mask-rate constant.
+    *
+    * Everything is exact integers: positions come from the portable
+    * h32(md5) hash mod the valid start range, islands are integer
+    * intervals, and the rate is a basis-point floor-div — so the
+    * oracle hash-matches bit-for-bit. Scale shape: per-doc fan-out is
+    * ≤ [[MaxSpans]] rows (bounded explode), the merge window
+    * partitions by doc_id (corpus-cardinality keys), and the final
+    * aggregate is map-side combinable down to one row per source.
+    */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .where(col("n_chars") >= SpanMinChars)
+      .withColumn("n_spans",
+        least(lit(MaxSpans),
+              greatest(lit(1L), expr(s"(n_chars * $MaskPct) div (100 * $SpanLen)"))))
+    val spans = d
+      .withColumn("k", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .withColumn("h", expr(
+        s"cast(conv(substring(md5(concat('$SpanSeed:', cast(doc_id AS string), " +
+          s"'-', cast(k AS string))), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("st", col("h") % (col("n_chars") - SpanLen + 1))
+      .withColumn("en", col("st") + SpanLen)
+    val wPrev = Window.partitionBy("doc_id").orderBy("st", "k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("doc_id").orderBy("st", "k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = spans
+      .withColumn("new_isl",
+        when(col("st") > coalesce(max("en").over(wPrev), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum("new_isl").over(wCum))
+      .groupBy("doc_id", "source", "n_chars", "n_spans", "isl")
+      .agg(min("st").as("mst"), max("en").as("men"))
+    val perDoc = islands
+      .groupBy("doc_id", "source", "n_chars", "n_spans")
+      .agg(count(lit(1)).as("n_islands"), sum(col("men") - col("mst")).as("masked"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_spans").as("total_spans"),
+           sum("n_islands").as("total_islands"),
+           sum("masked").as("total_masked_chars"),
+           expr("(sum(masked) * 10000) div sum(n_chars)").as("mask_rate_bp"))
+      .orderBy("source")
+  }
+
+  /** Oracle: identical hash positions via a bounded numbers join
+    * (k < n_spans ≤ [[MaxSpans]]) + the same interval-union windows. */
+  val spanCorruptionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    least($MaxSpans, greatest(1, (n_chars * $MaskPct) // (100 * $SpanLen))) AS n_spans
+       |  FROM documents WHERE n_chars >= $SpanMinChars
+       |), nums AS (
+       |  SELECT unnest(range($MaxSpans)) AS k
+       |), spans AS (
+       |  SELECT doc_id, source, n_chars, n_spans, k,
+       |    ('0x' || substr(md5('$SpanSeed:' || doc_id || '-' || k), 1, 8))::BIGINT
+       |      % (n_chars - $SpanLen + 1) AS st
+       |  FROM d CROSS JOIN nums WHERE k < n_spans
+       |), flagged AS (
+       |  SELECT doc_id, source, n_chars, n_spans, st, st + $SpanLen AS en,
+       |    CASE WHEN st > coalesce(max(st + $SpanLen) OVER (
+       |      PARTITION BY doc_id ORDER BY st, k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS new_isl, k
+       |  FROM spans
+       |), islands AS (
+       |  SELECT doc_id, source, n_chars, n_spans, isl,
+       |    min(st) AS mst, max(en) AS men
+       |  FROM (
+       |    SELECT doc_id, source, n_chars, n_spans, st, en,
+       |      sum(new_isl) OVER (PARTITION BY doc_id ORDER BY st, k
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |    FROM flagged
+       |  ) GROUP BY doc_id, source, n_chars, n_spans, isl
+       |), perdoc AS (
+       |  SELECT doc_id, source, n_chars, n_spans,
+       |    count(*) AS n_islands, sum(men - mst) AS masked
+       |  FROM islands GROUP BY doc_id, source, n_chars, n_spans
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_spans)::BIGINT AS total_spans,
+       |  sum(n_islands)::BIGINT AS total_islands,
+       |  sum(masked)::BIGINT AS total_masked_chars,
+       |  ((sum(masked) * 10000) // sum(n_chars))::BIGINT AS mask_rate_bp
+       |FROM perdoc GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_embed_mmd"        -> (embedMmd _),
+    "q_span_corruption"  -> (spanCorruption _),
     "q_dpo_pairs"        -> (dpoPairs _),
     "q_embed_pc1"        -> (embedPc1 _),
     "q_kcenter_coreset"  -> (kcenterCoreset _),
@@ -1415,6 +1528,7 @@ object Training {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_span_corruption"  -> spanCorruptionSql,
     "q_dpo_pairs"        -> dpoPairsSql,
     "q_embed_mmd"        -> embedMmdSql,
     "q_embed_pc1"        -> embedPc1Sql,

@@ -11,6 +11,54 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("span corruption: per-source audit matches an exact local interval-union replay") {
+    import operators.Training
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = Tables.documents(spark, sfTest)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 >= Training.SpanMinChars)
+    val perDoc = docs.map { case (doc, src, n) =>
+      val nSpans = math.min(Training.MaxSpans,
+        math.max(1L, n * Training.MaskPct / (100 * Training.SpanLen)))
+      val spans = (0L until nSpans).map { k =>
+        val st = h32(s"${Training.SpanSeed}:$doc-$k") % (n - Training.SpanLen + 1)
+        (st, st + Training.SpanLen)
+      }.sorted
+      // interval union: touching/overlapping spans merge into islands
+      var islands = 0L; var masked = 0L
+      var curSt = -1L; var curEn = -1L
+      for ((st, en) <- spans) {
+        if (st > curEn || islands == 0L) {
+          if (islands > 0L) masked += curEn - curSt
+          islands += 1; curSt = st; curEn = en
+        } else if (en > curEn) curEn = en
+      }
+      if (islands > 0L) masked += curEn - curSt
+      (src, nSpans, islands, masked, n)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, rows) =>
+      src -> ((rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+               rows.map(_._4).sum, rows.map(_._4).sum * 10000 / rows.map(_._5).sum))
+    }
+    val got = Training.spanCorruption(spark, sfTest).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nd, ts, ti, tm, bp) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("total_spans") === ts)
+      assert(r.getAs[Long]("total_islands") === ti)
+      assert(r.getAs[Long]("total_masked_chars") === tm)
+      assert(r.getAs[Long]("mask_rate_bp") === bp)
+      // overlap can only LOWER the realized rate below the target
+      assert(r.getAs[Long]("mask_rate_bp") <= Training.MaskPct * 100)
+    }
+  }
+
   test("kmeans: every vector assigned exactly once, clusters bounded by K") {
     val r = operators.Training.kmeansEmbed(spark, sfTest).collect()
     assert(r.length <= operators.Training.KClusters)
