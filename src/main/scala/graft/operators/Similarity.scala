@@ -182,6 +182,282 @@ object Similarity {
        |FROM ranked WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
 
+  /** The IVF tuning artifact: recall@[[K]] and candidate cost at EVERY
+    * probe depth 1..[[NCells]] in one pass — the curve an ANN operator
+    * reads to pick [[NProbe]] (the measured 0.62/0.76/0.81 ladder in
+    * [[knnIvf]]'s scaladoc came from exactly this audit, run by hand;
+    * this query makes it a first-class, oracle-checked output).
+    * Ground truth needs no second scan: probing all [[NCells]] cells
+    * IS the exact search, so the p = NCells row doubles as the truth
+    * set and its recall is 10000 bp by construction — a built-in
+    * self-check. Hits and basis points are exact integers.
+    *
+    * Scale shape: candidates ride the same cell-equi-join as
+    * [[knnIvf]]; the probe expansion multiplies each candidate by at
+    * most NCells (bounded fan-out, map-side explode), and the
+    * per-(query, probe) top-K windows partition on a key whose
+    * cardinality grows with the query sample. Like every recall
+    * audit here, at corpus scale it runs over a hash-sampled query
+    * set (q_hash_sample gate) — the plan is unchanged.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame =
+    ivfRecallCurveFrom(Tables.embeddings(spark, sfDir), NCells, NQueries, K)
+
+  private[graft] def ivfRecallCurveFrom(e0: DataFrame, nCells: Int,
+                                        nQueries: Int, k: Int): DataFrame = {
+    val e = withNorm(e0.select("vec_id", "embedding"))
+    val cents = broadcast(e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val ranked = e.as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("cid"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+      .withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.where(col("crk") === 1)
+      .select("vec_id", "embedding", "nrm", "cid")
+    val qpref = ranked.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding"), col("nrm"),
+              col("cid"), col("crk").as("pn"))
+    val cand = qpref.as("a")
+      .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.pn").as("pn"),
+              col("b.vec_id").as("nid"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    // a candidate in the query's pn-th cell is searched at every probe
+    // depth >= pn: bounded fan-out, map-side
+    val expanded = cand.withColumn("p", explode(sequence(col("pn"), lit(nCells))))
+      .localCheckpoint() // read twice: top-K ranking + candidate counts
+    val wQK = Window.partitionBy("qid", "p").orderBy(col("cos").desc, col("nid").asc)
+    val top = expanded.withColumn("rk", row_number().over(wQK))
+      .where(col("rk") <= k).select("qid", "p", "nid")
+      .localCheckpoint() // read twice: truth slice + hit join
+    val truth = top.where(col("p") === nCells).select(col("qid"), col("nid"))
+    val hits = top.join(truth, Seq("qid", "nid"))
+      .groupBy("p").agg(count(lit(1)).as("n_hits"))
+    expanded.groupBy("p").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("p"), "left")
+      .select(col("p").cast("long").as("probe"), col("n_candidates"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nQueries.toLong * k}"))
+      .orderBy("probe")
+  }
+
+  val ivfRecallCurveSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM e b JOIN e a ON a.vec_id < $NCells
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM cellranked WHERE crk = 1
+       |), qpref AS (
+       |  SELECT vec_id AS qid, embedding, nrm, cid, crk AS pn
+       |  FROM cellranked WHERE vec_id < $NQueries
+       |), cand AS (
+       |  SELECT a.qid, a.pn, b.vec_id AS nid,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM qpref a JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id
+       |), nums AS (
+       |  SELECT unnest(range(1, $NCells + 1)) AS p
+       |), expanded AS MATERIALIZED (
+       |  SELECT c.qid, n.p, c.nid, c.cos FROM cand c JOIN nums n ON c.pn <= n.p
+       |), top AS MATERIALIZED (
+       |  SELECT qid, p, nid FROM (
+       |    SELECT qid, p, nid,
+       |      row_number() OVER (PARTITION BY qid, p ORDER BY cos DESC, nid ASC) AS rk
+       |    FROM expanded
+       |  ) WHERE rk <= $K
+       |), truth AS (
+       |  SELECT qid, nid FROM top WHERE p = $NCells
+       |), hits AS (
+       |  SELECT t.p, count(*) AS n_hits
+       |  FROM top t JOIN truth u ON t.qid = u.qid AND t.nid = u.nid
+       |  GROUP BY t.p
+       |), cc AS (
+       |  SELECT p, count(*) AS n_candidates FROM expanded GROUP BY p
+       |)
+       |SELECT cc.p::BIGINT AS probe, cc.n_candidates,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  ((coalesce(h.n_hits, 0) * 10000) // ${NQueries.toLong * K})::BIGINT AS recall_bp
+       |FROM cc LEFT JOIN hits h ON h.p = cc.p
+       |ORDER BY probe""".stripMargin
+
+  /** Neighbors per vector for the mutual-kNN graph. */
+  val MknnK = 5
+
+  /** Mutual-kNN graph construction — the standard preprocessing step
+    * for density clustering, graph-based semantic dedup, and manifold
+    * methods: a directed edge v→u when u is among v's [[MknnK]]
+    * nearest neighbors, kept only when BOTH directions exist (mutual
+    * edges are the noise-robust subset: a hub that everyone points at
+    * but that points back at almost nobody contributes few edges).
+    *
+    * The exact all-pairs kNN graph is N² — never viable — so the
+    * graph is built WITHIN IVF cells (the same deterministic coarse
+    * quantizer as [[knnIvf]]): candidates shrink from N² to Σ|cell|²,
+    * and with the standard √N cell sizing the per-cell pair space is
+    * linear in N. Cross-cell mutual edges are sacrificed — exactly
+    * the approximation every blocked kNN-graph build makes (and the
+    * oracle shares the definition, so the check is exact, not
+    * recall-based). Cosines are ranked at 6dp and summarized in 1e6
+    * fixed-point units, so per-cell means are single IEEE divisions
+    * of exact BIGINT sums.
+    *
+    * Output: one row per cell — vectors, mutual-edge count, mean
+    * mutual cosine — the graph-health profile a clustering run reads
+    * before trusting downstream components.
+    */
+  def mutualKnn(spark: SparkSession, sfDir: String): DataFrame =
+    mutualKnnSummary(cellAssignFrom(Tables.embeddings(spark, sfDir), NCells),
+                     mutualEdges(spark, sfDir))
+
+  /** IVF cell assignment of the whole corpus: every vector in exactly
+    * one of the nCells deterministic probe cells. */
+  private[graft] def cellAssignFrom(e0: DataFrame, nCells: Int): DataFrame = {
+    val e = withNorm(e0.select("vec_id", "embedding"))
+    val cents = broadcast(e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    e.as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("cid"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+      .withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select("vec_id", "embedding", "nrm", "cid")
+  }
+
+  /** Memoized mutual-edge table — shared by the per-cell summary and
+    * the component rollup (the expensive within-cell pair pass runs
+    * once per session). */
+  private[graft] def mutualEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"mutual_knn_edges:$sfDir") {
+      mutualEdgesFrom(Tables.embeddings(spark, sfDir), NCells, MknnK)
+    }
+
+  /** Frame-parameterized core (the scale spec widens cells to ~√N):
+    * mutual kNN edges (src < dst, both directions in each other's
+    * within-cell top-k) with the 1e6 fixed-point cosine. */
+  private[graft] def mutualEdgesFrom(e0: DataFrame, nCells: Int, k: Int): DataFrame = {
+    val assigned = cellAssignFrom(e0, nCells)
+      .localCheckpoint() // both pair sides read it
+    val scored = assigned.as("a")
+      .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cid").as("cell"), col("a.vec_id").as("src"),
+              col("b.vec_id").as("dst"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    val knn = scored.withColumn("rk", row_number().over(wK))
+      .where(col("rk") <= k)
+      // rank on the 6dp-rounded cosine, summarize in exact fp units
+      .select(col("cell"), col("src"), col("dst"),
+              round(col("cos") * 1e6).cast("long").as("cos_fp"))
+    knn.as("x")
+      .join(knn.as("y"), col("x.src") === col("y.dst") &&
+            col("x.dst") === col("y.src") && col("x.src") < col("x.dst"))
+      .select(col("x.cell").as("cell"), col("x.src").as("src"),
+              col("x.dst").as("dst"), col("x.cos_fp").as("cos_fp"))
+  }
+
+  private[graft] def mutualKnnSummary(assigned: DataFrame,
+                                      edges: DataFrame): DataFrame = {
+    val mutual = edges.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("cos_fp")).as("s"))
+    assigned.groupBy(col("cid").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(mutual, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+              coalesce(col("n"), lit(0L)).as("n_mutual"),
+              round(col("s") / (col("n") * lit(1e6)), 6).as("mean_cos"))
+      .orderBy("cell")
+  }
+
+  /** Force-build the memoized mutual-edge table (Bench warm hook —
+    * two registered queries share it). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    mutualEdges(spark, sfDir).count(): Unit
+
+  /** Semantic components over the mutual-kNN graph — graph-based
+    * clustering without a K: connected components of the mutual edge
+    * set yield the corpus's natural similarity families (the
+    * SemDeDup-adjacent view a curation pipeline uses when cluster
+    * COUNT is unknown a priori). Rides the memoized edge table and
+    * the shared min-label/pointer-jump component loop
+    * ([[PipelineOps.connectedComponents]]), so the cost beyond the
+    * kNN pass is the log-diameter label fixpoint over an edge list
+    * bounded by N·k/2.
+    */
+  def mutualKnnClusters(spark: SparkSession, sfDir: String): DataFrame =
+    PipelineOps.connectedComponents(
+      mutualEdges(spark, sfDir)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+
+  /** Shared oracle CTEs: corpus cell assignment → within-cell kNN →
+    * mutual edge list (src < dst). */
+  private val mutualEdgeCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM e b JOIN e a ON a.vec_id < $NCells
+       |), assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, cid FROM cellranked WHERE crk = 1
+       |), scored AS (
+       |  SELECT a.cid AS cell, a.vec_id AS src, b.vec_id AS dst,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |), knn AS MATERIALIZED (
+       |  SELECT cell, src, dst, round(cos * 1000000)::BIGINT AS cos_fp
+       |  FROM (
+       |    SELECT cell, src, dst, cos,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= $MknnK
+       |), me AS MATERIALIZED (
+       |  SELECT x.cell, x.src, x.dst, x.cos_fp
+       |  FROM knn x JOIN knn y
+       |    ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+       |)""".stripMargin
+
+  val mutualKnnSql: String =
+    s"""WITH $mutualEdgeCtes, mutual AS (
+       |  SELECT cell, count(*) AS n, sum(cos_fp) AS s FROM me GROUP BY cell
+       |), cells AS (
+       |  SELECT cid AS cell, count(*) AS n_vecs FROM assigned GROUP BY cid
+       |)
+       |SELECT c.cell, c.n_vecs, coalesce(m.n, 0)::BIGINT AS n_mutual,
+       |  round(m.s / (m.n * 1000000.0), 6) AS mean_cos
+       |FROM cells c LEFT JOIN mutual m ON m.cell = c.cell
+       |ORDER BY c.cell""".stripMargin
+
+  /** Oracle: transitive closure over the same mutual edges (recursive
+    * CTE — fine at oracle scale; the engine side is the one that has
+    * to survive 100 TB and rides the log-diameter label loop). */
+  val mutualKnnClustersSql: String =
+    s"""WITH RECURSIVE $mutualEdgeCtes, sym AS (
+       |  SELECT src, dst FROM me
+       |  UNION ALL
+       |  SELECT dst, src FROM me
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |), lbl AS (
+       |  SELECT src AS v, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |)
+       |SELECT label AS cluster_id, count(*) AS n_docs,
+       |  string_agg(v::VARCHAR, ',' ORDER BY v) AS members
+       |FROM lbl GROUP BY label
+       |ORDER BY cluster_id""".stripMargin
+
   /** LSH tier: MLlib BucketedRandomProjectionLSH (Euclidean buckets as
     * the cosine surrogate on ~unit-norm vectors), seed-pinned. ONE
     * distributed `approxSimilarityJoin` between the query subset and
@@ -481,6 +757,9 @@ object Similarity {
     "q_matryoshka"      -> (matryoshka _),
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
+    "q_ivf_recall_curve" -> (ivfRecallCurve _),
+    "q_mutual_knn"      -> (mutualKnn _),
+    "q_mutual_knn_clusters" -> (mutualKnnClusters _),
     "q_knn_lsh"         -> (knnLsh _),
     "q_lsh_hyperplane"  -> (lshHyperplane _),
     "q_hybrid_rrf"      -> (hybridRrf _),
@@ -490,6 +769,9 @@ object Similarity {
     "q_matryoshka"      -> matryoshkaSql,
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
+    "q_ivf_recall_curve" -> ivfRecallCurveSql,
+    "q_mutual_knn"      -> mutualKnnSql,
+    "q_mutual_knn_clusters" -> mutualKnnClustersSql,
     "q_lsh_hyperplane"  -> lshHyperplaneSql,
     "q_hybrid_rrf"      -> hybridRrfSql,
     // q_knn_lsh: MLlib hashing — not SQL-expressible, rows-only check

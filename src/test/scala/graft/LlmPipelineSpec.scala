@@ -83,6 +83,119 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** Local replay of the mutual-kNN build shared by the summary and
+    * component tests: (cell assignment, mutual edges (src<dst, fp)). */
+  private lazy val localMutual: (Map[Long, Long], Set[(Long, Long, Long)]) = {
+    import operators.Similarity
+    val e = Tables.embeddings(spark, sfTest).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double =
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    val cents = e.filter(_._1 < Similarity.NCells)
+    val cellOf = e.map { case (v, emb) =>
+      v -> cents.map { case (c, ce) => (c, cos6(emb, ce)) }
+        .minBy { case (c, s) => (-s, c) }._1
+    }.toMap
+    val embOf = e.toMap
+    val mutual = e.groupBy { case (v, _) => cellOf(v) }.values.flatMap { members =>
+      val ids = members.map(_._1)
+      val knn = ids.flatMap { src =>
+        ids.filter(_ != src)
+          .map(dst => (dst, cos6(embOf(src), embOf(dst))))
+          .sortBy { case (d, c) => (-c, d) }.take(Similarity.MknnK)
+          .map { case (d, c) => (src, d, math.rint(c * 1e6).toLong) }
+      }.toSet
+      val dir = knn.map { case (s, d, _) => (s, d) }
+      knn.filter { case (s, d, _) => s < d && dir((d, s)) }
+    }.toSet
+    (cellOf, mutual)
+  }
+
+  test("mutual-kNN graph: per-cell summary matches an exact local replay") {
+    import operators.Similarity
+    val (cellOf, mutual) = localMutual
+    val summary = cellOf.groupBy(_._2).map { case (cell, vs) =>
+      val m = mutual.filter { case (s, _, _) => cellOf(s) == cell }
+      val n = m.size.toLong
+      val sum = m.toSeq.map(_._3).sum
+      val mean = if (n == 0) None else Some(math.rint(sum.toDouble / (n * 1e6) * 1e6) / 1e6)
+      cell -> ((vs.size.toLong, n, mean))
+    }
+    val got = Similarity.mutualKnn(spark, sfTest).collect()
+    assert(got.length === summary.size)
+    got.foreach { r =>
+      val (nv, nm, mean) = summary(r.getAs[Long]("cell"))
+      assert(r.getAs[Long]("n_vecs") === nv)
+      assert(r.getAs[Long]("n_mutual") === nm)
+      (Option(r.getAs[java.lang.Double]("mean_cos")), mean) match {
+        case (Some(g), Some(x)) => assert(math.abs(g - x) < 1e-9)
+        case (None, None)       => ()
+        case other              => fail(s"mean_cos null-mismatch: $other")
+      }
+    }
+    // the corpus partitions across cells and mutuality bounds hold
+    assert(got.map(_.getAs[Long]("n_vecs")).sum === cellOf.size.toLong)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_mutual") <=
+        r.getAs[Long]("n_vecs") * Similarity.MknnK / 2)
+    }
+  }
+
+  test("mutual-kNN components: clusters match a local union-find over the same edges") {
+    import operators.Similarity
+    val (_, mutual) = localMutual
+    // local union-find → component label = min member id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = mutual.flatMap { case (a, b, _) => Seq(a, b) }
+    val expected = verts.groupBy(find).map { case (root, vs) =>
+      val sorted = vs.toSeq.sorted
+      (sorted.head, vs.size.toLong, sorted.mkString(","))
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.mutualKnnClusters(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+                 r.getAs[String]("members")))
+    assert(got.toSeq == expected, "component replay mismatch")
+    // cluster ids are the min member by construction
+    got.foreach { case (cid, _, members) =>
+      assert(members.split(",").head.toLong === cid)
+    }
+  }
+
+  test("IVF recall curve: exact self-check at full probe, monotone recall and cost") {
+    import operators.Similarity
+    val rows = Similarity.ivfRecallCurve(spark, sfTest).collect()
+      .sortBy(_.getAs[Long]("probe"))
+    assert(rows.length === Similarity.NCells)
+    // probing every cell IS the exact search: recall 10000 bp, full hits
+    val full = rows.last
+    assert(full.getAs[Long]("recall_bp") === 10000L)
+    assert(full.getAs[Long]("n_hits") ===
+      Similarity.NQueries.toLong * Similarity.K)
+    // nested candidate sets: a truth element present among candidates
+    // always makes top-K, so hits (and cost) are monotone in probe
+    val hs = rows.map(_.getAs[Long]("n_hits"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, "recall not monotone")
+    val cs = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a < b }, "candidate cost not increasing")
+    // agreement with the measured multi-probe operating point (the
+    // 0.81 ladder): the curve at NProbe must clear the same floor the
+    // recall spec pins for knnIvf
+    val atProbe = rows(Similarity.NProbe - 1).getAs[Long]("recall_bp")
+    assert(atProbe >= 6000L, s"recall at NProbe=${Similarity.NProbe} was $atProbe bp")
+  }
+
   test("IVF kNN never beats brute force (it searches a subset)") {
     val bf = operators.Similarity.knnBruteForce(spark, sfTest)
       .where(col("rk") === 1).select("query_id", "cos").collect()
