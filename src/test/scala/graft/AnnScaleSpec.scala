@@ -85,4 +85,34 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
       f"clustered corpus must keep its neighbors inside probed cells: $recall%.3f")
     e.unpersist(blocking = false)
   }
+
+  test("mutual-kNN at sqrt(N) cells: edges bounded, planted clusters dominate",
+      ScaleTest) {
+    // 20k-vector slice (√N ≈ 141 cells): the within-cell pair space is
+    // Σ|cell|² ≈ N·√N — the linear-in-N-per-cell sizing the operator's
+    // scaladoc prescribes, exercised far beyond the 500-vector fixture
+    val n = 20000
+    val cells = 141
+    val e = syntheticVectors().where(col("vec_id") < n).cache()
+    assert(e.count() === n.toLong)
+    val edges = Similarity.mutualEdgesFrom(e, cells, Similarity.MknnK).collect()
+    info(s"mutual edges: ${edges.length}")
+    // mutuality bound: each vertex contributes at most K directed
+    // edges, a mutual pair consumes two
+    assert(edges.length > 0)
+    assert(edges.length <= n * Similarity.MknnK / 2)
+    edges.foreach { r =>
+      assert(r.getAs[Long]("src") < r.getAs[Long]("dst"))
+    }
+    // the planted structure: true neighbors are cluster-mates, so
+    // mutual edges must overwhelmingly stay within a planted cluster
+    val intra = edges.count { r =>
+      r.getAs[Long]("src") % Clusters == r.getAs[Long]("dst") % Clusters
+    }
+    val share = intra.toDouble / edges.length
+    info(f"intra-cluster mutual-edge share = $share%.3f")
+    assert(share >= 0.9,
+      f"mutual edges should connect planted cluster-mates: $share%.3f")
+    e.unpersist(blocking = false)
+  }
 }
