@@ -411,7 +411,65 @@ object Advanced {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Join-explosion planner — [[skewProfile]]'s sibling for the
+    * decision that precedes it: before ANY self-join or fact⋈fact
+    * shuffle ships, what does each candidate key cost? For every
+    * candidate (table, key): exact key cardinality, max and average
+    * fanout, the hottest key, and the exact self-join output size
+    * Σ n(k)² — the number that decides whether a CF-style pair
+    * expansion needs a per-key cap (the [[Recsys]] UserCap exists
+    * because of exactly this quantity). One by-key aggregate per
+    * candidate (map-side combinable), a 1-row summary, and a
+    * TakeOrderedAndProject(1) for the hot key — each candidate audits
+    * independently, so no window ever partitions on the tiny
+    * candidate label.
+    */
+  def joinExplosion(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(df: DataFrame, candidate: String, keyCol: String): DataFrame = {
+      val byKey = df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val agg = byKey.agg(
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("cnt").as("max_fanout"),
+        sum(col("cnt") * col("cnt")).as("est_self_join_rows"))
+      val top = byKey.orderBy(col("cnt").desc, col("k").asc).limit(1)
+        .select(col("k").as("top_key"), col("cnt").as("top_fanout"))
+      agg.crossJoin(broadcast(top)).withColumn("candidate", lit(candidate))
+    }
+    val l = Tables.lineitem(spark, sfDir)
+    audit(Tables.events(spark, sfDir), "events.user_id", "user_id")
+      .unionByName(audit(l, "lineitem.l_orderkey", "l_orderkey"))
+      .unionByName(audit(l, "lineitem.l_partkey", "l_partkey"))
+      .unionByName(audit(Tables.orders(spark, sfDir), "orders.o_custkey", "o_custkey"))
+      .withColumn("avg_fanout_x100", expr("(n_rows * 100) div n_keys"))
+      .select(col("candidate"), col("n_rows"), col("n_keys"), col("max_fanout"),
+              col("avg_fanout_x100"), col("est_self_join_rows"),
+              col("top_key"), col("top_fanout"))
+      .orderBy("candidate")
+  }
+
+  val joinExplosionSql: String = {
+    def block(candidate: String, table: String, key: String): String =
+      s"""SELECT '$candidate' AS candidate,
+         |  sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         |  max(cnt)::BIGINT AS max_fanout,
+         |  ((sum(cnt) * 100) // count(*))::BIGINT AS avg_fanout_x100,
+         |  sum(cnt * cnt)::BIGINT AS est_self_join_rows,
+         |  (SELECT k FROM (SELECT $key::BIGINT AS k, count(*) AS cnt FROM $table GROUP BY 1)
+         |     ORDER BY cnt DESC, k ASC LIMIT 1) AS top_key,
+         |  (SELECT cnt FROM (SELECT $key::BIGINT AS k, count(*) AS cnt FROM $table GROUP BY 1)
+         |     ORDER BY cnt DESC, k ASC LIMIT 1)::BIGINT AS top_fanout
+         |FROM (SELECT $key::BIGINT AS k, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      block("events.user_id", "events", "user_id"),
+      block("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      block("lineitem.l_partkey", "lineitem", "l_partkey"),
+      block("orders.o_custkey", "orders", "o_custkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_explosion"     -> (joinExplosion _),
     "q_skew_profile"       -> (skewProfile _),
     "q_incremental_agg"    -> (incrementalAgg _),
     "q_udaf_weighted_pref" -> (udafWeightedPref _),
@@ -422,6 +480,7 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_explosion"     -> joinExplosionSql,
     "q_skew_profile"       -> skewProfileSql,
     "q_incremental_agg"    -> incrementalAggSql,
     "q_udaf_weighted_pref" -> udafWeightedPrefSql,

@@ -2105,7 +2105,89 @@ object Stats {
        |FROM byd, tot
        |ORDER BY decile""".stripMargin
 
+  /** Coarse bucket width for the per-arm rank prefix (per-user value
+    * sums span ~1.5e5..5.4e5 cents → a few dozen coarse cells; at
+    * 100 TB the boundaries would come from approx_percentile, the
+    * mechanism below is unchanged — same note as [[HistCoarseWidth]]). */
+  val QteCoarse = 10000L
+  /** Quantile levels reported (percent). */
+  val QteTaus: Seq[Int] = Seq(10, 25, 50, 75, 90)
+
+  /** Quantile treatment effects — the distributional view the mean
+    * A/B readout ([[graft.operators.Analytics.abTest]]) hides: an
+    * experiment that lifts the median while crushing the 90th
+    * percentile has zero average effect and a very real problem. Per
+    * user: exact spend in cents (fixed-point BEFORE summation), a
+    * deterministic hash arm (the house A/B idiom); per arm: the exact
+    * type-1 quantile VALUES at [[QteTaus]] — the k-th order statistic
+    * (k = ⌈τ·n/100⌉) located WITHOUT a global sort via the same
+    * two-level coarse prefix as [[equidepthHistOf]]: by-value
+    * aggregation (bounded by the value domain), within-coarse
+    * cumulative windows keyed (arm, coarse), and a per-arm prefix over
+    * the few-dozen coarse totals. A value holds rank k iff its
+    * contiguous rank interval [lo, hi] covers k — tie-insensitive by
+    * construction. QTE(τ) = q_treat(τ) − q_control(τ), exact BIGINTs
+    * end to end.
+    */
+  def qte(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("v"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qte')), 1, 8), 16, 10) AS bigint)") % 2)
+    val byVal = perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("v") / QteCoarse).cast("long"))
+    val wIn = Window.partitionBy("arm", "coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
+    val totals = byVal.groupBy("arm", "coarse").agg(sum("cnt").as("tot"))
+    val wPre = Window.partitionBy("arm").orderBy("coarse")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum("tot").over(wPre), lit(0L)))
+      .select("arm", "coarse", "off")
+    val nArm = perUser.groupBy("arm").agg(count(lit(1)).as("n"))
+    val hit = local.join(offs, Seq("arm", "coarse"))
+      .join(broadcast(nArm), "arm")
+      .withColumn("hi", col("cum_in") + col("off"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("tau", explode(array(QteTaus.map(lit(_)): _*)))
+      .withColumn("k", expr("(n * tau + 99) div 100"))
+      .where(col("k") >= col("lo") && col("k") <= col("hi"))
+    hit.groupBy("tau")
+      .agg(max(when(col("arm") === 0, col("v"))).as("q_control_cents"),
+           max(when(col("arm") === 1, col("v"))).as("q_treat_cents"))
+      .withColumn("qte_cents", col("q_treat_cents") - col("q_control_cents"))
+      .select(col("tau").cast("long").as("tau"),
+              col("q_control_cents"), col("q_treat_cents"), col("qte_cents"))
+      .orderBy("tau")
+  }
+
+  val qteSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v,
+       |    ('0x' || substr(md5(user_id || '-' || 'qte'), 1, 8))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY user_id
+       |), rk AS (
+       |  SELECT arm, v,
+       |    row_number() OVER (PARTITION BY arm ORDER BY v) AS r,
+       |    count(*) OVER (PARTITION BY arm) AS n
+       |  FROM pu
+       |), taus AS (
+       |  SELECT unnest([${QteTaus.mkString(", ")}]) AS tau
+       |), q AS (
+       |  SELECT t.tau, rk.arm, rk.v
+       |  FROM taus t JOIN rk ON rk.r = (rk.n * t.tau + 99) // 100
+       |)
+       |SELECT tau::BIGINT AS tau,
+       |  max(CASE WHEN arm = 0 THEN v END) AS q_control_cents,
+       |  max(CASE WHEN arm = 1 THEN v END) AS q_treat_cents,
+       |  (max(CASE WHEN arm = 1 THEN v END) - max(CASE WHEN arm = 0 THEN v END))::BIGINT AS qte_cents
+       |FROM q GROUP BY tau
+       |ORDER BY tau""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_qte"            -> (qte _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_anova"          -> (anovaSegments _),
     "q_levene"         -> (leveneTest _),
@@ -2141,6 +2223,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_qte"            -> qteSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_anova"          -> anovaSegmentsSql,
     "q_levene"         -> leveneTestSql,

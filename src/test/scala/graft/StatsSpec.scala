@@ -798,4 +798,64 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("df_within") == n - k)
     }
   }
+
+  test("qte: per-arm exact order statistics match a local sorted replay") {
+    val S = operators.Stats
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val perUser = Tables.events(spark, sfTest)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byArm = perUser.groupBy { case (u, _) => h32(s"$u-qte") % 2 }
+      .map { case (arm, rows) => arm -> rows.map(_._2).sorted }
+    val got = S.qte(spark, sfTest).collect()
+    assert(got.length === S.QteTaus.length)
+    got.foreach { r =>
+      val tau = r.getAs[Long]("tau")
+      def kth(arm: Long): Long = {
+        val vs = byArm(arm); val n = vs.length.toLong
+        vs(((n * tau + 99) / 100 - 1).toInt)
+      }
+      assert(r.getAs[Long]("q_control_cents") === kth(0L))
+      assert(r.getAs[Long]("q_treat_cents") === kth(1L))
+      assert(r.getAs[Long]("qte_cents") === kth(1L) - kth(0L))
+    }
+    // quantiles are monotone in tau within each arm
+    val qs = got.sortBy(_.getAs[Long]("tau")).map(_.getAs[Long]("q_control_cents"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("join explosion: fanout audit matches exact local key counts") {
+    val A = operators.Advanced
+    val out = A.joinExplosion(spark, sfTest).collect()
+      .map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(out.size === 4)
+    val li = Tables.lineitem(spark, sfTest)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def check(name: String, keys: Seq[Long]): Unit = {
+      val cnts = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val r = out(name)
+      assert(r.getAs[Long]("n_rows") === keys.length.toLong, s"$name n_rows")
+      assert(r.getAs[Long]("n_keys") === cnts.size.toLong, s"$name n_keys")
+      assert(r.getAs[Long]("max_fanout") === cnts.values.max, s"$name max")
+      assert(r.getAs[Long]("est_self_join_rows") ===
+        cnts.values.map(c => c * c).sum, s"$name est")
+      assert(r.getAs[Long]("avg_fanout_x100") ===
+        keys.length.toLong * 100 / cnts.size, s"$name avg")
+      val (tk, tc) = cnts.toSeq.sortBy { case (k, c) => (-c, k) }.head
+      assert(r.getAs[Long]("top_key") === tk && r.getAs[Long]("top_fanout") === tc,
+        s"$name top")
+    }
+    check("lineitem.l_orderkey", li.map(_._1).toSeq)
+    check("lineitem.l_partkey", li.map(_._2).toSeq)
+    check("events.user_id",
+      Tables.events(spark, sfTest).select("user_id").collect().map(_.getLong(0)).toSeq)
+    check("orders.o_custkey",
+      Tables.orders(spark, sfTest).select("o_custkey").collect().map(_.getLong(0)).toSeq)
+  }
 }
