@@ -260,7 +260,59 @@ object Multimodal {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Content-hash dedup over binary payloads — the FIRST step of every
+    * media pipeline (byte-identical copies of an image/audio file are
+    * endemic in crawls, and they are deduped by digest before any
+    * decode spends a cycle). Hash the payload map-side (md5 over the
+    * bytes), keep the min doc_id per digest globally, and report the
+    * per-source removal tally plus the exact bytes reclaimed — the
+    * number a storage owner gets told. Grouping ships 32-char digests
+    * through the shuffle, never the payloads themselves (the whole
+    * point at 100 TB of media). Companion to the text tier
+    * [[Dedup]].dedupExact: same survivorship rule, binary modality,
+    * byte accounting.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDedupFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized core — the spec drives it with planted
+    * byte-identical duplicates (the fixture only carries raw-byte
+    * dups at sf0.1: 8 of 5000). */
+  private[graft] def mediaDedupFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .withColumn("digest", md5(col("payload")))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .drop("payload")
+    val keep = d.groupBy("digest").agg(min("doc_id").as("keep_id"))
+    d.join(keep, Seq("digest"))
+      .withColumn("rm", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_payloads"),
+           sum("rm").as("n_removed"),
+           sum(col("rm") * col("n_bytes")).as("bytes_saved"),
+           countDistinct("digest").as("n_digests"))
+      .orderBy("source")
+  }
+
+  val mediaDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(text) AS digest,
+      |    octet_length(text::BLOB)::BIGINT AS n_bytes
+      |  FROM documents
+      |), keep AS (
+      |  SELECT digest, min(doc_id) AS keep_id FROM d GROUP BY digest
+      |)
+      |SELECT d.source, count(*)::BIGINT AS n_payloads,
+      |  sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+      |  sum(CASE WHEN d.doc_id <> k.keep_id THEN d.n_bytes ELSE 0 END)::BIGINT AS bytes_saved,
+      |  count(DISTINCT d.digest)::BIGINT AS n_digests
+      |FROM d JOIN keep k ON k.digest = d.digest
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_media_dedup"        -> (mediaDedup _),
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
     "q_media_frames"       -> (mediaFrameSample _),
@@ -268,6 +320,7 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_media_dedup"        -> mediaDedupSql,
     "q_binary_passthrough" -> binaryPassthroughSql,
     "q_media_features"     -> mediaFeaturesSql,
     "q_media_frames"       -> mediaFrameSampleSql,

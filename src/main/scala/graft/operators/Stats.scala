@@ -2186,7 +2186,116 @@ object Stats {
        |FROM q GROUP BY tau
        |ORDER BY tau""".stripMargin
 
+  /** Qini / uplift-by-decile — the uplift-modeling eval that
+    * [[gainDeciles]]' single-population targeting curve cannot give:
+    * with a deterministic hash arm (the house A/B idiom, seed 'qini')
+    * the same pre-period activity deciles split into treated and
+    * control cells, per-decile uplift = rate_t − rate_c, and the
+    * cumulative Qini value cumPos_t − cumPos_c·cumN_t/cumN_c — the
+    * curve that decides whether targeting by this score beats random
+    * assignment. Deciles ride [[Relational.quartileScore]]'s
+    * distributed exact rank (B = 10, no global ntile); counts are
+    * exact BIGINTs; uplift/qini are single IEEE divisions of exact
+    * integers rounded at 6dp. The cumulative window is a 10-row
+    * decile series (bounded — the gainDeciles argument).
+    */
+  def qini(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val scores = e
+      .where(col("event_type").isin("click", "view") &&
+        col("ts") < lit(AucObsEnd).cast("timestamp_ntz"))
+      .groupBy("user_id").agg(count(lit(1)).as("score"))
+    val pos = e
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
+      .select("user_id").distinct()
+    val nDf = scores.agg(count(lit(1)).as("__n"))
+    val lab = scores.join(pos.withColumn("is_pos", lit(1L)), Seq("user_id"), "left")
+      .select(col("user_id"), col("score"),
+              coalesce(col("is_pos"), lit(0L)).as("is_pos"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qini')), 1, 8), 16, 10) AS bigint)") % 2)
+      .crossJoin(broadcast(nDf))
+      .withColumn("__q", expr("__n DIV 10"))
+      .withColumn("__rem", expr("__n % 10"))
+    val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
+        tieCol = col("user_id"))
+      .groupBy("decile")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+           sum(when(col("arm") === 1, col("is_pos")).otherwise(0L)).as("pos_treat"),
+           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+           sum(when(col("arm") === 0, col("is_pos")).otherwise(0L)).as("pos_control"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_pt", sum("pos_treat").over(wCum))
+      .withColumn("cum_pc", sum("pos_control").over(wCum))
+      .withColumn("cum_nt", sum("n_treat").over(wCum))
+      .withColumn("cum_nc", sum("n_control").over(wCum))
+      .select(col("decile"), col("n_treat"), col("pos_treat"),
+        col("n_control"), col("pos_control"),
+        // an empty arm cell leaves the uplift undefined (NULL), not 0 —
+        // tiny deciles at small SFs can be all-treatment
+        when(col("n_treat") > 0 && col("n_control") > 0,
+          round(col("pos_treat").cast("double") / col("n_treat") -
+                col("pos_control").cast("double") / col("n_control"), 6)).as("uplift"),
+        when(col("cum_nc") > 0,
+          round(col("cum_pt") - col("cum_pc").cast("double") *
+                col("cum_nt") / col("cum_nc"), 6)).as("qini"))
+      .orderBy("decile")
+  }
+
+  val qiniSql: String =
+    s"""WITH scores AS (
+       |  SELECT user_id, count(*)::BIGINT AS score
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view') AND ts::TIMESTAMP < TIMESTAMP '$AucObsEnd'
+       |  GROUP BY user_id
+       |), pos AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND ts::TIMESTAMP >= TIMESTAMP '$AucLabelStart'
+       |), lab AS (
+       |  SELECT s.user_id, s.score,
+       |    CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS is_pos,
+       |    ('0x' || substr(md5(s.user_id || '-' || 'qini'), 1, 8))::BIGINT % 2 AS arm
+       |  FROM scores s LEFT JOIN pos p ON p.user_id = s.user_id
+       |), n AS (
+       |  SELECT count(*) AS cnt, count(*) // 10 AS q, count(*) % 10 AS rem FROM lab
+       |), rk AS (
+       |  SELECT user_id, is_pos, arm,
+       |    row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn
+       |  FROM lab
+       |), dec AS (
+       |  SELECT CAST(CASE WHEN rn <= n.rem * (n.q + 1) THEN (rn + n.q) // (n.q + 1)
+       |    ELSE n.rem + (rn - n.rem * (n.q + 1) + n.q - 1) // n.q END AS INT) AS decile,
+       |    is_pos, arm
+       |  FROM rk, n
+       |), byd AS (
+       |  SELECT decile,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+       |    sum(CASE WHEN arm = 1 THEN is_pos ELSE 0 END)::BIGINT AS pos_treat,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+       |    sum(CASE WHEN arm = 0 THEN is_pos ELSE 0 END)::BIGINT AS pos_control
+       |  FROM dec GROUP BY decile
+       |), cum AS (
+       |  SELECT *,
+       |    sum(pos_treat) OVER w AS cum_pt, sum(pos_control) OVER w AS cum_pc,
+       |    sum(n_treat) OVER w AS cum_nt, sum(n_control) OVER w AS cum_nc
+       |  FROM byd
+       |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT decile, n_treat, pos_treat, n_control, pos_control,
+       |  CASE WHEN n_treat > 0 AND n_control > 0
+       |    THEN round(pos_treat::DOUBLE / n_treat - pos_control::DOUBLE / n_control, 6)
+       |  END AS uplift,
+       |  CASE WHEN cum_nc > 0
+       |    THEN round(cum_pt - cum_pc::DOUBLE * cum_nt / cum_nc, 6)
+       |  END AS qini
+       |FROM cum
+       |ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_qini"           -> (qini _),
     "q_qte"            -> (qte _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_anova"          -> (anovaSegments _),
@@ -2223,6 +2332,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_qini"           -> qiniSql,
     "q_qte"            -> qteSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_anova"          -> anovaSegmentsSql,

@@ -483,6 +483,46 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(r => r.getAs[Int]("bm25_rk") >= 0 && r.getAs[Int]("knn_rk") >= 0))
   }
 
+  test("media dedup: digest survivorship and bytes-saved match a local replay") {
+    val docs = Tables.documents(spark, sfTest)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keep = docs.groupBy(d => md5hex(d._3)).map { case (h, ds) =>
+      h -> ds.map(_._1).min }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val removed = ds.filter(d => keep(md5hex(d._3)) != d._1)
+      src -> ((ds.length.toLong, removed.length.toLong,
+               removed.map(_._3.getBytes("UTF-8").length.toLong).sum,
+               ds.map(d => md5hex(d._3)).distinct.length.toLong))
+    }
+    val got = operators.Multimodal.mediaDedup(spark, sfTest).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (np, nr, bs, nd) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_payloads") === np)
+      assert(r.getAs[Long]("n_removed") === nr)
+      assert(r.getAs[Long]("bytes_saved") === bs)
+      assert(r.getAs[Long]("n_digests") === nd)
+    }
+    // raw-byte duplicates only exist in the sf0.1 fixture (8/5000), so
+    // the signal path is pinned on a planted frame: min-doc_id keeps,
+    // cross-source copies removed, bytes accounted to the loser's source
+    import spark.implicits._
+    val planted = Seq(
+      (10L, "a", "same-bytes"), (11L, "b", "same-bytes"),
+      (12L, "a", "same-bytes"), (20L, "b", "unique")
+    ).toDF("doc_id", "source", "text")
+    val p = operators.Multimodal.mediaDedupFrom(planted).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_payloads"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("bytes_saved"), r.getAs[Long]("n_digests")))).toMap
+    assert(p("a") === ((2L, 1L, 10L, 1L))) // doc 12 loses to doc 10
+    assert(p("b") === ((2L, 1L, 10L, 2L))) // doc 11 loses cross-source
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)

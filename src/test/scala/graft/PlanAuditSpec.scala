@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * B replicate rows, the 25-nation rank demo. */
   private val BoundedModel = Set(
     "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci",
-    "q_window_ranks", "q_gain_deciles")
+    "q_window_ranks", "q_gain_deciles", "q_qini")
 
   private val Allow =
     HeadRank ++ CalendarSeries ++ CoarsePrefix ++ CatalogGraph ++ BoundedModel

@@ -799,13 +799,14 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   test("qte: per-arm exact order statistics match a local sorted replay") {
     val S = operators.Stats
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    }
     val perUser = Tables.events(spark, sfTest)
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("v"))
@@ -827,6 +828,48 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     // quantiles are monotone in tau within each arm
     val qs = got.sortBy(_.getAs[Long]("tau")).map(_.getAs[Long]("q_control_cents"))
     assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("qini: per-decile uplift cells and cumulative qini match a local replay") {
+    val S = operators.Stats
+    val e = Tables.events(spark, sfTest)
+    val scores = e.where(col("event_type").isin("click", "view") &&
+        col("ts") < lit(S.AucObsEnd).cast("timestamp_ntz"))
+      .groupBy("user_id").agg(count(lit(1)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = e.where(col("event_type") === "purchase" &&
+        col("ts") >= lit(S.AucLabelStart).cast("timestamp_ntz"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val n = scores.length.toLong
+    val (q, rem) = (n / 10, n % 10)
+    def decileOf(rn: Long): Long =
+      if (rn <= rem * (q + 1)) (rn + q) / (q + 1)
+      else rem + (rn - rem * (q + 1) + q - 1) / q
+    val cells = scores.sortBy { case (u, s) => (-s, u) }.zipWithIndex
+      .map { case ((u, _), i) =>
+        (decileOf(i + 1L), h32(s"$u-qini") % 2, if (pos(u)) 1L else 0L) }
+      .groupBy(_._1)
+    val got = S.qini(spark, sfTest).collect().sortBy(_.getAs[Int]("decile"))
+    assert(got.length === cells.size)
+    var (cpt, cpc, cnt2, cnc) = (0L, 0L, 0L, 0L)
+    got.foreach { r =>
+      val rows = cells(r.getAs[Int]("decile").toLong)
+      val nt = rows.count(_._2 == 1L).toLong
+      val nc = rows.count(_._2 == 0L).toLong
+      val pt = rows.filter(_._2 == 1L).map(_._3).sum
+      val pc = rows.filter(_._2 == 0L).map(_._3).sum
+      assert(r.getAs[Long]("n_treat") === nt)
+      assert(r.getAs[Long]("n_control") === nc)
+      assert(r.getAs[Long]("pos_treat") === pt)
+      assert(r.getAs[Long]("pos_control") === pc)
+      if (nt > 0 && nc > 0)
+        assert(math.abs(r.getAs[Double]("uplift") -
+          (pt.toDouble / nt - pc.toDouble / nc)) < 1e-6)
+      cpt += pt; cpc += pc; cnt2 += nt; cnc += nc
+      if (cnc > 0)
+        assert(math.abs(r.getAs[Double]("qini") -
+          (cpt - cpc.toDouble * cnt2 / cnc)) < 1e-6)
+    }
   }
 
   test("join explosion: fanout audit matches exact local key counts") {
