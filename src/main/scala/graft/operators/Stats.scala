@@ -2294,7 +2294,109 @@ object Stats {
        |FROM cum
        |ORDER BY decile""".stripMargin
 
+  /** Weight fixed point: w is a weighted count in [[RakeUnit]] units. */
+  val RakeUnit = 1000000L
+  /** IPF rounds, unrolled identically in the oracle (raking on a 5×5
+    * grid converges to <0.1% margin error well inside 3 rounds). */
+  val RakeRounds = 3
+
+  /** Raking / iterative proportional fitting — the survey-weighting
+    * step every biased-sample analysis needs: a 25% deterministic hash
+    * sample of the customer base is reweighted so its (segment,
+    * region) cell weights reproduce the POPULATION margins on both
+    * axes. Classic IPF: scale each cell by target/current for the
+    * segment margin, then for the region margin, repeat. Everything
+    * rides the aggregated 5×5 cell grid (dimension-sized), so each
+    * round is two margin aggregates + a broadcast join — the heavy
+    * pass is the one population/sample cell aggregation.
+    *
+    * Fixed point: w in [[RakeUnit]] units; the scale ratio is
+    * (t·Unit²) div s (≈Unit-sized), then w' = (w·ratio) div Unit —
+    * exact BIGINT floor arithmetic, identical in the unrolled oracle.
+    * Bound: w·ratio ≤ pop·Unit · 4·Unit ≈ 4e17 at fixture scale;
+    * at population scale move the product to DECIMAL(38) (the
+    * [[revenueGini]] escape hatch). An all-empty sample margin keeps
+    * its cells at weight 0 (the documented raking caveat) rather than
+    * dividing by zero.
+    */
+  def raking(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey"))
+    val reg = broadcast(Tables.region(spark, sfDir).select("r_regionkey", "r_name"))
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("segment"), col("r_name").as("region"))
+    val pop = base.groupBy("segment", "region").agg(count(lit(1)).as("n_pop"))
+    val samp = base.where(expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(c_custkey AS string), 'rake')), 1, 8), 16, 10) AS bigint)") % 4 === 0)
+      .groupBy("segment", "region").agg(count(lit(1)).as("n_sample"))
+    var cells = pop.join(samp, Seq("segment", "region"), "left")
+      .select(col("segment"), col("region"), col("n_pop"),
+              coalesce(col("n_sample"), lit(0L)).as("n_sample"))
+      .withColumn("w", col("n_sample") * RakeUnit)
+      .localCheckpoint()
+    val segT = cells.groupBy("segment").agg(sum("n_pop").as("t"))
+    val regT = cells.groupBy("region").agg(sum("n_pop").as("t"))
+    val step = s"CASE WHEN s > 0 THEN (w * ((t * ${RakeUnit * RakeUnit}) div s)) div $RakeUnit ELSE 0 END"
+    for (_ <- 1 to RakeRounds) {
+      val sSeg = cells.groupBy("segment").agg(sum("w").as("s"))
+      cells = cells.join(broadcast(sSeg), "segment").join(broadcast(segT), "segment")
+        .withColumn("w", expr(step)).drop("s", "t")
+      val sReg = cells.groupBy("region").agg(sum("w").as("s"))
+      cells = cells.join(broadcast(sReg), "region").join(broadcast(regT), "region")
+        .withColumn("w", expr(step)).drop("s", "t")
+        .localCheckpoint()
+    }
+    cells.select(col("segment"), col("region"), col("n_pop"),
+                 col("n_sample"), col("w").as("w_units"))
+      .orderBy("segment", "region")
+  }
+
+  val rakingSql: String = {
+    val stepSql = (from: String, margin: String) =>
+      s"""SELECT c.segment, c.region, c.n_pop, c.n_sample,
+         |    (CASE WHEN ss.s > 0
+         |      THEN (c.w * ((mt.t * ${RakeUnit * RakeUnit}) // ss.s)) // $RakeUnit
+         |      ELSE 0 END)::BIGINT AS w
+         |  FROM $from c
+         |  JOIN (SELECT $margin, sum(w)::BIGINT AS s FROM $from GROUP BY $margin) ss USING ($margin)
+         |  JOIN ${margin}t mt USING ($margin)""".stripMargin
+    val rounds = (1 to RakeRounds).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |${stepSql(s"c${k - 1}", "segment")}
+         |), c$k AS MATERIALIZED (
+         |${stepSql(s"a$k", "region")}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT c_custkey, c_mktsegment AS segment, r_name AS region
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |), pop AS (
+       |  SELECT segment, region, count(*)::BIGINT AS n_pop FROM base GROUP BY 1, 2
+       |), samp AS (
+       |  SELECT segment, region, count(*)::BIGINT AS n_sample FROM base
+       |  WHERE ('0x' || substr(md5(c_custkey || '-' || 'rake'), 1, 8))::BIGINT % 4 = 0
+       |  GROUP BY 1, 2
+       |), c0 AS MATERIALIZED (
+       |  SELECT p.segment, p.region, p.n_pop,
+       |    coalesce(s.n_sample, 0)::BIGINT AS n_sample,
+       |    (coalesce(s.n_sample, 0) * $RakeUnit)::BIGINT AS w
+       |  FROM pop p LEFT JOIN samp s USING (segment, region)
+       |), segmentt AS (
+       |  SELECT segment, sum(n_pop)::BIGINT AS t FROM c0 GROUP BY segment
+       |), regiont AS (
+       |  SELECT region, sum(n_pop)::BIGINT AS t FROM c0 GROUP BY region
+       |), $rounds
+       |SELECT segment, region, n_pop, n_sample, w AS w_units
+       |FROM c$RakeRounds
+       |ORDER BY segment, region""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_raking"         -> (raking _),
     "q_qini"           -> (qini _),
     "q_qte"            -> (qte _),
     "q_kruskal_wallis" -> (kruskalWallis _),
@@ -2332,6 +2434,7 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_raking"         -> rakingSql,
     "q_qini"           -> qiniSql,
     "q_qte"            -> qteSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

@@ -872,6 +872,52 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("raking: integer IPF replay matches; reweighted margins fit the population") {
+    val S = operators.Stats
+    val base = Tables.customer(spark, sfTest)
+      .join(Tables.nation(spark, sfTest), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfTest), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_mktsegment", "r_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pop = base.groupBy(d => (d._2, d._3)).map { case (k, v) => k -> v.length.toLong }
+    val samp = base.filter(d => h32(s"${d._1}-rake") % 4 == 0)
+      .groupBy(d => (d._2, d._3)).map { case (k, v) => k -> v.length.toLong }
+    val segT = pop.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val regT = pop.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val u = S.RakeUnit
+    var w = pop.map { case (k, _) => k -> samp.getOrElse(k, 0L) * u }
+    def stepBy(margin: ((String, String)) => String, t: Map[String, Long]): Unit = {
+      val s = w.groupBy { case (k, _) => margin(k) }
+        .map { case (m, c) => m -> c.values.sum }
+      w = w.map { case (k, v) =>
+        val sm = s(margin(k))
+        k -> (if (sm > 0) v * (t(margin(k)) * u * u / sm) / u else 0L)
+      }
+    }
+    for (_ <- 1 to S.RakeRounds) { stepBy(_._1, segT); stepBy(_._2, regT) }
+    val got = S.raking(spark, sfTest).collect()
+    assert(got.length === pop.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("segment"), r.getAs[String]("region"))
+      assert(r.getAs[Long]("n_pop") === pop(k))
+      assert(r.getAs[Long]("n_sample") === samp.getOrElse(k, 0L))
+      assert(r.getAs[Long]("w_units") === w(k), s"cell $k")
+    }
+    // the last step scaled the region margin: achieved weighted region
+    // totals match the population margin up to floor loss (< 1 unit
+    // per cell); the raked segment margin must also be close
+    regT.foreach { case (reg, t) =>
+      val a = w.collect { case ((_, r2), v) if r2 == reg => v }.sum
+      assert(math.abs(a - t * u) <= u * pop.size,
+        s"region $reg margin off: $a vs ${t * u}")
+    }
+    segT.foreach { case (seg, t) =>
+      val a = w.collect { case ((s2, _), v) if s2 == seg => v }.sum
+      assert(math.abs(a - t * u).toDouble / (t * u) < 0.02,
+        s"segment $seg margin off after ${S.RakeRounds} rounds")
+    }
+  }
+
   test("join explosion: fanout audit matches exact local key counts") {
     val A = operators.Advanced
     val out = A.joinExplosion(spark, sfTest).collect()
