@@ -573,4 +573,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         "nothing in these queries justifies shuffling both join sides")
     }
   }
+
+  test("span_corruption: length gate reaches the parquet scan, text never read") {
+    val p = plan(operators.Training.spanCorruption(planSession, sfTest))
+    assert(p.contains("PushedFilters") && p.contains("n_chars"),
+      "the n_chars >= 2*SpanLen gate must push to the scan")
+    assert(!p.contains("text#"),
+      "span planning needs only doc_id/source/n_chars — the text column must be pruned")
+    assert(GlobalWindowRe.findFirstIn(p).isEmpty,
+      "the interval-union windows must partition by doc_id, never globally")
+  }
+
+  test("mutual_knn: centroid side broadcasts; pair space rides the cell equi-join") {
+    // the assignment stage (pre-checkpoint): NCells centroids broadcast
+    val pa = plan(operators.Similarity.cellAssignFrom(
+      Tables.embeddings(planSession, sfTest), operators.Similarity.NCells))
+    assert(pa.contains("BroadcastExchange"),
+      "the NCells centroid table must broadcast into the assignment")
+    assert(!pa.contains("SortMergeJoin"),
+      "the unkeyed centroid scoring must stream the corpus past a broadcast, not shuffle it")
+    // the pair stage (post-checkpoint): keyed on cid, never all-pairs
+    val pe = plan(operators.Similarity.mutualEdgesFrom(
+      Tables.embeddings(planSession, sfTest), operators.Similarity.NCells,
+      operators.Similarity.MknnK))
+    assert(!pe.contains("CartesianProduct"),
+      "within-cell pairing must never plan an unkeyed all-pairs join")
+  }
+
+  test("join_explosion: each candidate's hot key plans as TakeOrderedAndProject(1)") {
+    val p = plan(operators.Advanced.joinExplosion(planSession, sfTest))
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-candidate top-key must not plan a full sort")
+    assert(GlobalWindowRe.findFirstIn(p).isEmpty,
+      "no global window may rank corpus-sized key counts")
+  }
+
 }
