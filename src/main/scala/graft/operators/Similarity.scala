@@ -286,6 +286,78 @@ object Similarity {
        |FROM cc LEFT JOIN hits h ON h.p = cc.p
        |ORDER BY probe""".stripMargin
 
+  /** Hard negatives mined per anchor. */
+  val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training — the
+    * embedding-space complement of the interaction-based
+    * [[PipelineOps]] negative sampler: for each anchor vector, the
+    * nearest SAME-CELL vectors with a DIFFERENT ground-truth label.
+    * Random negatives are trivially separable and teach a contrastive
+    * model nothing; the negatives that matter are the ones the current
+    * embedding already confuses — by construction, the nearest
+    * different-label points. Candidates come from the anchor's IVF
+    * cell (the [[knnIvf]] quantizer), so the mining pass is the same
+    * Σ|cell|² shape as the kNN graph, never N². Ranked on the
+    * 6dp-rounded cosine with id tie-break (the house rule), so the
+    * oracle hash-matches.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    val e = withNorm(e0.select("vec_id", "embedding"))
+      .join(e0.select(col("vec_id"), col("label")), "vec_id")
+    val cents = broadcast(e.where(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("b.label").as("label"), col("cid"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+      .withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select("vec_id", "embedding", "nrm", "label", "cid")
+    val anchors = assigned.where(col("vec_id") < NQueries)
+    val scored = anchors.as("a")
+      .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") &&
+            col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("anchor_id"), col("a.label").as("anchor_label"),
+              col("b.vec_id").as("negative_id"), col("b.label").as("negative_label"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("negative_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= HardNegK)
+      .select(col("anchor_id"), col("rk"), col("negative_id"),
+              col("anchor_label"), col("negative_label"), col("cos"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label, $normDuck AS nrm FROM embeddings
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding, b.nrm, b.label, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM e b JOIN e a ON a.vec_id < $NCells
+       |), assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, label, cid FROM cellranked WHERE crk = 1
+       |), scored AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+       |    b.vec_id AS negative_id, b.label AS negative_label,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cid = b.cid AND a.label <> b.label
+       |  WHERE a.vec_id < $NQueries
+       |)
+       |SELECT anchor_id, rk, negative_id, anchor_label, negative_label, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $HardNegK
+       |ORDER BY anchor_id, rk""".stripMargin
+
   /** Neighbors per vector for the mutual-kNN graph. */
   val MknnK = 5
 
@@ -758,6 +830,7 @@ object Similarity {
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
+    "q_hard_negatives"  -> (hardNegatives _),
     "q_mutual_knn"      -> (mutualKnn _),
     "q_mutual_knn_clusters" -> (mutualKnnClusters _),
     "q_knn_lsh"         -> (knnLsh _),
@@ -770,6 +843,7 @@ object Similarity {
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
+    "q_hard_negatives"  -> hardNegativesSql,
     "q_mutual_knn"      -> mutualKnnSql,
     "q_mutual_knn_clusters" -> mutualKnnClustersSql,
     "q_lsh_hyperplane"  -> lshHyperplaneSql,

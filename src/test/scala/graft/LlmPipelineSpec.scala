@@ -173,6 +173,41 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hard negatives: nearest different-label cell-mates match a local replay") {
+    import operators.Similarity
+    val (cellOf, _) = localMutual
+    val e = Tables.embeddings(spark, sfTest)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double =
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    val byId = e.map(v => v._1 -> v).toMap
+    val expected = e.filter(_._1 < Similarity.NQueries).flatMap { case (a, emb, lab) =>
+      e.filter { case (v, _, l) => cellOf(v) == cellOf(a) && l != lab }
+        .map { case (v, ve, l) => (v, l, cos6(emb, ve)) }
+        .sortBy { case (v, _, c) => (-c, v) }.take(Similarity.HardNegK)
+        .zipWithIndex.map { case ((v, l, c), i) => (a, i + 1, v, lab, l, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = operators.Similarity.hardNegatives(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("rk"),
+                 r.getAs[Long]("negative_id"), r.getAs[Int]("anchor_label"),
+                 r.getAs[Int]("negative_label"), r.getAs[Double]("cos")))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, x) =>
+      assert(g._1 == x._1 && g._2 == x._2 && g._3 == x._3, s"rank order: $g vs $x")
+      assert(g._4 == x._4 && g._5 == x._5, s"labels: $g vs $x")
+      assert(math.abs(g._6 - x._6) < 1e-9)
+    }
+    // hardness: every mined negative carries a different label, and the
+    // anchor's rank-1 negative is at least as close as its rank-K one
+    assert(got.forall(g => g._4 != g._5))
+    assert(byId.nonEmpty)
+  }
+
   test("IVF recall curve: exact self-check at full probe, monotone recall and cost") {
     import operators.Similarity
     val rows = Similarity.ivfRecallCurve(spark, sfTest).collect()
