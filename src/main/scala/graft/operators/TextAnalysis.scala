@@ -89,8 +89,11 @@ object TextAnalysis {
     * histogram with component means — the shape a filtering pipeline
     * thresholds on.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  /** Per-document scored frame shared by the decile histogram and the
+    * token-budget selector: (doc_id, source, n_toks, sw_rate, awl,
+    * score) with the 6dp-rounded composite quality score. */
+  private[graft] def qualityScored(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .withColumn("toks", split(expr(normSpark), " "))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("sw_rate",
@@ -100,6 +103,9 @@ object TextAnalysis {
         lit(0.4) * least(col("n_toks") / lit(200.0), lit(1.0)) +
         lit(0.3) * least(col("sw_rate") / lit(0.08), lit(1.0)) +
         lit(0.3) * greatest(lit(0.0), lit(1.0) - abs(col("awl") - lit(5.0)) / lit(5.0)), 6))
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = qualityScored(spark, sfDir)
     d.withColumn("decile", least(floor(col("score") * 10), lit(9L)))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
@@ -132,6 +138,96 @@ object TextAnalysis {
        |FROM s
        |GROUP BY 1
        |ORDER BY decile""".stripMargin
+
+  /** Share of the corpus token mass the budget admits, percent. */
+  val BudgetPct = 20L
+  /** Coarse range cells for the score-domain prefix. */
+  private val BudgetCoarse = 1024L
+
+  /** Budgeted curation — "give me the best N tokens": keep documents
+    * in descending quality order until the cumulative token count
+    * crosses [[BudgetPct]]% of the corpus mass (the boundary document
+    * is admitted — the greedy-prefix rule, identical in the oracle).
+    * THE selection every pretraining run makes once a quality score
+    * exists; thresholding by score ([[qualityScore]]'s deciles) can't
+    * hit a token target, only a rank cut can.
+    *
+    * The cut is found WITHOUT a global sort: cumulative-token
+    * prefixes ride the same two-level coarse machinery as
+    * [[Relational.quartileScore]], keyed on the 1e6-fixed-point score
+    * (by-score aggregation bounded by the score domain; within-coarse
+    * windows; ≤[[BudgetCoarse]] coarse totals via a broadcast triangle
+    * join; within-score per-doc cumulative ordered by doc_id — worst
+    * case one task scans one tied score's docs). A document is kept
+    * iff the token mass strictly before it is under budget — exact
+    * BIGINT arithmetic end to end.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = qualityScored(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_toks").cast("long").as("toks"),
+              round(col("score") * 1e6).cast("long").as("sfp"))
+    val bDf = d.agg(expr(s"(sum(toks) * $BudgetPct) div 100").as("budget"))
+    val byKey = d.groupBy("sfp").agg(sum("toks").as("ktoks"))
+    val mm = byKey.agg(min("sfp").as("mn"), max("sfp").as("mx"))
+    val bv = byKey.crossJoin(broadcast(mm))
+      .withColumn("w", greatest(lit(1L),
+        ((col("mx") - col("mn")) / lit(BudgetCoarse)).cast("long") + lit(1L)))
+      // descending score maps to ascending coarse cells (best first)
+      .withColumn("coarse", ((col("mx") - col("sfp")) / col("w")).cast("long"))
+      .select("sfp", "ktoks", "coarse")
+    val wIn = Window.partitionBy("coarse").orderBy(col("sfp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bv.withColumn("cumk_prev", coalesce(sum("ktoks").over(wIn), lit(0L)))
+    val totals = bv.groupBy("coarse").agg(sum("ktoks").as("tot"))
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.coarse") < col("a.coarse"), "left")
+      .groupBy(col("a.coarse").as("coarse"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val keyPrev = local.join(broadcast(offs), Seq("coarse"))
+      .select(col("sfp"), (col("off") + col("cumk_prev")).as("prev_key_toks"))
+    val wTie = Window.partitionBy("sfp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(keyPrev, "sfp").crossJoin(broadcast(bDf))
+      .withColumn("prev_in_key", coalesce(sum("toks").over(wTie), lit(0L)))
+      .withColumn("kept",
+        (col("prev_key_toks") + col("prev_in_key") < col("budget")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+           sum(col("kept") * col("toks")).as("kept_tokens"),
+           max("budget").as("budget_tokens"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH sd AS (
+       |  SELECT doc_id, source, n_toks,
+       |    round(0.4 * least(n_toks / 200.0, 1.0)
+       |        + 0.3 * least(sw_rate / 0.08, 1.0)
+       |        + 0.3 * greatest(0.0, 1.0 - abs(awl - 5.0) / 5.0), 6) AS score
+       |  FROM (
+       |    SELECT doc_id, source, len(toks) AS n_toks,
+       |      len(list_filter(toks, t -> list_contains($stopListDuck, t))) / len(toks)::DOUBLE AS sw_rate,
+       |      length(array_to_string(toks, '')) / len(toks)::DOUBLE AS awl
+       |    FROM (SELECT doc_id, source, string_split($normDuck, ' ') AS toks FROM documents)
+       |  )
+       |), d AS (
+       |  SELECT doc_id, source, n_toks::BIGINT AS toks,
+       |    round(score * 1000000)::BIGINT AS sfp
+       |  FROM sd
+       |), b AS (
+       |  SELECT ((sum(toks) * $BudgetPct) // 100)::BIGINT AS budget FROM d
+       |), cum AS (
+       |  SELECT source, toks,
+       |    coalesce(sum(toks) OVER (ORDER BY sfp DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_prev
+       |  FROM d
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN cum_prev < b.budget THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN cum_prev < b.budget THEN toks ELSE 0 END)::BIGINT AS kept_tokens,
+       |  max(b.budget)::BIGINT AS budget_tokens
+       |FROM cum, b GROUP BY source
+       |ORDER BY source""".stripMargin
 
   /** Token counting two ways: whitespace tokens and a BPE-ish subword
     * count (≤4-char greedy chunks via regex — a deterministic stand-in
@@ -1291,6 +1387,7 @@ object TextAnalysis {
     "q_text_profile"   -> (textProfile _),
     "q_lang_id"        -> (langId _),
     "q_quality_score"  -> (qualityScore _),
+    "q_token_budget"   -> (tokenBudget _),
     "q_token_stats"    -> (tokenStats _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_pii_scrub"      -> (piiScrub _),
@@ -1315,6 +1412,7 @@ object TextAnalysis {
     "q_text_profile"   -> textProfileSql,
     "q_lang_id"        -> langIdSql,
     "q_quality_score"  -> qualityScoreSql,
+    "q_token_budget"   -> tokenBudgetSql,
     "q_token_stats"    -> tokenStatsSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_pii_scrub"      -> piiScrubSql,

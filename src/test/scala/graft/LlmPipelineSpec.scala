@@ -518,6 +518,36 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(r => r.getAs[Int]("bm25_rk") >= 0 && r.getAs[Int]("knn_rk") >= 0))
   }
 
+  test("token budget: greedy best-first prefix matches a local sorted replay") {
+    import operators.TextAnalysis
+    val docs = TextAnalysis.qualityScored(spark, sfTest)
+      .select(col("doc_id"), col("source"), col("n_toks").cast("long"),
+              round(col("score") * 1e6).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = docs.map(_._3).sum * TextAnalysis.BudgetPct / 100
+    var cum = 0L
+    val kept = docs.sortBy { case (id, _, _, sfp) => (-sfp, id) }.map { d =>
+      val k = cum < budget; cum += d._3; (d, k)
+    }
+    val expected = kept.groupBy(_._1._2).map { case (src, ds) =>
+      src -> ((ds.length.toLong, ds.count(_._2).toLong,
+               ds.filter(_._2).map(_._1._3).sum))
+    }
+    val got = TextAnalysis.tokenBudget(spark, sfTest).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nd, nk, kt) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_kept") === nk, s"${r.getAs[String]("source")} kept")
+      assert(r.getAs[Long]("kept_tokens") === kt)
+      assert(r.getAs[Long]("budget_tokens") === budget)
+    }
+    // the greedy prefix always lands within one boundary doc of budget
+    val totKept = got.map(_.getAs[Long]("kept_tokens")).sum
+    val maxDoc = docs.map(_._3).max
+    assert(totKept >= budget.min(docs.map(_._3).sum) - maxDoc && totKept < budget + maxDoc)
+  }
+
   test("media dedup: digest survivorship and bytes-saved match a local replay") {
     val docs = Tables.documents(spark, sfTest)
       .select("doc_id", "source", "text").collect()
