@@ -1430,9 +1430,14 @@ object Training {
     * partitions by doc_id (corpus-cardinality keys), and the final
     * aggregate is map-side combinable down to one row per source.
     */
-  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame =
+    spanCorruptionFrom(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** Frame-parameterized core — the edge spec drives it with planted
+    * boundary-length docs. Expects (doc_id, source, n_chars). */
+  private[graft] def spanCorruptionFrom(docs: DataFrame): DataFrame = {
+    val d = docs
       .where(col("n_chars") >= SpanMinChars)
       .withColumn("n_spans",
         least(lit(MaxSpans),

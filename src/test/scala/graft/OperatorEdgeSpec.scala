@@ -206,6 +206,62 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_dropped") == 3L)
   }
 
+  test("mutual-kNN on a frame with no possible mutual pair yields zero edges; components empty") {
+    val session = spark
+    import session.implicits._
+    // two vectors in opposite directions land in different cells
+    // (each is its own centroid) → no same-cell pair exists
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val edges = operators.Similarity.mutualEdgesFrom(e, nCells = 2, k = 1)
+    assert(edges.count() === 0L)
+    assert(operators.PipelineOps.connectedComponents(
+      edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))).count() === 0L)
+    // a 3-vector cell with k=1: the two closest reciprocate, the odd
+    // one out points at a vector that prefers its own best — 1 edge
+    val e3 = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.14f)),
+      (2L, Array(0.9f, 0.43f))
+    ).toDF("vec_id", "embedding")
+    val m3 = operators.Similarity.mutualEdgesFrom(e3, nCells = 1, k = 1).collect()
+    assert(m3.length === 1)
+    assert(m3(0).getAs[Long]("src") === 0L && m3(0).getAs[Long]("dst") === 1L)
+  }
+
+  test("span corruption boundaries: minimum-length doc gets exactly one span; shorter docs drop") {
+    val session = spark
+    import session.implicits._
+    val T = operators.Training
+    // n_chars == SpanMinChars (40): n_spans = max(1, 40·15/2000) = 1,
+    // masked = SpanLen exactly → rate = 20/40 = 5000 bp; a 39-char doc
+    // is excluded entirely
+    val docs = Seq((1L, "a", T.SpanMinChars), (2L, "b", T.SpanMinChars - 1))
+      .toDF("doc_id", "source", "n_chars")
+    val out = T.spanCorruptionFrom(docs).collect()
+    assert(out.length === 1 && out(0).getAs[String]("source") === "a")
+    assert(out(0).getAs[Long]("total_spans") === 1L)
+    assert(out(0).getAs[Long]("total_islands") === 1L)
+    assert(out(0).getAs[Long]("total_masked_chars") === T.SpanLen)
+    assert(out(0).getAs[Long]("mask_rate_bp") === 5000L)
+    // and on the real fixture the mask can never exceed the doc mass
+    operators.Training.spanCorruption(spark, sfTest).collect().foreach { r =>
+      assert(r.getAs[Long]("mask_rate_bp") <= 10000L)
+      assert(r.getAs[Long]("total_islands") <= r.getAs[Long]("total_spans"))
+    }
+  }
+
+  test("qte: both arms non-empty on the fixture and quantiles are monotone") {
+    val out = operators.Stats.qte(spark, sfTest).collect()
+    assert(out.length === operators.Stats.QteTaus.length)
+    val qc = out.map(_.getAs[Long]("q_control_cents"))
+    val qt = out.map(_.getAs[Long]("q_treat_cents"))
+    assert(qc.zip(qc.tail).forall { case (a, b) => a <= b })
+    assert(qt.zip(qt.tail).forall { case (a, b) => a <= b })
+    out.foreach(r => assert(r.getAs[Long]("qte_cents") ===
+      r.getAs[Long]("q_treat_cents") - r.getAs[Long]("q_control_cents")))
+  }
+
   test("survival KM with every user censored emits survival 1.0 throughout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kmedge").toString
