@@ -72,7 +72,7 @@ object Recsys {
       .select(col("user_id"), explode(col("hs")).as("h"))
       .select(col("user_id"), col("h.id").as("item_id"), col("h.score").as("strength"))
 
-  private[operators] def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def cappedInteractions(spark: SparkSession, sfDir: String): DataFrame =
     graft.QueryCache.memo(spark, s"recsys:interactions:$sfDir") {
       capHistories(Tables.interactions(spark, sfDir))
     }
@@ -2025,7 +2025,129 @@ object Recsys {
        |  sum(n_serendip)::BIGINT AS total_serendipitous
        |FROM per_user""".stripMargin
 
+  /** Head size for the miscalibration ranking. */
+  val CalibTop = 20
+  /** Steck's smoothing weight: q̃ = (1−α)·q + α·p (α = 0.01) keeps the
+    * KL finite when a history brand never appears in the rec list.
+    * Kept as literal TEXT so engine and oracle parse the identical
+    * doubles. */
+  val CalibAlphaLit = "0.01"
+  val CalibOneMinusAlpha = "0.99"
+
+  /** Calibrated recommendations audit (Steck 2018) — the eval the
+    * accuracy metrics miss: a recommender can score high precision
+    * while collapsing every user onto their majority interest. Per
+    * user: p(brand) over the capped purchase history vs q(brand) over
+    * the served top-N list (both ride the memoized interaction and
+    * recommendation tables + a broadcast part-brand dim), and the
+    * calibration divergence C_KL(p‖q̃) = Σ_b p·ln(p/q̃) with Steck's
+    * α-smoothing toward p. Emits the [[CalibTop]] most miscalibrated
+    * users — the segment a re-ranker (e.g. [[mmrRerank]]) would
+    * target first. Ranked on the 6dp-rounded divergence with user
+    * tie-break; the head compiles to TakeOrderedAndProject.
+    */
+  def recCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val brand = broadcast(Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("item_id"), col("p_brand").as("brand")))
+    val hist = cappedInteractions(spark, sfDir).select("user_id", "item_id")
+      .join(brand, "item_id")
+    val hCnt = hist.groupBy("user_id", "brand").agg(count(lit(1)).as("hc"))
+    val hTot = hist.groupBy("user_id").agg(count(lit(1)).as("ht"))
+    val recs = itemcfRecommend(spark, sfDir).select("user_id", "item_id")
+      .join(brand, "item_id")
+    val rCnt = recs.groupBy("user_id", "brand").agg(count(lit(1)).as("rc"))
+    val rTot = recs.groupBy("user_id").agg(count(lit(1)).as("rt"))
+    val terms = hCnt.join(hTot, "user_id")
+      .join(rCnt, Seq("user_id", "brand"), "left")
+      .join(rTot, "user_id")
+      .select(col("user_id"),
+        (col("hc").cast("double") / col("ht")).as("p"),
+        (coalesce(col("rc"), lit(0L)).cast("double") / col("rt")).as("q"))
+      // literal text matches the oracle exactly — 1.0-α recomputed in
+      // the JVM need not be the same double the SQL parser produces
+      .withColumn("qs", expr(s"$CalibOneMinusAlpha * q + $CalibAlphaLit * p"))
+      .withColumn("term", col("p") * log(col("p") / col("qs")))
+    terms.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hist_brands"), round(sum("term"), 6).as("ckl"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ckl").desc, col("user_id").asc)))
+      .where(col("rk") <= CalibTop)
+      .select("rk", "user_id", "n_hist_brands", "ckl")
+      .orderBy("rk")
+  }
+
+  val recCalibrationSql: String =
+    s"""WITH $cappedSql, r AS (
+       |  SELECT user_id, item_id FROM capped
+       |), counts AS (
+       |  SELECT item_id, count(*) AS n_users FROM r GROUP BY item_id
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), mirrored AS (
+       |  SELECT item_i, item_j, co FROM pairs
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, co FROM pairs
+       |), sim AS (
+       |  SELECT item_i, item_j,
+       |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
+       |  FROM mirrored
+       |  JOIN counts ci ON ci.item_id = item_i
+       |  JOIN counts cj ON cj.item_id = item_j
+       |), knn AS (
+       |  SELECT item_i, item_j, sim FROM (
+       |    SELECT item_i, item_j, sim,
+       |      row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |    FROM sim
+       |  ) WHERE rk <= $TopK
+       |), scored AS (
+       |  SELECT h.user_id, k.item_j AS cand,
+       |    round(sum(k.sim * h.strength), 6) AS score
+       |  FROM capped h JOIN knn k ON h.item_id = k.item_i
+       |  GROUP BY 1, 2
+       |), recs AS MATERIALIZED (
+       |  SELECT user_id, cand AS item_id FROM (
+       |    SELECT s.user_id, s.cand, s.score,
+       |      row_number() OVER (PARTITION BY s.user_id ORDER BY s.score DESC, s.cand ASC) AS rk
+       |    FROM scored s
+       |    WHERE NOT EXISTS (
+       |      SELECT 1 FROM capped h WHERE h.user_id = s.user_id AND h.item_id = s.cand)
+       |  ) WHERE rk <= $TopN
+       |), hb AS (
+       |  SELECT c.user_id, p.p_brand AS brand, count(*) AS hc
+       |  FROM capped c JOIN part p ON p.p_partkey = c.item_id
+       |  GROUP BY 1, 2
+       |), htot AS (
+       |  SELECT user_id, sum(hc)::BIGINT AS ht FROM hb GROUP BY user_id
+       |), rb AS (
+       |  SELECT c.user_id, p.p_brand AS brand, count(*) AS rc
+       |  FROM recs c JOIN part p ON p.p_partkey = c.item_id
+       |  GROUP BY 1, 2
+       |), rtot AS (
+       |  SELECT user_id, sum(rc)::BIGINT AS rt FROM rb GROUP BY user_id
+       |), terms AS (
+       |  SELECT hb.user_id,
+       |    hb.hc::DOUBLE / htot.ht AS p,
+       |    coalesce(rb.rc, 0)::DOUBLE / rtot.rt AS q
+       |  FROM hb
+       |  JOIN htot USING (user_id)
+       |  LEFT JOIN rb ON rb.user_id = hb.user_id AND rb.brand = hb.brand
+       |  JOIN rtot ON rtot.user_id = hb.user_id
+       |), ckl AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_hist_brands,
+       |    round(sum(p * ln(p / ($CalibOneMinusAlpha * q + $CalibAlphaLit * p))), 6) AS ckl
+       |  FROM terms GROUP BY user_id
+       |)
+       |SELECT rk, user_id, n_hist_brands, ckl FROM (
+       |  SELECT user_id, n_hist_brands, ckl,
+       |    row_number() OVER (ORDER BY ckl DESC, user_id ASC) AS rk
+       |  FROM ckl
+       |) WHERE rk <= $CalibTop
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rec_calibration"   -> (recCalibration _),
     "q_serendipity"       -> (serendipity _),
     "q_cold_start"         -> (coldStart _),
     "q_eval_novelty"      -> (evalNovelty _),
@@ -2053,6 +2175,7 @@ object Recsys {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rec_calibration"   -> recCalibrationSql,
     "q_cold_start"        -> coldStartSql,
     "q_eval_novelty"      -> evalNoveltySql,
     "q_itemcf_explain"    -> itemcfExplainSql,

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
-    "q_record_linkage", "q_reorder_rate", "q_dpo_pairs", "q_session_entropy", "q_session_paths",
+    "q_record_linkage", "q_rec_calibration", "q_reorder_rate", "q_dpo_pairs",
+    "q_session_entropy", "q_session_paths",
     "q_seq_buy_pairs", "q_skew_profile", "q_trending_items", "q_triangle_count",
     "q_zipf_fit")
 

@@ -320,4 +320,41 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     // definitional bound: serendipity can never exceed precision
     assert(r.getAs[Double]("serendipity_at_k") <= r.getAs[Double]("precision_at_k") + 1e-12)
   }
+
+  test("rec calibration: C_KL head matches a local replay; divergence is non-negative") {
+    val R = operators.Recsys
+    val brand = Tables.part(spark, sfTest)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hist = R.cappedInteractions(spark, sfTest)
+      .select("user_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recsL = recs.select("user_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hBy = hist.groupBy(_._1)
+    val rBy = recsL.groupBy(_._1)
+    val ckls = hBy.collect { case (u, hs) if rBy.contains(u) =>
+      val hb = hs.map(h => brand(h._2)).groupBy(identity).map { case (b, v) => b -> v.size }
+      val rb = rBy(u).map(h => brand(h._2)).groupBy(identity).map { case (b, v) => b -> v.size }
+      val ht = hs.length.toDouble; val rt = rBy(u).length.toDouble
+      val ckl = hb.map { case (b, hc) =>
+        val p = hc / ht
+        val q = rb.getOrElse(b, 0) / rt
+        p * math.log(p / (0.99 * q + 0.01 * p))
+      }.sum
+      (u, hb.size.toLong, math.rint(ckl * 1e6) / 1e6)
+    }.toSeq
+    val expected = ckls.sortBy { case (u, _, c) => (-c, u) }.take(R.CalibTop)
+    val got = R.recCalibration(spark, sfTest).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_hist_brands"),
+                 r.getAs[Double]("ckl")))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, x) =>
+      assert(g._1 == x._1 && g._2 == x._2, s"head order: $g vs $x")
+      assert(math.abs(g._3 - x._3) < 1e-6)
+    }
+    // smoothed KL against a target mixed toward p is always >= 0 up to
+    // the alpha perturbation
+    assert(got.forall(_._3 > -1e-6))
+  }
 }
