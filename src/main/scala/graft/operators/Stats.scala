@@ -2129,14 +2129,20 @@ object Stats {
     * construction. QTE(τ) = q_treat(τ) − q_control(τ), exact BIGINTs
     * end to end.
     */
-  def qte(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.events(spark, sfDir)
+  def qte(spark: SparkSession, sfDir: String): DataFrame =
+    qteOf(Tables.events(spark, sfDir)
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("v"))
       .withColumn("arm", expr(
-        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qte')), 1, 8), 16, 10) AS bigint)") % 2)
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qte')), 1, 8), 16, 10) AS bigint)") % 2),
+      QteCoarse)
+
+  /** Frame-parameterized core over ANY (arm ∈ {0,1}, v: long) frame —
+    * the scale spec drives it with a synthesized wide-domain
+    * million-row population the fixture can't provide. */
+  private[graft] def qteOf(perUser: DataFrame, coarseWidth: Long): DataFrame = {
     val byVal = perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("coarse", floor(col("v") / QteCoarse).cast("long"))
+      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
     val wIn = Window.partitionBy("arm", "coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))

@@ -162,11 +162,17 @@ object TextAnalysis {
     * iff the token mass strictly before it is under budget — exact
     * BIGINT arithmetic end to end.
     */
-  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = qualityScored(spark, sfDir)
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetOf(qualityScored(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_toks").cast("long").as("toks"),
-              round(col("score") * 1e6).cast("long").as("sfp"))
-    val bDf = d.agg(expr(s"(sum(toks) * $BudgetPct) div 100").as("budget"))
+              round(col("score") * 1e6).cast("long").as("sfp")),
+      BudgetPct)
+
+  /** Frame-parameterized core over ANY (doc_id, source, toks, sfp)
+    * frame — the scale spec drives it with a synthesized million-doc
+    * corpus with a wide score domain. */
+  private[graft] def tokenBudgetOf(d: DataFrame, budgetPct: Long): DataFrame = {
+    val bDf = d.agg(expr(s"(sum(toks) * $budgetPct) div 100").as("budget"))
     val byKey = d.groupBy("sfp").agg(sum("toks").as("ktoks"))
     val mm = byKey.agg(min("sfp").as("mn"), max("sfp").as("mx"))
     val bv = byKey.crossJoin(broadcast(mm))

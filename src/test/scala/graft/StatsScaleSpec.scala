@@ -124,4 +124,74 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("rank_biserial") - rb) < 1e-6)
     assert(r.getAs[Double]("z") > 10.0, "the planted +20.00 shift on A must dominate")
   }
+
+  test("qte: 1M-population per-arm order statistics with a planted treatment shift", ScaleTest) {
+    val n = 1000000
+    val p = 999999937L
+    val shift = 50000L // planted uniform +50000 on arm 1
+    val perUser = spark.range(0L, n.toLong)
+      .select(
+        ((col("id") * MulK) % p + when(col("id") % 2 === 1, lit(shift)).otherwise(lit(0L)))
+          .as("v"),
+        (col("id") % 2).as("arm"))
+    val got = operators.Stats.qteOf(perUser, coarseWidth = 1000000L)
+      .collect().sortBy(_.getAs[Long]("tau"))
+
+    val byArm = (0 to 1).map { a =>
+      a.toLong -> Array.tabulate(n / 2) { j =>
+        val id = 2L * j + a
+        (id * MulK) % p + (if (a == 1) shift else 0L)
+      }.sorted
+    }.toMap
+    assert(got.length === Stats.QteTaus.length)
+    got.foreach { r =>
+      val tau = r.getAs[Long]("tau")
+      def kth(a: Long): Long = {
+        val vs = byArm(a); vs(((vs.length.toLong * tau + 99) / 100 - 1).toInt)
+      }
+      assert(r.getAs[Long]("q_control_cents") === kth(0L), s"tau=$tau control")
+      assert(r.getAs[Long]("q_treat_cents") === kth(1L), s"tau=$tau treat")
+      // a uniform +shift moves every quantile by ~shift (exact up to
+      // the discrete grid): the estimated effect must sit near it
+      assert(math.abs(r.getAs[Long]("qte_cents") - shift) < p / 500,
+        s"tau=$tau qte=${r.getAs[Long]("qte_cents")}")
+    }
+  }
+
+  test("token budget: 1M-doc greedy prefix at a wide score domain", ScaleTest) {
+    val session = spark
+    import session.implicits._
+    val n = 1000000
+    val p = 999999937L
+    val d = spark.range(0L, n.toLong)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 8).cast("string")).as("source"),
+        (((col("id") * MulK) % p) % 497 + 1).as("toks"),
+        // ~100k distinct scores → ~10-doc tie groups, stressing the
+        // within-key per-doc cumulative at scale
+        (((col("id") * 40503L) % p) % 100000).as("sfp"))
+    val got = operators.TextAnalysis.tokenBudgetOf(d, budgetPct = 10L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+
+    val docs = Array.tabulate(n) { i =>
+      val id = i.toLong
+      (id, s"s${id % 8}", (id * MulK) % p % 497 + 1, (id * 40503L) % p % 100000)
+    }
+    val budget = docs.map(_._3).sum * 10 / 100
+    var cum = 0L
+    val kept = docs.sortBy { case (id, _, _, sfp) => (-sfp, id) }.map { dd =>
+      val k = cum < budget; cum += dd._3; (dd, k)
+    }
+    val expected = kept.groupBy(_._1._2).map { case (src, ds) =>
+      src -> ((ds.length.toLong, ds.count(_._2).toLong, ds.filter(_._2).map(_._1._3).sum))
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (src, (nd, nk, kt)) =>
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") === nd, s"$src docs")
+      assert(r.getAs[Long]("n_kept") === nk, s"$src kept")
+      assert(r.getAs[Long]("kept_tokens") === kt, s"$src tokens")
+      assert(r.getAs[Long]("budget_tokens") === budget)
+    }
+  }
 }
