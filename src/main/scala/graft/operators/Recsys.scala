@@ -1189,10 +1189,15 @@ object Recsys {
     *
     * Gini is computed from the closed form over counts sorted
     * ascending: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, with a deterministic
-    * (count, partkey) order. The rank window is global over the
-    * CATALOG (the documented catalog-sized tier); a >10⁸-item catalog
-    * would swap in the same coarse-bucket two-level prefix sum the
-    * equi-depth histogram uses.
+    * (count, partkey) order. Σi·x is TIE-INVARIANT (within a run of
+    * equal x the weight is constant, so the rank permutation inside
+    * the run cannot change the sum), which lets the whole rank-
+    * weighted sum collapse to the per-VALUE closed form
+    * x·Σ_{i=lo..hi} i = x·cnt·(lo+hi)/2 over the exposure-count
+    * histogram — rank intervals come from
+    * [[Relational.coarseRankLo]]'s two-level prefix, so no global
+    * window touches the catalog (the r7-era catalog-wide row_number
+    * is retired; cnt·(lo+hi) is always even, the `div 2` is exact).
     */
   def recCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val expo = itemcfRecommend(spark, sfDir)
@@ -1200,12 +1205,15 @@ object Recsys {
     val cat = Tables.part(spark, sfDir).select(col("p_partkey"))
     val full = cat.join(expo, cat("p_partkey") === expo("item_id"), "left")
       .select(col("p_partkey"), coalesce(col("n"), lit(0L)).as("x"))
-    val w = Window.orderBy(col("x").asc, col("p_partkey").asc)
-    full.withColumn("i", row_number().over(w))
-      .agg(count(lit(1)).as("n_catalog"),
-           sum((col("x") > 0).cast("long")).as("n_recommended"),
-           sum("x").as("total_recs"),
-           sum(col("i") * col("x")).as("sum_ix"),
+    val byVal = full.groupBy(col("x").as("__k")).agg(count(lit(1)).as("__cnt"))
+    Relational.coarseRankLo(byVal)
+      .join(byVal, "__k")
+      .select(col("__k").as("x"), col("__cnt").as("cnt"), col("__lo").as("lo"))
+      .withColumn("ix", expr("x * ((cnt * (lo + lo + cnt - 1)) div 2)"))
+      .agg(sum("cnt").as("n_catalog"),
+           sum(when(col("x") > 0, col("cnt")).otherwise(0L)).as("n_recommended"),
+           sum(col("x") * col("cnt")).as("total_recs"),
+           sum("ix").as("sum_ix"),
            max("x").as("max_exposure"))
       .withColumn("coverage", round(col("n_recommended") / col("n_catalog").cast("double"), 6))
       .withColumn("gini", round(

@@ -870,33 +870,21 @@ object Relational {
     * the key domain's spread. */
   private val RfmCoarseBuckets = 1024L
 
-  /** SQL-exact ntile bucket of every row under (key ASC, tie ASC) —
-    * computed WITHOUT a single-partition global sort (caller supplies
-    * `__q`/`__rem` = n DIV B / n % B for its bucket count B; rfm uses
-    * B = 4, the quality curriculum B = [[TextAnalysis]]'s bucket
-    * count). Same
-    * two-level prefix idea as [[Stats.equidepthHist]], extended to
-    * per-ROW assignment (a value that straddles a quartile boundary is
-    * split among its customers by the custkey tie-break):
+  /** Exact global rank INTERVALS per distinct key value, computed
+    * without a single-partition global sort. Input: a `(__k LONG,
+    * __cnt LONG)` value histogram (one parallel shuffle upstream);
+    * output `(__k, __lo)` where `__lo` is the 1-based rank of the
+    * first row holding value `__k` under a global ASC sort. The
+    * two-level prefix idea of [[Stats.equidepthHist]]:
     *
-    *  1. aggregate to (key, cnt) — one parallel shuffle on key;
-    *  2. deterministic coarse range bucket floor((key−min)/width) with
+    *  1. deterministic coarse range bucket floor((key−min)/width) with
     *     width sized so ≤ [[RfmCoarseBuckets]] buckets exist whatever
     *     the domain spread; within-coarse cumulative counts run as
     *     PARTITIONED windows, and the ≤1k coarse totals get their
     *     prefix sum via a broadcast triangle join (b.coarse < a.coarse)
-    *     — no SinglePartition exchange anywhere, no driver collect;
-    *  3. each key's global rank interval [lo, lo+cnt) joins back
-    *     (broadcastable offsets, key-partitioned ranks), a row's exact
-    *     rank is lo + row_number within its key ordered by custkey
-    *     (partitioned window — worst case one task sorts one tied key's
-    *     customers), and the score is the closed-form ntile bucket
-    *     (first n mod 4 buckets take the extra row).
+    *     — no SinglePartition exchange anywhere, no driver collect.
     */
-  private[graft] def quartileScore(df: DataFrame, keyCol: Column, scoreName: String,
-      tieCol: Column = col("o_custkey")): DataFrame = {
-    val keyed = df.withColumn("__k", keyCol)
-    val byVal = keyed.groupBy("__k").agg(count(lit(1)).as("__cnt"))
+  private[graft] def coarseRankLo(byVal: DataFrame): DataFrame = {
     val mm = byVal.agg(min("__k").as("__mn"), max("__k").as("__mx"))
     val bv = byVal.crossJoin(broadcast(mm))
       .withColumn("__w",
@@ -912,16 +900,61 @@ object Relational {
       .join(broadcast(totals.as("b")), col("b.__coarse") < col("a.__coarse"), "left")
       .groupBy(col("a.__coarse").as("__coarse"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val ranks = local.join(broadcast(offs), Seq("__coarse"))
+    local.join(broadcast(offs), Seq("__coarse"))
       .withColumn("__lo", col("__off") + col("__cum") - col("__cnt") + 1)
       .select("__k", "__lo")
+  }
+
+  /** 0-based dense index of a frame of UNIQUE long keys under key-ASC
+    * order — `row_number() OVER (ORDER BY key) - 1` semantics with no
+    * global window: the rank interval start from [[coarseRankLo]] IS
+    * the row's rank when every key is unique. This is the scale-safe
+    * item-catalog indexer ([[graft.operators.Training.negativeSample]]
+    * maps hash draws into it): the catalog is the one "dimension" that
+    * genuinely grows into the billions at 100 TB, so its index must
+    * never funnel through one task. Worst case per task: one coarse
+    * cell's keys (≤ catalog/1024 under an even key domain).
+    */
+  private[graft] def denseIndexOf(keys: DataFrame, keyName: String,
+      idxName: String): DataFrame =
+    coarseRankLo(
+      keys.select(col(keyName).cast("long").as("__k"))
+        .groupBy("__k").agg(count(lit(1)).as("__cnt")))
+      .select(col("__k").as(keyName), (col("__lo") - 1L).as(idxName))
+
+  /** SQL-exact ntile(`buckets`) of every row under (key ASC, tie ASC)
+    * — computed WITHOUT a single-partition global sort. Same
+    * two-level prefix idea as [[Stats.equidepthHist]], extended to
+    * per-ROW assignment (a value that straddles a quartile boundary is
+    * split among its customers by the custkey tie-break):
+    *
+    *  1. aggregate to (key, cnt) — one parallel shuffle on key —
+    *     and rank intervals via [[coarseRankLo]];
+    *  2. each key's global rank interval [lo, lo+cnt) joins back
+    *     (broadcastable offsets, key-partitioned ranks), a row's exact
+    *     rank is lo + row_number within its key ordered by the tie
+    *     column (partitioned window — worst case one task sorts one
+    *     tied key's rows), and the score is the closed-form ntile
+    *     bucket (first n mod B buckets take the extra row), with
+    *     n = the input's row count attached as a broadcast 1-row
+    *     aggregate (no driver count, no implicit column contract).
+    */
+  private[graft] def quartileScore(df: DataFrame, keyCol: Column, scoreName: String,
+      tieCol: Column = col("o_custkey"), buckets: Int = 4): DataFrame = {
+    val keyed = df.withColumn("__k", keyCol)
+    val byVal = keyed.groupBy("__k").agg(count(lit(1)).as("__cnt"))
+    val ranks = coarseRankLo(byVal)
+    val nDf = byVal.agg(sum("__cnt").as("__n"))
     val wTie = Window.partitionBy("__k").orderBy(tieCol)
     keyed.join(ranks, Seq("__k"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("__q", expr(s"__n DIV $buckets"))
+      .withColumn("__rem", expr(s"__n % $buckets"))
       .withColumn("__rank", col("__lo") + row_number().over(wTie) - 1)
       .withColumn(scoreName, expr(
         "CAST(CASE WHEN __rank <= __rem * (__q + 1) THEN (__rank + __q) DIV (__q + 1) " +
           "ELSE __rem + (__rank - __rem * (__q + 1) + __q - 1) DIV __q END AS INT)"))
-      .drop("__k", "__lo", "__rank")
+      .drop("__k", "__lo", "__rank", "__n", "__q", "__rem")
   }
 
   /** RFM customer segmentation — the classic recsys-companion
@@ -941,16 +974,12 @@ object Relational {
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val nowDf = o.agg(max(to_date(col("o_orderdate"))).as("now_d"))
-    val nDf = o.select("o_custkey").distinct().agg(count(lit(1)).as("__n"))
     val rfm = o.groupBy("o_custkey")
       .agg(max(to_date(col("o_orderdate"))).as("last_d"),
            count(lit(1)).as("f"),
            round(sum("o_totalprice"), 4).as("m"))
       .crossJoin(broadcast(nowDf))
       .withColumn("r_days", datediff(col("now_d"), col("last_d")))
-      .crossJoin(broadcast(nDf))
-      .withColumn("__q", expr("__n DIV 4"))
-      .withColumn("__rem", expr("__n % 4"))
     // one slim (custkey, score) frame per dimension, all derived from
     // the SAME base frame and joined back on the customer key. The
     // r7-original foldLeft CHAINED the layers, so layer k's rank

@@ -2040,14 +2040,10 @@ object Stats {
       .where(col("event_type") === "purchase" &&
         col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
       .select("user_id").distinct()
-    val nDf = scores.agg(count(lit(1)).as("__n"))
     val lab = scores.join(pos.withColumn("is_pos", lit(1)), Seq("user_id"), "left")
       .select(col("user_id"), col("score"), coalesce(col("is_pos"), lit(0)).as("is_pos"))
-      .crossJoin(broadcast(nDf))
-      .withColumn("__q", expr("__n DIV 10"))
-      .withColumn("__rem", expr("__n % 10"))
     val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
-        tieCol = col("user_id"))
+        tieCol = col("user_id"), buckets = 10)
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("is_pos").cast("long").as("n_pos"))
     val tot = byDecile.agg(sum("n_users").as("tot_u"), sum("n_pos").as("tot_p"))
@@ -2215,17 +2211,13 @@ object Stats {
       .where(col("event_type") === "purchase" &&
         col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
       .select("user_id").distinct()
-    val nDf = scores.agg(count(lit(1)).as("__n"))
     val lab = scores.join(pos.withColumn("is_pos", lit(1L)), Seq("user_id"), "left")
       .select(col("user_id"), col("score"),
               coalesce(col("is_pos"), lit(0L)).as("is_pos"))
       .withColumn("arm", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qini')), 1, 8), 16, 10) AS bigint)") % 2)
-      .crossJoin(broadcast(nDf))
-      .withColumn("__q", expr("__n DIV 10"))
-      .withColumn("__rem", expr("__n % 10"))
     val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
-        tieCol = col("user_id"))
+        tieCol = col("user_id"), buckets = 10)
       .groupBy("decile")
       .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
            sum(when(col("arm") === 1, col("is_pos")).otherwise(0L)).as("pos_treat"),

@@ -462,12 +462,9 @@ object TextAnalysis {
     // reference (5.0 s → sub-second at sf0.1)
     val q0 = docBigramLl(spark, sfDir).withColumn("rll", round(col("ll"), 6))
       .localCheckpoint()
-    val nDf = q0.agg(count(lit(1)).as("__n"))
-    val prepared = q0.crossJoin(broadcast(nDf))
-      .withColumn("__q", expr(s"__n DIV $CurriculumBuckets"))
-      .withColumn("__rem", expr(s"__n % $CurriculumBuckets"))
-    val q = Relational.quartileScore(prepared,
-      round(col("rll") * 1e6, 0).cast("long"), "bucket", col("doc_id"))
+    val q = Relational.quartileScore(q0,
+      round(col("rll") * 1e6, 0).cast("long"), "bucket", col("doc_id"),
+      buckets = CurriculumBuckets)
     q.groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
            round(min("rll"), 6).as("min_ll"),

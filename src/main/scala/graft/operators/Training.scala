@@ -509,20 +509,30 @@ object Training {
     * partitioning — the property that makes training sets reproducible
     * and resumable. Output: per-user negative list + checksum.
     */
-  def negativeSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables.interactions(spark, sfDir)
-      .select("user_id", "item_id").distinct()
-    val items = Tables.part(spark, sfDir)
-      .select(col("p_partkey").as("item_id"))
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("item_id")) - 1)
+  def negativeSample(spark: SparkSession, sfDir: String): DataFrame =
+    negativeSampleOf(
+      Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct(),
+      Tables.part(spark, sfDir).select(col("p_partkey").as("item_id")))
+
+  /** Frame-parameterized core of [[negativeSample]] (exposed for the
+    * off-fixture ≥10⁶-item catalog scale spec): `pos` = distinct
+    * (user_id, item_id) positives, `catalog` = unique item_id rows.
+    */
+  private[graft] def negativeSampleOf(pos: DataFrame, catalog: DataFrame): DataFrame = {
+    // dense item index WITHOUT a catalog-wide global row_number: the
+    // item catalog is the one "dimension" that genuinely grows into
+    // the billions at 100 TB, so its index rides the coarse-bucket
+    // two-level prefix (per-task worst case = one coarse cell), and
+    // the idx equi-join below is left unhinted — AQE broadcasts it at
+    // dimension scale and shuffles it at web scale.
+    val items = Relational.denseIndexOf(catalog, "item_id", "idx")
     val nItems = items.agg(count(lit(1)).as("n_items"))
     val cands = pos.select("user_id").distinct()
       .select(col("user_id"), explode(sequence(lit(0), lit(NegSlots - 1))).as("slot"))
       .crossJoin(broadcast(nItems))
       .withColumn("idx", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), cast(slot AS string), 'neg')), 1, 8), 16, 10) AS bigint)") % col("n_items"))
-      .join(broadcast(items), "idx")
+      .join(items, "idx")
       // two draws may map to the same item: keep the earliest slot
       .groupBy("user_id", "item_id").agg(min("slot").as("slot"))
     val negs = cands

@@ -48,13 +48,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc",
     "q_spearman", "q_kruskal_wallis")
 
-  /** Catalog/graph-node-bounded ranks (items, not interactions): the
-    * documented broadcast-ceiling policy treats the item catalog as
-    * dimension-sized. rec_coverage's Gini ranks the full catalog's
-    * exposure counts by the same argument. */
-  private val CatalogGraph = Set(
+  /** Graph-rank output heads: each of these ends in a top-K rank over
+    * the node/pair score table and the optimizer provably pushes the
+    * bounded head UNDER the global window (asserted below, same
+    * mechanism as [[HeadRank]] — the r8 audit verified
+    * TakeOrderedAndProject in every one of these plans, retiring the
+    * old unasserted "catalog-sized tier" policy claim). The two former
+    * members that were NOT heads are gone from this list because their
+    * global windows are gone from the plans: q_negative_sample's item
+    * index and q_rec_coverage's Gini rank both ride
+    * [[graft.operators.Relational.coarseRankLo]]'s two-level prefix
+    * now. */
+  private val GraphRankHeads = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
-    "q_shortest_paths", "q_simrank", "q_negative_sample", "q_rec_coverage",
+    "q_shortest_paths", "q_simrank",
     "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness")
 
   /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
@@ -65,7 +72,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_window_ranks", "q_gain_deciles", "q_qini")
 
   private val Allow =
-    HeadRank ++ CalendarSeries ++ CoarsePrefix ++ CatalogGraph ++ BoundedModel
+    HeadRank ++ CalendarSeries ++ CoarsePrefix ++ GraphRankHeads ++ BoundedModel
 
   test("every global (unpartitioned) window sits on a documented bounded input",
       ScaleTest) {
@@ -85,9 +92,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(stale.isEmpty,
       s"allowlist entries whose global window is gone — prune them: " +
         stale.toSeq.sorted.mkString(", "))
-    // HeadRank is not taken on faith: the optimizer must actually have
-    // pushed a bounded head under each global window
-    val unbounded = HeadRank.filter { name =>
+    // HeadRank and GraphRankHeads are not taken on faith: the
+    // optimizer must actually have pushed a bounded head under each
+    // global window
+    val unbounded = (HeadRank ++ GraphRankHeads).filter { name =>
       val p = plans(name)
       !p.contains("TakeOrderedAndProject") && !p.contains("WindowGroupLimit")
     }

@@ -143,10 +143,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!pl.contains("CartesianProduct"))
   }
 
-  test("negative_sample: item index broadcasts, positives anti-join without cartesian") {
+  test("negative_sample: coarse-prefix item index (no catalog-wide window), anti-join, no cartesian") {
     val pl = plan(operators.Training.negativeSample(planSession, sfTest))
-    assert(pl.contains("BroadcastHashJoin"), "dense item index must broadcast")
+    // r8: the dense item index rides denseIndexOf's two-level prefix —
+    // the catalog-wide row_number global window is retired, and the
+    // idx join is unhinted (AQE broadcasts it at dimension scale)
+    assert(GlobalWindowRe.findFirstIn(pl).isEmpty,
+      "item index must not run a catalog-wide global window")
     assert(pl.contains("LeftAnti"), "positives must be excluded via anti join")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("rec_coverage: Gini rides the coarse prefix, no catalog-wide rank window") {
+    val pl = plan(operators.Recsys.recCoverage(planSession, sfTest))
+    assert(GlobalWindowRe.findFirstIn(pl).isEmpty,
+      "exposure Gini must not run a catalog-wide global window")
     assert(!pl.contains("CartesianProduct"))
   }
 

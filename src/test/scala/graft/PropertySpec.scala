@@ -169,9 +169,8 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val p = Prop.forAll(gen) { case (keys: List[Long], b: Int) =>
       val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
         .toDF("key", "o_custkey")
-      val n = keys.length.toLong
-      val prepared = df.withColumn("__q", lit(n / b)).withColumn("__rem", lit(n % b))
-      val got = operators.Relational.quartileScore(prepared, col("key"), "score")
+      val got = operators.Relational.quartileScore(df, col("key"), "score",
+          buckets = b)
         .select("o_custkey", "score").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val exp = df.withColumn("score",
