@@ -311,8 +311,108 @@ object Multimodal {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Grid cells (= signature bits) of the perceptual aHash. 32 keeps
+    * the signature inside the same bit width as [[Dedup.SimBits]], so
+    * the near-dup pairs ride the identical k-chunk Hamming-pigeonhole
+    * banding (no second banding implementation to maintain). */
+  val AHashCells = 32
+
+  /** L5c perceptual near-dup for media — the tier byte-exact md5
+    * ([[mediaDedup]]) cannot reach: re-encoded/slightly-perturbed
+    * payloads hash to different digests but look the same. Classic
+    * aHash shape over the deterministic decode stub: the payload's
+    * position space splits into [[AHashCells]] grid cells (the stand-in
+    * for an 8×8 grayscale resize — with a real codec only the
+    * per-cell "brightness" extraction changes), bit c lights iff cell
+    * c's mean byte exceeds the payload's global mean byte — compared
+    * as the integer cross-product cell_sum·n > total_sum·cell_len, so
+    * the signature is exact on every engine (no float mean). A
+    * perturbation touching a few bytes dirties few cells ⇒ small
+    * Hamming distance, while md5 flips completely.
+    *
+    * Pair generation reuses [[Dedup.simhashPairsFromSigs]]'s k-chunk
+    * pigeonhole banding verbatim (same 32-bit width, same Hamming ≤
+    * [[Dedup.MaxHamming]] exact verify) — candidates come from chunk
+    * equi-joins, never an all-pairs scan, so the tier scales exactly
+    * as the text SimHash tier does. Each surviving pair carries
+    * `is_exact` (byte-identical under md5) to make the perceptual
+    * catch visible: `is_exact = 0` rows are precisely what the
+    * md5 tier misses.
+    *
+    * Scale: per-byte cell assignment is the decode stub's cost (a real
+    * decoder emits the grid map-side from pixels); everything after
+    * the per-doc signature aggregate moves |docs| rows, never payloads.
+    */
+  def mediaNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaNearDupFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized core — the spec drives it with a planted
+    * stub-perturbed "re-encode" that md5 misses and the grid catches. */
+  private[graft] def mediaNearDupFrom(docs: DataFrame): DataFrame = {
+    val sigs = aHashSigsFrom(docs)
+    val digests = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    Dedup.simhashPairsFromSigs(sigs, Dedup.MaxHamming + 1)
+      .join(digests.select(col("doc_id").as("doc_a"), col("digest").as("dig_a")), "doc_a")
+      .join(digests.select(col("doc_id").as("doc_b"), col("digest").as("dig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hd"),
+        (col("dig_a") === col("dig_b")).cast("int").as("is_exact"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The [[AHashCells]]-bit grid signatures alone (docs with empty
+    * payloads carry no signature, mirroring [[mediaFeatures]]'s
+    * exclusion). */
+  private[graft] def aHashSigsFrom(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"), explode(expr("sequence(1, n)")).as("i"), col("text"))
+      .select(col("doc_id"),
+        expr(s"((i - 1) * ${AHashCells}L) div n").as("cell"),
+        expr("cast(ascii(substring(text, int(i), 1)) AS bigint)").as("b"))
+    val cells = chars.groupBy("doc_id", "cell")
+      .agg(sum("b").as("cell_sum"), count(lit(1)).as("cell_len"))
+    val tot = cells.groupBy("doc_id")
+      .agg(sum("cell_sum").as("tot"), sum("cell_len").as("nn"))
+    cells.join(tot, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(when(col("cell_sum") * col("nn") > col("tot") * col("cell_len"),
+          expr("shiftleft(1L, int(cell))")).otherwise(0L)).as("sig"))
+  }
+
+  val mediaNearDupSql: String =
+    s"""WITH ch AS MATERIALIZED (
+       |  SELECT doc_id, len(text) AS n, unnest(range(1, len(text) + 1)) AS i, text
+       |  FROM documents WHERE len(text) > 0
+       |), cells AS MATERIALIZED (
+       |  SELECT doc_id, ((i - 1) * ${AHashCells}) // n AS cell,
+       |    sum(ascii(substring(text, i::INT, 1)))::BIGINT AS cell_sum,
+       |    count(*)::BIGINT AS cell_len
+       |  FROM ch GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, sum(cell_sum)::BIGINT AS tot, sum(cell_len)::BIGINT AS nn
+       |  FROM cells GROUP BY 1
+       |), sigs AS MATERIALIZED (
+       |  SELECT c.doc_id,
+       |    sum(CASE WHEN c.cell_sum * t.nn > t.tot * c.cell_len
+       |        THEN (2::BIGINT ^ c.cell)::BIGINT ELSE 0 END)::BIGINT AS sig
+       |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+       |), dig AS MATERIALIZED (
+       |  SELECT doc_id, md5(text) AS digest FROM documents
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.sig, y.sig)) AS hd,
+       |  CASE WHEN dx.digest = dy.digest THEN 1 ELSE 0 END AS is_exact
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |JOIN dig dx ON dx.doc_id = x.doc_id
+       |JOIN dig dy ON dy.doc_id = y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.MaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_media_dedup"        -> (mediaDedup _),
+    "q_media_neardup"      -> (mediaNearDup _),
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
     "q_media_frames"       -> (mediaFrameSample _),
@@ -321,6 +421,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "q_media_dedup"        -> mediaDedupSql,
+    "q_media_neardup"      -> mediaNearDupSql,
     "q_binary_passthrough" -> binaryPassthroughSql,
     "q_media_features"     -> mediaFeaturesSql,
     "q_media_frames"       -> mediaFrameSampleSql,

@@ -588,6 +588,60 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(p("b") === ((2L, 1L, 10L, 2L))) // doc 11 loses cross-source
   }
 
+  test("perceptual media near-dup: stub-perturbed re-encode caught, md5 misses it") {
+    import spark.implicits._
+    val M = operators.Multimodal
+    // 256-char payload, 32 cells of 8 chars: cells 0-15 'a' (97, below
+    // mean), 16-31 'z' (122, above) — a strongly polarized "image"
+    val base = "a" * 128 + "z" * 128
+    // re-encode stand-in: 4 bytes dimmed inside cell 24 ('z'→'y') — the
+    // cell stays far above the mean, so the SIGNATURE is unchanged
+    // while the md5 digest flips
+    val reenc = base.substring(0, 192) + "yyyy" + base.substring(196)
+    // heavier edit: cell 20 fully flipped 'z'→'a' — exactly one bit
+    // of the grid flips (hd = 1), still within the Hamming bound
+    val oneCell = base.substring(0, 160) + "a" * 8 + base.substring(168)
+    // control: inverted halves — all 32 bits differ, never paired
+    val inverted = "z" * 128 + "a" * 128
+    val docs = Seq(
+      (1L, "s", base), (2L, "s", base), (3L, "s", reenc),
+      (4L, "s", oneCell), (5L, "s", inverted)
+    ).toDF("doc_id", "source", "text")
+
+    assert(reenc != base && oneCell != base)
+    val got = M.mediaNearDupFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    val expected = Map(
+      (1L, 2L) -> ((0, 1)), // byte-identical: hd 0, md5 catches it too
+      (1L, 3L) -> ((0, 0)), // the perceptual catch: same grid, md5 MISSES
+      (2L, 3L) -> ((0, 0)),
+      (1L, 4L) -> ((1, 0)), // one dirty cell = one bit
+      (2L, 4L) -> ((1, 0)),
+      (3L, 4L) -> ((1, 0)))
+    assert(got === expected, s"pair set mismatch: $got")
+
+    // fixture smoke: bounds hold, and every byte-identical pair the
+    // md5 tier finds is also found here (hd = 0, is_exact = 1)
+    val fix = M.mediaNearDup(spark, sfTest).collect()
+    fix.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= operators.Dedup.MaxHamming)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex2(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val localDocs = Tables.documents(spark, sfTest)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val exactPairs = localDocs.groupBy(d => md5hex2(d._2)).values
+      .filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val gotExact = fix.filter(_.getInt(3) == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(gotExact),
+      s"byte-identical pairs missing from the perceptual tier: ${exactPairs -- gotExact}")
+  }
+
   test("binary payload round-trips bytes faithfully") {
     import spark.implicits._
     val sample = Tables.documents(spark, sfTest).limit(20)
