@@ -119,35 +119,51 @@ object Similarity {
     * the brute-force pair space on a large synthesized corpus. */
   private[graft] def ivfScored(e0: DataFrame, nCells: Int, nProbe: Int,
                                nQueries: Int): DataFrame = {
-    val e = withNorm(e0.select("vec_id", "embedding"))
-    val cents = broadcast(e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-    val ranked = e.as("b").join(cents.as("a"))
-      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
-              col("b.nrm").as("nrm"), col("cid"),
-              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
-      .withColumn("crk", row_number().over(wAssign))
-    // the index: every corpus vector lives in exactly ONE cell
-    val assigned = ranked.where(col("crk") === 1)
-      .select("vec_id", "embedding", "nrm", "cid")
+    // the index: every corpus vector lives in exactly ONE cell,
+    // assigned by the map-side argmax (no corpus-sized window)
+    val assigned = cellAssignFrom(e0, nCells)
     // the probe list: each query fans out to its nProbe nearest cells
-    val queries = ranked.where(col("vec_id") < nQueries && col("crk") <= nProbe)
+    // — the rank window runs over the nQueries × nCells QUERY subset,
+    // never the corpus
+    queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
-    // a neighbor appears at most once per query (it lives in one cell)
-    queries.as("a")
+      .as("a")
+      // a neighbor appears at most once per query (it lives in one cell)
       .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
       .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
               col("b.vec_id").as("neighbor_id"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
   }
 
+  /** Every (query, cell) scored and rank-ordered per query — the probe
+    * preference list. The query subset is filtered BEFORE the centroid
+    * join, so the frame is nQueries × nCells rows by construction (the
+    * corpus never enters it) and the per-query rank window sorts
+    * ≤ nCells rows per task.
+    */
+  private def queryProbes(e0: DataFrame, nCells: Int, nQueries: Int): DataFrame = {
+    val e = withNorm(e0.select("vec_id", "embedding"))
+    val cents = broadcast(e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    e.where(col("vec_id") < nQueries).as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+              col("b.nrm").as("nrm"), col("cid"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
+      .withColumn("crk", row_number().over(wAssign))
+  }
+
   /** Frame-parameterized IVF tier: the scale test widens cells to
     * ~sqrt(N) (the standard IVF sizing) while the fixture query keeps
     * the oracle-pinned constants. */
   private[graft] def knnIvfFrom(e0: DataFrame, nCells: Int, nProbe: Int,
-                                nQueries: Int, k: Int): DataFrame = {
-    val scored = ivfScored(e0, nCells, nProbe, nQueries)
+                                nQueries: Int, k: Int): DataFrame =
+    rankIvf(ivfScored(e0, nCells, nProbe, nQueries), k)
+
+  /** The top-K ranking over an [[ivfScored]] candidate frame — split
+    * out so the scale spec can cache one candidate pass and reuse it
+    * for both the volume count and the ranked answer. */
+  private[graft] def rankIvf(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -205,18 +221,8 @@ object Similarity {
 
   private[graft] def ivfRecallCurveFrom(e0: DataFrame, nCells: Int,
                                         nQueries: Int, k: Int): DataFrame = {
-    val e = withNorm(e0.select("vec_id", "embedding"))
-    val cents = broadcast(e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-    val ranked = e.as("b").join(cents.as("a"))
-      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
-              col("b.nrm").as("nrm"), col("cid"),
-              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
-      .withColumn("crk", row_number().over(wAssign))
-    val assigned = ranked.where(col("crk") === 1)
-      .select("vec_id", "embedding", "nrm", "cid")
-    val qpref = ranked.where(col("vec_id") < nQueries)
+    val assigned = cellAssignFrom(e0, nCells)
+    val qpref = queryProbes(e0, nCells, nQueries)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm"),
               col("cid"), col("crk").as("pn"))
     val cand = qpref.as("a")
@@ -388,18 +394,31 @@ object Similarity {
                      mutualEdges(spark, sfDir))
 
   /** IVF cell assignment of the whole corpus: every vector in exactly
-    * one of the nCells deterministic probe cells. */
+    * one of the nCells deterministic probe cells.
+    *
+    * The argmax over cells is a map-side-combinable AGGREGATE, not a
+    * window: the N×C scored join projects down to slim (vec_id, cid,
+    * csim) rows before a partial max over struct(csim, −cid) — the
+    * same (csim DESC, cid ASC) tie-break as the oracle's row_number,
+    * since cid is unique — so the shuffle moves at most one slim row
+    * per vector. The r7-era window formulation shuffled all N·C rows
+    * WITH their embedding arrays through a per-vector sort (~300 B ×
+    * N·C — the difference between 300 MB and 300 GB at 10⁶ vectors ×
+    * 10³ cells). Embeddings re-attach via one co-keyed vec_id join
+    * (corpus-sized equi-join: exactly the shuffle you want at scale;
+    * AQE broadcasts the slim side when the corpus is small).
+    */
   private[graft] def cellAssignFrom(e0: DataFrame, nCells: Int): DataFrame = {
     val e = withNorm(e0.select("vec_id", "embedding"))
     val cents = broadcast(e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding"), col("nrm")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-    e.as("b").join(cents.as("a"))
-      .select(col("b.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
-              col("b.nrm").as("nrm"), col("cid"),
+    val best = e.as("b").join(cents.as("a"))
+      .select(col("b.vec_id").as("vec_id"), col("cid"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("csim"))
-      .withColumn("crk", row_number().over(wAssign))
-      .where(col("crk") === 1)
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.ncid")).as("cid"))
+    e.join(best, "vec_id")
       .select("vec_id", "embedding", "nrm", "cid")
   }
 

@@ -43,14 +43,69 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
     * center(i % Clusters, j) + 0.15 · noise(i, j), both drawn from
     * murmur3 hashes mapped into [-1, 1).
     */
-  private def syntheticVectors(): DataFrame =
-    spark.range(0L, NVecs.toLong)
+  private def syntheticVectors(n: Long = NVecs.toLong): DataFrame =
+    spark.range(0L, n)
       .select(col("id").as("vec_id"),
         expr(
           s"""transform(sequence(0, ${Dims - 1}), j -> cast(
              |  (pmod(hash(id % $Clusters, j), 2000) - 1000) / 1000.0
              |  + 0.15 * (pmod(hash(id, j), 2000) - 1000) / 1000.0
              |AS float))""".stripMargin).as("embedding"))
+
+  test("1e6-vector corpus at sqrt(N) = 1000 cells: balanced index, bounded probe, recall floor",
+      ScaleTest) {
+    // the order-of-magnitude step past the 1e5 test below: 10^9 scored
+    // (vector, centroid) pairs feed the map-side argmax — the r8
+    // assignment shape whose shuffle moves one slim row per vector
+    // (the old corpus-sized window would have shuffled ~300 GB here
+    // scaled to embeddings; see cellAssignFrom's scaladoc)
+    val n = 1000000L
+    val cells = 1000 // = sqrt(N), the standard IVF sizing
+    val probe = 4
+    val nq = 20
+    val e = syntheticVectors(n).cache()
+    assert(e.count() === n)
+
+    // index balance: with centroids drawn one-per-planted-cluster
+    // (vec_id < 1000 covers each cluster exactly once), every cell
+    // must be populated and no cell may degenerate to a hot partition
+    val t0 = System.nanoTime()
+    val cellSizes = Similarity.cellAssignFrom(e, cells)
+      .groupBy("cid").agg(count(lit(1)).as("n")).collect()
+    val assignSec = (System.nanoTime() - t0) / 1e9
+    info(f"assignment pass (10^9 scored pairs): $assignSec%.1f s")
+    assert(cellSizes.length === cells, "every cell must be non-empty")
+    assert(cellSizes.map(_.getAs[Long]("n")).sum === n)
+    val maxCell = cellSizes.map(_.getAs[Long]("n")).max
+    info(s"max cell = $maxCell (mean = ${n / cells})")
+    assert(maxCell <= 5L * (n / cells),
+      s"cell skew: max $maxCell vs mean ${n / cells}")
+
+    // one cached candidate pass serves both the volume count and the
+    // ranked answer (rankIvf)
+    val scored = Similarity.ivfScored(e, cells, probe, nq).cache()
+    val candidates = scored.count()
+    val brutePairs = nq * (n - 1)
+    val frac = candidates.toDouble / brutePairs
+    info(f"candidates=$candidates of $brutePairs (${frac * 100}%.3f%%; model ${probe * 100.0 / cells}%.1f%%)")
+    assert(candidates > 0L)
+    assert(frac < 0.05, f"probe degenerated toward a scan: $frac%.4f")
+
+    val truth = Similarity.knnBruteFrom(e, nq, ScaleK).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = Similarity.rankIvf(scored, ScaleK).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val recall = hits.sum / hits.size
+    info(f"recall@$ScaleK = $recall%.3f over ${truth.size} queries")
+    assert(recall >= 0.9,
+      f"planted clusters must keep neighbors inside probed cells: $recall%.3f")
+    scored.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+  }
 
   test("1e5-vector corpus: sqrt(N) cells bound candidates, multi-probe recall holds",
       ScaleTest) {
