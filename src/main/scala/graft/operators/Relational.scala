@@ -690,6 +690,55 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Spark 4 VARIANT (F5b): the modern semi-structured path beside
+    * [[jsonPropsStats]]'s string-JSON functions. `parse_json` lifts
+    * events.props into a VariantType value; `variant_get` does TYPED
+    * extraction (long for the k counter, string through a NESTED path
+    * on a constructed variant), a missing path yields NULL (counted to
+    * prove the null semantics), and `schema_of_variant` introspects
+    * the per-row shape (the fixture's uniform {"k": int} must collapse
+    * to ONE distinct schema). The oracle mirrors every output with
+    * DuckDB's json_extract/json_structure over the same strings —
+    * where variant typing and JSON typing could diverge, the query
+    * sticks to lossless long/string extractions so they cannot.
+    *
+    * Scale: variants are parsed map-side from the scanned column; the
+    * only shuffle is the final event_type aggregate. At 100 TB the
+    * parse cost is the scan's (VariantType is Spark's columnar-
+    * friendly answer to exactly this), and nothing here widens rows.
+    */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .withColumn("nested", expr(
+        """parse_json(concat('{"meta":{"t":"', event_type, '"},"val":',
+          |cast(coalesce(k, 0L) AS string), '}'))""".stripMargin.replace("\n", " ")))
+      .groupBy(expr("variant_get(nested, '$.meta.t', 'string')").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           round(avg(col("k")), 4).as("avg_k"),
+           sum(expr("variant_get(nested, '$.val', 'long')")).as("sum_val"),
+           count(expr("variant_get(v, '$.missing', 'string')")).as("n_missing"),
+           countDistinct(expr("schema_of_variant(v)")).as("n_schemas"))
+      .orderBy("event_type")
+
+  val variantPropsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, props
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+      |  sum(k)::BIGINT AS sum_k, round(avg(k), 4) AS avg_k,
+      |  sum(coalesce(k, 0))::BIGINT AS sum_val,
+      |  count(json_extract_string(props, '$.missing')) AS n_missing,
+      |  count(DISTINCT json_structure(props)) AS n_schemas
+      |FROM e
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Conditional expressions (P3): implicit-feedback weighting of event
     * types into a per-user preference score.
     */
@@ -1572,6 +1621,7 @@ object Relational {
     "q_sketch_distinct"     -> (sketchDistinct _),
     "q_orders_by_month"     -> (ordersByMonth _),
     "q_json_props"          -> (jsonPropsStats _),
+    "q_variant_props"       -> (variantProps _),
     "q_implicit_preference" -> (implicitPreference _),
     "q_null_handling"       -> (nullHandling _),
     "q_map_column"          -> (mapColumnStats _),
@@ -1619,6 +1669,7 @@ object Relational {
     // q_approx_distinct: no oracle by design (HLL estimates are engine-specific)
     "q_orders_by_month"     -> ordersByMonthSql,
     "q_json_props"          -> jsonPropsStatsSql,
+    "q_variant_props"       -> variantPropsSql,
     "q_implicit_preference" -> implicitPreferenceSql,
     "q_null_handling"       -> nullHandlingSql,
     "q_map_column"          -> mapColumnStatsSql,

@@ -104,6 +104,43 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("variant props: typed extraction agrees with string-JSON, null path counts zero") {
+    val session = spark
+    import session.implicits._
+    // cross-check against the established string-JSON query: the same
+    // per-type k aggregates must fall out of the VARIANT path
+    val vp = operators.Relational.variantProps(spark, sfTest).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val jp = operators.Relational.jsonPropsStats(spark, sfTest).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(vp.keySet === jp.keySet)
+    vp.foreach { case (t, r) =>
+      assert(r.getAs[Long]("n_with_k") === jp(t).getAs[Long]("n_with_k"))
+      assert(r.getAs[Double]("avg_k") === jp(t).getAs[Double]("avg_k"))
+      // the missing path must be NULL for every row, never an error
+      assert(r.getAs[Long]("n_missing") === 0L)
+      // the fixture's uniform {"k": int} shape introspects to ONE schema
+      assert(r.getAs[Long]("n_schemas") === 1L)
+      // the nested constructed variant round-trips: sum_val = sum of
+      // coalesce(k, 0) = sum_k when every row carries k
+      if (r.getAs[Long]("n_with_k") === r.getAs[Long]("n_events"))
+        assert(r.getAs[Long]("sum_val") === r.getAs[Long]("sum_k"))
+    }
+    // literal-frame typed semantics: ints extract as long, strings as
+    // string, absent/typed-mismatch paths yield NULL
+    val lit1 = Seq(("""{"a": 7, "s": "x", "o": {"b": 3}}"""), ("""{"a": null}"""))
+      .toDF("j")
+      .selectExpr(
+        "variant_get(parse_json(j), '$.a', 'long') AS a",
+        "variant_get(parse_json(j), '$.s', 'string') AS s",
+        "variant_get(parse_json(j), '$.o.b', 'long') AS b",
+        "variant_get(parse_json(j), '$.zzz', 'long') AS z")
+      .collect()
+    assert(lit1(0).getLong(0) === 7L && lit1(0).getString(1) === "x" &&
+      lit1(0).getLong(2) === 3L && lit1(0).isNullAt(3))
+    assert(lit1(1).isNullAt(0) && lit1(1).isNullAt(1) && lit1(1).isNullAt(3))
+  }
+
   test("full outer reconcile: both unmatched directions survive with zero-filled sides") {
     val rows = operators.Relational.fullOuterReconcile(spark, sfTest).collect()
     val presence = rows.map(_.getAs[String]("presence")).toSet
