@@ -1416,8 +1416,11 @@ object Stats {
         coalesce(col("is_a"), lit(false)).as("is_a"))
     rankSumAgg(pairs)
       .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
-        ((col("r1") - col("n1") * (col("n1") + 1) / 2.0) /
-          (col("n1") * col("n2"))).as("auc0"))
+        // one empty class (all-converters / no-converters) leaves AUC
+        // undefined: NULL on both engines, never NaN/Inf (qini guard)
+        when(col("n1") * col("n2") > 0,
+          (col("r1") - col("n1") * (col("n1") + 1) / 2.0) /
+            (col("n1") * col("n2"))).as("auc0"))
       .select(col("n_pos"), col("n_neg"), round(col("auc0"), 6).as("auc"),
         round(col("auc0") * 2.0 - 1.0, 6).as("gini"))
   }
@@ -1453,8 +1456,10 @@ object Stats {
        |  FROM t
        |)
        |SELECT n1 AS n_pos, n2 AS n_neg,
-       |  round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS auc,
-       |  round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) * 2.0 - 1.0, 6) AS gini
+       |  CASE WHEN n1 * n2 > 0
+       |    THEN round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) END AS auc,
+       |  CASE WHEN n1 * n2 > 0
+       |    THEN round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) * 2.0 - 1.0, 6) END AS gini
        |FROM agg""".stripMargin
 
   /** Coarse widths for the two Spearman rank passes (balance dollars /
@@ -1500,27 +1505,57 @@ object Stats {
     * moments move to DECIMAL(38) — mechanism unchanged (same escape
     * hatch as [[revenueGini]]).
     */
-  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+  def spearman(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanFrom(spearmanBase(spark, sfDir), SpearBalCoarse, SpearCentsCoarse,
+      decimalMoments = false)
+
+  /** The same statistic with the moments on the DECIMAL(38) escape
+    * hatch the BIGINT path documents: n·Σrᵢ² grows as 4n³, so past
+    * n ≈ 1.3·10⁶ rows the int64 moments overflow — this branch is the
+    * one a population-scale corpus runs. Exercised against the SAME
+    * DuckDB oracle numbers at fixture scale (where both paths agree
+    * exactly) and against a BigInt driver replay past the int64 bound
+    * in StatsScaleSpec. */
+  def spearmanDecimal(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanFrom(spearmanBase(spark, sfDir), SpearBalCoarse, SpearCentsCoarse,
+      decimalMoments = true)
+
+  private def spearmanBase(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables.orders(spark, sfDir)
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val base = spend.join(Tables.customer(spark, sfDir),
+    spend.join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_acctbal").as("bal"), col("cents").cast("double").as("cts"))
-    val rx = avgRanks2(base.select(col("bal").as("v")), SpearBalCoarse)
+  }
+
+  /** Frame-parameterized core over a (bal, cts) pair frame. With
+    * `decimalMoments` the five rank moments run in DECIMAL(38,0)
+    * (exact 38-digit integer arithmetic — doubled ranks are ≤ 2n+1,
+    * so products stay ≤ ~4n³ ≈ 10²⁶ at n = 10⁸, far inside 38
+    * digits); the closed-form ρ casts to double only for the single
+    * final division, identically to the BIGINT branch. */
+  private[graft] def spearmanFrom(base0: DataFrame, balCoarse: Double,
+      ctsCoarse: Double, decimalMoments: Boolean): DataFrame = {
+    val base = base0
+    val rx = avgRanks2(base.select(col("bal").as("v")), balCoarse)
       .select(col("v").as("bal"), col("r2").as("rx"))
-    val ry = avgRanks2(base.select(col("cts").as("v")), SpearCentsCoarse)
+    val ry = avgRanks2(base.select(col("cts").as("v")), ctsCoarse)
       .select(col("v").as("cts"), col("r2").as("ry"))
-    base.join(rx, "bal").join(ry, "cts")
-      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
-      .select(col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-          .as("rho_spearman"))
+    val joined = base.join(rx, "bal").join(ry, "cts")
+    val (mx, my) =
+      if (decimalMoments)
+        (col("rx").cast("decimal(19,0)"), col("ry").cast("decimal(19,0)"))
+      else (col("rx"), col("ry"))
+    val moments = joined
+      .agg(count(lit(1)).as("n"), sum(mx).as("sx"), sum(my).as("sy"),
+        sum(mx * my).as("sxy"), sum(mx * mx).as("sxx"), sum(my * my).as("syy"))
+    val nM = if (decimalMoments) col("n").cast("decimal(19,0)") else col("n")
+    moments.select(col("n"),
+      round((nM * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((nM * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (nM * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("rho_spearman"))
   }
 
   val spearmanSql: String =
@@ -1546,6 +1581,43 @@ object Stats {
        |  SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
        |    sum(rx * ry)::BIGINT AS sxy, sum(rx * rx)::BIGINT AS sxx,
        |    sum(ry * ry)::BIGINT AS syy
+       |  FROM base JOIN rx USING (bal) JOIN ry USING (cts)
+       |)
+       |SELECT n, round((n * sxy - sx * sy)::DOUBLE /
+       |  sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+       |  AS rho_spearman
+       |FROM m""".stripMargin
+
+  /** Oracle twin of [[spearmanDecimal]]: the moments stay in DuckDB's
+    * native HUGEINT (its 38-digit-class exact integer — the same
+    * headroom as Spark's DECIMAL(38,0) branch), with only the final
+    * closed form cast to double. At fixture scale both arithmetic
+    * tiers agree exactly, so a hash match here proves the engine's
+    * decimal execution path, not just the formula. */
+  val spearmanDecimalSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+       |  FROM orders GROUP BY o_custkey
+       |), base AS (
+       |  SELECT c_acctbal AS bal, cents::DOUBLE AS cts
+       |  FROM spend JOIN customer ON o_custkey = c_custkey
+       |), rx AS (
+       |  SELECT v AS bal, 2 * before + t + 1 AS rx FROM (
+       |    SELECT v, count(*)::BIGINT AS t,
+       |      coalesce(sum(count(*)) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |    FROM (SELECT bal AS v FROM base) GROUP BY v)
+       |), ry AS (
+       |  SELECT v AS cts, 2 * before + t + 1 AS ry FROM (
+       |    SELECT v, count(*)::BIGINT AS t,
+       |      coalesce(sum(count(*)) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |    FROM (SELECT cts AS v FROM base) GROUP BY v)
+       |), m AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+       |    sum(rx::HUGEINT * ry) AS sxy, sum(rx::HUGEINT * rx) AS sxx,
+       |    sum(ry::HUGEINT * ry) AS syy
        |  FROM base JOIN rx USING (bal) JOIN ry USING (cts)
        |)
        |SELECT n, round((n * sxy - sx * sy)::DOUBLE /
@@ -2053,9 +2125,14 @@ object Stats {
       .withColumn("cum_pos", sum("n_pos").over(wCum))
       .select(col("decile"), col("n_users"), col("n_pos"),
         round(col("n_pos").cast("double") / col("n_users"), 6).as("pos_rate"),
-        round(col("cum_pos").cast("double") / col("tot_p"), 6).as("cum_capture"),
-        round((col("n_pos").cast("double") / col("n_users")) /
-          (col("tot_p").cast("double") / col("tot_u")), 4).as("lift"))
+        // a label window with zero converters leaves capture/lift
+        // undefined: NULL on both engines (the qini guard), never the
+        // NaN-on-Spark/NULL-on-DuckDB divergence
+        when(col("tot_p") > 0,
+          round(col("cum_pos").cast("double") / col("tot_p"), 6)).as("cum_capture"),
+        when(col("tot_p") > 0,
+          round((col("n_pos").cast("double") / col("n_users")) /
+            (col("tot_p").cast("double") / col("tot_u")), 4)).as("lift"))
       .orderBy("decile")
   }
 
@@ -2093,11 +2170,13 @@ object Stats {
        |)
        |SELECT byd.decile, byd.n_users, byd.n_pos,
        |  round(byd.n_pos::DOUBLE / byd.n_users, 6) AS pos_rate,
-       |  round((sum(byd.n_pos) OVER (ORDER BY byd.decile
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / tot.tot_p, 6)
-       |    AS cum_capture,
-       |  round((byd.n_pos::DOUBLE / byd.n_users) / (tot.tot_p::DOUBLE / tot.tot_u), 4)
-       |    AS lift
+       |  CASE WHEN tot.tot_p > 0 THEN
+       |    round((sum(byd.n_pos) OVER (ORDER BY byd.decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / tot.tot_p, 6)
+       |  END AS cum_capture,
+       |  CASE WHEN tot.tot_p > 0 THEN
+       |    round((byd.n_pos::DOUBLE / byd.n_users) / (tot.tot_p::DOUBLE / tot.tot_u), 4)
+       |  END AS lift
        |FROM byd, tot
        |ORDER BY decile""".stripMargin
 
@@ -2408,6 +2487,7 @@ object Stats {
     "q_mann_whitney"   -> (mannWhitney _),
     "q_eval_auc"       -> (evalAuc _),
     "q_spearman"       -> (spearman _),
+    "q_spearman_decimal" -> (spearmanDecimal _),
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
@@ -2446,6 +2526,7 @@ object Stats {
     "q_mann_whitney"   -> mannWhitneySql,
     "q_eval_auc"       -> evalAucSql,
     "q_spearman"       -> spearmanSql,
+    "q_spearman_decimal" -> spearmanDecimalSql,
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,

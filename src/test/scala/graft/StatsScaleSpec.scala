@@ -194,4 +194,52 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("budget_tokens") === budget)
     }
   }
+
+  test("spearman DECIMAL(38) branch: exact past the int64 moment bound (2M rows)",
+      ScaleTest) {
+    // n = 2M puts sum(r^2) ~ 4n^3/3 ~ 1.07e19 PAST Long.MaxValue —
+    // the bound the BIGINT path's docstring declares. The decimal
+    // branch must agree with a BigInt driver replay of the identical
+    // average-rank/moment algebra.
+    val n = 2000000
+    val balDom = 1000000L // ~2 ids per residue: real tie groups
+    val df = spark.range(0L, n.toLong).select(
+      expr(s"cast((id * ${MulK}L) % ${balDom}L AS double)").as("bal"),
+      expr(s"cast(((id * ${MulK}L) % ${balDom}L) * 3 + (id * 7919L) % 1000L AS double)")
+        .as("cts"))
+    val got = operators.Stats.spearmanFrom(df, 1000.0, 5000.0, decimalMoments = true)
+      .collect().head
+    assert(got.getAs[Long]("n") === n.toLong)
+
+    // driver replay: identical integer recurrences, BigInt moments
+    val bal = Array.tabulate(n)(i => (i.toLong * MulK) % balDom)
+    val cts = Array.tabulate(n)(i => ((i.toLong * MulK) % balDom) * 3 + (i.toLong * 7919L) % 1000L)
+    def ranks2(vs: Array[Long]): collection.Map[Long, Long] = {
+      val grouped = vs.groupBy(identity).map { case (v, xs) => (v, xs.length.toLong) }
+      var before = 0L
+      val m = collection.mutable.Map.empty[Long, Long]
+      grouped.toSeq.sortBy(_._1).foreach { case (v, t) =>
+        m(v) = 2 * before + t + 1; before += t
+      }
+      m
+    }
+    val rx = ranks2(bal); val ry = ranks2(cts)
+    var sx, sy = BigInt(0); var sxy, sxx, syy = BigInt(0)
+    var i = 0
+    while (i < n) {
+      val a = BigInt(rx(bal(i))); val b = BigInt(ry(cts(i)))
+      sx += a; sy += b; sxy += a * b; sxx += a * a; syy += b * b
+      i += 1
+    }
+    // the bound is genuinely exceeded: int64 would have wrapped
+    assert(sxx > BigInt(Long.MaxValue), s"sxx=$sxx must exceed int64")
+    assert(syy > BigInt(Long.MaxValue))
+    val nB = BigInt(n)
+    val rho = (nB * sxy - sx * sy).toDouble /
+      math.sqrt((nB * sxx - sx * sx).toDouble * (nB * syy - sy * sy).toDouble)
+    val gotRho = got.getAs[Double]("rho_spearman")
+    info(f"rho engine=$gotRho%.6f local=$rho%.6f (sxx=$sxx)")
+    assert(math.abs(gotRho - rho) < 1e-6 + 1e-9,
+      s"decimal-branch rho $gotRho vs BigInt replay $rho")
+  }
 }
