@@ -2077,6 +2077,11 @@ object Analytics {
       .where(col("event_type").isin("view", "click"))
       .select(col("event_type"),
         (get_json_object(col("props"), "$.k").cast("long") % PbPositions).as("pos"))
+      // a props without k would surface as pos NULL — and Spark's
+      // ORDER BY is NULLS FIRST where DuckDB's is NULLS LAST, so the
+      // reference slot below would silently diverge; define it away
+      // identically on both engines (the oracle carries the same gate)
+      .where(col("pos").isNotNull)
     val perPos = ev.groupBy("pos")
       .agg(sum((col("event_type") === "view").cast("long")).as("n_views"),
         sum((col("event_type") === "click").cast("long")).as("n_clicks"))
@@ -2101,6 +2106,7 @@ object Analytics {
        |  SELECT event_type,
        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % $PbPositions AS pos
        |  FROM events WHERE event_type IN ('view', 'click')
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL
        |), per_pos AS MATERIALIZED (
        |  SELECT pos,
        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_views,

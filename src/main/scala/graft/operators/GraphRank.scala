@@ -1164,12 +1164,22 @@ object GraphRank {
   def hits(spark: SparkSession, sfDir: String): DataFrame =
     hits(spark, sfDir, BroadcastNodeCeiling)
 
+  /** Memoized bipartite side sizes of the capped interaction graph —
+    * hits()'s broadcast-ceiling decision reads one cached 1-row
+    * aggregate instead of launching two fresh distinct-count jobs per
+    * invocation (the pagerank family's memoized copurchaseNodes count,
+    * applied to the bipartite graph). */
+  private def bipartiteMaxSide(spark: SparkSession, sfDir: String): Long =
+    graft.QueryCache.memo(spark, s"bipartite_sides:$sfDir") {
+      Recsys.cappedInteractions(spark, sfDir)
+        .agg(countDistinct("user_id").as("nu"), countDistinct("item_id").as("ni"))
+    }.select(greatest(col("nu"), col("ni")).as("mx")).head.getLong(0)
+
   private[graft] def hits(spark: SparkSession, sfDir: String,
                           bcastCeiling: Long): DataFrame = {
     val e = Recsys.cappedInteractions(spark, sfDir).select("user_id", "item_id")
     val users = e.select("user_id").distinct()
-    val items = e.select("item_id").distinct()
-    val fitsBroadcast = math.max(users.count(), items.count()) <= bcastCeiling
+    val fitsBroadcast = bipartiteMaxSide(spark, sfDir) <= bcastCeiling
     def maybe(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
     def renorm(raw0: DataFrame, key: String, v: String): DataFrame = {
       // checkpoint the raw vector once: it feeds both the 1-row max
