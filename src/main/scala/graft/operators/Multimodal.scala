@@ -410,9 +410,90 @@ object Multimodal {
        |WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.MaxHamming}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Canonical-survivor emission for the perceptual tier — the step
+    * that completes the media tiering exactly as the text side's
+    * [[PipelineOps.canonicalCorpus]] does for SimHash: resolve the
+    * aHash near-dup pair graph into connected components (shared
+    * min-label/pointer-jump loop), keep ONE survivor per component
+    * (min doc_id), pass every unclustered payload through, and report
+    * the per-source keep/remove tally with the exact bytes reclaimed
+    * (the media flavor adds byte accounting, as [[mediaDedup]] does).
+    * Rides the memoized label fixpoint so the iterative loop runs
+    * once per session across consumers.
+    */
+  def mediaCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    mediaCanonicalFrom(Tables.documents(spark, sfDir),
+      graft.QueryCache.memo(spark, s"multimodal:ahash_labels:$sfDir") {
+        PipelineOps.ccLabels(
+          mediaNearDupFrom(Tables.documents(spark, sfDir)).select("doc_a", "doc_b"))
+      })
+
+  /** Frame-parameterized tally over (docs, component labels) — the
+    * spec drives it with the planted perturbed-duplicate frame. */
+  private[graft] def mediaCanonicalFrom(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val removed = labels.where(col("label") < col("v"))
+      .select(col("v").as("doc_id"), lit(1L).as("rm"))
+    docs.select(col("doc_id"), col("source"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_payloads"),
+           sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+           sum(coalesce(col("rm"), lit(0L)) * col("n_bytes")).as("bytes_saved"),
+           (count(lit(1)) - sum(coalesce(col("rm"), lit(0L)))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the identical aHash signature chain, pair predicate and
+    * transitive closure (WITH RECURSIVE reachability → min-label), so
+    * the whole cluster-resolution path is hash-checked, not just the
+    * pair list. */
+  val mediaCanonicalSql: String =
+    s"""WITH RECURSIVE ch AS MATERIALIZED (
+       |  SELECT doc_id, len(text) AS n, unnest(range(1, len(text) + 1)) AS i, text
+       |  FROM documents WHERE len(text) > 0
+       |), cells AS MATERIALIZED (
+       |  SELECT doc_id, ((i - 1) * ${AHashCells}) // n AS cell,
+       |    sum(ascii(substring(text, i::INT, 1)))::BIGINT AS cell_sum,
+       |    count(*)::BIGINT AS cell_len
+       |  FROM ch GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, sum(cell_sum)::BIGINT AS tot, sum(cell_len)::BIGINT AS nn
+       |  FROM cells GROUP BY 1
+       |), sigs AS MATERIALIZED (
+       |  SELECT c.doc_id,
+       |    sum(CASE WHEN c.cell_sum * t.nn > t.tot * c.cell_len
+       |        THEN (2::BIGINT ^ c.cell)::BIGINT ELSE 0 END)::BIGINT AS sig
+       |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+       |), edges AS MATERIALIZED (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.MaxHamming}
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+       |), lbl AS (
+       |  SELECT src AS v, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |)
+       |SELECT d.source, count(*) AS n_payloads,
+       |  sum(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  sum(CASE WHEN r.v IS NOT NULL
+       |      THEN octet_length(d.text::BLOB) ELSE 0 END)::BIGINT AS bytes_saved,
+       |  (count(*) - sum(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_kept
+       |FROM documents d
+       |LEFT JOIN (SELECT v FROM lbl WHERE label < v) r ON d.doc_id = r.v
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_media_dedup"        -> (mediaDedup _),
     "q_media_neardup"      -> (mediaNearDup _),
+    "q_media_canonical"    -> (mediaCanonical _),
     "q_binary_passthrough" -> (binaryPassthrough _),
     "q_media_features"     -> (mediaFeatures _),
     "q_media_frames"       -> (mediaFrameSample _),
@@ -422,6 +503,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "q_media_dedup"        -> mediaDedupSql,
     "q_media_neardup"      -> mediaNearDupSql,
+    "q_media_canonical"    -> mediaCanonicalSql,
     "q_binary_passthrough" -> binaryPassthroughSql,
     "q_media_features"     -> mediaFeaturesSql,
     "q_media_frames"       -> mediaFrameSampleSql,

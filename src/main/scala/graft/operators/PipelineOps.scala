@@ -76,7 +76,7 @@ object PipelineOps {
     * min vertex — exposed separately so consumers that need PER-VERTEX
     * survivorship (canonical-corpus emission) skip the cluster rollup.
     */
-  private[operators] def ccLabels(edges: DataFrame): DataFrame = {
+  private[graft] def ccLabels(edges: DataFrame): DataFrame = {
     // near-dup edge lists are tiny relative to the corpus: narrow the
     // iteration to a few partitions so each round's joins/checkpoints
     // don't pay 32-way task scheduling (a truly large graph would keep

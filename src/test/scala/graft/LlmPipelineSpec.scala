@@ -621,6 +621,19 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L) -> ((1, 0)))
     assert(got === expected, s"pair set mismatch: $got")
 
+    // canonical resolution of the planted graph: docs 1-4 form one
+    // component (survivor = min doc_id 1), doc 5 passes through —
+    // 3 removed, 3 x 256 bytes reclaimed, 2 kept
+    val canon = M.mediaCanonicalFrom(docs,
+        operators.PipelineOps.ccLabels(
+          M.mediaNearDupFrom(docs).select("doc_a", "doc_b")))
+      .collect()
+    assert(canon.length === 1)
+    assert(canon(0).getAs[Long]("n_payloads") === 5L)
+    assert(canon(0).getAs[Long]("n_removed") === 3L)
+    assert(canon(0).getAs[Long]("bytes_saved") === 3L * 256L)
+    assert(canon(0).getAs[Long]("n_kept") === 2L)
+
     // fixture smoke: bounds hold, and every byte-identical pair the
     // md5 tier finds is also found here (hd = 0, is_exact = 1)
     val fix = M.mediaNearDup(spark, sfTest).collect()
