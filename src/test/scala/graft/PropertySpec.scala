@@ -153,6 +153,27 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(res.passed, s"mmr-equivalence: $res")
   }
 
+  test("denseIndexOf equals the sorted index on random unique key sets") {
+    // the r8 catalog indexer behind q_negative_sample: the coarse
+    // two-level prefix must be row-for-row the 0-based sorted index,
+    // including negative keys and adversarial domain spreads (all keys
+    // in one coarse cell / one key per cell)
+    val session = spark
+    import session.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      keys <- Gen.containerOfN[Set, Long](n, Gen.chooseNum(-100000L, 100000L))
+    } yield keys.toList
+    val p = Prop.forAll(gen) { keys: List[Long] =>
+      val df = keys.toDF("item_id")
+      val got = operators.Relational.denseIndexOf(df, "item_id", "idx")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+      got == exp
+    }
+    check("dense-index-parity", p)
+  }
+
   test("quartileScore equals Spark's own ntile on random tied multisets") {
     // the distributed exact-rank machinery behind q_rfm_segments and
     // q_quality_curriculum: coarse buckets + closed-form ntile must be
