@@ -103,5 +103,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"HeadRank entries whose plan lacks the bounding head operator " +
         s"(TakeOrderedAndProject/WindowGroupLimit): " +
         unbounded.toSeq.sorted.mkString(", "))
+    // registry-wide no-cartesian sweep: every small-side cross in the
+    // library is a broadcast (BroadcastNestedLoopJoin); a true
+    // CartesianProduct means two non-broadcastable sides met without
+    // a key — the O(N·M) shape nothing here should ever plan. The two
+    // allowed entries are MLlib's recommendForAllUsers internals: a
+    // DELIBERATE blocked cross of the user- and item-factor block
+    // tables (exhaustive scoring is the algorithm; blocks bound the
+    // memory), not an accidental unkeyed join in this library's code.
+    val CartesianAllowed = Set("q_als_recommend", "q_als_implicit")
+    val cartesians = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }.toSet
+    assert((cartesians -- CartesianAllowed).isEmpty,
+      s"queries planning a NEW CartesianProduct: " +
+        (cartesians -- CartesianAllowed).toSeq.sorted.mkString(", "))
+    assert((CartesianAllowed -- cartesians).isEmpty,
+      s"stale CartesianAllowed entries — prune: " +
+        (CartesianAllowed -- cartesians).toSeq.sorted.mkString(", "))
   }
 }
