@@ -208,13 +208,16 @@ object Similarity {
     * set and its recall is 10000 bp by construction — a built-in
     * self-check. Hits and basis points are exact integers.
     *
-    * Scale shape: candidates ride the same cell-equi-join as
-    * [[knnIvf]]; the probe expansion multiplies each candidate by at
-    * most NCells (bounded fan-out, map-side explode), and the
-    * per-(query, probe) top-K windows partition on a key whose
-    * cardinality grows with the query sample. Like every recall
-    * audit here, at corpus scale it runs over a hash-sampled query
-    * set (q_hash_sample gate) — the plan is unchanged.
+    * Scale shape (r8): candidates ride the same cell-equi-join as
+    * [[knnIvf]], and the whole curve is O(candidates + nCells) — the
+    * nested-candidate-set monotonicity (a full-probe top-K element is
+    * never displaced at any smaller depth once its cell is probed)
+    * turns both curve columns into cumulative sums of two ≤nCells-row
+    * pn histograms; truth comes from one bounded TopKByScore pass.
+    * The r7 explode-to-every-depth formulation paid O(candidates ×
+    * nCells) rows and a per-(query, depth) window for the same
+    * numbers. Like every recall audit here, at corpus scale it runs
+    * over a hash-sampled query set (q_hash_sample gate).
     */
   def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame =
     ivfRecallCurveFrom(Tables.embeddings(spark, sfDir), NCells, NQueries, K)
@@ -231,19 +234,36 @@ object Similarity {
       .select(col("a.qid").as("qid"), col("a.pn").as("pn"),
               col("b.vec_id").as("nid"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-    // a candidate in the query's pn-th cell is searched at every probe
-    // depth >= pn: bounded fan-out, map-side
-    val expanded = cand.withColumn("p", explode(sequence(col("pn"), lit(nCells))))
-      .localCheckpoint() // read twice: top-K ranking + candidate counts
-    val wQK = Window.partitionBy("qid", "p").orderBy(col("cos").desc, col("nid").asc)
-    val top = expanded.withColumn("rk", row_number().over(wQK))
-      .where(col("rk") <= k).select("qid", "p", "nid")
-      .localCheckpoint() // read twice: truth slice + hit join
-    val truth = top.where(col("p") === nCells).select(col("qid"), col("nid"))
-    val hits = top.join(truth, Seq("qid", "nid"))
-      .groupBy("p").agg(count(lit(1)).as("n_hits"))
-    expanded.groupBy("p").agg(count(lit(1)).as("n_candidates"))
-      .join(hits, Seq("p"), "left")
+      .localCheckpoint() // read twice: truth top-K + the pn histogram
+    // The r7 formulation exploded every candidate to all probe depths
+    // >= its pn and ranked a top-K window PER (query, depth) —
+    // O(candidates × nCells) rows for a curve that is O(candidates +
+    // nCells): because the candidate sets are NESTED in p, a truth
+    // element (top-K at FULL probe, i.e. fewer than k candidates beat
+    // it overall) can never be displaced at any smaller p once its own
+    // cell is probed — the monotonicity the r7s4 notes proved. So
+    //   n_hits(p)       = #{truth t : pn_t <= p}   and
+    //   n_candidates(p) = #{cand c  : pn_c <= p}
+    // are cumulative sums of two pn histograms (<= nCells rows each),
+    // accumulated over a generated probe spine by a broadcast
+    // triangle join — no explode, no per-depth window, identical
+    // output. Truth itself comes from the bounded TopKByScore
+    // aggregate (same (cos DESC, nid ASC) order as the old window),
+    // carrying pn through as the extra slot.
+    val truth = cand.groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(
+        k, col("cos"), col("nid"), col("pn").cast("long")).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.extra").cast("int").as("pn"))
+    val candHist = cand.groupBy("pn").agg(count(lit(1)).as("cnt"))
+    val hitHist = truth.groupBy("pn").agg(count(lit(1)).as("hcnt"))
+    val spine = e0.sparkSession.range(1, nCells + 1L)
+      .select(col("id").cast("int").as("p"))
+    val counts = spine.join(broadcast(candHist), col("pn") <= col("p"))
+      .groupBy("p").agg(sum("cnt").as("n_candidates"))
+    val hits = spine.join(broadcast(hitHist), col("pn") <= col("p"))
+      .groupBy("p").agg(sum("hcnt").as("n_hits"))
+    counts.join(hits, Seq("p"), "left")
       .select(col("p").cast("long").as("probe"), col("n_candidates"),
               coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nQueries.toLong * k}"))

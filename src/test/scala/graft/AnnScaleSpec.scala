@@ -104,6 +104,26 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9,
       f"planted clusters must keep neighbors inside probed cells: $recall%.3f")
     scored.unpersist(blocking = false)
+
+    // full recall-vs-cost curve at the same 10^6 x 1000-cell scale —
+    // feasible ONLY because the r8 cumulative-histogram rewrite made
+    // the curve O(candidates + cells); the r7 explode form would have
+    // planned ~10^10 rows here. Self-check row + monotonicity + the
+    // IVF recall floor at the operating point.
+    val curve = Similarity.ivfRecallCurveFrom(e, cells, 8, ScaleK)
+      .collect().sortBy(_.getAs[Long]("probe"))
+    assert(curve.last.getAs[Long]("probe") === cells.toLong)
+    assert(curve.last.getAs[Long]("recall_bp") === 10000L,
+      "the full-probe row IS the ground truth: recall must be exactly 10000 bp")
+    val bps = curve.map(_.getAs[Long]("recall_bp"))
+    val cnds = curve.map(_.getAs[Long]("n_candidates"))
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b }, "recall must be monotone in probe depth")
+    assert(cnds.zip(cnds.tail).forall { case (a, b) => a <= b }, "cost must be monotone in probe depth")
+    val atProbe = curve.find(_.getAs[Long]("probe") === probe.toLong).get
+    info(s"curve@probe=$probe: recall_bp=${atProbe.getAs[Long]("recall_bp")} " +
+      s"candidates=${atProbe.getAs[Long]("n_candidates")}")
+    assert(atProbe.getAs[Long]("recall_bp") >= 9000L,
+      "planted clusters must reach >=0.9 recall at the operating probe depth")
     e.unpersist(blocking = false)
   }
 
