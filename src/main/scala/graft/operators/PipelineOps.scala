@@ -59,6 +59,12 @@ object PipelineOps {
       ccLabels(Dedup.simhashPairs(spark, sfDir).select("doc_a", "doc_b"))
     }
 
+  /** Force-build the memoized SimHash label fixpoint (Bench warm hook
+    * — q_dedup_clusters and q_dedup_canonical both serve from it, the
+    * same shared-model rule as lpaLabels/mutualEdges). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    simhashLabels(spark, sfDir).count(): Unit
+
   /** The reusable core: components of ANY undirected pair DataFrame
     * (columns doc_a, doc_b) — callers feed it whichever near-dup tier
     * produced their pairs (SimHash here; MinHash/Jaccard/embedding
