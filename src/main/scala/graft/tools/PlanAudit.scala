@@ -41,9 +41,10 @@ object PlanAudit {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val sp = "Arguments: SinglePartition".r.findAllIn(plan).length
         val gw = globalWin.findAllIn(plan).length
-        if (sp > 0 || gw > 0) {
+        val cp = "CartesianProduct".r.findAllIn(plan).length
+        if (sp > 0 || gw > 0 || cp > 0) {
           nOff += 1
-          println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw")
+          println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw cartesians=$cp")
         }
       } catch {
         case e: Throwable =>
