@@ -638,15 +638,35 @@ object Stats {
       .agg(
         sum(when(col("is_ref"), 1).otherwise(0)).as("ref_c"),
         sum(when(!col("is_ref"), 1).otherwise(0)).as("cur_c"))
-    // default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: peers included
-    val w = Window.partitionBy("event_type").orderBy("value")
-    val wT = Window.partitionBy("event_type")
-    byVal
-      .withColumn("ref_tot", sum("ref_c").over(wT))
-      .withColumn("cur_tot", sum("cur_c").over(wT))
+    // CDF prefixes ride the two-level coarse-bucket form (the r7
+    // mann-whitney treatment, applied per type): the running sums
+    // partition by (type, coarse cell) and the ≤ domain/width cell
+    // offsets by (type) — no task ever sorts a whole type's value
+    // histogram, which at 100 TB of continuous values grows with the
+    // corpus. Totals come from a slim aggregate join, not a whole-
+    // partition window. byVal is distinct per (type, value), so the
+    // ROWS running frame equals the old RANGE-with-peers frame.
+    val bv = byVal.withColumn("coarse",
+      floor(col("value") / MwCoarseWidth).cast("long"))
+    val tots = bv.groupBy("event_type")
+      .agg(sum("ref_c").as("ref_tot"), sum("cur_c").as("cur_tot"))
+    val wIn = Window.partitionBy("event_type", "coarse").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPre = Window.partitionBy("event_type").orderBy("coarse")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bv.groupBy("event_type", "coarse")
+      .agg(sum("ref_c").as("cr"), sum("cur_c").as("cc"))
+      .withColumn("ref_off", coalesce(sum("cr").over(wPre), lit(0L)))
+      .withColumn("cur_off", coalesce(sum("cc").over(wPre), lit(0L)))
+      .select("event_type", "coarse", "ref_off", "cur_off")
+    bv
+      .withColumn("ref_in", sum("ref_c").over(wIn))
+      .withColumn("cur_in", sum("cur_c").over(wIn))
+      .join(broadcast(offs), Seq("event_type", "coarse"))
+      .join(broadcast(tots), "event_type")
       .withColumn("d", abs(
-        sum("ref_c").over(w).cast("double") / col("ref_tot") -
-        sum("cur_c").over(w).cast("double") / col("cur_tot")))
+        (col("ref_off") + col("ref_in")).cast("double") / col("ref_tot") -
+        (col("cur_off") + col("cur_in")).cast("double") / col("cur_tot")))
       .groupBy("event_type")
       .agg(
         max("ref_tot").as("n_ref"),
