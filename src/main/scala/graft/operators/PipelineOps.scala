@@ -446,20 +446,38 @@ object PipelineOps {
     * the chunk its first token lands in, and `n_spanning` counts docs
     * that cross a chunk boundary (the ones a loader would split or
     * mask across). Everything is integer arithmetic on a running token
-    * count, so both engines agree exactly. Scale shape: one window per
-    * source (the cumulative sum), one aggregate — at 100 TB you'd add a
-    * hash-bucket sub-shard to the partition key to bound per-task
-    * state; the query shape is unchanged.
+    * count, so both engines agree exactly. Scale shape (r8): the
+    * per-source running token sum rides the two-level coarse prefix —
+    * within-bucket prefixes partition by (source, doc_id coarse
+    * bucket), the ≤1024 bucket offsets by source — so packing keeps
+    * EXACT global doc order per source while no task ever holds a
+    * whole source's stream (the earlier note suggested a hash
+    * sub-shard at 100 TB, which would have CHANGED the packing; the
+    * coarse prefix preserves it).
     */
   def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
           .cast("long").as("n_tok"))
-      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+    val mm = t.agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+    val b = t.crossJoin(broadcast(mm))
+      .withColumn("__w", greatest(lit(1L),
+        ((col("__mx") - col("__mn")) / lit(1024L)).cast("long") + lit(1L)))
+      .withColumn("__b", ((col("doc_id") - col("__mn")) / col("__w")).cast("long"))
+      .drop("__mn", "__mx", "__w")
+    val wIn = Window.partitionBy("source", "__b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPre = Window.partitionBy("source").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("source", "__b").agg(sum("n_tok").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(wPre), lit(0L)))
+      .select("source", "__b", "__off")
+    b.join(broadcast(offs), Seq("source", "__b"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum("n_tok").over(wIn), lit(0L)))
+      .drop("__b", "__off")
       .withColumn("seq_id", floor(col("cum_before") / SeqLen))
       .withColumn("spans",
         (floor((col("cum_before") + col("n_tok") - 1) / SeqLen) =!= col("seq_id")).cast("long"))

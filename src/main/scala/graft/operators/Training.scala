@@ -761,8 +761,27 @@ object Training {
       .select(col("n_chars").as("rv"),
         (row_number().over(Window.orderBy(col("n_chars").asc, col("doc_id").asc)) - 1).as("rk"))
     val nRef = ref.agg(count(lit(1)).as("n_ref"))
-    val pr = d.withColumn("prk",
-      percent_rank().over(Window.partitionBy("source").orderBy(col("n_chars").asc)))
+    // percent_rank = (rank−1)/(n−1) with rank() tie semantics — it
+    // depends only on the (source, n_chars) HISTOGRAM, so it is
+    // computed from histogram prefixes (≤ |char-length domain| rows
+    // per source) instead of a per-source window over every doc row:
+    // the r8 rule that no task's window should hold a corpus-growing
+    // partition (a source's docs grow with the corpus; its distinct
+    // lengths don't). Spark defines percent_rank = 0 for a 1-row
+    // partition; the guard mirrors that.
+    val hist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("__c"))
+    val wH = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nSrc = d.groupBy("source").agg(count(lit(1)).as("__n"))
+    val prkOf = hist
+      .withColumn("__before", coalesce(sum("__c").over(wH), lit(0L)))
+      .join(nSrc, "source")
+      .withColumn("prk",
+        when(col("__n") > 1,
+          col("__before").cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .select("source", "n_chars", "prk")
+    val pr = d.join(prkOf, Seq("source", "n_chars"))
     val pos = pr.crossJoin(broadcast(nRef))
       .withColumn("pos", col("prk") * (col("n_ref") - 1))
       .withColumn("lo", floor(col("pos")).cast("long"))
