@@ -954,21 +954,26 @@ object Relational {
       .select("__k", "__lo")
   }
 
-  /** 0-based dense index of a frame of UNIQUE long keys under key-ASC
-    * order — `row_number() OVER (ORDER BY key) - 1` semantics with no
-    * global window: the rank interval start from [[coarseRankLo]] IS
-    * the row's rank when every key is unique. This is the scale-safe
-    * item-catalog indexer ([[graft.operators.Training.negativeSample]]
-    * maps hash draws into it): the catalog is the one "dimension" that
-    * genuinely grows into the billions at 100 TB, so its index must
-    * never funnel through one task. Worst case per task: one coarse
-    * cell's keys (≤ catalog/1024 under an even key domain).
+  /** 0-based dense index of a frame of long keys under key-ASC order
+    * — `row_number() OVER (ORDER BY key) - 1` semantics over the
+    * DISTINCT keys, with no global window: the groupBy collapses
+    * duplicates to one slot of weight 1, so the rank interval start
+    * from [[coarseRankLo]] IS the key's dense index even on a dirty
+    * input (the r8 form fed real counts, so a duplicate key silently
+    * opened gaps in the index — a hash draw mapped into a gap matched
+    * nothing and a negative-sample slot vanished without a trace).
+    * This is the scale-safe item-catalog indexer
+    * ([[graft.operators.Training.negativeSample]] maps hash draws into
+    * it): the catalog is the one "dimension" that genuinely grows into
+    * the billions at 100 TB, so its index must never funnel through
+    * one task. Worst case per task: one coarse cell's keys
+    * (≤ catalog/1024 under an even key domain).
     */
   private[graft] def denseIndexOf(keys: DataFrame, keyName: String,
       idxName: String): DataFrame =
     coarseRankLo(
       keys.select(col(keyName).cast("long").as("__k"))
-        .groupBy("__k").agg(count(lit(1)).as("__cnt")))
+        .groupBy("__k").agg(lit(1L).as("__cnt")))
       .select(col("__k").as(keyName), (col("__lo") - 1L).as(idxName))
 
   /** SQL-exact ntile(`buckets`) of every row under (key ASC, tie ASC)

@@ -512,21 +512,50 @@ object Training {
   def negativeSample(spark: SparkSession, sfDir: String): DataFrame =
     negativeSampleOf(
       Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct(),
-      Tables.part(spark, sfDir).select(col("p_partkey").as("item_id")))
+      Tables.part(spark, sfDir).select(col("p_partkey").as("item_id")),
+      index = Some(catalogIndex(spark, sfDir)))
+
+  /** The dense item-catalog index, memoized per (session, sfDir): the
+    * catalog is static for a given fixture dir, so the three-shuffle
+    * [[graft.operators.Relational.denseIndexOf]] chain runs once per
+    * session (warmed in Bench) and every consumer reads the persisted
+    * slim (item_id, idx) table — which also hands AQE exact size
+    * stats, so the idx equi-join in [[negativeSampleOf]] converts to a
+    * broadcast at dimension scale without a hint that would OOM a
+    * billions-row catalog at 100 TB.
+    */
+  private[graft] def catalogIndex(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"neg_catalog_index:$sfDir") {
+      Relational.denseIndexOf(
+        Tables.part(spark, sfDir).select(col("p_partkey").as("item_id")),
+        "item_id", "idx")
+    }
 
   /** Frame-parameterized core of [[negativeSample]] (exposed for the
     * off-fixture ≥10⁶-item catalog scale spec): `pos` = distinct
-    * (user_id, item_id) positives, `catalog` = unique item_id rows.
+    * (user_id, item_id) positives, `catalog` = unique item_id rows
+    * (duplicates would collapse to one index slot — see
+    * [[graft.operators.Relational.denseIndexOf]] — and are counted
+    * once by the distinct draw-range count below, so a dirty catalog
+    * biases nothing). `index` lets the registry path supply the
+    * memoized [[catalogIndex]]; absent, the index is derived inline.
     */
-  private[graft] def negativeSampleOf(pos: DataFrame, catalog: DataFrame): DataFrame = {
+  private[graft] def negativeSampleOf(pos: DataFrame, catalog: DataFrame,
+      index: Option[DataFrame] = None): DataFrame = {
     // dense item index WITHOUT a catalog-wide global row_number: the
     // item catalog is the one "dimension" that genuinely grows into
     // the billions at 100 TB, so its index rides the coarse-bucket
     // two-level prefix (per-task worst case = one coarse cell), and
     // the idx equi-join below is left unhinted — AQE broadcasts it at
-    // dimension scale and shuffles it at web scale.
-    val items = Relational.denseIndexOf(catalog, "item_id", "idx")
-    val nItems = items.agg(count(lit(1)).as("n_items"))
+    // dimension scale (PlanShapeSpec pins the conversion on the
+    // memoized index) and shuffles it at web scale.
+    val items = index.getOrElse(Relational.denseIndexOf(catalog, "item_id", "idx"))
+    // the draw range comes straight from the catalog — the index chain
+    // has exactly ONE consumer (the idx equi-join), never two (the r8
+    // form aggregated n_items off the index frame, planning the whole
+    // three-shuffle chain twice). countDistinct matches the index's
+    // distinct-key slot count even on a dirty catalog.
+    val nItems = catalog.agg(countDistinct("item_id").as("n_items"))
     val cands = pos.select("user_id").distinct()
       .select(col("user_id"), explode(sequence(lit(0), lit(NegSlots - 1))).as("slot"))
       .crossJoin(broadcast(nItems))
@@ -1237,6 +1266,7 @@ object Training {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     kmeansAssign(spark, sfDir).count()
     pqCodebooks(spark, sfDir).count()
+    catalogIndex(spark, sfDir).count()
   }
 
   /** Chosen/rejected candidates kept per user BEFORE pairing — the

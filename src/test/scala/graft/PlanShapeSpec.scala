@@ -143,15 +143,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!pl.contains("CartesianProduct"))
   }
 
-  test("negative_sample: coarse-prefix item index (no catalog-wide window), anti-join, no cartesian") {
-    val pl = plan(operators.Training.negativeSample(planSession, sfTest))
+  test("negative_sample: memoized item index planned once, broadcast idx join, anti-join") {
+    val df = operators.Training.negativeSample(planSession, sfTest)
+    val pl = plan(df)
     // r8: the dense item index rides denseIndexOf's two-level prefix —
-    // the catalog-wide row_number global window is retired, and the
-    // idx join is unhinted (AQE broadcasts it at dimension scale)
+    // the catalog-wide row_number global window is retired
     assert(GlobalWindowRe.findFirstIn(pl).isEmpty,
       "item index must not run a catalog-wide global window")
     assert(pl.contains("LeftAnti"), "positives must be excluded via anti join")
     assert(!pl.contains("CartesianProduct"))
+    // r9: the three-shuffle denseIndexOf chain is memoized per
+    // (session, sfDir) and must be planned exactly ONCE — the chain
+    // carries exactly one window partitioned by its __coarse cell, so
+    // two occurrences means the chain was inlined into two consumers
+    // (the r8 regression: n_items aggregated off the index frame).
+    // Formatted explain prints the cached subtree under the
+    // InMemoryTableScan, so the single cached copy still shows up.
+    assert(pl.contains("InMemoryTableScan"),
+      "idx join must read the memoized catalog index")
+    assert("windowspecdefinition\\(__coarse".r.findAllIn(pl).size <= 1,
+      "the index chain must be planned once, not once per consumer")
+    // r9: the idx join is unhinted (a billions-row catalog must not be
+    // forced into a broadcast at 100 TB) but the persisted index gives
+    // AQE exact stats, so at dimension scale the executed adaptive
+    // plan must have converted it to a broadcast
+    assert(df.collect().nonEmpty)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      "AQE must broadcast the dimension-scale memoized index into the idx join")
   }
 
   test("rec_coverage: Gini rides the coarse prefix, no catalog-wide rank window") {
