@@ -780,16 +780,32 @@ object Training {
     * scales (the microarray-normalization classic applied to corpus
     * mixing). Emits the per-source before/after audit.
     *
-    * Scale: the reference's ranked table is |ref| rows (a curated
-    * reference corpus — bounded by design) and broadcasts into the
-    * per-doc lookup; everything else is windows within source.
+    * Scale: BOTH sides of the mapping are length-domain-bounded, not
+    * corpus-bounded. The reference's empirical quantile function is a
+    * step function of rank whose steps are the ref length HISTOGRAM's
+    * rank intervals (value at 0-based rank k = the n_chars whose
+    * [start, start+cnt) interval covers k — the doc_id tie-break of
+    * the retired ranked-table form never changed the VALUE at a rank,
+    * only which doc held it), so it is represented as ≤ |length
+    * domain| intervals from [[graft.operators.Relational.coarseRankLo]]
+    * — the ref source grows with the corpus, its distinct lengths
+    * don't, and nothing ref-sized ever global-sorts or broadcasts.
+    * The interpolation is evaluated once per DISTINCT (source,
+    * n_chars) — the same bounded level the percent_rank side already
+    * lives on — so the two interval probes are bounded×bounded
+    * broadcast joins, and the per-doc side only ever takes one
+    * broadcast equi-join of the finished lookup.
     */
   def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars"))
-    val ref = d.where(col("source") === QnRef)
-      .select(col("n_chars").as("rv"),
-        (row_number().over(Window.orderBy(col("n_chars").asc, col("doc_id").asc)) - 1).as("rk"))
-    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val refHist = d.where(col("source") === QnRef)
+      .groupBy(col("n_chars").cast("long").as("__k"))
+      .agg(count(lit(1)).as("__cnt"))
+    val refIval = Relational.coarseRankLo(refHist)
+      .join(refHist, "__k")
+      .select(col("__k").as("rv"), (col("__lo") - 1L).as("rk_s"),
+        (col("__lo") + col("__cnt") - 2L).as("rk_e"))
+    val nRef = refHist.agg(sum("__cnt").as("n_ref"))
     // percent_rank = (rank−1)/(n−1) with rank() tie semantics — it
     // depends only on the (source, n_chars) HISTOGRAM, so it is
     // computed from histogram prefixes (≤ |char-length domain| rows
@@ -810,16 +826,24 @@ object Training {
           col("__before").cast("double") / (col("__n") - 1).cast("double"))
           .otherwise(lit(0.0)))
       .select("source", "n_chars", "prk")
-    val pr = d.join(prkOf, Seq("source", "n_chars"))
-    val pos = pr.crossJoin(broadcast(nRef))
+    val lookup = prkOf.crossJoin(broadcast(nRef))
       .withColumn("pos", col("prk") * (col("n_ref") - 1))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
-    val normed = pos
-      .join(broadcast(ref.select(col("rk").as("lo"), col("rv").as("v_lo"))), "lo")
-      .join(broadcast(ref.select(col("rk").as("hi"), col("rv").as("v_hi"))), "hi")
+      .join(broadcast(refIval.select(col("rk_s").as("lo_s"),
+          col("rk_e").as("lo_e"), col("rv").as("v_lo"))),
+        col("lo") >= col("lo_s") && col("lo") <= col("lo_e"))
+      .join(broadcast(refIval.select(col("rk_s").as("hi_s"),
+          col("rk_e").as("hi_e"), col("rv").as("v_hi"))),
+        col("hi") >= col("hi_s") && col("hi") <= col("hi_e"))
+      // same expression tree as the retired per-doc form: v_lo/v_hi
+      // are the same long values the ranked table held at lo/hi, so
+      // per-doc norm_chars is bit-identical and the unchanged oracle's
+      // hash-match is the proof the rewrite is plan-only
       .withColumn("norm_chars",
         col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("lo")))
+      .select("source", "n_chars", "norm_chars")
+    val normed = d.join(broadcast(lookup), Seq("source", "n_chars"))
     normed.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            round(avg("n_chars"), 4).as("mean_raw"),

@@ -64,11 +64,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_shortest_paths", "q_simrank",
     "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness")
 
-  /** Model-/reference-/dimension-bounded tables: BPE merge rounds, the
-    * curated quantile reference source, skyline survivors, bootstrap's
-    * B replicate rows, the 25-nation rank demo. */
+  /** Model-/reference-/dimension-bounded tables: BPE merge rounds,
+    * skyline survivors, bootstrap's B replicate rows, the 25-nation
+    * rank demo. (q_quantile_norm left this list in r9: its reference
+    * quantile function now rides length-domain-bounded histogram rank
+    * intervals — the bound is mechanism, not policy.) */
   private val BoundedModel = Set(
-    "q_bpe_merges", "q_quantile_norm", "q_pareto_front", "q_bootstrap_ci",
+    "q_bpe_merges", "q_pareto_front", "q_bootstrap_ci",
     "q_window_ranks", "q_gain_deciles", "q_qini")
 
   private val Allow =
