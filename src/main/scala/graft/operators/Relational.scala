@@ -699,8 +699,15 @@ object Relational {
     * the per-row shape (the fixture's uniform {"k": int} must collapse
     * to ONE distinct schema). The oracle mirrors every output with
     * DuckDB's json_extract/json_structure over the same strings —
-    * where variant typing and JSON typing could diverge, the query
-    * sticks to lossless long/string extractions so they cannot.
+    * where variant typing and JSON typing could diverge, the
+    * EXTRACTION columns stick to lossless long/string paths so they
+    * cannot. The `n_schemas` column is the one deliberate exception:
+    * schema_of_variant and json_structure use different integer-type
+    * lattices (DuckDB types non-negative ints UBIGINT and negatives
+    * BIGINT, so a mixed-sign k would count 2 structures where Spark
+    * sees 1 BIGINT schema) — its parity is pinned by the fixture's
+    * uniformly non-negative k, documented here so a future fixture
+    * with mixed-sign props reads as a known typing split, not a bug.
     *
     * Scale: variants are parsed map-side from the scanned column; the
     * only shuffle is the final event_type aggregate. At 100 TB the
@@ -711,9 +718,14 @@ object Relational {
     Tables.events(spark, sfDir)
       .withColumn("v", expr("parse_json(props)"))
       .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      // to_json(named_struct(...)) builds the nested document — JSON
+      // escaping of event_type comes from the serializer (the r8 form
+      // spliced the raw value into a JSON literal, so any quote or
+      // backslash in an event type would have broken parse_json)
       .withColumn("nested", expr(
-        """parse_json(concat('{"meta":{"t":"', event_type, '"},"val":',
-          |cast(coalesce(k, 0L) AS string), '}'))""".stripMargin.replace("\n", " ")))
+        """parse_json(to_json(named_struct(
+          |'meta', named_struct('t', event_type),
+          |'val', coalesce(k, 0L))))""".stripMargin.replace("\n", " ")))
       .groupBy(expr("variant_get(nested, '$.meta.t', 'string')").as("event_type"))
       .agg(count(lit(1)).as("n_events"),
            count(col("k")).as("n_with_k"),

@@ -86,11 +86,38 @@ object Stats {
   /** Equi-depth histogram buckets (the optimizer-statistics default). */
   val HistBuckets = 10
 
-  /** Coarse prefix-sum bucket width over the l_extendedprice domain
-    * (~900..105000 → ~21 coarse buckets). At 100 TB these boundaries
-    * would come from approx_percentile instead of a fixed width; the
-    * mechanism below is unchanged. */
-  val HistCoarseWidth = 5000
+  /** Coarse prefix-cell ceiling: every two-level-prefix core below
+    * buckets its value domain into ≤ this many cells, so the
+    * broadcast per-cell offsets table is a constant size whatever the
+    * domain's spread or shift. */
+  val CoarseCells = 1024
+
+  /** Adaptive coarse prefix cell over `valueCol`:
+    * floor((v − min) · C / (max − min)) capped to C — the
+    * double-domain twin of [[Relational.coarseRankLo]]'s adaptive
+    * min/width sizing. IEEE multiplication/division by a shared
+    * positive scalar and floor are all monotone, so cell order agrees
+    * with value order and downstream (…, coarse)-prefix sums see
+    * exactly a global sort's order; the min/max normalization bounds
+    * the cell count by [[CoarseCells]] REGARDLESS of the domain — the
+    * retired fixed-width constants (MwCoarseWidth et al.) bounded
+    * cells only by domain-spread/width, so a wide or shifted value
+    * domain could blow the broadcast offsets tables past any limit.
+    * A degenerate single-value domain collapses to cell 0.
+    */
+  private[graft] def withCoarseCell(df: DataFrame, valueCol: String): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__vmn"),
+      max(col(valueCol)).cast("double").as("__vmx"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("coarse",
+        when(col("__vmx") > col("__vmn"),
+          least(
+            floor((col(valueCol).cast("double") - col("__vmn")) *
+              lit(CoarseCells.toDouble) / (col("__vmx") - col("__vmn"))).cast("long"),
+            lit(CoarseCells.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__vmn", "__vmx")
+  }
 
   /** Exact equi-depth histogram of l_extendedprice in [[HistBuckets]]
     * buckets with SQL ntile semantics (first n%B buckets take the
@@ -117,7 +144,7 @@ object Stats {
   def equidepthHist(spark: SparkSession, sfDir: String): DataFrame =
     equidepthHistOf(
       Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("v")),
-      HistCoarseWidth, HistBuckets)
+      HistBuckets)
 
   /** Frame-parameterized core of [[equidepthHist]]: equi-depth buckets
     * of `vals.v` (any numeric) with the two-level coarse prefix
@@ -125,10 +152,9 @@ object Stats {
     * synthetic ≥10⁶-row, wide-domain corpus the fixtures can't
     * provide. */
   private[graft] def equidepthHistOf(
-      vals: DataFrame, coarseWidth: Long, buckets: Int): DataFrame = {
-    val byVal = vals
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
+      vals: DataFrame, buckets: Int): DataFrame = {
+    val byVal = withCoarseCell(
+      vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
@@ -646,8 +672,7 @@ object Stats {
     // corpus. Totals come from a slim aggregate join, not a whole-
     // partition window. byVal is distinct per (type, value), so the
     // ROWS running frame equals the old RANGE-with-peers frame.
-    val bv = byVal.withColumn("coarse",
-      floor(col("value") / MwCoarseWidth).cast("long"))
+    val bv = withCoarseCell(byVal, "value")
     val tots = bv.groupBy("event_type")
       .agg(sum("ref_c").as("ref_tot"), sum("cur_c").as("cur_tot"))
     val wIn = Window.partitionBy("event_type", "coarse").orderBy("value")
@@ -1322,14 +1347,6 @@ object Stats {
       .where(col("event_type").isin(MwA, MwB))
       .select(col("value").as("v"), (col("event_type") === MwA).as("is_a")))
 
-  /** Frame-parameterized core of [[mannWhitney]]: rank-sum test of
-    * sample A (`is_a`) vs B over `v`. Exposed for the off-fixture
-    * scale spec. */
-  /** Coarse prefix-bucket width over the value domain (events.value
-    * is ~[0, 1000] 2-decimal readings → ~20 coarse cells; the scale
-    * spec drives ~2000). Same role as [[HistCoarseWidth]]. */
-  val MwCoarseWidth = 50.0
-
   /** Shared rank-sum aggregate over (v, is_a) pairs: the coarse-bucket
     * two-level average-rank prefix (see [[mannWhitney]]'s scaladoc)
     * reduced to ONE row (n1, n2, r1, tie3) — r1 = Σ avg-ranks of
@@ -1337,12 +1354,12 @@ object Stats {
     * U1/(n1·n2), the probability a random positive outranks a random
     * negative). */
   private[graft] def rankSumAgg(pairs: DataFrame): DataFrame = {
-    val g = pairs
-      .groupBy(col("v"))
-      .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
-           sum(when(!col("is_a"), 1).otherwise(0)).as("nb"))
-      .withColumn("t", col("na") + col("nb"))
-      .withColumn("coarse", floor(col("v") / MwCoarseWidth).cast("long"))
+    val g = withCoarseCell(
+      pairs
+        .groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
+             sum(when(!col("is_a"), 1).otherwise(0)).as("nb"))
+        .withColumn("t", col("na") + col("nb")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
@@ -1482,19 +1499,13 @@ object Stats {
        |    THEN round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) * 2.0 - 1.0, 6) END AS gini
        |FROM agg""".stripMargin
 
-  /** Coarse widths for the two Spearman rank passes (balance dollars /
-    * lifetime-spend cents) — same two-level prefix role as
-    * [[MwCoarseWidth]]. */
-  val SpearBalCoarse = 500.0
-  val SpearCentsCoarse = 10000000.0
-
   /** Doubled average rank (2·avg-rank, an exact INTEGER even for tie
     * groups: 2·before + t + 1) of every distinct value, via the
     * [[equidepthHist]]-style coarse-bucket two-level prefix — the
     * building block that lets [[spearman]] run entirely in BIGINT. */
-  private def avgRanks2(vals: DataFrame, coarseWidth: Double): DataFrame = {
-    val g = vals.groupBy("v").agg(count(lit(1)).as("t"))
-      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
+  private def avgRanks2(vals: DataFrame): DataFrame = {
+    val g = withCoarseCell(
+      vals.groupBy("v").agg(count(lit(1)).as("t")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
@@ -1526,8 +1537,7 @@ object Stats {
     * hatch as [[revenueGini]]).
     */
   def spearman(spark: SparkSession, sfDir: String): DataFrame =
-    spearmanFrom(spearmanBase(spark, sfDir), SpearBalCoarse, SpearCentsCoarse,
-      decimalMoments = false)
+    spearmanFrom(spearmanBase(spark, sfDir), decimalMoments = false)
 
   /** The same statistic with the moments on the DECIMAL(38) escape
     * hatch the BIGINT path documents: n·Σrᵢ² grows as 4n³, so past
@@ -1537,8 +1547,7 @@ object Stats {
     * exactly) and against a BigInt driver replay past the int64 bound
     * in StatsScaleSpec. */
   def spearmanDecimal(spark: SparkSession, sfDir: String): DataFrame =
-    spearmanFrom(spearmanBase(spark, sfDir), SpearBalCoarse, SpearCentsCoarse,
-      decimalMoments = true)
+    spearmanFrom(spearmanBase(spark, sfDir), decimalMoments = true)
 
   private def spearmanBase(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables.orders(spark, sfDir)
@@ -1555,12 +1564,12 @@ object Stats {
     * so products stay ≤ ~4n³ ≈ 10²⁶ at n = 10⁸, far inside 38
     * digits); the closed-form ρ casts to double only for the single
     * final division, identically to the BIGINT branch. */
-  private[graft] def spearmanFrom(base0: DataFrame, balCoarse: Double,
-      ctsCoarse: Double, decimalMoments: Boolean): DataFrame = {
+  private[graft] def spearmanFrom(base0: DataFrame,
+      decimalMoments: Boolean): DataFrame = {
     val base = base0
-    val rx = avgRanks2(base.select(col("bal").as("v")), balCoarse)
+    val rx = avgRanks2(base.select(col("bal").as("v")))
       .select(col("v").as("bal"), col("r2").as("rx"))
-    val ry = avgRanks2(base.select(col("cts").as("v")), ctsCoarse)
+    val ry = avgRanks2(base.select(col("cts").as("v")))
       .select(col("v").as("cts"), col("r2").as("ry"))
     val joined = base.join(rx, "bal").join(ry, "cts")
     val (mx, my) =
@@ -1645,11 +1654,6 @@ object Stats {
        |  AS rho_spearman
        |FROM m""".stripMargin
 
-  /** Coarse prefix-sum bucket width over per-customer revenue cents
-    * (~$1000 buckets). Same role as [[HistCoarseWidth]]: shard the
-    * rank prefix sums so no global row sort exists. */
-  val GiniCoarseWidth = 10000000L
-
   /** Revenue concentration audit: exact Gini coefficient and top-10%
     * revenue share over per-customer lifetime revenue — the 80/20
     * audit behind every "whale" segmentation decision. All arithmetic
@@ -1674,8 +1678,8 @@ object Stats {
   /** Frame-parameterized core of [[revenueGini]] over a `cents`
     * column. Exposed for the off-fixture scale spec. */
   private[graft] def revenueGiniOf(rev: DataFrame): DataFrame = {
-    val byVal = rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("coarse", expr(s"v div $GiniCoarseWidth"))
+    val byVal = withCoarseCell(
+      rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = byVal
@@ -1896,8 +1900,7 @@ object Stats {
     val e = Tables.events(spark, sfDir)
       .select(col("event_type").as("grp"), col("value").as("v"))
     val g = e.groupBy("v", "grp").agg(count(lit(1)).as("n"))
-    val byV = g.groupBy("v").agg(sum("n").as("t"))
-      .withColumn("coarse", floor(col("v") / MwCoarseWidth).cast("long"))
+    val byV = withCoarseCell(g.groupBy("v").agg(sum("n").as("t")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = byV.groupBy("coarse").agg(sum("t").as("tot"))
@@ -2200,11 +2203,6 @@ object Stats {
        |FROM byd, tot
        |ORDER BY decile""".stripMargin
 
-  /** Coarse bucket width for the per-arm rank prefix (per-user value
-    * sums span ~1.5e5..5.4e5 cents → a few dozen coarse cells; at
-    * 100 TB the boundaries would come from approx_percentile, the
-    * mechanism below is unchanged — same note as [[HistCoarseWidth]]). */
-  val QteCoarse = 10000L
   /** Quantile levels reported (percent). */
   val QteTaus: Seq[Int] = Seq(10, 25, 50, 75, 90)
 
@@ -2229,15 +2227,14 @@ object Stats {
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("v"))
       .withColumn("arm", expr(
-        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qte')), 1, 8), 16, 10) AS bigint)") % 2),
-      QteCoarse)
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qte')), 1, 8), 16, 10) AS bigint)") % 2))
 
   /** Frame-parameterized core over ANY (arm ∈ {0,1}, v: long) frame —
     * the scale spec drives it with a synthesized wide-domain
     * million-row population the fixture can't provide. */
-  private[graft] def qteOf(perUser: DataFrame, coarseWidth: Long): DataFrame = {
-    val byVal = perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("coarse", floor(col("v") / coarseWidth).cast("long"))
+  private[graft] def qteOf(perUser: DataFrame): DataFrame = {
+    val byVal = withCoarseCell(
+      perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt")), "v")
     val wIn = Window.partitionBy("arm", "coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))

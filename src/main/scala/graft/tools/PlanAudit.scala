@@ -9,11 +9,15 @@ import org.apache.spark.sql.SparkSession
   * the audit's consumer (PlanShapeSpec pins); this tool is the raw
   * sweep that finds candidates. Not part of the driver contract.
   *
-  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  * Usage: runMain graft.tools.PlanAudit [sfDir] [q_a,q_b,...]
+  * (second arg scopes the sweep; scoped runs also dump each query's
+  * full formatted plan for eyeballing the mechanism.)
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -35,13 +39,16 @@ object PlanAudit {
     //    order = a window with an empty PARTITION BY (global sort).
     val globalWin = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
     var nOff = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, q) =>
       try {
         val plan = q(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val sp = "Arguments: SinglePartition".r.findAllIn(plan).length
         val gw = globalWin.findAllIn(plan).length
         val cp = "CartesianProduct".r.findAllIn(plan).length
+        if (only.nonEmpty) println(s"[audit-plan] $name\n$plan")
         if (sp > 0 || gw > 0 || cp > 0) {
           nOff += 1
           println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw cartesians=$cp")

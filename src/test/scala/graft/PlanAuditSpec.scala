@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * mechanism is actually present in each of these plans, not just
     * claimed. */
   private val HeadRank = Set(
+    "q_bpe_merges", // top-30 merge head: the rk window rides TakeOrderedAndProject(BpeTop), never the vocab table
     "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
@@ -64,13 +65,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     "q_shortest_paths", "q_simrank",
     "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness")
 
-  /** Model-/reference-/dimension-bounded tables: BPE merge rounds,
-    * skyline survivors, bootstrap's B replicate rows, the 25-nation
-    * rank demo. (q_quantile_norm left this list in r9: its reference
-    * quantile function now rides length-domain-bounded histogram rank
-    * intervals — the bound is mechanism, not policy.) */
+  /** Model-/reference-/dimension-bounded tables: skyline survivors,
+    * bootstrap's B replicate rows, the 25-nation rank demo, the
+    * 10-decile gain/qini tables. (r9 departures: q_quantile_norm's
+    * reference quantile function now rides length-domain-bounded
+    * histogram rank intervals — mechanism, not policy; q_bpe_merges
+    * moved to [[HeadRank]] because its rk window provably rides the
+    * TakeOrderedAndProject(BpeTop) head, asserted below like every
+    * other head.) */
   private val BoundedModel = Set(
-    "q_bpe_merges", "q_pareto_front", "q_bootstrap_ci",
+    "q_pareto_front", "q_bootstrap_ci",
     "q_window_ranks", "q_gain_deciles", "q_qini")
 
   private val Allow =

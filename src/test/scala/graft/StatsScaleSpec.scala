@@ -37,7 +37,7 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
     val p = 999999937L
     val vals = spark.range(0L, n.toLong)
       .select(expr(s"cast((id * ${MulK}L) % ${p}L AS double) / 100.0").as("v"))
-    val got = Stats.equidepthHistOf(vals, coarseWidth = 5000L, buckets = 10)
+    val got = Stats.equidepthHistOf(vals, buckets = 10)
       .collect().sortBy(_.getAs[Long]("bucket"))
 
     val raw = Array.tabulate(n)(i => (i.toLong * MulK) % p)
@@ -134,7 +134,7 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
         ((col("id") * MulK) % p + when(col("id") % 2 === 1, lit(shift)).otherwise(lit(0L)))
           .as("v"),
         (col("id") % 2).as("arm"))
-    val got = operators.Stats.qteOf(perUser, coarseWidth = 1000000L)
+    val got = operators.Stats.qteOf(perUser)
       .collect().sortBy(_.getAs[Long]("tau"))
 
     val byArm = (0 to 1).map { a =>
@@ -207,7 +207,7 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
       expr(s"cast((id * ${MulK}L) % ${balDom}L AS double)").as("bal"),
       expr(s"cast(((id * ${MulK}L) % ${balDom}L) * 3 + (id * 7919L) % 1000L AS double)")
         .as("cts"))
-    val got = operators.Stats.spearmanFrom(df, 1000.0, 5000.0, decimalMoments = true)
+    val got = operators.Stats.spearmanFrom(df, decimalMoments = true)
       .collect().head
     assert(got.getAs[Long]("n") === n.toLong)
 
