@@ -312,6 +312,139 @@ object Similarity {
        |FROM cc LEFT JOIN hits h ON h.p = cc.p
        |ORDER BY probe""".stripMargin
 
+  /** ADC shortlist depth the exact re-rank refines (the production
+    * re-rank buffer: ~10× the final K). */
+  val IvfPqRerank = 50
+
+  /** Composed IVF→PQ retrieval — the 10⁹-vector production ANN shape
+    * (Jégou et al., PAMI 2011) end to end, assembled from the two
+    * already-oracle-backed halves: the IVF coarse quantizer shortlists
+    * each query's [[NProbe]] nearest cells ([[knnIvf]]'s index), the
+    * PQ/ADC layer scores ONLY the shortlist by M integer table lookups
+    * ([[graft.operators.Training.pqAdc]]'s codes + LUT), and the exact
+    * integer-L2 re-rank refines the ADC top-[[IvfPqRerank]] to the
+    * final top-[[K]]. Output carries both distances and the ADC rank,
+    * so the re-rank's promotions are auditable per row.
+    *
+    * Scale: this composition is exactly why both halves exist — at
+    * 10⁹ vectors neither brute force (N·Q floats) nor flat ADC (N·M
+    * lookups/query) survives alone. Candidates ride the IVF cell
+    * equi-join (~N·probe/cells rows), the code table joins the
+    * shortlist by vec_id (AQE broadcasts the bounded shortlist side),
+    * LUT/codebooks broadcast, the per-query ADC top-R cut is the
+    * bounded [[graft.functions.TopKByScore]] aggregate (a window here
+    * would sort corpus-growing candidate partitions), and the exact
+    * re-rank touches only Q·R·dims quantized rows. AnnScaleSpec runs
+    * the composition at 10⁵ vectors/316 cells against exact-L2 ground
+    * truth.
+    */
+  def ivfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    ivfPqFrom(e0, Training.pqSub(spark, sfDir),
+      Training.pqCodebooks(spark, sfDir), NCells, NProbe, NQueries,
+      IvfPqRerank, K)
+  }
+
+  /** Frame-parameterized core of [[ivfPq]]: `e0` = raw embeddings
+    * (IVF side), `es` = quantized (vec_id, pos, sub, q) rows, `cent` =
+    * trained PQ codebooks for `es`. */
+  private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
+      nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int): DataFrame = {
+    val assigned = cellAssignFrom(e0, nCells)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val probes = queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val shortlist = probes.join(assigned, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val codes = Training.pqCodesOf(es, cent)
+    val lut = Training.pqLutOf(es, cent, nQueries)
+    val adc = shortlist
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "cluster"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d").as("adc_dist_units"))
+    // ADC top-R per query via the bounded aggregate: score = −dist
+    // (TopKByScore keeps (score DESC, id ASC) = (dist ASC, id ASC),
+    // the oracle's row_number order); dist ≤ dims·(2·KmScale)² ≈
+    // 2.6e8 ≪ 2⁵³, so the double negation is exact
+    val shortTop = adc.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(rerank,
+        -col("adc_dist_units").cast("double"), col("neighbor_id"),
+        col("adc_dist_units")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).as("adc_rk"),
+        col("col.id").as("neighbor_id"), col("col.extra").as("adc_dist_units"))
+    val exact = shortTop
+      .join(es.select(col("vec_id").as("neighbor_id"), col("pos"),
+        col("q").as("nq")), "neighbor_id")
+      .join(broadcast(es.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("pos"), col("q").as("qq"))),
+        Seq("query_id", "pos"))
+      .groupBy("query_id", "neighbor_id", "adc_rk", "adc_dist_units")
+      .agg(sum((col("nq") - col("qq")) * (col("nq") - col("qq"))).as("exact_dist_units"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("exact_dist_units").asc, col("neighbor_id").asc)
+    exact.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "adc_rk", "adc_dist_units",
+        "exact_dist_units")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Oracle: the knnIvf cell CTEs + the shared PQ-training chain +
+    * shortlist-scoped ADC + the two-stage re-rank, all exact
+    * integers past the 6dp cell ranking. */
+  val ivfPqSql: String =
+    s"""WITH ef AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM ef b JOIN ef a ON a.vec_id < $NCells
+       |), assigned AS (
+       |  SELECT vec_id, cid FROM cellranked WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM cellranked
+       |  WHERE vec_id < $NQueries AND crk <= $NProbe
+       |), shortlist AS MATERIALIZED (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id
+       |), ${Training.pqTrainCtes}, lut AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
+       |  FROM e JOIN ${Training.pqFinalCb} c ON c.sub = e.sub AND c.pos = e.pos
+       |  WHERE e.vec_id < $NQueries
+       |  GROUP BY 1, 2, 3
+       |), adc AS MATERIALIZED (
+       |  SELECT s.query_id, s.neighbor_id, sum(l.d)::BIGINT AS adc_dist_units
+       |  FROM shortlist s
+       |  JOIN codes cd ON cd.vec_id = s.neighbor_id
+       |  JOIN lut l ON l.query_id = s.query_id
+       |    AND l.sub = cd.sub AND l.cluster = cd.cluster
+       |  GROUP BY 1, 2
+       |), shorttop AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adc_dist_units, adc_rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist_units ASC, neighbor_id ASC) AS adc_rk
+       |    FROM adc) WHERE adc_rk <= $IvfPqRerank
+       |), exact AS (
+       |  SELECT st.query_id, st.neighbor_id, st.adc_rk, st.adc_dist_units,
+       |    sum((en.q - eq.q) * (en.q - eq.q))::BIGINT AS exact_dist_units
+       |  FROM shorttop st
+       |  JOIN e en ON en.vec_id = st.neighbor_id
+       |  JOIN e eq ON eq.vec_id = st.query_id AND eq.pos = en.pos
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT query_id, rk, neighbor_id, adc_rk, adc_dist_units, exact_dist_units
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY exact_dist_units ASC, neighbor_id ASC) AS rk
+       |  FROM exact)
+       |WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Hard negatives mined per anchor. */
   val HardNegK = 3
 
@@ -868,6 +1001,7 @@ object Similarity {
     "q_matryoshka"      -> (matryoshka _),
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
+    "q_ivf_pq"          -> (ivfPq _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_hard_negatives"  -> (hardNegatives _),
     "q_mutual_knn"      -> (mutualKnn _),
@@ -881,6 +1015,7 @@ object Similarity {
     "q_matryoshka"      -> matryoshkaSql,
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
+    "q_ivf_pq"          -> ivfPqSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_hard_negatives"  -> hardNegativesSql,
     "q_mutual_knn"      -> mutualKnnSql,

@@ -64,7 +64,7 @@ object Training {
       .withColumn("q", round((col("v").cast("double") + 1.0d) * KmScale, 0).cast("long"))
       .select("vec_id", "pos", "q")
 
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"kmeans_e:$sfDir") {
       quantizedOf(Tables.embeddings(spark, sfDir))
     }
@@ -903,7 +903,7 @@ object Training {
   val PqTopK = 10
 
   /** Quantized table with the subspace key attached. */
-  private def pqSub(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def pqSub(spark: SparkSession, sfDir: String): DataFrame =
     pqSubOf(quantized(spark, sfDir))
 
   /** Frame-parameterized variant (scale specs feed synthetic corpora). */
@@ -998,9 +998,26 @@ object Training {
   private[graft] def pqCodesOf(es: DataFrame, cent: DataFrame): DataFrame =
     pqAssign(es, cent).select("vec_id", "sub", "cluster")
 
-  /** Oracle: identical integer PQ training (rounds unrolled, `sub` in
-    * every grouping), codes, LUT, and ADC ranking. */
-  val pqAdcSql: String = {
+  /** Per-query ADC lookup table over the `vec_id < nQueries` query
+    * set: exact integer squared distance from each query's sub-vector
+    * to every codeword — Q·M·K rows, broadcastable at any corpus
+    * size. Shared by [[graft.operators.Similarity.ivfPq]]'s re-rank
+    * stage ([[pqAdcFrom]] keeps its own order-by-limit query set). */
+  private[graft] def pqLutOf(es: DataFrame, cent: DataFrame, nQueries: Int): DataFrame =
+    es.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("pos"), col("q").as("qq"))
+      .join(broadcast(cent), Seq("sub", "pos"))
+      .groupBy("query_id", "sub", "cluster")
+      .agg(sum((col("qq") - col("c")) * (col("qq") - col("c"))).as("d"))
+
+  /** The unrolled PQ-training CTE chain, shared verbatim by
+    * [[pqAdcSql]] and [[graft.operators.Similarity.ivfPqSql]]: the
+    * quantized `e` table, seeded `c0`, [[PqRounds]] Lloyd's rounds,
+    * ending in the final codebook `c$PqRounds` and the `codes`
+    * assignment table. `e` and `codes` are MATERIALIZED — both have
+    * several downstream consumers and DuckDB re-runs an inlined CTE's
+    * whole chain once per reader. */
+  private[graft] val pqTrainCtes: String = {
     val pqFinal = PqRounds + 1
     val rounds = (1 to PqRounds).map { k =>
       s"""d$k AS (
@@ -1021,7 +1038,7 @@ object Training {
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, i - 1 AS pos, ((i - 1) // $PqSubDim) AS sub,
        |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
        |  FROM embeddings
@@ -1040,12 +1057,21 @@ object Training {
        |  GROUP BY 1, 2, 3
        |), m$pqFinal AS (
        |  SELECT vec_id, sub, min(dist) AS md FROM d$pqFinal GROUP BY 1, 2
-       |), codes AS (
+       |), codes AS MATERIALIZED (
        |  SELECT d.vec_id, d.sub, min(d.cluster) AS cluster
        |  FROM d$pqFinal d JOIN m$pqFinal m
        |    ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
        |  GROUP BY 1, 2
-       |), qs AS (
+       |)""".stripMargin
+  }
+
+  /** Name of the final codebook CTE inside [[pqTrainCtes]]. */
+  private[graft] val pqFinalCb: String = s"c$PqRounds"
+
+  /** Oracle: identical integer PQ training (rounds unrolled, `sub` in
+    * every grouping), codes, LUT, and ADC ranking. */
+  val pqAdcSql: String = {
+    s"""WITH $pqTrainCtes, qs AS (
        |  SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $PqNQueries
        |), lut AS (
        |  SELECT e.vec_id AS query_id, c.sub, c.cluster,

