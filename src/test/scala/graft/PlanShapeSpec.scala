@@ -153,16 +153,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pl.contains("LeftAnti"), "positives must be excluded via anti join")
     assert(!pl.contains("CartesianProduct"))
     // r9: the three-shuffle denseIndexOf chain is memoized per
-    // (session, sfDir) and must be planned exactly ONCE — the chain
-    // carries exactly one window partitioned by its __coarse cell, so
-    // two occurrences means the chain was inlined into two consumers
-    // (the r8 regression: n_items aggregated off the index frame).
-    // Formatted explain prints the cached subtree under the
-    // InMemoryTableScan, so the single cached copy still shows up.
+    // (session, sfDir) and must be planned exactly ONCE — i.e. live
+    // entirely inside the InMemoryRelation, never inline in the outer
+    // plan (the r8 regression inlined it once per consumer). Checked
+    // structurally on the optimized plan: cache substitution leaves
+    // the cached subtree behind a leaf, so any __coarse-partitioned
+    // Window REACHABLE here means the memo was bypassed. (A textual
+    // count over formatted explain is NOT stable for this: whether
+    // the cached subtree's nodes print depends on which session
+    // first materialized the shared CacheManager entry.)
     assert(pl.contains("InMemoryTableScan"),
       "idx join must read the memoized catalog index")
-    assert("windowspecdefinition\\(__coarse".r.findAllIn(pl).size <= 1,
-      "the index chain must be planned once, not once per consumer")
+    val inlineCoarseWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.toString.contains("__coarse")) => w
+    }.size
+    assert(inlineCoarseWindows === 0,
+      "the index chain must be planned once inside the cache, not once per consumer")
     // r9: the idx join is unhinted (a billions-row catalog must not be
     // forced into a broadcast at 100 TB) but the persisted index gives
     // AQE exact stats, so at dimension scale the executed adaptive
