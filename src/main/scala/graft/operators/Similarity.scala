@@ -342,14 +342,16 @@ object Similarity {
     val e0 = Tables.embeddings(spark, sfDir)
     ivfPqFrom(e0, Training.pqSub(spark, sfDir),
       Training.pqCodebooks(spark, sfDir), NCells, NProbe, NQueries,
-      IvfPqRerank, K)
+      IvfPqRerank, K, codesOpt = Some(Training.pqCodes(spark, sfDir)))
   }
 
   /** Frame-parameterized core of [[ivfPq]]: `e0` = raw embeddings
     * (IVF side), `es` = quantized (vec_id, pos, sub, q) rows, `cent` =
-    * trained PQ codebooks for `es`. */
+    * trained PQ codebooks for `es`; the registry path passes the
+    * memoized code table. */
   private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
-      nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int): DataFrame = {
+      nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int,
+      codesOpt: Option[DataFrame] = None): DataFrame = {
     val assigned = cellAssignFrom(e0, nCells)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     val probes = queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
@@ -357,7 +359,7 @@ object Similarity {
     val shortlist = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val codes = Training.pqCodesOf(es, cent)
+    val codes = codesOpt.getOrElse(Training.pqCodesOf(es, cent))
     val lut = Training.pqLutOf(es, cent, nQueries)
     val adc = shortlist
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")

@@ -970,18 +970,30 @@ object Training {
     * scan nests inside IVF cells ([[Similarity]]'s q_knn_ivf tier).
     */
   def pqAdc(spark: SparkSession, sfDir: String): DataFrame =
-    pqAdcFrom(pqSub(spark, sfDir), pqCodebooks(spark, sfDir), PqNQueries, PqTopK)
+    pqAdcFrom(pqSub(spark, sfDir), pqCodebooks(spark, sfDir), PqNQueries, PqTopK,
+      codes = Some(pqCodes(spark, sfDir)))
+
+  /** Memoized PQ code table per (session, sfDir): the model artifact
+    * every ADC consumer (q_pq_adc, q_ivf_pq) serves from — static
+    * once the codebooks are trained, so the N·M assignment aggregate
+    * runs once per session (warmed in Bench) instead of once per
+    * query. */
+  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"pq_codes:$sfDir") {
+      pqCodesOf(pqSub(spark, sfDir), pqCodebooks(spark, sfDir))
+    }
 
   private[graft] def pqAdcFrom(es: DataFrame, cent: DataFrame,
-                               nQueries: Int, topK: Int): DataFrame = {
-    val codes = pqAssign(es, cent).select("vec_id", "sub", "cluster")
+                               nQueries: Int, topK: Int,
+                               codes: Option[DataFrame] = None): DataFrame = {
+    val cd = codes.getOrElse(pqAssign(es, cent).select("vec_id", "sub", "cluster"))
     val qIds = es.select("vec_id").distinct().orderBy("vec_id").limit(nQueries)
     val lut = es.join(broadcast(qIds), "vec_id")
       .select(col("vec_id").as("query_id"), col("sub"), col("pos"), col("q").as("qq"))
       .join(broadcast(cent), Seq("sub", "pos"))
       .groupBy("query_id", "sub", "cluster")
       .agg(sum((col("qq") - col("c")) * (col("qq") - col("c"))).as("d"))
-    codes.join(broadcast(lut), Seq("sub", "cluster"))
+    cd.join(broadcast(lut), Seq("sub", "cluster"))
       .where(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d").as("adc_dist_units"))
@@ -1316,6 +1328,7 @@ object Training {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     kmeansAssign(spark, sfDir).count()
     pqCodebooks(spark, sfDir).count()
+    pqCodes(spark, sfDir).count()
     catalogIndex(spark, sfDir).count()
   }
 
