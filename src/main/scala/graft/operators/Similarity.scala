@@ -349,9 +349,12 @@ object Similarity {
     * (IVF side), `es` = quantized (vec_id, pos, sub, q) rows, `cent` =
     * trained PQ codebooks for `es`; the registry path passes the
     * memoized code table. */
-  private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
-      nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int,
-      codesOpt: Option[DataFrame] = None): DataFrame = {
+  /** The IVF shortlist scored by ADC — (query_id, neighbor_id,
+    * adc_dist_units) — shared by the retrieval ([[ivfPqFrom]]) and
+    * its re-rank-depth tuning audit ([[ivfPqRerankCurveFrom]]). */
+  private def ivfPqAdcFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
+      nCells: Int, nProbe: Int, nQueries: Int,
+      codesOpt: Option[DataFrame]): DataFrame = {
     val assigned = cellAssignFrom(e0, nCells)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     val probes = queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
@@ -361,11 +364,17 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val codes = codesOpt.getOrElse(Training.pqCodesOf(es, cent))
     val lut = Training.pqLutOf(es, cent, nQueries)
-    val adc = shortlist
+    shortlist
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .join(broadcast(lut), Seq("query_id", "sub", "cluster"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum("d").as("adc_dist_units"))
+  }
+
+  private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
+      nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int,
+      codesOpt: Option[DataFrame] = None): DataFrame = {
+    val adc = ivfPqAdcFrom(e0, es, cent, nCells, nProbe, nQueries, codesOpt)
     // ADC top-R per query via the bounded aggregate: score = −dist
     // (TopKByScore keeps (score DESC, id ASC) = (dist ASC, id ASC),
     // the oracle's row_number order); dist ≤ dims·(2·KmScale)² ≈
@@ -446,6 +455,130 @@ object Similarity {
        |  FROM exact)
        |WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
+
+  /** Re-rank-depth tuning audit for [[ivfPq]] — the knob the composed
+    * tier turns the way [[ivfRecallCurve]] turns probe depth: recall
+    * of the exact-re-ranked top-[[K]] at EVERY ADC depth R = 1..
+    * [[IvfPqRerank]], against the exact top-K of the FULL shortlist.
+    * The same nested-candidate monotonicity applies: a truth element
+    * (exact top-K among all shortlist candidates — fewer than K beat
+    * it anywhere) is never displaced from the exact top-K of any
+    * ADC-top-R set containing it, so hits(R) = #{truth t : adc_rk_t ≤
+    * R} — one cumulative histogram, no per-depth re-rank.
+    *
+    * Scale: one exact-distance pass over the shortlist (the audit's
+    * cost, same class as the probe curve's candidate pass; at corpus
+    * scale it runs over a hash-sampled query set), truth from the
+    * bounded TopKByScore aggregate, and each truth member's ADC rank
+    * from a broadcast theta join against the K·Q-row truth side —
+    * never a corpus-growing rank window. The curve itself is ≤
+    * [[IvfPqRerank]] rows off two broadcast histograms.
+    */
+  def ivfPqRerankCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    ivfPqRerankCurveFrom(e0, Training.pqSub(spark, sfDir),
+      Training.pqCodebooks(spark, sfDir), NCells, NProbe, NQueries,
+      IvfPqRerank, K, codesOpt = Some(Training.pqCodes(spark, sfDir)))
+  }
+
+  private[graft] def ivfPqRerankCurveFrom(e0: DataFrame, es: DataFrame,
+      cent: DataFrame, nCells: Int, nProbe: Int, nQueries: Int, rerank: Int,
+      k: Int, codesOpt: Option[DataFrame] = None): DataFrame = {
+    val adc = ivfPqAdcFrom(e0, es, cent, nCells, nProbe, nQueries, codesOpt)
+      .localCheckpoint() // three consumers: exact pass, truth attach, rank join
+    val exactAll = adc.select("query_id", "neighbor_id")
+      .join(es.select(col("vec_id").as("neighbor_id"), col("pos"),
+        col("q").as("nq")), "neighbor_id")
+      .join(broadcast(es.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("pos"), col("q").as("qq"))),
+        Seq("query_id", "pos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum((col("nq") - col("qq")) * (col("nq") - col("qq"))).as("exact_dist_units"))
+    val truth = exactAll.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(k,
+        -col("exact_dist_units").cast("double"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    val truthAdc = adc.join(broadcast(truth), Seq("query_id", "neighbor_id"))
+      .select(col("query_id").as("t_qid"), col("neighbor_id").as("t_nid"),
+        col("adc_dist_units").as("t_adc"))
+    // ADC rank of a truth member = candidates at-or-before it under
+    // (adc ASC, nid ASC); (adc, nid) is unique per query so the count
+    // equals the oracle's row_number
+    val ranks = adc.join(broadcast(truthAdc),
+        col("query_id") === col("t_qid") &&
+        (col("adc_dist_units") < col("t_adc") ||
+         (col("adc_dist_units") === col("t_adc") &&
+          col("neighbor_id") <= col("t_nid"))))
+      .groupBy("t_qid", "t_nid")
+      .agg(count(lit(1)).as("adc_rk"))
+    val hist = ranks.where(col("adc_rk") <= rerank)
+      .groupBy("adc_rk").agg(count(lit(1)).as("hcnt"))
+    val spine = e0.sparkSession.range(1, rerank + 1L).select(col("id").as("rerank"))
+    spine.join(broadcast(hist), col("adc_rk") <= col("rerank"), "left")
+      .groupBy("rerank")
+      .agg(coalesce(sum("hcnt"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nQueries.toLong * k}"))
+      .orderBy("rerank")
+  }
+
+  /** Oracle: the composed chain's CTEs + window-rank formulations of
+    * the same truth/rank/cumulative-histogram pipeline. */
+  val ivfPqRerankCurveSql: String =
+    s"""WITH ef AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM ef b JOIN ef a ON a.vec_id < $NCells
+       |), assigned AS (
+       |  SELECT vec_id, cid FROM cellranked WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM cellranked
+       |  WHERE vec_id < $NQueries AND crk <= $NProbe
+       |), shortlist AS MATERIALIZED (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id
+       |), ${Training.pqTrainCtes}, lut AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
+       |  FROM e JOIN ${Training.pqFinalCb} c ON c.sub = e.sub AND c.pos = e.pos
+       |  WHERE e.vec_id < $NQueries
+       |  GROUP BY 1, 2, 3
+       |), adc AS MATERIALIZED (
+       |  SELECT s.query_id, s.neighbor_id, sum(l.d)::BIGINT AS adc_dist_units
+       |  FROM shortlist s
+       |  JOIN codes cd ON cd.vec_id = s.neighbor_id
+       |  JOIN lut l ON l.query_id = s.query_id
+       |    AND l.sub = cd.sub AND l.cluster = cd.cluster
+       |  GROUP BY 1, 2
+       |), exactall AS MATERIALIZED (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    sum((en.q - eq.q) * (en.q - eq.q))::BIGINT AS exact_dist_units
+       |  FROM shortlist s
+       |  JOIN e en ON en.vec_id = s.neighbor_id
+       |  JOIN e eq ON eq.vec_id = s.query_id AND eq.pos = en.pos
+       |  GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_dist_units ASC, neighbor_id ASC) AS xrk
+       |    FROM exactall) WHERE xrk <= $K
+       |), adcranked AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist_units ASC, neighbor_id ASC) AS adc_rk
+       |  FROM adc
+       |), thr AS MATERIALIZED (
+       |  SELECT a.query_id, a.adc_rk FROM adcranked a
+       |  JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |), nums AS (SELECT unnest(range(1, $IvfPqRerank + 1)) AS rerank)
+       |SELECT n.rerank::BIGINT AS rerank,
+       |  count(t.adc_rk)::BIGINT AS n_hits,
+       |  ((count(t.adc_rk) * 10000) // ${NQueries.toLong * K})::BIGINT AS recall_bp
+       |FROM nums n LEFT JOIN thr t ON t.adc_rk <= n.rerank
+       |GROUP BY n.rerank
+       |ORDER BY rerank""".stripMargin
 
   /** Hard negatives mined per anchor. */
   val HardNegK = 3
@@ -1004,6 +1137,7 @@ object Similarity {
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
     "q_ivf_pq"          -> (ivfPq _),
+    "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_hard_negatives"  -> (hardNegatives _),
     "q_mutual_knn"      -> (mutualKnn _),
@@ -1018,6 +1152,7 @@ object Similarity {
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_ivf_pq"          -> ivfPqSql,
+    "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_hard_negatives"  -> hardNegativesSql,
     "q_mutual_knn"      -> mutualKnnSql,

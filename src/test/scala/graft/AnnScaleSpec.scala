@@ -209,6 +209,22 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
       val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("exact_dist_units"))
       assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
     }
+
+    // the re-rank-depth tuning curve at the same scale: recall vs the
+    // exact top-K of the full shortlist must be monotone in R, and the
+    // R = IvfPqRerank operating point must justify the buffer
+    val curve = Similarity.ivfPqRerankCurveFrom(e, es, cent, cells,
+        ScaleProbe, nq, Similarity.IvfPqRerank, ScaleK)
+      .collect().sortBy(_.getAs[Long]("rerank"))
+    assert(curve.length === Similarity.IvfPqRerank)
+    val bps = curve.map(_.getAs[Long]("recall_bp"))
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b },
+      "recall must be monotone in re-rank depth")
+    info(s"rerank curve: R=$ScaleK -> ${bps(ScaleK - 1)} bp, " +
+      s"R=${Similarity.IvfPqRerank} -> ${bps.last} bp")
+    assert(bps.last >= 8000L,
+      s"the R=${Similarity.IvfPqRerank} buffer must recover >=0.8 of the " +
+        s"exact-shortlist answer: ${bps.last} bp")
     e.unpersist(blocking = false)
   }
 
