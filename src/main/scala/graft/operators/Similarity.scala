@@ -345,13 +345,12 @@ object Similarity {
       IvfPqRerank, K, codesOpt = Some(Training.pqCodes(spark, sfDir)))
   }
 
-  /** Frame-parameterized core of [[ivfPq]]: `e0` = raw embeddings
-    * (IVF side), `es` = quantized (vec_id, pos, sub, q) rows, `cent` =
-    * trained PQ codebooks for `es`; the registry path passes the
-    * memoized code table. */
   /** The IVF shortlist scored by ADC — (query_id, neighbor_id,
     * adc_dist_units) — shared by the retrieval ([[ivfPqFrom]]) and
-    * its re-rank-depth tuning audit ([[ivfPqRerankCurveFrom]]). */
+    * its re-rank-depth tuning audit ([[ivfPqRerankCurveFrom]]).
+    * `e0` = raw embeddings (IVF side), `es` = quantized (vec_id, pos,
+    * sub, q) rows, `cent` = trained PQ codebooks for `es`; the
+    * registry path passes the memoized code table via `codesOpt`. */
   private def ivfPqAdcFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int,
       codesOpt: Option[DataFrame]): DataFrame = {

@@ -611,6 +611,167 @@ object Training {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Fixed-point scale of one popularity-mass unit (cnt^0.75 · this,
+    * rounded — a BIGINT, so the cumulative-mass intervals below are
+    * exact integers on every engine). Doubles as the draw-join CELL
+    * width: it is the MINIMUM possible item mass (cnt = 1 → exactly
+    * this), so every item interval spans ≥ 1 full cell width and a
+    * width-W cell can intersect at most TWO intervals — one ending
+    * inside it and one (length ≥ W) covering the rest. That makes the
+    * per-draw join fan-out ≤ 2 STRUCTURALLY, at any catalog size and
+    * any popularity skew. */
+  val PopMassScale = 1000000L
+
+  /** Popularity-weighted (unigram^0.75) negative sampling — the
+    * word2vec/recsys-standard companion to the uniform
+    * [[negativeSample]]: negatives are drawn proportionally to
+    * cnt^0.75 of each item's interaction count, so the sampler
+    * matches the score distribution the model actually sees at
+    * serving time instead of wasting slots on never-seen tail items.
+    * Same determinism contract as the uniform tier: draw u =
+    * h60(md5(user-slot-negpop)) mod Σmass, mapped through the
+    * inverse CDF (the item whose cumulative-mass interval
+    * [cum_lo, cum_lo+mass) covers u), min-slot dedup, positive
+    * anti-join, first [[NegK]] by slot order.
+    *
+    * Scale: the cumulative-mass table rides
+    * [[graft.operators.Relational.coarseRankLo]] with __cnt := mass
+    * (the rank-interval machinery IS a weighted prefix sum — rank
+    * intervals are the special case mass ≡ 1), so nothing
+    * catalog-sized ever global-sorts; it is memoized per (session,
+    * sfDir) like [[catalogIndex]]. The draw→interval range join
+    * buckets mass into fixed-width cells of ONE [[PopMassScale]] unit
+    * — the minimum possible item mass — and equi-joins on cell: a
+    * cell then intersects ≤ 2 item intervals structurally, so each
+    * draw meets at most 2 candidate rows before the covering filter
+    * (a COARSE cell bucketing would instead pair every draw in a cell
+    * with every item in it — quadratic inside hot cells at catalog
+    * scale). The item side explodes into Σ mass/W ≈ Σ cnt^0.75 slim
+    * (cell, item) rows — sub-linear in the interaction count — and a
+    * hot item's draws parallelize across its interval's many cells
+    * instead of funnelling into one task (the skew a per-item
+    * equi-join would create). Uniform draws over mass land uniformly
+    * over equal-width cells, so the join is also draw-load-balanced
+    * by construction. cnt^0.75 =
+    * sqrt(cnt·sqrt(cnt)): two correctly-rounded IEEE sqrts and one
+    * multiply, bit-identical cross-engine where pow(x, 0.75) is not
+    * guaranteed to be.
+    */
+  def negativeSamplePop(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.interactions(spark, sfDir)
+      .select("user_id", "item_id").distinct()
+    negativeSamplePopOf(pos, cumOpt = Some(popMassIndex(spark, sfDir)))
+  }
+
+  /** The memoized cumulative popularity-mass index (item_id, mass,
+    * cum_lo) — static per fixture dir, warmed in Bench; the persisted
+    * table also hands AQE exact stats for the cell join. */
+  private[graft] def popMassIndex(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"neg_pop_mass_index:$sfDir") {
+      popMassCumOf(itemPopCounts(
+        Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct()))
+    }
+
+  /** Per-item interaction counts from the distinct positives. */
+  private[graft] def itemPopCounts(pos: DataFrame): DataFrame =
+    pos.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+
+  /** (item_id, mass, cum_lo) from an (item_id, cnt) histogram: mass =
+    * round(cnt^0.75 · [[PopMassScale]]) and cum_lo = Σ mass of items
+    * with smaller item_id — [[graft.operators.Relational.coarseRankLo]]
+    * fed mass as __cnt (its __lo − 1 IS the weighted prefix). */
+  private[graft] def popMassCumOf(counts: DataFrame): DataFrame = {
+    val mass = counts
+      .select(col("item_id").cast("long").as("__k"),
+        round(sqrt(col("cnt").cast("double") * sqrt(col("cnt").cast("double")))
+          * PopMassScale, 0).cast("long").as("__cnt"))
+    Relational.coarseRankLo(mass)
+      .join(mass, "__k")
+      .select(col("__k").as("item_id"), col("__cnt").as("mass"),
+        (col("__lo") - 1L).as("cum_lo"))
+  }
+
+  /** Frame-parameterized core of [[negativeSamplePop]] (the scale spec
+    * drives it with a synthetic million-item count histogram): `pos` =
+    * distinct (user_id, item_id) positives; `countsOpt` overrides the
+    * per-item counts (defaults to [[itemPopCounts]] of `pos`);
+    * `cumOpt` lets the registry path supply the memoized index. */
+  private[graft] def negativeSamplePopOf(pos: DataFrame,
+      countsOpt: Option[DataFrame] = None,
+      cumOpt: Option[DataFrame] = None): DataFrame = {
+    val cum = cumOpt.getOrElse(popMassCumOf(
+      countsOpt.getOrElse(itemPopCounts(pos))))
+    val tot = cum.agg(sum("mass").as("tot"))
+    // each item lands in every min-mass-width cell its interval
+    // touches (≥ 1, ≈ cnt^0.75 for a hot item — that's the skew
+    // escape: its draws spread over all of them)
+    val itemCells = cum
+      .withColumn("cell", explode(expr(
+        s"sequence(cum_lo div $PopMassScale, (cum_lo + mass - 1) div $PopMassScale)")))
+      .select("cell", "item_id", "mass", "cum_lo")
+    val draws = pos.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(NegSlots - 1))).as("slot"))
+      .crossJoin(broadcast(tot))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), cast(slot AS string), 'negpop')), 1, 15), 16, 10) AS bigint)") % col("tot"))
+      .withColumn("cell", expr(s"u div $PopMassScale"))
+      .select("user_id", "slot", "u", "cell")
+    val cands = draws.join(itemCells, "cell")
+      .where(col("u") >= col("cum_lo") && col("u") < col("cum_lo") + col("mass"))
+      .groupBy("user_id", "item_id").agg(min("slot").as("slot"))
+    val negs = cands
+      .join(pos, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("slot").asc, col("item_id").asc)))
+      .where(col("rk") <= NegK)
+    negs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_neg"),
+           sum("item_id").as("neg_checksum"),
+           concat_ws(",", expr(
+             "transform(array_sort(collect_list(struct(rk, item_id))), x -> cast(x.item_id AS string))"))
+             .as("neg_items"))
+      .orderBy("user_id")
+  }
+
+  val negativeSamplePopSql: String =
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), m AS MATERIALIZED (
+       |  SELECT item_id,
+       |    round(sqrt(cnt * sqrt(cnt)) * $PopMassScale)::BIGINT AS mass
+       |  FROM (SELECT item_id, count(*)::DOUBLE AS cnt FROM pos GROUP BY 1)
+       |), cum AS MATERIALIZED (
+       |  SELECT item_id, mass,
+       |    (sum(mass) OVER (ORDER BY item_id ASC) - mass)::BIGINT AS cum_lo
+       |  FROM m
+       |), t AS (
+       |  SELECT sum(mass)::BIGINT AS tot FROM m
+       |), draws AS MATERIALIZED (
+       |  SELECT u.user_id, s.slot,
+       |    ('0x' || substr(md5(u.user_id || '-' || s.slot || '-' || 'negpop'), 1, 15))::BIGINT
+       |      % (SELECT tot FROM t) AS u
+       |  FROM (SELECT DISTINCT user_id FROM pos) u
+       |  CROSS JOIN (SELECT unnest(range(0, $NegSlots)) AS slot) s
+       |), cands AS (
+       |  SELECT d.user_id, c.item_id, min(d.slot) AS slot
+       |  FROM draws d JOIN cum c ON d.u >= c.cum_lo AND d.u < c.cum_lo + c.mass
+       |  GROUP BY 1, 2
+       |), negs AS (
+       |  SELECT user_id, item_id, slot,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY slot ASC, item_id ASC) AS rk
+       |  FROM cands c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM pos p WHERE p.user_id = c.user_id AND p.item_id = c.item_id)
+       |)
+       |SELECT user_id, count(*) AS n_neg,
+       |  sum(item_id)::BIGINT AS neg_checksum,
+       |  string_agg(item_id::VARCHAR, ',' ORDER BY rk) AS neg_items
+       |FROM negs WHERE rk <= $NegK
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** View-count cap for the calibration bins (the long tail collapses
     * into the top bin) and the smoothing constant of the propensity
     * score. */
@@ -1330,6 +1491,7 @@ object Training {
     pqCodebooks(spark, sfDir).count()
     pqCodes(spark, sfDir).count()
     catalogIndex(spark, sfDir).count()
+    popMassIndex(spark, sfDir).count()
   }
 
   /** Chosen/rejected candidates kept per user BEFORE pairing — the
@@ -1651,6 +1813,7 @@ object Training {
     "q_cluster_validity" -> (clusterValidity _),
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_negative_sample"  -> (negativeSample _),
+    "q_negative_sample_pop" -> (negativeSamplePop _),
     "q_calibration_bins" -> (calibrationBins _),
   )
 
@@ -1669,6 +1832,7 @@ object Training {
     "q_cluster_validity" -> clusterValiditySql,
     "q_semantic_dedup"   -> semanticDedupSql,
     "q_negative_sample"  -> negativeSampleSql,
+    "q_negative_sample_pop" -> negativeSamplePopSql,
     "q_calibration_bins" -> calibrationBinsSql,
   )
 }

@@ -57,6 +57,98 @@ class CatalogIndexScaleSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("popMassCumOf + negativeSamplePopOf: 1M-item weighted catalog, exact inverse-CDF replay", ScaleTest) {
+    val nItems = 1000000
+    val nUsers = 500
+    // scattered distinct item ids with a planted popularity pattern
+    val counts = spark.range(0L, nItems.toLong)
+      .select(expr(s"(id * ${MulK}L) % ${P}L").as("item_id"),
+        expr("(id % 97) + 1").as("cnt"))
+    val cum = Training.popMassCumOf(counts)
+
+    val plan = cum.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val globalWin = """windowspecdefinition\([^(),]*#\d+L? (ASC|DESC)""".r
+    assert(globalWin.findFirstIn(plan).isEmpty,
+      "the cumulative-mass index must not plan an unpartitioned window")
+
+    // local ground truth: mass + prefix in item_id order
+    val cntOf = new java.util.HashMap[Long, Long](nItems * 2)
+    val itemsArr = new Array[Long](nItems)
+    var i = 0
+    while (i < nItems) {
+      val it = (i.toLong * MulK) % P
+      itemsArr(i) = it
+      cntOf.put(it, (i.toLong % 97) + 1)
+      i += 1
+    }
+    val sortedItems = itemsArr.sorted
+    val massArr = sortedItems.map { it =>
+      val c = cntOf.get(it).toDouble
+      math.round(math.sqrt(c * math.sqrt(c)) * Training.PopMassScale)
+    }
+    val cumLo = massArr.scanLeft(0L)(_ + _)
+    val tot = cumLo.last
+
+    // engine cum table must match the local prefix row-for-row
+    val gotCum = cum.orderBy("item_id").collect()
+    assert(gotCum.length === nItems)
+    i = 0
+    while (i < nItems) {
+      val r = gotCum(i)
+      assert(r.getLong(0) === sortedItems(i), s"item at position $i")
+      assert(r.getLong(1) === massArr(i), s"mass of item ${sortedItems(i)}")
+      assert(r.getLong(2) === cumLo(i), s"cum_lo of item ${sortedItems(i)}")
+      i += 1
+    }
+
+    // end-to-end weighted draws replayed exactly
+    val posRows = (0 until nUsers).flatMap { u =>
+      (0 until 3).map { j =>
+        (u.toLong, sortedItems(((u.toLong * 17 + j * 330000L) % nItems).toInt))
+      }
+    }
+    import spark.implicits._
+    val posDf = posRows.toDF("user_id", "item_id")
+    val got = Training.negativeSamplePopOf(posDf, countsOpt = Some(counts))
+      .orderBy("user_id").collect()
+
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def itemAt(u: Long): Long = {
+      var lo = 0; var hi = nItems - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (cumLo(mid) <= u) lo = mid else hi = mid - 1
+      }
+      sortedItems(lo)
+    }
+    val posSet = posRows.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val expected = (0 until nUsers).map { u =>
+      val draws = (0 until Training.NegSlots).map { slot =>
+        (itemAt(h60(s"$u-$slot-negpop") % tot), slot)
+      }
+      val dedup = draws.groupBy(_._1).map { case (it, xs) => (it, xs.map(_._2).min) }
+      val negs = dedup.toSeq
+        .filterNot { case (it, _) => posSet(u.toLong).contains(it) }
+        .sortBy { case (it, slot) => (slot, it) }
+        .take(Training.NegK)
+        .map(_._1)
+      (u.toLong, negs.length.toLong, negs.sum, negs.mkString(","))
+    }
+    assert(got.length === nUsers)
+    expected.zip(got).foreach { case ((u, nNeg, ck, itemsCsv), row) =>
+      assert(row.getLong(0) === u)
+      assert(row.getLong(1) === nNeg, s"n_neg of user $u")
+      assert(row.getLong(2) === ck, s"neg_checksum of user $u")
+      assert(row.getString(3) === itemsCsv, s"neg_items of user $u")
+    }
+  }
+
   test("negativeSampleOf: 1.2M-item catalog, exact md5 replay per user", ScaleTest) {
     val nItems = 1200000
     val nUsers = 800

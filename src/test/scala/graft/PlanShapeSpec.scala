@@ -180,6 +180,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "AQE must broadcast the dimension-scale memoized index into the idx join")
   }
 
+  test("negative_sample_pop: memoized mass index, cell equi-join, anti-join, no global window") {
+    val df = operators.Training.negativeSamplePop(planSession, sfTest)
+    val pl = plan(df)
+    // the cumulative-mass index rides coarseRankLo (weighted) — no
+    // catalog-wide global window anywhere in the sampler
+    assert(GlobalWindowRe.findFirstIn(pl).isEmpty,
+      "the weighted sampler must not plan an unpartitioned window")
+    assert(pl.contains("InMemoryTableScan"),
+      "the draw join must read the memoized popularity-mass index")
+    assert(pl.contains("LeftAnti"), "positives must be excluded via anti join")
+    assert(!pl.contains("CartesianProduct"))
+    // the inverse-CDF range join must be the bucketed cell EQUI-join,
+    // never a theta-only join of draws against the catalog-sized
+    // interval table: the equi key 'cell' appears in a join condition
+    assert(pl.contains("cell"), "draw->interval join must key on the mass cell")
+  }
+
   test("rec_coverage: Gini rides the coarse prefix, no catalog-wide rank window") {
     val pl = plan(operators.Recsys.recCoverage(planSession, sfTest))
     assert(GlobalWindowRe.findFirstIn(pl).isEmpty,

@@ -194,6 +194,64 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(perUser <= operators.Training.NegK)
   }
 
+  test("pop-weighted negatives: exact md5 inverse-CDF replay, no positive collisions") {
+    import operators.Training
+    val pos = Tables.interactions(spark, sfTest)
+      .select("user_id", "item_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // local cumulative-mass table in item_id order, same fixed point
+    val counts = pos.groupBy(_._2).view.mapValues(_.length).toMap
+    val items = counts.keys.toArray.sorted
+    val mass = items.map { it =>
+      val c = counts(it).toDouble
+      math.round(math.sqrt(c * math.sqrt(c)) * Training.PopMassScale)
+    }
+    val cumLo = mass.scanLeft(0L)(_ + _)
+    val tot = cumLo.last
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // inverse CDF: the item whose [cum_lo, cum_lo+mass) covers u
+    def itemAt(u: Long): Long = {
+      var lo = 0; var hi = items.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (cumLo(mid) <= u) lo = mid else hi = mid - 1
+      }
+      items(lo)
+    }
+    val posByUser = pos.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = posByUser.keys.toSeq.sorted.map { u =>
+      val draws = (0 until Training.NegSlots).map { slot =>
+        (itemAt(h60(s"$u-$slot-negpop") % tot), slot)
+      }
+      val dedup = draws.groupBy(_._1).map { case (it, xs) => (it, xs.map(_._2).min) }
+      val negs = dedup.toSeq
+        .filterNot { case (it, _) => posByUser(u).contains(it) }
+        .sortBy { case (it, slot) => (slot, it) }
+        .take(Training.NegK).map(_._1)
+      (u, negs.length.toLong, negs.sum, negs.mkString(","))
+    }
+    val got = Training.negativeSamplePop(spark, sfTest).orderBy("user_id").collect()
+    assert(got.length === expected.length)
+    expected.zip(got).foreach { case ((u, nNeg, ck, csv), row) =>
+      assert(row.getLong(0) === u)
+      assert(row.getLong(1) === nNeg, s"n_neg of user $u")
+      assert(row.getLong(2) === ck, s"neg_checksum of user $u")
+      assert(row.getString(3) === csv, s"neg_items of user $u")
+    }
+    // the tier's reason to exist: sampled negatives skew popular —
+    // their mean interaction count must exceed the catalog mean
+    val sampled = got.flatMap(_.getString(3).split(",").filter(_.nonEmpty).map(_.toLong))
+    val meanSampled = sampled.map(counts(_).toDouble).sum / sampled.length
+    val meanCatalog = counts.values.map(_.toDouble).sum / counts.size
+    assert(meanSampled > meanCatalog,
+      f"popularity weighting must pull the sample toward hot items " +
+        f"(sampled mean cnt $meanSampled%.2f vs catalog $meanCatalog%.2f)")
+  }
+
   test("gap fill: spine is dense per type and zero-gap days carry the last average") {
     val r = operators.Analytics.gapFillDaily(spark, sfTest)
     val spans = r.groupBy("event_type")
