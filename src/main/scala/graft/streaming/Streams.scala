@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Streaming-shaped operators over `events` (SURVEY.md §2.11 T1–T5).
+/** Streaming-shaped operators over `events` (SURVEY.md §2.11 T1–T10).
   *
   * Each transform is declared ONCE over a plain DataFrame and used by
   * two runners:
@@ -510,7 +510,78 @@ object Streams {
        |FROM p GROUP BY wb ORDER BY window_start""".stripMargin
   }
 
+  /** T10 batch-twin micro-batch count. */
+  val UpsertBatches = 4
+
+  /** T10 per-key state: the LATEST event row per user under
+    * (ts, event_id) order — the argmax struct idiom, one keyed
+    * map-side-combinable aggregate, no window. */
+  def latestPerKey(e: DataFrame): DataFrame =
+    e.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("__s"))
+      .select(col("user_id"), col("__s.ts").as("ts"),
+        col("__s.event_id").as("event_id"), col("__s.event_type").as("event_type"),
+        col("__s.value").as("value"))
+
+  /** T10 replay-idempotent streaming upsert — the merge a foreachBatch
+    * sink must apply to survive AT-LEAST-ONCE delivery: after a crash
+    * between the sink write and the checkpoint commit, Structured
+    * Streaming re-delivers the SAME micro-batch, so the merge has to
+    * be an absolute last-writer-wins upsert (per key, the row with
+    * the greatest (ts, event_id) survives), never an additive delta —
+    * `+=` double-counts every replayed batch. LWW-by-version is a
+    * join-semilattice: max is idempotent (replaying a batch is a
+    * fixpoint), commutative and associative (out-of-ORDER redelivery
+    * converges to the same state too). [[upsertQuery]] proves it
+    * through the driver gate: the fold below applies one micro-batch
+    * TWICE, and the oracle — a flat latest-per-user over all events,
+    * knowing nothing about batching or replay — still hash-matches.
+    *
+    * Scale: each merge is one keyed aggregate over target ∪ batch; in
+    * production the target is a bucketed keyed table so the merge is
+    * co-partitioned (shuffle-free on the target side) and state is
+    * |keys|, not |events|. The batch split below keys on event_id mod
+    * [[UpsertBatches]] — deliberately NOT time-ordered, exercising
+    * the out-of-order-delivery leg of the convergence claim.
+    */
+  def upsertMerge(target: DataFrame, batch: DataFrame): DataFrame =
+    latestPerKey(target.unionByName(batch))
+
+  def upsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val batches = (0 until UpsertBatches).map { i =>
+      e.where(pmod(col("event_id"), lit(UpsertBatches)) === i)
+    }
+    // at-least-once simulation: batch 1 is delivered twice
+    val delivered = batches.head +: batches(1) +: batches.tail
+    val state = delivered.tail.foldLeft(latestPerKey(delivered.head))(upsertMerge)
+    state.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+           sum("event_id").as("id_checksum"),
+           max(expr("unix_micros(ts)")).as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: flat latest-per-user — batching, replay and delivery
+    * order must all be invisible in the converged state. */
+  val upsertSql: String =
+    """WITH latest AS (
+      |  SELECT user_id, ts, event_id, event_type FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM events) WHERE rk = 1
+      |)
+      |SELECT event_type, count(*) AS n_users,
+      |  sum(event_id)::BIGINT AS id_checksum,
+      |  max(epoch_us(ts))::BIGINT AS max_ts_us
+      |FROM latest GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_stream_upsert"   -> (upsertQuery _),
     "q_stream_drift"    -> (driftQuery _),
     "q_stream_topk"     -> (topUsersQuery _),
     "q_stream_tumbling" -> (tumblingQuery _),
@@ -523,6 +594,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_upsert"   -> upsertSql,
     "q_stream_drift"    -> driftSql,
     "q_stream_topk"     -> topUsersSql,
     "q_stream_tumbling" -> tumblingSql,

@@ -375,6 +375,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(served) == canon(batchAll))
   }
 
+  test("T10 replay-idempotent upsert: duplicated micro-batch delivery converges to exactly-once state") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val mem = MemoryStream[Ev]
+    var target = Streams.latestPerKey(
+      spark.emptyDataset[Ev].toDF().select(cols.map(col): _*))
+    var applied = 0
+    val q = mem.toDF().select(cols.map(col): _*)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // at-least-once simulation: the sink write "succeeded" but the
+        // commit "was lost" for batch 1, so it is applied AGAIN — an
+        // idempotent LWW merge must leave the target unchanged
+        val replays = if (batchId == 1L) 2 else 1
+        (0 until replays).foreach { _ =>
+          target = Streams.upsertMerge(target, batch.toDF()).localCheckpoint()
+          applied += 1
+        }
+      }.start()
+    try {
+      mem.addData(fixture.take(3))
+      q.processAllAvailable()
+      mem.addData(fixture.slice(3, 6))
+      q.processAllAvailable()
+      mem.addData(fixture.drop(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(applied >= 4, "the replay leg must actually have run")
+    // converged state == flat latest-per-user over ALL events, as if
+    // every batch had been delivered exactly once
+    val flat = Streams.latestPerKey(fixture.toDF().select(cols.map(col): _*))
+    assert(canon(target) == canon(flat))
+    // and replaying the ENTIRE history once more is a fixpoint
+    val replayedAll = Streams.upsertMerge(target,
+      fixture.toDF().select(cols.map(col): _*))
+    assert(canon(replayedAll) == canon(target))
+  }
+
   test("T6b stateful session close via event-time timeout") {
     val session = spark
     import session.implicits._
