@@ -679,7 +679,13 @@ object Training {
   /** (item_id, mass, cum_lo) from an (item_id, cnt) histogram: mass =
     * round(cnt^0.75 · [[PopMassScale]]) and cum_lo = Σ mass of items
     * with smaller item_id — [[graft.operators.Relational.coarseRankLo]]
-    * fed mass as __cnt (its __lo − 1 IS the weighted prefix). */
+    * fed mass as __cnt (its __lo − 1 IS the weighted prefix).
+    * PRECONDITION: `counts` has ONE row per item_id (guaranteed by the
+    * [[itemPopCounts]] groupBy; a caller-supplied histogram with a
+    * duplicated key would fan the join-back out and double the key's
+    * interval — same class as denseIndexOf's uniqueness rule, so the
+    * scale spec asserts the engine cum table row-for-row against a
+    * local prefix, which any duplicate would break loudly). */
   private[graft] def popMassCumOf(counts: DataFrame): DataFrame = {
     val mass = counts
       .select(col("item_id").cast("long").as("__k"),
