@@ -2284,6 +2284,125 @@ object Stats {
        |FROM q GROUP BY tau
        |ORDER BY tau""".stripMargin
 
+  /** Split-conformal target coverage: 1 − α = [[ConfNum]]/[[ConfDen]]. */
+  val ConfNum = 9
+  val ConfDen = 10
+
+  /** Split-conformal prediction intervals (Vovk; Lei et al.) — the
+    * distribution-free uncertainty audit for ANY point predictor:
+    * a deterministic hash split (seed 'conf') cuts orders into
+    * calibration and eval halves, the predictor is the per-segment
+    * calibration mean (leak-clean: eval rows never touch it), the
+    * nonconformity score is |y − ŷ| in exact cents, and q̂ is the
+    * k-th smallest calibration score at k = min(⌈(n+1)·(1−α)⌉, n) —
+    * the finite-sample rank that makes P(|y−ŷ| ≤ q̂) ≥ 1−α for an
+    * exchangeable eval row. Output per segment: split sizes, k, q̂,
+    * and the realized eval coverage the guarantee promises in
+    * expectation.
+    *
+    * Scale: q̂ is an exact order statistic, so it rides the same
+    * (group, coarse-cell) two-level prefix as [[qteOf]] — per-segment
+    * score populations grow with the corpus, exactly the
+    * low-cardinality-PARTITION-BY hazard the r8 sweep retired, so no
+    * window ever sees more than one (segment, cell) slice; the
+    * interval-cover rule (a value holds rank k iff its contiguous
+    * rank interval covers k) is tie-insensitive. The 5-row μ/q̂
+    * tables broadcast; k is integer arithmetic on both engines.
+    */
+  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) AS bigint)").as("cents"))
+      .join(seg, "o_custkey")
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(o_orderkey AS string), 'conf')), 1, 8), 16, 10) AS bigint)") % 2)
+    val cal = base.where(col("arm") === 0)
+    val ev  = base.where(col("arm") === 1)
+    // per-segment calibration mean: exact BIGINT sum, ONE IEEE
+    // division, rounded to integer cents on both engines; 5 rows —
+    // checkpointed because it feeds the score pass on BOTH splits
+    val mu = cal.groupBy("segment")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n_cal"))
+      .withColumn("mu_cents",
+        round(col("s").cast("double") / col("n_cal"), 0).cast("long"))
+      .select("segment", "mu_cents", "n_cal")
+      .localCheckpoint()
+    val calS = cal.join(broadcast(mu), "segment")
+      .withColumn("v", abs(col("cents") - col("mu_cents")))
+    val byVal = withCoarseCell(
+      calS.groupBy("segment", "v").agg(count(lit(1)).as("cnt")), "v")
+    val wIn = Window.partitionBy("segment", "coarse").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
+    val totals = byVal.groupBy("segment", "coarse").agg(sum("cnt").as("tot"))
+    val wPre = Window.partitionBy("segment").orderBy("coarse")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum("tot").over(wPre), lit(0L)))
+      .select("segment", "coarse", "off")
+    val qhat = local.join(broadcast(offs), Seq("segment", "coarse"))
+      .join(broadcast(mu.select("segment", "n_cal")), "segment")
+      .withColumn("hi", col("cum_in") + col("off"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("k", least(
+        expr(s"((n_cal + 1) * $ConfNum + ${ConfDen - 1}) div $ConfDen"),
+        col("n_cal")))
+      .where(col("k") >= col("lo") && col("k") <= col("hi"))
+      .select(col("segment"), col("k"), col("v").as("qhat_cents"))
+    val evS = ev.join(broadcast(mu.select("segment", "mu_cents")), "segment")
+      .withColumn("v", abs(col("cents") - col("mu_cents")))
+    evS.join(broadcast(qhat), "segment")
+      .groupBy("segment", "k", "qhat_cents")
+      .agg(count(lit(1)).as("n_eval"),
+           sum(when(col("v") <= col("qhat_cents"), 1L).otherwise(0L)).as("n_covered"))
+      .join(broadcast(mu.select("segment", "n_cal")), "segment")
+      .withColumn("coverage",
+        when(col("n_eval") > 0,
+          round(col("n_covered").cast("double") / col("n_eval"), 4)))
+      .select("segment", "n_cal", "n_eval", "k", "qhat_cents", "n_covered", "coverage")
+      .orderBy("segment")
+  }
+
+  val conformalSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+       |    ('0x' || substr(md5(o.o_orderkey || '-' || 'conf'), 1, 8))::BIGINT % 2 AS arm
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |), mu AS MATERIALIZED (
+       |  SELECT segment,
+       |    round((sum(cents)::BIGINT)::DOUBLE / count(*))::BIGINT AS mu_cents,
+       |    count(*)::BIGINT AS n_cal
+       |  FROM base WHERE arm = 0 GROUP BY segment
+       |), cal AS MATERIALIZED (
+       |  SELECT b.segment, abs(b.cents - m.mu_cents) AS v
+       |  FROM base b JOIN mu m ON b.segment = m.segment WHERE b.arm = 0
+       |), rk AS (
+       |  SELECT segment, v,
+       |    row_number() OVER (PARTITION BY segment ORDER BY v) AS r,
+       |    count(*) OVER (PARTITION BY segment) AS n
+       |  FROM cal
+       |), q AS (
+       |  SELECT segment,
+       |    least(((n + 1) * $ConfNum + ${ConfDen - 1}) // $ConfDen, n)::BIGINT AS k,
+       |    v AS qhat_cents
+       |  FROM rk WHERE r = least(((n + 1) * $ConfNum + ${ConfDen - 1}) // $ConfDen, n)
+       |), ev AS (
+       |  SELECT b.segment, abs(b.cents - m.mu_cents) AS v
+       |  FROM base b JOIN mu m ON b.segment = m.segment WHERE b.arm = 1
+       |)
+       |SELECT q.segment, m.n_cal, count(*) AS n_eval, q.k, q.qhat_cents,
+       |  sum(CASE WHEN ev.v <= q.qhat_cents THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(sum(CASE WHEN ev.v <= q.qhat_cents THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       |  END AS coverage
+       |FROM ev JOIN q ON ev.segment = q.segment
+       |JOIN mu m ON m.segment = q.segment
+       |GROUP BY q.segment, m.n_cal, q.k, q.qhat_cents
+       |ORDER BY q.segment""".stripMargin
+
   /** Qini / uplift-by-decile — the uplift-modeling eval that
     * [[gainDeciles]]' single-population targeting curve cannot give:
     * with a deterministic hash arm (the house A/B idiom, seed 'qini')
@@ -2493,6 +2612,7 @@ object Stats {
     "q_raking"         -> (raking _),
     "q_qini"           -> (qini _),
     "q_qte"            -> (qte _),
+    "q_conformal"      -> (conformal _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_anova"          -> (anovaSegments _),
     "q_levene"         -> (leveneTest _),
@@ -2532,6 +2652,7 @@ object Stats {
     "q_raking"         -> rakingSql,
     "q_qini"           -> qiniSql,
     "q_qte"            -> qteSql,
+    "q_conformal"      -> conformalSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_anova"          -> anovaSegmentsSql,
     "q_levene"         -> leveneTestSql,

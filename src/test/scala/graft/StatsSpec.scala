@@ -830,6 +830,42 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("conformal: q-hat is the exact calibration order statistic and coverage recounts") {
+    val S = operators.Stats
+    val base = Tables.orders(spark, sfTest)
+      .join(Tables.customer(spark, sfTest),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        expr("cast(round(o_totalprice * 100) AS bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byArm = base.groupBy { case (ok, seg, _) => (seg, h32(s"$ok-conf") % 2) }
+    val got = S.conformal(spark, sfTest).collect()
+    assert(got.nonEmpty)
+    var pooledCov = 0L; var pooledN = 0L
+    got.foreach { r =>
+      val seg = r.getString(0)
+      val calC = byArm((seg, 0L)).map(_._3)
+      val evC = byArm((seg, 1L)).map(_._3)
+      val n = calC.length.toLong
+      val mu = math.round(calC.sum.toDouble / n)
+      val scores = calC.map(c => math.abs(c - mu)).sorted
+      val k = math.min(((n + 1) * S.ConfNum + S.ConfDen - 1) / S.ConfDen, n)
+      val qhat = scores((k - 1).toInt)
+      assert(r.getAs[Long]("n_cal") === n, s"n_cal of $seg")
+      assert(r.getAs[Long]("k") === k, s"k of $seg")
+      assert(r.getAs[Long]("qhat_cents") === qhat, s"qhat of $seg")
+      val covered = evC.count(c => math.abs(c - mu) <= qhat).toLong
+      assert(r.getAs[Long]("n_eval") === evC.length.toLong, s"n_eval of $seg")
+      assert(r.getAs[Long]("n_covered") === covered, s"n_covered of $seg")
+      pooledCov += covered; pooledN += evC.length
+    }
+    // the marginal guarantee holds in expectation at 1−α = 0.9; the
+    // pooled realization on an exchangeable hash split concentrates
+    // far above this loose floor
+    assert(pooledCov.toDouble / pooledN >= 0.8,
+      f"pooled conformal coverage ${pooledCov.toDouble / pooledN}%.3f below sanity floor")
+  }
+
   test("qini: per-decile uplift cells and cumulative qini match a local replay") {
     val S = operators.Stats
     val e = Tables.events(spark, sfTest)
