@@ -1149,6 +1149,142 @@ object Recsys {
        |        / sum(w_units), 6) AS ips_recall_at_k
        |FROM j""".stripMargin
 
+  /** M9d doubly-robust off-policy evaluation (Dudík, Langford & Li) —
+    * the estimator family that decides whether a NEW policy is better
+    * than the logged one WITHOUT deploying it. Logged bandit data is
+    * derived deterministically from the fixtures: context = customer
+    * segment, action = the purchased part's brand, reward = line
+    * price in exact cents; a hash split (seed 'dr') cuts orders into
+    * calibration (fits the direct model and the logging propensities)
+    * and eval (scores the estimators — leak-clean, like
+    * [[graft.operators.Stats.conformal]]'s split). The target policy
+    * π(x) plays the calibration-best brand per segment (argmax of the
+    * cell mean m̂, brand-ASC ties). Side by side on the eval half:
+    * DM = mean m̂(x, π(x)) (biased if m̂ is wrong), IPS =
+    * propensity-weighted matched reward (unbiased, high variance),
+    * SNIPS = self-normalized IPS (the weight-sum denominator), and
+    * DR = DM + propensity-weighted residual correction (unbiased if
+    * EITHER the model or the propensities are right — the double
+    * robustness).
+    *
+    * Determinism: every row-level quantity is an exact BIGINT (cents,
+    * cell counts, m̂ rounded to integer cents); the only doubles are
+    * ≤ |segments| per-estimator terms — each ONE multiply + ONE
+    * divide of exact integers — summed and rounded at 4 dp (the CMH
+    * per-stratum precedent). Scale: two (segment × brand) corpus
+    * aggregates (≤ 5×25 cells), a 125-row bounded argmax window, and
+    * a 5-row assembly — nothing corpus-sized past the first
+    * aggregates, propensities never attach row-level.
+    */
+  def evalDr(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) AS bigint)").as("cents"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand").as("brand")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat_ws('-', cast(o_orderkey AS string), 'dr')), 1, 8), 16, 10) AS bigint)") % 2)
+      .select("segment", "brand", "cents", "arm")
+    val calCells = base.where(col("arm") === 0)
+      .groupBy("segment", "brand")
+      .agg(count(lit(1)).as("n_xa"), sum("cents").as("s_xa"))
+      .withColumn("mhat",
+        round(col("s_xa").cast("double") / col("n_xa"), 0).cast("long"))
+      .localCheckpoint() // ≤125 rows feeding the segment totals AND the argmax
+    val calSeg = calCells.groupBy("segment").agg(sum("n_xa").as("n_x"))
+    val pi = calCells
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("segment")
+          .orderBy(col("mhat").desc, col("brand").asc)))
+      .where(col("rk") === 1)
+      .select(col("segment"), col("brand").as("pi_brand"),
+        col("mhat").as("mhat_pi"), col("n_xa").as("n_x_pi"))
+    val evCells = base.where(col("arm") === 1)
+      .groupBy("segment", "brand")
+      .agg(count(lit(1)).as("ne_xa"), sum("cents").as("se_xa"))
+      .localCheckpoint() // ≤125 rows feeding the segment totals AND the match join
+    val evSeg = evCells.groupBy("segment").agg(sum("ne_xa").as("ne_x"))
+    val segRows = pi
+      .join(calSeg, "segment")
+      .join(evSeg, "segment")
+      .join(evCells.select(col("segment"), col("brand").as("pi_brand"),
+          col("ne_xa").as("ne_m0"), col("se_xa").as("se_m0")),
+        Seq("segment", "pi_brand"), "left")
+      .withColumn("ne_m", coalesce(col("ne_m0"), lit(0L)))
+      .withColumn("se_m", coalesce(col("se_m0"), lit(0L)))
+    segRows.agg(
+        sum("n_x").as("n_cal"),
+        sum("ne_x").as("n_eval"),
+        sum("ne_m").as("n_match"),
+        sum(col("ne_x") * col("mhat_pi")).as("dm_units"),
+        sum(col("se_m").cast("double") * col("n_x") / col("n_x_pi")).as("ips_num"),
+        sum(col("ne_m").cast("double") * col("n_x") / col("n_x_pi")).as("w_sum"),
+        sum((col("se_m") - col("ne_m") * col("mhat_pi")).cast("double")
+          * col("n_x") / col("n_x_pi")).as("dr_corr"))
+      .select(
+        col("n_cal"), col("n_eval"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_eval"), 6).as("match_rate"),
+        round(col("dm_units").cast("double") / col("n_eval"), 4).as("v_dm_cents"),
+        round(col("ips_num") / col("n_eval"), 4).as("v_ips_cents"),
+        when(col("n_match") > 0,
+          round(col("ips_num") / col("w_sum"), 4)).as("v_snips_cents"),
+        round((col("dm_units").cast("double") + col("dr_corr")) / col("n_eval"), 4)
+          .as("v_dr_cents"))
+  }
+
+  val evalDrSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT c.c_mktsegment AS segment, p.p_brand AS brand,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(o.o_orderkey || '-' || 'dr'), 1, 8))::BIGINT % 2 AS arm
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |), calc AS MATERIALIZED (
+      |  SELECT segment, brand, count(*)::BIGINT AS n_xa, sum(cents)::BIGINT AS s_xa,
+      |    round((sum(cents)::BIGINT)::DOUBLE / count(*))::BIGINT AS mhat
+      |  FROM base WHERE arm = 0 GROUP BY 1, 2
+      |), calseg AS (
+      |  SELECT segment, sum(n_xa)::BIGINT AS n_x FROM calc GROUP BY 1
+      |), pi AS (
+      |  SELECT segment, brand AS pi_brand, mhat AS mhat_pi, n_xa AS n_x_pi FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY segment
+      |      ORDER BY mhat DESC, brand ASC) AS rk
+      |    FROM calc) WHERE rk = 1
+      |), evc AS MATERIALIZED (
+      |  SELECT segment, brand, count(*)::BIGINT AS ne_xa, sum(cents)::BIGINT AS se_xa
+      |  FROM base WHERE arm = 1 GROUP BY 1, 2
+      |), evseg AS (
+      |  SELECT segment, sum(ne_xa)::BIGINT AS ne_x FROM evc GROUP BY 1
+      |), segrows AS (
+      |  SELECT pp.segment, cs.n_x, pp.n_x_pi, pp.mhat_pi, es.ne_x,
+      |    coalesce(e.ne_xa, 0)::BIGINT AS ne_m, coalesce(e.se_xa, 0)::BIGINT AS se_m
+      |  FROM pi pp
+      |  JOIN calseg cs ON cs.segment = pp.segment
+      |  JOIN evseg es ON es.segment = pp.segment
+      |  LEFT JOIN evc e ON e.segment = pp.segment AND e.brand = pp.pi_brand
+      |)
+      |SELECT sum(n_x)::BIGINT AS n_cal, sum(ne_x)::BIGINT AS n_eval,
+      |  sum(ne_m)::BIGINT AS n_match,
+      |  round(sum(ne_m)::DOUBLE / sum(ne_x), 6) AS match_rate,
+      |  round(sum(ne_x * mhat_pi)::DOUBLE / sum(ne_x), 4) AS v_dm_cents,
+      |  round(sum(se_m::DOUBLE * n_x / n_x_pi) / sum(ne_x), 4) AS v_ips_cents,
+      |  CASE WHEN sum(ne_m) > 0 THEN
+      |    round(sum(se_m::DOUBLE * n_x / n_x_pi)
+      |          / sum(ne_m::DOUBLE * n_x / n_x_pi), 4)
+      |  END AS v_snips_cents,
+      |  round((sum(ne_x * mhat_pi)::DOUBLE
+      |         + sum((se_m - ne_m * mhat_pi)::DOUBLE * n_x / n_x_pi))
+      |        / sum(ne_x), 4) AS v_dr_cents
+      |FROM segrows""".stripMargin
+
   /** M9 diversity metrics — intra-list diversity of the ItemCF top-N
     * via brand entropy: per user, the Shannon entropy of the brand
     * distribution of their recommended items (0 = all one brand,
@@ -2179,6 +2315,7 @@ object Recsys {
     "q_content_recommend" -> (contentRecommend _),
     "q_eval_popularity"   -> (evalPopularity _),
     "q_eval_ips"          -> (evalIps _),
+    "q_eval_dr"           -> (evalDr _),
     "q_eval_markov"       -> (evalMarkov _),
   )
 
@@ -2207,6 +2344,7 @@ object Recsys {
     "q_eval_popularity"   -> evalPopularitySql,
     "q_serendipity"       -> serendipitySql,
     "q_eval_ips"          -> evalIpsSql,
+    "q_eval_dr"           -> evalDrSql,
     "q_eval_markov"       -> evalMarkovSql,
   )
 }

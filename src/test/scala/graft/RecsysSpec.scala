@@ -148,6 +148,67 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(m.getAs[Long]("n_test") > 0 && m.getAs[Long]("n_cold") >= 0)
   }
 
+  test("doubly-robust off-policy eval matches an exact local replay") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val base = Tables.lineitem(spark, sfTest)
+      .join(Tables.orders(spark, sfTest), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfTest), col("o_custkey") === col("c_custkey"))
+      .join(Tables.part(spark, sfTest), col("l_partkey") === col("p_partkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("p_brand"),
+        expr("cast(round(l_extendedprice * 100) AS bigint)").as("cents"))
+      .collect().map(r => (h32(s"${r.getLong(0)}-dr") % 2,
+        r.getString(1), r.getString(2), r.getLong(3)))
+    val cal = base.filter(_._1 == 0L)
+    val ev = base.filter(_._1 == 1L)
+    val calCells = cal.groupBy(r => (r._2, r._3)).map { case ((s, b), xs) =>
+      (s, b, xs.length.toLong, xs.map(_._4).sum) }
+    val mhat = calCells.map { case (s, b, n, sm) =>
+      ((s, b), math.round(sm.toDouble / n)) }.toMap
+    val nX = calCells.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    // target policy: calibration-best brand per segment, brand-ASC ties
+    val pi = calCells.groupBy(_._1).map { case (s, xs) =>
+      val best = xs.map { case (_, b, n, _) => (b, mhat((s, b)), n) }
+        .minBy { case (b, m, _) => (-m, b) }
+      s -> best }
+    val evRows = ev.groupBy(_._2)
+    val segs = pi.keySet.intersect(evRows.keySet).toSeq.sorted
+    var nCal = 0L; var nEval = 0L; var nMatch = 0L
+    var dmU = 0L; var ipsNum = 0.0; var wSum = 0.0; var drCorr = 0.0
+    segs.foreach { s =>
+      val (pb, mPi, nPi) = pi(s)
+      val rows = evRows(s)
+      val m = rows.filter(_._3 == pb)
+      val neM = m.length.toLong; val seM = m.map(_._4).sum
+      nCal += nX(s); nEval += rows.length; nMatch += neM
+      dmU += rows.length * mPi
+      ipsNum += seM.toDouble * nX(s) / nPi
+      wSum += neM.toDouble * nX(s) / nPi
+      drCorr += (seM - neM * mPi).toDouble * nX(s) / nPi
+    }
+    val got = operators.Recsys.evalDr(spark, sfTest).collect().head
+    assert(got.getAs[Long]("n_cal") === nCal)
+    assert(got.getAs[Long]("n_eval") === nEval)
+    assert(got.getAs[Long]("n_match") === nMatch)
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1.5e-4
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(close(got.getAs[Double]("v_dm_cents"), r4(dmU.toDouble / nEval)))
+    assert(close(got.getAs[Double]("v_ips_cents"), r4(ipsNum / nEval)))
+    assert(close(got.getAs[Double]("v_snips_cents"), r4(ipsNum / wSum)))
+    assert(close(got.getAs[Double]("v_dr_cents"), r4((dmU + drCorr) / nEval)))
+    // the double-robustness sanity: all four estimates live on the
+    // same scale as the raw eval mean reward
+    val rawMean = ev.map(_._4).sum.toDouble / ev.length
+    Seq("v_dm_cents", "v_ips_cents", "v_dr_cents").foreach { c =>
+      val v = got.getAs[Double](c)
+      assert(v > 0 && v < rawMean * 3, s"$c = $v implausible vs raw mean $rawMean")
+    }
+  }
+
   test("rec coverage: bounds hold and Gini matches a direct computation") {
     import org.apache.spark.sql.functions._
     val r = operators.Recsys.recCoverage(spark, sfTest).collect().head
