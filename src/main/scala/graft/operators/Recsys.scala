@@ -1171,10 +1171,12 @@ object Recsys {
     * cell counts, m̂ rounded to integer cents); the only doubles are
     * ≤ |segments| per-estimator terms — each ONE multiply + ONE
     * divide of exact integers — summed and rounded at 4 dp (the CMH
-    * per-stratum precedent). Scale: two (segment × brand) corpus
-    * aggregates (≤ 5×25 cells), a 125-row bounded argmax window, and
-    * a 5-row assembly — nothing corpus-sized past the first
-    * aggregates, propensities never attach row-level.
+    * per-stratum precedent). Scale: ONE (segment × brand × arm)
+    * corpus aggregate (≤ 5×25×2 cells, checkpointed so both arm
+    * splits read it instead of re-executing the star join), a 125-row
+    * bounded argmax window, and a 5-row assembly — nothing
+    * corpus-sized past the first aggregate, propensities never attach
+    * row-level.
     */
   def evalDr(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
@@ -1191,12 +1193,18 @@ object Recsys {
       .withColumn("arm", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(o_orderkey AS string), 'dr')), 1, 8), 16, 10) AS bigint)") % 2)
       .select("segment", "brand", "cents", "arm")
-    val calCells = base.where(col("arm") === 0)
-      .groupBy("segment", "brand")
-      .agg(count(lit(1)).as("n_xa"), sum("cents").as("s_xa"))
+    // ONE pass over the star join: (segment, brand, arm) cells are
+    // ≤ 5·25·2 rows — checkpointed so the arm splits below read the
+    // tiny cell table instead of re-planning the corpus joins per
+    // consumer (arm filters push below the join and defeat exchange
+    // reuse, so without this the star join would execute twice)
+    val cells = base.groupBy("segment", "brand", "arm")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .localCheckpoint()
+    val calCells = cells.where(col("arm") === 0)
+      .select(col("segment"), col("brand"), col("n").as("n_xa"), col("s").as("s_xa"))
       .withColumn("mhat",
         round(col("s_xa").cast("double") / col("n_xa"), 0).cast("long"))
-      .localCheckpoint() // ≤125 rows feeding the segment totals AND the argmax
     val calSeg = calCells.groupBy("segment").agg(sum("n_xa").as("n_x"))
     val pi = calCells
       .withColumn("rk", row_number().over(
@@ -1205,10 +1213,8 @@ object Recsys {
       .where(col("rk") === 1)
       .select(col("segment"), col("brand").as("pi_brand"),
         col("mhat").as("mhat_pi"), col("n_xa").as("n_x_pi"))
-    val evCells = base.where(col("arm") === 1)
-      .groupBy("segment", "brand")
-      .agg(count(lit(1)).as("ne_xa"), sum("cents").as("se_xa"))
-      .localCheckpoint() // ≤125 rows feeding the segment totals AND the match join
+    val evCells = cells.where(col("arm") === 1)
+      .select(col("segment"), col("brand"), col("n").as("ne_xa"), col("s").as("se_xa"))
     val evSeg = evCells.groupBy("segment").agg(sum("ne_xa").as("ne_x"))
     val segRows = pi
       .join(calSeg, "segment")

@@ -2300,7 +2300,11 @@ object Stats {
     * and the realized eval coverage the guarantee promises in
     * expectation.
     *
-    * Scale: q̂ is an exact order statistic, so it rides the same
+    * Scale: the corpus join executes ONCE — the mean, the score
+    * distribution and the eval coverage are all functions of the
+    * (segment, arm, cents) histogram, which is checkpointed slim and
+    * feeds every downstream pass as weighted rows. q̂ is an exact
+    * order statistic, so it rides the same
     * (group, coarse-cell) two-level prefix as [[qteOf]] — per-segment
     * score populations grow with the corpus, exactly the
     * low-cardinality-PARTITION-BY hazard the r8 sweep retired, so no
@@ -2318,21 +2322,28 @@ object Stats {
       .join(seg, "o_custkey")
       .withColumn("arm", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(o_orderkey AS string), 'conf')), 1, 8), 16, 10) AS bigint)") % 2)
-    val cal = base.where(col("arm") === 0)
-    val ev  = base.where(col("arm") === 1)
+    // ONE pass over the corpus join: everything downstream — the
+    // calibration mean, the score histogram, eval coverage — is a
+    // function of the (segment, arm, cents) HISTOGRAM, so the join
+    // executes once and is checkpointed as a slim weighted frame
+    // (without this the arm/score passes re-plan the join per
+    // consumer: arm filters push below it and defeat exchange reuse)
+    val hist = base.groupBy("segment", "arm", "cents")
+      .agg(count(lit(1)).as("hcnt"))
+      .localCheckpoint()
     // per-segment calibration mean: exact BIGINT sum, ONE IEEE
-    // division, rounded to integer cents on both engines; 5 rows —
-    // checkpointed because it feeds the score pass on BOTH splits
-    val mu = cal.groupBy("segment")
-      .agg(sum("cents").as("s"), count(lit(1)).as("n_cal"))
+    // division, rounded to integer cents on both engines; 5 rows
+    val mu = hist.where(col("arm") === 0)
+      .groupBy("segment")
+      .agg(sum(col("cents") * col("hcnt")).as("s"), sum("hcnt").as("n_cal"))
       .withColumn("mu_cents",
         round(col("s").cast("double") / col("n_cal"), 0).cast("long"))
       .select("segment", "mu_cents", "n_cal")
-      .localCheckpoint()
-    val calS = cal.join(broadcast(mu), "segment")
+    val calS = hist.where(col("arm") === 0)
+      .join(broadcast(mu), "segment")
       .withColumn("v", abs(col("cents") - col("mu_cents")))
     val byVal = withCoarseCell(
-      calS.groupBy("segment", "v").agg(count(lit(1)).as("cnt")), "v")
+      calS.groupBy("segment", "v").agg(sum("hcnt").as("cnt")), "v")
     val wIn = Window.partitionBy("segment", "coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
@@ -2351,12 +2362,13 @@ object Stats {
         col("n_cal")))
       .where(col("k") >= col("lo") && col("k") <= col("hi"))
       .select(col("segment"), col("k"), col("v").as("qhat_cents"))
-    val evS = ev.join(broadcast(mu.select("segment", "mu_cents")), "segment")
+    val evS = hist.where(col("arm") === 1)
+      .join(broadcast(mu.select("segment", "mu_cents")), "segment")
       .withColumn("v", abs(col("cents") - col("mu_cents")))
     evS.join(broadcast(qhat), "segment")
       .groupBy("segment", "k", "qhat_cents")
-      .agg(count(lit(1)).as("n_eval"),
-           sum(when(col("v") <= col("qhat_cents"), 1L).otherwise(0L)).as("n_covered"))
+      .agg(sum("hcnt").as("n_eval"),
+           sum(when(col("v") <= col("qhat_cents"), col("hcnt")).otherwise(0L)).as("n_covered"))
       .join(broadcast(mu.select("segment", "n_cal")), "segment")
       .withColumn("coverage",
         when(col("n_eval") > 0,
