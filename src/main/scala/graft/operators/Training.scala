@@ -511,9 +511,22 @@ object Training {
     */
   def negativeSample(spark: SparkSession, sfDir: String): DataFrame =
     negativeSampleOf(
-      Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct(),
+      positives(spark, sfDir),
       Tables.part(spark, sfDir).select(col("p_partkey").as("item_id")),
       index = Some(catalogIndex(spark, sfDir)))
+
+  /** The distinct (user_id, item_id) positives, memoized per (session,
+    * sfDir) and warmed: BOTH samplers consume this frame twice (the
+    * draw user set and the anti-join) and the popularity-mass index
+    * derives from it too — without the memo each consumer re-plans
+    * the lineitem⋈orders interaction chain (the r9s2 rescan sweep's
+    * defect class), with it every consumer reads one persisted slim
+    * table. Uncapped on purpose: a capped positives set would let a
+    * dropped positive slip through the anti-join as a "negative". */
+  private[graft] def positives(spark: SparkSession, sfDir: String): DataFrame =
+    QueryCache.memo(spark, s"neg_positives:$sfDir") {
+      Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct()
+    }
 
   /** The dense item-catalog index, memoized per (session, sfDir): the
     * catalog is static for a given fixture dir, so the three-shuffle
@@ -657,19 +670,16 @@ object Training {
     * multiply, bit-identical cross-engine where pow(x, 0.75) is not
     * guaranteed to be.
     */
-  def negativeSamplePop(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables.interactions(spark, sfDir)
-      .select("user_id", "item_id").distinct()
-    negativeSamplePopOf(pos, cumOpt = Some(popMassIndex(spark, sfDir)))
-  }
+  def negativeSamplePop(spark: SparkSession, sfDir: String): DataFrame =
+    negativeSamplePopOf(positives(spark, sfDir),
+      cumOpt = Some(popMassIndex(spark, sfDir)))
 
   /** The memoized cumulative popularity-mass index (item_id, mass,
     * cum_lo) — static per fixture dir, warmed in Bench; the persisted
     * table also hands AQE exact stats for the cell join. */
   private[graft] def popMassIndex(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"neg_pop_mass_index:$sfDir") {
-      popMassCumOf(itemPopCounts(
-        Tables.interactions(spark, sfDir).select("user_id", "item_id").distinct()))
+      popMassCumOf(itemPopCounts(positives(spark, sfDir)))
     }
 
   /** Per-item interaction counts from the distinct positives. */
@@ -1497,6 +1507,7 @@ object Training {
     pqCodebooks(spark, sfDir).count()
     pqCodes(spark, sfDir).count()
     catalogIndex(spark, sfDir).count()
+    positives(spark, sfDir).count()
     popMassIndex(spark, sfDir).count()
   }
 

@@ -48,10 +48,24 @@ object PlanAudit {
         val sp = "Arguments: SinglePartition".r.findAllIn(plan).length
         val gw = globalWin.findAllIn(plan).length
         val cp = "CartesianProduct".r.findAllIn(plan).length
+        // Repeated fact-table scans = the split-consumer defect class
+        // (r9s2): differently-filtered consumers of one derived frame
+        // re-plan its whole upstream chain — filters push below the
+        // joins and defeat exchange reuse. ≥3 scans of one fact table
+        // marks a candidate for the aggregate-first/checkpoint fix
+        // (eval_dr went 4.2→2.5 s scoped from exactly this). Cached/
+        // memoized subtrees scan InMemoryRelation, not parquet, so
+        // warmed model tables don't false-positive here.
+        val facts = Seq("events", "lineitem", "orders", "documents", "embeddings")
+        val rescans = facts.map { t =>
+          t -> s"$t\\.parquet".r.findAllIn(plan).length
+        }.filter(_._2 >= 3)
         if (only.nonEmpty) println(s"[audit-plan] $name\n$plan")
-        if (sp > 0 || gw > 0 || cp > 0) {
+        if (sp > 0 || gw > 0 || cp > 0 || rescans.nonEmpty) {
           nOff += 1
-          println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw cartesians=$cp")
+          val rs = if (rescans.isEmpty) ""
+            else rescans.map { case (t, c) => s"$t×$c" }.mkString(" rescans=", ",", "")
+          println(f"[audit] $name%-28s singlePartitionExchanges=$sp globalWindows=$gw cartesians=$cp$rs")
         }
       } catch {
         case e: Throwable =>
