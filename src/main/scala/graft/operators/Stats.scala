@@ -154,7 +154,8 @@ object Stats {
   private[graft] def equidepthHistOf(
       vals: DataFrame, buckets: Int): DataFrame = {
     val byVal = withCoarseCell(
-      vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")), "v")
+      vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(), "v") // severed once — three consumers (r9s2)
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
@@ -664,6 +665,10 @@ object Stats {
       .agg(
         sum(when(col("is_ref"), 1).otherwise(0)).as("ref_c"),
         sum(when(!col("is_ref"), 1).otherwise(0)).as("cur_c"))
+      // the (type, value) histogram feeds the coarse-cell min/max,
+      // the totals, the offsets AND the running sums — severed once
+      // so the corpus scan doesn't re-plan per consumer (r9s2 sweep)
+      .localCheckpoint()
     // CDF prefixes ride the two-level coarse-bucket form (the r7
     // mann-whitney treatment, applied per type): the running sums
     // partition by (type, coarse cell) and the ≤ domain/width cell
@@ -1354,12 +1359,15 @@ object Stats {
     * U1/(n1·n2), the probability a random positive outranks a random
     * negative). */
   private[graft] def rankSumAgg(pairs: DataFrame): DataFrame = {
+    // severed once: the value histogram feeds the coarse min/max, the
+    // offsets and the prefix chain (r9s2 sweep — one corpus scan)
     val g = withCoarseCell(
       pairs
         .groupBy(col("v"))
         .agg(sum(when(col("is_a"), 1).otherwise(0)).as("na"),
              sum(when(!col("is_a"), 1).otherwise(0)).as("nb"))
-        .withColumn("t", col("na") + col("nb")), "v")
+        .withColumn("t", col("na") + col("nb"))
+        .localCheckpoint(), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
@@ -1505,7 +1513,8 @@ object Stats {
     * building block that lets [[spearman]] run entirely in BIGINT. */
   private def avgRanks2(vals: DataFrame): DataFrame = {
     val g = withCoarseCell(
-      vals.groupBy("v").agg(count(lit(1)).as("t")), "v")
+      vals.groupBy("v").agg(count(lit(1)).as("t"))
+        .localCheckpoint(), "v") // severed once — three consumers (r9s2)
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = g.groupBy("coarse").agg(sum("t").as("tot"))
@@ -1566,7 +1575,8 @@ object Stats {
     * final division, identically to the BIGINT branch. */
   private[graft] def spearmanFrom(base0: DataFrame,
       decimalMoments: Boolean): DataFrame = {
-    val base = base0
+    // base feeds both rank passes AND the moment join (r9s2 sweep)
+    val base = base0.localCheckpoint()
     val rx = avgRanks2(base.select(col("bal").as("v")))
       .select(col("v").as("bal"), col("r2").as("rx"))
     val ry = avgRanks2(base.select(col("cts").as("v")))
@@ -1678,8 +1688,10 @@ object Stats {
   /** Frame-parameterized core of [[revenueGini]] over a `cents`
     * column. Exposed for the off-fixture scale spec. */
   private[graft] def revenueGiniOf(rev: DataFrame): DataFrame = {
+    // severed once — four consumers of the revenue histogram (r9s2)
     val byVal = withCoarseCell(
-      rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt")), "v")
+      rev.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = byVal
@@ -1899,7 +1911,9 @@ object Stats {
   def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("event_type").as("grp"), col("value").as("v"))
-    val g = e.groupBy("v", "grp").agg(count(lit(1)).as("n"))
+    // the (v, grp) histogram feeds the rank chain AND the per-group
+    // join — severed once (r9s2 sweep: one corpus scan, not four)
+    val g = e.groupBy("v", "grp").agg(count(lit(1)).as("n")).localCheckpoint()
     val byV = withCoarseCell(g.groupBy("v").agg(sum("n").as("t")), "v")
     val wIn = Window.partitionBy("coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2135,8 +2149,12 @@ object Stats {
       .where(col("event_type") === "purchase" &&
         col("ts") >= lit(AucLabelStart).cast("timestamp_ntz"))
       .select("user_id").distinct()
+    // quartileScore references its input several times (value
+    // aggregate, rank join, tie window) — sever the two-scan
+    // score/label join once (the qualityCurriculum precedent)
     val lab = scores.join(pos.withColumn("is_pos", lit(1)), Seq("user_id"), "left")
       .select(col("user_id"), col("score"), coalesce(col("is_pos"), lit(0)).as("is_pos"))
+      .localCheckpoint()
     val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
         tieCol = col("user_id"), buckets = 10)
       .groupBy("decile")
@@ -2443,6 +2461,7 @@ object Stats {
               coalesce(col("is_pos"), lit(0L)).as("is_pos"))
       .withColumn("arm", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(user_id AS string), 'qini')), 1, 8), 16, 10) AS bigint)") % 2)
+      .localCheckpoint() // severed pre-quartileScore, the gainDeciles rationale
     val byDecile = Relational.quartileScore(lab, -col("score"), "decile",
         tieCol = col("user_id"), buckets = 10)
       .groupBy("decile")
