@@ -122,13 +122,19 @@ object Advanced {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("term"))
     val n = Tables.documents(spark, sfDir).agg(countDistinct(col("doc_id")).as("n_docs"))
+    // tf rows ARE the distinct (doc, term) pairs, so df derives from
+    // tf instead of a second explode pass; severed once because tf
+    // feeds df AND the vector build (r9s2 rescan sweep)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val vec = tf.where(col("doc_id") < TfidfDocs)
       .join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("wt", col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      // bounded: TfidfDocs docs' vectors feed the norms AND both
+      // sides of the term self-join
+      .localCheckpoint()
     val norms = vec.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
     val dots = vec.as("x").join(vec.as("y"),
         col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))

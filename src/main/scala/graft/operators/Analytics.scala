@@ -1147,7 +1147,10 @@ object Analytics {
     * broadcast back, one final per-arm aggregate.
     */
   def cuped(spark: SparkSession, sfDir: String): DataFrame = {
-    val pp = prePostFrame(spark, sfDir)
+    // severed once: the per-user pre/post frame feeds the moment
+    // aggregate, the adjusted frame, the reduction aggregate and the
+    // per-arm summary (r9s2 rescan sweep: events×8 prints before)
+    val pp = prePostFrame(spark, sfDir).localCheckpoint()
     val moments = pp.agg(
       covar_samp(col("post"), col("pre")).as("cv"),
       var_samp(col("pre")).as("vp"),

@@ -1046,6 +1046,10 @@ object Relational {
            round(sum("o_totalprice"), 4).as("m"))
       .crossJoin(broadcast(nowDf))
       .withColumn("r_days", datediff(col("now_d"), col("last_d")))
+      // severed once: three quartileScores reference this frame ~5×
+      // each plus the score joins — without the checkpoint the orders
+      // aggregate re-plans ~15× (r9s2 rescan sweep: orders×50 prints)
+      .localCheckpoint()
     // one slim (custkey, score) frame per dimension, all derived from
     // the SAME base frame and joined back on the customer key. The
     // r7-original foldLeft CHAINED the layers, so layer k's rank

@@ -975,9 +975,15 @@ object Training {
     */
   def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars"))
-    val refHist = d.where(col("source") === QnRef)
-      .groupBy(col("n_chars").cast("long").as("__k"))
-      .agg(count(lit(1)).as("__cnt"))
+    // ONE corpus aggregate: the ref histogram, the per-source doc
+    // counts and the percent-rank prefixes are all views of the
+    // (source, n_chars) histogram — severed once so the interval/
+    // prefix consumers below don't each re-plan the documents scan
+    // (r9s2 rescan sweep: documents×18 prints before this)
+    val hist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val refHist = hist.where(col("source") === QnRef)
+      .select(col("n_chars").cast("long").as("__k"), col("__c").as("__cnt"))
     val refIval = Relational.coarseRankLo(refHist)
       .join(refHist, "__k")
       .select(col("__k").as("rv"), (col("__lo") - 1L).as("rk_s"),
@@ -991,10 +997,9 @@ object Training {
     // partition (a source's docs grow with the corpus; its distinct
     // lengths don't). Spark defines percent_rank = 0 for a 1-row
     // partition; the guard mirrors that.
-    val hist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("__c"))
     val wH = Window.partitionBy("source").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val nSrc = d.groupBy("source").agg(count(lit(1)).as("__n"))
+    val nSrc = hist.groupBy("source").agg(sum("__c").as("__n"))
     val prkOf = hist
       .withColumn("__before", coalesce(sum("__c").over(wH), lit(0L)))
       .join(nSrc, "source")
