@@ -33,9 +33,14 @@ object Analytics {
     * co-partitioned, so the stage joins add no exchange.
     */
   def sessionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    // severed once after the user partitioning: the three stage
+    // filters push below a bare repartition and each re-scan events
+    // (r9s2 rescan sweep); the checkpoint keeps the co-partitioning
+    // so every stage groupBy is shuffle-free
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
       .repartition(col("user_id"))
+      .localCheckpoint()
     val tv = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("tv"))
     val tc = ev.where(col("event_type") === "click")
@@ -991,9 +996,11 @@ object Analytics {
     */
   def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val horizonUs = FunnelWindowDays * 86400L * 1000000L
+    // same sever-once-after-partitioning note as sessionFunnel
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .repartition(col("user_id"))
+      .localCheckpoint()
     val tv = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("tv"))
     val tc = ev.where(col("event_type") === "click")

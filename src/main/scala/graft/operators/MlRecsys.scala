@@ -485,14 +485,20 @@ object MlRecsys {
   val RuleMinConf     = 0.02
 
   def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    // severed once: the distinct basket-item frame feeds the basket
+    // count, the singles and BOTH self-join sides (r9s2 rescan sweep)
     val d = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct()
+      .localCheckpoint()
     val nBaskets = d.select("oid").distinct().agg(count(lit(1)).as("n_baskets"))
     val singles = d.groupBy("item").agg(count(lit(1)).as("n_item"))
+    // ...and the pair aggregate once: the directed union reads it
+    // twice, which would otherwise run the basket self-join twice
     val und = d.as("a").join(d.as("b"),
         col("a.oid") === col("b.oid") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("x"), col("b.item").as("y"))
       .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val directed = und.select(col("x").as("antecedent"), col("y").as("consequent"), col("n_ab"))
       .unionByName(und.select(col("y").as("antecedent"), col("x").as("consequent"), col("n_ab")))
     directed

@@ -1238,9 +1238,12 @@ object Stats {
     * raw stream, no stream self-join.
     */
   def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    // severed once: the calendar-bounded daily series feeds the mean,
+    // the denominator and both lag-join sides (r9s2 rescan sweep)
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
     val mu = daily.agg(avg(col("cents").cast("double")).as("mu"))
     val centered = daily.crossJoin(broadcast(mu))
       .select(col("day"), (col("cents") - col("mu")).as("dev"))
@@ -1286,9 +1289,12 @@ object Stats {
     * daily fixed-point aggregate.
     */
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    // severed once: the daily series feeds the origin, both pair
+    // sides and the intercept pass (r9s2 rescan sweep)
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
     val d0 = daily.agg(min("day").as("d0"))
     val pts = daily.crossJoin(broadcast(d0))
       .select(datediff(col("day"), col("d0")).as("t"),
@@ -2251,8 +2257,12 @@ object Stats {
     * the scale spec drives it with a synthesized wide-domain
     * million-row population the fixture can't provide. */
   private[graft] def qteOf(perUser: DataFrame): DataFrame = {
+    // severed once — the histogram feeds the prefix chain, the cell
+    // offsets AND (since r9s2) the per-arm totals, which derive from
+    // it instead of a second pass over the per-user frame
     val byVal = withCoarseCell(
-      perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt")), "v")
+      perUser.groupBy("arm", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(), "v")
     val wIn = Window.partitionBy("arm", "coarse").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = byVal.withColumn("cum_in", sum("cnt").over(wIn))
@@ -2262,7 +2272,7 @@ object Stats {
     val offs = totals
       .withColumn("off", coalesce(sum("tot").over(wPre), lit(0L)))
       .select("arm", "coarse", "off")
-    val nArm = perUser.groupBy("arm").agg(count(lit(1)).as("n"))
+    val nArm = byVal.groupBy("arm").agg(sum("cnt").as("n"))
     val hit = local.join(offs, Seq("arm", "coarse"))
       .join(broadcast(nArm), "arm")
       .withColumn("hi", col("cum_in") + col("off"))

@@ -549,8 +549,13 @@ object Streams {
     latestPerKey(target.unionByName(batch))
 
   def upsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    // severed once: the four differently-filtered batch splits would
+    // otherwise each re-scan events (r9s2 rescan sweep) — a stream
+    // reads its source once per row too, so the checkpoint also keeps
+    // the simulation honest
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint()
     val batches = (0 until UpsertBatches).map { i =>
       e.where(pmod(col("event_id"), lit(UpsertBatches)) === i)
     }
