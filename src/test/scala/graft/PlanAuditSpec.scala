@@ -127,5 +127,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert((CartesianAllowed -- cartesians).isEmpty,
       s"stale CartesianAllowed entries — prune: " +
         (CartesianAllowed -- cartesians).toSeq.sorted.mkString(", "))
+
+    // r9s2 rescan pin: ≥3 fact-table path prints in one formatted
+    // plan marks the split-consumer defect class (differently-
+    // filtered consumers of a shared frame re-plan its corpus chain —
+    // filters push below the joins and defeat exchange reuse). The
+    // sweep fixed 20 queries by sever-once checkpoints (batches 1–3);
+    // what remains is adjudicated: two-scan-inherent shapes printing
+    // ≤2 paths per scan (a bounds/total pass plus the main pass;
+    // train/test or ref/cur splits whose two halves ARE the
+    // semantics; set-ops over two genuinely different slices) and the
+    // memoized model families whose InMemoryRelation fragments
+    // re-print the build plan's scan without re-executing it. A NEW
+    // name here means a new multi-pass plan — sever it or adjudicate
+    // it explicitly.
+    val RescanAllowed = Set(
+      "q_ab_srm", "q_bigram_lm", "q_bm25_rank", "q_boilerplate", "q_burst_detect",
+      "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak", "q_data_quality",
+      "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
+      "q_eval_ranking", "q_gap_fill", "q_hard_negatives", "q_heavy_hitters",
+      "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq", "q_join_explosion", "q_knn_ivf",
+      "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
+      "q_media_neardup", "q_merge_upsert", "q_mix_plan", "q_mutual_knn",
+      "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
+      "q_setops_users", "q_source_overlap", "q_stickiness", "q_stream_drift",
+      "q_survival_km", "q_tfidf_terms", "q_time_split", "q_token_budget",
+      "q_zorder_layout")
+    val factTables = Seq("events", "lineitem", "orders", "documents", "embeddings")
+    val rescanned = plans.collect {
+      case (name, p) if factTables.exists(t =>
+        s"$t\\.parquet".r.findAllIn(p).length >= 3) => name
+    }.toSet
+    assert((rescanned -- RescanAllowed).isEmpty,
+      s"queries with a NEW multi-scan plan — sever the shared frame once " +
+        s"(localCheckpoint) or adjudicate here: " +
+        (rescanned -- RescanAllowed).toSeq.sorted.mkString(", "))
+    assert((RescanAllowed -- rescanned).isEmpty,
+      s"stale RescanAllowed entries — prune: " +
+        (RescanAllowed -- rescanned).toSeq.sorted.mkString(", "))
   }
 }
