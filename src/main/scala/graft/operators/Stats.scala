@@ -2350,6 +2350,13 @@ object Stats {
       .join(seg, "o_custkey")
       .withColumn("arm", expr(
         "cast(conv(substring(md5(concat_ws('-', cast(o_orderkey AS string), 'conf')), 1, 8), 16, 10) AS bigint)") % 2)
+    conformalOf(base)
+  }
+
+  /** Frame-parameterized core of [[conformal]] over any
+    * (segment, cents, arm ∈ {0, 1}) frame — the scale spec drives it
+    * with a synthetic wide-domain million-row population. */
+  private[graft] def conformalOf(base: DataFrame): DataFrame = {
     // ONE pass over the corpus join: everything downstream — the
     // calibration mean, the score histogram, eval coverage — is a
     // function of the (segment, arm, cents) HISTOGRAM, so the join

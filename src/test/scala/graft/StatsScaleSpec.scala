@@ -158,6 +158,46 @@ class StatsScaleSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("conformal: 1M-row wide-domain q-hat exact, coverage recounts", ScaleTest) {
+    val n = 1000000
+    val p = 999999937L
+    val base = spark.range(0L, n.toLong)
+      .select(concat(lit("s"), (col("id") % 5).cast("string")).as("segment"),
+        ((col("id") * MulK) % p).as("cents"),
+        expr("(id div 5) % 2").as("arm"))
+    val got = operators.Stats.conformalOf(base)
+      .collect().sortBy(_.getString(0))
+
+    // local ground truth per segment
+    val bySeg = (0 until 5).map { s =>
+      val rows = (0 until n).iterator
+        .filter(_ % 5 == s)
+        .map(id => ((id / 5) % 2, (id.toLong * MulK) % p)).toArray
+      ("s" + s, rows.filter(_._1 == 0).map(_._2), rows.filter(_._1 == 1).map(_._2))
+    }
+    assert(got.length === 5)
+    got.zip(bySeg).foreach { case (r, (seg, cal, ev)) =>
+      assert(r.getString(0) === seg)
+      val nCal = cal.length.toLong
+      val mu = math.round(cal.sum.toDouble / nCal) // Σ < 2^53, exact
+      val scores = cal.map(c => math.abs(c - mu)).sorted
+      val k = math.min(
+        ((nCal + 1) * Stats.ConfNum + Stats.ConfDen - 1) / Stats.ConfDen, nCal)
+      val qhat = scores((k - 1).toInt)
+      assert(r.getAs[Long]("n_cal") === nCal, s"n_cal of $seg")
+      assert(r.getAs[Long]("k") === k, s"k of $seg")
+      assert(r.getAs[Long]("qhat_cents") === qhat,
+        s"q-hat of $seg — the 10⁹-wide score domain rides the adaptive " +
+          "coarse cells and the interval-cover rank rule")
+      val covered = ev.count(c => math.abs(c - mu) <= qhat).toLong
+      assert(r.getAs[Long]("n_eval") === ev.length.toLong, s"n_eval of $seg")
+      assert(r.getAs[Long]("n_covered") === covered, s"n_covered of $seg")
+      // a near-uniform population has thin tails, so realized
+      // coverage concentrates tightly around the 0.9 target
+      assert(math.abs(covered.toDouble / ev.length - 0.9) < 0.02, s"coverage of $seg")
+    }
+  }
+
   test("token budget: 1M-doc greedy prefix at a wide score domain", ScaleTest) {
     val session = spark
     import session.implicits._
