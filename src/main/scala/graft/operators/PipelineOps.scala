@@ -435,6 +435,75 @@ object PipelineOps {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  /** Docs drawn by the weighted reservoir. */
+  val EsK = 100
+  /** 2⁶⁰ — the draw scale of the 15-hex-char md5 uniform. */
+  val EsScale = 1152921504606846976.0
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+    * — the exact weighted-subset draw [[weightedSample]]'s per-row
+    * Bernoulli cannot give: select exactly [[EsK]] docs with inclusion
+    * probability ∝ weight (here n_chars — the "sample by content
+    * mass" curation move), deterministically. Each doc gets the E-S
+    * key u^(1/w) in its monotone log form ln(u)/w with u = (h60+1)/2⁶⁰
+    * from the engine-portable md5 idiom, and the sample IS the top-K
+    * by key — one global head over keys ROUNDED at 9 dp with a doc_id
+    * tie-break (the house ranking rule: never rank on an unrounded
+    * float). The same (doc, salt) always draws the same key on any
+    * engine, run or partitioning, so the subsample is reproducible
+    * and resumable like the negative samplers.
+    *
+    * Scale: key generation is map-side; the only non-linear step is
+    * the K-bounded global head (TakeOrderedAndProject — the optimizer
+    * pushes the LIMIT under the sort, so one task sees K rows, never
+    * the corpus). Output: per-source selection share vs weight share
+    * — the ∝w property made visible next to the exact checksum.
+    */
+  def weightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("es", round(
+        log((expr(
+          "cast(conv(substring(md5(concat_ws('-', cast(doc_id AS string), 'esr')), 1, 15), 16, 10) AS bigint)")
+          + 1L) / lit(EsScale)) / col("n_chars"), 9))
+    val sel = d.orderBy(col("es").desc, col("doc_id").asc).limit(EsK)
+    val srcW = d.groupBy("source").agg(sum("n_chars").as("w_src"))
+    val totW = srcW.agg(sum("w_src").as("w_tot")) // from the per-source sums, not a third pass
+    sel.groupBy("source")
+      .agg(count(lit(1)).as("n_sel"),
+           sum("doc_id").as("sel_checksum"),
+           sum("n_chars").as("sel_chars"))
+      .join(broadcast(srcW), "source")
+      .crossJoin(broadcast(totW))
+      .select(col("source"), col("n_sel"), col("sel_checksum"), col("sel_chars"),
+        round(col("n_sel").cast("double") / EsK, 6).as("sel_share"),
+        round(col("w_src").cast("double") / col("w_tot"), 6).as("weight_share"))
+      .orderBy("source")
+  }
+
+  val weightedReservoirSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source, n_chars,
+       |    round(ln((('0x' || substr(md5(doc_id || '-' || 'esr'), 1, 15))::BIGINT + 1)
+       |             / $EsScale) / n_chars, 9) AS es
+       |  FROM documents
+       |), sel AS (
+       |  SELECT doc_id, source, n_chars FROM d
+       |  ORDER BY es DESC, doc_id ASC LIMIT $EsK
+       |), sw AS (
+       |  SELECT source, sum(n_chars)::BIGINT AS w_src FROM d GROUP BY source
+       |), tw AS (
+       |  SELECT sum(n_chars)::BIGINT AS w_tot FROM d
+       |)
+       |SELECT s.source, count(*) AS n_sel,
+       |  sum(s.doc_id)::BIGINT AS sel_checksum,
+       |  sum(s.n_chars)::BIGINT AS sel_chars,
+       |  round(count(*)::DOUBLE / $EsK, 6) AS sel_share,
+       |  round(max(sw.w_src)::DOUBLE / (SELECT w_tot FROM tw), 6) AS weight_share
+       |FROM sel s JOIN sw ON s.source = sw.source
+       |GROUP BY s.source
+       |ORDER BY s.source""".stripMargin
+
   /** Training context length for [[seqPack]], in whitespace tokens. */
   val SeqLen = 256L
 
@@ -1327,6 +1396,7 @@ object PipelineOps {
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_embedding_quantize"  -> (embeddingQuantize _),
     "q_weighted_sample"     -> (weightedSample _),
+    "q_weighted_reservoir"  -> (weightedReservoir _),
     "q_seq_pack"            -> (seqPack _),
     "q_dedup_canonical"     -> (canonicalCorpus _),
     "q_embed_health"        -> (embedHealth _),
@@ -1350,6 +1420,7 @@ object PipelineOps {
     "q_embedding_centroids" -> embeddingCentroidsSql,
     "q_embedding_quantize"  -> embeddingQuantizeSql,
     "q_weighted_sample"     -> weightedSampleSql,
+    "q_weighted_reservoir"  -> weightedReservoirSql,
     "q_seq_pack"            -> seqPackSql,
     "q_dedup_canonical"     -> canonicalCorpusSql,
     "q_embed_health"        -> embedHealthSql,

@@ -155,6 +155,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("weighted reservoir: exact E-S top-K replay, size-biased toward heavy docs") {
+    import org.apache.spark.sql.functions._
+    val P = operators.PipelineOps
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sfTest)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val keyed = docs.map { case (id, src, w) =>
+      (id, src, w, r9(math.log((h60(s"$id-esr") + 1).toDouble / P.EsScale) / w))
+    }
+    val sel = keyed.sortBy { case (id, _, _, es) => (-es, id) }.take(P.EsK)
+    val bySrc = sel.groupBy(_._2)
+    val got = P.weightedReservoir(spark, sfTest).collect()
+    assert(got.map(_.getAs[Long]("n_sel")).sum === P.EsK.toLong)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val exp = bySrc.getOrElse(src, Array.empty[(Long, String, Long, Double)])
+      assert(r.getAs[Long]("n_sel") === exp.length.toLong, s"n_sel of $src")
+      assert(r.getAs[Long]("sel_checksum") === exp.map(_._1).sum, s"checksum of $src")
+      assert(r.getAs[Long]("sel_chars") === exp.map(_._3).sum, s"chars of $src")
+    }
+    // inclusion ∝ n_chars ⇒ the sample is size-biased: its mean doc
+    // length exceeds the corpus mean
+    val meanSel = sel.map(_._3.toDouble).sum / sel.length
+    val meanAll = docs.map(_._3.toDouble).sum / docs.length
+    assert(meanSel > meanAll,
+      f"weighted WOR sample must skew long ($meanSel%.1f vs corpus $meanAll%.1f)")
+  }
+
   test("seq pack: chunks contiguous per source, token totals preserved") {
     val rows = operators.PipelineOps.seqPack(spark, sfTest).collect()
     assert(rows.nonEmpty)

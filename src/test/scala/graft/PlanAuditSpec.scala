@@ -152,6 +152,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
       "q_setops_users", "q_source_overlap", "q_stickiness", "q_stream_drift",
       "q_survival_km", "q_tfidf_terms", "q_time_split", "q_token_budget",
+      "q_weighted_reservoir", // two-scan-inherent: K-bounded key head + the weight-share aggregate
       "q_zorder_layout")
     val factTables = Seq("events", "lineitem", "orders", "documents", "embeddings")
     val rescanned = plans.collect {
