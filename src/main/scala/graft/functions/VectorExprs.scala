@@ -128,6 +128,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => TopKByScore(exprs(1), exprs(2), exprs(3), intArg(exprs(0))))
     inject("misra_gries", classOf[MisraGries],
       exprs => MisraGries(exprs(1), intArg(exprs(0))))
+    inject("kmv_mins", classOf[KmvMins],
+      exprs => KmvMins(exprs(1), intArg(exprs(0))))
     inject("bloom_agg", classOf[BloomAgg],
       exprs => BloomAgg(exprs(2), intArg(exprs(0)), intArg(exprs(1))))
     inject("bloom_might_contain", classOf[BloomMightContain],

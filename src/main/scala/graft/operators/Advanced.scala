@@ -474,6 +474,208 @@ object Advanced {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
   }
 
+  /** KMV sketch size (k smallest distinct hash values kept). */
+  val KmvK = 64
+  /** KMV hash domain: h48(md5) values are uniform in [0, 2^48). 2^48
+    * is exactly representable as a double, and the k retained minima
+    * are ≈ (k/n)·2^48 — far below 2^53 for any n past a few hundred —
+    * so every estimate is one exact integer-as-double multiply/divide,
+    * bit-identical cross-engine. Collisions bias the sketch only by
+    * ~n²/2^49 colliding pairs (≈2k at n = 10⁹ distinct — relative
+    * error 2e-6), so the 48-bit domain holds to ~10¹² distinct.
+    */
+  val KmvM: Double = 281474976710656.0
+  /** Engine-portable 48-bit hash (12 hex digits of md5 — the same
+    * family as Dedup's h32/Training's h60).
+    */
+  private def h48(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 12), 16, 10) AS bigint)"
+
+  /** KMV distinct-count sketch per event type, audited against the
+    * exact count — the ORACLE-VERIFIABLE mergeable distinct sketch
+    * next to the HLL twin (q_approx_distinct is rows-only by design;
+    * this one hash-matches DuckDB because its state is order
+    * statistics of a portable hash, not engine-private registers).
+    * Estimator: (k−1)·M / h_(k) when the sketch filled, exact size
+    * otherwise (Bar-Yossef et al. 2002; σ ≈ n/√(k−2) ≈ 12.7% at
+    * k = 64).
+    *
+    * At 100 TB: raw rows feed [[graft.functions.KmvMins]] directly —
+    * duplicates die in the map-side buffer, the shuffle carries
+    * ≤ k·|groups| longs, merge is exact sketch union. The
+    * countDistinct column here is the AUDIT a production run would
+    * drop.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+              expr(h48("cast(user_id AS string)")).as("h"))
+    ev.groupBy("event_type")
+      .agg(graft.functions.KmvMins.kmvMins(KmvK, col("h")).as("mins"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("sketch_n", size(col("mins")).cast("long"))
+      .withColumn("kth", expr(s"try_element_at(mins, $KmvK)"))
+      .withColumn("est_users",
+        round(when(col("sketch_n") < KmvK, col("sketch_n").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvM) / col("kth").cast("double")), 4))
+      .withColumn("rel_err",
+        round(abs(col("est_users") - col("exact_users")) / col("exact_users").cast("double"), 4))
+      .select("event_type", "exact_users", "sketch_n", "est_users", "rel_err")
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events WHERE user_id IS NOT NULL
+       |), hs AS (
+       |  SELECT DISTINCT event_type, h FROM ev
+       |), r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM hs
+       |), s AS (
+       |  SELECT event_type, count(*) AS sketch_n, max(h) AS kth
+       |  FROM r WHERE rk <= $KmvK GROUP BY event_type
+       |), e AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |  FROM ev GROUP BY event_type
+       |), est AS (
+       |  SELECT e.event_type, e.exact_users, s.sketch_n,
+       |    round(CASE WHEN s.sketch_n < $KmvK THEN s.sketch_n::DOUBLE
+       |          ELSE ${KmvK - 1}e0 * 281474976710656e0 / s.kth::DOUBLE END, 4) AS est_users
+       |  FROM e JOIN s USING (event_type)
+       |)
+       |SELECT event_type, exact_users, sketch_n, est_users,
+       |  round(abs(est_users - exact_users) / exact_users::DOUBLE, 4) AS rel_err
+       |FROM est ORDER BY event_type""".stripMargin
+
+  /** KMV set-operation estimates for every SOURCE pair over the
+    * n-gram shingle sets: union cardinality, Jaccard, and common-gram
+    * count — from the 20 per-source sketches ALONE — audited against
+    * the exact intersection/Jaccard that q_source_overlap computes
+    * with a full (source, gram) join. This is the sketch capability
+    * HLL lacks entirely: the union of two KMV summaries is exactly
+    * the KMV summary of the union (take the k smallest of the merged
+    * minima), and the share ρ of those union minima present in BOTH
+    * sides estimates Jaccard, so |A∩B| ≈ ρ·|A∪B| (Beyer et al.,
+    * "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD 2007).
+    *
+    * At 100 TB: the exact pairwise matrix costs a per-gram aggregate
+    * plus S²-bounded pair expansion over EVERY distinct gram
+    * (q_source_overlap's plan — the right exact design, but it reads
+    * the whole gram corpus); the sketch path collapses each source to
+    * k longs map-side and compares 20·64 values. The exact columns
+    * here are the fixture-scale audit. Estimates are exact
+    * integer-as-double arithmetic on array elements, so the DuckDB
+    * oracle reproduces every digit relationally (row_number over the
+    * same h48 minima).
+    */
+  def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    // severed once: the distinct (source, h) frame feeds the sketch,
+    // the per-source sizes, and BOTH sides of the exact-audit join —
+    // without the checkpoint each consumer re-plans the shingle chain
+    // (r9s2 rescan-sweep rule)
+    val sgh = Dedup.shingles(spark, sfDir).join(src, "doc_id")
+      .select(col("source"), expr(h48("s")).as("h")).distinct()
+      .localCheckpoint()
+    val sk = sgh.groupBy("source")
+      .agg(graft.functions.KmvMins.kmvMins(KmvK, col("h")).as("mins"))
+    val perSrc = sgh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sk.as("a")
+      .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+              col("a.mins").as("am"), col("b.mins").as("bm"))
+      .withColumn("u", slice(array_sort(array_distinct(concat(col("am"), col("bm")))), 1, KmvK))
+      .withColumn("ku", size(col("u")).cast("long"))
+      .withColumn("kth", expr(s"try_element_at(u, $KmvK)"))
+      .withColumn("common_mins",
+        size(array_intersect(array_intersect(col("u"), col("am")), col("bm"))).cast("long"))
+    val ex = sgh.as("x")
+      .join(sgh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs.join(ex, Seq("src_a", "src_b"), "left")
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_jaccard",
+        round(col("exact_inter") / (col("na") + col("nb") - col("exact_inter")).cast("double"), 6))
+      .withColumn("est_common",
+        round(when(col("ku") < KmvK, col("common_mins").cast("double"))
+          .otherwise(col("common_mins").cast("double") * lit((KmvK - 1).toDouble) * lit(KmvM)
+            / (col("kth") * col("ku")).cast("double")), 4))
+      .withColumn("est_union",
+        round(when(col("ku") < KmvK, col("ku").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvM) / col("kth").cast("double")), 4))
+      .withColumn("est_jaccard", round(col("common_mins") / col("ku").cast("double"), 4))
+      .select("src_a", "src_b", "exact_inter", "exact_jaccard",
+              "est_common", "est_union", "est_jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH ${Dedup.shinglesSql}, sg AS (
+       |  SELECT DISTINCT d.source,
+       |    ('0x' || substr(md5(sh.s), 1, 12))::BIGINT AS h
+       |  FROM sh JOIN documents d USING (doc_id)
+       |), per AS (
+       |  SELECT source, count(*) AS n FROM sg GROUP BY source
+       |), r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM sg
+       |), mins AS (
+       |  SELECT source, h FROM r WHERE rk <= $KmvK
+       |), ts AS (
+       |  SELECT DISTINCT source FROM sg
+       |), p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM ts a JOIN ts b ON a.source < b.source
+       |), uh AS (
+       |  SELECT DISTINCT p.src_a, p.src_b, m.h
+       |  FROM p JOIN mins m ON m.source = p.src_a OR m.source = p.src_b
+       |), ur AS (
+       |  SELECT src_a, src_b, h,
+       |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+       |  FROM uh
+       |), u AS (
+       |  SELECT src_a, src_b, count(*) AS ku, max(h) AS kth
+       |  FROM ur WHERE rk <= $KmvK GROUP BY src_a, src_b
+       |), cm AS (
+       |  SELECT ur.src_a, ur.src_b, count(*) AS common_mins
+       |  FROM ur
+       |  JOIN mins ma ON ma.source = ur.src_a AND ma.h = ur.h
+       |  JOIN mins mb ON mb.source = ur.src_b AND mb.h = ur.h
+       |  WHERE ur.rk <= $KmvK
+       |  GROUP BY ur.src_a, ur.src_b
+       |), ex AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS exact_inter
+       |  FROM sg x JOIN sg y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT u.src_a, u.src_b,
+       |  coalesce(ex.exact_inter, 0)::BIGINT AS exact_inter,
+       |  round(coalesce(ex.exact_inter, 0)
+       |        / (pa.n + pb.n - coalesce(ex.exact_inter, 0))::DOUBLE, 6) AS exact_jaccard,
+       |  round(CASE WHEN u.ku < $KmvK THEN coalesce(cm.common_mins, 0)::DOUBLE
+       |        ELSE coalesce(cm.common_mins, 0)::DOUBLE * ${KmvK - 1}e0 * 281474976710656e0
+       |             / (u.kth * u.ku)::DOUBLE END, 4) AS est_common,
+       |  round(CASE WHEN u.ku < $KmvK THEN u.ku::DOUBLE
+       |        ELSE ${KmvK - 1}e0 * 281474976710656e0 / u.kth::DOUBLE END, 4) AS est_union,
+       |  round(coalesce(cm.common_mins, 0) / u.ku::DOUBLE, 4) AS est_jaccard
+       |FROM u
+       |LEFT JOIN cm ON cm.src_a = u.src_a AND cm.src_b = u.src_b
+       |LEFT JOIN ex ON ex.src_a = u.src_a AND ex.src_b = u.src_b
+       |JOIN per pa ON pa.source = u.src_a
+       |JOIN per pb ON pb.source = u.src_b
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_join_explosion"     -> (joinExplosion _),
     "q_skew_profile"       -> (skewProfile _),
@@ -483,6 +685,8 @@ object Advanced {
     "q_tfidf_doc_sim"      -> (tfidfDocSim _),
     "q_heavy_hitters"      -> (heavyHitters _),
     "q_cms_counts"         -> (cmSketch _),
+    "q_kmv_distinct"       -> (kmvDistinct _),
+    "q_kmv_overlap"        -> (kmvOverlap _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -494,5 +698,7 @@ object Advanced {
     "q_tfidf_doc_sim"      -> tfidfDocSimSql,
     "q_heavy_hitters"      -> heavyHittersSql,
     "q_cms_counts"         -> cmSketchSql,
+    "q_kmv_distinct"       -> kmvDistinctSql,
+    "q_kmv_overlap"        -> kmvOverlapSql,
   )
 }
