@@ -49,6 +49,7 @@ object Bench {
     operators.MlRecsys.warm(spark, sfDir)
     operators.Similarity.warm(spark, sfDir)
     operators.PipelineOps.warm(spark, sfDir)
+    operators.TextAnalysis.warm(spark, sfDir)
     // SPARK_GRAFT_BENCH_RUNS>1 sweeps the whole suite that many times
     // and reports PER-QUERY MEDIANS: this VM's run-to-run noise is
     // ±25% on the total and 3-6x on individual queries, so a single

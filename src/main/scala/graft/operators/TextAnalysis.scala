@@ -1379,7 +1379,151 @@ object TextAnalysis {
        |  round(1.0 - sum(n_oov)::DOUBLE / sum(n_tok), 6) AS token_coverage
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  /** TextRank vocabulary head: top content words by corpus frequency
+    * that form the co-occurrence graph's node set. The word graph must
+    * be BOUNDED even though the vocabulary grows with the corpus
+    * (Heaps' law — the q_bpe_merges precedent): the head is a
+    * TakeOrderedAndProject, and every downstream structure is ≤
+    * TrVocab nodes / TrVocab² edges regardless of corpus size.
+    */
+  val TrVocab = 300
+  /** Co-occurrence window: token distance ≤ TrWindow in the ORIGINAL
+    * position stream (stopword gaps count toward the distance).
+    */
+  val TrWindow = 2
+  /** Content-word proxy (no POS tagger in pure SQL): length ≥ TrMinLen
+    * and not a stopword.
+    */
+  val TrMinLen = 4
+  /** Keywords emitted. */
+  val TrTop = 20
+
+  /** Memoized TextRank word graph: mirrored co-occurrence edges with
+    * out-weights attached — (src, dst, w, ow) over the top-[[TrVocab]]
+    * content words. Static per sfDir; every PageRank round re-reads it
+    * (the [[GraphRank.copurchaseEw]] pattern).
+    */
+  private[graft] def textrankEw(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"textrank_ew:$sfDir") {
+      // content tokens feed the vocab head AND the position join:
+      // severed once (rescan-sweep rule)
+      val ct = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(expr(normSpark), " ")).as(Seq("pos", "w")))
+        .where(length(col("w")) >= TrMinLen && !col("w").isin(Stopwords: _*))
+        .localCheckpoint()
+      val vocab = ct.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(TrVocab)
+        .select("w")
+      val vt = ct.join(broadcast(vocab), "w").localCheckpoint()
+      val pairs = vt.as("x")
+        .join(vt.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") > col("x.pos") &&
+            col("y.pos") <= col("x.pos") + TrWindow &&
+            col("x.w") =!= col("y.w"))
+        .groupBy(least(col("x.w"), col("y.w")).as("wa"),
+                 greatest(col("x.w"), col("y.w")).as("wb"))
+        .agg(count(lit(1)).as("co"))
+        .localCheckpoint() // mirror union reads it twice
+      val edges = pairs.select(col("wa").as("src"), col("wb").as("dst"), col("co").as("w"))
+        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst"), col("co").as("w")))
+      val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+      edges.join(outW, "src").coalesce(4)
+    }
+
+  /** Force-build the memoized TextRank graph (see [[graft.Bench]]). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    textrankEw(spark, sfDir).count()
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * damped PageRank over the word co-occurrence graph — a word is
+    * central when it co-occurs with other central words, the
+    * graph-based complement to RAKE's degree/frequency heuristic
+    * (q_rake_keywords) and to frequency ranking itself. Edges connect
+    * content words within [[TrWindow]] original-stream positions,
+    * weighted by corpus co-occurrence count; the recurrence is
+    * [[GraphRank.pagerankOf]]'s integer fixed-point (BIGINT floor-div
+    * rounds — bit-identical on any engine/partitioning), so the oracle
+    * unrolls the same rounds as chained CTEs (the q_item_pagerank
+    * pattern).
+    *
+    * Scale: tokenization is map-side; the only corpus-sized shuffles
+    * are the word-count aggregate and one position self-join bounded
+    * by [[TrWindow]]·tokens rows; everything after the vocab head is
+    * ≤ [[TrVocab]]² edge rows. Rank mass at 100 TB is unchanged — the
+    * graph is vocabulary-sized, not corpus-sized.
+    */
+  def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val ew = textrankEw(spark, sfDir)
+    val nodes = ew.select(col("src").as("item")).distinct()
+    val nV = nodes.count() // ≤ TrVocab — the itemPagerank driver count
+    GraphRank.pagerankOf(ew, nodes, nV, GraphRank.BroadcastNodeCeiling)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rank").desc, col("item").asc)))
+      .where(col("rk") <= TrTop)
+      .select(col("rk"), col("item").as("word"), col("rank").as("rank_units"),
+        round(col("rank") / GraphRank.TotalUnits.toDouble, 6).as("textrank"))
+      .orderBy("rk")
+  }
+
+  val textrankKeywordsSql: String = {
+    val rounds = (1 to GraphRank.Rounds).map { k =>
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT nd.item,
+         |    ((${100 - GraphRank.DampPct} * (SELECT base FROM b) + ${GraphRank.DampPct} * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS item, sum((p.rank * e.w) // e.ow)::BIGINT AS s
+         |    FROM ew e JOIN pr${k - 1} p ON p.item = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.item = nd.item
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split($normDuck, ' '), 1) AS pos,
+       |    unnest(string_split($normDuck, ' ')) AS w
+       |  FROM documents
+       |), ct AS MATERIALIZED (
+       |  SELECT doc_id, pos, w FROM toks
+       |  WHERE length(w) >= $TrMinLen AND NOT list_contains($stopListDuck, w)
+       |), vocab AS MATERIALIZED (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS cnt FROM ct GROUP BY w
+       |    ORDER BY cnt DESC, w ASC LIMIT $TrVocab)
+       |), vt AS MATERIALIZED (
+       |  SELECT ct.doc_id, ct.pos, ct.w FROM ct JOIN vocab USING (w)
+       |), pairs AS MATERIALIZED (
+       |  SELECT least(x.w, y.w) AS wa, greatest(x.w, y.w) AS wb, count(*) AS co
+       |  FROM vt x JOIN vt y ON x.doc_id = y.doc_id
+       |    AND y.pos > x.pos AND y.pos <= x.pos + $TrWindow AND x.w <> y.w
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT wa AS src, wb AS dst, co AS w FROM pairs
+       |  UNION ALL
+       |  SELECT wb AS src, wa AS dst, co AS w FROM pairs
+       |), ow AS (
+       |  SELECT src, sum(w)::BIGINT AS ow FROM edges GROUP BY src
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON o.src = e.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS item FROM edges
+       |), b AS (
+       |  SELECT (${GraphRank.TotalUnits} // count(*))::BIGINT AS base FROM nodes
+       |), pr0 AS (
+       |  SELECT item, (SELECT base FROM b) AS rank FROM nodes
+       |), $rounds
+       |SELECT rk, item AS word, rank AS rank_units,
+       |  round(rank / ${GraphRank.TotalUnits}e0, 6) AS textrank
+       |FROM (
+       |  SELECT item, rank,
+       |    row_number() OVER (ORDER BY rank DESC, item ASC) AS rk
+       |  FROM pr${GraphRank.Rounds}
+       |) WHERE rk <= $TrTop
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_textrank_keywords" -> (textrankKeywords _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_rake_keywords" -> (rakeKeywords _),
     "q_boilerplate" -> (boilerplate _),
@@ -1405,6 +1549,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_textrank_keywords" -> textrankKeywordsSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_boilerplate" -> boilerplateSql,

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val GraphRankHeads = Set(
     "q_item_communities", "q_item_pagerank", "q_rwr_proximity", "q_salsa",
     "q_shortest_paths", "q_simrank",
-    "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness")
+    "q_hits", "q_kcore", "q_modularity", "q_katz", "q_closeness",
+    "q_textrank_keywords") // rank head over the ≤TrVocab-node word-rank vector
 
   /** Model-/reference-/dimension-bounded tables: skyline survivors,
     * bootstrap's B replicate rows, the 25-nation rank demo, the
