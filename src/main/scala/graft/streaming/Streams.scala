@@ -585,7 +585,69 @@ object Streams {
       |FROM latest GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** T11: windowed KMV distinct-user ESTIMATE. `countDistinct` is
+    * unsupported in streaming aggregations (q_stream_users' exact
+    * count only works because its batch runner sees the whole input),
+    * so the mergeable KMV sketch IS the streamable distinct: the
+    * [[graft.functions.KmvMins]] partial buffers serialize into the
+    * state store and merge exactly across micro-batches (sketch union
+    * — KmvScaleSpec), and the estimate is pure SQL over the final
+    * minima array. State per window: k longs + a count, independent of
+    * traffic. At the gate SF the per-window user count straddles k=64,
+    * so BOTH estimator branches (under-fill exact / (k−1)M/h_(k))
+    * run under the same hash gate. StreamingSpec's T11 twin feeds the
+    * identical transform from a MemoryStream and matches batch.
+    */
+  def kmvWindowUsers(events: DataFrame): DataFrame = {
+    val k = graft.operators.Advanced.KmvK
+    events
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(user_id AS string)), 1, 12), 16, 10) AS bigint)"))
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(graft.functions.KmvMins.kmvMins(k, col("h")).as("mins"),
+           count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n_events"),
+              size(col("mins")).cast("long").as("sketch_n"),
+              expr(s"try_element_at(mins, $k)").as("kth"))
+      .withColumn("est_users",
+        round(when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(graft.operators.Advanced.KmvM)
+            / col("kth").cast("double")), 4))
+      .drop("kth")
+  }
+
+  def kmvWindowUsersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    kmvWindowUsers(Tables.events(spark, sfDir))
+      .orderBy("window_start")
+
+  val kmvWindowUsersSql: String = {
+    val k = graft.operators.Advanced.KmvK
+    s"""WITH ev AS (
+       |  SELECT strftime(time_bucket(INTERVAL '6 hours', ts::TIMESTAMP, TIMESTAMP '1970-01-01 00:00:00'), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events
+       |), n AS (
+       |  SELECT window_start, count(*) AS n_events FROM ev GROUP BY 1
+       |), hs AS (
+       |  SELECT DISTINCT window_start, h FROM ev WHERE h IS NOT NULL
+       |), r AS (
+       |  SELECT window_start, h,
+       |    row_number() OVER (PARTITION BY window_start ORDER BY h) AS rk
+       |  FROM hs
+       |), s AS (
+       |  SELECT window_start, count(*) AS sketch_n, max(h) AS kth
+       |  FROM r WHERE rk <= $k GROUP BY window_start
+       |)
+       |SELECT n.window_start, n.n_events, s.sketch_n,
+       |  round(CASE WHEN s.sketch_n < $k THEN s.sketch_n::DOUBLE
+       |        ELSE ${k - 1}e0 * 281474976710656e0 / s.kth::DOUBLE END, 4) AS est_users
+       |FROM n JOIN s USING (window_start)
+       |ORDER BY window_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_kmv"      -> (kmvWindowUsersQuery _),
     "q_stream_upsert"   -> (upsertQuery _),
     "q_stream_drift"    -> (driftQuery _),
     "q_stream_topk"     -> (topUsersQuery _),
@@ -599,6 +661,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_kmv"      -> kmvWindowUsersSql,
     "q_stream_upsert"   -> upsertSql,
     "q_stream_drift"    -> driftSql,
     "q_stream_topk"     -> topUsersSql,

@@ -90,6 +90,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batch.count() > 2) // events genuinely span hour windows
   }
 
+  test("T11 streaming KMV windowed distinct estimate equals batch on same input") {
+    val session = spark
+    import session.implicits._
+    val batch = Streams.kmvWindowUsers(fixture.toDF())
+    // the KMV buffer must survive state-store serialize/merge across
+    // TWO micro-batches: split the fixture so windows accumulate
+    // incrementally (countDistinct would be rejected on this plan)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val (b1, b2) = fixture.splitAt(fixture.size / 2)
+    val name = s"stream_kmv_${System.nanoTime()}"
+    val q = Streams.kmvWindowUsers(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+    assert(canon(streamed) == canon(batch))
+    // fixture windows under-fill k: estimate must equal exact distinct
+    val exact = Streams.tumblingUsers(fixture.toDF())
+      .select(col("window_start"), col("n_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    batch.collect().foreach { r =>
+      assert(r.getAs[Double]("est_users") ==
+        exact(r.getAs[String]("window_start")).toDouble)
+    }
+  }
+
   test("T2 streaming sliding window equals batch on same input") {
     val session = spark
     import session.implicits._
