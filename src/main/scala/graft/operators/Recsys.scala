@@ -984,6 +984,274 @@ object Recsys {
        |  sum(CASE WHEN mrr > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_users_with_hit
        |FROM per_user""".stripMargin
 
+  /** SKNN neighbor sessions kept per active session. */
+  val SknnK = 10
+  /** SKNN recommendations emitted per user. */
+  val SknnTopN = 5
+  /** Integer fixed-point scale for the squared session cosine:
+    * sim² = inter²/(|a|·|h|) in [[SknnUnits]] units — monotone in the
+    * cosine (all terms ≥ 0), so ranking on it IS ranking on sim while
+    * every score stays an exact BIGINT (no float tie policy). */
+  val SknnUnits = 1000000L
+  /** Per-item posting cap: each item contributes only its most RECENT
+    * [[SknnPostings]] history baskets to neighbor generation — the
+    * hot-item fan-out bound (a chart-topper item would otherwise join
+    * every session ever; recency is the standard SKNN sampling rule).
+    * Far above every fixture posting list, so fixture results are
+    * uncapped; the oracle applies the identical cap. */
+  val SknnPostings = 500
+
+  /** M10 session-based kNN (SKNN — Jannach & Ludewig, RecSys 2017: the
+    * baseline that embarrassed early neural session recommenders):
+    * recommend for each user's ACTIVE session (their latest basket)
+    * from the K most similar historical baskets — session granularity,
+    * where ItemCF/UserCF aggregate whole user histories. Similarity is
+    * the binary session cosine |a∩h|/√(|a|·|h|), ranked via the exact
+    * integer square (see [[SknnUnits]]); an item i ∉ a scores
+    * Σ sim²(h) over the neighbor baskets containing it — exact BIGINT
+    * sums end to end, so the oracle reproduces every rank.
+    *
+    * Scale: the active set is one argmax aggregate (max(struct)); pair
+    * generation is an item-keyed join bounded by [[SknnPostings]]
+    * postings per item (recency-capped map-side by the bounded top-K
+    * aggregate, never a per-item sort shuffle); neighbor and rec
+    * ranking ride [[graft.functions.TopKByScore]]'s partial-phase cap,
+    * so the shuffles carry ≤ K·|users| rows.
+    */
+  def sknnRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    // basket item sets; feeds actives, history postings, sizes — severed once
+    val bi = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("bk"), col("user_id"),
+              col("o_orderdate").as("dt"), col("l_partkey").as("item_id"))
+      .distinct()
+      .localCheckpoint()
+    // active basket per user: the argmax struct aggregate (no window)
+    val active = bi.select("user_id", "bk", "dt").distinct()
+      .groupBy("user_id")
+      .agg(max(struct(col("dt"), col("bk"))).as("m"))
+      .select(col("user_id"), col("m.bk").as("abk"))
+    val sizes = bi.groupBy("bk").agg(count(lit(1)).as("n"))
+    val aItems = bi.as("b").join(active.as("a"),
+        col("b.user_id") === col("a.user_id") && col("b.bk") === col("a.abk"))
+      .select(col("b.user_id").as("user_id"), col("a.abk").as("abk"),
+              col("b.item_id").as("item_id"))
+      .join(sizes.select(col("bk").as("abk"), col("n").as("na")), "abk")
+      .localCheckpoint() // feeds pair gen AND the seen-item anti join
+    // history postings: every non-active basket, recency-capped per item
+    val hist = bi.join(active.select(col("abk")), bi("bk") === col("abk"), "left_anti")
+    val postings = hist
+      .withColumn("ds", expr("cast(unix_date(cast(dt AS date)) AS double)"))
+      .groupBy("item_id")
+      .agg(graft.functions.TopKByScore.topK(
+        SknnPostings, col("ds"), col("bk"), lit(0L)).as("ps"))
+      .select(col("item_id"), explode(col("ps")).as("p"))
+      .select(col("item_id"), col("p.id").as("hbk"))
+      .join(sizes.select(col("bk").as("hbk"), col("n").as("nh")), "hbk")
+    // neighbor generation: shared-item join -> exact integer sim² units
+    val pairs = aItems.join(postings, "item_id")
+      .groupBy("user_id", "abk", "na", "hbk", "nh")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("s_units",
+        expr(s"(inter * inter * ${SknnUnits}L) div (na * nh)"))
+    val nbrs = pairs.groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        SknnK, col("s_units").cast("double"), col("hbk"), col("s_units")).as("nb"))
+      .select(col("user_id"), explode(col("nb")).as("n"))
+      .select(col("user_id"), col("n.id").as("hbk"), col("n.extra").as("s_units"))
+    // score neighbor items not already in the active basket
+    val histItems = bi.select(col("bk").as("hbk"), col("item_id"))
+    val recs = nbrs.join(histItems, "hbk")
+      .join(aItems.select("user_id", "item_id"), Seq("user_id", "item_id"), "left_anti")
+      .groupBy("user_id", "item_id")
+      .agg(sum("s_units").as("score_units"))
+    recs.groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        SknnTopN, col("score_units").cast("double"), col("item_id"),
+        col("score_units")).as("r"))
+      .select(col("user_id"), posexplode(col("r")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("rec.id").as("item_id"), col("rec.extra").as("score_units"))
+      .orderBy("user_id", "rk")
+  }
+
+  val sknnRecommendSql: String =
+    s"""WITH bi AS (
+       |  SELECT DISTINCT o_orderkey AS bk, o_custkey AS user_id,
+       |    o_orderdate AS dt, l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), active AS (
+       |  SELECT user_id, bk AS abk FROM (
+       |    SELECT user_id, bk,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY dt DESC, bk DESC) AS rn
+       |    FROM (SELECT DISTINCT user_id, bk, dt FROM bi)
+       |  ) WHERE rn = 1
+       |), sizes AS (
+       |  SELECT bk, count(*)::BIGINT AS n FROM bi GROUP BY bk
+       |), a_items AS (
+       |  SELECT b.user_id, a.abk, b.item_id, s.n AS na
+       |  FROM bi b JOIN active a ON a.user_id = b.user_id AND a.abk = b.bk
+       |  JOIN sizes s ON s.bk = a.abk
+       |), postings AS (
+       |  SELECT item_id, hbk FROM (
+       |    SELECT b.item_id, b.bk AS hbk,
+       |      row_number() OVER (PARTITION BY b.item_id
+       |        ORDER BY epoch_ms(b.dt) // 86400000 DESC, b.bk ASC) AS rn
+       |    FROM bi b WHERE b.bk NOT IN (SELECT abk FROM active)
+       |  ) WHERE rn <= $SknnPostings
+       |), pairs AS (
+       |  SELECT a.user_id, a.abk, a.na, p.hbk, s.n AS nh, count(*)::BIGINT AS inter
+       |  FROM a_items a JOIN postings p ON p.item_id = a.item_id
+       |  JOIN sizes s ON s.bk = p.hbk
+       |  GROUP BY a.user_id, a.abk, a.na, p.hbk, s.n
+       |), scored_pairs AS (
+       |  SELECT user_id, hbk,
+       |    ((inter * inter * $SknnUnits) // (na * nh))::BIGINT AS s_units
+       |  FROM pairs
+       |), nbrs AS (
+       |  SELECT user_id, hbk, s_units FROM (
+       |    SELECT user_id, hbk, s_units,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY s_units DESC, hbk ASC) AS rn
+       |    FROM scored_pairs
+       |  ) WHERE rn <= $SknnK
+       |), recs AS (
+       |  SELECT n.user_id, h.item_id, sum(n.s_units)::BIGINT AS score_units
+       |  FROM nbrs n JOIN bi h ON h.bk = n.hbk
+       |  WHERE NOT EXISTS (SELECT 1 FROM a_items a
+       |                    WHERE a.user_id = n.user_id AND a.item_id = h.item_id)
+       |  GROUP BY n.user_id, h.item_id
+       |)
+       |SELECT user_id, rk, item_id, score_units FROM (
+       |  SELECT user_id, item_id, score_units,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY score_units DESC, item_id ASC) AS rk
+       |  FROM recs
+       |) WHERE rk <= $SknnTopN
+       |ORDER BY user_id, rk""".stripMargin
+
+  /** GAUC candidate pool: top train-popularity items each eval user is
+    * scored against (minus the user's own train items). */
+  val GaucCand = 100
+  /** Per-user AUC fixed-point scale — terms are rounded to integer
+    * units BEFORE the weighted sum (the MMD discipline), so GAUC is
+    * exact under any summation order. */
+  val GaucUnits = 1000000000L
+
+  /** M9g grouped AUC (GAUC) — the industry-standard per-user ranking
+    * metric beside the GLOBAL AUC of q_eval_auc: a global AUC rewards
+    * a model for ordering heavy users above light ones even when every
+    * user's own list is shuffled; GAUC computes AUC WITHIN each user's
+    * candidate list and averages weighted by the user's positive count
+    * (Zhou et al., "Deep Interest Network", KDD 2018 use it as the
+    * headline metric for exactly this reason). Scorer under eval =
+    * the leak-clean train-popularity ranker on the [[SplitDate]] time
+    * split (the [[evalPopularity]]/[[evalRanking]] family): each test
+    * user is scored on the top-[[GaucCand]] train items MINUS their
+    * own train items, positives = their test-window interactions.
+    * Tie-correct via average ranks per (user, score) group — doubled
+    * rank sums keep every per-user statistic an exact BIGINT, the
+    * per-user AUC is ONE division of exact integers, and the weighted
+    * mean runs over [[GaucUnits]]-fixed-point terms, so both engines
+    * sum identical integers. Users with zero positives or zero
+    * negatives in-pool have undefined AUC and are excluded (the GAUC
+    * convention).
+    *
+    * Scale: the pool is a broadcast [[GaucCand]]-row head; candidates
+    * = |eval users|·[[GaucCand]] slim rows (linear); the per-user rank
+    * window is bounded at ≤ [[GaucCand]] rows per key — never
+    * corpus-sized.
+    */
+  def evalGauc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (train0, test0, _) = popularitySplit(spark, sfDir)
+    // each split feeds two consumers below — severed once (r9s2 rule)
+    val train = train0.localCheckpoint()
+    val test = test0.localCheckpoint()
+    val pool = train.groupBy("item_id").agg(countDistinct(col("user_id")).as("pop"))
+      .orderBy(col("pop").desc, col("item_id").asc).limit(GaucCand)
+    val cands = test.select("user_id").distinct()
+      .crossJoin(broadcast(pool))
+      .join(train, Seq("user_id", "item_id"), "left_anti")
+    val lab = cands
+      .join(test.withColumn("is_pos", lit(true)), Seq("user_id", "item_id"), "left")
+      .select(col("user_id"), col("pop"),
+              coalesce(col("is_pos"), lit(false)).as("is_pos"))
+    val g = lab.groupBy("user_id", "pop")
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("na"),
+           count(lit(1)).as("t"))
+    val wU = Window.partitionBy("user_id").orderBy("pop")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = g.withColumn("before", coalesce(sum("t").over(wU), lit(0L)))
+      .groupBy("user_id")
+      .agg(sum("na").as("n1"),
+           sum(col("t") - col("na")).as("n2"),
+           sum(col("na") * (lit(2L) * col("before") + col("t") + 1)).as("r1x2"))
+      .where(col("n1") > 0 && col("n2") > 0)
+      .withColumn("auc",
+        (col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (lit(2L) * col("n1") * col("n2")).cast("double"))
+      .withColumn("auc_fp", round(col("auc") * GaucUnits).cast("long"))
+    per.agg(
+        count(lit(1)).as("n_eval_users"),
+        sum("n1").as("total_pos"),
+        round(sum(col("n1") * col("auc_fp")) /
+          (sum(col("n1")) * lit(GaucUnits)).cast("double"), 6).as("gauc"),
+        round(sum(col("auc_fp")) /
+          (count(lit(1)) * lit(GaucUnits)).cast("double"), 6).as("macro_auc"))
+  }
+
+  val evalGaucSql: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), train AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate < TIMESTAMP '$SplitDate'
+       |), test AS (
+       |  SELECT DISTINCT user_id, item_id FROM ui WHERE o_orderdate >= TIMESTAMP '$SplitDate'
+       |), pool AS (
+       |  SELECT item_id, count(DISTINCT user_id)::BIGINT AS pop
+       |  FROM train GROUP BY item_id
+       |  ORDER BY pop DESC, item_id ASC LIMIT $GaucCand
+       |), cands AS (
+       |  SELECT u.user_id, p.item_id, p.pop
+       |  FROM (SELECT DISTINCT user_id FROM test) u CROSS JOIN pool p
+       |  WHERE NOT EXISTS (SELECT 1 FROM train t
+       |                    WHERE t.user_id = u.user_id AND t.item_id = p.item_id)
+       |), lab AS (
+       |  SELECT c.user_id, c.pop, (x.item_id IS NOT NULL) AS is_pos
+       |  FROM cands c LEFT JOIN test x
+       |    ON x.user_id = c.user_id AND x.item_id = c.item_id
+       |), g AS (
+       |  SELECT user_id, pop,
+       |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    count(*)::BIGINT AS t
+       |  FROM lab GROUP BY user_id, pop
+       |), ranked AS (
+       |  SELECT user_id, pop, na, t,
+       |    coalesce(sum(t) OVER (PARTITION BY user_id ORDER BY pop
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |  FROM g
+       |), per AS (
+       |  SELECT user_id,
+       |    sum(na)::BIGINT AS n1,
+       |    sum(t - na)::BIGINT AS n2,
+       |    sum(na * (2 * before + t + 1))::BIGINT AS r1x2
+       |  FROM ranked GROUP BY user_id
+       |  HAVING sum(na) > 0 AND sum(t - na) > 0
+       |), scored AS (
+       |  SELECT user_id, n1,
+       |    round(((r1x2 - n1 * (n1 + 1))::DOUBLE / (2 * n1 * n2)::DOUBLE)
+       |      * $GaucUnits)::BIGINT AS auc_fp
+       |  FROM per
+       |)
+       |SELECT count(*)::BIGINT AS n_eval_users,
+       |  sum(n1)::BIGINT AS total_pos,
+       |  round(sum(n1 * auc_fp) / (sum(n1) * $GaucUnits)::DOUBLE, 6) AS gauc,
+       |  round(sum(auc_fp) / (count(*) * $GaucUnits)::DOUBLE, 6) AS macro_auc
+       |FROM scored""".stripMargin
+
   /** IPS weight scale: w(i) = IpsUnits div pop(i) in integer units, so
     * the weighted sums are exact BIGINTs under any summation order. */
   val IpsUnits = 1000000000L
@@ -2309,6 +2577,8 @@ object Recsys {
     "q_rec_diversity"     -> (recDiversity _),
     "q_rec_coverage"      -> (recCoverage _),
     "q_eval_ranking"      -> (evalRanking _),
+    "q_eval_gauc"         -> (evalGauc _),
+    "q_sknn_recommend"    -> (sknnRecommend _),
     "q_markov_next"       -> (markovNext _),
     "q_itemcf_similarity" -> (itemcfSimilarity _),
     "q_itemcf_weighted"   -> (itemcfWeighted _),
@@ -2337,6 +2607,8 @@ object Recsys {
     "q_rec_diversity"     -> recDiversitySql,
     "q_rec_coverage"      -> recCoverageSql,
     "q_eval_ranking"      -> evalRankingSql,
+    "q_eval_gauc"         -> evalGaucSql,
+    "q_sknn_recommend"    -> sknnRecommendSql,
     "q_markov_next"       -> markovNextSql,
     "q_itemcf_similarity" -> itemcfSimilaritySql,
     "q_itemcf_weighted"   -> itemcfWeightedSql,
