@@ -60,6 +60,43 @@ class SessionRecSpec extends AnyFunSuite with SparkFixture {
     assert(recs.forall(r => !Set(1L, 2L).contains(r.getAs[Long]("item_id"))))
   }
 
+  test("sknn: the per-item recency posting cap binds — old baskets drop out") {
+    val session = spark
+    import session.implicits._
+    // hot item 1 appears in SknnPostings+40 history baskets; only the
+    // most RECENT SknnPostings may pair with the active basket. The 40
+    // oldest carry a tracer item (8888) that must therefore never be
+    // recommended; recent baskets carry tracer 7777, which must be.
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    val nOld = 40
+    val nAll = Recsys.SknnPostings + nOld
+    // all history baskets belong to user 20, whose ACTIVE basket is a
+    // separate later order — otherwise every basket is its owner's
+    // latest and the history set is empty
+    val hist = (0 until nAll).map { i =>
+      val day = java.sql.Timestamp.valueOf(base.plusDays(i.toLong).atStartOfDay())
+      (1000L + i, 20L, day)
+    }
+    val active = Seq(
+      (9000L, 10L, java.sql.Timestamp.valueOf(base.plusDays(3000L).atStartOfDay())),
+      (9100L, 20L, java.sql.Timestamp.valueOf(base.plusDays(4000L).atStartOfDay())))
+    val orders = (hist ++ active).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = (
+      (0 until nAll).flatMap { i =>
+        val tracer = if (i < nOld) 8888L else 7777L
+        Seq((1000L + i, 1L), (1000L + i, tracer))
+      } ++ Seq((9000L, 1L), (9000L, 2L), (9100L, 999L))
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("sknncap").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val recs = Recsys.sknnRecommend(session, dir)
+      .where(col("user_id") === 10L).collect()
+      .map(_.getAs[Long]("item_id")).toSet
+    assert(recs.contains(7777L), s"recent tracer missing from $recs")
+    assert(!recs.contains(8888L), s"capped-out tracer leaked into $recs")
+  }
+
   test("gauc: brute-force pair-counting replay at sf0.001") {
     val row = Recsys.evalGauc(spark, sfTest).collect().head
     // independent replay: rebuild candidates relationally, then count
