@@ -1331,6 +1331,96 @@ object Stats {
       |  round(median(v - (SELECT slope FROM s) * t), 4) AS intercept_cents
       |FROM pts""".stripMargin
 
+  /** Mann–Kendall trend test per event type over the daily value
+    * series — the SIGNIFICANCE companion to [[theilSen]]'s slope (the
+    * two are the standard pairing for monotone-trend monitoring:
+    * Theil–Sen says how steep, Mann–Kendall says whether to believe
+    * it). S = Σ sign(v_j − v_i) over ordered day pairs, exact BIGINT
+    * on cents fixed-pointed BEFORE summation (the qte rule — float
+    * daily sums would make sign() order-dependent); Var(S) uses the
+    * tie-corrected closed form, kept as the integer 18·Var so the
+    * only doubles are one sqrt and one division; z applies the
+    * ±1 continuity correction, and the verdict thresholds the ROUNDED
+    * z (never a raw float compare). All-tied series have Var = 0 →
+    * NULL z, 'undefined' verdict on both engines.
+    *
+    * Scale: the day series is calendar-bounded, so the per-type pair
+    * join is (days choose 2) — fixed by the observation span however
+    * large the corpus; the only corpus-sized pass is the daily cents
+    * aggregate.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .localCheckpoint() // feeds both pair sides AND the n/tie pass
+    val s = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.day") > col("a.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.cents") > col("a.cents"), 1L)
+        .when(col("b.cents") < col("a.cents"), -1L).otherwise(0L)).as("s_stat"))
+    val nt = daily.groupBy("event_type", "cents").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t")).as("n_days"),
+           sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie18"))
+    s.join(nt, "event_type")
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) - col("tie18"))
+      .withColumn("z", round(
+        when(col("var18") <= 0, lit(null).cast("double"))
+          .when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var18") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var18") / 18.0))
+          .otherwise(0.0), 4))
+      .withColumn("trend",
+        when(col("z").isNull, "undefined")
+          .when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none"))
+      .select("event_type", "n_days", "s_stat", "var18", "z", "trend")
+      .orderBy("event_type")
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::TIMESTAMP::DATE AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT a.event_type,
+      |    sum(CASE WHEN b.cents > a.cents THEN 1
+      |             WHEN b.cents < a.cents THEN -1 ELSE 0 END)::BIGINT AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND b.day > a.day
+      |  GROUP BY a.event_type
+      |), nt AS (
+      |  SELECT event_type, sum(t)::BIGINT AS n_days,
+      |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+      |  FROM (SELECT event_type, cents, count(*)::BIGINT AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  GROUP BY event_type
+      |), v AS (
+      |  SELECT s.event_type, s.s_stat, nt.n_days,
+      |    (nt.n_days * (nt.n_days - 1) * (2 * nt.n_days + 5) - nt.tie18)::BIGINT AS var18
+      |  FROM s JOIN nt USING (event_type)
+      |), z AS (
+      |  SELECT event_type, n_days, s_stat, var18,
+      |    round(CASE WHEN var18 <= 0 THEN NULL
+      |          WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var18 / 18.0)
+      |          WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var18 / 18.0)
+      |          ELSE 0.0 END, 4) AS z
+      |  FROM v
+      |)
+      |SELECT event_type, n_days, s_stat, var18, z,
+      |  CASE WHEN z IS NULL THEN 'undefined'
+      |       WHEN z > 1.96 THEN 'increasing'
+      |       WHEN z < -1.96 THEN 'decreasing'
+      |       ELSE 'none' END AS trend
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
   /** The two event-type samples the rank-sum test compares. */
   val MwA = "purchase"
   val MwB = "click"
@@ -2676,6 +2766,7 @@ object Stats {
     "q_mutual_info"    -> (mutualInfo _),
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
+    "q_mann_kendall"   -> (mannKendall _),
     "q_overdispersion" -> (overdispersion _),
     "q_winsorize"      -> (winsorize _),
     "q_hill_tail"      -> (hillTail _),
@@ -2716,6 +2807,7 @@ object Stats {
     "q_mutual_info"    -> mutualInfoSql,
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,
+    "q_mann_kendall"   -> mannKendallSql,
     "q_overdispersion" -> overdispersionSql,
     "q_winsorize"      -> winsorizeSql,
     "q_hill_tail"      -> hillTailSql,

@@ -983,4 +983,38 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     check("orders.o_custkey",
       Tables.orders(spark, sfTest).select("o_custkey").collect().map(_.getLong(0)).toSeq)
   }
+
+  test("mann-kendall replays the textbook S/Var/z locally") {
+    val out = operators.Stats.mannKendall(spark, sfTest).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables.events(spark, sfTest)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("cents")))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(_._3)
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.length)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val n = series.length.toLong
+      val tie18 = series.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      val z =
+        if (var18 <= 0) None
+        else if (s > 0) Some((s - 1).toDouble / math.sqrt(var18 / 18.0))
+        else if (s < 0) Some((s + 1).toDouble / math.sqrt(var18 / 18.0))
+        else Some(0.0)
+      val r = out(et)
+      assert(r.getAs[Long]("s_stat") == s, et)
+      assert(r.getAs[Long]("n_days") == n, et)
+      assert(r.getAs[Long]("var18") == var18, et)
+      z match {
+        case Some(zz) => assert(math.abs(r.getAs[Double]("z") - zz) < 1e-4, s"$et $zz $r")
+        case None     => assert(r.isNullAt(r.fieldIndex("z")), et)
+      }
+    }
+  }
 }
