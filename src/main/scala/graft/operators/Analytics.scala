@@ -625,6 +625,82 @@ object Analytics {
     * that validates the pipeline. Counts are exact; the z formula is
     * one IEEE expression rounded.
     */
+  /** Midpoint of the fixture observation window — the McNemar pairing
+    * boundary (H1 vs H2). */
+  val McnemarSplit = "2024-01-16 00:00:00"
+  /** Paired outcome: "heavy-purchase half" = at least this many
+    * purchases in the half. Raw purchase incidence is degenerate
+    * (every user purchases in both halves — the q_ab_test lesson), so
+    * the outcome thresholds the count; the threshold sits near the
+    * per-half median, which is what makes flips common. */
+  val McnemarMin = 4
+
+  /** McNemar's test — the PAIRED-sample member of the experimentation
+    * suite (A/B z, CUPED, DiD, QTE are all unpaired/between-subject;
+    * the within-subject before/after question needs the paired
+    * contingency table). Pairs are users; the binary outcome is the
+    * heavy-purchase flag per half of the observation window. Only the
+    * discordant cells carry information: χ² = (|b−c|−1)²/(b+c) with
+    * continuity correction, b = H1-only, c = H2-only. Everything up
+    * to the single division is exact integer arithmetic; the verdict
+    * thresholds the ROUNDED χ² against the 0.05 critical value; b+c=0
+    * leaves χ² NULL ('undefined') on both engines.
+    *
+    * Scale: one corpus aggregate per user, a 1-row assembly — linear,
+    * no windows.
+    */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = lit(McnemarSplit).cast("timestamp_ntz")
+    val isPurchase = (col("event_type") === "purchase").cast("long")
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum(when(col("ts") < split, isPurchase).otherwise(0L)) >= McnemarMin)
+             .cast("long").as("h1"),
+           (sum(when(col("ts") >= split, isPurchase).otherwise(0L)) >= McnemarMin)
+             .cast("long").as("h2"))
+    per.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("h1") * col("h2")).as("n_both"),
+        sum(col("h1") * (lit(1L) - col("h2"))).as("n_h1_only"),
+        sum((lit(1L) - col("h1")) * col("h2")).as("n_h2_only"),
+        sum((lit(1L) - col("h1")) * (lit(1L) - col("h2"))).as("n_neither"))
+      .withColumn("chi2", round(
+        when(col("n_h1_only") + col("n_h2_only") > 0,
+          ((abs(col("n_h1_only") - col("n_h2_only")) - 1) *
+           (abs(col("n_h1_only") - col("n_h2_only")) - 1)).cast("double") /
+            (col("n_h1_only") + col("n_h2_only")).cast("double")), 6))
+      .withColumn("verdict",
+        when(col("chi2").isNull, "undefined")
+          .when(col("chi2") > 3.8415, "shifted")
+          .otherwise("stable"))
+  }
+
+  val mcnemarSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    (sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '$McnemarSplit'
+       |              AND event_type = 'purchase' THEN 1 ELSE 0 END) >= $McnemarMin)::BIGINT AS h1,
+       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '$McnemarSplit'
+       |              AND event_type = 'purchase' THEN 1 ELSE 0 END) >= $McnemarMin)::BIGINT AS h2
+       |  FROM events GROUP BY user_id
+       |), cells AS (
+       |  SELECT count(*)::BIGINT AS n_pairs,
+       |    sum(h1 * h2)::BIGINT AS n_both,
+       |    sum(h1 * (1 - h2))::BIGINT AS n_h1_only,
+       |    sum((1 - h1) * h2)::BIGINT AS n_h2_only,
+       |    sum((1 - h1) * (1 - h2))::BIGINT AS n_neither
+       |  FROM per
+       |)
+       |SELECT n_pairs, n_both, n_h1_only, n_h2_only, n_neither,
+       |  round(CASE WHEN n_h1_only + n_h2_only > 0
+       |    THEN ((abs(n_h1_only - n_h2_only) - 1) * (abs(n_h1_only - n_h2_only) - 1))::DOUBLE
+       |         / (n_h1_only + n_h2_only)::DOUBLE END, 6) AS chi2,
+       |  CASE WHEN n_h1_only + n_h2_only = 0 THEN 'undefined'
+       |       WHEN round(((abs(n_h1_only - n_h2_only) - 1) * (abs(n_h1_only - n_h2_only) - 1))::DOUBLE
+       |         / (n_h1_only + n_h2_only)::DOUBLE, 6) > 3.8415 THEN 'shifted'
+       |       ELSE 'stable' END AS verdict
+       |FROM cells""".stripMargin
+
   def abTest(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id")
@@ -2359,6 +2435,7 @@ object Analytics {
     "q_conversion_lag"    -> (conversionLag _),
     "q_churn_labels"      -> (churnLabels _),
     "q_ab_test"           -> (abTest _),
+    "q_mcnemar"           -> (mcnemar _),
     "q_latest_snapshot"   -> (latestSnapshot _),
     "q_value_histogram"   -> (valueHistogram _),
     "q_session_paths"     -> (sessionPaths _),
@@ -2397,6 +2474,7 @@ object Analytics {
     "q_conversion_lag"    -> conversionLagSql,
     "q_churn_labels"      -> churnLabelsSql,
     "q_ab_test"           -> abTestSql,
+    "q_mcnemar"           -> mcnemarSql,
     "q_latest_snapshot"   -> latestSnapshotSql,
     "q_value_histogram"   -> valueHistogramSql,
     "q_session_paths"     -> sessionPathsSql,

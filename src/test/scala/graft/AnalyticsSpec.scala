@@ -742,4 +742,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
         assert(math.abs(r.getAs[Double]("stratum_or") - a.toDouble * d / (b * c)) < 1e-3)
     }
   }
+
+  test("mcnemar: planted one-sided flips yield 'shifted'; fixture cells replay") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Analytics
+    // 30 users heavy in H1 only (b = 30), none the other way (c = 0):
+    // chi2 = (|30-0|-1)^2/30 = 28.03 >> 3.84
+    val h1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val h2 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val rows = (1 to 30).flatMap { u =>
+      (1 to Analytics.McnemarMin).map(i =>
+        (u.toLong * 100 + i, u.toLong, "purchase", 1.0, h1)) :+
+        ((u.toLong * 100 + 99, u.toLong, "view", 1.0, h2))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mcnemar").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.mcnemar(session, dir).collect().head
+    assert(r.getAs[Long]("n_h1_only") == 30 && r.getAs[Long]("n_h2_only") == 0)
+    assert(math.abs(r.getAs[Double]("chi2") - 29.0 * 29.0 / 30.0) < 1e-6)
+    assert(r.getAs[String]("verdict") == "shifted")
+    // fixture: cells partition the user set and chi2 replays
+    val f = Analytics.mcnemar(session, sfTest).collect().head
+    val (np, b2, c2) = (f.getAs[Long]("n_pairs"),
+      f.getAs[Long]("n_h1_only"), f.getAs[Long]("n_h2_only"))
+    assert(f.getAs[Long]("n_both") + b2 + c2 + f.getAs[Long]("n_neither") == np)
+    if (b2 + c2 > 0) {
+      val want = math.pow(math.abs(b2 - c2).toDouble - 1, 2) / (b2 + c2)
+      assert(math.abs(f.getAs[Double]("chi2") - want) < 1e-6)
+    }
+  }
 }
