@@ -701,6 +701,84 @@ object Analytics {
        |       ELSE 'stable' END AS verdict
        |FROM cells""".stripMargin
 
+  /** Paired t-test — McNemar's continuous twin (same within-subject
+    * design, spend instead of a flag): per-user purchase spend in
+    * cents per half (fixed-pointed BEFORE summation), d = H2 − H1
+    * exact BIGINT per user, t = mean(d) / (sd(d)/√n) from the exact
+    * integer moments Σd and Σd² (both « 2⁶³ at any per-user spend the
+    * cents domain admits), with Cohen's d_z = mean/sd. The only
+    * doubles are the final closed forms, rounded; n < 2 or zero
+    * variance → NULL t ('undefined') on both engines. Verdict
+    * thresholds the ROUNDED t against ±1.96.
+    *
+    * Scale: one per-user corpus aggregate + a 1-row assembly.
+    */
+  def pairedT(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = lit(McnemarSplit).cast("timestamp_ntz")
+    val cents = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(0L)
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum(when(col("ts") >= split, cents).otherwise(0L)) -
+            sum(when(col("ts") < split, cents).otherwise(0L))).as("d"))
+    per.agg(
+        count(lit(1)).as("n_pairs"),
+        sum("d").as("sum_d"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("mean_d", round(col("sum_d") / col("n_pairs").cast("double"), 4))
+      // sample variance from exact moments: (Σd² − (Σd)²/n) / (n−1)
+      .withColumn("var_d",
+        when(col("n_pairs") > 1,
+          (col("sum_d2").cast("double") -
+            col("sum_d").cast("double") * col("sum_d").cast("double") /
+              col("n_pairs").cast("double")) /
+            (col("n_pairs") - 1).cast("double")))
+      .withColumn("t_stat", round(
+        when(col("var_d") > 0,
+          col("sum_d").cast("double") / col("n_pairs").cast("double") /
+            sqrt(col("var_d") / col("n_pairs").cast("double"))), 4))
+      .withColumn("cohen_dz", round(
+        when(col("var_d") > 0,
+          col("sum_d").cast("double") / col("n_pairs").cast("double") /
+            sqrt(col("var_d"))), 4))
+      .withColumn("verdict",
+        when(col("t_stat").isNull, "undefined")
+          .when(abs(col("t_stat")) > 1.96, "shifted")
+          .otherwise("stable"))
+      .select("n_pairs", "sum_d", "mean_d", "t_stat", "cohen_dz", "verdict")
+  }
+
+  val pairedTSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |     - sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END))::BIGINT AS d
+       |  FROM events GROUP BY user_id
+       |), m AS (
+       |  SELECT count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS sum_d,
+       |    sum(d * d)::BIGINT AS sum_d2
+       |  FROM per
+       |), v AS (
+       |  SELECT n_pairs, sum_d,
+       |    round(sum_d / n_pairs::DOUBLE, 4) AS mean_d,
+       |    CASE WHEN n_pairs > 1 THEN
+       |      (sum_d2::DOUBLE - sum_d::DOUBLE * sum_d::DOUBLE / n_pairs::DOUBLE)
+       |        / (n_pairs - 1)::DOUBLE END AS var_d
+       |  FROM m
+       |)
+       |SELECT n_pairs, sum_d, mean_d,
+       |  round(CASE WHEN var_d > 0
+       |    THEN sum_d::DOUBLE / n_pairs::DOUBLE / sqrt(var_d / n_pairs::DOUBLE) END, 4) AS t_stat,
+       |  round(CASE WHEN var_d > 0
+       |    THEN sum_d::DOUBLE / n_pairs::DOUBLE / sqrt(var_d) END, 4) AS cohen_dz,
+       |  CASE WHEN var_d IS NULL OR var_d <= 0 THEN 'undefined'
+       |       WHEN abs(round(sum_d::DOUBLE / n_pairs::DOUBLE / sqrt(var_d / n_pairs::DOUBLE), 4)) > 1.96
+       |         THEN 'shifted'
+       |       ELSE 'stable' END AS verdict
+       |FROM v""".stripMargin
+
   def abTest(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id")
@@ -2436,6 +2514,7 @@ object Analytics {
     "q_churn_labels"      -> (churnLabels _),
     "q_ab_test"           -> (abTest _),
     "q_mcnemar"           -> (mcnemar _),
+    "q_paired_t"          -> (pairedT _),
     "q_latest_snapshot"   -> (latestSnapshot _),
     "q_value_histogram"   -> (valueHistogram _),
     "q_session_paths"     -> (sessionPaths _),
@@ -2475,6 +2554,7 @@ object Analytics {
     "q_churn_labels"      -> churnLabelsSql,
     "q_ab_test"           -> abTestSql,
     "q_mcnemar"           -> mcnemarSql,
+    "q_paired_t"          -> pairedTSql,
     "q_latest_snapshot"   -> latestSnapshotSql,
     "q_value_histogram"   -> valueHistogramSql,
     "q_session_paths"     -> sessionPathsSql,

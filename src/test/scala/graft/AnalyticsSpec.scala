@@ -773,4 +773,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(f.getAs[Double]("chi2") - want) < 1e-6)
     }
   }
+
+  test("paired t: planted uniform uplift yields 'shifted'; moments replay locally") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Analytics
+    val h1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val h2 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    // every user spends 10.00 in H1 and 15.00 + small user jitter in H2
+    val rows = (1 to 40).flatMap { u =>
+      Seq((u.toLong * 10 + 1, u.toLong, "purchase", 10.0, h1),
+          (u.toLong * 10 + 2, u.toLong, "purchase", 15.0 + (u % 3) * 0.5, h2))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pairedt").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.pairedT(session, dir).collect().head
+    val ds = (1 to 40).map(u => (1500 + (u % 3) * 50 - 1000).toLong)
+    val n = ds.size
+    val mean = ds.sum.toDouble / n
+    val varD = (ds.map(d => d.toDouble * d).sum - ds.sum.toDouble * ds.sum / n) / (n - 1)
+    val t = mean / math.sqrt(varD / n)
+    assert(r.getAs[Long]("n_pairs") == n && r.getAs[Long]("sum_d") == ds.sum)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3, s"$r vs $t")
+    assert(r.getAs[String]("verdict") == "shifted")
+    // zero-variance degenerate case → undefined, never a crash
+    val flat = (1 to 5).flatMap { u =>
+      Seq((u.toLong * 10 + 1, u.toLong, "purchase", 10.0, h1),
+          (u.toLong * 10 + 2, u.toLong, "purchase", 10.0, h2))
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("pairedt0").toString
+    flat.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = Analytics.pairedT(session, dir2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")))
+    assert(r2.getAs[String]("verdict") == "undefined")
+  }
 }
