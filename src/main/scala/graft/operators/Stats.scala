@@ -1421,6 +1421,92 @@ object Stats {
       |FROM z
       |ORDER BY event_type""".stripMargin
 
+  /** Wilcoxon signed-rank test — the NONPARAMETRIC paired member,
+    * completing the within-subject trio (McNemar: binary; paired t:
+    * parametric continuous; this: continuous without the normality
+    * assumption). Same pairing as [[Analytics.mcnemar]]: per-user
+    * H2 − H1 purchase cents (fixed-pointed before summation), zero
+    * deltas dropped per the standard procedure, ranks of |d| with
+    * average-rank ties via [[avgRanks2]]'s coarse-bucket two-level
+    * prefix — DOUBLED ranks keep W⁺ exact (W2 = Σ_{d>0} r2 = 2·W⁺ is
+    * a BIGINT), and the tie-corrected normal approximation
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48) is one
+    * IEEE expression over exact integers (the [[mannWhitneyOf]]
+    * convention: tie-corrected, no continuity correction). Verdict
+    * thresholds the ROUNDED z.
+    *
+    * Scale: one per-user corpus aggregate; the rank pass aggregates
+    * by |d| value (coarse-cell sharded, never a global row sort);
+    * 1-row assembly.
+    */
+  def wilcoxonSignedRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = lit(Analytics.McnemarSplit).cast("timestamp_ntz")
+    val cents = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(0L)
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum(when(col("ts") >= split, cents).otherwise(0L)) -
+            sum(when(col("ts") < split, cents).otherwise(0L))).as("d"))
+      .where(col("d") =!= 0)
+      .select(abs(col("d")).as("v"), (col("d") > 0).cast("long").as("pos"))
+      // feeds the tie histogram AND the rank join — severed once
+      .localCheckpoint()
+    val g = per.groupBy("v").agg(sum("pos").as("npos"), count(lit(1)).as("t"))
+    val s = g.join(avgRanks2(per.select("v")), "v")
+      .agg(sum(col("npos") * col("r2")).as("w2p"),
+           sum("t").as("n"),
+           sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    s.select(
+        col("n").as("n_pairs"),
+        round(col("w2p") / 2.0, 4).as("w_plus"),
+        round(when(col("n") > 0 &&
+            (col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) / 24.0 -
+              col("tie3") / 48.0) > 0,
+          (col("w2p") / 2.0 - col("n") * (col("n") + 1) / 4.0) /
+            sqrt(col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) / 24.0 -
+              col("tie3") / 48.0)), 4).as("z"))
+      .withColumn("verdict",
+        when(col("z").isNull, "undefined")
+          .when(abs(col("z")) > 1.96, "shifted")
+          .otherwise("stable"))
+  }
+
+  val wilcoxonSignedRankSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '${Analytics.McnemarSplit}' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |     - sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '${Analytics.McnemarSplit}' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END))::BIGINT AS d
+       |  FROM events GROUP BY user_id
+       |  HAVING d <> 0
+       |), g AS (
+       |  SELECT abs(d) AS v,
+       |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS npos,
+       |    count(*)::BIGINT AS t
+       |  FROM per GROUP BY 1
+       |), r AS (
+       |  SELECT v, npos, t,
+       |    coalesce(sum(t) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |  FROM g
+       |), s AS (
+       |  SELECT sum(npos * (2 * before + t + 1))::BIGINT AS w2p,
+       |    sum(t)::BIGINT AS n, sum(t * t * t - t)::BIGINT AS tie3
+       |  FROM r
+       |), out AS (
+       |  SELECT n AS n_pairs, round(w2p / 2.0, 4) AS w_plus,
+       |    round(CASE WHEN n > 0 AND (n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0) > 0
+       |      THEN (w2p / 2.0 - n * (n + 1) / 4.0)
+       |           / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0) END, 4) AS z
+       |  FROM s
+       |)
+       |SELECT n_pairs, w_plus, z,
+       |  CASE WHEN z IS NULL THEN 'undefined'
+       |       WHEN abs(z) > 1.96 THEN 'shifted'
+       |       ELSE 'stable' END AS verdict
+       |FROM out""".stripMargin
+
   /** The two event-type samples the rank-sum test compares. */
   val MwA = "purchase"
   val MwB = "click"
@@ -2767,6 +2853,7 @@ object Stats {
     "q_acf"            -> (acf _),
     "q_theil_sen"      -> (theilSen _),
     "q_mann_kendall"   -> (mannKendall _),
+    "q_wilcoxon"       -> (wilcoxonSignedRank _),
     "q_overdispersion" -> (overdispersion _),
     "q_winsorize"      -> (winsorize _),
     "q_hill_tail"      -> (hillTail _),
@@ -2808,6 +2895,7 @@ object Stats {
     "q_acf"            -> acfSql,
     "q_theil_sen"      -> theilSenSql,
     "q_mann_kendall"   -> mannKendallSql,
+    "q_wilcoxon"       -> wilcoxonSignedRankSql,
     "q_overdispersion" -> overdispersionSql,
     "q_winsorize"      -> winsorizeSql,
     "q_hill_tail"      -> hillTailSql,

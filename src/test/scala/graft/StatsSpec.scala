@@ -984,6 +984,34 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       Tables.orders(spark, sfTest).select("o_custkey").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("wilcoxon signed-rank replays the textbook W+/z locally") {
+    val r = operators.Stats.wilcoxonSignedRank(spark, sfTest).collect().head
+    val split = java.sql.Timestamp.valueOf(operators.Analytics.McnemarSplit)
+    val ds = Tables.events(spark, sfTest)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) =>
+        rows.filter(!_.getAs[java.sql.Timestamp]("ts").before(split)).map(_.getAs[Long]("c")).sum -
+          rows.filter(_.getAs[java.sql.Timestamp]("ts").before(split)).map(_.getAs[Long]("c")).sum
+      }.filter(_ != 0).toSeq
+    // note: users with zero purchase events have d = 0 and are dropped
+    // by both sides, so grouping only purchase rows is equivalent
+    val n = ds.size.toLong
+    val sorted = ds.map(math.abs).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+    val wPlus = ds.filter(_ > 0).map(d => rank(math.abs(d))).sum
+    val tie3 = sorted.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    val varW = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    val z = (wPlus - n * (n + 1) / 4.0) / math.sqrt(varW)
+    assert(r.getAs[Long]("n_pairs") == n)
+    assert(math.abs(r.getAs[Double]("w_plus") - wPlus) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-4, s"$r vs $z")
+  }
+
   test("mann-kendall replays the textbook S/Var/z locally") {
     val out = operators.Stats.mannKendall(spark, sfTest).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
