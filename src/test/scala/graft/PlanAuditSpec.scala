@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * (≤ a few thousand coarse cells by construction). */
   private val CoarsePrefix = Set(
     "q_equidepth_hist", "q_mann_whitney", "q_revenue_gini", "q_eval_auc",
-    "q_spearman", "q_spearman_decimal", "q_kruskal_wallis")
+    "q_spearman", "q_spearman_decimal", "q_kruskal_wallis",
+    "q_wilcoxon") // avgRanks2 offsets over ≤1024 coarse cells
 
   /** Graph-rank output heads: each of these ends in a top-K rank over
     * the node/pair score table and the optimizer provably pushes the
