@@ -664,10 +664,12 @@ object Analytics {
         sum(col("h1") * (lit(1L) - col("h2"))).as("n_h1_only"),
         sum((lit(1L) - col("h1")) * col("h2")).as("n_h2_only"),
         sum((lit(1L) - col("h1")) * (lit(1L) - col("h2"))).as("n_neither"))
+      // Edwards correction clamps at zero: |b−c| ≤ 1 means NO evidence
+      // of asymmetry, so χ² must be 0, not 1/(b+c)
       .withColumn("chi2", round(
         when(col("n_h1_only") + col("n_h2_only") > 0,
-          ((abs(col("n_h1_only") - col("n_h2_only")) - 1) *
-           (abs(col("n_h1_only") - col("n_h2_only")) - 1)).cast("double") /
+          (greatest(abs(col("n_h1_only") - col("n_h2_only")) - 1, lit(0L)) *
+           greatest(abs(col("n_h1_only") - col("n_h2_only")) - 1, lit(0L))).cast("double") /
             (col("n_h1_only") + col("n_h2_only")).cast("double")), 6))
       .withColumn("verdict",
         when(col("chi2").isNull, "undefined")
@@ -693,18 +695,46 @@ object Analytics {
        |)
        |SELECT n_pairs, n_both, n_h1_only, n_h2_only, n_neither,
        |  round(CASE WHEN n_h1_only + n_h2_only > 0
-       |    THEN ((abs(n_h1_only - n_h2_only) - 1) * (abs(n_h1_only - n_h2_only) - 1))::DOUBLE
+       |    THEN (greatest(abs(n_h1_only - n_h2_only) - 1, 0) * greatest(abs(n_h1_only - n_h2_only) - 1, 0))::DOUBLE
        |         / (n_h1_only + n_h2_only)::DOUBLE END, 6) AS chi2,
        |  CASE WHEN n_h1_only + n_h2_only = 0 THEN 'undefined'
-       |       WHEN round(((abs(n_h1_only - n_h2_only) - 1) * (abs(n_h1_only - n_h2_only) - 1))::DOUBLE
+       |       WHEN round((greatest(abs(n_h1_only - n_h2_only) - 1, 0) * greatest(abs(n_h1_only - n_h2_only) - 1, 0))::DOUBLE
        |         / (n_h1_only + n_h2_only)::DOUBLE, 6) > 3.8415 THEN 'shifted'
        |       ELSE 'stable' END AS verdict
        |FROM cells""".stripMargin
 
+  /** Shared within-subject delta frame: per-user H2 − H1 purchase
+    * spend in cents (fixed-pointed BEFORE summation), the ONE pairing
+    * definition all three paired tests run on ([[pairedT]],
+    * [[Stats.wilcoxonSignedRank]]; [[mcnemar]] thresholds counts on
+    * the same split) — an edit to the split or the cents rule changes
+    * all of them together, which is what keeps the trio a trio.
+    */
+  private[operators] def pairedDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = lit(McnemarSplit).cast("timestamp_ntz")
+    val cents = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(0L)
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((sum(when(col("ts") >= split, cents).otherwise(0L)) -
+            sum(when(col("ts") < split, cents).otherwise(0L))).as("d"))
+  }
+
+  /** The matching oracle CTE (named `per`) — spliced into both paired
+    * oracles so the SQL pairing can't drift from the frame's. */
+  private[operators] val pairedDeltasSql: String =
+    s"""per AS (
+       |  SELECT user_id,
+       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |     - sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
+       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END))::BIGINT AS d
+       |  FROM events GROUP BY user_id
+       |)""".stripMargin
+
   /** Paired t-test — McNemar's continuous twin (same within-subject
-    * design, spend instead of a flag): per-user purchase spend in
-    * cents per half (fixed-pointed BEFORE summation), d = H2 − H1
-    * exact BIGINT per user, t = mean(d) / (sd(d)/√n) from the exact
+    * design, spend instead of a flag): d = H2 − H1 cents per user
+    * ([[pairedDeltas]]), t = mean(d) / (sd(d)/√n) from the exact
     * integer moments Σd and Σd² (both « 2⁶³ at any per-user spend the
     * cents domain admits), with Cohen's d_z = mean/sd. The only
     * doubles are the final closed forms, rounded; n < 2 or zero
@@ -714,14 +744,7 @@ object Analytics {
     * Scale: one per-user corpus aggregate + a 1-row assembly.
     */
   def pairedT(spark: SparkSession, sfDir: String): DataFrame = {
-    val split = lit(McnemarSplit).cast("timestamp_ntz")
-    val cents = when(col("event_type") === "purchase",
-      round(col("value") * 100).cast("long")).otherwise(0L)
-    val per = Tables.events(spark, sfDir)
-      .groupBy("user_id")
-      .agg((sum(when(col("ts") >= split, cents).otherwise(0L)) -
-            sum(when(col("ts") < split, cents).otherwise(0L))).as("d"))
-    per.agg(
+    pairedDeltas(spark, sfDir).agg(
         count(lit(1)).as("n_pairs"),
         sum("d").as("sum_d"),
         sum(col("d") * col("d")).as("sum_d2"))
@@ -749,14 +772,7 @@ object Analytics {
   }
 
   val pairedTSql: String =
-    s"""WITH per AS (
-       |  SELECT user_id,
-       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
-       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
-       |     - sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '$McnemarSplit' AND event_type = 'purchase'
-       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END))::BIGINT AS d
-       |  FROM events GROUP BY user_id
-       |), m AS (
+    s"""WITH $pairedDeltasSql, m AS (
        |  SELECT count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS sum_d,
        |    sum(d * d)::BIGINT AS sum_d2
        |  FROM per

@@ -109,13 +109,22 @@ object GraphRank {
     * web-scale node count the same build degrades gracefully to a
     * shuffled join.
     */
+  /** Mirror a one-direction (src, dst, w) half-edge frame into the
+    * undirected edge table with out-weights attached — the build step
+    * every pagerankOf consumer shares (co-purchase graph here, the
+    * TextRank word graph in [[TextAnalysis.textrankEw]]). */
+  private[operators] def mirrorWithOutW(half: DataFrame): DataFrame = {
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    edges.join(edges.groupBy("src").agg(sum("w").as("ow")), "src")
+  }
+
   private[graft] def copurchaseEw(spark: SparkSession, sfDir: String): DataFrame =
     QueryCache.memo(spark, s"copurchase_ew:$sfDir") {
       val half = weightedHalfEdges(spark, sfDir)
-      val edges = half.select(col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w"))
-        .unionByName(half.select(col("item_j").as("src"), col("item_i").as("dst"), col("co").as("w")))
-      val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-      edges.join(outW, "src").coalesce(8)
+      mirrorWithOutW(half.select(
+        col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w")))
+        .coalesce(8)
     }
 
   /** Memoized node set of [[copurchaseEw]]. */
@@ -167,11 +176,15 @@ object GraphRank {
       .orderBy("rk")
   }
 
-  /** Oracle: the identical fixed-point recurrence, unrolled as pr0..prN
-    * chained CTEs (same integer ops; `//` is BIGINT floor-div in DuckDB
-    * = `div` in Spark for the non-negative values here). */
-  val itemPagerankSql: String = {
-    val rounds = (1 to Rounds).map { k =>
+  /** The unrolled integer-PageRank round CTEs pr1..prN — ONE
+    * definition of the recurrence's SQL replay, spliced into every
+    * oracle that unrolls [[pagerankOf]] (q_item_pagerank here,
+    * q_textrank_keywords in TextAnalysis); expects CTEs `nodes`,
+    * `ew(src, dst, w, ow)`, `b(base)` and `pr0` in scope. An edit to
+    * the recurrence (damping, floor-div) now changes every replay
+    * together. */
+  private[operators] def prRoundsSql(nRounds: Int): String =
+    (1 to nRounds).map { k =>
       s"""pr$k AS MATERIALIZED (
          |  SELECT nd.item,
          |    ((${100 - DampPct} * (SELECT base FROM b) + $DampPct * coalesce(c.s, 0)) // 100)::BIGINT AS rank
@@ -182,6 +195,12 @@ object GraphRank {
          |  ) c ON c.item = nd.item
          |)""".stripMargin
     }.mkString(", ")
+
+  /** Oracle: the identical fixed-point recurrence, unrolled as pr0..prN
+    * chained CTEs (same integer ops; `//` is BIGINT floor-div in DuckDB
+    * = `div` in Spark for the non-negative values here). */
+  val itemPagerankSql: String = {
+    val rounds = prRoundsSql(Rounds)
     s"""WITH ${Recsys.cappedSql}, r AS (
        |  SELECT user_id, item_id FROM capped
        |), pairs AS MATERIALIZED (

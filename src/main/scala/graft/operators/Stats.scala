@@ -1437,16 +1437,15 @@ object Stats {
     *
     * Scale: one per-user corpus aggregate; the rank pass aggregates
     * by |d| value (coarse-cell sharded, never a global row sort);
-    * 1-row assembly.
+    * 1-row assembly. Integer headroom: the exact BIGINTs are W2
+    * (≤ 2n² — safe past 10⁹ users) and tie3; the VARIANCE factors are
+    * widened to double BEFORE multiplying (n(n+1)(2n+1) would wrap
+    * int64 at n ≈ 1.6M — the widened product loses only ulps, 12
+    * digits below the 4 dp rounding, and both engines run the
+    * identical op order).
     */
   def wilcoxonSignedRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val split = lit(Analytics.McnemarSplit).cast("timestamp_ntz")
-    val cents = when(col("event_type") === "purchase",
-      round(col("value") * 100).cast("long")).otherwise(0L)
-    val per = Tables.events(spark, sfDir)
-      .groupBy("user_id")
-      .agg((sum(when(col("ts") >= split, cents).otherwise(0L)) -
-            sum(when(col("ts") < split, cents).otherwise(0L))).as("d"))
+    val per = Analytics.pairedDeltas(spark, sfDir)
       .where(col("d") =!= 0)
       .select(abs(col("d")).as("v"), (col("d") > 0).cast("long").as("pos"))
       // feeds the tie histogram AND the rank join — severed once
@@ -1456,15 +1455,15 @@ object Stats {
       .agg(sum(col("npos") * col("r2")).as("w2p"),
            sum("t").as("n"),
            sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val varD = col("n").cast("double") * (col("n") + 1).cast("double") *
+      (lit(2L) * col("n") + 1).cast("double") / 24.0 -
+      col("tie3").cast("double") / 48.0
     s.select(
         col("n").as("n_pairs"),
         round(col("w2p") / 2.0, 4).as("w_plus"),
-        round(when(col("n") > 0 &&
-            (col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) / 24.0 -
-              col("tie3") / 48.0) > 0,
-          (col("w2p") / 2.0 - col("n") * (col("n") + 1) / 4.0) /
-            sqrt(col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) / 24.0 -
-              col("tie3") / 48.0)), 4).as("z"))
+        round(when(col("n") > 0 && varD > 0,
+          (col("w2p") / 2.0 - col("n") * (col("n") + 1) / 4.0) / sqrt(varD)), 4)
+          .as("z"))
       .withColumn("verdict",
         when(col("z").isNull, "undefined")
           .when(abs(col("z")) > 1.96, "shifted")
@@ -1472,19 +1471,11 @@ object Stats {
   }
 
   val wilcoxonSignedRankSql: String =
-    s"""WITH per AS (
-       |  SELECT user_id,
-       |    (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '${Analytics.McnemarSplit}' AND event_type = 'purchase'
-       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
-       |     - sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '${Analytics.McnemarSplit}' AND event_type = 'purchase'
-       |              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END))::BIGINT AS d
-       |  FROM events GROUP BY user_id
-       |  HAVING d <> 0
-       |), g AS (
+    s"""WITH ${Analytics.pairedDeltasSql}, g AS (
        |  SELECT abs(d) AS v,
        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS npos,
        |    count(*)::BIGINT AS t
-       |  FROM per GROUP BY 1
+       |  FROM per WHERE d <> 0 GROUP BY 1
        |), r AS (
        |  SELECT v, npos, t,
        |    coalesce(sum(t) OVER (ORDER BY v
@@ -1496,9 +1487,10 @@ object Stats {
        |  FROM r
        |), out AS (
        |  SELECT n AS n_pairs, round(w2p / 2.0, 4) AS w_plus,
-       |    round(CASE WHEN n > 0 AND (n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0) > 0
+       |    round(CASE WHEN n > 0
+       |      AND (n::DOUBLE * (n + 1)::DOUBLE * (2 * n + 1)::DOUBLE / 24.0 - tie3::DOUBLE / 48.0) > 0
        |      THEN (w2p / 2.0 - n * (n + 1) / 4.0)
-       |           / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0) END, 4) AS z
+       |           / sqrt(n::DOUBLE * (n + 1)::DOUBLE * (2 * n + 1)::DOUBLE / 24.0 - tie3::DOUBLE / 48.0) END, 4) AS z
        |  FROM s
        |)
        |SELECT n_pairs, w_plus, z,

@@ -1425,10 +1425,9 @@ object TextAnalysis {
                  greatest(col("x.w"), col("y.w")).as("wb"))
         .agg(count(lit(1)).as("co"))
         .localCheckpoint() // mirror union reads it twice
-      val edges = pairs.select(col("wa").as("src"), col("wb").as("dst"), col("co").as("w"))
-        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst"), col("co").as("w")))
-      val outW = edges.groupBy("src").agg(sum("w").as("ow"))
-      edges.join(outW, "src").coalesce(4)
+      GraphRank.mirrorWithOutW(pairs.select(
+          col("wa").as("src"), col("wb").as("dst"), col("co").as("w")))
+        .coalesce(4)
     }
 
   /** Force-build the memoized TextRank graph (see [[graft.Bench]]). */
@@ -1467,17 +1466,8 @@ object TextAnalysis {
   }
 
   val textrankKeywordsSql: String = {
-    val rounds = (1 to GraphRank.Rounds).map { k =>
-      s"""pr$k AS MATERIALIZED (
-         |  SELECT nd.item,
-         |    ((${100 - GraphRank.DampPct} * (SELECT base FROM b) + ${GraphRank.DampPct} * coalesce(c.s, 0)) // 100)::BIGINT AS rank
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS item, sum((p.rank * e.w) // e.ow)::BIGINT AS s
-         |    FROM ew e JOIN pr${k - 1} p ON p.item = e.src
-         |    GROUP BY e.dst
-         |  ) c ON c.item = nd.item
-         |)""".stripMargin
-    }.mkString(", ")
+    // the recurrence replay is GraphRank's single definition
+    val rounds = GraphRank.prRoundsSql(GraphRank.Rounds)
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    generate_subscripts(string_split($normDuck, ' '), 1) AS pos,

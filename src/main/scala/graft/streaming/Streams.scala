@@ -596,7 +596,9 @@ object Streams {
     * traffic. At the gate SF the per-window user count straddles k=64,
     * so BOTH estimator branches (under-fill exact / (k−1)M/h_(k))
     * run under the same hash gate. StreamingSpec's T11 twin feeds the
-    * identical transform from a MemoryStream and matches batch.
+    * identical transform from a MemoryStream and matches batch. An
+    * all-NULL-user window yields sketch_n = 0 / est 0.0 (KmvMins skips
+    * nulls; the oracle LEFT JOINs its sketch CTE for the same row).
     */
   def kmvWindowUsers(events: DataFrame): DataFrame = {
     val k = graft.operators.Advanced.KmvK
@@ -639,10 +641,11 @@ object Streams {
        |  SELECT window_start, count(*) AS sketch_n, max(h) AS kth
        |  FROM r WHERE rk <= $k GROUP BY window_start
        |)
-       |SELECT n.window_start, n.n_events, s.sketch_n,
-       |  round(CASE WHEN s.sketch_n < $k THEN s.sketch_n::DOUBLE
+       |SELECT n.window_start, n.n_events,
+       |  coalesce(s.sketch_n, 0)::BIGINT AS sketch_n,
+       |  round(CASE WHEN coalesce(s.sketch_n, 0) < $k THEN coalesce(s.sketch_n, 0)::DOUBLE
        |        ELSE ${k - 1}e0 * 281474976710656e0 / s.kth::DOUBLE END, 4) AS est_users
-       |FROM n JOIN s USING (window_start)
+       |FROM n LEFT JOIN s USING (window_start)
        |ORDER BY window_start""".stripMargin
   }
 

@@ -48,7 +48,7 @@ object SknnProf {
     val postings = hist
       .withColumn("ds", expr("cast(unix_date(cast(dt AS date)) AS double)"))
       .groupBy("item_id")
-      .agg(graft.functions.TopKByScore.topK(500, col("ds"), col("bk"), lit(0L)).as("ps"))
+      .agg(graft.functions.TopKByScore.topK(graft.operators.Recsys.SknnPostings, col("ds"), col("bk"), lit(0L)).as("ps"))
       .select(col("item_id"), explode(col("ps")).as("p"))
       .select(col("item_id"), col("p.id").as("hbk"))
       .join(sizes.select(col("bk").as("hbk"), col("n").as("nh")), "hbk")
@@ -56,11 +56,11 @@ object SknnProf {
     val pairs = aItems.join(postings, "item_id")
       .groupBy("user_id", "abk", "na", "hbk", "nh")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("s_units", expr(s"(inter * inter * 1000000L) div (na * nh)"))
+      .withColumn("s_units", expr(s"(inter * inter * ${graft.operators.Recsys.SknnUnits}L) div (na * nh)"))
     t("pairs")(pairs.count())
     val nbrs = pairs.groupBy("user_id")
       .agg(graft.functions.TopKByScore.topK(
-        10, col("s_units").cast("double"), col("hbk"), col("s_units")).as("nb"))
+        graft.operators.Recsys.SknnK, col("s_units").cast("double"), col("hbk"), col("s_units")).as("nb"))
       .select(col("user_id"), explode(col("nb")).as("n"))
       .select(col("user_id"), col("n.id").as("hbk"), col("n.extra").as("s_units"))
     t("nbrs")(nbrs.count())

@@ -769,7 +769,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       f.getAs[Long]("n_h1_only"), f.getAs[Long]("n_h2_only"))
     assert(f.getAs[Long]("n_both") + b2 + c2 + f.getAs[Long]("n_neither") == np)
     if (b2 + c2 > 0) {
-      val want = math.pow(math.abs(b2 - c2).toDouble - 1, 2) / (b2 + c2)
+      val num = math.max(math.abs(b2 - c2) - 1, 0L) // Edwards clamp at zero
+      val want = (num * num).toDouble / (b2 + c2)
       assert(math.abs(f.getAs[Double]("chi2") - want) < 1e-6)
     }
   }
