@@ -204,8 +204,12 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  val tokenBudgetSql: String =
-    s"""WITH sd AS (
+  /** The per-doc scored frame's oracle CTE (`sd` with doc_id, source,
+    * n_toks, score) — ONE definition of [[qualityScored]]'s SQL
+    * replay, spliced into every oracle that consumes per-doc scores
+    * (q_token_budget, q_filter_kappa). */
+  private[graft] val qualityScoredSql: String =
+    s"""sd AS (
        |  SELECT doc_id, source, n_toks,
        |    round(0.4 * least(n_toks / 200.0, 1.0)
        |        + 0.3 * least(sw_rate / 0.08, 1.0)
@@ -216,7 +220,10 @@ object TextAnalysis {
        |      length(array_to_string(toks, '')) / len(toks)::DOUBLE AS awl
        |    FROM (SELECT doc_id, source, string_split($normDuck, ' ') AS toks FROM documents)
        |  )
-       |), d AS (
+       |)""".stripMargin
+
+  val tokenBudgetSql: String =
+    s"""WITH $qualityScoredSql, d AS (
        |  SELECT doc_id, source, n_toks::BIGINT AS toks,
        |    round(score * 1000000)::BIGINT AS sfp
        |  FROM sd
@@ -868,8 +875,11 @@ object TextAnalysis {
     * gate stays inside whole-stage codegen and pushes through a 100 TB
     * corpus as a single map-side pass + one tiny aggregate.
     */
-  def c4Filter(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  /** Per-document C4 gate flags — the ONE definition of the heuristic,
+    * shared by the per-source audit ([[c4Filter]]) and the
+    * filter-agreement diagnostic ([[filterKappa]]). */
+  private[graft] def c4Flagged(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")))
       .withColumn("f_short", (col("n_tok") < C4MinTok).cast("long"))
@@ -880,6 +890,9 @@ object TextAnalysis {
         "filter(toks, t -> t IN ('the','of','and','to','in','a'))")) === 0).cast("long"))
       .withColumn("f_longword", (expr(
         s"aggregate(toks, 0, (m, t) -> greatest(m, length(t)))") > C4MaxWordLen).cast("long"))
+
+  def c4Filter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = c4Flagged(spark, sfDir)
     d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum("f_short").as("n_short"),
@@ -891,14 +904,16 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  val c4FilterSql: String =
-    s"""WITH d AS (
-       |  SELECT source,
+  /** The matching oracle CTE pair (`d`/`f`, f carrying doc_id, source
+    * and the four flags) — spliced into both C4 oracles. */
+  private[graft] val c4FlagsSql: String =
+    s"""d AS (
+       |  SELECT doc_id, source,
        |    string_split(text, ' ') AS toks,
        |    len(string_split(text, ' ')) AS n_tok
        |  FROM documents
        |), f AS (
-       |  SELECT source,
+       |  SELECT doc_id, source,
        |    CASE WHEN n_tok < $C4MinTok THEN 1 ELSE 0 END AS f_short,
        |    CASE WHEN len(list_distinct(toks)) / n_tok::DOUBLE < $C4MinDistinct
        |         THEN 1 ELSE 0 END AS f_repeat,
@@ -907,7 +922,10 @@ object TextAnalysis {
        |    CASE WHEN list_aggregate(list_transform(toks, t -> len(t)), 'max') > $C4MaxWordLen
        |         THEN 1 ELSE 0 END AS f_longword
        |  FROM d
-       |)
+       |)""".stripMargin
+
+  val c4FilterSql: String =
+    s"""WITH $c4FlagsSql
        |SELECT source, count(*) AS n_docs,
        |  sum(f_short)::BIGINT AS n_short,
        |  sum(f_repeat)::BIGINT AS n_repeat,
@@ -1512,7 +1530,97 @@ object TextAnalysis {
        |ORDER BY rk""".stripMargin
   }
 
+  /** Quality-rater keep threshold on the 6dp-rounded score — near the
+    * corpus median, so both verdicts are populated at every SF. */
+  val KappaKeepMin = 0.6
+
+  /** Cohen's kappa between two curation gates — the filter-redundancy
+    * diagnostic a pipeline runs before stacking heuristics: if the C4
+    * rule set and the quality-score gate agree far beyond chance
+    * (kappa → 1) one of them is dead weight; if they are independent
+    * (kappa → 0) they prune different corpus slices and both earn
+    * their scan. Raters: keep_c4 = all four [[c4Flagged]] flags clear;
+    * keep_q = [[qualityScored]] score ≥ [[KappaKeepMin]] (thresholding
+    * the ROUNDED score, so the rater itself is engine-stable). Both
+    * verdicts come from ONE pass over each doc; kappa collapses to a
+    * single division of exact BIGINTs:
+    * κ = (n·agree − Σ marginal products) / (n² − Σ marginal products)
+    * — int64-safe to n ≈ 3·10⁹ docs (the n² term; past that, the
+    * DECIMAL(38) hatch, the spearman note). The agreement band labels
+    * the ROUNDED κ on the standard Landis–Koch cuts.
+    *
+    * Scale: two map-side flag computations, one count aggregate,
+    * 1-row assembly — linear, no windows, no joins but the 1-row one.
+    */
+  def filterKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val c4 = c4Flagged(spark, sfDir)
+      .select(col("doc_id"),
+        (col("f_short") + col("f_repeat") + col("f_nostop") + col("f_longword") === 0)
+          .cast("long").as("keep_c4"))
+    val q = qualityScored(spark, sfDir)
+      .select(col("doc_id"), (col("score") >= KappaKeepMin).cast("long").as("keep_q"))
+    val cells = c4.join(q, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("keep_c4") * col("keep_q")).as("n11"),
+           sum(col("keep_c4") * (lit(1L) - col("keep_q"))).as("n10"),
+           sum((lit(1L) - col("keep_c4")) * col("keep_q")).as("n01"),
+           sum((lit(1L) - col("keep_c4")) * (lit(1L) - col("keep_q"))).as("n00"))
+    cells
+      .withColumn("pe_num",
+        (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00")))
+      .withColumn("po", round((col("n11") + col("n00")) / col("n_docs").cast("double"), 6))
+      .withColumn("pe", round(col("pe_num") / (col("n_docs") * col("n_docs")).cast("double"), 6))
+      .withColumn("kappa", round(
+        when(col("n_docs") * col("n_docs") - col("pe_num") =!= 0,
+          (col("n_docs") * (col("n11") + col("n00")) - col("pe_num")).cast("double") /
+            (col("n_docs") * col("n_docs") - col("pe_num")).cast("double")), 6))
+      .withColumn("agreement",
+        when(col("kappa").isNull, "undefined")
+          .when(col("kappa") >= 0.8, "almost_perfect")
+          .when(col("kappa") >= 0.6, "substantial")
+          .when(col("kappa") >= 0.4, "moderate")
+          .when(col("kappa") >= 0.2, "fair")
+          .otherwise("slight"))
+      .select("n_docs", "n11", "n10", "n01", "n00", "po", "pe", "kappa", "agreement")
+  }
+
+  val filterKappaSql: String = {
+    val kappaExpr =
+      "round(CASE WHEN n_docs * n_docs - pe_num <> 0 " +
+        "THEN (n_docs * (n11 + n00) - pe_num)::DOUBLE / (n_docs * n_docs - pe_num)::DOUBLE END, 6)"
+    s"""WITH $c4FlagsSql, $qualityScoredSql, j AS (
+       |  SELECT f.doc_id,
+       |    CASE WHEN f.f_short + f.f_repeat + f.f_nostop + f.f_longword = 0
+       |         THEN 1 ELSE 0 END AS keep_c4,
+       |    CASE WHEN sd.score >= $KappaKeepMin THEN 1 ELSE 0 END AS keep_q
+       |  FROM f JOIN sd ON sd.doc_id = f.doc_id
+       |), cells AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(keep_c4 * keep_q)::BIGINT AS n11,
+       |    sum(keep_c4 * (1 - keep_q))::BIGINT AS n10,
+       |    sum((1 - keep_c4) * keep_q)::BIGINT AS n01,
+       |    sum((1 - keep_c4) * (1 - keep_q))::BIGINT AS n00
+       |  FROM j
+       |), k AS (
+       |  SELECT *, ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))::BIGINT AS pe_num
+       |  FROM cells
+       |)
+       |SELECT n_docs, n11, n10, n01, n00,
+       |  round((n11 + n00) / n_docs::DOUBLE, 6) AS po,
+       |  round(pe_num / (n_docs * n_docs)::DOUBLE, 6) AS pe,
+       |  $kappaExpr AS kappa,
+       |  CASE WHEN $kappaExpr IS NULL THEN 'undefined'
+       |       WHEN $kappaExpr >= 0.8 THEN 'almost_perfect'
+       |       WHEN $kappaExpr >= 0.6 THEN 'substantial'
+       |       WHEN $kappaExpr >= 0.4 THEN 'moderate'
+       |       WHEN $kappaExpr >= 0.2 THEN 'fair'
+       |       ELSE 'slight' END AS agreement
+       |FROM k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_filter_kappa" -> (filterKappa _),
     "q_textrank_keywords" -> (textrankKeywords _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_rake_keywords" -> (rakeKeywords _),
@@ -1539,6 +1647,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_filter_kappa" -> filterKappaSql,
     "q_textrank_keywords" -> textrankKeywordsSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_rake_keywords" -> rakeKeywordsSql,

@@ -868,4 +868,30 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
         math.min(1.0, vocab.size.toDouble / freq.size) - 1e-9)
     }
   }
+
+  test("filter kappa replays the textbook closed form from the gate flags") {
+    import operators.TextAnalysis
+    val r = TextAnalysis.filterKappa(spark, sfTest).collect().head
+    val c4 = TextAnalysis.c4Flagged(spark, sfTest)
+      .select(col("doc_id"),
+        (col("f_short") + col("f_repeat") + col("f_nostop") + col("f_longword") === 0)
+          .as("k")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("k")).toMap
+    val q = TextAnalysis.qualityScored(spark, sfTest)
+      .select(col("doc_id"), (col("score") >= TextAnalysis.KappaKeepMin).as("k"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("k")).toMap
+    val n = c4.size.toLong
+    val n11 = c4.count { case (d, k) => k && q(d) }.toLong
+    val n10 = c4.count { case (d, k) => k && !q(d) }.toLong
+    val n01 = c4.count { case (d, k) => !k && q(d) }.toLong
+    val n00 = c4.count { case (d, k) => !k && !q(d) }.toLong
+    assert(Seq("n11" -> n11, "n10" -> n10, "n01" -> n01, "n00" -> n00)
+      .forall { case (c, v) => r.getAs[Long](c) == v })
+    // textbook kappa from po/pe vs the query's single-division form
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n * n)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-5, s"$r")
+    // both raters genuinely split the corpus (neither is constant)
+    assert(n11 + n10 > 0 && n01 + n00 > 0 && n11 + n01 > 0 && n10 + n00 > 0)
+  }
 }
