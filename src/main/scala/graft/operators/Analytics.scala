@@ -735,8 +735,9 @@ object Analytics {
   /** Paired t-test — McNemar's continuous twin (same within-subject
     * design, spend instead of a flag): d = H2 − H1 cents per user
     * ([[pairedDeltas]]), t = mean(d) / (sd(d)/√n) from the exact
-    * integer moments Σd and Σd² (both « 2⁶³ at any per-user spend the
-    * cents domain admits), with Cohen's d_z = mean/sd. The only
+    * integer moments Σd (BIGINT) and Σd² (DECIMAL(38,0) / HUGEINT —
+    * d·d alone would wrap int64 for a user with |d| past ~3.04e9
+    * cents, where DuckDB raises), with Cohen's d_z = mean/sd. The only
     * doubles are the final closed forms, rounded; n < 2 or zero
     * variance → NULL t ('undefined') on both engines. Verdict
     * thresholds the ROUNDED t against ±1.96.
@@ -747,7 +748,10 @@ object Analytics {
     pairedDeltas(spark, sfDir).agg(
         count(lit(1)).as("n_pairs"),
         sum("d").as("sum_d"),
-        sum(col("d") * col("d")).as("sum_d2"))
+        // d² in DECIMAL(38,0): a single user with |d| past ~3.04e9
+        // cents (~$30M) would wrap d*d in int64 (where DuckDB
+        // raises) — the decimal moment is exact to |d| ≈ 3e18
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sum_d2"))
       .withColumn("mean_d", round(col("sum_d") / col("n_pairs").cast("double"), 4))
       // sample variance from exact moments: (Σd² − (Σd)²/n) / (n−1)
       .withColumn("var_d",
@@ -774,7 +778,7 @@ object Analytics {
   val pairedTSql: String =
     s"""WITH $pairedDeltasSql, m AS (
        |  SELECT count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS sum_d,
-       |    sum(d * d)::BIGINT AS sum_d2
+       |    sum(d::HUGEINT * d) AS sum_d2
        |  FROM per
        |), v AS (
        |  SELECT n_pairs, sum_d,

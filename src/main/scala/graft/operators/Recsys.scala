@@ -1193,13 +1193,20 @@ object Recsys {
         (col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
           (lit(2L) * col("n1") * col("n2")).cast("double"))
       .withColumn("auc_fp", round(col("auc") * GaucUnits).cast("long"))
+    // Weighted-mean assembly in DECIMAL(38,0) before the one double
+    // division: sum(n1)·GaucUnits and Σ n1·auc_fp are long arithmetic
+    // past ~9.2e9 total positives (DuckDB's sum() is HUGEINT there —
+    // a silent-wrap divergence point). The per-row product n1·auc_fp
+    // stays long-safe by construction (n1 ≤ GaucCand ≪ 2⁵³/GaucUnits);
+    // only the SUMS widen. Both engines then divide double(exact) by
+    // double(exact) — identical at any scale.
     per.agg(
         count(lit(1)).as("n_eval_users"),
         sum("n1").as("total_pos"),
-        round(sum(col("n1") * col("auc_fp")) /
-          (sum(col("n1")) * lit(GaucUnits)).cast("double"), 6).as("gauc"),
-        round(sum(col("auc_fp")) /
-          (count(lit(1)) * lit(GaucUnits)).cast("double"), 6).as("macro_auc"))
+        round(sum((col("n1") * col("auc_fp")).cast("decimal(38,0)")).cast("double") /
+          (sum(col("n1")).cast("decimal(38,0)") * lit(GaucUnits)).cast("double"), 6).as("gauc"),
+        round(sum(col("auc_fp").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)).cast("decimal(38,0)") * lit(GaucUnits)).cast("double"), 6).as("macro_auc"))
   }
 
   val evalGaucSql: String =

@@ -1437,8 +1437,10 @@ object Stats {
     *
     * Scale: one per-user corpus aggregate; the rank pass aggregates
     * by |d| value (coarse-cell sharded, never a global row sort);
-    * 1-row assembly. Integer headroom: the exact BIGINTs are W2
-    * (≤ 2n² — safe past 10⁹ users) and tie3; the VARIANCE factors are
+    * 1-row assembly. Integer headroom: W2 is an exact BIGINT (≤ 2n² —
+    * safe past 10⁹ users); tie3 = Σ(t³−t) is DECIMAL(38,0) / HUGEINT
+    * (t³ would wrap int64 once one tie group passes ~2.09M users,
+    * where DuckDB raises instead); the VARIANCE factors are
     * widened to double BEFORE multiplying (n(n+1)(2n+1) would wrap
     * int64 at n ≈ 1.6M — the widened product loses only ulps, 12
     * digits below the 4 dp rounding, and both engines run the
@@ -1454,7 +1456,11 @@ object Stats {
     val s = g.join(avgRanks2(per.select("v")), "v")
       .agg(sum(col("npos") * col("r2")).as("w2p"),
            sum("t").as("n"),
-           sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+           // t³ in DECIMAL(38,0): a single |d| tie group past ~2.09M
+           // users would wrap t*t*t in int64 (where DuckDB raises) —
+           // the decimal moment is exact to t ≈ 4.6e12 per group
+           sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+             .as("tie3"))
     val varD = col("n").cast("double") * (col("n") + 1).cast("double") *
       (lit(2L) * col("n") + 1).cast("double") / 24.0 -
       col("tie3").cast("double") / 48.0
@@ -1483,7 +1489,7 @@ object Stats {
        |  FROM g
        |), s AS (
        |  SELECT sum(npos * (2 * before + t + 1))::BIGINT AS w2p,
-       |    sum(t)::BIGINT AS n, sum(t * t * t - t)::BIGINT AS tie3
+       |    sum(t)::BIGINT AS n, sum(t::HUGEINT * t * t - t) AS tie3
        |  FROM r
        |), out AS (
        |  SELECT n AS n_pairs, round(w2p / 2.0, 4) AS w_plus,
