@@ -1784,6 +1784,10 @@ object Analytics {
       .join(perUser.groupBy("arm").agg(count(lit(1)).as("n_obs")), Seq("arm"), "left")
       .withColumn("n_users", coalesce(col("n_obs"), lit(0L)))
       .select("arm", "n_users")
+      // 3 rows; severed once — the total, the χ² rollup and the final
+      // projection otherwise each replay the corpus distinct (r10
+      // rescan sever: events ×4 in the r9 plan)
+      .localCheckpoint()
     val tot = arms.agg(sum("n_users").as("n"))
     val withExp = arms.crossJoin(broadcast(tot))
       .withColumn("expected",

@@ -1252,26 +1252,56 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
-    def one(name: String, df: DataFrame): DataFrame =
-      df.select(lit(name).as("check_name"), col("value").cast("long").as("value"))
-    val checks = Seq(
-      one("rows_lineitem", li.agg(count(lit(1)).as("value"))),
-      one("rows_orders", o.agg(count(lit(1)).as("value"))),
-      one("dup_orders_pk", o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
-        .where(col("n") > 1).agg(count(lit(1)).as("value"))),
-      one("dup_lineitem_pk", li.groupBy("l_orderkey", "l_linenumber")
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") > 1).agg(count(lit(1)).as("value"))),
-      one("orphan_lineitems", li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("value"))),
-      one("orphan_orders", o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("value"))),
-      one("null_quantity", li.where(col("l_quantity").isNull).agg(count(lit(1)).as("value"))),
-      one("null_event_value", ev.where(col("value").isNull).agg(count(lit(1)).as("value"))),
-      one("discount_out_of_range",
-        li.where(col("l_discount") < 0 || col("l_discount") > 1).agg(count(lit(1)).as("value"))),
-      one("nonpositive_quantity", li.where(col("l_quantity") <= 0).agg(count(lit(1)).as("value"))))
-    checks.reduce(_ unionByName _).orderBy("check_name")
+    // r10 rescan sever: the r9 form ran one scan PER CHECK (lineitem
+    // ×6, orders ×3). Every lineitem check now rides ONE PK-grouped
+    // pass — row totals and the value predicates as conditional sums,
+    // duplicate keys as n > 1 groups, orphans as the null side of a
+    // left join against the distinct order keys — and the orders
+    // checks ride one (orderkey, custkey)-grouped pass the same way.
+    // Identical values, one corpus scan per fact table.
+    val liG = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nullq"),
+           sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+             .otherwise(0L)).as("badd"),
+           sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("npq"))
+    val liA = liG.join(o.select("o_orderkey").distinct(),
+        liG("l_orderkey") === col("o_orderkey"), "left")
+      .agg(sum("n").as("rows_lineitem"),
+           sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_lineitem_pk"),
+           sum(when(col("o_orderkey").isNull, col("n")).otherwise(0L)).as("orphan_lineitems"),
+           sum("nullq").as("null_quantity"),
+           sum("badd").as("discount_out_of_range"),
+           sum("npq").as("nonpositive_quantity"))
+    val oG = o.select("o_orderkey", "o_custkey")
+      .groupBy("o_orderkey", "o_custkey").agg(count(lit(1)).as("n"))
+      .join(c.select("c_custkey").distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(sum("n").as("n"),
+           sum(when(col("c_custkey").isNull, col("n")).otherwise(0L)).as("orph"))
+    val oA = oG.agg(sum("n").as("rows_orders"),
+           sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_orders_pk"),
+           sum("orph").as("orphan_orders"))
+    val evA = ev.agg(sum(when(col("value").isNull, 1L).otherwise(0L))
+      .as("null_event_value"))
+    liA.crossJoin(oA).crossJoin(evA)
+      .select(expr(
+        """stack(10,
+          |  'rows_lineitem', rows_lineitem,
+          |  'rows_orders', rows_orders,
+          |  'dup_orders_pk', dup_orders_pk,
+          |  'dup_lineitem_pk', dup_lineitem_pk,
+          |  'orphan_lineitems', orphan_lineitems,
+          |  'orphan_orders', orphan_orders,
+          |  'null_quantity', null_quantity,
+          |  'null_event_value', null_event_value,
+          |  'discount_out_of_range', discount_out_of_range,
+          |  'nonpositive_quantity', nonpositive_quantity
+          |) AS (check_name, value)""".stripMargin))
+      .select(col("check_name"), coalesce(col("value"), lit(0L)).as("value"))
+      .orderBy("check_name")
   }
 
   val dataQualitySql: String =

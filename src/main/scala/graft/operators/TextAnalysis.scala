@@ -778,6 +778,114 @@ object TextAnalysis {
        |) WHERE rk <= $BpeTop
        |ORDER BY rk""".stripMargin
 
+  /** Merge ranks [[bpeApply]] applies (the head of [[bpeMerges]]'
+    * table — each rank is one chained replace, so the unroll depth is
+    * this constant, the q_item_pagerank round-unroll precedent). */
+  val BpeApplyK = 10
+
+  /** BPE merge APPLICATION — the other half of the tokenizer-training
+    * story ([[bpeMerges]] mines the ranked merge table; nothing used
+    * it until now): tokenize the corpus with the top-[[BpeApplyK]]
+    * merges applied greedily in rank order, and report what the
+    * tokenizer BUYS — per source, words, symbols before (one per
+    * character, BPE's starting alphabet), tokens after the merges,
+    * and the compression in basis points.
+    *
+    * Mechanics: each vocab word becomes its separator-joined symbol
+    * string (`the` → `t|h|e`; `|` provably never occurs in the
+    * normalized text), and merge r = the rank-r character pair `c₁c₂`
+    * rewrites `c₁|c₂` → `c₁c₂` via literal replace — both engines
+    * scan left-to-right over non-overlapping occurrences, which IS
+    * BPE's greedy within-pair application, and a fused symbol is
+    * atomic to later rounds exactly as in BPE (after `th` fuses,
+    * rank-later `he` no longer sees an `h|e` boundary). Token count =
+    * separators + 1. The merge table rides a 1-row pivoted broadcast
+    * (no literals, no driver collect), so the whole chain stays one
+    * declarative plan.
+    *
+    * Scale: the replaces run over the (source, word) VOCABULARY (the
+    * [[bpeMerges]] collapse — millions of rows where the corpus is
+    * trillions of tokens), weighted back by word counts; one corpus
+    * aggregate + |vocab|·K cheap string ops, nothing quadratic.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("source", "word").agg(count(lit(1)).as("wc"))
+    // rank-ordered merge pairs, pivoted to one broadcastable row
+    // (p1..pK); a missing rank degrades to a never-occurring pair
+    val mergeRow = bpeMerges(spark, sfDir).where(col("rk") <= BpeApplyK)
+      .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
+    val withMerges = vocab.crossJoin(broadcast(mergeRow))
+    // NB Spark's two-arg rtrim is rtrim(trimStr, str) — opposite of
+    // DuckDB's; substring on the known 2·len−1 width sidesteps it
+    val tok0 = withMerges.withColumn("tok",
+      expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
+    val merged = (1 to BpeApplyK).foldLeft(tok0) { (df, r) =>
+      df.withColumn("tok", expr(
+        s"replace(tok, concat(substring(coalesce(`$r`, '¬¬'), 1, 1), '|', " +
+        s"substring(coalesce(`$r`, '¬¬'), 2, 1)), coalesce(`$r`, '¬¬'))"))
+    }
+    merged
+      .withColumn("n_after", length(col("tok")) - length(expr("replace(tok, '|', '')")) + 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("wc") * length(col("word"))).as("tokens_before"),
+           sum(col("wc") * col("n_after")).as("tokens_after"))
+      .withColumn("compression_bp", expr("(tokens_after * 10000) div tokens_before"))
+      .orderBy("source")
+  }
+
+  val bpeApplySql: String = {
+    val mergeCols = (1 to BpeApplyK).map(r =>
+      s"coalesce(max(CASE WHEN rk = $r THEN pair END), '¬¬') AS p$r").mkString(",\n    ")
+    val rounds = (1 to BpeApplyK).map { r =>
+      s"""tok$r AS (
+         |  SELECT source, word, wc, ${(r + 1 to BpeApplyK).map(i => s"p$i, ").mkString}
+         |    replace(tok, substr(p$r, 1, 1) || '|' || substr(p$r, 2, 1), p$r) AS tok
+         |  FROM tok${r - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vocab AS (
+       |  SELECT source, word, count(*)::BIGINT AS wc FROM (
+       |    SELECT source, unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |  ) WHERE length(word) >= 1
+       |  GROUP BY 1, 2
+       |), mvocab AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |  ) WHERE length(word) >= 2
+       |  GROUP BY word
+       |), mpairs AS (
+       |  SELECT word, wc,
+       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM mvocab
+       |), magg AS (
+       |  SELECT pair, sum(wc)::BIGINT AS n_occurrences
+       |  FROM mpairs GROUP BY pair
+       |), mranked AS (
+       |  SELECT pair, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
+       |  FROM magg
+       |), mrow AS (
+       |  SELECT
+       |    $mergeCols
+       |  FROM mranked WHERE rk <= $BpeApplyK
+       |), tok0 AS (
+       |  SELECT v.source, v.word, v.wc, ${(1 to BpeApplyK).map(i => s"m.p$i, ").mkString}
+       |    rtrim(regexp_replace(v.word, '(.)', '\\1|', 'g'), '|') AS tok
+       |  FROM vocab v CROSS JOIN mrow m
+       |), $rounds
+       |SELECT source, count(*)::BIGINT AS n_words,
+       |  sum(wc * length(word))::BIGINT AS tokens_before,
+       |  sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1))::BIGINT AS tokens_after,
+       |  ((sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1)) * 10000)
+       |    // sum(wc * length(word)))::BIGINT AS compression_bp
+       |FROM tok$BpeApplyK
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** Document-frequency floor for χ² terms (rare terms have unstable
     * statistics — the standard feature-selection cut).
     */
@@ -1183,28 +1291,32 @@ object TextAnalysis {
     boilerplateOf(Tables.documents(spark, sfDir))
 
   private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
+    // r10 rescan sever: the r9 form re-scanned the gram stream for
+    // document frequency, positions and coverage separately (documents
+    // ×7 in the plan). One (source, gram) aggregate now carries BOTH
+    // the position count and the distinct-doc count, and every
+    // downstream statistic — inventory, coverage, totals, top phrase —
+    // is ONE groupBy(source) pass over that gram-level frame. The
+    // corpus is scanned once; the tiny per-source doc counts are
+    // severed so their aggregate isn't replayed per consumer.
     val grams = docs
       .select(col("source"), col("doc_id"),
         explode(graft.functions.Shingles.shingles(split(expr(normSpark), " "), BoilerW)).as("gram"))
-    val docFreq = grams.select("source", "doc_id", "gram").distinct()
-      .groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val gstats = grams.groupBy("source", "gram")
+      .agg(count(lit(1)).as("n_pos"), countDistinct(col("doc_id")).as("df"))
     val nDocs = docs
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val flagged = docFreq.join(broadcast(nDocs), "source")
+      .localCheckpoint() // broadcast gate + final join both read it
+    val flagged = gstats.join(broadcast(nDocs), "source")
       .withColumn("is_boiler",
         (col("df") * 100 >= col("n_docs") * BoilerFracPct) && (col("df") >= BoilerMinDf))
-    val inventory = flagged.groupBy("source")
+    val perSource = flagged.groupBy("source")
       .agg(count(lit(1)).as("n_phrases"),
            sum(col("is_boiler").cast("long")).as("n_boiler_phrases"),
-           max(struct(col("df"), col("gram"))).as("top"))
-    val coverage = grams
-      .join(flagged.where(col("is_boiler")).select("source", "gram"), Seq("source", "gram"), "left_semi")
-      .groupBy("source").agg(count(lit(1)).as("n_boiler_positions"))
-    val positions = grams.groupBy("source").agg(count(lit(1)).as("n_positions"))
-    nDocs.join(inventory, "source")
-      .join(positions, "source")
-      .join(coverage, Seq("source"), "left")
-      .na.fill(0L, Seq("n_boiler_positions"))
+           max(struct(col("df"), col("gram"))).as("top"),
+           sum("n_pos").as("n_positions"),
+           sum(when(col("is_boiler"), col("n_pos")).otherwise(0L)).as("n_boiler_positions"))
+    nDocs.join(perSource, "source")
       .withColumn("boiler_coverage",
         round(col("n_boiler_positions") / col("n_positions").cast("double"), 6))
       .select(col("source"), col("n_docs"), col("n_phrases"), col("n_boiler_phrases"),
@@ -1642,6 +1754,7 @@ object TextAnalysis {
     "q_contamination"  -> (contamination _),
     "q_bm25_rank"      -> (bm25Rank _),
     "q_bpe_merges"     -> (bpeMerges _),
+    "q_bpe_apply"      -> (bpeApply _),
     "q_chi2_terms"     -> (chi2Terms _),
     "q_c4_filter"      -> (c4Filter _),
   )
@@ -1669,6 +1782,7 @@ object TextAnalysis {
     "q_contamination"  -> contaminationSql,
     "q_bm25_rank"      -> bm25RankSql,
     "q_bpe_merges"     -> bpeMergesSql,
+    "q_bpe_apply"      -> bpeApplySql,
     "q_chi2_terms"     -> chi2TermsSql,
     "q_c4_filter"      -> c4FilterSql,
   )

@@ -228,6 +228,116 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
     e.unpersist(blocking = false)
   }
 
+  test("filtered ANN at 1e5 vectors with a planted 2% label: post-filter craters, " +
+      "buffer widening recovers toward the pre-filter ceiling", ScaleTest) {
+    // the selectivity trap, measured at scale: a ~2% planted label
+    // (pmod(hash(id), 50) == 0 — deterministic, independent of the
+    // cluster geometry) makes search-then-filter at buffer K nearly
+    // vacuous, while filter-then-search keeps every REACHABLE truth
+    // member (structural identity asserted below), and the recovery
+    // curve shows the buffer ≈ K/selectivity folklore as numbers
+    val n = 100000
+    val cells = 316
+    val nq = 20
+    val lbl = 1
+    val bufWide = 250 // ≈ K / 0.02 — the rule-of-thumb recovery buffer
+    val e = syntheticVectors(n.toLong)
+      .withColumn("label",
+        when(pmod(hash(col("vec_id")), lit(50)) === 0, lbl).otherwise(0))
+      .cache()
+    assert(e.count() === n.toLong)
+    val sel = e.where(col("label") === lbl).count()
+    info(f"planted selectivity = ${sel * 100.0 / n}%.2f%% ($sel of $n)")
+    assert(sel > 0 && sel < n / 20, "the label must be selective")
+
+    // shared passes, exactly as the registry queries share them
+    val cand = Similarity.filteredCandFrom(e, cells, ScaleProbe, nq).localCheckpoint()
+    val truthAgg = Similarity.filteredTruthFrom(e, nq, ScaleK, lbl).localCheckpoint()
+    val truthSet = truthAgg
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    val totalTruth = truthAgg.agg(sum("n_truth")).collect()(0).getLong(0)
+    // the recall ceiling NO post-filter buffer can beat: truth members
+    // whose cell the query never probed are unreachable at any depth
+    val reachable = truthSet.join(cand.where(col("label") === lbl),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"truth=$totalTruth reachable-in-probed-cells=$reachable")
+
+    val summary = Similarity.knnFilteredFrom(e, cells, ScaleProbe, nq, ScaleK,
+        lbl, candOpt = Some(cand), truthOpt = Some(truthAgg)).collect()
+    val preHits = summary.filter(_.getAs[String]("mode") == "pre")
+      .map(_.getAs[Long]("n_hits")).sum
+    val postHits = summary.filter(_.getAs[String]("mode") == "post")
+      .map(_.getAs[Long]("n_hits")).sum
+    info(f"pre recall = ${preHits * 100.0 / totalTruth}%.1f%% " +
+      f"post@K recall = ${postHits * 100.0 / totalTruth}%.1f%%")
+    // structural identity: a truth member inside the filtered candidate
+    // set has < K filtered candidates above it, so the pre-filter top-K
+    // recovers EVERY reachable truth member — no slack in this bound
+    assert(preHits === reachable,
+      s"pre-filter must recover every reachable truth member: $preHits vs $reachable")
+    // the crater: at ~2% selectivity the unfiltered top-K almost never
+    // contains a labeled vector
+    assert(postHits * 2 <= preHits,
+      s"search-then-filter at buffer K must visibly crater: $postHits vs $preHits")
+
+    val curve = Similarity.knnFilteredCurveFrom(e, cells, ScaleProbe, nq,
+        ScaleK, lbl, bufWide, candOpt = Some(cand), truthOpt = Some(truthAgg))
+      .collect().sortBy(_.getAs[Long]("buffer"))
+    assert(curve.length === bufWide)
+    val hitsByBuf = curve.map(_.getAs[Long]("n_hits"))
+    assert(hitsByBuf.zip(hitsByBuf.tail).forall { case (a, b) => a <= b },
+      "post-filter hits must be monotone in buffer depth")
+    val atK = hitsByBuf(ScaleK - 1)
+    val atWide = hitsByBuf.last
+    assert(atK === postHits, "the buffer-K row IS the post mode of the summary")
+    info(s"recovery: buffer=$ScaleK -> $atK hits, buffer=$bufWide -> $atWide " +
+      s"(ceiling $reachable)")
+    assert(atWide > atK, "widening the buffer must recover recall")
+    assert(atWide * 10 >= reachable * 8,
+      s"the K/selectivity buffer must recover >=80% of the reachable ceiling: " +
+        s"$atWide vs $reachable")
+    e.unpersist(blocking = false)
+  }
+
+  test("incremental ingest into a frozen index: assignment parity with a rebuild " +
+      "when the quantizer survives the split", ScaleTest) {
+    // the steady-state growth path on planted data: the batch is the
+    // LAST 20% of vec_ids (arrival order — how a corpus actually
+    // grows), so every centroid id (< cells) stays resident and the
+    // frozen quantizer IS the rebuilt quantizer. Then incremental
+    // assignment must be BIT-IDENTICAL to a from-scratch rebuild —
+    // zero drift in every cell — and the frozen-index search must
+    // match the rebuilt-index search row for row.
+    val n = 100000L
+    val cut = 80000L
+    val cells = 316
+    val nq = 20
+    val e = syntheticVectors(n).cache()
+    val base = e.where(col("vec_id") < cut)
+    assert(e.count() === n)
+
+    val growth = Similarity.ivfIngestFrom(e, base, cells).collect()
+    assert(growth.length === cells, "every frozen cell must appear")
+    assert(growth.map(_.getAs[Long]("n_drift")).sum === 0L,
+      "unchanged centroids => incremental assignment == rebuild, zero drift")
+    assert(growth.map(_.getAs[Long]("n_new")).sum === n - cut)
+    assert(growth.map(_.getAs[Long]("n_total")).sum === n)
+    val maxGrowth = growth.map(_.getAs[Long]("growth_bp")).max
+    info(s"max per-cell growth = $maxGrowth bp " +
+      s"(uniform arrival would be ${(n - cut) * 10000 / cut} bp)")
+
+    val recall = Similarity.ivfIngestRecallFrom(e, base, cells, ScaleProbe,
+        nq, ScaleK).collect()
+    val byVariant = recall.map(r =>
+      r.getAs[String]("variant") -> r.getAs[Long]("n_hits")).toMap
+    info(s"frozen=${byVariant("frozen")} rebuilt=${byVariant("rebuilt")} " +
+      s"of ${recall.head.getAs[Long]("n_truth")}")
+    assert(byVariant("frozen") === byVariant("rebuilt"),
+      "identical quantizers must retrieve identically")
+    e.unpersist(blocking = false)
+  }
+
   test("mutual-kNN at sqrt(N) cells: edges bounded, planted clusters dominate",
       ScaleTest) {
     // 20k-vector slice (√N ≈ 141 cells): the within-cell pair space is

@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * claimed. */
   private val HeadRank = Set(
     "q_bpe_merges", // top-30 merge head: the rk window rides TakeOrderedAndProject(BpeTop), never the vocab table
+    "q_bpe_apply",  // same head — the merge table it applies is the q_bpe_merges top-K chain
     "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
@@ -143,11 +144,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // re-print the build plan's scan without re-executing it. A NEW
     // name here means a new multi-pass plan — sever it or adjudicate
     // it explicitly.
+    // r10 departures: q_ab_srm (3-row arms frame severed), q_boilerplate
+    // (single gram-level aggregate), q_data_quality (one PK-grouped pass
+    // per fact table), q_hard_negatives (shared argmax quantizer severed
+    // once) — each fix proven by an unchanged-oracle hash-match at 3 SFs.
     val RescanAllowed = Set(
-      "q_ab_srm", "q_bigram_lm", "q_bm25_rank", "q_boilerplate", "q_burst_detect",
-      "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak", "q_data_quality",
+      "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
+      "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak",
       "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
-      "q_eval_ranking", "q_gap_fill", "q_hard_negatives", "q_heavy_hitters",
+      "q_eval_ranking", "q_gap_fill", "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq", "q_join_explosion", "q_knn_ivf",
       "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
       "q_media_neardup", "q_merge_upsert", "q_mix_plan", "q_mutual_knn",
