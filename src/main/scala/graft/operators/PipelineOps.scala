@@ -1036,8 +1036,11 @@ object PipelineOps {
       .withColumn("z", expr(zSpark))
       .withColumn("fid_lin", expr(s"ux div ${256 / ZFiles}"))
       .withColumn("fid_z", expr(s"z div ${65536 / ZFiles}"))
-    val perFile = coords.select(lit("linear").as("layout"), col("fid_lin").as("fid"), col("tx"))
-      .union(coords.select(lit("zorder").as("layout"), col("fid_z").as("fid"), col("tx")))
+    // r10 rescan sever: one generator pass emits both layout rows per
+    // event (the r9 self-union re-planned the coordinate chain per
+    // side — events ×4)
+    val perFile = coords.selectExpr(
+        "stack(2, 'linear', fid_lin, 'zorder', fid_z) AS (layout, fid)", "tx")
       .groupBy("layout", "fid")
       .agg(count(lit(1)).as("n_rows"), min("tx").as("min_tx"), max("tx").as("max_tx"))
     perFile.groupBy("layout")

@@ -165,7 +165,13 @@ object TextAnalysis {
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame =
     tokenBudgetOf(qualityScored(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_toks").cast("long").as("toks"),
-              round(col("score") * 1e6).cast("long").as("sfp")),
+              round(col("score") * 1e6).cast("long").as("sfp"))
+      // r10 rescan sever: the slim 4-col scored frame has EIGHT
+      // downstream consumers (budget total, by-score aggregate and its
+      // min/max + coarse-offset chain, the final keep join) — without
+      // the sever each re-plans the whole tokenize-and-score corpus
+      // chain (documents ×8 in the r9 plan)
+      .localCheckpoint(),
       BudgetPct)
 
   /** Frame-parameterized core over ANY (doc_id, source, toks, sfp)

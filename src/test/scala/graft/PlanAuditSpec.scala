@@ -147,7 +147,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // r10 departures: q_ab_srm (3-row arms frame severed), q_boilerplate
     // (single gram-level aggregate), q_data_quality (one PK-grouped pass
     // per fact table), q_hard_negatives (shared argmax quantizer severed
-    // once) — each fix proven by an unchanged-oracle hash-match at 3 SFs.
+    // once), q_token_budget (slim scored frame severed before its 8
+    // consumers), q_survival_km (user total derived from the severed
+    // calendar-bounded duration histogram), q_zorder_layout (one stack
+    // generator pass instead of the self-union) — each fix proven by an
+    // unchanged-oracle hash-match at 3 SFs.
     val RescanAllowed = Set(
       "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
       "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak",
@@ -158,9 +162,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "q_media_neardup", "q_merge_upsert", "q_mix_plan", "q_mutual_knn",
       "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
       "q_setops_users", "q_source_overlap", "q_stickiness", "q_stream_drift",
-      "q_survival_km", "q_tfidf_terms", "q_time_split", "q_token_budget",
-      "q_weighted_reservoir", // two-scan-inherent: K-bounded key head + the weight-share aggregate
-      "q_zorder_layout")
+      "q_tfidf_terms", "q_time_split",
+      "q_weighted_reservoir") // two-scan-inherent: K-bounded key head + the weight-share aggregate
     val factTables = Seq("events", "lineitem", "orders", "documents", "embeddings")
     val rescanned = plans.collect {
       case (name, p) if factTables.exists(t =>
