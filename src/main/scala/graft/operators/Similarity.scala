@@ -48,6 +48,17 @@ object Similarity {
     */
   val NProbe = 4
 
+  /** Metadata predicate for the filtered-ANN tiers: neighbors must
+    * carry this ground-truth label (~10% of the fixture corpus — a
+    * selective predicate, the regime where the pre- vs post-filter
+    * choice actually matters). Declared ahead of every SQL string
+    * that interpolates it (object vals initialize in declaration
+    * order — a later declaration would interpolate 0). */
+  val FilterLabel = 7
+
+  /** Widest post-filter buffer the recovery curve sweeps. */
+  val FilterBufMax = 50
+
   import graft.functions.VectorFunctions.{floatDot, floatNorm}
 
   /** Codegen'd dot over the aliased join sides — identical fold order to
@@ -359,9 +370,18 @@ object Similarity {
     * registry path passes the memoized code table via `codesOpt`. */
   private def ivfPqAdcFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int,
-      codesOpt: Option[DataFrame]): DataFrame = {
-    val assigned = cellAssignFrom(e0, nCells)
+      codesOpt: Option[DataFrame], labelOpt: Option[Int] = None): DataFrame = {
+    val a0 = cellAssignFrom(e0, nCells)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
+    // filtered serving: the predicate prunes the inverted lists BEFORE
+    // the ADC pass — the pre-filter strategy q_knn_filtered proved out,
+    // composed into the production IVF→PQ shape
+    val assigned = labelOpt match {
+      case Some(l) => a0.join(
+        e0.where(col("label") === l).select(col("vec_id").as("neighbor_id")),
+        "neighbor_id")
+      case None => a0
+    }
     val probes = queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val shortlist = probes.join(assigned, "cid")
@@ -378,8 +398,10 @@ object Similarity {
 
   private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int,
-      codesOpt: Option[DataFrame] = None): DataFrame = {
-    val adc = ivfPqAdcFrom(e0, es, cent, nCells, nProbe, nQueries, codesOpt)
+      codesOpt: Option[DataFrame] = None,
+      labelOpt: Option[Int] = None): DataFrame = {
+    val adc = ivfPqAdcFrom(e0, es, cent, nCells, nProbe, nQueries, codesOpt,
+      labelOpt)
     // ADC top-R per query via the bounded aggregate: score = −dist
     // (TopKByScore keeps (score DESC, id ASC) = (dist ASC, id ASC),
     // the oracle's row_number order); dist ≤ dims·(2·KmScale)² ≈
@@ -410,8 +432,10 @@ object Similarity {
 
   /** Oracle: the knnIvf cell CTEs + the shared PQ-training chain +
     * shortlist-scoped ADC + the two-stage re-rank, all exact
-    * integers past the 6dp cell ranking. */
-  val ivfPqSql: String =
+    * integers past the 6dp cell ranking. `shortlistFilter` splices a
+    * metadata predicate into the shortlist join (the filtered-serving
+    * variant); empty for the unfiltered tier. */
+  private def mkIvfPqSql(shortlistFilter: String): String =
     s"""WITH ef AS MATERIALIZED (
        |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
        |), cellranked AS MATERIALIZED (
@@ -426,7 +450,7 @@ object Similarity {
        |  WHERE vec_id < $NQueries AND crk <= $NProbe
        |), shortlist AS MATERIALIZED (
        |  SELECT p.query_id, b.vec_id AS neighbor_id
-       |  FROM probes p JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id
+       |  FROM probes p JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id$shortlistFilter
        |), ${Training.pqTrainCtes}, lut AS MATERIALIZED (
        |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
        |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
@@ -460,6 +484,29 @@ object Similarity {
        |  FROM exact)
        |WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
+
+  val ivfPqSql: String = mkIvfPqSql("")
+
+  /** Filtered serving through the FULL composed tier — [[knnFiltered]]
+    * proved pre-filtering is the strategy (post-filtering craters);
+    * this composes that winning strategy into the production IVF→PQ
+    * shape end to end: the predicate prunes the inverted lists, the
+    * ADC scores ONLY matching candidates (selectivity × the usual
+    * shortlist — the filter makes the expensive stage CHEAPER, the
+    * opposite of post-filtering's wasted work), and the exact re-rank
+    * runs on the surviving buffer. Same output contract as [[ivfPq]];
+    * every returned neighbor satisfies the predicate by construction.
+    */
+  def ivfPqFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    ivfPqFrom(e0, Training.pqSub(spark, sfDir),
+      Training.pqCodebooks(spark, sfDir), NCells, NProbe, NQueries,
+      IvfPqRerank, K, codesOpt = Some(Training.pqCodes(spark, sfDir)),
+      labelOpt = Some(FilterLabel))
+  }
+
+  val ivfPqFilteredSql: String = mkIvfPqSql(
+    s" AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $FilterLabel)")
 
   /** Re-rank-depth tuning audit for [[ivfPq]] — the knob the composed
     * tier turns the way [[ivfRecallCurve]] turns probe depth: recall
@@ -584,15 +631,6 @@ object Similarity {
        |FROM nums n LEFT JOIN thr t ON t.adc_rk <= n.rerank
        |GROUP BY n.rerank
        |ORDER BY rerank""".stripMargin
-
-  /** Metadata predicate for the filtered-ANN tier: neighbors must
-    * carry this ground-truth label (~10% of the fixture corpus — a
-    * selective predicate, the regime where the pre- vs post-filter
-    * choice actually matters). */
-  val FilterLabel = 7
-
-  /** Widest post-filter buffer the recovery curve sweeps. */
-  val FilterBufMax = 50
 
   /** Filtered ANN — "top-[[K]] neighbors WHERE label = [[FilterLabel]]",
     * the first operational knob a user of [[ivfPq]] reaches for — with
@@ -1725,6 +1763,7 @@ object Similarity {
     "q_knn_bruteforce"  -> (knnBruteForce _),
     "q_knn_ivf"         -> (knnIvf _),
     "q_ivf_pq"          -> (ivfPq _),
+    "q_ivf_pq_filtered" -> (ivfPqFiltered _),
     "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn_filtered"    -> (knnFiltered _),
@@ -1744,6 +1783,7 @@ object Similarity {
     "q_knn_bruteforce"  -> knnBruteForceSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_ivf_pq"          -> ivfPqSql,
+    "q_ivf_pq_filtered" -> ivfPqFilteredSql,
     "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_knn_filtered"    -> knnFilteredSql,

@@ -892,6 +892,102 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
   }
 
+  /** Merge-depth tuning curve for [[bpeApply]] — "how many merges do I
+    * need": corpus token count and compression after EVERY merge depth
+    * 0..[[BpeApplyK]] (depth 0 = the character alphabet, the BPE
+    * starting point). The [[ivfRecallCurve]]-style audit for the
+    * tokenizer knob: each row is the depth-r tokenization the fold
+    * already materializes on the way to depth K, so the whole curve
+    * costs ONE pass over the global vocabulary — the marginal gain of
+    * each merge becomes a measured row (diminishing returns visible)
+    * instead of folklore.
+    *
+    * Scale: same economics as [[bpeApply]] — |vocab| rows × K cheap
+    * string ops after one corpus token-count aggregate; the output is
+    * K+1 rows off a single wide aggregate, stack-unpivoted.
+    */
+  def bpeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val mergeRow = bpeMerges(spark, sfDir).where(col("rk") <= BpeApplyK)
+      .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
+    def nToks(tok: String): String =
+      s"(length($tok) - length(replace($tok, '|', '')) + 1)"
+    val tok0 = vocab.crossJoin(broadcast(mergeRow))
+      .withColumn("tok",
+        expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
+      .withColumn("n0", length(col("word")))
+    val merged = (1 to BpeApplyK).foldLeft(tok0) { (df, r) =>
+      df.withColumn("tok", expr(
+          s"replace(tok, concat(substring(coalesce(`$r`, '¬¬'), 1, 1), '|', " +
+          s"substring(coalesce(`$r`, '¬¬'), 2, 1)), coalesce(`$r`, '¬¬'))"))
+        .withColumn(s"n$r", expr(nToks("tok")))
+    }
+    val aggs = (0 to BpeApplyK).map(r => sum(col("wc") * col(s"n$r")).as(s"t$r"))
+    val wide = merged.agg(aggs.head, aggs.tail: _*)
+    val stacked = (0 to BpeApplyK)
+      .map(r => s"$r, t$r").mkString(", ")
+    wide.selectExpr(s"stack(${BpeApplyK + 1}, $stacked) AS (n_merges, tokens)", "t0")
+      .select(col("n_merges").cast("long").as("n_merges"), col("tokens"),
+              expr("(tokens * 10000) div t0").as("compression_bp"))
+      .orderBy("n_merges")
+  }
+
+  val bpeCurveSql: String = {
+    val mergeCols = (1 to BpeApplyK).map(r =>
+      s"coalesce(max(CASE WHEN rk = $r THEN pair END), '¬¬') AS p$r").mkString(",\n    ")
+    val rounds = (1 to BpeApplyK).map { r =>
+      s"""gtok$r AS MATERIALIZED (
+         |  SELECT word, wc, ${(r + 1 to BpeApplyK).map(i => s"p$i, ").mkString}
+         |    replace(tok, substr(p$r, 1, 1) || '|' || substr(p$r, 2, 1), p$r) AS tok
+         |  FROM gtok${r - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (0 to BpeApplyK).map { r =>
+      val src = if (r == 0) "gtok0" else s"gtok$r"
+      s"""SELECT $r AS n_merges,
+         |  sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1))::BIGINT AS tokens
+         |FROM $src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gvocab AS (
+       |  SELECT word, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |  ) WHERE length(word) >= 1
+       |  GROUP BY word
+       |), mvocab AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |  ) WHERE length(word) >= 2
+       |  GROUP BY word
+       |), mpairs AS (
+       |  SELECT word, wc,
+       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM mvocab
+       |), magg AS (
+       |  SELECT pair, sum(wc)::BIGINT AS n_occurrences
+       |  FROM mpairs GROUP BY pair
+       |), mranked AS (
+       |  SELECT pair, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
+       |  FROM magg
+       |), mrow AS (
+       |  SELECT
+       |    $mergeCols
+       |  FROM mranked WHERE rk <= $BpeApplyK
+       |), gtok0 AS MATERIALIZED (
+       |  SELECT v.word, v.wc, ${(1 to BpeApplyK).map(i => s"m.p$i, ").mkString}
+       |    rtrim(regexp_replace(v.word, '(.)', '\\1|', 'g'), '|') AS tok
+       |  FROM gvocab v CROSS JOIN mrow m
+       |), $rounds, curve AS (
+       |$unions
+       |), base AS (SELECT tokens AS t0 FROM curve WHERE n_merges = 0)
+       |SELECT c.n_merges::BIGINT AS n_merges, c.tokens,
+       |  ((c.tokens * 10000) // b.t0)::BIGINT AS compression_bp
+       |FROM curve c CROSS JOIN base b
+       |ORDER BY n_merges""".stripMargin
+  }
+
   /** Document-frequency floor for χ² terms (rare terms have unstable
     * statistics — the standard feature-selection cut).
     */
@@ -1761,6 +1857,7 @@ object TextAnalysis {
     "q_bm25_rank"      -> (bm25Rank _),
     "q_bpe_merges"     -> (bpeMerges _),
     "q_bpe_apply"      -> (bpeApply _),
+    "q_bpe_curve"      -> (bpeCurve _),
     "q_chi2_terms"     -> (chi2Terms _),
     "q_c4_filter"      -> (c4Filter _),
   )
@@ -1789,6 +1886,7 @@ object TextAnalysis {
     "q_bm25_rank"      -> bm25RankSql,
     "q_bpe_merges"     -> bpeMergesSql,
     "q_bpe_apply"      -> bpeApplySql,
+    "q_bpe_curve"      -> bpeCurveSql,
     "q_chi2_terms"     -> chi2TermsSql,
     "q_c4_filter"      -> c4FilterSql,
   )

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val HeadRank = Set(
     "q_bpe_merges", // top-30 merge head: the rk window rides TakeOrderedAndProject(BpeTop), never the vocab table
     "q_bpe_apply",  // same head — the merge table it applies is the q_bpe_merges top-K chain
+    "q_bpe_curve",  // same head again (the depth curve rides the same applied-merge chain)
     "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
@@ -157,7 +158,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak",
       "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
       "q_eval_ranking", "q_gap_fill", "q_heavy_hitters",
-      "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq", "q_join_explosion", "q_knn_ivf",
+      "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
+      "q_ivf_pq_filtered", // same adjudicated shape as q_ivf_pq (memoized code-table re-prints + the assignment chain); the label filter adds one slim id-list scan
+      "q_join_explosion", "q_knn_ivf",
       "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
       "q_media_neardup", "q_merge_upsert", "q_mix_plan", "q_mutual_knn",
       "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
