@@ -745,8 +745,11 @@ object TextAnalysis {
     * independent after one token-count aggregate. All counts are exact
     * integers — fully deterministic on both engines.
     */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.documents(spark, sfDir)
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, sfDir))
+
+  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
       .select(explode(split(expr(normSpark), " ")).as("word"))
       .where(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))
@@ -814,14 +817,17 @@ object TextAnalysis {
     * trillions of tokens), weighted back by word counts; one corpus
     * aggregate + |vocab|·K cheap string ops, nothing quadratic.
     */
-  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.documents(spark, sfDir)
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame =
+    bpeApplyOf(Tables.documents(spark, sfDir))
+
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
       .select(col("source"), explode(split(expr(normSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("source", "word").agg(count(lit(1)).as("wc"))
     // rank-ordered merge pairs, pivoted to one broadcastable row
     // (p1..pK); a missing rank degrades to a never-occurring pair
-    val mergeRow = bpeMerges(spark, sfDir).where(col("rk") <= BpeApplyK)
+    val mergeRow = bpeMergesOf(docs).where(col("rk") <= BpeApplyK)
       .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
     val withMerges = vocab.crossJoin(broadcast(mergeRow))
     // NB Spark's two-arg rtrim is rtrim(trimStr, str) — opposite of
@@ -906,12 +912,15 @@ object TextAnalysis {
     * string ops after one corpus token-count aggregate; the output is
     * K+1 rows off a single wide aggregate, stack-unpivoted.
     */
-  def bpeCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.documents(spark, sfDir)
+  def bpeCurve(spark: SparkSession, sfDir: String): DataFrame =
+    bpeCurveOf(Tables.documents(spark, sfDir))
+
+  private[graft] def bpeCurveOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
       .select(explode(split(expr(normSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
-    val mergeRow = bpeMerges(spark, sfDir).where(col("rk") <= BpeApplyK)
+    val mergeRow = bpeMergesOf(docs).where(col("rk") <= BpeApplyK)
       .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
     def nToks(tok: String): String =
       s"(length($tok) - length(replace($tok, '|', '')) + 1)"

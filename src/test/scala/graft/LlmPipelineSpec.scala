@@ -362,6 +362,70 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(p("srcA").getAs[Double]("boiler_coverage") > p("srcB").getAs[Double]("boiler_coverage"))
   }
 
+  test("bpe apply + curve: planted vocabulary matches a local merge-loop replay") {
+    import spark.implicits._
+    import operators.TextAnalysis
+    // Planted corpus: word frequencies chosen so the merge ranking and
+    // its greedy application are replayable in plain Scala below. The
+    // engines' literal replace scans left-to-right over non-overlapping
+    // occurrences — exactly java.lang.String.replace's contract, so the
+    // local replay IS the semantics (including the overlapping-pair
+    // case "aaaa" and the fused-symbol case where a later merge no
+    // longer sees its boundary).
+    val words = Seq.fill(9)("abab") ++ Seq.fill(5)("abc") ++
+      Seq.fill(3)("aaaa") ++ Seq.fill(2)("bc") ++ Seq.fill(7)("x")
+    val docs = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, "en", w, if (i % 2 == 0) "srcA" else "srcB")
+    }.toDF("doc_id", "lang", "text", "source")
+
+    // local replay of the miner: adjacent char pairs over the DISTINCT
+    // vocab (length >= 2), weighted by word count, ranked (count desc,
+    // pair asc)
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val pairCounts = wc.filter(_._1.length >= 2).toSeq.flatMap { case (w, c) =>
+      w.sliding(2).map(_ -> c)
+    }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val merges = pairCounts.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(TextAnalysis.BpeApplyK).map(_._1)
+    def replayTokens(w: String, depth: Int): Int = {
+      var tok = w.toCharArray.mkString("|")
+      merges.take(depth).foreach { p =>
+        tok = tok.replace(s"${p(0)}|${p(1)}", p)
+      }
+      tok.count(_ == '|') + 1
+    }
+
+    val applied = TextAnalysis.bpeApplyOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val perSource = words.zipWithIndex.groupBy { case (_, i) =>
+      if (i % 2 == 0) "srcA" else "srcB" }
+    perSource.foreach { case (src, ws) =>
+      val before = ws.map(_._1.length.toLong).sum
+      val after = ws.map { case (w, _) => replayTokens(w, TextAnalysis.BpeApplyK).toLong }.sum
+      assert(applied(src).getAs[Long]("tokens_before") === before, s"$src before")
+      assert(applied(src).getAs[Long]("tokens_after") === after, s"$src after")
+      assert(applied(src).getAs[Long]("compression_bp") === after * 10000 / before)
+    }
+    // the planted structure actually compresses (ab dominates)
+    assert(applied("srcA").getAs[Long]("tokens_after") <
+           applied("srcA").getAs[Long]("tokens_before"))
+
+    val curve = TextAnalysis.bpeCurveOf(docs).collect()
+      .sortBy(_.getAs[Long]("n_merges"))
+    assert(curve.length === TextAnalysis.BpeApplyK + 1)
+    val toks = curve.map(_.getAs[Long]("tokens"))
+    assert(toks.head === words.map(_.length.toLong).sum,
+      "depth 0 is the character alphabet")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      "each merge can only shrink the token stream")
+    curve.foreach { r =>
+      val d = r.getAs[Long]("n_merges").toInt
+      val expect = words.map(w => replayTokens(w, d).toLong).sum
+      assert(r.getAs[Long]("tokens") === expect, s"depth $d")
+    }
+  }
+
   test("corpus entropy: bounds hold and every lang slice is covered") {
     val e = operators.TextAnalysis.corpusEntropy(spark, sfTest).collect()
     val total = Tables.documents(spark, sfTest).count()
