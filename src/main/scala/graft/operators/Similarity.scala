@@ -156,7 +156,7 @@ object Similarity {
     queryProbesTo(e0, e0, nCells, nQueries)
 
   /** Probe list against a decoupled quantizer (see [[cellAssignTo]]). */
-  private def queryProbesTo(e0: DataFrame, centSrc: DataFrame, nCells: Int,
+  private[graft] def queryProbesTo(e0: DataFrame, centSrc: DataFrame, nCells: Int,
                             nQueries: Int): DataFrame = {
     val e = withNorm(e0.select("vec_id", "embedding"))
     val cents = broadcast(withNorm(centSrc.select("vec_id", "embedding"))

@@ -338,6 +338,74 @@ class AnnScaleSpec extends AnyFunSuite with SparkFixture {
     e.unpersist(blocking = false)
   }
 
+  test("filtered composed IVF->PQ at 2e4 vectors: exact on the reachable labeled set",
+      ScaleTest) {
+    // the structural identity for the composed filtered tier: when the
+    // filtered candidate count per query fits inside the ADC buffer
+    // (selectivity makes the expensive stage SMALLER — the pre-filter
+    // argument), the ADC top-R contains every reachable labeled
+    // candidate and the exact re-rank therefore returns EXACTLY the
+    // quantized-L2 top-K of {labeled vectors in probed cells} — which
+    // this test replays driver-side, integer for integer, no slack
+    val n = 20000L
+    val cells = 141
+    val nq = 10
+    val lbl = 1
+    val e = syntheticVectors(n)
+      .withColumn("label",
+        when(pmod(hash(col("vec_id")), lit(30)) === 0, lbl).otherwise(0))
+      .cache()
+    assert(e.count() === n)
+    val es = operators.Training.pqSubOf(operators.Training.quantizedOf(e))
+      .localCheckpoint()
+    val cent = operators.Training.pqCodebooksOf(es)
+    val got = Similarity.ivfPqFrom(e, es, cent, cells, ScaleProbe, nq,
+        Similarity.IvfPqRerank, ScaleK, labelOpt = Some(lbl)).collect()
+
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    got.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) === lbl,
+        "every returned neighbor must satisfy the predicate")
+    }
+
+    // driver replay: probed cells per query (the REAL probe frame),
+    // labeled assignment, exact integer quantized-L2
+    val probes = Similarity.queryProbesTo(e, e, cells, nq)
+      .where(col("crk") <= ScaleProbe).select(col("vec_id"), col("cid"))
+      .collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSet }
+    val cidOf = Similarity.cellAssignFrom(e, cells).select("vec_id", "cid")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val vecs = e.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.round((v + 1.0) * operators.Training.KmScale)).toArray
+    }.toMap
+    val labeledIds = labels.collect { case (id, l) if l == lbl => id }.toSet
+    (0L until nq.toLong).foreach { q =>
+      val reach = labeledIds.filter(id => id != q && probes(q).contains(cidOf(id)))
+      assert(reach.size <= Similarity.IvfPqRerank,
+        s"query $q: the filtered candidate set (${reach.size}) must fit the ADC buffer " +
+          "for the exactness identity to bind")
+      val qv = vecs(q)
+      val truth = reach.toSeq.map { id =>
+        val v = vecs(id)
+        var d = 0L; var j = 0
+        while (j < v.length) { val t = v(j) - qv(j); d += t * t; j += 1 }
+        (d, id)
+      }.sorted.take(ScaleK)
+      val mine = got.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("exact_dist_units"), r.getAs[Long]("neighbor_id")))
+      assert(mine.toSeq === truth,
+        s"query $q: composed filtered retrieval must equal the exact " +
+          s"quantized-L2 top-K of the reachable labeled set")
+    }
+    info(s"exactness identity held for all $nq queries " +
+      s"(reachable labeled candidates per query <= ${Similarity.IvfPqRerank})")
+    e.unpersist(blocking = false)
+  }
+
   test("mutual-kNN at sqrt(N) cells: edges bounded, planted clusters dominate",
       ScaleTest) {
     // 20k-vector slice (√N ≈ 141 cells): the within-cell pair space is
