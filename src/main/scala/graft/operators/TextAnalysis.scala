@@ -1023,11 +1023,19 @@ object TextAnalysis {
     val dt = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(split(expr(normSpark), " "))).as("term"))
-    val totals = dt.agg(countDistinct(col("doc_id")).as("d"))
+    // r10 rescan sever: ONE (source, term) aggregate carries every
+    // count the contingency table needs — df = Σ n11 over sources
+    // (terms are doc-distinct), d = Σ ds (a doc has one source) — so
+    // the exploded term stream is scanned once, not once per marginal
+    // (documents ×4 in the r9 plan)
+    val gstats = dt.groupBy("source", "term").agg(count(lit(1)).as("n11"))
+      .localCheckpoint()
     val perSource = dt.groupBy("source").agg(countDistinct(col("doc_id")).as("ds"))
-    val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // |sources| rows; totals + the cell join read it
+    val totals = perSource.agg(sum("ds").as("d"))
+    val dfT = gstats.groupBy("term").agg(sum("n11").as("df"))
       .where(col("df") >= Chi2MinDf)
-    val cells = dt.groupBy("source", "term").agg(count(lit(1)).as("n11"))
+    val cells = gstats
       .join(broadcast(dfT), "term")
       .join(broadcast(perSource), "source")
       .crossJoin(broadcast(totals))

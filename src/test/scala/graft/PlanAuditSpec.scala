@@ -151,11 +151,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // once), q_token_budget (slim scored frame severed before its 8
     // consumers), q_survival_km (user total derived from the severed
     // calendar-bounded duration histogram), q_zorder_layout (one stack
-    // generator pass instead of the self-union) — each fix proven by an
-    // unchanged-oracle hash-match at 3 SFs.
+    // generator pass instead of the self-union), q_chi2_terms (one
+    // (source, term) aggregate carries every contingency marginal) —
+    // each fix proven by an unchanged-oracle hash-match at 3 SFs.
     val RescanAllowed = Set(
       "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
-      "q_chi2_terms", "q_cohort_ltv", "q_concurrency_peak",
+      "q_cohort_ltv", "q_concurrency_peak",
       "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
       "q_eval_ranking", "q_gap_fill", "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
