@@ -432,8 +432,12 @@ object Advanced {
     */
   def joinExplosion(spark: SparkSession, sfDir: String): DataFrame = {
     def audit(df: DataFrame, candidate: String, keyCol: String): DataFrame = {
+      // r10 rescan sever: the fanout histogram feeds the rollup AND the
+      // top-key probe — severed once so each candidate scans its fact
+      // table once (lineitem printed ×4 across its two candidates)
       val byKey = df.groupBy(col(keyCol).cast("long").as("k"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val agg = byKey.agg(
         sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
         max("cnt").as("max_fanout"),
