@@ -1550,8 +1550,12 @@ object Analytics {
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
-    val pts = sess.select(col("start_ts").as("pt"), lit(1).as("delta"))
-      .unionAll(sess.select(col("end_ts").as("pt"), lit(-1).as("delta")))
+    // r10 rescan sever: one stack generator pass emits both sweep
+    // points per session (the old self-union re-planned the whole
+    // sessionization chain per side), and the calendar-bounded per-day
+    // aggregate is severed once for its two consumers (events ×4)
+    val pts = sess
+      .selectExpr("stack(2, start_ts, 1, end_ts, -1) AS (pt, delta)")
       .withColumn("day", to_date(col("pt")))
     val wd = Window.partitionBy("day").orderBy(col("pt").asc, col("delta").desc)
     val within = pts.withColumn("run",
@@ -1560,6 +1564,7 @@ object Analytics {
       .agg(max("run").as("max_run"),
            sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"),
            sum("delta").as("net"))
+      .localCheckpoint()
     // union the full calendar range: a day fully spanned by
     // long-running sessions has no start/end point but a positive
     // peak (= the concurrency carried into it) — without the fill the

@@ -700,12 +700,17 @@ object PipelineOps {
     * once, everything downstream is bounded by S.
     */
   def mixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    // r10 rescan sever: both |sources|-row frames have two consumers
+    // each (totals + the plan, denominator + the plan) — without the
+    // severs every consumer replays the corpus aggregate (documents ×4)
     val per = Tables.documents(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val tot = per.agg(sum("n_docs").as("n_total"), count(lit(1)).as("n_sources"))
     val capped = per.crossJoin(broadcast(tot))
       .withColumn("target_docs", col("n_total").cast("double") / col("n_sources"))
       .withColumn("capped", least(col("n_docs").cast("double"), col("target_docs")))
+      .localCheckpoint()
     val denom = capped.agg(sum("capped").as("denom"))
     capped.crossJoin(broadcast(denom))
       .select(col("source"), col("n_docs"),

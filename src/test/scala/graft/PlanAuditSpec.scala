@@ -153,18 +153,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // calendar-bounded duration histogram), q_zorder_layout (one stack
     // generator pass instead of the self-union), q_chi2_terms (one
     // (source, term) aggregate carries every contingency marginal),
-    // q_join_explosion (fanout histogram severed once per candidate) —
-    // each fix proven by an unchanged-oracle hash-match at 3 SFs.
+    // q_join_explosion (fanout histogram severed once per candidate),
+    // q_concurrency_peak (stack generator for the sweep points + a
+    // severed calendar-bounded day aggregate), q_mix_plan (both
+    // |sources|-row frames severed) — each fix proven by an
+    // unchanged-oracle hash-match at 3 SFs.
     val RescanAllowed = Set(
       "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
-      "q_cohort_ltv", "q_concurrency_peak",
+      "q_cohort_ltv",
       "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
       "q_eval_ranking", "q_gap_fill", "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
       "q_ivf_pq_filtered", // same adjudicated shape as q_ivf_pq (memoized code-table re-prints + the assignment chain); the label filter adds one slim id-list scan
       "q_knn_ivf",
       "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
-      "q_media_neardup", "q_merge_upsert", "q_mix_plan", "q_mutual_knn",
+      "q_media_neardup", "q_merge_upsert", "q_mutual_knn",
       "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
       "q_setops_users", "q_source_overlap", "q_stickiness", "q_stream_drift",
       "q_tfidf_terms", "q_time_split",
