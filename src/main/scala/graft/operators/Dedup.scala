@@ -878,8 +878,12 @@ object Dedup {
     * S² - bounded pair rows, |sources|-row count table broadcast. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val src = graft.Tables.documents(spark, sfDir).select("doc_id", "source")
+    // r10 rescan sever: the per-source totals and the cross-source
+    // pair aggregate both consume the distinct (source, shingle) set —
+    // severed once (documents ×4 in the r9 plan)
     val sg = shingles(spark, sfDir).join(src, "doc_id")
       .select("source", "s").distinct()
+      .localCheckpoint()
     val perSrc = sg.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sg.groupBy("s")
       .agg(sort_array(collect_set(col("source"))).as("ss"))

@@ -526,10 +526,14 @@ object PipelineOps {
     */
   def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r10 rescan sever: the slim token-count frame feeds the id-bounds
+    // pass, the bucket offsets and the final packing join — severed
+    // once so the tokenize scan runs once (documents ×4 in the r9 plan)
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
           .cast("long").as("n_tok"))
+      .localCheckpoint()
     val mm = t.agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
     val b = t.crossJoin(broadcast(mm))
       .withColumn("__w", greatest(lit(1L),

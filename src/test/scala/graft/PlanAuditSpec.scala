@@ -156,8 +156,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // q_join_explosion (fanout histogram severed once per candidate),
     // q_concurrency_peak (stack generator for the sweep points + a
     // severed calendar-bounded day aggregate), q_mix_plan (both
-    // |sources|-row frames severed) — each fix proven by an
-    // unchanged-oracle hash-match at 3 SFs.
+    // |sources|-row frames severed), q_seq_pack (slim token-count
+    // frame severed ahead of bounds/offsets/packing), q_source_overlap
+    // (distinct (source, shingle) set severed ahead of totals + pairs)
+    // — each fix proven by an unchanged-oracle hash-match at 3 SFs.
     val RescanAllowed = Set(
       "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
       "q_cohort_ltv",
@@ -168,8 +170,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "q_knn_ivf",
       "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
       "q_media_neardup", "q_merge_upsert", "q_mutual_knn",
-      "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup", "q_seq_pack",
-      "q_setops_users", "q_source_overlap", "q_stickiness", "q_stream_drift",
+      "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup",
+      "q_setops_users", "q_stickiness", "q_stream_drift",
       "q_tfidf_terms", "q_time_split",
       "q_weighted_reservoir") // two-scan-inherent: K-bounded key head + the weight-share aggregate
     val factTables = Seq("events", "lineitem", "orders", "documents", "embeddings")
