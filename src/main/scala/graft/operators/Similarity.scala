@@ -370,9 +370,17 @@ object Similarity {
     * registry path passes the memoized code table via `codesOpt`. */
   private def ivfPqAdcFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int,
-      codesOpt: Option[DataFrame], labelOpt: Option[Int] = None): DataFrame = {
-    val a0 = cellAssignFrom(e0, nCells)
-      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      codesOpt: Option[DataFrame], labelOpt: Option[Int] = None,
+      assignedOpt: Option[DataFrame] = None,
+      centSrcOpt: Option[DataFrame] = None): DataFrame = {
+    // the serve tier passes the PERSISTED index tables: cell
+    // assignments (assignedOpt) and the coarse-quantizer centroid
+    // table (centSrcOpt) come from the reloaded catalog instead of
+    // being rebuilt from the corpus
+    val a0 = assignedOpt
+      .map(_.select(col("vec_id").as("neighbor_id"), col("cid")))
+      .getOrElse(cellAssignFrom(e0, nCells)
+        .select(col("vec_id").as("neighbor_id"), col("cid")))
     // filtered serving: the predicate prunes the inverted lists BEFORE
     // the ADC pass — the pre-filter strategy q_knn_filtered proved out,
     // composed into the production IVF→PQ shape
@@ -382,7 +390,8 @@ object Similarity {
         "neighbor_id")
       case None => a0
     }
-    val probes = queryProbes(e0, nCells, nQueries).where(col("crk") <= nProbe)
+    val probes = queryProbesTo(e0, centSrcOpt.getOrElse(e0), nCells, nQueries)
+      .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val shortlist = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
@@ -399,9 +408,11 @@ object Similarity {
   private[graft] def ivfPqFrom(e0: DataFrame, es: DataFrame, cent: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int, rerank: Int, k: Int,
       codesOpt: Option[DataFrame] = None,
-      labelOpt: Option[Int] = None): DataFrame = {
+      labelOpt: Option[Int] = None,
+      assignedOpt: Option[DataFrame] = None,
+      centSrcOpt: Option[DataFrame] = None): DataFrame = {
     val adc = ivfPqAdcFrom(e0, es, cent, nCells, nProbe, nQueries, codesOpt,
-      labelOpt)
+      labelOpt, assignedOpt, centSrcOpt)
     // ADC top-R per query via the bounded aggregate: score = −dist
     // (TopKByScore keeps (score DESC, id ASC) = (dist ASC, id ASC),
     // the oracle's row_number order); dist ≤ dims·(2·KmScale)² ≈
@@ -507,6 +518,97 @@ object Similarity {
 
   val ivfPqFilteredSql: String = mkIvfPqSql(
     s" AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $FilterLabel)")
+
+  /** The five persisted artifacts of the composed IVF→PQ index,
+    * reloaded from the catalog: inverted-list cell assignments, the
+    * coarse-quantizer centroid table, the PQ codebooks, the PQ code
+    * table, and the quantized vectors the exact re-rank reads. */
+  private case class ServeIndex(cells: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, vectorsQ: DataFrame)
+
+  /** Catalog names, unique + deterministic per fixture dir (the same
+    * session may serve several SFs). */
+  private[graft] def serveTableNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("cells", "centroids", "codebooks", "codes", "vectors_q")
+      .map(n => n -> s"graft_ivf_${n}_$tag").toMap
+  }
+
+  /** Build-once: write the index artifacts as EXTERNAL catalog tables
+    * (fresh temp location per build — no stale-data aliasing across
+    * sessions; a production deployment points `path` at its index
+    * volume instead). The corpus-sized tables are BUCKETED on their
+    * serve-side join keys — inverted lists by cell, codes and
+    * quantized vectors by vec_id — so at 10⁹ vectors a probe reads
+    * only matching buckets and the shortlist joins co-locate without
+    * reshuffling the corpus. Memoized through [[graft.QueryCache]]
+    * (1-row marker), so the write happens once per (session, sfDir)
+    * and the serve query pays only the reads.
+    */
+  private[graft] def ensureServeIndex(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_serve_written:$sfDir") {
+      val names = serveTableNames(sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve_")
+        .toAbsolutePath.toString
+      names.values.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      val e0 = Tables.embeddings(spark, sfDir)
+      graft.sources.Sources.writeBucketedTable(
+        cellAssignFrom(e0, NCells).select("vec_id", "cid"),
+        names("cells"), Seq("cid"), 8, Seq("cid"), Some(s"$dir/cells"))
+      graft.sources.Sources.writeExternalTable(
+        e0.where(col("vec_id") < NCells).select("vec_id", "embedding"),
+        names("centroids"), s"$dir/centroids")
+      graft.sources.Sources.writeExternalTable(
+        Training.pqCodebooks(spark, sfDir), names("codebooks"), s"$dir/codebooks")
+      graft.sources.Sources.writeBucketedTable(
+        Training.pqCodes(spark, sfDir),
+        names("codes"), Seq("vec_id"), 8, Seq("vec_id"), Some(s"$dir/codes"))
+      graft.sources.Sources.writeBucketedTable(
+        Training.pqSub(spark, sfDir),
+        names("vectors_q"), Seq("vec_id"), 8, Seq("vec_id"), Some(s"$dir/vectors_q"))
+      spark.range(1).toDF("ok") // memo marker: the artifacts exist
+    }.count(): Unit
+
+  private def serveIndex(spark: SparkSession, sfDir: String): ServeIndex = {
+    ensureServeIndex(spark, sfDir)
+    val names = serveTableNames(sfDir)
+    ServeIndex(spark.table(names("cells")), spark.table(names("centroids")),
+      spark.table(names("codebooks")), spark.table(names("codes")),
+      spark.table(names("vectors_q")))
+  }
+
+  /** Serve the composed IVF→PQ retrieval from the PERSISTED index —
+    * the build-once/serve-many leg a 10⁹-vector deployment runs for
+    * months: [[ensureServeIndex]] writes the cell assignments,
+    * centroids, PQ codebooks, code table and quantized vectors as
+    * bucketed external catalog tables, and THIS query answers
+    * [[ivfPq]]'s exact retrieval reading ONLY those reloaded tables
+    * (plus the raw query vectors, which at serve time arrive fresh).
+    * Output is row-identical to the in-session build by construction
+    * — parquet round-trips every artifact losslessly (longs + float
+    * arrays) — and the shared [[ivfPqSql]] oracle pins it at 3 SFs;
+    * ServeIndexSpec proves reload causes ZERO re-assignment and that
+    * a fresh session reads the same index.
+    *
+    * Scale: the session-memoized index ([[graft.QueryCache]]) has the
+    * wrong lifetime for a real deployment — an index is built once
+    * and served by many later jobs. This is that path: cells are
+    * bucketed by cid (a probe reads only its inverted lists), codes
+    * and quantized vectors by vec_id (the shortlist joins co-locate),
+    * and nothing in the serve plan rebuilds or reshuffles the corpus.
+    */
+  def ivfServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = serveIndex(spark, sfDir)
+    ivfPqFrom(Tables.embeddings(spark, sfDir), ix.vectorsQ, ix.codebooks,
+      NCells, NProbe, NQueries, IvfPqRerank, K,
+      codesOpt = Some(ix.codes), assignedOpt = Some(ix.cells),
+      centSrcOpt = Some(ix.centroids))
+  }
+
+  /** Identical contract to [[ivfPqSql]]: serving from the reloaded
+    * index must be indistinguishable from the in-session build. */
+  val ivfServeSql: String = ivfPqSql
 
   /** Re-rank-depth tuning audit for [[ivfPq]] — the knob the composed
     * tier turns the way [[ivfRecallCurve]] turns probe depth: recall
@@ -1017,22 +1119,33 @@ object Similarity {
     * pass for the audit, and a slim vec_id-keyed join between them.
     * Nothing quadratic, nothing resident re-shuffled by the ingest.
     */
+  /** Rebuilt (from-scratch) assignment of the merged corpus, memoized
+    * per (session, sfDir): the audit arm BOTH ingest queries compare
+    * against — without the memo each invocation eagerly re-ran the
+    * full-corpus assignment (the r10 advisor's finding), so one sweep
+    * paid it twice. An index rebuild is a materialization in
+    * production too. */
+  private[graft] def ingestRebuilt(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"ivf_ingest_rebuilt:$sfDir") {
+      cellAssignFrom(Tables.embeddings(spark, sfDir), NCells).localCheckpoint()
+    }
+
   def ivfIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val e0 = Tables.embeddings(spark, sfDir)
     ivfIngestFrom(e0, e0.where(!isIngestBatch), NCells,
-      frozenOpt = Some(ingestFrozen(spark, sfDir)))
+      frozenOpt = Some(ingestFrozen(spark, sfDir)),
+      rebuiltOpt = Some(ingestRebuilt(spark, sfDir)))
   }
 
   private[graft] def ivfIngestFrom(e0: DataFrame, base: DataFrame, nCells: Int,
-      frozenOpt: Option[DataFrame] = None): DataFrame = {
+      frozenOpt: Option[DataFrame] = None,
+      rebuiltOpt: Option[DataFrame] = None): DataFrame = {
     val frozen = frozenOpt.getOrElse(
       frozenAssign(e0, base, nCells).localCheckpoint())
-    // slim (vec_id, cid) rebuild, severed once — an index rebuild is a
-    // materialization in production too, and without the sever the
-    // audit plan replays the three-scan assignment chain
-    val rebuilt = cellAssignFrom(e0, nCells)
+    // slim (vec_id, cid) rebuild, severed once (memoized in the
+    // registry path — see ingestRebuilt)
+    val rebuilt = rebuiltOpt.getOrElse(cellAssignFrom(e0, nCells).localCheckpoint())
       .select(col("vec_id"), col("cid").as("cid_rebuilt"))
-      .localCheckpoint()
     val drift = frozen.select("vec_id", "cid").join(rebuilt, "vec_id")
       .where(col("cid") =!= col("cid_rebuilt"))
       .groupBy("cid").agg(count(lit(1)).as("n_drift"))
@@ -1107,12 +1220,14 @@ object Similarity {
   def ivfIngestRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val e0 = Tables.embeddings(spark, sfDir)
     ivfIngestRecallFrom(e0, e0.where(!isIngestBatch), NCells, NProbe,
-      NQueries, K, frozenOpt = Some(ingestFrozen(spark, sfDir)))
+      NQueries, K, frozenOpt = Some(ingestFrozen(spark, sfDir)),
+      rebuiltOpt = Some(ingestRebuilt(spark, sfDir)))
   }
 
   private[graft] def ivfIngestRecallFrom(e0: DataFrame, base: DataFrame,
       nCells: Int, nProbe: Int, nQueries: Int, k: Int,
-      frozenOpt: Option[DataFrame] = None): DataFrame = {
+      frozenOpt: Option[DataFrame] = None,
+      rebuiltOpt: Option[DataFrame] = None): DataFrame = {
     val frozen = frozenOpt.getOrElse(
       frozenAssign(e0, base, nCells).localCheckpoint())
     val truth = knnBruteFrom(e0, nQueries, k)
@@ -1137,8 +1252,8 @@ object Similarity {
         .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(tag).as("variant"), col("n_hits"))
-    val rebuilt = cellAssignFrom(e0, nCells)
-      .localCheckpoint() // the rebuild arm's index — materialized once
+    val rebuilt = rebuiltOpt.getOrElse(
+      cellAssignFrom(e0, nCells).localCheckpoint()) // rebuild arm, once
     hitsOf(scoredOn(frozen, base), "frozen")
       .unionByName(hitsOf(scoredOn(rebuilt, e0), "rebuilt"))
       .crossJoin(broadcast(truthN))
@@ -1377,14 +1492,17 @@ object Similarity {
   }
 
   /** Force-build the memoized shared tables (Bench warm hook): the
-    * mutual-edge table, the filtered-ANN candidate/truth passes, and
-    * the frozen ingest assignment — each shared by two registered
-    * queries. */
+    * mutual-edge table, the filtered-ANN candidate/truth passes, the
+    * frozen + rebuilt ingest assignments (each shared by two
+    * registered queries), and the persisted serve index (built once,
+    * served many — the write IS the warmup by definition). */
   def warm(spark: SparkSession, sfDir: String): Unit = {
     mutualEdges(spark, sfDir).count()
     filteredCand(spark, sfDir).count()
     filteredTruth(spark, sfDir).count()
-    ingestFrozen(spark, sfDir).count(): Unit
+    ingestFrozen(spark, sfDir).count()
+    ingestRebuilt(spark, sfDir).count()
+    ensureServeIndex(spark, sfDir)
   }
 
   /** Semantic components over the mutual-kNN graph — graph-based
@@ -1764,6 +1882,7 @@ object Similarity {
     "q_knn_ivf"         -> (knnIvf _),
     "q_ivf_pq"          -> (ivfPq _),
     "q_ivf_pq_filtered" -> (ivfPqFiltered _),
+    "q_ivf_serve"       -> (ivfServe _),
     "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn_filtered"    -> (knnFiltered _),
@@ -1784,6 +1903,7 @@ object Similarity {
     "q_knn_ivf"         -> knnIvfSql,
     "q_ivf_pq"          -> ivfPqSql,
     "q_ivf_pq_filtered" -> ivfPqFilteredSql,
+    "q_ivf_serve"       -> ivfServeSql,
     "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_knn_filtered"    -> knnFilteredSql,

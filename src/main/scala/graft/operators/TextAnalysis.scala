@@ -787,60 +787,235 @@ object TextAnalysis {
        |) WHERE rk <= $BpeTop
        |ORDER BY rk""".stripMargin
 
-  /** Merge ranks [[bpeApply]] applies (the head of [[bpeMerges]]'
-    * table — each rank is one chained replace, so the unroll depth is
-    * this constant, the q_item_pagerank round-unroll precedent). */
-  val BpeApplyK = 10
+  /** Trained BPE merge rounds — each is one full mine→apply
+    * alternation, so fused symbols re-enter the pair statistics and
+    * multi-character merges (`th`+`e` → `the`) genuinely emerge. Also
+    * the oracle's CTE unroll depth (the q_item_pagerank precedent). */
+  val BpeTrainRounds = 8
 
-  /** BPE merge APPLICATION — the other half of the tokenizer-training
-    * story ([[bpeMerges]] mines the ranked merge table; nothing used
-    * it until now): tokenize the corpus with the top-[[BpeApplyK]]
-    * merges applied greedily in rank order, and report what the
-    * tokenizer BUYS — per source, words, symbols before (one per
-    * character, BPE's starting alphabet), tokens after the merges,
-    * and the compression in basis points.
+  /** Greedy within-word application of ONE symbol-pair merge (l, r)
+    * over a '|'-joined symbol string, as a single declarative fold.
+    * Fold state is the string `done§pending`; each incoming symbol
+    * either completes the pair (pending = l AND x = r → append the
+    * FUSED symbol to done, clear pending — so the fused symbol can't
+    * immediately re-merge, BPE's non-overlapping left-to-right scan)
+    * or flushes pending and takes its place. A trailing '¶' token
+    * flushes the final pending symbol INTO done, so the result needs
+    * exactly one reference (DuckDB's list_reduce has no finisher and
+    * its lambdas can't alias a correlated subexpression).
     *
-    * Mechanics: each vocab word becomes its separator-joined symbol
-    * string (`the` → `t|h|e`; `|` provably never occurs in the
-    * normalized text), and merge r = the rank-r character pair `c₁c₂`
-    * rewrites `c₁|c₂` → `c₁c₂` via literal replace — both engines
-    * scan left-to-right over non-overlapping occurrences, which IS
-    * BPE's greedy within-pair application, and a fused symbol is
-    * atomic to later rounds exactly as in BPE (after `th` fuses,
-    * rank-later `he` no longer sees an `h|e` boundary). Token count =
-    * separators + 1. The merge table rides a 1-row pivoted broadcast
-    * (no literals, no driver collect), so the whole chain stays one
-    * declarative plan.
+    * Symbols are matched WHOLE — a fused symbol is atomic to later
+    * rounds, exactly as in BPE. (The r10 substring-replace
+    * formulation was NOT: after `ab` fused, `ab|ab` still exposed a
+    * `b|a` boundary inside the fused symbols, so a later `ba` merge
+    * over-merged across them — the r10 advisor's counterexample,
+    * now pinned the right way in LlmPipelineSpec.)
     *
-    * Scale: the replaces run over the (source, word) VOCABULARY (the
-    * [[bpeMerges]] collapse — millions of rows where the corpus is
+    * Sentinels: '|' joins symbols, '§' splits the fold state, '¶'
+    * flushes, '¬' pads exhausted merge ranks. None of the four can
+    * appear in a normalized word — [[normSpark]] only lowercases and
+    * collapses whitespace, and LlmPipelineSpec's guard asserts the
+    * fixture corpus carries none, so a loosened normalization fails
+    * loudly there instead of both engines corrupting identically
+    * (the r10 advisor's other ask).
+    */
+  private def bpeFoldSpark(tok: String, l: String, r: String): String =
+    s"""split_part(aggregate(array_append(split($tok, '\\\\|'), '¶'), '§',
+       |  (acc, x) -> CASE
+       |    WHEN split_part(acc, '§', 2) = $l AND x = $r THEN
+       |      concat(CASE WHEN split_part(acc, '§', 1) = '' THEN concat($l, $r)
+       |                  ELSE concat(split_part(acc, '§', 1), '|', $l, $r) END, '§')
+       |    WHEN split_part(acc, '§', 2) = '' THEN
+       |      concat(split_part(acc, '§', 1), '§', x)
+       |    ELSE concat(
+       |      CASE WHEN split_part(acc, '§', 1) = '' THEN split_part(acc, '§', 2)
+       |           ELSE concat(split_part(acc, '§', 1), '|', split_part(acc, '§', 2)) END,
+       |      '§', x) END,
+       |  acc -> acc), '§', 1)""".stripMargin
+
+  /** DuckDB twin of [[bpeFoldSpark]] — list_reduce with the initial
+    * '§' state prepended (list_reduce seeds from the first element).
+    * NB: this string is interpolated into templates that call
+    * stripMargin AGAIN, so no line may begin with '|' after indent. */
+  private def bpeFoldDuck(tok: String, l: String, r: String): String =
+    s"""split_part(list_reduce(
+       |  list_prepend('§', list_append(string_split($tok, '|'), '¶')),
+       |  (acc, x) -> CASE
+       |    WHEN split_part(acc, '§', 2) = $l AND x = $r THEN
+       |      (CASE WHEN split_part(acc, '§', 1) = '' THEN $l || $r
+       |            ELSE split_part(acc, '§', 1) || '|' || $l || $r END) || '§'
+       |    WHEN split_part(acc, '§', 2) = '' THEN
+       |      split_part(acc, '§', 1) || '§' || x
+       |    ELSE (CASE WHEN split_part(acc, '§', 1) = '' THEN split_part(acc, '§', 2)
+       |          ELSE split_part(acc, '§', 1) || '|' || split_part(acc, '§', 2) END) ||
+       |      '§' || x END), '§', 1)""".stripMargin
+
+  /** Iterative BPE TRAINING — the real algorithm (Sennrich et al.,
+    * ACL 2016): [[BpeTrainRounds]] alternating mine→apply rounds over
+    * the word-frequency vocabulary. Round r counts every adjacent
+    * SYMBOL pair (weighted by word count), fuses the argmax pair
+    * ((count DESC, lhs ASC, rhs ASC) — engine-stable) in every word,
+    * and the fused symbol participates in round r+1's statistics —
+    * which is what makes depth-R vocabularies (`th`+`e` → `the`)
+    * exist at all. [[bpeMerges]] remains the single-round
+    * pair-statistics table; this is the trained merge LIST the
+    * tokenizer ships. Output: one row per round (rk, lhs, rhs,
+    * merged, n_occurrences); a round that finds no pair left (every
+    * word fully fused) emits nothing and later rounds no-op via the
+    * '¬' pad.
+    *
+    * Scale: the corpus collapses to |vocab| distinct words ONCE (at
+    * 100 TB the vocab is millions of rows where the corpus is
+    * trillions of tokens); each round is one pair aggregate + one
+    * bounded argmax head + |vocab| cheap string folds, all
+    * corpus-size-independent. Each round's vocab is localCheckpointed
+    * — without the sever, round r's plan would nest TWO copies of
+    * round r−1 (the apply side and the mine side), doubling the tree
+    * per round. Memoized per (session, sfDir): q_bpe_train,
+    * q_bpe_apply and q_bpe_curve all serve from one training pass.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainedMerges(spark, sfDir).orderBy("rk")
+
+  private[graft] def bpeTrainedMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"bpe_train:$sfDir") {
+      bpeTrainOf(Tables.documents(spark, sfDir))
+    }
+
+  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      // NB Spark's two-arg rtrim is rtrim(trimStr, str) — opposite of
+      // DuckDB's; substring on the known 2·len−1 width sidesteps it
+      .withColumn("tok",
+        expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeTrainRounds) {
+      val pairs = vocab
+        .withColumn("syms", split(col("tok"), "\\|"))
+        .select(col("wc"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+          "(x, i) -> named_struct('lhs', x, 'rhs', element_at(syms, i + 2)))")).as("p"))
+        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("wc"))
+      // argmax via TakeOrdered, then the '¬' sentinel row (n = −1)
+      // wins only when NO pair remains — later rounds no-op instead
+      // of cross-joining an empty frame and emptying the vocab
+      val best = pairs.groupBy("lhs", "rhs")
+        .agg(sum("wc").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .unionByName(spark.range(1).select(
+          lit("¬").as("lhs"), lit("¬").as("rhs"), lit(-1L).as("n_occurrences")))
+        .orderBy(col("n_occurrences").desc).limit(1)
+        .localCheckpoint() // 1 row; read by the apply AND the output
+      rounds += best.where(col("n_occurrences") > 0)
+        .select(lit(r.toLong).as("rk"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("n_occurrences"))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+        .withColumn("tok", expr(bpeFoldSpark("tok", "__l", "__r")))
+        .select("word", "wc", "tok")
+        .localCheckpoint() // sever: mine + apply both read this round
+    }
+    rounds.result().reduce(_ unionByName _)
+  }
+
+  /** Shared oracle CTE chain for the trained-BPE family: v0 = the
+    * global char-split word-frequency vocab; per round r, p$r =
+    * adjacent symbol pairs, b$r = the argmax merge (0 or 1 rows),
+    * bs$r = b$r with the '¬' no-op fallback, v$r = the greedy fold
+    * applied. The parallel unnest of the two aligned list slices
+    * (syms[1:-2], syms[2:]) zips adjacent symbols without a join. */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT wc,
+         |    unnest(string_split(tok, '|')[1:-2]) AS lhs,
+         |    unnest(string_split(tok, '|')[2:]) AS rhs
+         |  FROM v${r - 1}
+         |), b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, sum(wc)::BIGINT AS n_occurrences
+         |  FROM p$r GROUP BY 1, 2
+         |  ORDER BY n_occurrences DESC, lhs ASC, rhs ASC LIMIT 1
+         |), bs$r AS (
+         |  SELECT lhs, rhs FROM (
+         |    SELECT lhs, rhs, n_occurrences FROM b$r
+         |    UNION ALL SELECT '¬', '¬', (-1)::BIGINT
+         |  ) ORDER BY n_occurrences DESC LIMIT 1
+         |), v$r AS MATERIALIZED (
+         |  SELECT word, wc, ${bpeFoldDuck("tok", "b.lhs", "b.rhs")} AS tok
+         |  FROM v${r - 1} CROSS JOIN bs$r b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
+       |  FROM (
+       |    SELECT word, count(*)::BIGINT AS wc FROM (
+       |      SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |    ) WHERE length(word) >= 1
+       |    GROUP BY word
+       |  )
+       |), $rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val unions = (1 to BpeTrainRounds).map { r =>
+      s"SELECT $r::BIGINT AS rk, lhs, rhs, lhs || rhs AS merged, n_occurrences FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |$unions
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** Pivot the trained merge table to one broadcastable row
+    * (`1_l,1_r,…,R_l,R_r`) and greedy-fold every rank in order over a
+    * vocab frame carrying `word`; missing ranks pad to the
+    * never-matching '¬'. Shared by [[bpeApplyOf]] and [[bpeCurveOf]]. */
+  private def bpeAppliedTok0(vocab: DataFrame, merges: DataFrame): DataFrame = {
+    val mergeRow = merges.where(col("rk") <= BpeTrainRounds)
+      .groupBy().pivot("rk", 1 to BpeTrainRounds)
+      .agg(first("lhs").as("l"), first("rhs").as("r"))
+    vocab.crossJoin(broadcast(mergeRow))
+      .withColumn("tok",
+        expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
+  }
+
+  private def bpeFoldRank(df: DataFrame, r: Int): DataFrame =
+    df.withColumn("tok", expr(bpeFoldSpark("tok",
+      s"coalesce(`${r}_l`, '¬')", s"coalesce(`${r}_r`, '¬')")))
+
+  /** BPE merge APPLICATION — tokenize the corpus with the TRAINED
+    * merge list ([[bpeTrain]]) applied greedily in rank order, and
+    * report what the tokenizer BUYS: per source, words, symbols
+    * before (one per character, BPE's starting alphabet), tokens
+    * after the merges, and the compression in basis points. Merges
+    * apply over whole symbols via [[bpeFoldSpark]], so multi-char
+    * trained merges (and their atomicity) are exact.
+    *
+    * Scale: the folds run over the (source, word) VOCABULARY (the
+    * [[bpeTrain]] collapse — millions of rows where the corpus is
     * trillions of tokens), weighted back by word counts; one corpus
-    * aggregate + |vocab|·K cheap string ops, nothing quadratic.
+    * aggregate + |vocab|·R cheap string folds, nothing quadratic.
     */
   def bpeApply(spark: SparkSession, sfDir: String): DataFrame =
-    bpeApplyOf(Tables.documents(spark, sfDir))
+    bpeApplyOf(Tables.documents(spark, sfDir),
+      Some(bpeTrainedMerges(spark, sfDir)))
 
-  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeApplyOf(docs: DataFrame,
+      mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
       .select(col("source"), explode(split(expr(normSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("source", "word").agg(count(lit(1)).as("wc"))
-    // rank-ordered merge pairs, pivoted to one broadcastable row
-    // (p1..pK); a missing rank degrades to a never-occurring pair
-    val mergeRow = bpeMergesOf(docs).where(col("rk") <= BpeApplyK)
-      .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
-    val withMerges = vocab.crossJoin(broadcast(mergeRow))
-    // NB Spark's two-arg rtrim is rtrim(trimStr, str) — opposite of
-    // DuckDB's; substring on the known 2·len−1 width sidesteps it
-    val tok0 = withMerges.withColumn("tok",
-      expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
-    val merged = (1 to BpeApplyK).foldLeft(tok0) { (df, r) =>
-      df.withColumn("tok", expr(
-        s"replace(tok, concat(substring(coalesce(`$r`, '¬¬'), 1, 1), '|', " +
-        s"substring(coalesce(`$r`, '¬¬'), 2, 1)), coalesce(`$r`, '¬¬'))"))
-    }
+    val tok0 = bpeAppliedTok0(vocab, mergesOpt.getOrElse(bpeTrainOf(docs)))
+    val merged = (1 to BpeTrainRounds).foldLeft(tok0)(bpeFoldRank)
     merged
-      .withColumn("n_after", length(col("tok")) - length(expr("replace(tok, '|', '')")) + 1)
+      .withColumn("n_after", size(split(col("tok"), "\\|")).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
            sum(col("wc") * length(col("word"))).as("tokens_before"),
@@ -850,145 +1025,82 @@ object TextAnalysis {
   }
 
   val bpeApplySql: String = {
-    val mergeCols = (1 to BpeApplyK).map(r =>
-      s"coalesce(max(CASE WHEN rk = $r THEN pair END), '¬¬') AS p$r").mkString(",\n    ")
-    val rounds = (1 to BpeApplyK).map { r =>
-      s"""tok$r AS (
-         |  SELECT source, word, wc, ${(r + 1 to BpeApplyK).map(i => s"p$i, ").mkString}
-         |    replace(tok, substr(p$r, 1, 1) || '|' || substr(p$r, 2, 1), p$r) AS tok
-         |  FROM tok${r - 1}
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT source, word, wc, ${bpeFoldDuck("tok", "b.lhs", "b.rhs")} AS tok
+         |  FROM s${r - 1} CROSS JOIN bs$r b
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH vocab AS (
-       |  SELECT source, word, count(*)::BIGINT AS wc FROM (
-       |    SELECT source, unnest(string_split($normDuck, ' ')) AS word FROM documents
-       |  ) WHERE length(word) >= 1
-       |  GROUP BY 1, 2
-       |), mvocab AS (
-       |  SELECT word, count(*) AS wc FROM (
-       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
-       |  ) WHERE length(word) >= 2
-       |  GROUP BY word
-       |), mpairs AS (
-       |  SELECT word, wc,
-       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
-       |  FROM mvocab
-       |), magg AS (
-       |  SELECT pair, sum(wc)::BIGINT AS n_occurrences
-       |  FROM mpairs GROUP BY pair
-       |), mranked AS (
-       |  SELECT pair, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
-       |  FROM magg
-       |), mrow AS (
-       |  SELECT
-       |    $mergeCols
-       |  FROM mranked WHERE rk <= $BpeApplyK
-       |), tok0 AS (
-       |  SELECT v.source, v.word, v.wc, ${(1 to BpeApplyK).map(i => s"m.p$i, ").mkString}
-       |    rtrim(regexp_replace(v.word, '(.)', '\\1|', 'g'), '|') AS tok
-       |  FROM vocab v CROSS JOIN mrow m
+    s"""WITH $bpeTrainCtes, s0 AS (
+       |  SELECT source, word, wc,
+       |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
+       |  FROM (
+       |    SELECT source, word, count(*)::BIGINT AS wc FROM (
+       |      SELECT source, unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |    ) WHERE length(word) >= 1
+       |    GROUP BY 1, 2
+       |  )
        |), $rounds
        |SELECT source, count(*)::BIGINT AS n_words,
        |  sum(wc * length(word))::BIGINT AS tokens_before,
-       |  sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1))::BIGINT AS tokens_after,
-       |  ((sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1)) * 10000)
+       |  sum(wc * len(string_split(tok, '|')))::BIGINT AS tokens_after,
+       |  ((sum(wc * len(string_split(tok, '|'))) * 10000)
        |    // sum(wc * length(word)))::BIGINT AS compression_bp
-       |FROM tok$BpeApplyK
+       |FROM s$BpeTrainRounds
        |GROUP BY source
        |ORDER BY source""".stripMargin
   }
 
-  /** Merge-depth tuning curve for [[bpeApply]] — "how many merges do I
-    * need": corpus token count and compression after EVERY merge depth
-    * 0..[[BpeApplyK]] (depth 0 = the character alphabet, the BPE
-    * starting point). The [[ivfRecallCurve]]-style audit for the
-    * tokenizer knob: each row is the depth-r tokenization the fold
-    * already materializes on the way to depth K, so the whole curve
-    * costs ONE pass over the global vocabulary — the marginal gain of
-    * each merge becomes a measured row (diminishing returns visible)
-    * instead of folklore.
+  /** Merge-depth tuning curve for the TRAINED tokenizer — "how many
+    * merges do I need": corpus token count and compression after EVERY
+    * trained merge depth 0..[[BpeTrainRounds]] (depth 0 = the
+    * character alphabet, BPE's starting point). The
+    * [[ivfRecallCurve]]-style audit for the tokenizer knob: each row
+    * is the depth-r tokenization the fold already materializes on the
+    * way to depth R, so the whole curve costs ONE pass over the
+    * global vocabulary beyond the (memoized) training itself — the
+    * marginal gain of each merge becomes a measured row (diminishing
+    * returns visible) instead of folklore.
     *
-    * Scale: same economics as [[bpeApply]] — |vocab| rows × K cheap
-    * string ops after one corpus token-count aggregate; the output is
-    * K+1 rows off a single wide aggregate, stack-unpivoted.
+    * Scale: same economics as [[bpeApply]] — |vocab| rows × R cheap
+    * string folds after one corpus token-count aggregate; the output
+    * is R+1 rows off a single wide aggregate, stack-unpivoted.
     */
   def bpeCurve(spark: SparkSession, sfDir: String): DataFrame =
-    bpeCurveOf(Tables.documents(spark, sfDir))
+    bpeCurveOf(Tables.documents(spark, sfDir),
+      Some(bpeTrainedMerges(spark, sfDir)))
 
-  private[graft] def bpeCurveOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeCurveOf(docs: DataFrame,
+      mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
       .select(explode(split(expr(normSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
-    val mergeRow = bpeMergesOf(docs).where(col("rk") <= BpeApplyK)
-      .groupBy().pivot("rk", 1 to BpeApplyK).agg(first("pair"))
-    def nToks(tok: String): String =
-      s"(length($tok) - length(replace($tok, '|', '')) + 1)"
-    val tok0 = vocab.crossJoin(broadcast(mergeRow))
-      .withColumn("tok",
-        expr("substring(regexp_replace(word, '(.)', '$1|'), 1, length(word) * 2 - 1)"))
-      .withColumn("n0", length(col("word")))
-    val merged = (1 to BpeApplyK).foldLeft(tok0) { (df, r) =>
-      df.withColumn("tok", expr(
-          s"replace(tok, concat(substring(coalesce(`$r`, '¬¬'), 1, 1), '|', " +
-          s"substring(coalesce(`$r`, '¬¬'), 2, 1)), coalesce(`$r`, '¬¬'))"))
-        .withColumn(s"n$r", expr(nToks("tok")))
+    val tok0 = bpeAppliedTok0(vocab, mergesOpt.getOrElse(bpeTrainOf(docs)))
+      .withColumn("n0", length(col("word")).cast("long"))
+    val merged = (1 to BpeTrainRounds).foldLeft(tok0) { (df, r) =>
+      bpeFoldRank(df, r)
+        .withColumn(s"n$r", size(split(col("tok"), "\\|")).cast("long"))
     }
-    val aggs = (0 to BpeApplyK).map(r => sum(col("wc") * col(s"n$r")).as(s"t$r"))
+    val aggs = (0 to BpeTrainRounds).map(r => sum(col("wc") * col(s"n$r")).as(s"t$r"))
     val wide = merged.agg(aggs.head, aggs.tail: _*)
-    val stacked = (0 to BpeApplyK)
+    val stacked = (0 to BpeTrainRounds)
       .map(r => s"$r, t$r").mkString(", ")
-    wide.selectExpr(s"stack(${BpeApplyK + 1}, $stacked) AS (n_merges, tokens)", "t0")
+    wide.selectExpr(s"stack(${BpeTrainRounds + 1}, $stacked) AS (n_merges, tokens)", "t0")
       .select(col("n_merges").cast("long").as("n_merges"), col("tokens"),
               expr("(tokens * 10000) div t0").as("compression_bp"))
       .orderBy("n_merges")
   }
 
+  /** The curve's per-depth tokenizations ARE the training chain's v$r
+    * tables — the oracle reads them directly. */
   val bpeCurveSql: String = {
-    val mergeCols = (1 to BpeApplyK).map(r =>
-      s"coalesce(max(CASE WHEN rk = $r THEN pair END), '¬¬') AS p$r").mkString(",\n    ")
-    val rounds = (1 to BpeApplyK).map { r =>
-      s"""gtok$r AS MATERIALIZED (
-         |  SELECT word, wc, ${(r + 1 to BpeApplyK).map(i => s"p$i, ").mkString}
-         |    replace(tok, substr(p$r, 1, 1) || '|' || substr(p$r, 2, 1), p$r) AS tok
-         |  FROM gtok${r - 1}
-         |)""".stripMargin
-    }.mkString(", ")
-    val unions = (0 to BpeApplyK).map { r =>
-      val src = if (r == 0) "gtok0" else s"gtok$r"
+    val unions = (0 to BpeTrainRounds).map { r =>
       s"""SELECT $r AS n_merges,
-         |  sum(wc * (length(tok) - length(replace(tok, '|', '')) + 1))::BIGINT AS tokens
-         |FROM $src""".stripMargin
+         |  sum(wc * len(string_split(tok, '|')))::BIGINT AS tokens
+         |FROM v$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH gvocab AS (
-       |  SELECT word, count(*)::BIGINT AS wc FROM (
-       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
-       |  ) WHERE length(word) >= 1
-       |  GROUP BY word
-       |), mvocab AS (
-       |  SELECT word, count(*) AS wc FROM (
-       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
-       |  ) WHERE length(word) >= 2
-       |  GROUP BY word
-       |), mpairs AS (
-       |  SELECT word, wc,
-       |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
-       |  FROM mvocab
-       |), magg AS (
-       |  SELECT pair, sum(wc)::BIGINT AS n_occurrences
-       |  FROM mpairs GROUP BY pair
-       |), mranked AS (
-       |  SELECT pair, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
-       |  FROM magg
-       |), mrow AS (
-       |  SELECT
-       |    $mergeCols
-       |  FROM mranked WHERE rk <= $BpeApplyK
-       |), gtok0 AS MATERIALIZED (
-       |  SELECT v.word, v.wc, ${(1 to BpeApplyK).map(i => s"m.p$i, ").mkString}
-       |    rtrim(regexp_replace(v.word, '(.)', '\\1|', 'g'), '|') AS tok
-       |  FROM gvocab v CROSS JOIN mrow m
-       |), $rounds, curve AS (
+    s"""WITH $bpeTrainCtes, curve AS (
        |$unions
        |), base AS (SELECT tokens AS t0 FROM curve WHERE n_merges = 0)
        |SELECT c.n_merges::BIGINT AS n_merges, c.tokens,
@@ -1679,9 +1791,13 @@ object TextAnalysis {
         .coalesce(4)
     }
 
-  /** Force-build the memoized TextRank graph (see [[graft.Bench]]). */
-  def warm(spark: SparkSession, sfDir: String): Unit =
+  /** Force-build the memoized shared tables (see [[graft.Bench]]):
+    * the TextRank graph and the trained BPE merge list (shared by
+    * q_bpe_train / q_bpe_apply / q_bpe_curve). */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
     textrankEw(spark, sfDir).count()
+    bpeTrainedMerges(spark, sfDir).count(): Unit
+  }
 
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
     * damped PageRank over the word co-occurrence graph — a word is
@@ -1873,6 +1989,7 @@ object TextAnalysis {
     "q_contamination"  -> (contamination _),
     "q_bm25_rank"      -> (bm25Rank _),
     "q_bpe_merges"     -> (bpeMerges _),
+    "q_bpe_train"      -> (bpeTrain _),
     "q_bpe_apply"      -> (bpeApply _),
     "q_bpe_curve"      -> (bpeCurve _),
     "q_chi2_terms"     -> (chi2Terms _),
@@ -1902,6 +2019,7 @@ object TextAnalysis {
     "q_contamination"  -> contaminationSql,
     "q_bm25_rank"      -> bm25RankSql,
     "q_bpe_merges"     -> bpeMergesSql,
+    "q_bpe_train"      -> bpeTrainSql,
     "q_bpe_apply"      -> bpeApplySql,
     "q_bpe_curve"      -> bpeCurveSql,
     "q_chi2_terms"     -> chi2TermsSql,

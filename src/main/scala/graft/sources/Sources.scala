@@ -116,12 +116,23 @@ object Sources {
     * no-Exchange plan on a bucketed orders⋈customer join.
     */
   def writeBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
-                         nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+                         nBuckets: Int, sortCols: Seq[String] = Nil,
+                         path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    // explicit path = EXTERNAL table: the data lives where the caller
+    // says (an index-artifact directory), the catalog only records the
+    // layout — the shape a build-once/serve-many ANN index needs
+    path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
+
+  /** Plain external catalog table at an explicit location — the
+    * unbucketed sibling of [[writeBucketedTable]] for small broadcast
+    * artifacts (centroid tables, codebooks). */
+  def writeExternalTable(df: DataFrame, table: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path).saveAsTable(table)
 
   /** Raw-media ingestion (SURVEY.md §2.10 L5): Spark's built-in
     * `binaryFile` source reads whole files as rows of (path,

@@ -362,38 +362,66 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(p("srcA").getAs[Double]("boiler_coverage") > p("srcB").getAs[Double]("boiler_coverage"))
   }
 
-  test("bpe apply + curve: planted vocabulary matches a local merge-loop replay") {
+  test("bpe train + apply + curve: planted vocabulary matches a local mine-apply replay") {
     import spark.implicits._
     import operators.TextAnalysis
-    // Planted corpus: word frequencies chosen so the merge ranking and
-    // its greedy application are replayable in plain Scala below. The
-    // engines' literal replace scans left-to-right over non-overlapping
-    // occurrences — exactly java.lang.String.replace's contract, so the
-    // local replay IS the semantics (including the overlapping-pair
-    // case "aaaa" and the fused-symbol case where a later merge no
-    // longer sees its boundary).
+    // Planted corpus: word frequencies chosen so the iterative
+    // mine→apply loop is replayable in plain Scala below AND produces
+    // multi-character merges (the whole point of training rounds —
+    // fused symbols re-enter the pair statistics).
     val words = Seq.fill(9)("abab") ++ Seq.fill(5)("abc") ++
-      Seq.fill(3)("aaaa") ++ Seq.fill(2)("bc") ++ Seq.fill(7)("x")
+      Seq.fill(3)("aaaa") ++ Seq.fill(2)("bc") ++ Seq.fill(7)("x") ++
+      Seq.fill(4)("the") ++ Seq.fill(3)("then")
     val docs = words.zipWithIndex.map { case (w, i) =>
       (i.toLong, "en", w, if (i % 2 == 0) "srcA" else "srcB")
     }.toDF("doc_id", "lang", "text", "source")
 
-    // local replay of the miner: adjacent char pairs over the DISTINCT
-    // vocab (length >= 2), weighted by word count, ranked (count desc,
-    // pair asc)
-    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
-    val pairCounts = wc.filter(_._1.length >= 2).toSeq.flatMap { case (w, c) =>
-      w.sliding(2).map(_ -> c)
-    }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
-    val merges = pairCounts.toSeq
-      .sortBy { case (p, c) => (-c, p) }
-      .take(TextAnalysis.BpeApplyK).map(_._1)
-    def replayTokens(w: String, depth: Int): Int = {
-      var tok = w.toCharArray.mkString("|")
-      merges.take(depth).foreach { p =>
-        tok = tok.replace(s"${p(0)}|${p(1)}", p)
+    // greedy left-to-right WHOLE-SYMBOL merge — real BPE application:
+    // the fused symbol is appended closed (can't immediately re-merge)
+    // and later merges see only symbol boundaries, never characters
+    // inside a fused symbol
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var pend: String = null
+      syms.foreach { x =>
+        if (pend == l && x == r) { out += (l + r); pend = null }
+        else { if (pend != null) out += pend; pend = x }
       }
-      tok.count(_ == '|') + 1
+      if (pend != null) out += pend
+      out.result()
+    }
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var toks: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val mergesReplay = Seq.newBuilder[(Long, String, String, Long)]
+    val depthTokens = Seq.newBuilder[Long] // corpus tokens at depth 0..R
+    def corpusTokens: Long = toks.map { case (w, s) => wc(w) * s.size }.sum
+    depthTokens += corpusTokens
+    for (r <- 1 to TextAnalysis.BpeTrainRounds) {
+      val pairCounts = toks.toSeq.flatMap { case (w, syms) =>
+        syms.zip(syms.tail).map(p => p -> wc(w))
+      }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      if (pairCounts.nonEmpty) {
+        val ((l, rr), n) =
+          pairCounts.toSeq.sortBy { case ((l, rr), n) => (-n, l, rr) }.head
+        mergesReplay += ((r.toLong, l, rr, n))
+        toks = toks.map { case (w, syms) => w -> applyMerge(syms, l, rr) }
+      }
+      depthTokens += corpusTokens
+    }
+    val expectMerges = mergesReplay.result()
+    // the planted counts force multi-char merges to emerge (th+e etc.)
+    assert(expectMerges.exists { case (_, l, rr, _) => l.length > 1 || rr.length > 1 },
+      "training must discover multi-character merges")
+
+    val trained = TextAnalysis.bpeTrainOf(docs).orderBy("rk").collect()
+    assert(trained.length === expectMerges.length)
+    trained.zip(expectMerges).foreach { case (row, (rk, l, rr, n)) =>
+      assert(row.getAs[Long]("rk") === rk)
+      assert(row.getAs[String]("lhs") === l, s"round $rk lhs")
+      assert(row.getAs[String]("rhs") === rr, s"round $rk rhs")
+      assert(row.getAs[String]("merged") === l + rr)
+      assert(row.getAs[Long]("n_occurrences") === n, s"round $rk count")
     }
 
     val applied = TextAnalysis.bpeApplyOf(docs).collect()
@@ -402,28 +430,55 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       if (i % 2 == 0) "srcA" else "srcB" }
     perSource.foreach { case (src, ws) =>
       val before = ws.map(_._1.length.toLong).sum
-      val after = ws.map { case (w, _) => replayTokens(w, TextAnalysis.BpeApplyK).toLong }.sum
+      val after = ws.map { case (w, _) => toks(w).size.toLong }.sum
       assert(applied(src).getAs[Long]("tokens_before") === before, s"$src before")
       assert(applied(src).getAs[Long]("tokens_after") === after, s"$src after")
       assert(applied(src).getAs[Long]("compression_bp") === after * 10000 / before)
     }
-    // the planted structure actually compresses (ab dominates)
     assert(applied("srcA").getAs[Long]("tokens_after") <
            applied("srcA").getAs[Long]("tokens_before"))
 
     val curve = TextAnalysis.bpeCurveOf(docs).collect()
       .sortBy(_.getAs[Long]("n_merges"))
-    assert(curve.length === TextAnalysis.BpeApplyK + 1)
-    val toks = curve.map(_.getAs[Long]("tokens"))
-    assert(toks.head === words.map(_.length.toLong).sum,
-      "depth 0 is the character alphabet")
-    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
-      "each merge can only shrink the token stream")
-    curve.foreach { r =>
-      val d = r.getAs[Long]("n_merges").toInt
-      val expect = words.map(w => replayTokens(w, d).toLong).sum
-      assert(r.getAs[Long]("tokens") === expect, s"depth $d")
+    assert(curve.length === TextAnalysis.BpeTrainRounds + 1)
+    val expectCurve = depthTokens.result()
+    curve.zipWithIndex.foreach { case (r, d) =>
+      assert(r.getAs[Long]("n_merges") === d.toLong)
+      assert(r.getAs[Long]("tokens") === expectCurve(d), s"depth $d")
     }
+    assert(expectCurve.zip(expectCurve.tail).forall { case (a, b) => b <= a },
+      "each merge can only shrink the token stream")
+  }
+
+  test("bpe apply: fused symbols are ATOMIC to later merges (the r10 over-merge case)") {
+    import spark.implicits._
+    import operators.TextAnalysis
+    // After merge 1 fuses 'ab', the word 'abab' is [ab, ab]. A later
+    // (b, a) merge must NOT fire — the 'b' and 'a' it would join live
+    // INSIDE fused symbols. The r10 substring-replace formulation
+    // produced 'abab' (1 token) here; real BPE keeps 2.
+    val docs = Seq((0L, "en", "abab", "srcA")).toDF("doc_id", "lang", "text", "source")
+    val merges = Seq(
+      (1L, "a", "b", "ab", 2L),
+      (2L, "b", "a", "ba", 1L)
+    ).toDF("rk", "lhs", "rhs", "merged", "n_occurrences")
+    val out = TextAnalysis.bpeApplyOf(docs, Some(merges)).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("tokens_after") === 2L,
+      "ab|ab must survive a later (b, a) merge intact")
+  }
+
+  test("bpe sentinels: the fixture corpus carries none of the fold's reserved chars") {
+    // '|' (symbol joiner), '§' (fold state), '¶' (flush), '¬' (pad):
+    // the fold is only sound while normalized words exclude all four.
+    // normSpark merely lowercases + collapses whitespace — it cannot
+    // INTRODUCE them — so checking the raw text suffices. If the
+    // normalization is ever loosened (e.g. mapping punctuation to
+    // sentinels), this fails loudly instead of both engines
+    // corrupting identically.
+    val bad = Tables.documents(spark, sfTest)
+      .where(col("text").rlike("[|§¶¬]")).count()
+    assert(bad === 0L, "reserved BPE sentinel characters appear in the corpus")
   }
 
   test("corpus entropy: bounds hold and every lang slice is covered") {

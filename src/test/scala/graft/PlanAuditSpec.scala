@@ -27,8 +27,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * claimed. */
   private val HeadRank = Set(
     "q_bpe_merges", // top-30 merge head: the rk window rides TakeOrderedAndProject(BpeTop), never the vocab table
-    "q_bpe_apply",  // same head — the merge table it applies is the q_bpe_merges top-K chain
-    "q_bpe_curve",  // same head again (the depth curve rides the same applied-merge chain)
+    // (r11: q_bpe_apply/q_bpe_curve left this list — they now apply the
+    // TRAINED merge table, whose per-round argmax heads are
+    // checkpoint-severed TakeOrdered(1) passes, no window at all)
     "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The build-once/serve-many leg of the ANN stack (r10 verdict #1):
+  * q_ivf_serve persists the composed IVF→PQ index artifacts (cell
+  * assignments, centroids, PQ codebooks, code table, quantized
+  * vectors) as bucketed external catalog tables and serves retrieval
+  * from the RELOADED tables. This spec proves the properties the
+  * oracle hash-match alone can't see:
+  *
+  *  - serving from the reloaded index is ROW-IDENTICAL to the
+  *    in-session memoized build (the q_ivf_ingest bit-parity
+  *    precedent, applied to persistence instead of arrival order);
+  *  - reload causes ZERO re-assignment — the persisted cells table
+  *    equals a from-scratch assignment row for row;
+  *  - a FRESH session object (new catalog client, no lineage to the
+  *    building session's DataFrames) reads the same index;
+  *  - the serve plan scans the corpus exactly ONCE (the raw query
+  *    vectors — at serve time queries arrive fresh); every other
+  *    input comes from the persisted index tables.
+  */
+class ServeIndexSpec extends AnyFunSuite with SparkFixture {
+
+  import operators.{Relational => _, _}
+
+  test("serving from the reloaded index is row-identical to the in-session build") {
+    val served = Similarity.ivfServe(spark, sfTest).collect()
+    val inSession = Similarity.ivfPq(spark, sfTest).collect()
+    assert(served.nonEmpty, "serve output must be non-vacuous")
+    assert(served.length === inSession.length)
+    served.zip(inSession).foreach { case (a, b) =>
+      assert(a === b, "served row diverges from the in-session build")
+    }
+  }
+
+  test("reload causes zero re-assignment: persisted cells == a fresh assignment") {
+    Similarity.ensureServeIndex(spark, sfTest)
+    val names = Similarity.serveTableNames(sfTest)
+    val reloaded = spark.table(names("cells")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val fresh = Similarity
+      .cellAssignFrom(Tables.embeddings(spark, sfTest), Similarity.NCells)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(reloaded.length === fresh.length && reloaded.nonEmpty)
+    assert(reloaded.sameElements(fresh),
+      "persisted inverted lists must equal a from-scratch assignment bit for bit")
+  }
+
+  test("a fresh session reads the same persisted index (no lineage dependence)") {
+    Similarity.ensureServeIndex(spark, sfTest)
+    val names = Similarity.serveTableNames(sfTest)
+    val s2 = spark.newSession() // fresh session state, shared catalog
+    val viaFresh = s2.table(names("cells")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaBuilder = spark.table(names("cells")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaFresh.sameElements(viaBuilder) && viaFresh.nonEmpty)
+    // the code table round-trips too (vec_id, sub, cluster all exact)
+    val codesFresh = s2.table(names("codes"))
+      .selectExpr("vec_id", "cast(sub as long)", "cast(cluster as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val codesMemo = Training.pqCodes(spark, sfTest)
+      .selectExpr("vec_id", "cast(sub as long)", "cast(cluster as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(codesFresh.sameElements(codesMemo) && codesFresh.nonEmpty,
+      "persisted PQ codes must equal the in-session memoized code table")
+  }
+
+  test("the serve plan reads the catalog index and scans the corpus exactly once") {
+    val plan = Similarity.ivfServe(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val names = Similarity.serveTableNames(sfTest)
+    Seq("cells", "centroids", "codebooks", "codes", "vectors_q").foreach { t =>
+      assert(plan.contains(names(t)), s"serve plan must read the persisted $t table")
+    }
+    val corpusScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans === 1,
+      s"serve must scan the raw corpus exactly once (the query vectors); saw $corpusScans")
+  }
+}
