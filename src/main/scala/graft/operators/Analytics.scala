@@ -1114,7 +1114,11 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"),
               col("event_type"), col("value"))
+    // r11 rescan sever: the user→cohort table feeds both the size
+    // rollup and the revenue join — without the sever each consumer
+    // re-planned the full events aggregate (3 scans total)
     val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      .localCheckpoint()
     val sizes = firstWk.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
     val rev = ev.where(col("event_type") === "purchase")
       .join(firstWk, "user_id")

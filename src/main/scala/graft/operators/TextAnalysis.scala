@@ -421,8 +421,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // r11 rescan sever: the model is ONE corpus aggregate. The head
+    // count is the row-sum of the pair counts (same-corpus MLE —
+    // every bigram with head w1 is counted in exactly one (w1, w2)
+    // cell), so c1 derives from the vocab²-bounded pairC, which is
+    // severed once so its two readers don't re-plan the corpus chain
     val pairC = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val headC = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val headC = pairC.groupBy("w1").agg(sum("c12").as("c1"))
     val model = broadcast(pairC.join(headC, "w1")
       .select(col("w1"), col("w2"), col("c12"), col("c1")))
     bi.join(model, Seq("w1", "w2"))
@@ -437,10 +443,10 @@ object TextAnalysis {
        |), bi AS (
        |  SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
        |  FROM d, unnest(range(1, len(ts))) AS t(i)
-       |), pair_c AS (
+       |), pair_c AS MATERIALIZED (
        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
        |), head_c AS (
-       |  SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+       |  SELECT w1, sum(c12)::BIGINT AS c1 FROM pair_c GROUP BY w1
        |), doc_ll AS (
        |  SELECT doc_id, source, avg(ln(c12 / c1::DOUBLE)) AS ll, count(*) AS n_bi
        |  FROM bi JOIN pair_c USING (w1, w2) JOIN head_c USING (w1)

@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // (r11: q_bpe_apply/q_bpe_curve left this list — they now apply the
     // TRAINED merge table, whose per-round argmax heads are
     // checkpoint-severed TakeOrdered(1) passes, no window at all)
-    "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard", "q_eval_ranking",
+    // (r11: q_eval_ranking left too — its rec-list rank window now sits
+    // inside the memoized checkpoint-severed eval split, 10 rows)
+    "q_bm25_rank", "q_cem_uplift", "q_brand_affinity", "q_cooccur_jaccard",
     "q_fuzzy_names", "q_hybrid_rrf", "q_importance_sample", "q_kendall_tau",
     "q_link_predict", "q_local_clustering",
     "q_mmr_rerank", "q_ngram_novelty", "q_pair_pmi", "q_rake_keywords",
@@ -161,11 +163,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // frame severed ahead of bounds/offsets/packing), q_source_overlap
     // (distinct (source, shingle) set severed ahead of totals + pairs)
     // — each fix proven by an unchanged-oracle hash-match at 3 SFs.
+    // r11 departures: q_bigram_lm (head counts derived from the pair
+    // counts — the same-corpus MLE identity c1 = Σ_w2 c12 removes the
+    // second corpus aggregate), q_cohort_ltv (user→cohort table
+    // severed once ahead of its two consumers), q_eval_popularity /
+    // q_eval_ranking / q_eval_ips (the time-split train/test/recs
+    // artifacts are now ONE memoized checkpoint-severed build shared
+    // by all five metric queries — a frozen eval split, as a real
+    // eval pipeline materializes it).
     val RescanAllowed = Set(
-      "q_bigram_lm", "q_bm25_rank", "q_burst_detect",
-      "q_cohort_ltv",
-      "q_dedup_bloom", "q_embedding_centroids", "q_eval_ips", "q_eval_popularity",
-      "q_eval_ranking", "q_gap_fill", "q_heavy_hitters",
+      "q_bm25_rank", "q_burst_detect",
+      "q_dedup_bloom", "q_embedding_centroids",
+      "q_gap_fill", "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
       "q_ivf_pq_filtered", // same adjudicated shape as q_ivf_pq (memoized code-table re-prints + the assignment chain); the label filter adds one slim id-list scan
       "q_knn_ivf",
