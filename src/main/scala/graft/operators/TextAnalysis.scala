@@ -1115,6 +1115,67 @@ object TextAnalysis {
        |ORDER BY n_merges""".stripMargin
   }
 
+  /** Symbols reported by the vocabulary inventory. */
+  val BpeVocabTop = 30
+
+  /** The trained tokenizer's SYMBOL INVENTORY — the artifact a
+    * tokenizer actually ships alongside its merge list: every distinct
+    * symbol the depth-[[BpeTrainRounds]] tokenization emits, with its
+    * corpus frequency (word-count weighted), its length, and whether
+    * it is a merge product (multi-char) or base alphabet; top
+    * [[BpeVocabTop]] by frequency plus rank. Completes the training
+    * story: merges ([[bpeTrain]]) → application ([[bpeApply]]) → depth
+    * curve ([[bpeCurve]]) → the vocabulary itself.
+    *
+    * Scale: one explode of the |vocab| tokenized words (corpus-size-
+    * independent after the shared training collapse), one symbol
+    * aggregate bounded by |alphabet| + R rows, and a
+    * TakeOrderedAndProject head — nothing corpus-sized past the
+    * memoized training.
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    bpeVocabOf(Tables.documents(spark, sfDir),
+      Some(bpeTrainedMerges(spark, sfDir)))
+
+  private[graft] def bpeVocabOf(docs: DataFrame,
+      mergesOpt: Option[DataFrame] = None): DataFrame = {
+    val vocab = docs
+      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val toks = (1 to BpeTrainRounds).foldLeft(
+      bpeAppliedTok0(vocab, mergesOpt.getOrElse(bpeTrainOf(docs))))(bpeFoldRank)
+    toks
+      .select(col("wc"), explode(split(col("tok"), "\\|")).as("symbol"))
+      .groupBy("symbol").agg(sum("wc").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("symbol").asc)
+      .limit(BpeVocabTop)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("symbol").asc)))
+      .select(col("rk"), col("symbol"),
+        length(col("symbol")).cast("long").as("n_chars"),
+        (length(col("symbol")) > 1).as("is_merged"),
+        col("n_occurrences"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: the symbol inventory off the train chain's final v$R. */
+  val bpeVocabSql: String =
+    s"""WITH $bpeTrainCtes, syms AS (
+       |  SELECT symbol, sum(wc)::BIGINT AS n_occurrences FROM (
+       |    SELECT wc, unnest(string_split(tok, '|')) AS symbol
+       |    FROM v$BpeTrainRounds
+       |  ) GROUP BY symbol
+       |)
+       |SELECT rk, symbol, length(symbol)::BIGINT AS n_chars,
+       |  length(symbol) > 1 AS is_merged, n_occurrences
+       |FROM (
+       |  SELECT symbol, n_occurrences,
+       |    row_number() OVER (ORDER BY n_occurrences DESC, symbol ASC) AS rk
+       |  FROM syms
+       |) WHERE rk <= $BpeVocabTop
+       |ORDER BY rk""".stripMargin
+
   /** Document-frequency floor for χ² terms (rare terms have unstable
     * statistics — the standard feature-selection cut).
     */
@@ -1998,6 +2059,7 @@ object TextAnalysis {
     "q_bpe_train"      -> (bpeTrain _),
     "q_bpe_apply"      -> (bpeApply _),
     "q_bpe_curve"      -> (bpeCurve _),
+    "q_bpe_vocab"      -> (bpeVocab _),
     "q_chi2_terms"     -> (chi2Terms _),
     "q_c4_filter"      -> (c4Filter _),
   )
@@ -2028,6 +2090,7 @@ object TextAnalysis {
     "q_bpe_train"      -> bpeTrainSql,
     "q_bpe_apply"      -> bpeApplySql,
     "q_bpe_curve"      -> bpeCurveSql,
+    "q_bpe_vocab"      -> bpeVocabSql,
     "q_chi2_terms"     -> chi2TermsSql,
     "q_c4_filter"      -> c4FilterSql,
   )

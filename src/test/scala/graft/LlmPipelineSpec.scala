@@ -448,6 +448,24 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     }
     assert(expectCurve.zip(expectCurve.tail).forall { case (a, b) => b <= a },
       "each merge can only shrink the token stream")
+
+    // the symbol inventory: weighted symbol counts of the FINAL
+    // tokenization, ranked (count desc, symbol asc)
+    val expectSyms = toks.toSeq
+      .flatMap { case (w, syms) => syms.map(_ -> wc(w)) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }.toSeq
+      .sortBy { case (s, n) => (-n, s) }
+      .take(TextAnalysis.BpeVocabTop)
+    val inv = TextAnalysis.bpeVocabOf(docs).collect()
+    assert(inv.length === expectSyms.length)
+    inv.zip(expectSyms).zipWithIndex.foreach { case ((row, (s, n)), i) =>
+      assert(row.getAs[Long]("rk") === (i + 1).toLong)
+      assert(row.getAs[String]("symbol") === s, s"rank ${i + 1} symbol")
+      assert(row.getAs[Long]("n_occurrences") === n, s"rank ${i + 1} count")
+      assert(row.getAs[Boolean]("is_merged") === (s.length > 1))
+    }
+    assert(inv.exists(_.getAs[Boolean]("is_merged")),
+      "the trained inventory must contain merge products")
   }
 
   test("bpe apply: fused symbols are ATOMIC to later merges (the r10 over-merge case)") {

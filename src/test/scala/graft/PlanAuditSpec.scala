@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     * claimed. */
   private val HeadRank = Set(
     "q_bpe_merges", // top-30 merge head: the rk window rides TakeOrderedAndProject(BpeTop), never the vocab table
+    "q_bpe_vocab",  // top-30 symbol head over the (alphabet + R)-row inventory — same mechanism
     // (r11: q_bpe_apply/q_bpe_curve left this list — they now apply the
     // TRAINED merge table, whose per-round argmax heads are
     // checkpoint-severed TakeOrdered(1) passes, no window at all)
