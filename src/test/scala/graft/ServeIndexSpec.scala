@@ -80,4 +80,38 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     assert(corpusScans === 1,
       s"serve must scan the raw corpus exactly once (the query vectors); saw $corpusScans")
   }
+
+  test("dedup serve: batch dedup from the reloaded index matches the in-session pass") {
+    val served = Dedup.dedupServe(spark, sfTest).collect()
+    val inSession = Dedup.incrementalDedup(spark, sfTest).collect()
+    assert(served.nonEmpty, "serve output must be non-vacuous")
+    assert(served.length === inSession.length)
+    served.zip(inSession).foreach { case (a, b) =>
+      assert(a === b, "served dedup row diverges from the in-session pass")
+    }
+  }
+
+  test("dedup serve: the persisted inverted index round-trips and a fresh session reads it") {
+    Dedup.ensureDedupIndex(spark, sfTest)
+    val names = Dedup.dedupIndexNames(sfTest)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val reloaded = spark.table(names("shingles"))
+      .select("doc_id", "s").collect().map(key).sorted
+    val fresh = Dedup.shingles(spark, sfTest)
+      .where(org.apache.spark.sql.functions.col("doc_id") < Dedup.IncrementalFrom)
+      .select("doc_id", "s").collect().map(key).sorted
+    assert(reloaded.length === fresh.length && reloaded.nonEmpty)
+    assert(reloaded.sameElements(fresh),
+      "persisted inverted shingle index must equal a fresh standing-corpus build")
+    val s2 = spark.newSession()
+    val viaFresh = s2.table(names("shingles"))
+      .select("doc_id", "s").collect().map(key).sorted
+    assert(viaFresh.sameElements(reloaded))
+    // the serve plan reads the persisted tables
+    val plan = Dedup.dedupServe(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    Seq("shingles", "sizes").foreach { t =>
+      assert(plan.contains(names(t)), s"dedup serve plan must read the persisted $t table")
+    }
+  }
 }
