@@ -936,7 +936,11 @@ object TextAnalysis {
     * bs$r = b$r with the '¬' no-op fallback, v$r = the greedy fold
     * applied. The parallel unnest of the two aligned list slices
     * (syms[1:-2], syms[2:]) zips adjacent symbols without a join. */
-  private def bpeTrainCtes: String = {
+  private def bpeTrainCtes: String = bpeTrainCtesWhere("")
+
+  /** The same chain trained on a FILTERED corpus (`where` applies at
+    * the documents level — the holdout split). */
+  private def bpeTrainCtesWhere(where: String): String = {
     val rounds = (1 to BpeTrainRounds).map { r =>
       s"""p$r AS (
          |  SELECT wc,
@@ -962,7 +966,7 @@ object TextAnalysis {
        |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
        |  FROM (
        |    SELECT word, count(*)::BIGINT AS wc FROM (
-       |      SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |      SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents $where
        |    ) WHERE length(word) >= 1
        |    GROUP BY word
        |  )
@@ -1113,6 +1117,89 @@ object TextAnalysis {
        |  ((c.tokens * 10000) // b.t0)::BIGINT AS compression_bp
        |FROM curve c CROSS JOIN base b
        |ORDER BY n_merges""".stripMargin
+  }
+
+  /** Holdout selector for the tokenizer-generalization split: ~20% of
+    * documents by the engine-portable row-key hash (the
+    * [[graft.operators.PipelineOps]] hashSample idiom — reproducible
+    * across runs, engines and partitionings). */
+  private def isBpeHoldout: Column =
+    expr("cast(conv(substring(md5(concat_ws('-', cast(doc_id AS string), 'bpe')), 1, 8), 16, 10) AS bigint)") % 5 === 0
+
+  private val bpeHoldoutDuck =
+    "('0x' || substr(md5(doc_id || '-bpe'), 1, 8))::BIGINT % 5 = 0"
+
+  /** Tokenizer GENERALIZATION — does the trained vocabulary transfer?
+    * Train the [[BpeTrainRounds]]-round BPE on the ~80% hash split
+    * ONLY (leak-clean: the holdout never enters the pair statistics —
+    * the q_contamination discipline applied to tokenizer training),
+    * then apply the trained merges to BOTH splits and report the
+    * compression side by side. A healthy tokenizer compresses the
+    * holdout nearly as well as its training corpus; a gap is the
+    * measured overfit of the merge list.
+    *
+    * Scale: the split predicate is a map-side hash; training collapses
+    * the TRAIN corpus to its vocab once (memoized separately from the
+    * full-corpus tokenizer); application is the shared |vocab|·R fold.
+    */
+  def bpeHoldout(spark: SparkSession, sfDir: String): DataFrame =
+    bpeHoldoutOf(Tables.documents(spark, sfDir),
+      Some(bpeTrainedMerges80(spark, sfDir)))
+
+  /** Merges trained on the ~80% TRAIN split only (memoized separately
+    * from the full-corpus tokenizer). */
+  private[graft] def bpeTrainedMerges80(spark: SparkSession, sfDir: String): DataFrame =
+    graft.QueryCache.memo(spark, s"bpe_train_80:$sfDir") {
+      bpeTrainOf(Tables.documents(spark, sfDir).where(!isBpeHoldout))
+    }
+
+  private[graft] def bpeHoldoutOf(docs: DataFrame,
+      mergesOpt: Option[DataFrame] = None): DataFrame = {
+    val vocab = docs
+      .select(when(isBpeHoldout, lit("holdout")).otherwise(lit("train")).as("split"),
+              explode(split(expr(normSpark), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("split", "word").agg(count(lit(1)).as("wc"))
+    val tok0 = bpeAppliedTok0(vocab,
+      mergesOpt.getOrElse(bpeTrainOf(docs.where(!isBpeHoldout))))
+    val merged = (1 to BpeTrainRounds).foldLeft(tok0)(bpeFoldRank)
+    merged
+      .withColumn("n_after", size(split(col("tok"), "\\|")).cast("long"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("wc") * length(col("word"))).as("tokens_before"),
+           sum(col("wc") * col("n_after")).as("tokens_after"))
+      .withColumn("compression_bp", expr("(tokens_after * 10000) div tokens_before"))
+      .orderBy("split")
+  }
+
+  val bpeHoldoutSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT split, word, wc, ${bpeFoldDuck("tok", "b.lhs", "b.rhs")} AS tok
+         |  FROM h${r - 1} CROSS JOIN bs$r b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${bpeTrainCtesWhere(s"WHERE NOT ($bpeHoldoutDuck)")}, h0 AS (
+       |  SELECT split, word, wc,
+       |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
+       |  FROM (
+       |    SELECT split, word, count(*)::BIGINT AS wc FROM (
+       |      SELECT CASE WHEN $bpeHoldoutDuck THEN 'holdout' ELSE 'train' END AS split,
+       |        unnest(string_split($normDuck, ' ')) AS word
+       |      FROM documents
+       |    ) WHERE length(word) >= 1
+       |    GROUP BY 1, 2
+       |  )
+       |), $rounds
+       |SELECT split, count(*)::BIGINT AS n_words,
+       |  sum(wc * length(word))::BIGINT AS tokens_before,
+       |  sum(wc * len(string_split(tok, '|')))::BIGINT AS tokens_after,
+       |  ((sum(wc * len(string_split(tok, '|'))) * 10000)
+       |    // sum(wc * length(word)))::BIGINT AS compression_bp
+       |FROM h$BpeTrainRounds
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
   }
 
   /** Symbols reported by the vocabulary inventory. */
@@ -1863,7 +1950,8 @@ object TextAnalysis {
     * q_bpe_train / q_bpe_apply / q_bpe_curve). */
   def warm(spark: SparkSession, sfDir: String): Unit = {
     textrankEw(spark, sfDir).count()
-    bpeTrainedMerges(spark, sfDir).count(): Unit
+    bpeTrainedMerges(spark, sfDir).count()
+    bpeTrainedMerges80(spark, sfDir).count(): Unit
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
@@ -2060,6 +2148,7 @@ object TextAnalysis {
     "q_bpe_apply"      -> (bpeApply _),
     "q_bpe_curve"      -> (bpeCurve _),
     "q_bpe_vocab"      -> (bpeVocab _),
+    "q_bpe_holdout"    -> (bpeHoldout _),
     "q_chi2_terms"     -> (chi2Terms _),
     "q_c4_filter"      -> (c4Filter _),
   )
@@ -2091,6 +2180,7 @@ object TextAnalysis {
     "q_bpe_apply"      -> bpeApplySql,
     "q_bpe_curve"      -> bpeCurveSql,
     "q_bpe_vocab"      -> bpeVocabSql,
+    "q_bpe_holdout"    -> bpeHoldoutSql,
     "q_chi2_terms"     -> chi2TermsSql,
     "q_c4_filter"      -> c4FilterSql,
   )

@@ -362,6 +362,53 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(p("srcA").getAs[Double]("boiler_coverage") > p("srcB").getAs[Double]("boiler_coverage"))
   }
 
+  // --- shared BPE replay helpers (used by the train/apply/curve and
+  // holdout tests): greedy left-to-right WHOLE-SYMBOL merge — real BPE
+  // application: the fused symbol is appended closed (can't
+  // immediately re-merge) and later merges see only symbol boundaries,
+  // never characters inside a fused symbol
+  private def bpeApplyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var pend: String = null
+    syms.foreach { x =>
+      if (pend == l && x == r) { out += (l + r); pend = null }
+      else { if (pend != null) out += pend; pend = x }
+    }
+    if (pend != null) out += pend
+    out.result()
+  }
+
+  /** Full trainer replay over a weighted vocab: (merge rows, final
+    * per-word tokenization, corpus token count at each depth 0..R). */
+  private def bpeTrainReplay(wc: Map[String, Long], rounds: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Vector[String]], Seq[Long]) = {
+    var toks: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    val depth = Seq.newBuilder[Long]
+    def corpusTokens: Long = toks.map { case (w, s) => wc(w) * s.size }.sum
+    depth += corpusTokens
+    for (r <- 1 to rounds) {
+      val pairCounts = toks.toSeq.flatMap { case (w, syms) =>
+        syms.zip(syms.tail).map(p => p -> wc(w))
+      }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      if (pairCounts.nonEmpty) {
+        val ((l, rr), n) =
+          pairCounts.toSeq.sortBy { case ((l, rr), n) => (-n, l, rr) }.head
+        merges += ((r.toLong, l, rr, n))
+        toks = toks.map { case (w, syms) => w -> bpeApplyMerge(syms, l, rr) }
+      }
+      depth += corpusTokens
+    }
+    (merges.result(), toks, depth.result())
+  }
+
+  /** Apply a trained merge list (in rank order) to one word. */
+  private def bpeApplyAll(w: String, merges: Seq[(Long, String, String, Long)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector) { case (syms, (_, l, r, _)) =>
+      bpeApplyMerge(syms, l, r)
+    }
+
   test("bpe train + apply + curve: planted vocabulary matches a local mine-apply replay") {
     import spark.implicits._
     import operators.TextAnalysis
@@ -376,40 +423,9 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
       (i.toLong, "en", w, if (i % 2 == 0) "srcA" else "srcB")
     }.toDF("doc_id", "lang", "text", "source")
 
-    // greedy left-to-right WHOLE-SYMBOL merge — real BPE application:
-    // the fused symbol is appended closed (can't immediately re-merge)
-    // and later merges see only symbol boundaries, never characters
-    // inside a fused symbol
-    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var pend: String = null
-      syms.foreach { x =>
-        if (pend == l && x == r) { out += (l + r); pend = null }
-        else { if (pend != null) out += pend; pend = x }
-      }
-      if (pend != null) out += pend
-      out.result()
-    }
     val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
-    var toks: Map[String, Vector[String]] =
-      wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
-    val mergesReplay = Seq.newBuilder[(Long, String, String, Long)]
-    val depthTokens = Seq.newBuilder[Long] // corpus tokens at depth 0..R
-    def corpusTokens: Long = toks.map { case (w, s) => wc(w) * s.size }.sum
-    depthTokens += corpusTokens
-    for (r <- 1 to TextAnalysis.BpeTrainRounds) {
-      val pairCounts = toks.toSeq.flatMap { case (w, syms) =>
-        syms.zip(syms.tail).map(p => p -> wc(w))
-      }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
-      if (pairCounts.nonEmpty) {
-        val ((l, rr), n) =
-          pairCounts.toSeq.sortBy { case ((l, rr), n) => (-n, l, rr) }.head
-        mergesReplay += ((r.toLong, l, rr, n))
-        toks = toks.map { case (w, syms) => w -> applyMerge(syms, l, rr) }
-      }
-      depthTokens += corpusTokens
-    }
-    val expectMerges = mergesReplay.result()
+    val (expectMerges, toks, expectCurveSeq) =
+      bpeTrainReplay(wc, TextAnalysis.BpeTrainRounds)
     // the planted counts force multi-char merges to emerge (th+e etc.)
     assert(expectMerges.exists { case (_, l, rr, _) => l.length > 1 || rr.length > 1 },
       "training must discover multi-character merges")
@@ -441,7 +457,7 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     val curve = TextAnalysis.bpeCurveOf(docs).collect()
       .sortBy(_.getAs[Long]("n_merges"))
     assert(curve.length === TextAnalysis.BpeTrainRounds + 1)
-    val expectCurve = depthTokens.result()
+    val expectCurve = expectCurveSeq
     curve.zipWithIndex.foreach { case (r, d) =>
       assert(r.getAs[Long]("n_merges") === d.toLong)
       assert(r.getAs[Long]("tokens") === expectCurve(d), s"depth $d")
@@ -484,6 +500,47 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("tokens_after") === 2L,
       "ab|ab must survive a later (b, a) merge intact")
+  }
+
+  test("bpe holdout: merges train on the 80% split only, applied to both splits") {
+    import spark.implicits._
+    import operators.TextAnalysis
+    import java.security.MessageDigest
+    // replay the engine-portable holdout hash (first 8 md5 hex chars of
+    // "<doc_id>-bpe" as a long, % 5 == 0) — the h32 replay idiom
+    def isHoldout(id: Long): Boolean = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$id-bpe".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 5 == 0
+    }
+    val words = Seq.tabulate(60)(i => Seq("abab", "the", "then", "bc", "x")(i % 5))
+    val docs = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, "en", w, "src")
+    }.toDF("doc_id", "lang", "text", "source")
+    val split = words.zipWithIndex.groupBy { case (_, i) => isHoldout(i.toLong) }
+    assert(split.keySet === Set(true, false), "both splits must be populated")
+
+    // train on the TRAIN split only (leak-clean), apply to both
+    val trainWc = split(false).map(_._1).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (merges, _, _) = bpeTrainReplay(trainWc, TextAnalysis.BpeTrainRounds)
+    val expect = split.map { case (hold, ws) =>
+      val name = if (hold) "holdout" else "train"
+      val before = ws.map(_._1.length.toLong).sum
+      val after = ws.map { case (w, _) => bpeApplyAll(w, merges).size.toLong }.sum
+      name -> ((ws.map(_._1).distinct.size.toLong, before, after))
+    }
+
+    val got = TextAnalysis.bpeHoldoutOf(docs).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(got.keySet === Set("train", "holdout"))
+    expect.foreach { case (name, (nw, before, after)) =>
+      assert(got(name).getAs[Long]("n_words") === nw, s"$name n_words")
+      assert(got(name).getAs[Long]("tokens_before") === before, s"$name before")
+      assert(got(name).getAs[Long]("tokens_after") === after, s"$name after")
+      assert(got(name).getAs[Long]("compression_bp") === after * 10000 / before)
+    }
   }
 
   test("bpe sentinels: the fixture corpus carries none of the fold's reserved chars") {
