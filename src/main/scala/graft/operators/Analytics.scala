@@ -103,7 +103,10 @@ object Analytics {
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    // r11 rescan sever: user→cohort feeds the activity join AND the
+    // size rollup (the q_cohort_ltv fix, same frame)
     val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      .localCheckpoint()
     val active = ev.distinct()
       .join(firstWk, "user_id")
       .withColumn("week_offset", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
@@ -212,15 +215,19 @@ object Analytics {
     // non-negative, so integer div == floor in both engines.
     val vq = when(col("value").isNotNull && !isnan(col("value")),
       round(col("value") * 10000, 0).cast("long"))
+    // r11 rescan sever: the slim (type, day) daily frame carries the
+    // date bounds AND the type set — the calendar spine derives from
+    // it instead of two more corpus scans
     val daily = ev.groupBy("event_type", "day")
       .agg(count(lit(1)).as("n"), sum(vq).as("sv"), count(vq).as("nv"))
       .withColumn("day_avg",
         when(col("nv") > 0, expr("(2 * sv + nv) div (2 * nv)") / 10000.0))
       .drop("sv", "nv")
-    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .localCheckpoint()
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val spine = bounds
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-      .crossJoin(ev.select("event_type").distinct())
+      .crossJoin(daily.select("event_type").distinct())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("day")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -951,9 +958,12 @@ object Analytics {
     * — weeks × 4 rows, not events × 4.
     */
   def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    // r11 rescan sever: the slim (user, week) activity table feeds the
+    // week spine, WAU, and the trailing-month join — one events scan
     val uw = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
+      .localCheckpoint()
     val weeks = uw.select("wk").distinct()
     val wau = uw.groupBy("wk").agg(countDistinct(col("user_id")).as("wau"))
     val trailing = weeks.as("w")
@@ -1647,13 +1657,17 @@ object Analytics {
     * the raw stream twice.
     */
   def burstDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    // r11 rescan sever: the slim (type, hour) frame carries the span
+    // too (hour-truncation is monotone, so min/max over the truncated
+    // groups == truncated min/max over the raw stream) — one events
+    // scan instead of three
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val span = Tables.events(spark, sfDir)
-      .agg(((unix_micros(date_trunc("hour", max(col("ts")))) -
-             unix_micros(date_trunc("hour", min(col("ts"))))) / 3600000000L + 1L)
-        .as("n_hours"))
+      .localCheckpoint()
+    val span = hourly
+      .agg(((unix_micros(max(col("hour"))) - unix_micros(min(col("hour")))) /
+        3600000000L + 1L).as("n_hours"))
     val base = hourly.groupBy("event_type").agg(sum("n").as("total"))
       .crossJoin(broadcast(span))
       .select(col("event_type"),

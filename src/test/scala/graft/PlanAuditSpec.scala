@@ -172,17 +172,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // artifacts are now ONE memoized checkpoint-severed build shared
     // by all five metric queries — a frozen eval split, as a real
     // eval pipeline materializes it).
+    // r11 batch 2: q_retention_cohorts + q_stickiness + q_gap_fill +
+    // q_burst_detect severed (user→cohort / (user, week) activity /
+    // (type, day) daily / (type, hour) hourly slim frames checkpointed
+    // once; spine bounds and spans derive from the severed frames —
+    // truncation is monotone, grouping preserves the domain).
     val RescanAllowed = Set(
-      "q_bm25_rank", "q_burst_detect",
+      "q_bm25_rank",
       "q_dedup_bloom", "q_embedding_centroids",
-      "q_gap_fill", "q_heavy_hitters",
+      "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
       "q_ivf_pq_filtered", // same adjudicated shape as q_ivf_pq (memoized code-table re-prints + the assignment chain); the label filter adds one slim id-list scan
       "q_knn_ivf",
       "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
       "q_media_neardup", "q_merge_upsert", "q_mutual_knn",
-      "q_psi_drift", "q_retention_cohorts", "q_semantic_dedup",
-      "q_setops_users", "q_stickiness", "q_stream_drift",
+      "q_psi_drift", "q_semantic_dedup",
+      "q_setops_users", "q_stream_drift",
       "q_tfidf_terms", "q_time_split",
       "q_weighted_reservoir") // two-scan-inherent: K-bounded key head + the weight-share aggregate
     val factTables = Seq("events", "lineitem", "orders", "documents", "embeddings")
