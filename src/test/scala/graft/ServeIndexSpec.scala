@@ -81,6 +81,25 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
       s"serve must scan the raw corpus exactly once (the query vectors); saw $corpusScans")
   }
 
+  test("itemcf serve: recommendations from the persisted model match the in-session build") {
+    val served = Recsys.itemcfServe(spark, sfTest).collect()
+    val inSession = Recsys.itemcfRecommend(spark, sfTest).collect()
+    assert(served.nonEmpty, "serve output must be non-vacuous")
+    assert(served.length === inSession.length)
+    served.zip(inSession).foreach { case (a, b) =>
+      assert(a === b, "served recommendation diverges from the in-session build")
+    }
+    // the model table round-trips exactly (rk int, sim 6dp double, co long)
+    val reloaded = spark.table(Recsys.cfModelName(sfTest))
+      .orderBy("item_i", "rk").collect()
+    val memo = Recsys.itemcfSimilarity(spark, sfTest)
+      .orderBy("item_i", "rk").collect()
+    assert(reloaded.length === memo.length && reloaded.nonEmpty)
+    reloaded.zip(memo).foreach { case (a, b) =>
+      assert(a === b, "persisted model row diverges from the trained model")
+    }
+  }
+
   test("dedup serve: batch dedup from the reloaded index matches the in-session pass") {
     val served = Dedup.dedupServe(spark, sfTest).collect()
     val inSession = Dedup.incrementalDedup(spark, sfTest).collect()
