@@ -39,6 +39,14 @@ object Recsys {
   val TopK = 10
   /** Recommendations emitted per user. */
   val TopN = 5
+  /** Time-based train/test split boundary for evaluation AND the
+    * frozen-model training cutoff. Declared at the top of the object:
+    * SQL-string vals interpolate it, and object vals initialize in
+    * declaration order (the r10 q_ivf_pq_filtered lesson — a constant
+    * declared later interpolates as null/0). */
+  val SplitDate = "1999-07-01"
+  /** K for precision/recall@K. */
+  val EvalK = 10
 
   /** Deterministically capped user→item interactions: top MaxHistory
     * items per user by (strength desc, item asc).
@@ -196,13 +204,19 @@ object Recsys {
   def itemcfSimilarity(spark: SparkSession, sfDir: String): DataFrame =
     memoSim(spark, sfDir, "itemcf") { itemcfSimilarityPlan(spark, sfDir) }
 
-  private def itemcfSimilarityPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = cappedInteractions(spark, sfDir).select("user_id", "item_id")
+  private def itemcfSimilarityPlan(spark: SparkSession, sfDir: String): DataFrame =
+    itemcfSimFrom(cappedInteractions(spark, sfDir), itemPairAgg(spark, sfDir))
+
+  /** The binary-cosine ItemCF model over any capped interaction frame
+    * and its pair aggregate — shared by the standing model (memoized
+    * inputs) and the drift audit's FROZEN twin (pre-split inputs). */
+  private[graft] def itemcfSimFrom(r0: DataFrame, pairAgg: DataFrame): DataFrame = {
+    val r = r0.select("user_id", "item_id")
     // Tiny relative to the pair table (≤ |items| rows): broadcast both
     // count joins — round-1 plans showed them as SortMergeJoins that
     // re-shuffled the ~10M-row pair table twice.
     val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
-    val pairs = unpack(itemPairAgg(spark, sfDir).select("pk", "co"), "item_i", "item_j")
+    val pairs = unpack(pairAgg.select("pk", "co"), "item_i", "item_j")
     val ci = counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))
     val cj = counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))
     // Join counts on the i<j half-space FIRST, then mirror each pair with
@@ -353,6 +367,152 @@ object Recsys {
         col("user_id") === col("hu") && col("cand") === col("hi"), "left_anti")
     topNPerUser(unseen)
   }
+
+  /** Pre-split interaction table — the corpus as it stood when the
+    * frozen serving model was trained (orders before [[SplitDate]];
+    * strengths sum only pre-split quantities). */
+  private def trainInteractions(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit(SplitDate).cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(sum("l_quantity").as("strength"))
+      .select(col("user_id"), col("item_id"), col("strength"))
+  }
+
+  /** The FROZEN ItemCF model: trained on pre-[[SplitDate]] data only,
+    * through the exact standing-model pipeline. The capped frame is
+    * severed once (it feeds both the count side and pair expansion). */
+  private def itemcfFrozenPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val capped = capHistories(trainInteractions(spark, sfDir)).localCheckpoint()
+    itemcfSimFrom(capped, expandWeightedPairs(capped))
+  }
+
+  /** Model-staleness audit for the CF pillar — q_ivf_ingest_recall's
+    * freeze-vs-rebuild question transposed: the serving model was
+    * trained at [[SplitDate]] and interactions kept arriving. For
+    * every item present in BOTH models' neighbor tables, the top-K
+    * neighbor-set overlap between the FROZEN (pre-split) and FRESH
+    * (full-corpus) similarity models, plus how many items changed
+    * their top-1 neighbor — the measured "when to retrain" number a
+    * production recommender tracks between refreshes. All counts
+    * exact integers; overlap in basis points of the attainable
+    * Σ min(k_frozen, k_fresh).
+    *
+    * Scale: two neighbor tables of ≤ K·|items| rows (the fresh one
+    * memoized and shared with five other queries), one equi-join on
+    * (item, neighbor), slim per-item aggregates — nothing corpus-sized
+    * beyond the frozen model's one training pass.
+    */
+  def itemcfDrift(spark: SparkSession, sfDir: String): DataFrame =
+    itemcfDriftFrom(
+      itemcfSimilarity(spark, sfDir).select("item_i", "rk", "item_j"),
+      memoSim(spark, sfDir, "itemcf_frozen") {
+        itemcfFrozenPlan(spark, sfDir)
+      }.select("item_i", "rk", "item_j"))
+
+  /** The drift summary over any two (item_i, rk, item_j) neighbor
+    * tables — exposed so the spec can pin the identity case (a model
+    * against itself: overlap 10000 bp, zero top-1 changes). */
+  private[graft] def itemcfDriftFrom(fresh: DataFrame, frozen: DataFrame): DataFrame = {
+    val kf = fresh.groupBy("item_i").agg(count(lit(1)).as("k_fresh"),
+      min(when(col("rk") === 1, col("item_j"))).as("t1_fresh"))
+    val kz = frozen.groupBy("item_i").agg(count(lit(1)).as("k_frozen"),
+      min(when(col("rk") === 1, col("item_j"))).as("t1_frozen"))
+    val both = kf.join(kz, "item_i")
+    val common = fresh.join(frozen.select("item_i", "item_j"),
+        Seq("item_i", "item_j"), "left_semi")
+      .groupBy("item_i").agg(count(lit(1)).as("n_common"))
+    val per = both.join(common, Seq("item_i"), "left")
+      .select(col("item_i"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        least(col("k_fresh"), col("k_frozen")).as("k_min"),
+        when(col("t1_fresh") === col("t1_frozen"), 0L).otherwise(1L).as("chg1"))
+    val totF = kf.agg(count(lit(1)).as("n_items_fresh"))
+    val totZ = kz.agg(count(lit(1)).as("n_items_frozen"))
+    per.agg(count(lit(1)).as("n_items_both"),
+        sum("n_common").as("n_common_pairs"),
+        expr("(sum(n_common) * 10000) div sum(k_min)").as("overlap_bp"),
+        sum("chg1").as("n_top1_changed"))
+      .crossJoin(broadcast(totF)).crossJoin(broadcast(totZ))
+      .select("n_items_fresh", "n_items_frozen", "n_items_both",
+        "n_common_pairs", "overlap_bp", "n_top1_changed")
+  }
+
+  /** One prefixed, interaction-filtered ItemCF knn CTE chain — the
+    * drift oracle instantiates it twice (fresh '' filter, frozen
+    * pre-split filter) so both arms share one definition. Ends in
+    * `${p}knn` = (item_i, item_j, rk ≤ [[TopK]]). */
+  private def itemcfChainSql(p: String, where: String): String =
+    s"""${p}interactions AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, sum(l_quantity) AS strength
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  $where
+       |  GROUP BY 1, 2
+       |), ${p}capped AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY strength DESC, item_id ASC) AS hrk
+       |    FROM ${p}interactions
+       |  ) WHERE hrk <= $MaxHistory
+       |), ${p}counts AS (
+       |  SELECT item_id, count(*) AS n_users FROM ${p}capped GROUP BY item_id
+       |), ${p}pairs AS (
+       |  SELECT a.item_id AS item_i, b.item_id AS item_j, count(*) AS co
+       |  FROM ${p}capped a JOIN ${p}capped b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |), ${p}mirrored AS (
+       |  SELECT item_i, item_j, co FROM ${p}pairs
+       |  UNION ALL
+       |  SELECT item_j AS item_i, item_i AS item_j, co FROM ${p}pairs
+       |), ${p}sim AS (
+       |  SELECT item_i, item_j,
+       |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
+       |  FROM ${p}mirrored
+       |  JOIN ${p}counts ci ON ci.item_id = item_i
+       |  JOIN ${p}counts cj ON cj.item_id = item_j
+       |), ${p}knn AS MATERIALIZED (
+       |  SELECT item_i, item_j, rk FROM (
+       |    SELECT item_i, item_j,
+       |      row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
+       |    FROM ${p}sim
+       |  ) WHERE rk <= $TopK
+       |)""".stripMargin
+
+  val itemcfDriftSql: String =
+    s"""WITH ${itemcfChainSql("f", "")},
+       |${itemcfChainSql("t", s"WHERE o_orderdate < TIMESTAMP '$SplitDate'")},
+       |kf AS (
+       |  SELECT item_i, count(*) AS k_fresh,
+       |    min(CASE WHEN rk = 1 THEN item_j END) AS t1_fresh
+       |  FROM fknn GROUP BY 1
+       |), kz AS (
+       |  SELECT item_i, count(*) AS k_frozen,
+       |    min(CASE WHEN rk = 1 THEN item_j END) AS t1_frozen
+       |  FROM tknn GROUP BY 1
+       |), common AS (
+       |  SELECT f.item_i, count(*) AS n_common
+       |  FROM fknn f JOIN tknn z ON z.item_i = f.item_i AND z.item_j = f.item_j
+       |  GROUP BY 1
+       |), per AS (
+       |  SELECT b.item_i, coalesce(c.n_common, 0) AS n_common,
+       |    least(b.k_fresh, b.k_frozen) AS k_min,
+       |    CASE WHEN b.t1_fresh = b.t1_frozen THEN 0 ELSE 1 END AS chg1
+       |  FROM (SELECT kf.item_i, k_fresh, k_frozen, t1_fresh, t1_frozen
+       |        FROM kf JOIN kz ON kz.item_i = kf.item_i) b
+       |  LEFT JOIN common c ON c.item_i = b.item_i
+       |)
+       |SELECT (SELECT count(*) FROM kf)::BIGINT AS n_items_fresh,
+       |  (SELECT count(*) FROM kz)::BIGINT AS n_items_frozen,
+       |  count(*)::BIGINT AS n_items_both,
+       |  sum(n_common)::BIGINT AS n_common_pairs,
+       |  ((sum(n_common) * 10000) // sum(k_min))::BIGINT AS overlap_bp,
+       |  sum(chg1)::BIGINT AS n_top1_changed
+       |FROM per""".stripMargin
 
   val itemcfRecommendSql: String =
     s"""WITH $cappedSql, r AS (
@@ -890,11 +1050,6 @@ object Recsys {
        |SELECT item_id, rk, next_item, prob, n
        |FROM ranked WHERE rk <= $MarkovTop
        |ORDER BY item_id, rk""".stripMargin
-
-  /** Time-based train/test split boundary for evaluation. */
-  val SplitDate = "1999-07-01"
-  /** K for precision/recall@K. */
-  val EvalK = 10
 
   /** M9 evaluation metrics: precision@K / recall@K / coverage /
     * popularity of a most-popular recommender on a time split
@@ -2677,6 +2832,7 @@ object Recsys {
     "q_itemcf_decay"      -> (itemcfDecay _),
     "q_itemcf_recommend"  -> (itemcfRecommend _),
     "q_itemcf_serve"      -> (itemcfServe _),
+    "q_itemcf_drift"      -> (itemcfDrift _),
     "q_slope_one"         -> (slopeOne _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -2708,6 +2864,7 @@ object Recsys {
     "q_itemcf_decay"      -> itemcfDecaySql,
     "q_itemcf_recommend"  -> itemcfRecommendSql,
     "q_itemcf_serve"      -> itemcfRecommendSql,
+    "q_itemcf_drift"      -> itemcfDriftSql,
     "q_slope_one"         -> slopeOneSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,

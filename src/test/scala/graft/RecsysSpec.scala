@@ -418,4 +418,29 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     // the alpha perturbation
     assert(got.forall(_._3 > -1e-6))
   }
+
+  test("itemcf drift: identity case is exact, cross-model bounds hold") {
+    import operators.Recsys
+    val sim = Recsys.itemcfSimilarity(spark, sfTest).select("item_i", "rk", "item_j")
+    // a model drifted against ITSELF: every neighbor set overlaps
+    // fully and no top-1 changes — the identity the audit must honor
+    val self = Recsys.itemcfDriftFrom(sim, sim).collect()
+    assert(self.length === 1)
+    val s = self.head
+    assert(s.getAs[Long]("n_items_fresh") === s.getAs[Long]("n_items_both"))
+    assert(s.getAs[Long]("overlap_bp") === 10000L)
+    assert(s.getAs[Long]("n_top1_changed") === 0L)
+    assert(s.getAs[Long]("n_common_pairs") > 0L)
+
+    // the registered cross-model audit: structural bounds
+    val d = Recsys.itemcfDrift(spark, sfTest).collect().head
+    val (nf, nz, nb) = (d.getAs[Long]("n_items_fresh"),
+      d.getAs[Long]("n_items_frozen"), d.getAs[Long]("n_items_both"))
+    assert(nb <= math.min(nf, nz) && nb > 0)
+    assert(d.getAs[Long]("n_common_pairs") <= nb * Recsys.TopK)
+    assert(d.getAs[Long]("overlap_bp") <= 10000L)
+    assert(d.getAs[Long]("n_top1_changed") <= nb)
+    // the fixture split genuinely reshapes the model (not a no-op twin)
+    assert(d.getAs[Long]("overlap_bp") < 10000L)
+  }
 }
