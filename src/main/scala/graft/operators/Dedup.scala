@@ -460,15 +460,14 @@ object Dedup {
   private[graft] def ensureDedupIndex(spark: SparkSession, sfDir: String): Unit =
     graft.QueryCache.memo(spark, s"dedup_serve_written:$sfDir") {
       val names = dedupIndexNames(sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_serve_")
-        .toAbsolutePath.toString
-      names.values.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
       val old = shingles(spark, sfDir).where(col("doc_id") < IncrementalFrom)
       graft.sources.Sources.writeBucketedTable(
-        old, names("shingles"), Seq("s"), 8, Seq("s"), Some(s"$dir/shingles"))
+        old, names("shingles"), Seq("s"), 8, Seq("s"), Some(loc("shingles")))
       graft.sources.Sources.writeBucketedTable(
         old.groupBy("doc_id").agg(count(lit(1)).as("ns")),
-        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"), Some(s"$dir/sizes"))
+        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"), Some(loc("sizes")))
       spark.range(1).toDF("ok") // memo marker: the index exists
     }.count(): Unit
 

@@ -333,12 +333,11 @@ object Recsys {
   private[graft] def ensureCfModel(spark: SparkSession, sfDir: String): Unit =
     graft.QueryCache.memo(spark, s"itemcf_serve_written:$sfDir") {
       val name = cfModelName(sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft_itemcf_serve_")
-        .toAbsolutePath.toString
-      spark.sql(s"DROP TABLE IF EXISTS $name")
+      graft.sources.Sources.retireTable(spark, name)
       graft.sources.Sources.writeBucketedTable(
         itemcfSimilarity(spark, sfDir), name,
-        Seq("item_i"), 8, Seq("item_i", "rk"), Some(s"$dir/sim"))
+        Seq("item_i"), 8, Seq("item_i", "rk"),
+        Some(graft.sources.Sources.serveLocation(spark, name)))
       spark.range(1).toDF("ok") // memo marker: the model table exists
     }.count(): Unit
 

@@ -549,24 +549,26 @@ object Similarity {
   private[graft] def ensureServeIndex(spark: SparkSession, sfDir: String): Unit =
     graft.QueryCache.memo(spark, s"ivf_serve_written:$sfDir") {
       val names = serveTableNames(sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve_")
-        .toAbsolutePath.toString
-      names.values.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      // stable warehouse-rooted locations + retire-on-rebuild (r11
+      // advisor: temp-dir locations dangle across JVMs and each
+      // rebuild orphaned its predecessor)
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
       val e0 = Tables.embeddings(spark, sfDir)
       graft.sources.Sources.writeBucketedTable(
         cellAssignFrom(e0, NCells).select("vec_id", "cid"),
-        names("cells"), Seq("cid"), 8, Seq("cid"), Some(s"$dir/cells"))
+        names("cells"), Seq("cid"), 8, Seq("cid"), Some(loc("cells")))
       graft.sources.Sources.writeExternalTable(
         e0.where(col("vec_id") < NCells).select("vec_id", "embedding"),
-        names("centroids"), s"$dir/centroids")
+        names("centroids"), loc("centroids"))
       graft.sources.Sources.writeExternalTable(
-        Training.pqCodebooks(spark, sfDir), names("codebooks"), s"$dir/codebooks")
+        Training.pqCodebooks(spark, sfDir), names("codebooks"), loc("codebooks"))
       graft.sources.Sources.writeBucketedTable(
         Training.pqCodes(spark, sfDir),
-        names("codes"), Seq("vec_id"), 8, Seq("vec_id"), Some(s"$dir/codes"))
+        names("codes"), Seq("vec_id"), 8, Seq("vec_id"), Some(loc("codes")))
       graft.sources.Sources.writeBucketedTable(
         Training.pqSub(spark, sfDir),
-        names("vectors_q"), Seq("vec_id"), 8, Seq("vec_id"), Some(s"$dir/vectors_q"))
+        names("vectors_q"), Seq("vec_id"), 8, Seq("vec_id"), Some(loc("vectors_q")))
       spark.range(1).toDF("ok") // memo marker: the artifacts exist
     }.count(): Unit
 

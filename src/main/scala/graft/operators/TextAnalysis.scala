@@ -19,6 +19,20 @@ object TextAnalysis {
   private val normSpark = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val normDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** BPE-family normalization: [[normSpark]]/[[normDuck]] plus
+    * stripping of the four fold sentinels ('|' symbol joiner, '§'
+    * fold-state split, '¶' flush, '¬' rank pad). A corpus word
+    * containing a sentinel would corrupt the symbol fold identically
+    * in BOTH engines — invisible to the oracle compare — so the
+    * sentinels are removed at the shared vocabulary build, making a
+    * collision impossible by construction instead of guarded only by
+    * a fixture-level test. translate() has identical semantics in
+    * Spark and DuckDB (unmatched chars drop), and the strip is a
+    * no-op on sentinel-free corpora, so every BPE oracle is unchanged
+    * on the fixtures. */
+  private val bpeNormSpark = s"translate($normSpark, '|§¶¬', '')"
+  private val bpeNormDuck = s"translate($normDuck, '|§¶¬', '')"
+
   /** English function words used by the n-gram/stopword language
     * heuristic and the quality score. Fixture text is pseudo-English, so
     * the discriminating signal is hit RATE, not identity.
@@ -756,7 +770,7 @@ object TextAnalysis {
 
   private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
     val vocab = docs
-      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .select(explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))
     val pairs = vocab.select(col("word"), col("wc"),
@@ -774,7 +788,7 @@ object TextAnalysis {
   val bpeMergesSql: String =
     s"""WITH vocab AS (
        |  SELECT word, count(*) AS wc FROM (
-       |    SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |    SELECT unnest(string_split($bpeNormDuck, ' ')) AS word FROM documents
        |  ) WHERE length(word) >= 2
        |  GROUP BY word
        |), pairs AS (
@@ -891,7 +905,7 @@ object TextAnalysis {
   private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     var vocab = docs
-      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .select(explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
       // NB Spark's two-arg rtrim is rtrim(trimStr, str) — opposite of
@@ -966,7 +980,7 @@ object TextAnalysis {
        |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
        |  FROM (
        |    SELECT word, count(*)::BIGINT AS wc FROM (
-       |      SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents $where
+       |      SELECT unnest(string_split($bpeNormDuck, ' ')) AS word FROM documents $where
        |    ) WHERE length(word) >= 1
        |    GROUP BY word
        |  )
@@ -1019,7 +1033,7 @@ object TextAnalysis {
   private[graft] def bpeApplyOf(docs: DataFrame,
       mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
-      .select(col("source"), explode(split(expr(normSpark), " ")).as("word"))
+      .select(col("source"), explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("source", "word").agg(count(lit(1)).as("wc"))
     val tok0 = bpeAppliedTok0(vocab, mergesOpt.getOrElse(bpeTrainOf(docs)))
@@ -1046,7 +1060,7 @@ object TextAnalysis {
        |    rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS tok
        |  FROM (
        |    SELECT source, word, count(*)::BIGINT AS wc FROM (
-       |      SELECT source, unnest(string_split($normDuck, ' ')) AS word FROM documents
+       |      SELECT source, unnest(string_split($bpeNormDuck, ' ')) AS word FROM documents
        |    ) WHERE length(word) >= 1
        |    GROUP BY 1, 2
        |  )
@@ -1083,7 +1097,7 @@ object TextAnalysis {
   private[graft] def bpeCurveOf(docs: DataFrame,
       mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
-      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .select(explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
     val tok0 = bpeAppliedTok0(vocab, mergesOpt.getOrElse(bpeTrainOf(docs)))
@@ -1157,7 +1171,7 @@ object TextAnalysis {
       mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
       .select(when(isBpeHoldout, lit("holdout")).otherwise(lit("train")).as("split"),
-              explode(split(expr(normSpark), " ")).as("word"))
+              explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("split", "word").agg(count(lit(1)).as("wc"))
     val tok0 = bpeAppliedTok0(vocab,
@@ -1186,7 +1200,7 @@ object TextAnalysis {
        |  FROM (
        |    SELECT split, word, count(*)::BIGINT AS wc FROM (
        |      SELECT CASE WHEN $bpeHoldoutDuck THEN 'holdout' ELSE 'train' END AS split,
-       |        unnest(string_split($normDuck, ' ')) AS word
+       |        unnest(string_split($bpeNormDuck, ' ')) AS word
        |      FROM documents
        |    ) WHERE length(word) >= 1
        |    GROUP BY 1, 2
@@ -1227,7 +1241,7 @@ object TextAnalysis {
   private[graft] def bpeVocabOf(docs: DataFrame,
       mergesOpt: Option[DataFrame] = None): DataFrame = {
     val vocab = docs
-      .select(explode(split(expr(normSpark), " ")).as("word"))
+      .select(explode(split(expr(bpeNormSpark), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
     val toks = (1 to BpeTrainRounds).foldLeft(

@@ -134,6 +134,64 @@ object Sources {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", path).saveAsTable(table)
 
+  /** APPEND into an existing bucketed external table with the SAME
+    * bucket spec — the grow-only contract an incremental index ingest
+    * needs: each append writes its own per-bucket files alongside the
+    * resident ones (readers merge all files of a bucket), so the
+    * resident data is never rewritten or reshuffled. ServeIndexSpec
+    * pins that property by file listing. */
+  def appendBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                          nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w1.saveAsTable(table)
+  }
+
+  /** Fresh external location for a serve-index table: a stable root
+    * under the session's WAREHOUSE path (so a later JVM sharing the
+    * metastore never inherits a catalog entry pointing at a cleaned
+    * /tmp directory — the r11 advisor's dangling-location hazard),
+    * with a per-build nonce segment so two sessions racing on the same
+    * deterministic table name never write into each other's directory:
+    * the catalog swap at saveAsTable time is atomic, and the loser's
+    * orphan is removed by the next [[retireTable]]. */
+  def serveLocation(spark: SparkSession, table: String): String = {
+    val wh = spark.sessionState.conf.warehousePath.stripPrefix("file:")
+    val dir = new java.io.File(new java.io.File(new java.io.File(wh, "graft_serve"), table),
+      java.util.UUID.randomUUID.toString.take(8))
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  /** Drop a serve table AND delete its previous external location, so
+    * each rebuild retires its predecessor's data instead of orphaning
+    * it (the r11 advisor's leak). Deletion is restricted to locations
+    * under a graft_serve root or the legacy graft_*_serve_ temp-dir
+    * prefixes — never an arbitrary user path the catalog might name. */
+  def retireTable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    val id = TableIdentifier(table)
+    if (cat.tableExists(id)) {
+      val loc = scala.util.Try(cat.getTableMetadata(id).location).toOption
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      loc.map(u => new java.io.File(u.getPath)).foreach { f =>
+        val p = f.getAbsolutePath
+        val ours = p.contains("/graft_serve/") || p.contains("/graft_ivf_serve_") ||
+          p.contains("/graft_dedup_serve_") || p.contains("/graft_itemcf_serve_") ||
+          p.contains("/graft_cf_store_") || p.contains("/graft_ivfing_")
+        if (ours && f.exists()) deleteRecursively(f)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Raw-media ingestion (SURVEY.md §2.10 L5): Spark's built-in
     * `binaryFile` source reads whole files as rows of (path,
     * modificationTime, length, content BINARY) — the front door for

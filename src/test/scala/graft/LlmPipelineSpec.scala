@@ -556,6 +556,30 @@ class LlmPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bad === 0L, "reserved BPE sentinel characters appear in the corpus")
   }
 
+  test("bpe sentinels: a sentinel-bearing corpus is stripped at the vocab build (r11 ADVICE)") {
+    // The BPE family strips the four reserved chars at the shared
+    // vocabulary build (bpeNormSpark/bpeNormDuck), so an arbitrary
+    // corpus can never smuggle a sentinel into the symbol stream. A
+    // corpus with sentinels injected mid-word must therefore produce
+    // EXACTLY the counts of its sentinel-free twin.
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "src", "the|the th§e t¶he the¬"),
+      (2L, "src", "aba¬ba ab|aba")).toDF("doc_id", "source", "text")
+    val clean = Seq( // strip removes the CHAR: "the|the" → "thethe"
+      (1L, "src", "thethe the the the"),
+      (2L, "src", "ababa ababa")).toDF("doc_id", "source", "text")
+    val got = operators.TextAnalysis.bpeMergesOf(dirty).collect()
+    val want = operators.TextAnalysis.bpeMergesOf(clean).collect()
+    assert(got.nonEmpty && got.length === want.length)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+    // the trained merges agree too (the fold itself never sees a sentinel)
+    val gt = operators.TextAnalysis.bpeTrainOf(dirty).collect()
+    val wt = operators.TextAnalysis.bpeTrainOf(clean).collect()
+    assert(gt.nonEmpty && gt.length === wt.length)
+    gt.zip(wt).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("corpus entropy: bounds hold and every lang slice is covered") {
     val e = operators.TextAnalysis.corpusEntropy(spark, sfTest).collect()
     val total = Tables.documents(spark, sfTest).count()
