@@ -212,11 +212,20 @@ object Recsys {
     * inputs) and the drift audit's FROZEN twin (pre-split inputs). */
   private[graft] def itemcfSimFrom(r0: DataFrame, pairAgg: DataFrame): DataFrame = {
     val r = r0.select("user_id", "item_id")
+    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
+    knnFromPairCounts(unpack(pairAgg.select("pk", "co"), "item_i", "item_j"), counts)
+  }
+
+  /** The cosine + mirror + top-K tail of the binary ItemCF model over
+    * an explicit (item_i < item_j, co) half-pair table and per-item
+    * user counts — the model's SUFFICIENT STATISTICS. Shared by the
+    * standing/frozen builds (fresh expansion feeds it) and the
+    * incremental REFRESH ([[itemcfRefresh]]), whose statistics arrive
+    * as persisted state merged with a batch delta. */
+  private[graft] def knnFromPairCounts(pairs: DataFrame, counts: DataFrame): DataFrame = {
     // Tiny relative to the pair table (≤ |items| rows): broadcast both
     // count joins — round-1 plans showed them as SortMergeJoins that
     // re-shuffled the ~10M-row pair table twice.
-    val counts = r.groupBy("item_id").agg(count(lit(1)).as("n_users"))
-    val pairs = unpack(pairAgg.select("pk", "co"), "item_i", "item_j")
     val ci = counts.select(col("item_id").as("item_i"), col("n_users").as("ni"))
     val cj = counts.select(col("item_id").as("item_j"), col("n_users").as("nj"))
     // Join counts on the i<j half-space FIRST, then mirror each pair with
@@ -439,6 +448,116 @@ object Recsys {
       .crossJoin(broadcast(totF)).crossJoin(broadcast(totZ))
       .select("n_items_fresh", "n_items_frozen", "n_items_both",
         "n_common_pairs", "overlap_bp", "n_top1_changed")
+  }
+
+  /** Catalog names of the frozen model's persisted sufficient
+    * statistics (the refresh store), unique per fixture dir. */
+  private[graft] def cfStoreNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("strengths", "pairs", "counts").map(n => n -> s"graft_cfstore_${n}_$tag").toMap
+  }
+
+  /** Build-once: persist the FROZEN ItemCF model's internal state —
+    * the pre-[[SplitDate]] per-(user, item) strength aggregate
+    * (bucketed by user_id: the refresh's changed-user semi-join reads
+    * only matching buckets), the capped-history pair co-occurrence
+    * counts (bucketed by the packed pair key), and the per-item user
+    * counts. These are the ADDITIVE sufficient statistics of the
+    * binary-cosine model — exactly what [[itemcfRefresh]] delta-merges
+    * a post-split batch into without rescanning history. */
+  private[graft] def ensureCfStore(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"itemcf_store_written:$sfDir") {
+      val names = cfStoreNames(sfDir)
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
+      val train = trainInteractions(spark, sfDir).localCheckpoint()
+      val capped = capHistories(train).localCheckpoint() // pairs + counts read it
+      graft.sources.Sources.writeBucketedTable(
+        train, names("strengths"), Seq("user_id"), 8, Seq("user_id", "item_id"),
+        Some(loc("strengths")))
+      graft.sources.Sources.writeBucketedTable(
+        pairsWithin(capped.select("user_id", "item_id"), "user_id", "item_id")
+          .groupBy("pk").agg(count(lit(1)).as("co")),
+        names("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
+      graft.sources.Sources.writeExternalTable(
+        capped.groupBy("item_id").agg(count(lit(1)).as("n_users")),
+        names("counts"), loc("counts"))
+      spark.range(1).toDF("ok") // memo marker: the store exists
+    }.count(): Unit
+
+  /** Post-[[SplitDate]] interaction batch — the rows that ARRIVED
+    * since the frozen model trained, collapsed to per-(user, item)
+    * strength deltas. The orders scan carries the pushed
+    * o_orderdate ≥ SplitDate filter (ServeIndexSpec pins it), so the
+    * refresh's only corpus-sized work reads the batch, never history. */
+  private[graft] def postSplitDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(SplitDate).cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(sum("l_quantity").as("strength"))
+  }
+
+  /** Incremental model REFRESH — the delta leg that completes the CF
+    * pillar's build/serve/drift/refresh lifecycle: [[ensureCfStore]]
+    * persisted the frozen model's sufficient statistics (pair
+    * co-occurrence counts, per-item user counts, per-user strengths),
+    * all of which are ADDITIVE — a join-semilattice merge, the
+    * q_stream_upsert argument — so the post-[[SplitDate]] batch folds
+    * in without touching historical interactions:
+    *
+    *  1. the batch collapses to per-(user, item) strength deltas (the
+    *     only corpus-sized pass, and it scans only post-split rows);
+    *  2. only CHANGED users' capped histories are recomputed — the old
+    *     history from the persisted strength store (the cap is a
+    *     per-user function of strengths alone, so unchanged users
+    *     cannot move), the new from merged strengths;
+    *  3. pair and count deltas (new-minus-old memberships, exact
+    *     integers) merge into the persisted tables; co ≤ 0 rows drop
+    *     (a true count reaches 0 only by losing every witness);
+    *  4. the K·|items| ranking tail re-runs over merged statistics —
+    *     model-sized, never corpus-sized.
+    *
+    * The refreshed model is row-identical BY CONSTRUCTION to the
+    * from-scratch full-corpus model, so the oracle is
+    * [[itemcfSimilaritySql]] itself — the answer to q_itemcf_drift's
+    * "retrain now" alarm, at batch cost instead of corpus cost.
+    *
+    * Scale: at a 10⁹-user store the changed-user semi-join rides the
+    * user_id bucketing (only matching buckets read), pair deltas are
+    * bounded by |changed users|·cap², and the merges shuffle
+    * model-sized tables on their bucketed keys.
+    */
+  def itemcfRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCfStore(spark, sfDir)
+    val names = cfStoreNames(sfDir)
+    val post = postSplitDelta(spark, sfDir)
+      .localCheckpoint() // changed-user list + strength merge read it
+    val changed = post.select("user_id").distinct()
+    val oldStr = spark.table(names("strengths"))
+      .join(changed, Seq("user_id"), "left_semi")
+    val mergedStr = oldStr.unionByName(post)
+      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
+    val cappedNew = capHistories(mergedStr).select("user_id", "item_id")
+    val cappedOld = capHistories(oldStr).select("user_id", "item_id")
+    val pairDelta = pairsWithin(cappedNew, "user_id", "item_id")
+        .select(col("pk"), lit(1L).as("co"))
+      .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
+        .select(col("pk"), lit(-1L).as("co")))
+    val mergedPairs = spark.table(names("pairs")).select(col("pk"), col("co"))
+      .unionByName(pairDelta)
+      .groupBy("pk").agg(sum("co").as("co"))
+      .where(col("co") > 0)
+    val cntDelta = cappedNew.select(col("item_id"), lit(1L).as("n_users"))
+      .unionByName(cappedOld.select(col("item_id"), lit(-1L).as("n_users")))
+    val mergedCounts = spark.table(names("counts")).select(col("item_id"), col("n_users"))
+      .unionByName(cntDelta)
+      .groupBy("item_id").agg(sum("n_users").as("n_users"))
+      .where(col("n_users") > 0)
+    knnFromPairCounts(unpack(mergedPairs, "item_i", "item_j"), mergedCounts)
   }
 
   /** One prefixed, interaction-filtered ItemCF knn CTE chain — the
@@ -2189,8 +2308,10 @@ object Recsys {
     evalTrain(spark, sfDir).count()
     evalTest(spark, sfDir).count()
     evalRecs(spark, sfDir).count()
-    // the persisted ItemCF model (built once, served many)
+    // the persisted ItemCF model (built once, served many) and the
+    // frozen model's refresh store (the statistics the delta leg reads)
     ensureCfModel(spark, sfDir)
+    ensureCfStore(spark, sfDir)
   }
 
   /** Brand pairs reported by the affinity rollup. */
@@ -2832,6 +2953,7 @@ object Recsys {
     "q_itemcf_recommend"  -> (itemcfRecommend _),
     "q_itemcf_serve"      -> (itemcfServe _),
     "q_itemcf_drift"      -> (itemcfDrift _),
+    "q_itemcf_refresh"    -> (itemcfRefresh _),
     "q_slope_one"         -> (slopeOne _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -2864,6 +2986,9 @@ object Recsys {
     "q_itemcf_recommend"  -> itemcfRecommendSql,
     "q_itemcf_serve"      -> itemcfRecommendSql,
     "q_itemcf_drift"      -> itemcfDriftSql,
+    // the refresh's oracle IS the from-scratch full-corpus model —
+    // delta-merge identity is the correctness contract
+    "q_itemcf_refresh"    -> itemcfSimilaritySql,
     "q_slope_one"         -> slopeOneSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,

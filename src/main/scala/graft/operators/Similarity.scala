@@ -612,6 +612,30 @@ object Similarity {
     * index must be indistinguishable from the in-session build. */
   val ivfServeSql: String = ivfPqSql
 
+  /** FILTERED serving from the PERSISTED index — the per-request shape
+    * of a production retrieval API (r11 verdict #3): compose
+    * [[ivfPqFiltered]]'s pre-filter strategy (the predicate prunes the
+    * inverted lists BEFORE the ADC pass, so the filter makes the
+    * expensive stage cheaper) with [[ivfServe]]'s reloaded catalog
+    * index. Every index artifact comes from the persisted tables; the
+    * raw corpus is read only for the query vectors and the label
+    * predicate (at deployment the label column lives in a persisted
+    * attribute table keyed by vec_id — same join shape). Output is
+    * row-identical to the in-session filtered build, so the shared
+    * [[ivfPqFilteredSql]] oracle pins it.
+    */
+  def ivfServeFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = serveIndex(spark, sfDir)
+    ivfPqFrom(Tables.embeddings(spark, sfDir), ix.vectorsQ, ix.codebooks,
+      NCells, NProbe, NQueries, IvfPqRerank, K,
+      codesOpt = Some(ix.codes), labelOpt = Some(FilterLabel),
+      assignedOpt = Some(ix.cells), centSrcOpt = Some(ix.centroids))
+  }
+
+  /** Identical contract to [[ivfPqFilteredSql]]: the reloaded index
+    * must serve the filtered request indistinguishably. */
+  val ivfServeFilteredSql: String = ivfPqFilteredSql
+
   /** Re-rank-depth tuning audit for [[ivfPq]] — the knob the composed
     * tier turns the way [[ivfRecallCurve]] turns probe depth: recall
     * of the exact-re-ranked top-[[K]] at EVERY ADC depth R = 1..
@@ -1310,6 +1334,142 @@ object Similarity {
        |FROM v CROSS JOIN tn
        |ORDER BY variant""".stripMargin
 
+  /** Catalog names of the INGEST-lineage IVF index — the frozen
+    * quantizer trained on the standing base, persisted as an IVF-flat
+    * layout: the inverted lists WITH their vectors (what a real
+    * IVF-flat index stores per cell), bucketed by cell, plus the
+    * coarse centroid table. Distinct from [[serveTableNames]]'s
+    * full-corpus PQ lineage: this one exists to GROW. */
+  private[graft] def ingestIndexNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("lists", "centroids").map(n => n -> s"graft_ivfing_${n}_$tag").toMap
+  }
+
+  /** Build-once: persist the BASE corpus's IVF-flat index (lists
+    * bucketed by cid, centroids from the base's `vec_id < NCells`
+    * members — the frozen quantizer q_ivf_ingest audits). */
+  private[graft] def ensureIngestIndex(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_serve_ingest_written:$sfDir") {
+      val names = ingestIndexNames(sfDir)
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
+      val base = Tables.embeddings(spark, sfDir).where(!isIngestBatch)
+      graft.sources.Sources.writeBucketedTable(
+        cellAssignTo(base, base, NCells),
+        names("lists"), Seq("cid"), 8, Seq("cid"), Some(loc("lists")))
+      graft.sources.Sources.writeExternalTable(
+        base.where(col("vec_id") < NCells).select("vec_id", "embedding"),
+        names("centroids"), loc("centroids"))
+      spark.range(1).toDF("ok") // memo marker: the index exists
+    }.count(): Unit
+
+  /** Grow-only ingest APPEND: the arriving batch is assigned into the
+    * frozen cells against the RELOADED centroid table (the assignment
+    * scans only the batch — the resident 10⁹ vectors are untouched)
+    * and appended into the bucketed lists table. Bucketed appends
+    * write their own per-bucket files alongside the resident ones
+    * (readers merge a bucket's files), so the resident index is never
+    * rewritten or reshuffled — SourcesSpec pins that contract by file
+    * listing. Memoized so the batch lands exactly once per session. */
+  private[graft] def ensureIngestAppend(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_serve_ingest_appended:$sfDir") {
+      ensureIngestIndex(spark, sfDir)
+      val names = ingestIndexNames(sfDir)
+      val batch = Tables.embeddings(spark, sfDir).where(isIngestBatch)
+      graft.sources.Sources.appendBucketedTable(
+        cellAssignTo(batch, spark.table(names("centroids")), NCells),
+        names("lists"), Seq("cid"), 8, Seq("cid"))
+      spark.range(1).toDF("ok") // memo marker: the batch is resident
+    }.count(): Unit
+
+  /** Serve multi-probe IVF retrieval from the GROWN persisted index —
+    * the leg q_ivf_ingest was missing (r11 verdict #2): the base index
+    * is built once ([[ensureIngestIndex]]), the arriving batch appends
+    * into the bucketed inverted lists without touching resident files
+    * ([[ensureIngestAppend]]), and retrieval reads ONLY the reloaded
+    * tables plus the raw query vectors. Row-identical by construction
+    * to an in-session frozen-quantizer search over the merged corpus
+    * ([[ivfServeIngestTwin]] — ServeIndexSpec compares them), and the
+    * oracle recomputes exactly that search.
+    *
+    * Scale: the steady-state corpus-growth path end to end — each
+    * day's batch pays one map-side argmax against ≤[[NCells]]
+    * broadcast centroids plus a bucketed append; a probe's equi-join
+    * reads only its cells' buckets; nothing resident is ever
+    * reshuffled. The drift ledger (q_ivf_ingest/q_ivf_ingest_recall)
+    * tells the operator when the accumulated freeze cost justifies a
+    * re-index.
+    */
+  def ivfServeIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIngestAppend(spark, sfDir)
+    val names = ingestIndexNames(sfDir)
+    val lists = spark.table(names("lists"))
+    val probes = queryProbesTo(Tables.embeddings(spark, sfDir),
+        spark.table(names("centroids")), NCells, NQueries)
+      .where(col("crk") <= NProbe)
+      .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
+    val scored = probes.as("a")
+      .join(lists.as("b"),
+            col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+      .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
+              col("b.vec_id").as("neighbor_id"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    rankIvf(scored, K)
+  }
+
+  /** The in-session twin of [[ivfServeIngest]]: the same frozen-
+    * quantizer multi-probe search computed from live frames (no
+    * catalog) — ServeIndexSpec pins served == in-session. */
+  private[graft] def ivfServeIngestTwin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+    val base = e0.where(!isIngestBatch)
+    val assigned = cellAssignTo(e0, base, NCells)
+    val probes = queryProbesTo(e0, base, NCells, NQueries)
+      .where(col("crk") <= NProbe)
+      .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
+    val scored = probes.as("a")
+      .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+      .select(col("a.qid").as("query_id"), col("a.cid").as("cell"),
+              col("b.vec_id").as("neighbor_id"),
+              round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    rankIvf(scored, K)
+  }
+
+  /** Oracle: [[knnIvfSql]]'s multi-probe search with the quantizer
+    * restricted to BASE centroids (the frozen index the grown lists
+    * table embodies) over the merged corpus. */
+  val ivfServeIngestSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
+       |), fbase AS (
+       |  SELECT vec_id FROM embeddings WHERE NOT ($ingestBatchDuck)
+       |), cellranked AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding, b.nrm, a.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
+       |  FROM e b JOIN e a ON a.vec_id < $NCells
+       |    AND a.vec_id IN (SELECT vec_id FROM fbase)
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM cellranked WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, embedding, nrm, cid FROM cellranked
+       |  WHERE vec_id < $NQueries AND crk <= $NProbe
+       |), scored AS (
+       |  SELECT a.qid AS query_id, a.cid AS cell, b.vec_id AS neighbor_id,
+       |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
+       |  FROM probes a
+       |  JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, cell, rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Hard negatives mined per anchor. */
   val HardNegK = 3
 
@@ -1505,6 +1665,9 @@ object Similarity {
     ingestFrozen(spark, sfDir).count()
     ingestRebuilt(spark, sfDir).count()
     ensureServeIndex(spark, sfDir)
+    // the ingest-lineage index: base build + the batch append (both
+    // one-time writes the serve query then only reads)
+    ensureIngestAppend(spark, sfDir)
   }
 
   /** Semantic components over the mutual-kNN graph — graph-based
@@ -1885,6 +2048,8 @@ object Similarity {
     "q_ivf_pq"          -> (ivfPq _),
     "q_ivf_pq_filtered" -> (ivfPqFiltered _),
     "q_ivf_serve"       -> (ivfServe _),
+    "q_ivf_serve_filtered" -> (ivfServeFiltered _),
+    "q_ivf_serve_ingest" -> (ivfServeIngest _),
     "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn_filtered"    -> (knnFiltered _),
@@ -1906,6 +2071,8 @@ object Similarity {
     "q_ivf_pq"          -> ivfPqSql,
     "q_ivf_pq_filtered" -> ivfPqFilteredSql,
     "q_ivf_serve"       -> ivfServeSql,
+    "q_ivf_serve_filtered" -> ivfServeFilteredSql,
+    "q_ivf_serve_ingest" -> ivfServeIngestSql,
     "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_knn_filtered"    -> knnFilteredSql,

@@ -649,6 +649,75 @@ object Streams {
        |ORDER BY window_start""".stripMargin
   }
 
+  /** T12 stream-scoring cutoff: interactions arriving on/after this
+    * date are "the stream" the serve twin scores (the tail ~4% of the
+    * order history — a live window, not a backfill). Declared before
+    * the SQL val that interpolates it (object-init-order discipline). */
+  val StreamScoreFrom = "2001-05-01"
+
+  /** T12 stream-static model scoring — the ONLINE half of the CF serve
+    * story (r11 verdict #8): each arriving interaction (user, item,
+    * strength) joins the PERSISTED ItemCF neighbor table
+    * ([[graft.operators.Recsys.ensureCfModel]]'s bucketed catalog
+    * table — the static side of a stream-static join) and emits its
+    * item's top-K neighbors as scored candidates, score =
+    * round(sim · strength, 6). Stateless per row, so the batch plan IS
+    * the streaming plan — StreamingSpec's twin feeds the identical
+    * transform from a MemoryStream against the same reloaded model
+    * table and asserts set equality.
+    *
+    * Scale: the canonical low-latency serving join — the model
+    * broadcasts (K·|items| rows) at fixture scale and bucket-joins on
+    * item_i at a 10⁸-item catalog; the stream side never shuffles; no
+    * state, no watermark (stateless projection), so throughput is
+    * bounded by the join alone.
+    */
+  def cfStreamScore(arrivals: DataFrame, model: DataFrame): DataFrame =
+    arrivals.join(model, arrivals("item_id") === model("item_i"))
+      .select(col("user_id"), col("item_id"), col("rk"),
+              col("item_j").as("rec"),
+              round(col("sim") * col("strength"), 6).as("score"))
+
+  /** The arriving interactions: orders on/after [[StreamScoreFrom]]
+    * (the orders scan carries the pushed filter), collapsed to
+    * (user, item, strength). */
+  private[graft] def streamArrivals(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(StreamScoreFrom).cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(sum("l_quantity").as("strength"))
+  }
+
+  /** The reloaded serving model, broadcast-hinted (K·|items| rows). */
+  private[graft] def cfServingModel(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.operators.Recsys.ensureCfModel(spark, sfDir)
+    broadcast(spark.table(graft.operators.Recsys.cfModelName(sfDir))
+      .select("item_i", "rk", "item_j", "sim"))
+  }
+
+  def cfStreamScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    cfStreamScore(streamArrivals(spark, sfDir), cfServingModel(spark, sfDir))
+      .orderBy("user_id", "item_id", "rk")
+
+  /** Oracle: the full-corpus ItemCF model chain (what the persisted
+    * table holds — its own oracle) joined by the arrival window. */
+  val cfStreamScoreSql: String =
+    s"""WITH model AS MATERIALIZED (
+       |${graft.operators.Recsys.itemcfSimilaritySql}
+       |), arrivals AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, sum(l_quantity) AS strength
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '$StreamScoreFrom'
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.user_id, a.item_id, m.rk, m.item_j AS rec,
+       |  round(m.sim * a.strength, 6) AS score
+       |FROM arrivals a JOIN model m ON m.item_i = a.item_id
+       |ORDER BY a.user_id, a.item_id, m.rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stream_kmv"      -> (kmvWindowUsersQuery _),
     "q_stream_upsert"   -> (upsertQuery _),
@@ -661,6 +730,7 @@ object Streams {
     "q_stream_dedup"    -> (dedupQuery _),
     "q_stream_late"     -> (lateQuery _),
     "q_stream_join"     -> (streamJoinQuery _),
+    "q_stream_cf_score" -> (cfStreamScoreQuery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -675,5 +745,6 @@ object Streams {
     "q_stream_dedup"    -> dedupSql,
     "q_stream_late"     -> lateSql,
     "q_stream_join"     -> streamJoinSql,
+    "q_stream_cf_score" -> cfStreamScoreSql,
   )
 }

@@ -25,6 +25,19 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
 
   import operators.{Relational => _, _}
 
+  /** Scan locations of a formatted plan — every FileScan prints a
+    * `Location: <Index> [<path>]` detail line. Guards count scans BY
+    * LOCATION (r11 ADVICE: grepping a fixture filename couples the
+    * test to the fixture layout and to path rendering; a rename would
+    * turn it vacuous). */
+  private def scanLocations(plan: String): Seq[String] =
+    "(?m)^.*Location:.*$".r.findAllIn(plan).toSeq
+
+  /** Scans whose location is OUTSIDE the serve-index root — i.e. raw
+    * corpus/fixture reads, however the fixture happens to be named. */
+  private def corpusScans(plan: String): Seq[String] =
+    scanLocations(plan).filterNot(_.contains("/graft_serve/"))
+
   test("serving from the reloaded index is row-identical to the in-session build") {
     val served = Similarity.ivfServe(spark, sfTest).collect()
     val inSession = Similarity.ivfPq(spark, sfTest).collect()
@@ -76,9 +89,9 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     Seq("cells", "centroids", "codebooks", "codes", "vectors_q").foreach { t =>
       assert(plan.contains(names(t)), s"serve plan must read the persisted $t table")
     }
-    val corpusScans = "embeddings\\.parquet".r.findAllIn(plan).length
-    assert(corpusScans === 1,
-      s"serve must scan the raw corpus exactly once (the query vectors); saw $corpusScans")
+    val raw = corpusScans(plan)
+    assert(raw.length === 1,
+      s"serve must scan the raw corpus exactly once (the query vectors); saw:\n${raw.mkString("\n")}")
   }
 
   test("itemcf serve: recommendations from the persisted model match the in-session build") {
@@ -98,6 +111,75 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     reloaded.zip(memo).foreach { case (a, b) =>
       assert(a === b, "persisted model row diverges from the trained model")
     }
+  }
+
+  test("ivf serve ingest: retrieval from the grown index equals the in-session frozen search") {
+    val served = Similarity.ivfServeIngest(spark, sfTest).collect()
+    val inSession = Similarity.ivfServeIngestTwin(spark, sfTest).collect()
+    assert(served.nonEmpty, "grown-index retrieval must be non-vacuous")
+    assert(served.length === inSession.length)
+    served.zip(inSession).foreach { case (a, b) =>
+      assert(a === b, "grown-index row diverges from the in-session frozen search")
+    }
+    // the batch genuinely grew the persisted lists: resident-only rows
+    // < reloaded rows == corpus rows
+    val names = Similarity.ingestIndexNames(sfTest)
+    val grown = spark.table(names("lists")).count()
+    val corpus = Tables.embeddings(spark, sfTest).count()
+    assert(grown === corpus, "grown lists must cover base + batch")
+    // serve plan: reloaded lists + centroids, corpus scanned once (queries)
+    val plan = Similarity.ivfServeIngest(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    Seq("lists", "centroids").foreach { t =>
+      assert(plan.contains(names(t)), s"serve plan must read the persisted $t table")
+    }
+    val raw = corpusScans(plan)
+    assert(raw.length === 1,
+      s"grown-index serve must scan the raw corpus exactly once (queries); saw:\n${raw.mkString("\n")}")
+  }
+
+  test("ivf serve filtered: the reloaded index answers the filtered request identically") {
+    val served = Similarity.ivfServeFiltered(spark, sfTest).collect()
+    val inSession = Similarity.ivfPqFiltered(spark, sfTest).collect()
+    assert(served.nonEmpty, "filtered serve output must be non-vacuous")
+    assert(served.length === inSession.length)
+    served.zip(inSession).foreach { case (a, b) =>
+      assert(a === b, "filtered serve row diverges from the in-session filtered build")
+    }
+  }
+
+  test("itemcf refresh: the delta-merged model is row-identical to the from-scratch rebuild") {
+    val refreshed = Recsys.itemcfRefresh(spark, sfTest).collect()
+    val fresh = Recsys.itemcfSimilarity(spark, sfTest).orderBy("item_i", "rk").collect()
+    assert(refreshed.nonEmpty, "refresh output must be non-vacuous")
+    assert(refreshed.length === fresh.length)
+    refreshed.zip(fresh).foreach { case (a, b) =>
+      assert(a === b, "refreshed model row diverges from the from-scratch rebuild")
+    }
+  }
+
+  test("itemcf refresh: batch pass scans only post-split rows; the merge never rescans history") {
+    Recsys.ensureCfStore(spark, sfTest)
+    // the one corpus-sized pass (pre-checkpoint, exposed for the pin —
+    // localCheckpoint hides upstream stages): exactly one orders scan,
+    // carrying the pushed post-split predicate
+    val batchPlan = Recsys.postSplitDelta(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(corpusScans(batchPlan).length === 2, // orders + lineitem, once each
+      s"batch pass must scan orders+lineitem once each:\n${corpusScans(batchPlan).mkString("\n")}")
+    assert(batchPlan.contains("GreaterThanOrEqual(o_orderdate"),
+      "the orders scan must push the post-split filter down")
+    // the refresh plan proper: the checkpointed batch plus the three
+    // persisted store tables — ZERO fixture scans, i.e. pre-split
+    // interactions are never rescanned
+    val plan = Recsys.itemcfRefresh(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val names = Recsys.cfStoreNames(sfTest)
+    Seq("strengths", "pairs", "counts").foreach { t =>
+      assert(plan.contains(names(t)), s"refresh must read the persisted $t store")
+    }
+    assert(corpusScans(plan).isEmpty,
+      s"the refresh merge must not rescan any fixture table:\n${corpusScans(plan).mkString("\n")}")
   }
 
   test("dedup serve: batch dedup from the reloaded index matches the in-session pass") {

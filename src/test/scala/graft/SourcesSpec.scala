@@ -240,4 +240,46 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       "pre-evolution rows read the new column as NULL")
     assert(merged.where(col("gen") === 2).agg(sum("score")).head.getDouble(0) == 12.0)
   }
+
+  test("appendBucketedTable: grow-only — resident bucket files are never rewritten") {
+    import spark.implicits._
+    val t = "graft_test_append_contract"
+    graft.sources.Sources.retireTable(spark, t)
+    val loc = graft.sources.Sources.serveLocation(spark, t)
+    graft.sources.Sources.writeBucketedTable(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      t, Seq("k"), 4, Seq("k"), Some(loc))
+    def dataFiles(): Set[(String, Long, Long)] =
+      new java.io.File(loc).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = dataFiles()
+    assert(before.nonEmpty)
+    graft.sources.Sources.appendBucketedTable(
+      Seq((4L, "d"), (5L, "e")).toDF("k", "v"), t, Seq("k"), 4, Seq("k"))
+    val after = dataFiles()
+    assert(before.subsetOf(after),
+      "append rewrote resident bucket files (name/size/mtime changed)")
+    assert(after.size > before.size, "append must add new bucket files")
+    assert(spark.table(t).count() === 5, "readers must merge resident + appended")
+    graft.sources.Sources.retireTable(spark, t)
+  }
+
+  test("serveLocation/retireTable: rebuild retires the previous external location") {
+    import spark.implicits._
+    val t = "graft_test_retire_contract"
+    graft.sources.Sources.retireTable(spark, t)
+    val loc1 = graft.sources.Sources.serveLocation(spark, t)
+    graft.sources.Sources.writeExternalTable(Seq((1L, "a")).toDF("k", "v"), t, loc1)
+    assert(new java.io.File(loc1).exists())
+    // rebuild: retire + fresh nonce location — the old dir must be gone
+    graft.sources.Sources.retireTable(spark, t)
+    assert(!new java.io.File(loc1).exists(),
+      "retireTable must delete the previous graft_serve location")
+    val loc2 = graft.sources.Sources.serveLocation(spark, t)
+    assert(loc2 != loc1, "each build gets a fresh nonce location")
+    graft.sources.Sources.writeExternalTable(Seq((2L, "b")).toDF("k", "v"), t, loc2)
+    assert(spark.table(t).count() === 1)
+    graft.sources.Sources.retireTable(spark, t)
+  }
 }

@@ -360,6 +360,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("T12 stream-static CF scoring: a MemoryStream of arrivals against the persisted model equals batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the static side: the RELOADED serving model (built once by
+    // ensureCfModel — the same catalog table the batch form reads)
+    val model = Streams.cfServingModel(spark, sfTest)
+    val arrivals = Streams.streamArrivals(spark, sfTest)
+      .selectExpr("cast(user_id as long)", "cast(item_id as long)",
+                  "cast(strength as double)")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(arrivals.nonEmpty, "the arrival window must be non-empty")
+    val batch = canon(Streams.cfStreamScoreQuery(spark, sfTest))
+    val mem = MemoryStream[(Long, Long, Double)]
+    mem.addData(arrivals)
+    val name = s"cfscore_out_${System.nanoTime()}"
+    // stateless stream-static join: Append mode, no watermark needed
+    val q = Streams.cfStreamScore(
+        mem.toDF().toDF("user_id", "item_id", "strength"), model)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(spark.table(name)) === batch,
+      "stream-static scoring diverged from the batch form on identical arrivals")
+  }
+
   test("file-source stream: tumbling counts over events parquet equal batch") {
     // readStream over the fixture parquet (schema must be declared for
     // file streams; whatever physical ts type the fixture carries, the
