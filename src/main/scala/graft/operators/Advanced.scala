@@ -204,9 +204,15 @@ object Advanced {
     */
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey").cast("long").as("k"))
-    val cands = li.agg(graft.functions.MisraGries.misraGries(HhK, col("k")).as("cs"))
-      .select(explode(col("cs")).as("k"))
-    val total = li.agg(count(lit(1)).as("total_n"))
+    // sketch and stream total ride ONE aggregate pass (r12 ledger
+    // sweep: the separate total pass was a third full scan — at 100 TB
+    // that's a whole extra pass over the stream for one count); the
+    // 1-row result severs so its two readers don't re-run the pass
+    val sk = li.agg(graft.functions.MisraGries.misraGries(HhK, col("k")).as("cs"),
+                    count(lit(1)).as("total_n"))
+      .localCheckpoint()
+    val cands = sk.select(explode(col("cs")).as("k"))
+    val total = sk.select("total_n")
     li.join(broadcast(cands), Seq("k"), "left_semi")
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"))

@@ -456,9 +456,14 @@ object Analytics {
     * + one counting pass, each a narrow per-type aggregate.
     */
   def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // the three quantile/count passes are inherent (each needs the
+    // previous pass's scalar), but the SCAN is not: sever the slim
+    // (type, value) projection once — r12 ledger sweep (at cluster
+    // scale this is the cached projection a robust-stats job keeps)
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("value"))
       .where(col("value").isNotNull && !isnan(col("value")))
+      .localCheckpoint()
     val med = ev.groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
     val mad = ev.join(broadcast(med), "event_type")

@@ -892,15 +892,27 @@ object PipelineOps {
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").as("b_text"), col("source").as("b_source"))
-    val recrawl = Tables.documents(spark, sfDir).where(col("doc_id") % 3 === 0)
-      .select(col("doc_id"),
-              when(col("doc_id") % 6 === 0, concat(col("text"), lit(" [rev2]")))
-                .otherwise(col("text")).as("n_text"),
-              col("source").as("n_source"))
-    val fresh = Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text").as("n_text"),
-              lit("recrawl").as("n_source"))
-    base.join(recrawl.unionByName(fresh), Seq("doc_id"), "full_outer")
+    // both synthetic batch arms (revised re-crawls + brand-new docs)
+    // ride ONE scan via a generator — the recrawl.union(fresh) form
+    // re-planned the documents scan per arm (r12 ledger sweep; the
+    // q_zorder_layout stack lesson). A row on both arms (doc_id % 21)
+    // emits two structs; nulls are filtered after the explode.
+    val batch = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+      .select(explode(array(
+        when(col("doc_id") % 3 === 0, struct(
+          col("doc_id"),
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("n_text"),
+          col("source").as("n_source"))),
+        when(col("doc_id") % 7 === 0, struct(
+          (col("doc_id") + 100000L).as("doc_id"),
+          col("text").as("n_text"),
+          lit("recrawl").as("n_source"))))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("r.doc_id").as("doc_id"), col("r.n_text").as("n_text"),
+              col("r.n_source").as("n_source"))
+    base.join(batch, Seq("doc_id"), "full_outer")
       .withColumn("action",
         when(col("b_text").isNull, lit("insert"))
           .when(col("n_text").isNull, lit("carry"))

@@ -177,15 +177,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // (type, day) daily / (type, hour) hourly slim frames checkpointed
     // once; spine bounds and spans derive from the severed frames —
     // truncation is monotone, grouping preserves the domain).
+    // r12 departures: q_mad_outliers (the slim (type, value) projection
+    // severed once — the three quantile passes are inherent, the scan
+    // is not), q_heavy_hitters (sketch + stream total fused into ONE
+    // aggregate pass — a whole scan saved at any scale — with the
+    // 1-row result severed for its two readers), q_merge_upsert (both
+    // synthetic batch arms ride one generator scan instead of a
+    // self-union re-planning the corpus per arm).
     val RescanAllowed = Set(
       "q_bm25_rank",
       "q_dedup_bloom", "q_embedding_centroids",
-      "q_heavy_hitters",
       "q_hybrid_rrf", "q_itemcf_decay", "q_ivf_pq",
       "q_ivf_pq_filtered", // same adjudicated shape as q_ivf_pq (memoized code-table re-prints + the assignment chain); the label filter adds one slim id-list scan
       "q_knn_ivf",
-      "q_lr_ranking", "q_lsh_hyperplane", "q_mad_outliers", "q_matryoshka",
-      "q_media_neardup", "q_merge_upsert", "q_mutual_knn",
+      "q_lr_ranking", "q_lsh_hyperplane", "q_matryoshka",
+      "q_media_neardup", "q_mutual_knn",
       "q_psi_drift", "q_semantic_dedup",
       "q_setops_users", "q_stream_drift",
       "q_tfidf_terms", "q_time_split",
