@@ -515,6 +515,145 @@ object Dedup {
     * corpus pass. */
   val dedupServeSql: String = incrementalDedupSql
 
+  /** Wave boundary for the GROW leg: batch docs below it are wave 1
+    * (admitted into the index if they survive dedup), at/above it
+    * wave 2 (deduped against the GROWN index). Declared before the
+    * SQL val that interpolates it (init-order discipline). */
+  val GrowMid = 450L
+
+  /** Catalog names of the GROW-lineage dedup index — a separate
+    * lineage from [[dedupIndexNames]] because growing THOSE tables
+    * would silently change q_dedup_serve's corpus. */
+  private[graft] def dedupGrowNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("shingles", "sizes").map(n => n -> s"graft_dedupgrow_${n}_$tag").toMap
+  }
+
+  /** Build + grow, once per session: persist the standing corpus's
+    * inverted shingle index (the [[ensureDedupIndex]] layout, separate
+    * lineage), dedup WAVE 1 of the arriving batch against the RELOADED
+    * index, and APPEND the SURVIVORS' shingles and sizes into the
+    * bucketed tables — the admission step a crawl pipeline runs after
+    * each batch's dedup verdict (duplicates are dropped, novel docs
+    * join the corpus). The append writes per-bucket files alongside
+    * the resident ones (grow-only contract, SourcesSpec-pinned), so
+    * the resident 10⁹-doc index is never rewritten. Wave-1 docs are
+    * admitted independently (checked against the standing corpus only,
+    * not each other — the parallel-admission policy; both engines
+    * mirror it exactly). */
+  private[graft] def ensureDedupGrow(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"dedup_grow_appended:$sfDir") {
+      val names = dedupGrowNames(sfDir)
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
+      val standing = shingles(spark, sfDir).where(col("doc_id") < IncrementalFrom)
+        .localCheckpoint() // index write + size write read it
+      graft.sources.Sources.writeBucketedTable(
+        standing, names("shingles"), Seq("s"), 8, Seq("s"), Some(loc("shingles")))
+      graft.sources.Sources.writeBucketedTable(
+        standing.groupBy("doc_id").agg(count(lit(1)).as("ns")),
+        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"), Some(loc("sizes")))
+      // wave 1 dedups against the RELOADED standing index
+      val wave1 = shingles(spark, sfDir)
+        .where(col("doc_id") >= IncrementalFrom && col("doc_id") < GrowMid)
+        .localCheckpoint() // match pass + survivor append read it
+      val corpus = spark.table(names("shingles")).select(col("doc_id").as("old_id"), col("s"))
+      val w1sizes = wave1.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+        .select(col("doc_id").as("new_id"), col("nn"))
+      val oldSizes = spark.table(names("sizes"))
+        .select(col("doc_id").as("old_id"), col("ns").as("no"))
+      val dupIds = wave1.select(col("doc_id").as("new_id"), col("s"))
+        .join(corpus, "s")
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+        .join(w1sizes, "new_id")
+        .join(oldSizes, "old_id")
+        .where(round(col("inter") / (col("nn") + col("no") - col("inter")), 6)
+          >= JaccardThreshold)
+        .select("new_id").distinct()
+      val survivors = wave1.join(dupIds, wave1("doc_id") === dupIds("new_id"), "left_anti")
+      graft.sources.Sources.appendBucketedTable(
+        survivors.select("doc_id", "s"), names("shingles"), Seq("s"), 8, Seq("s"))
+      graft.sources.Sources.appendBucketedTable(
+        survivors.groupBy("doc_id").agg(count(lit(1)).as("ns")),
+        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"))
+      spark.range(1).toDF("ok") // memo marker: the index has grown
+    }.count(): Unit
+
+  /** Serve dedup from the GROWN index — the dedup pillar's grow leg
+    * (the ANN pillar's q_ivf_serve_ingest, transposed): wave 2 of the
+    * batch dedups against standing corpus PLUS wave 1's admitted
+    * survivors, read entirely from the reloaded bucketed tables. A
+    * wave-2 duplicate of a wave-1 novel doc is caught — the property
+    * a frozen index misses and the whole point of admission. Output
+    * contract matches [[dedupServe]] (best match per wave-2 doc). */
+  def dedupServeGrow(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureDedupGrow(spark, sfDir)
+    val names = dedupGrowNames(sfDir)
+    val corpus = spark.table(names("shingles"))
+      .select(col("doc_id").as("old_id"), col("s"))
+    val oldSizes = spark.table(names("sizes"))
+      .select(col("doc_id").as("old_id"), col("ns").as("no"))
+    val wave2 = shingles(spark, sfDir).where(col("doc_id") >= GrowMid)
+    val newSizes = wave2.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      .select(col("doc_id").as("new_id"), col("ns").as("nn"))
+    val inter = wave2.select(col("doc_id").as("new_id"), col("s"))
+      .join(corpus, "s")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(newSizes, "new_id")
+      .join(oldSizes, "old_id")
+      .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+    scored.groupBy("new_id")
+      .agg(graft.functions.TopKByScore.topK(1, col("jaccard"), col("old_id"), col("inter")).as("m"))
+      .select(col("new_id"), col("m")(0).getField("id").as("dup_of"),
+              col("m")(0).getField("score").as("jaccard"),
+              col("m")(0).getField("extra").as("inter"))
+      .orderBy("new_id")
+  }
+
+  /** Oracle: the grown-index dedup recomputed from first principles —
+    * wave-1 admission against the standing corpus, then wave 2 vs
+    * standing ∪ survivors. */
+  val dedupServeGrowSql: String =
+    s"""WITH $shinglesSql, sizes AS (
+       |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+       |), w1dup AS (
+       |  SELECT DISTINCT i.new_id FROM (
+       |    SELECT b.doc_id AS new_id, c.doc_id AS old_id, count(*) AS inter
+       |    FROM sh b JOIN sh c ON b.s = c.s
+       |    WHERE b.doc_id >= $IncrementalFrom AND b.doc_id < $GrowMid
+       |      AND c.doc_id < $IncrementalFrom
+       |    GROUP BY 1, 2
+       |  ) i
+       |  JOIN sizes nn ON nn.doc_id = i.new_id
+       |  JOIN sizes no ON no.doc_id = i.old_id
+       |  WHERE round(i.inter / (nn.ns + no.ns - i.inter), 6) >= $JaccardThreshold
+       |), idx AS MATERIALIZED (
+       |  SELECT doc_id, s FROM sh
+       |  WHERE doc_id < $IncrementalFrom
+       |     OR (doc_id >= $IncrementalFrom AND doc_id < $GrowMid
+       |         AND doc_id NOT IN (SELECT new_id FROM w1dup))
+       |), inter AS (
+       |  SELECT b.doc_id AS new_id, c.doc_id AS old_id, count(*) AS inter
+       |  FROM sh b JOIN idx c ON b.s = c.s
+       |  WHERE b.doc_id >= $GrowMid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT new_id, old_id, inter,
+       |    round(inter / (nn.ns + no.ns - inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes nn ON nn.doc_id = new_id
+       |  JOIN sizes no ON no.doc_id = old_id
+       |)
+       |SELECT new_id, old_id AS dup_of, jaccard, inter FROM (
+       |  SELECT new_id, old_id, jaccard, inter,
+       |    row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id ASC) AS rk
+       |  FROM scored WHERE jaccard >= $JaccardThreshold
+       |) WHERE rk = 1
+       |ORDER BY new_id""".stripMargin
+
   /** SimHash bit width. */
   val SimBits = 32
   /** Max Hamming distance for a SimHash near-dup pair. */
@@ -881,6 +1020,8 @@ object Dedup {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     shingles(spark, sfDir).count()
     ensureDedupIndex(spark, sfDir)
+    // the grow lineage: standing build + wave-1 admission append
+    ensureDedupGrow(spark, sfDir)
   }
 
   /** Containment threshold (|A∩B| / |A|). */
@@ -1353,6 +1494,7 @@ object Dedup {
     "q_dedup_embedding"   -> (embeddingNearDup _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_serve"       -> (dedupServe _),
+    "q_dedup_serve_grow"  -> (dedupServeGrow _),
     "q_dedup_bloom"       -> (bloomDedup _),
     "q_dedup_substring"   -> (substringDedup _),
     "q_source_overlap"    -> (sourceOverlap _),
@@ -1373,6 +1515,7 @@ object Dedup {
     "q_dedup_embedding"   -> embeddingNearDupSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_dedup_serve"       -> dedupServeSql,
+    "q_dedup_serve_grow"  -> dedupServeGrowSql,
     "q_dedup_bloom"       -> bloomDedupSql,
     "q_dedup_substring"   -> substringDedupSql,
     "q_source_overlap"    -> sourceOverlapSql,

@@ -192,6 +192,36 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup serve grow: the grown index equals standing + wave-1 survivors, and serve reads it") {
+    Dedup.ensureDedupGrow(spark, sfTest)
+    val names = Dedup.dedupGrowNames(sfTest)
+    import org.apache.spark.sql.functions.col
+    val sh = Dedup.shingles(spark, sfTest)
+    // in-session twin of the admission step
+    val standing = sh.where(col("doc_id") < Dedup.IncrementalFrom)
+    val wave1 = sh.where(col("doc_id") >= Dedup.IncrementalFrom &&
+                         col("doc_id") < Dedup.GrowMid)
+    val w1DupIds = Dedup.incrementalDedup(spark, sfTest)
+      .where(col("new_id") < Dedup.GrowMid).select(col("new_id").as("doc_id"))
+    val expected = standing.unionByName(
+        wave1.join(w1DupIds, Seq("doc_id"), "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val grown = spark.table(names("shingles"))
+      .select("doc_id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(grown.nonEmpty && grown.length === expected.length)
+    assert(grown.sameElements(expected),
+      "grown index must equal standing corpus + wave-1 survivors exactly")
+    // serve reads only the grown tables + the fresh wave-2 shingles
+    val out = Dedup.dedupServeGrow(spark, sfTest).collect()
+    assert(out.nonEmpty, "wave-2 dedup against the grown index must be non-vacuous")
+    val plan = Dedup.dedupServeGrow(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    Seq("shingles", "sizes").foreach { t =>
+      assert(plan.contains(names(t)), s"grown serve plan must read the persisted $t table")
+    }
+  }
+
   test("dedup serve: the persisted inverted index round-trips and a fresh session reads it") {
     Dedup.ensureDedupIndex(spark, sfTest)
     val names = Dedup.dedupIndexNames(sfTest)
