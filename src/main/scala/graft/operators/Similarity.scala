@@ -1404,9 +1404,16 @@ object Similarity {
   def ivfServeIngest(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIngestAppend(spark, sfDir)
     val names = ingestIndexNames(sfDir)
-    val lists = spark.table(names("lists"))
-    val probes = queryProbesTo(Tables.embeddings(spark, sfDir),
-        spark.table(names("centroids")), NCells, NQueries)
+    ivfFlatRetrieve(spark, sfDir,
+      spark.table(names("lists")), spark.table(names("centroids")))
+  }
+
+  /** Multi-probe IVF-flat retrieval against persisted (or live) lists
+    * + centroid tables — shared by the grown-index serve, its
+    * compacted sibling, and the in-session twin. */
+  private def ivfFlatRetrieve(spark: SparkSession, sfDir: String,
+      lists: DataFrame, cents: DataFrame): DataFrame = {
+    val probes = queryProbesTo(Tables.embeddings(spark, sfDir), cents, NCells, NQueries)
       .where(col("crk") <= NProbe)
       .select(col("vec_id").as("qid"), col("embedding"), col("nrm"), col("cid"))
     val scored = probes.as("a")
@@ -1416,6 +1423,62 @@ object Similarity {
               col("b.vec_id").as("neighbor_id"),
               round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
     rankIvf(scored, K)
+  }
+
+  /** Catalog name of the COMPACTED ingest index (one table: the
+    * rewritten inverted lists; centroids are shared with the ingest
+    * lineage — compaction never touches the quantizer). */
+  private[graft] def compactIndexName(sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_ivfcmp_lists_$tag"
+  }
+
+  /** Index COMPACTION — the maintenance job the grow-only contract
+    * eventually demands: every [[ensureIngestAppend]] lands its own
+    * per-bucket files, so after months of daily batches a bucket is
+    * hundreds of small files and scan cost degrades (open/seek
+    * overhead, no bucket-level sort). Compaction reads the grown table
+    * ONCE and rewrites it as a fresh bucketed + sorted table — one
+    * shuffle-free pass (the read is already bucketed by cid and the
+    * write buckets by cid), after which readers see the identical rows
+    * in the minimal file layout. ServeIndexSpec pins both halves:
+    * strictly fewer data files AND bit-identical retrieval. */
+  private[graft] def ensureIngestCompact(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_serve_compacted:$sfDir") {
+      ensureIngestAppend(spark, sfDir)
+      val name = compactIndexName(sfDir)
+      graft.sources.Sources.retireTable(spark, name)
+      // a compactor works at the FILE level: read the grown table's
+      // location as plain parquet (through the catalog-resolved
+      // bucketed scan, the planner elides the repartition as redundant
+      // against the claimed bucket layout and each input split then
+      // writes its own per-bucket files — measured: the "compaction"
+      // kept the fragment count), then repartition ON THE BUCKET
+      // COLUMN — repartition's hash IS the bucket hash (Murmur3 pmod
+      // n) — so each task holds exactly one bucket and writes exactly
+      // one file: the minimal layout
+      val lists = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ingestIndexNames(sfDir)("lists"))).location
+      graft.sources.Sources.writeBucketedTable(
+        spark.read.parquet(lists.toString).repartition(8, col("cid")),
+        name, Seq("cid"), 8, Seq("cid"),
+        Some(graft.sources.Sources.serveLocation(spark, name)))
+      spark.range(1).toDF("ok") // memo marker: compaction ran
+    }.count(): Unit
+
+  /** Serve from the COMPACTED index — must be indistinguishable from
+    * the grown index it rewrote (shared oracle, declared after
+    * [[ivfServeIngestSql]] below — the init-order discipline the
+    * aliasing first draft of this val violated and InitOrderSpec now
+    * guards for lowercase vals too), completing the operational
+    * lifecycle: build → grow → compact → serve. */
+  def ivfServeCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIngestCompact(spark, sfDir)
+    ivfFlatRetrieve(spark, sfDir,
+      spark.table(compactIndexName(sfDir)),
+      spark.table(ingestIndexNames(sfDir)("centroids")))
   }
 
   /** The in-session twin of [[ivfServeIngest]]: the same frozen-
@@ -1469,6 +1532,10 @@ object Similarity {
        |SELECT query_id, cell, rk, neighbor_id, cos
        |FROM ranked WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
+
+  /** Identical contract to [[ivfServeIngestSql]]: compaction is a
+    * physical rewrite, never a semantic change. */
+  val ivfServeCompactSql: String = ivfServeIngestSql
 
   /** Hard negatives mined per anchor. */
   val HardNegK = 3
@@ -1665,9 +1732,10 @@ object Similarity {
     ingestFrozen(spark, sfDir).count()
     ingestRebuilt(spark, sfDir).count()
     ensureServeIndex(spark, sfDir)
-    // the ingest-lineage index: base build + the batch append (both
-    // one-time writes the serve query then only reads)
+    // the ingest-lineage index: base build + the batch append + the
+    // compaction rewrite (one-time writes the serve queries then read)
     ensureIngestAppend(spark, sfDir)
+    ensureIngestCompact(spark, sfDir)
   }
 
   /** Semantic components over the mutual-kNN graph — graph-based
@@ -2050,6 +2118,7 @@ object Similarity {
     "q_ivf_serve"       -> (ivfServe _),
     "q_ivf_serve_filtered" -> (ivfServeFiltered _),
     "q_ivf_serve_ingest" -> (ivfServeIngest _),
+    "q_ivf_serve_compact" -> (ivfServeCompact _),
     "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn_filtered"    -> (knnFiltered _),
@@ -2073,6 +2142,7 @@ object Similarity {
     "q_ivf_serve"       -> ivfServeSql,
     "q_ivf_serve_filtered" -> ivfServeFilteredSql,
     "q_ivf_serve_ingest" -> ivfServeIngestSql,
+    "q_ivf_serve_compact" -> ivfServeCompactSql,
     "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_knn_filtered"    -> knnFilteredSql,

@@ -52,7 +52,9 @@ class InitOrderSpec extends AnyFunSuite {
   // the object is fully initialized, and are exempt.
   private val memberRe = raw"(?m)^\s{2}(?:private(?:\[\w+\])?\s+)?(?:protected\s+)?(?:override\s+)?(?:final\s+)?(?:lazy\s+)?(?:val|var|def|object|class|case\s+class|type|import)\b".r
   private val valRe = raw"(?m)^\s{2}(?:private(?:\[\w+\])?\s+)?(?:protected\s+)?(?:override\s+)?(?:final\s+)?(val) ([A-Za-z_][A-Za-z0-9_]*)\b".r
-  private val constRe = raw"(?m)^\s{2}(?:private(?:\[\w+\])?\s+)?(?:final\s+)?val ([A-Z][A-Za-z0-9_]*)\b".r
+  // ALL strict member vals are hazard targets, not just the uppercase
+  // constants — `val xSql = ySql` aliases bit in r12 and are lowercase
+  private val constRe = raw"(?m)^\s{2}(?:private(?:\[\w+\])?\s+)?(?:final\s+)?val ([A-Za-z_][A-Za-z0-9_]*)\b".r
 
   private def violationsIn(pathName: String, rawSrc: String): Seq[String] = {
     val src = blankComments(rawSrc)
@@ -125,6 +127,17 @@ class InitOrderSpec extends AnyFunSuite {
         |}
         |""".stripMargin
     assert(violationsIn("bare.scala", bare).nonEmpty)
+    // the r12 in-the-wild instance: a lowercase SQL-alias val forward-
+    // referencing the val it aliases (initializes to null)
+    val alias =
+      """package x
+        |object AliasBad {
+        |  val xSql: String = ySql
+        |  val ySql: String = "SELECT 1"
+        |}
+        |""".stripMargin
+    assert(violationsIn("alias.scala", alias).nonEmpty,
+      "lowercase val-alias forward refs must be flagged")
   }
 
   test("no production source string contains a block-comment opener (guards the scan itself)") {

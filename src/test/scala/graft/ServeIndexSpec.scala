@@ -138,6 +138,33 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
       s"grown-index serve must scan the raw corpus exactly once (queries); saw:\n${raw.mkString("\n")}")
   }
 
+  test("ivf compaction: the physical rewrite shrinks the file layout, retrieval is unchanged") {
+    Similarity.ensureIngestCompact(spark, sfTest)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def dataFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).location
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val k = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
+        k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(loc.getPath)).count(_.getName.startsWith("part-"))
+    }
+    val grownT = Similarity.ingestIndexNames(sfTest)("lists")
+    val compactT = Similarity.compactIndexName(sfTest)
+    // the grown table carries base-write + append files; the rewrite
+    // lands one write's worth
+    assert(dataFiles(compactT) < dataFiles(grownT),
+      s"compaction must shrink the layout: ${dataFiles(compactT)} vs ${dataFiles(grownT)}")
+    // same rows, bit for bit
+    assert(spark.table(compactT).count() === spark.table(grownT).count())
+    val served = Similarity.ivfServeCompact(spark, sfTest).collect()
+    val grown = Similarity.ivfServeIngest(spark, sfTest).collect()
+    assert(served.nonEmpty && served.length === grown.length)
+    served.zip(grown).foreach { case (a, b) =>
+      assert(a === b, "compacted retrieval diverges from the grown index")
+    }
+  }
+
   test("ivf serve filtered: the reloaded index answers the filtered request identically") {
     val served = Similarity.ivfServeFiltered(spark, sfTest).collect()
     val inSession = Similarity.ivfPqFiltered(spark, sfTest).collect()
