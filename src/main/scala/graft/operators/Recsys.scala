@@ -72,7 +72,7 @@ object Recsys {
     * impose their own order). Shared by the base and time-decayed
     * interaction tables.
     */
-  private def capHistories(interactions: DataFrame): DataFrame =
+  private[graft] def capHistories(interactions: DataFrame): DataFrame =
     interactions
       .groupBy("user_id")
       .agg(graft.functions.TopKByScore.topK(
@@ -536,9 +536,19 @@ object Recsys {
     val names = cfStoreNames(sfDir)
     val post = postSplitDelta(spark, sfDir)
       .localCheckpoint() // changed-user list + strength merge read it
+    refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
+      spark.table(names("counts")), post)
+  }
+
+  /** The refresh MERGE over explicit store frames — split out so the
+    * spec can replay the cap-boundary edge cases (a delta pushing an
+    * item across the MaxHistory cut) on planted data. `oldStrengths` /
+    * `oldPairs` (pk, co) / `oldCounts` are the persisted frozen-model
+    * statistics; `post` the batch's (user, item, strength) deltas. */
+  private[graft] def refreshFrom(oldStrengths: DataFrame, oldPairs: DataFrame,
+      oldCounts: DataFrame, post: DataFrame): DataFrame = {
     val changed = post.select("user_id").distinct()
-    val oldStr = spark.table(names("strengths"))
-      .join(changed, Seq("user_id"), "left_semi")
+    val oldStr = oldStrengths.join(changed, Seq("user_id"), "left_semi")
     val mergedStr = oldStr.unionByName(post)
       .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
     // the capped frames each feed the pair delta AND the count delta,
@@ -547,19 +557,28 @@ object Recsys {
     // severs here COST ~40% (eager materialization, no reuse gained)
     val cappedNew = capHistories(mergedStr).select("user_id", "item_id")
     val cappedOld = capHistories(oldStr).select("user_id", "item_id")
+    // pair delta aggregated to (pk, dco) BEFORE the store merge, and
+    // the merge is a FULL OUTER join on pk — the store side is
+    // bucketed by pk, so the bucketed join moves only the (small)
+    // delta side; the union+groupBy form reshuffled the whole
+    // model-sized pair store every refresh
     val pairDelta = pairsWithin(cappedNew, "user_id", "item_id")
-        .select(col("pk"), lit(1L).as("co"))
+        .select(col("pk"), lit(1L).as("d"))
       .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
-        .select(col("pk"), lit(-1L).as("co")))
-    val mergedPairs = spark.table(names("pairs")).select(col("pk"), col("co"))
-      .unionByName(pairDelta)
-      .groupBy("pk").agg(sum("co").as("co"))
+        .select(col("pk"), lit(-1L).as("d")))
+      .groupBy("pk").agg(sum("d").as("dco"))
+    val mergedPairs = oldPairs.select(col("pk"), col("co"))
+      .join(pairDelta, Seq("pk"), "full_outer")
+      .select(col("pk"),
+        (coalesce(col("co"), lit(0L)) + coalesce(col("dco"), lit(0L))).as("co"))
       .where(col("co") > 0)
-    val cntDelta = cappedNew.select(col("item_id"), lit(1L).as("n_users"))
-      .unionByName(cappedOld.select(col("item_id"), lit(-1L).as("n_users")))
-    val mergedCounts = spark.table(names("counts")).select(col("item_id"), col("n_users"))
-      .unionByName(cntDelta)
-      .groupBy("item_id").agg(sum("n_users").as("n_users"))
+    val cntDelta = cappedNew.select(col("item_id"), lit(1L).as("d"))
+      .unionByName(cappedOld.select(col("item_id"), lit(-1L).as("d")))
+      .groupBy("item_id").agg(sum("d").as("dn"))
+    val mergedCounts = oldCounts.select(col("item_id"), col("n_users"))
+      .join(cntDelta, Seq("item_id"), "full_outer")
+      .select(col("item_id"),
+        (coalesce(col("n_users"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_users"))
       .where(col("n_users") > 0)
     knnFromPairCounts(unpack(mergedPairs, "item_i", "item_j"), mergedCounts)
   }

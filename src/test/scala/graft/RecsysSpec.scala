@@ -421,10 +421,10 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
 
   test("itemcf drift: identity case is exact, cross-model bounds hold") {
     import operators.Recsys
-    val sim = Recsys.itemcfSimilarity(spark, sfTest).select("item_i", "rk", "item_j")
+    val sim = operators.Recsys.itemcfSimilarity(spark, sfTest).select("item_i", "rk", "item_j")
     // a model drifted against ITSELF: every neighbor set overlaps
     // fully and no top-1 changes — the identity the audit must honor
-    val self = Recsys.itemcfDriftFrom(sim, sim).collect()
+    val self = operators.Recsys.itemcfDriftFrom(sim, sim).collect()
     assert(self.length === 1)
     val s = self.head
     assert(s.getAs[Long]("n_items_fresh") === s.getAs[Long]("n_items_both"))
@@ -433,14 +433,61 @@ class RecsysSpec extends AnyFunSuite with SparkFixture {
     assert(s.getAs[Long]("n_common_pairs") > 0L)
 
     // the registered cross-model audit: structural bounds
-    val d = Recsys.itemcfDrift(spark, sfTest).collect().head
+    val d = operators.Recsys.itemcfDrift(spark, sfTest).collect().head
     val (nf, nz, nb) = (d.getAs[Long]("n_items_fresh"),
       d.getAs[Long]("n_items_frozen"), d.getAs[Long]("n_items_both"))
     assert(nb <= math.min(nf, nz) && nb > 0)
-    assert(d.getAs[Long]("n_common_pairs") <= nb * Recsys.TopK)
+    assert(d.getAs[Long]("n_common_pairs") <= nb * operators.Recsys.TopK)
     assert(d.getAs[Long]("overlap_bp") <= 10000L)
     assert(d.getAs[Long]("n_top1_changed") <= nb)
     // the fixture split genuinely reshapes the model (not a no-op twin)
     assert(d.getAs[Long]("overlap_bp") < 10000L)
+  }
+
+  test("itemcf refresh algebra: a delta crossing the MaxHistory cap matches the rebuild") {
+    // The subtle refresh case: the cap is a per-user top-MaxHistory cut
+    // by (strength desc, item asc), so a post-split boost can PUSH an
+    // item into the capped set and EVICT another — pair and count
+    // deltas must then remove the evicted item's memberships, not just
+    // add the newcomer's. Planted: user 1 holds MaxHistory+1 items;
+    // the delta boosts the one uncapped item past the weakest capped
+    // one. Plus a brand-new user (no pre-split history) and an
+    // untouched control user.
+    import spark.implicits._
+    val m = operators.Recsys.MaxHistory // 100
+    val old1 = (1 to m + 1).map(i => (1L, i.toLong, (1100 - i).toDouble))
+    val old2 = Seq((2L, 5L, 10.0), (2L, 6L, 8.0))
+    val oldStrengths = (old1 ++ old2).toDF("user_id", "item_id", "strength")
+    val post = Seq(
+      (1L, (m + 1).toLong, 200.0), // 999 + 200 = 1199: evicts item m (strength 1100-m)
+      (3L, 7L, 5.0), (3L, 8L, 4.0) // new user, never seen pre-split
+    ).toDF("user_id", "item_id", "strength")
+    def statsOf(strengths: org.apache.spark.sql.DataFrame) = {
+      val capped = operators.Recsys.capHistories(strengths).select("user_id", "item_id")
+      (operators.Recsys.pairsWithin(capped, "user_id", "item_id")
+         .groupBy("pk").agg(count(lit(1)).as("co")),
+       capped.groupBy("item_id").agg(count(lit(1)).as("n_users")))
+    }
+    val (oldPairs, oldCounts) = statsOf(oldStrengths)
+    val got = operators.Recsys.refreshFrom(oldStrengths, oldPairs, oldCounts, post)
+      .collect()
+    // the rebuild arm: the same model computed from the FULL merged
+    // strengths from scratch
+    val fullStrengths = oldStrengths.unionByName(post)
+      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
+    val (fullPairs, fullCounts) = statsOf(fullStrengths)
+    val want = operators.Recsys.knnFromPairCounts(
+      operators.Recsys.unpack(fullPairs, "item_i", "item_j"), fullCounts).collect()
+    assert(got.nonEmpty && got.length === want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a === b, "refresh diverges from rebuild on the cap-crossing fixture")
+    }
+    // the eviction really happened: item m left user 1's capped set,
+    // and nobody else holds it, so it is GONE from the model; the
+    // boosted item m+1 is in; the new user's items appear
+    val items = got.map(_.getAs[Long]("item_i")).toSet
+    assert(!items.contains(m.toLong), s"evicted item $m must leave the model")
+    assert(items.contains((m + 1).toLong), "boosted item must enter the model")
+    assert(items.contains(7L) && items.contains(8L), "new user's items must enter")
   }
 }
