@@ -72,4 +72,52 @@ class RecsysScaleSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.sum === Users.toLong * ItemsPerUser * (ItemsPerUser - 1) / 2,
       "total expanded pair instances must be exactly N*C(K,2)")
   }
+
+  test("refresh at scale: a 1% batch delta-merged into 20k-user statistics equals the rebuild",
+      ScaleTest) {
+    // The production-shaped case the fixture can't show (its post-split
+    // window covers ~36% of history): 20k users' frozen statistics,
+    // then a 1%-of-users batch — boosts that cross the cap (new items
+    // entering capped sets) plus brand-new users. The delta merge must
+    // equal a from-scratch rebuild over the merged strengths, row for
+    // row, at a scale where the pair space is ~10^6.
+    val spark2 = spark
+    import spark2.implicits._
+    val users = 20000L
+    val itemsPer = 10
+    val oldStrengths = spark.range(users).select(col("id").as("user_id"))
+      .select(col("user_id"), explode(expr(s"sequence(0, ${itemsPer - 1})")).as("j"))
+      .select(col("user_id"),
+        expr(s"(user_id % $Clusters) * $Block + (user_id div $Clusters + j) % $Block").as("item_id"),
+        (lit(100.0) - col("j")).as("strength"))
+    // batch: every 100th user buys a NEW item (outside their block walk)
+    // hard enough to enter the capped set; every 400th user is brand new
+    val post = spark.range(users / 100).select((col("id") * 100).as("user_id"))
+      .select(col("user_id"),
+        ((col("user_id") % Clusters) * Block + lit(Block - 1)).as("item_id"),
+        lit(500.0).as("strength"))
+      .unionByName(spark.range(50).select(
+        (col("id") + users).as("user_id"),
+        (col("id") % 7).as("item_id"),
+        lit(3.0).as("strength")))
+    def statsOf(strengths: org.apache.spark.sql.DataFrame) = {
+      val capped = Recsys.capHistories(strengths).select("user_id", "item_id")
+      (Recsys.pairsWithin(capped, "user_id", "item_id")
+         .groupBy("pk").agg(count(lit(1)).as("co")),
+       capped.groupBy("item_id").agg(count(lit(1)).as("n_users")))
+    }
+    val (oldPairs, oldCounts) = statsOf(oldStrengths)
+    val got = Recsys.refreshFrom(
+        oldStrengths, oldPairs.localCheckpoint(), oldCounts.localCheckpoint(), post)
+      .collect()
+    val fullStrengths = oldStrengths.unionByName(post)
+      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
+    val (fullPairs, fullCounts) = statsOf(fullStrengths)
+    val want = Recsys.knnFromPairCounts(
+      Recsys.unpack(fullPairs, "item_i", "item_j"), fullCounts).collect()
+    assert(got.nonEmpty && got.length === want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a === b, "scaled refresh diverges from the rebuild")
+    }
+  }
 }
