@@ -364,9 +364,16 @@ object Recsys {
     */
   def itemcfServe(spark: SparkSession, sfDir: String): DataFrame = {
     ensureCfModel(spark, sfDir)
+    serveFromModel(spark, sfDir, cfModelName(sfDir))
+  }
+
+  /** Recommendation scoring against ANY persisted neighbor table —
+    * shared by the fresh-model serve and the refreshed-model serve
+    * (the publish leg). Only user histories are live. */
+  private def serveFromModel(spark: SparkSession, sfDir: String,
+      model: String): DataFrame = {
     val hist = cappedInteractions(spark, sfDir)
-    val sim = broadcast(spark.table(cfModelName(sfDir))
-      .select("item_i", "item_j", "sim"))
+    val sim = broadcast(spark.table(model).select("item_i", "item_j", "sim"))
     val scored = hist
       .join(sim, hist("item_id") === sim("item_i"))
       .groupBy(col("user_id"), col("item_j").as("cand"))
@@ -581,6 +588,43 @@ object Recsys {
         (coalesce(col("n_users"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_users"))
       .where(col("n_users") > 0)
     knnFromPairCounts(unpack(mergedPairs, "item_i", "item_j"), mergedCounts)
+  }
+
+  /** Catalog name of the PUBLISHED refreshed model. */
+  private[graft] def cfRefreshedName(sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_itemcf_refreshed_$tag"
+  }
+
+  /** PUBLISH the refreshed model: write [[itemcfRefresh]]'s output as
+    * the new serving table (same bucketed layout as the fresh model's
+    * [[ensureCfModel]]). retire+saveAsTable is the atomic catalog swap
+    * a production rollout performs; the old model's location is
+    * reclaimed. This is the last hop of the lifecycle the drift alarm
+    * starts: drift (q_itemcf_drift says "retrain now") → refresh
+    * (delta merge, q_itemcf_refresh) → publish (this) → serve
+    * (q_itemcf_refresh_serve). */
+  private[graft] def ensureRefreshedModel(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"itemcf_refresh_published:$sfDir") {
+      val name = cfRefreshedName(sfDir)
+      graft.sources.Sources.retireTable(spark, name)
+      graft.sources.Sources.writeBucketedTable(
+        itemcfRefresh(spark, sfDir), name,
+        Seq("item_i"), 8, Seq("item_i", "rk"),
+        Some(graft.sources.Sources.serveLocation(spark, name)))
+      spark.range(1).toDF("ok") // memo marker: the rollout happened
+    }.count(): Unit
+
+  /** Serve recommendations from the PUBLISHED refreshed model. The
+    * refreshed model is row-identical to the from-scratch model (the
+    * q_itemcf_refresh contract), so serving from it must equal
+    * serving from the fresh model — [[itemcfRecommendSql]] stays the
+    * oracle, and the whole drift→refresh→publish→serve loop is
+    * hash-verified end to end. */
+  def itemcfRefreshServe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureRefreshedModel(spark, sfDir)
+    serveFromModel(spark, sfDir, cfRefreshedName(sfDir))
   }
 
   /** One prefixed, interaction-filtered ItemCF knn CTE chain — the
@@ -2331,10 +2375,12 @@ object Recsys {
     evalTrain(spark, sfDir).count()
     evalTest(spark, sfDir).count()
     evalRecs(spark, sfDir).count()
-    // the persisted ItemCF model (built once, served many) and the
-    // frozen model's refresh store (the statistics the delta leg reads)
+    // the persisted ItemCF model (built once, served many), the frozen
+    // model's refresh store (the statistics the delta leg reads), and
+    // the published refreshed model (the rollout the drift alarm ends in)
     ensureCfModel(spark, sfDir)
     ensureCfStore(spark, sfDir)
+    ensureRefreshedModel(spark, sfDir)
   }
 
   /** Brand pairs reported by the affinity rollup. */
@@ -2977,6 +3023,7 @@ object Recsys {
     "q_itemcf_serve"      -> (itemcfServe _),
     "q_itemcf_drift"      -> (itemcfDrift _),
     "q_itemcf_refresh"    -> (itemcfRefresh _),
+    "q_itemcf_refresh_serve" -> (itemcfRefreshServe _),
     "q_slope_one"         -> (slopeOne _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -3012,6 +3059,9 @@ object Recsys {
     // the refresh's oracle IS the from-scratch full-corpus model —
     // delta-merge identity is the correctness contract
     "q_itemcf_refresh"    -> itemcfSimilaritySql,
+    // refreshed model == fresh model, so serving from the published
+    // refresh must equal the plain recommend
+    "q_itemcf_refresh_serve" -> itemcfRecommendSql,
     "q_slope_one"         -> slopeOneSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,

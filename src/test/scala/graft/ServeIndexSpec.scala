@@ -209,6 +209,20 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
       s"the refresh merge must not rescan any fixture table:\n${corpusScans(plan).mkString("\n")}")
   }
 
+  test("itemcf refresh publish: serving from the published refreshed model equals the plain recommend") {
+    val served = Recsys.itemcfRefreshServe(spark, sfTest).collect()
+    val plain = Recsys.itemcfRecommend(spark, sfTest).collect()
+    assert(served.nonEmpty && served.length === plain.length)
+    served.zip(plain).foreach { case (a, b) =>
+      assert(a === b, "refresh-published serving diverges from the fresh-model recommend")
+    }
+    // the published table really is the refreshed model, row for row
+    val pub = spark.table(Recsys.cfRefreshedName(sfTest)).orderBy("item_i", "rk").collect()
+    val refreshed = Recsys.itemcfRefresh(spark, sfTest).collect()
+    assert(pub.length === refreshed.length && pub.nonEmpty)
+    pub.zip(refreshed).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("dedup serve: batch dedup from the reloaded index matches the in-session pass") {
     val served = Dedup.dedupServe(spark, sfTest).collect()
     val inSession = Dedup.incrementalDedup(spark, sfTest).collect()
