@@ -263,6 +263,22 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("r12 lineages: a fresh session reads the grown, store, refreshed and compacted tables") {
+    Similarity.ensureIngestCompact(spark, sfTest)
+    Recsys.ensureRefreshedModel(spark, sfTest)
+    Dedup.ensureDedupGrow(spark, sfTest)
+    val s2 = spark.newSession() // fresh session state, shared catalog
+    def same(t: String): Unit =
+      assert(s2.table(t).count() === spark.table(t).count() && s2.table(t).count() > 0,
+        s"fresh session must read $t identically")
+    same(Similarity.ingestIndexNames(sfTest)("lists"))
+    same(Similarity.compactIndexName(sfTest))
+    same(Recsys.cfRefreshedName(sfTest))
+    same(Recsys.cfStoreNames(sfTest)("pairs"))
+    same(Recsys.cfStoreNames(sfTest)("strengths"))
+    same(Dedup.dedupGrowNames(sfTest)("shingles"))
+  }
+
   test("dedup serve: the persisted inverted index round-trips and a fresh session reads it") {
     Dedup.ensureDedupIndex(spark, sfTest)
     val names = Dedup.dedupIndexNames(sfTest)
