@@ -155,7 +155,9 @@ object Sources {
     * with a per-build nonce segment so two sessions racing on the same
     * deterministic table name never write into each other's directory:
     * the catalog swap at saveAsTable time is atomic, and the loser's
-    * orphan is removed by the next [[retireTable]]. */
+    * orphan nonce dir is reclaimed by the next [[retireTable]]'s
+    * sibling sweep (it deletes every nonce dir under the table's
+    * graft_serve/<table>/ root, registered or not). */
   def serveLocation(spark: SparkSession, table: String): String = {
     val wh = spark.sessionState.conf.warehousePath.stripPrefix("file:")
     val dir = new java.io.File(new java.io.File(new java.io.File(wh, "graft_serve"), table),
@@ -168,7 +170,12 @@ object Sources {
     * each rebuild retires its predecessor's data instead of orphaning
     * it (the r11 advisor's leak). Deletion is restricted to locations
     * under a graft_serve root or the legacy graft_*_serve_ temp-dir
-    * prefixes — never an arbitrary user path the catalog might name. */
+    * prefixes — never an arbitrary user path the catalog might name.
+    * For a graft_serve-rooted location the sweep also removes SIBLING
+    * nonce dirs under the same graft_serve/<table>/ parent (a crashed
+    * or race-losing build's orphan UUID dir the catalog never named —
+    * the r12 advisor's slow-leak hazard) and then the emptied parent
+    * dir itself, so a retired table leaves no residue at all. */
   def retireTable(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val cat = spark.sessionState.catalog
@@ -178,10 +185,23 @@ object Sources {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       loc.map(u => new java.io.File(u.getPath)).foreach { f =>
         val p = f.getAbsolutePath
-        val ours = p.contains("/graft_serve/") || p.contains("/graft_ivf_serve_") ||
+        val underServeRoot = p.contains("/graft_serve/")
+        val ours = underServeRoot || p.contains("/graft_ivf_serve_") ||
           p.contains("/graft_dedup_serve_") || p.contains("/graft_itemcf_serve_") ||
-          p.contains("/graft_cf_store_") || p.contains("/graft_ivfing_")
+          p.contains("/graft_ivfing_")
         if (ours && f.exists()) deleteRecursively(f)
+        if (underServeRoot) {
+          // parent = graft_serve/<table>/ — sweep orphan nonce siblings
+          // (all are this table's: the path is namespaced by table name)
+          // and drop the parent once empty.
+          val parent = f.getParentFile
+          if (parent != null && parent.getParentFile != null &&
+              parent.getParentFile.getName == "graft_serve") {
+            val sibs = parent.listFiles()
+            if (sibs != null) sibs.foreach(deleteRecursively)
+            parent.delete(): Unit
+          }
+        }
       }
     }
   }

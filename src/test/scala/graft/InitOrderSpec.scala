@@ -19,8 +19,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * Two detectors:
   *  - interpolation use (`$Name` / `${Name`) before the declaration —
   *    the exact bite class (SQL strings capturing null/0);
-  *  - bare identifier use before the declaration, for names of length
-  *    ≥ 2 (single letters like K collide with type parameters).
+  *  - bare identifier use before the declaration. Names of length ≥ 2
+  *    match anywhere; single letters (like K) collide with type
+  *    parameters, so they only match at square-bracket depth 0 — in
+  *    Scala, `[...]` is (outside array literals, which don't exist)
+  *    type application, so a one-letter identifier inside brackets is
+  *    a type param and one outside is a value use (r12 advisor: the
+  *    earlier blanket skip left a hole for forward refs to `val K`).
   */
 class InitOrderSpec extends AnyFunSuite {
 
@@ -70,12 +75,21 @@ class InitOrderSpec extends AnyFunSuite {
       val declStart = m.start
       val q = java.util.regex.Pattern.quote(name)
       // usages: interpolation ($Name / ${Name) for any length; bare
-      // identifier for len >= 2 (single letters collide with type
-      // params), excluding qualified refs (Object.Name is runtime)
+      // identifier — at any position for len >= 2, at square-bracket
+      // depth 0 only for single letters (inside `[...]` a one-letter
+      // name is a type parameter, outside it is a value use); always
+      // excluding qualified refs (Object.Name is runtime)
+      def bracketDepth(off: Int): Int = {
+        var d = 0; var i = 0
+        while (i < off) { val c = src.charAt(i)
+          if (c == '[') d += 1 else if (c == ']') d -= 1; i += 1 }
+        d
+      }
+      val bare = raw"(?<![.\w])$q\b(?!\s*[=:]\s*)".r
+        .findAllMatchIn(src).map(_.start).toSeq
       val uses =
         raw"\$$\{?$q\b".r.findAllMatchIn(src).map(_.start).toSeq ++
-        (if (name.length < 2) Nil
-         else raw"(?<![.\w])$q\b".r.findAllMatchIn(src).map(_.start).toSeq)
+        (if (name.length < 2) bare.filter(bracketDepth(_) == 0) else bare)
       uses.filter(u => u < declStart &&
           valSpans.exists { case (vs, ve, end) =>
             vs < declStart && u >= ve && u < end })
@@ -138,6 +152,29 @@ class InitOrderSpec extends AnyFunSuite {
         |""".stripMargin
     assert(violationsIn("alias.scala", alias).nonEmpty,
       "lowercase val-alias forward refs must be flagged")
+    // the r12 advisor's hole: a forward ref to a ONE-LETTER constant
+    // (value position, bracket depth 0) must flag, while the same
+    // letter as a type parameter (inside `[...]`) must not
+    val oneLetter =
+      """package x
+        |object OneBad {
+        |  val Limit = K * 2
+        |  val K = 5
+        |  def f[K](xs: Seq[K]): Seq[K] = xs
+        |}
+        |""".stripMargin
+    assert(violationsIn("one.scala", oneLetter).exists(_.contains("uses K")),
+      "one-letter value-position forward refs must be flagged")
+    val oneLetterOk =
+      """package x
+        |object OneGood {
+        |  val K = 5
+        |  val Limit = K * 2
+        |  def f[K](xs: Seq[K]): Seq[K] = xs
+        |}
+        |""".stripMargin
+    assert(violationsIn("oneok.scala", oneLetterOk).isEmpty,
+      "type-parameter K and declared-first K must not flag")
   }
 
   test("no production source string contains a block-comment opener (guards the scan itself)") {
