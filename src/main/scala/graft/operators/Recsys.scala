@@ -45,6 +45,15 @@ object Recsys {
     * declaration order (the r10 q_ivf_pq_filtered lesson — a constant
     * declared later interpolates as null/0). */
   val SplitDate = "1999-07-01"
+  /** Refresh-CHAIN boundary: the post-[[SplitDate]] window splits into
+    * two sequential batches at this date (b₁ = [SplitDate, ChainDate),
+    * b₂ = [ChainDate, ∞)) — the two-day production cadence the chain
+    * leg replays. Declared before the SQL vals that interpolate it. */
+  val ChainDate = "2000-08-01"
+  /** GDPR-delete selector: users with user_id % DeleteMod == 0 are
+    * forgotten in q_itemcf_delete (≈5% of the store — 8 users at
+    * sf0.001, 74 at sf0.01). */
+  val DeleteMod = 20L
   /** K for precision/recall@K. */
   val EvalK = 10
 
@@ -462,17 +471,23 @@ object Recsys {
   private[graft] def cfStoreNames(sfDir: String): Map[String, String] = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    Seq("strengths", "pairs", "counts").map(n => n -> s"graft_cfstore_${n}_$tag").toMap
+    Seq("strengths", "pairs", "counts", "model")
+      .map(n => n -> s"graft_cfstore_${n}_$tag").toMap
   }
 
   /** Build-once: persist the FROZEN ItemCF model's internal state —
     * the pre-[[SplitDate]] per-(user, item) strength aggregate
     * (bucketed by user_id: the refresh's changed-user semi-join reads
     * only matching buckets), the capped-history pair co-occurrence
-    * counts (bucketed by the packed pair key), and the per-item user
-    * counts. These are the ADDITIVE sufficient statistics of the
-    * binary-cosine model — exactly what [[itemcfRefresh]] delta-merges
-    * a post-split batch into without rescanning history. */
+    * counts (bucketed by the packed pair key), the per-item user
+    * counts, AND the frozen model's own top-K neighbor table (bucketed
+    * by item_i). The first three are the ADDITIVE sufficient
+    * statistics of the binary-cosine model — what [[itemcfRefresh]]
+    * delta-merges a post-split batch into without rescanning history;
+    * the model table is what makes the refresh's ranking tail
+    * DELTA-PROPORTIONAL (r12 verdict #2): items untouched by the
+    * delta keep their persisted rows verbatim, so only the affected
+    * subset re-ranks. */
   private[graft] def ensureCfStore(spark: SparkSession, sfDir: String): Unit =
     graft.QueryCache.memo(spark, s"itemcf_store_written:$sfDir") {
       val names = cfStoreNames(sfDir)
@@ -480,16 +495,20 @@ object Recsys {
       def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
       val train = trainInteractions(spark, sfDir).localCheckpoint()
       val capped = capHistories(train).localCheckpoint() // pairs + counts read it
+      val pairs = pairsWithin(capped.select("user_id", "item_id"), "user_id", "item_id")
+        .groupBy("pk").agg(count(lit(1)).as("co"))
+        .localCheckpoint() // store write + frozen-model knn read it
+      val counts = capped.groupBy("item_id").agg(count(lit(1)).as("n_users"))
+        .localCheckpoint() // ≤ |items| rows; same two consumers
       graft.sources.Sources.writeBucketedTable(
         train, names("strengths"), Seq("user_id"), 8, Seq("user_id", "item_id"),
         Some(loc("strengths")))
       graft.sources.Sources.writeBucketedTable(
-        pairsWithin(capped.select("user_id", "item_id"), "user_id", "item_id")
-          .groupBy("pk").agg(count(lit(1)).as("co")),
-        names("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
-      graft.sources.Sources.writeExternalTable(
-        capped.groupBy("item_id").agg(count(lit(1)).as("n_users")),
-        names("counts"), loc("counts"))
+        pairs, names("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
+      graft.sources.Sources.writeExternalTable(counts, names("counts"), loc("counts"))
+      graft.sources.Sources.writeBucketedTable(
+        knnFromPairCounts(unpack(pairs, "item_i", "item_j"), counts),
+        names("model"), Seq("item_i"), 8, Seq("item_i", "rk"), Some(loc("model")))
       spark.range(1).toDF("ok") // memo marker: the store exists
     }.count(): Unit
 
@@ -498,9 +517,20 @@ object Recsys {
     * strength deltas. The orders scan carries the pushed
     * o_orderdate ≥ SplitDate filter (ServeIndexSpec pins it), so the
     * refresh's only corpus-sized work reads the batch, never history. */
-  private[graft] def postSplitDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .where(col("o_orderdate") >= lit(SplitDate).cast("timestamp_ntz"))
+  private[graft] def postSplitDelta(spark: SparkSession, sfDir: String): DataFrame =
+    deltaBetween(spark, sfDir, SplitDate, None)
+
+  /** Interaction-strength deltas for an order-date window [lo, hi) —
+    * the generalized batch extractor the refresh CHAIN replays twice
+    * (b₁ = [SplitDate, ChainDate), b₂ = [ChainDate, ∞)). The orders
+    * scan carries both pushed date bounds, so each refresh's only
+    * corpus-sized pass reads exactly its batch, never history. */
+  private[graft] def deltaBetween(spark: SparkSession, sfDir: String,
+      lo: String, hiOpt: Option[String]): DataFrame = {
+    val o0 = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(lo).cast("timestamp_ntz"))
+    val o = hiOpt.fold(o0)(hi =>
+        o0.where(col("o_orderdate") < lit(hi).cast("timestamp_ntz")))
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -544,20 +574,38 @@ object Recsys {
     val post = postSplitDelta(spark, sfDir)
       .localCheckpoint() // changed-user list + strength merge read it
     refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
-      spark.table(names("counts")), post)
+      spark.table(names("counts")), post,
+      oldModelOpt = Some(spark.table(names("model"))))
   }
+
+  /** The delta-merged statistics of one refresh step, before ranking:
+    * `changed` = the batch's users; `mergedStr` = merged strengths of
+    * CHANGED users only (unchanged users' rows cannot move);
+    * `mergedPairs` (pk, co) / `mergedCounts` = the COMPLETE post-merge
+    * pair and count stores (the full-outer merges fold the delta into
+    * every store row); `pairDelta` (pk, dco ≠ 0) / `cntDelta`
+    * (item_id, dn ≠ 0) = the exact deltas — what the ranking tail's
+    * affected-set computation and the chain's store advance consume. */
+  private[graft] case class CfMerge(changed: DataFrame, mergedStr: DataFrame,
+      mergedPairs: DataFrame, mergedCounts: DataFrame,
+      pairDelta: DataFrame, cntDelta: DataFrame)
 
   /** The refresh MERGE over explicit store frames — split out so the
     * spec can replay the cap-boundary edge cases (a delta pushing an
     * item across the MaxHistory cut) on planted data. `oldStrengths` /
     * `oldPairs` (pk, co) / `oldCounts` are the persisted frozen-model
-    * statistics; `post` the batch's (user, item, strength) deltas. */
-  private[graft] def refreshFrom(oldStrengths: DataFrame, oldPairs: DataFrame,
-      oldCounts: DataFrame, post: DataFrame): DataFrame = {
+    * statistics; `post` the batch's (user, item, strength) deltas —
+    * which may be NEGATIVE: a GDPR delete is a negative delta, and
+    * strengths are integral-valued doubles, so a full cancellation
+    * lands on exactly 0.0 and the > 0 filter drops the row (the same
+    * exactness argument the co ≤ 0 and n_users ≤ 0 drops rest on). */
+  private[graft] def mergeStats(oldStrengths: DataFrame, oldPairs: DataFrame,
+      oldCounts: DataFrame, post: DataFrame): CfMerge = {
     val changed = post.select("user_id").distinct()
     val oldStr = oldStrengths.join(changed, Seq("user_id"), "left_semi")
     val mergedStr = oldStr.unionByName(post)
       .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
+      .where(col("strength") > 0) // exact-0 cancellation = deleted row
     // the capped frames each feed the pair delta AND the count delta,
     // but their aggregate subtrees are plan-identical, so exchange
     // reuse already shares the work — measured: adding localCheckpoint
@@ -574,6 +622,8 @@ object Recsys {
       .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
         .select(col("pk"), lit(-1L).as("d")))
       .groupBy("pk").agg(sum("d").as("dco"))
+      .where(col("dco") =!= 0) // a zero delta is no delta (and must not
+                               // mark its endpoints as affected)
     val mergedPairs = oldPairs.select(col("pk"), col("co"))
       .join(pairDelta, Seq("pk"), "full_outer")
       .select(col("pk"),
@@ -582,12 +632,83 @@ object Recsys {
     val cntDelta = cappedNew.select(col("item_id"), lit(1L).as("d"))
       .unionByName(cappedOld.select(col("item_id"), lit(-1L).as("d")))
       .groupBy("item_id").agg(sum("d").as("dn"))
+      .where(col("dn") =!= 0)
     val mergedCounts = oldCounts.select(col("item_id"), col("n_users"))
       .join(cntDelta, Seq("item_id"), "full_outer")
       .select(col("item_id"),
         (coalesce(col("n_users"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_users"))
       .where(col("n_users") > 0)
-    knnFromPairCounts(unpack(mergedPairs, "item_i", "item_j"), mergedCounts)
+    CfMerge(changed, mergedStr, mergedPairs, mergedCounts, pairDelta, cntDelta)
+  }
+
+  /** One refresh step: merge, then rank. Without `oldModelOpt` the
+    * K·|items| ranking tail re-runs over the FULL merged model (the
+    * r12 shape). With the persisted old model supplied, the tail is
+    * DELTA-PROPORTIONAL (r12 verdict #2): an item's top-K can change
+    * ONLY if (a) one of its pair rows changed (dco ≠ 0 touches it),
+    * (b) its own n_users changed, or (c) a neighbor it shares a
+    * surviving pair with changed n_users (sim = co/√(ni·nj) reads
+    * both counts) — so the AFFECTED set is the union of the delta's
+    * pair endpoints, the count-changed items, and the store-graph
+    * neighbors of count-changed items; only pairs incident to it
+    * re-rank, and every other item keeps its persisted rows verbatim.
+    * A new pair (first co > 0) and a vanished pair (co → 0) both have
+    * dco ≠ 0, so appearance and disappearance are covered by (a);
+    * rounding is deterministic, so unchanged inputs reproduce
+    * bit-identical rows and the union is exact.
+    *
+    * Scale: the affected-set and incident-pair filters are broadcast
+    * semi-joins against the bucketed pair store — one slim scan, no
+    * shuffle — and the re-rank aggregates O(|affected| · degree)
+    * rows instead of the whole K·|items| model. At a 1% daily batch
+    * the tail shrinks by the same two orders the merge already did. */
+  private[graft] def refreshFrom(oldStrengths: DataFrame, oldPairs: DataFrame,
+      oldCounts: DataFrame, post: DataFrame,
+      oldModelOpt: Option[DataFrame] = None): DataFrame = {
+    val m = mergeStats(oldStrengths, oldPairs, oldCounts, post)
+    oldModelOpt match {
+      case None =>
+        knnFromPairCounts(unpack(m.mergedPairs, "item_i", "item_j"), m.mergedCounts)
+      case Some(oldModel) =>
+        val affected = affectedItems(m, oldPairs)
+          .localCheckpoint() // ≤ |items| ids; four broadcast consumers
+        def affAs(name: String) = broadcast(affected.select(col("item_id").as(name)))
+        val incident = unpack(m.mergedPairs, "item_i", "item_j")
+          .join(affAs("item_i").withColumn("fi", lit(1)), Seq("item_i"), "left")
+          .join(affAs("item_j").withColumn("fj", lit(1)), Seq("item_j"), "left")
+          .where(col("fi").isNotNull || col("fj").isNotNull)
+          .select("item_i", "item_j", "co")
+        val reranked = knnFromPairCounts(incident, m.mergedCounts)
+          .join(affAs("item_i"), Seq("item_i"), "left_semi")
+        oldModel.join(affAs("item_i"), Seq("item_i"), "left_anti")
+          .unionByName(reranked)
+          .orderBy("item_i", "rk")
+    }
+  }
+
+  /** The items whose top-K can differ after a merge — see
+    * [[refreshFrom]]'s case analysis. `oldPairs` supplies the
+    * store-graph adjacency for case (c): a pair CREATED or DESTROYED
+    * by the delta has dco ≠ 0, so its endpoints are already in via
+    * case (a) — surviving-pair adjacency is fully visible in the old
+    * store. */
+  private def affectedItems(m: CfMerge, oldPairs: DataFrame): DataFrame = {
+    val deltaEnds = unpack(m.pairDelta.select("pk"), "a", "b")
+    val cntChanged = m.cntDelta.select("item_id")
+    val cset = broadcast(cntChanged.withColumn("f", lit(1)))
+    val nbrOfCnt = unpack(oldPairs.select("pk"), "a", "b")
+      .join(cset.select(col("item_id").as("a"), col("f").as("fa")), Seq("a"), "left")
+      .join(cset.select(col("item_id").as("b"), col("f").as("fb")), Seq("b"), "left")
+      .where(col("fa").isNotNull || col("fb").isNotNull)
+      .select(explode(array(
+        when(col("fa").isNotNull, col("b")),
+        when(col("fb").isNotNull, col("a")))).as("item_id"))
+      .where(col("item_id").isNotNull)
+    deltaEnds.select(col("a").as("item_id"))
+      .unionByName(deltaEnds.select(col("b").as("item_id")))
+      .unionByName(cntChanged)
+      .unionByName(nbrOfCnt)
+      .distinct()
   }
 
   /** Catalog name of the PUBLISHED refreshed model. */
@@ -627,6 +748,121 @@ object Recsys {
     serveFromModel(spark, sfDir, cfRefreshedName(sfDir))
   }
 
+  /** Catalog names of the ADVANCED store — the frozen store's snapshot
+    * after folding batch b₁ in. A separate lineage from
+    * [[cfStoreNames]]: advancing THOSE tables in place would silently
+    * change q_itemcf_refresh's inputs (the immutable-serve-table
+    * discipline every grow leg follows). */
+  private[graft] def cfChainNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("strengths", "pairs", "counts", "model")
+      .map(n => n -> s"graft_cfadv_${n}_$tag").toMap
+  }
+
+  /** ADVANCE the store (r12 verdict #1 — the leg that lets the refresh
+    * lifecycle iterate past day one): fold batch b₁ = [SplitDate,
+    * ChainDate) into the frozen store and WRITE BACK the merged
+    * sufficient statistics as a new store snapshot — same bucketed
+    * layouts (strengths by user_id, pairs by pk, model by item_i) —
+    * plus the b₁-refreshed model. The statistics are a join-semilattice
+    * (addition on exact integers / integral doubles), so
+    * advance(store, b₁) followed by refresh(b₂) is associatively equal
+    * to refresh(b₁ ∪ b₂) and to the from-scratch rebuild — the
+    * property [[itemcfRefreshChain]]'s oracle hash-checks end to end.
+    * Strengths of UNCHANGED users carry over verbatim (anti-join on
+    * the changed set reads only matching user_id buckets); the pair
+    * and count merges are complete post-merge stores already. */
+  private[graft] def ensureChainStore(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"itemcf_chain_advanced:$sfDir") {
+      ensureCfStore(spark, sfDir)
+      val old = cfStoreNames(sfDir)
+      val adv = cfChainNames(sfDir)
+      adv.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, adv(n))
+      val post1 = deltaBetween(spark, sfDir, SplitDate, Some(ChainDate))
+        .localCheckpoint() // merge + model refresh read it
+      val m = mergeStats(spark.table(old("strengths")), spark.table(old("pairs")),
+        spark.table(old("counts")), post1)
+      graft.sources.Sources.writeBucketedTable(
+        spark.table(old("strengths")).join(m.changed, Seq("user_id"), "left_anti")
+          .unionByName(m.mergedStr),
+        adv("strengths"), Seq("user_id"), 8, Seq("user_id", "item_id"),
+        Some(loc("strengths")))
+      graft.sources.Sources.writeBucketedTable(
+        m.mergedPairs, adv("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
+      graft.sources.Sources.writeExternalTable(
+        m.mergedCounts, adv("counts"), loc("counts"))
+      graft.sources.Sources.writeBucketedTable(
+        refreshFrom(spark.table(old("strengths")), spark.table(old("pairs")),
+          spark.table(old("counts")), post1,
+          oldModelOpt = Some(spark.table(old("model")))),
+        adv("model"), Seq("item_i"), 8, Seq("item_i", "rk"), Some(loc("model")))
+      spark.range(1).toDF("ok") // memo marker: the store advanced
+    }.count(): Unit
+
+  /** The refresh CHAIN: refresh #2 runs from the ADVANCED store —
+    * batch b₂ = [ChainDate, ∞) folds into the snapshot
+    * [[ensureChainStore]] wrote after b₁ — and must equal
+    * refresh(b₁ ∪ b₂) (which is q_itemcf_refresh) and the from-scratch
+    * full-corpus model, so [[itemcfSimilaritySql]] stays the oracle.
+    * This is the day-2 shape every real user of the refresh machinery
+    * hits: yesterday's merge is a durable snapshot, today's refresh
+    * folds only today's batch — each day's cost stays proportional to
+    * that day's batch, never to the accumulated history.
+    *
+    * Scale: identical plan shape to [[itemcfRefresh]] — the b₂ scan
+    * carries both pushed date bounds, the store side reads bucketed
+    * catalog tables (ServeIndexSpec pins zero fixture scans below the
+    * advanced store), and the ranking tail is delta-proportional via
+    * the advanced model table. */
+  def itemcfRefreshChain(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureChainStore(spark, sfDir)
+    val adv = cfChainNames(sfDir)
+    val post2 = deltaBetween(spark, sfDir, ChainDate, None)
+      .localCheckpoint() // changed-user list + strength merge read it
+    refreshFrom(spark.table(adv("strengths")), spark.table(adv("pairs")),
+      spark.table(adv("counts")), post2,
+      oldModelOpt = Some(spark.table(adv("model"))))
+  }
+
+  /** GDPR DELETE as a refresh (r12 verdict #4, CF pillar): forgetting
+    * users is a NEGATIVE delta — the victims' entire strength rows,
+    * read FROM THE STORE ITSELF and negated, fold through the same
+    * [[refreshFrom]] semilattice merge (memberships leave the capped
+    * sets, pair counts decrement, co → 0 rows vanish, n_users → 0
+    * items vanish; integral-valued doubles cancel to exactly 0.0, so
+    * the > 0 strength filter drops a fully-deleted row). The output
+    * must equal a from-scratch rebuild that never saw the deleted
+    * users — the oracle recomputes exactly that.
+    *
+    * Scale: the whole delete touches ZERO fixture/corpus scans — the
+    * victim rows come from the bucketed strength store (only matching
+    * user_id buckets read), and the ranking tail re-ranks only the
+    * affected items. "Remove these users" costs the same as ingesting
+    * a batch of their size — at 100 TB that is the difference between
+    * a compliance job and a full retrain. */
+  def itemcfDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCfStore(spark, sfDir)
+    val names = cfStoreNames(sfDir)
+    val negDelta = spark.table(names("strengths"))
+      .where(col("user_id") % DeleteMod === 0)
+      .select(col("user_id"), col("item_id"), (-col("strength")).as("strength"))
+      .localCheckpoint() // changed-user list + strength merge read it
+    refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
+      spark.table(names("counts")), negDelta,
+      oldModelOpt = Some(spark.table(names("model"))))
+  }
+
+  /** Oracle: the frozen-corpus model rebuilt WITHOUT the deleted
+    * users — refresh-with-deletes must be indistinguishable from
+    * never having ingested them. */
+  val itemcfDeleteSql: String =
+    s"""WITH ${itemcfChainSql("d",
+        s"WHERE o_orderdate < TIMESTAMP '$SplitDate' AND o_custkey % $DeleteMod <> 0")}
+       |SELECT item_i, rk, item_j, sim, co FROM dknn
+       |ORDER BY item_i, rk""".stripMargin
+
   /** One prefixed, interaction-filtered ItemCF knn CTE chain — the
     * drift oracle instantiates it twice (fresh '' filter, frozen
     * pre-split filter) so both arms share one definition. Ends in
@@ -655,14 +891,14 @@ object Recsys {
        |  UNION ALL
        |  SELECT item_j AS item_i, item_i AS item_j, co FROM ${p}pairs
        |), ${p}sim AS (
-       |  SELECT item_i, item_j,
+       |  SELECT item_i, item_j, co,
        |    round(co / sqrt(ci.n_users * cj.n_users), 6) AS sim
        |  FROM ${p}mirrored
        |  JOIN ${p}counts ci ON ci.item_id = item_i
        |  JOIN ${p}counts cj ON cj.item_id = item_j
        |), ${p}knn AS MATERIALIZED (
-       |  SELECT item_i, item_j, rk FROM (
-       |    SELECT item_i, item_j,
+       |  SELECT item_i, item_j, sim, co, rk FROM (
+       |    SELECT item_i, item_j, sim, co,
        |      row_number() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j ASC) AS rk
        |    FROM ${p}sim
        |  ) WHERE rk <= $TopK
@@ -2381,6 +2617,7 @@ object Recsys {
     ensureCfModel(spark, sfDir)
     ensureCfStore(spark, sfDir)
     ensureRefreshedModel(spark, sfDir)
+    ensureChainStore(spark, sfDir)
   }
 
   /** Brand pairs reported by the affinity rollup. */
@@ -3024,6 +3261,8 @@ object Recsys {
     "q_itemcf_drift"      -> (itemcfDrift _),
     "q_itemcf_refresh"    -> (itemcfRefresh _),
     "q_itemcf_refresh_serve" -> (itemcfRefreshServe _),
+    "q_itemcf_refresh_chain" -> (itemcfRefreshChain _),
+    "q_itemcf_delete"     -> (itemcfDelete _),
     "q_slope_one"         -> (slopeOne _),
     "q_usercf_similarity" -> (usercfSimilarity _),
     "q_usercf_recommend"  -> (usercfRecommend _),
@@ -3062,6 +3301,11 @@ object Recsys {
     // refreshed model == fresh model, so serving from the published
     // refresh must equal the plain recommend
     "q_itemcf_refresh_serve" -> itemcfRecommendSql,
+    // two sequential refreshes from the advanced store == one combined
+    // refresh == from-scratch (semilattice associativity) — the chain
+    // shares the from-scratch oracle
+    "q_itemcf_refresh_chain" -> itemcfSimilaritySql,
+    "q_itemcf_delete"     -> itemcfDeleteSql,
     "q_slope_one"         -> slopeOneSql,
     "q_usercf_similarity" -> usercfSimilaritySql,
     "q_usercf_recommend"  -> usercfRecommendSql,

@@ -223,6 +223,95 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     pub.zip(refreshed).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("itemcf refresh: the delta-proportional rerank equals the full-model rerank") {
+    // r13: the registry path unions untouched persisted-model rows with
+    // a re-rank of only the affected items; the r12 full-tail shape
+    // (no oldModelOpt) is the semantics anchor — both must agree row
+    // for row on the fixture store + batch
+    Recsys.ensureCfStore(spark, sfTest)
+    val names = Recsys.cfStoreNames(sfTest)
+    val post = Recsys.postSplitDelta(spark, sfTest).localCheckpoint()
+    def arm(model: Option[org.apache.spark.sql.DataFrame]) =
+      Recsys.refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
+        spark.table(names("counts")), post, oldModelOpt = model)
+        .orderBy("item_i", "rk").collect()
+    val incremental = arm(Some(spark.table(names("model"))))
+    val full = arm(None)
+    assert(incremental.nonEmpty && incremental.length === full.length)
+    incremental.zip(full).foreach { case (a, b) =>
+      assert(a === b, "delta-proportional rerank diverges from the full rerank")
+    }
+  }
+
+  test("itemcf refresh chain: two sequential refreshes from the advanced store == from-scratch") {
+    val chained = Recsys.itemcfRefreshChain(spark, sfTest).collect()
+    val fresh = Recsys.itemcfSimilarity(spark, sfTest).orderBy("item_i", "rk").collect()
+    assert(chained.nonEmpty && chained.length === fresh.length)
+    chained.zip(fresh).foreach { case (a, b) =>
+      assert(a === b, "chained refresh diverges from the from-scratch rebuild")
+    }
+    // the advanced store really is the corpus-<ChainDate snapshot: its
+    // strengths equal a from-scratch pre-ChainDate train
+    val adv = Recsys.cfChainNames(sfTest)
+    import org.apache.spark.sql.functions.col
+    val advStr = spark.table(adv("strengths"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val scratch = Recsys.deltaBetween(spark, sfTest, "1900-01-01", Some(Recsys.ChainDate))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(advStr.nonEmpty && advStr.sameElements(scratch),
+      "advanced strength store must equal a from-scratch pre-ChainDate aggregate")
+  }
+
+  test("itemcf refresh chain: refresh #2 scans only batch 2") {
+    Recsys.ensureChainStore(spark, sfTest)
+    // the b2 extractor: exactly orders+lineitem once each, with the
+    // pushed lower bound (no upper bound on the open window)
+    val b2Plan = Recsys.deltaBetween(spark, sfTest, Recsys.ChainDate, None)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(corpusScans(b2Plan).length === 2,
+      s"batch-2 pass must scan orders+lineitem once each:\n${corpusScans(b2Plan).mkString("\n")}")
+    assert(b2Plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "the orders scan must push the batch-2 lower bound down")
+    // the chained refresh proper: advanced-store tables only, ZERO
+    // fixture scans — history (including b1) is never rescanned
+    val plan = Recsys.itemcfRefreshChain(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val adv = Recsys.cfChainNames(sfTest)
+    Seq("strengths", "pairs", "counts", "model").foreach { t =>
+      assert(plan.contains(adv(t)), s"chained refresh must read the advanced $t store")
+    }
+    assert(corpusScans(plan).isEmpty,
+      s"refresh #2 must not rescan any fixture table:\n${corpusScans(plan).mkString("\n")}")
+  }
+
+  test("itemcf delete: refresh-with-deletes == rebuild-without-deleted, with zero corpus scans") {
+    import org.apache.spark.sql.functions.col
+    val deleted = Recsys.itemcfDelete(spark, sfTest).collect()
+    // rebuild arm: the frozen pipeline over interactions that never
+    // contained the victims
+    val survivors = Recsys.deltaBetween(spark, sfTest, "1900-01-01", Some(Recsys.SplitDate))
+      .where(col("user_id") % Recsys.DeleteMod =!= 0)
+    val capped = Recsys.capHistories(survivors).localCheckpoint()
+    val rebuilt = Recsys.itemcfSimFrom(capped,
+        Recsys.pairsWithin(capped.select("user_id", "item_id"), "user_id", "item_id")
+          .groupBy("pk").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("co")))
+      .collect()
+    assert(deleted.nonEmpty && deleted.length === rebuilt.length)
+    deleted.zip(rebuilt).foreach { case (a, b) =>
+      assert(a === b, "delete-refresh diverges from the rebuild-without-deleted")
+    }
+    // the victims are really gone: no surviving pair involves a
+    // deleted-only item... (item-level absence is corpus-dependent);
+    // what IS universally pinned: the whole delete plan reads ONLY the
+    // persisted store — zero fixture scans (a GDPR delete needs no
+    // corpus pass)
+    val plan = Recsys.itemcfDelete(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(corpusScans(plan).isEmpty,
+      s"the delete refresh must not scan any fixture table:\n${corpusScans(plan).mkString("\n")}")
+  }
+
   test("dedup serve: batch dedup from the reloaded index matches the in-session pass") {
     val served = Dedup.dedupServe(spark, sfTest).collect()
     val inSession = Dedup.incrementalDedup(spark, sfTest).collect()
