@@ -418,13 +418,15 @@ object Dedup {
       .orderBy("new_id")
   }
 
-  val incrementalDedupSql: String =
+  /** `oldFilter` splices a predicate onto the resident-corpus side —
+    * the tombstone-mask variant restricts which residents can match. */
+  private def mkIncrementalDedupSql(oldFilter: String): String =
     s"""WITH $shinglesSql, sizes AS (
        |  SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
        |), inter AS (
        |  SELECT b.doc_id AS new_id, c.doc_id AS old_id, count(*) AS inter
        |  FROM sh b JOIN sh c ON b.s = c.s
-       |  WHERE b.doc_id >= $IncrementalFrom AND c.doc_id < $IncrementalFrom
+       |  WHERE b.doc_id >= $IncrementalFrom AND c.doc_id < $IncrementalFrom$oldFilter
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT new_id, old_id, inter,
@@ -439,6 +441,18 @@ object Dedup {
        |  FROM scored WHERE jaccard >= $JaccardThreshold
        |) WHERE rk = 1
        |ORDER BY new_id""".stripMargin
+
+  val incrementalDedupSql: String = mkIncrementalDedupSql("")
+
+  /** Resident docs with doc_id % DedupTombMod == 0 are tombstoned in
+    * the deletion leg (≈9% of the standing corpus). Declared before
+    * the SQL val that interpolates it. */
+  val DedupTombMod = 11L
+
+  /** Oracle for the deletion leg: the incremental pass against a
+    * corpus that never contained the tombstoned residents. */
+  val dedupServeDeleteSql: String =
+    mkIncrementalDedupSql(s" AND c.doc_id % $DedupTombMod <> 0")
 
   /** Catalog names for the persisted dedup index, unique +
     * deterministic per fixture dir (the [[graft.operators.Similarity]]
@@ -487,27 +501,9 @@ object Dedup {
   def dedupServe(spark: SparkSession, sfDir: String): DataFrame = {
     ensureDedupIndex(spark, sfDir)
     val names = dedupIndexNames(sfDir)
-    val corpus = spark.table(names("shingles"))
-      .select(col("doc_id").as("old_id"), col("s"))
-    val oldSizes = spark.table(names("sizes"))
-      .select(col("doc_id").as("old_id"), col("ns").as("no"))
-    val batch = shingles(spark, sfDir).where(col("doc_id") >= IncrementalFrom)
-    val newSizes = batch.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      .select(col("doc_id").as("new_id"), col("ns").as("nn"))
-    val inter = batch.select(col("doc_id").as("new_id"), col("s"))
-      .join(corpus, "s")
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
-    val scored = inter // corpus-sized size tables: unhinted, see pairScores
-      .join(newSizes, "new_id")
-      .join(oldSizes, "old_id")
-      .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
-      .where(col("jaccard") >= JaccardThreshold)
-    scored.groupBy("new_id")
-      .agg(graft.functions.TopKByScore.topK(1, col("jaccard"), col("old_id"), col("inter")).as("m"))
-      .select(col("new_id"), col("m")(0).getField("id").as("dup_of"),
-              col("m")(0).getField("score").as("jaccard"),
-              col("m")(0).getField("extra").as("inter"))
-      .orderBy("new_id")
+    serveProbe(spark, sfDir,
+      spark.table(names("shingles")), spark.table(names("sizes")),
+      col("doc_id") >= IncrementalFrom)
   }
 
   /** Identical contract to [[incrementalDedupSql]]: serving from the
@@ -545,40 +541,72 @@ object Dedup {
   private[graft] def ensureDedupGrow(spark: SparkSession, sfDir: String): Unit =
     graft.QueryCache.memo(spark, s"dedup_grow_appended:$sfDir") {
       val names = dedupGrowNames(sfDir)
-      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
-      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
-      val standing = shingles(spark, sfDir).where(col("doc_id") < IncrementalFrom)
-        .localCheckpoint() // index write + size write read it
-      graft.sources.Sources.writeBucketedTable(
-        standing, names("shingles"), Seq("s"), 8, Seq("s"), Some(loc("shingles")))
-      graft.sources.Sources.writeBucketedTable(
-        standing.groupBy("doc_id").agg(count(lit(1)).as("ns")),
-        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"), Some(loc("sizes")))
+      writeResidentIndex(spark, sfDir, names)
       // wave 1 dedups against the RELOADED standing index
-      val wave1 = shingles(spark, sfDir)
-        .where(col("doc_id") >= IncrementalFrom && col("doc_id") < GrowMid)
-        .localCheckpoint() // match pass + survivor append read it
-      val corpus = spark.table(names("shingles")).select(col("doc_id").as("old_id"), col("s"))
-      val w1sizes = wave1.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-        .select(col("doc_id").as("new_id"), col("nn"))
-      val oldSizes = spark.table(names("sizes"))
-        .select(col("doc_id").as("old_id"), col("ns").as("no"))
-      val dupIds = wave1.select(col("doc_id").as("new_id"), col("s"))
-        .join(corpus, "s")
-        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
-        .join(w1sizes, "new_id")
-        .join(oldSizes, "old_id")
-        .where(round(col("inter") / (col("nn") + col("no") - col("inter")), 6)
-          >= JaccardThreshold)
-        .select("new_id").distinct()
-      val survivors = wave1.join(dupIds, wave1("doc_id") === dupIds("new_id"), "left_anti")
-      graft.sources.Sources.appendBucketedTable(
-        survivors.select("doc_id", "s"), names("shingles"), Seq("s"), 8, Seq("s"))
-      graft.sources.Sources.appendBucketedTable(
-        survivors.groupBy("doc_id").agg(count(lit(1)).as("ns")),
-        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"))
+      admitWave(spark, names,
+        shingles(spark, sfDir)
+          .where(col("doc_id") >= IncrementalFrom && col("doc_id") < GrowMid))
       spark.range(1).toDF("ok") // memo marker: the index has grown
     }.count(): Unit
+
+  /** (Re)write a grow-lineage resident index: the standing corpus's
+    * shingles bucketed by shingle and sizes bucketed by doc_id —
+    * shared by [[ensureDedupGrow]] and the T13 streaming-admission
+    * twin (which grows its OWN lineage, never the registry's). */
+  private[graft] def writeResidentIndex(spark: SparkSession, sfDir: String,
+      names: Map[String, String]): Unit = {
+    names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+    def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
+    val standing = shingles(spark, sfDir).where(col("doc_id") < IncrementalFrom)
+      .localCheckpoint() // index write + size write read it
+    graft.sources.Sources.writeBucketedTable(
+      standing, names("shingles"), Seq("s"), 8, Seq("s"), Some(loc("shingles")))
+    graft.sources.Sources.writeBucketedTable(
+      standing.groupBy("doc_id").agg(count(lit(1)).as("ns")),
+      names("sizes"), Seq("doc_id"), 8, Seq("doc_id"), Some(loc("sizes")))
+  }
+
+  /** ADMIT one wave of (doc_id, s) shingle rows into a grow-lineage
+    * index: dedup the wave against the RELOADED resident tables
+    * (docs in the wave are checked against the corpus only, not each
+    * other — the parallel-admission policy), then APPEND the
+    * survivors' shingles and sizes into the bucketed tables. This is
+    * the admission step a crawl pipeline runs per batch — and, driven
+    * from a Structured Streaming foreachBatch sink, per MICRO-batch
+    * (the T13 online twin in StreamingSpec): foreachBatch hands each
+    * micro-batch to exactly this function, so stream and batch
+    * admission are the same code by construction. */
+  private[graft] def admitWave(spark: SparkSession, names: Map[String, String],
+      wave0: DataFrame): Unit = {
+    val wave = wave0.localCheckpoint() // match pass + survivor append read it
+    val corpus = spark.table(names("shingles")).select(col("doc_id").as("old_id"), col("s"))
+    val wSizes = wave.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      .select(col("doc_id").as("new_id"), col("nn"))
+    val oldSizes = spark.table(names("sizes"))
+      .select(col("doc_id").as("old_id"), col("ns").as("no"))
+    val dupIds = wave.select(col("doc_id").as("new_id"), col("s"))
+      .join(corpus, "s")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+      .join(wSizes, "new_id")
+      .join(oldSizes, "old_id")
+      .where(round(col("inter") / (col("nn") + col("no") - col("inter")), 6)
+        >= JaccardThreshold)
+      .select("new_id").distinct()
+    val survivors = wave.join(dupIds, wave("doc_id") === dupIds("new_id"), "left_anti")
+    graft.sources.Sources.appendBucketedTable(
+      survivors.select("doc_id", "s"), names("shingles"), Seq("s"), 8, Seq("s"))
+    graft.sources.Sources.appendBucketedTable(
+      survivors.groupBy("doc_id").agg(count(lit(1)).as("ns")),
+      names("sizes"), Seq("doc_id"), 8, Seq("doc_id"))
+    // A foreachBatch sink executes the append through streaming's
+    // CLONED session, whose write-side refresh invalidates only the
+    // clone's relation cache — the caller's session would keep serving
+    // the PRE-append file listing (measured: wave 2 deduped against a
+    // stale standing-only corpus and the admitted docs were invisible).
+    // Refresh in the session the next wave will read through.
+    spark.catalog.refreshTable(names("shingles"))
+    spark.catalog.refreshTable(names("sizes"))
+  }
 
   /** Serve dedup from the GROWN index — the dedup pillar's grow leg
     * (the ANN pillar's q_ivf_serve_ingest, transposed): wave 2 of the
@@ -590,27 +618,9 @@ object Dedup {
   def dedupServeGrow(spark: SparkSession, sfDir: String): DataFrame = {
     ensureDedupGrow(spark, sfDir)
     val names = dedupGrowNames(sfDir)
-    val corpus = spark.table(names("shingles"))
-      .select(col("doc_id").as("old_id"), col("s"))
-    val oldSizes = spark.table(names("sizes"))
-      .select(col("doc_id").as("old_id"), col("ns").as("no"))
-    val wave2 = shingles(spark, sfDir).where(col("doc_id") >= GrowMid)
-    val newSizes = wave2.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      .select(col("doc_id").as("new_id"), col("ns").as("nn"))
-    val inter = wave2.select(col("doc_id").as("new_id"), col("s"))
-      .join(corpus, "s")
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
-    val scored = inter
-      .join(newSizes, "new_id")
-      .join(oldSizes, "old_id")
-      .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
-      .where(col("jaccard") >= JaccardThreshold)
-    scored.groupBy("new_id")
-      .agg(graft.functions.TopKByScore.topK(1, col("jaccard"), col("old_id"), col("inter")).as("m"))
-      .select(col("new_id"), col("m")(0).getField("id").as("dup_of"),
-              col("m")(0).getField("score").as("jaccard"),
-              col("m")(0).getField("extra").as("inter"))
-      .orderBy("new_id")
+    serveProbe(spark, sfDir,
+      spark.table(names("shingles")), spark.table(names("sizes")),
+      col("doc_id") >= GrowMid)
   }
 
   /** Oracle: the grown-index dedup recomputed from first principles —
@@ -653,6 +663,135 @@ object Dedup {
        |  FROM scored WHERE jaccard >= $JaccardThreshold
        |) WHERE rk = 1
        |ORDER BY new_id""".stripMargin
+
+  /** Catalog names of the COMPACTED grow-lineage index and the
+    * deletion leg's tombstone table — each its own lineage (the grown
+    * and standing serve tables other queries read stay immutable). */
+  private[graft] def dedupCompactNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Map("shingles" -> s"graft_dedupcmp_shingles_$tag",
+        "sizes" -> s"graft_dedupcmp_sizes_$tag",
+        "tombstones" -> s"graft_deduptomb_ids_$tag")
+  }
+
+  /** COMPACT the grown dedup index (r12 verdict #5 — the ANN
+    * compactor's pattern transplanted): every admission wave appends
+    * its own per-bucket files into the grown shingle/size tables, so
+    * after months of batches a bucket is hundreds of fragments.
+    * Read each grown table's LOCATION as plain parquet (through the
+    * catalog-resolved bucketed scan the planner elides the
+    * repartition as redundant and KEEPS the fragmentation — the
+    * measured q_ivf_serve_compact gotcha), repartition ON THE BUCKET
+    * COLUMN (repartition's hash IS the bucket hash), and rewrite the
+    * minimal one-file-per-bucket layout. A physical rewrite, never a
+    * semantic change — the spec pins strictly-fewer files AND
+    * bit-identical serve. */
+  private[graft] def ensureDedupCompact(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"dedup_grow_compacted:$sfDir") {
+      ensureDedupGrow(spark, sfDir)
+      val grown = dedupGrowNames(sfDir)
+      val names = dedupCompactNames(sfDir)
+      def grownLoc(t: String) = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(grown(t))).location.toString
+      graft.sources.Sources.retireTable(spark, names("shingles"))
+      graft.sources.Sources.retireTable(spark, names("sizes"))
+      graft.sources.Sources.writeBucketedTable(
+        spark.read.parquet(grownLoc("shingles")).repartition(8, col("s")),
+        names("shingles"), Seq("s"), 8, Seq("s"),
+        Some(graft.sources.Sources.serveLocation(spark, names("shingles"))))
+      graft.sources.Sources.writeBucketedTable(
+        spark.read.parquet(grownLoc("sizes")).repartition(8, col("doc_id")),
+        names("sizes"), Seq("doc_id"), 8, Seq("doc_id"),
+        Some(graft.sources.Sources.serveLocation(spark, names("sizes"))))
+      spark.range(1).toDF("ok") // memo marker: compaction ran
+    }.count(): Unit
+
+  /** Serve wave-2 dedup from the COMPACTED grown index — must be
+    * indistinguishable from [[dedupServeGrow]] (shared oracle),
+    * completing the dedup pillar's operational lifecycle: build →
+    * grow → compact → serve. */
+  def dedupServeCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureDedupCompact(spark, sfDir)
+    val names = dedupCompactNames(sfDir)
+    serveProbe(spark, sfDir,
+      spark.table(names("shingles")), spark.table(names("sizes")),
+      col("doc_id") >= GrowMid)
+  }
+
+  /** Identical contract to [[dedupServeGrowSql]]: a physical rewrite. */
+  val dedupServeCompactSql: String = dedupServeGrowSql
+
+  /** Persist the deletion leg's tombstone set — resident doc_ids with
+    * doc_id % [[DedupTombMod]] == 0, derived from the persisted SIZE
+    * table (one slim id column): like the CF and ANN deletes, a
+    * "forget these documents" job needs only the index, never a
+    * corpus scan. */
+  private[graft] def ensureDedupTombstones(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"dedup_tombstones_written:$sfDir") {
+      ensureDedupIndex(spark, sfDir)
+      val names = dedupCompactNames(sfDir)
+      graft.sources.Sources.retireTable(spark, names("tombstones"))
+      graft.sources.Sources.writeExternalTable(
+        spark.table(dedupIndexNames(sfDir)("sizes"))
+          .select("doc_id").where(col("doc_id") % DedupTombMod === 0),
+        names("tombstones"),
+        graft.sources.Sources.serveLocation(spark, names("tombstones")))
+      spark.range(1).toDF("ok") // memo marker: the tombstones exist
+    }.count(): Unit
+
+  /** Serve incremental dedup with the tombstone table honored at
+    * SERVE time (r12 verdict #4, dedup pillar): the resident index
+    * and size table anti-join the broadcast tombstone set before the
+    * probe, so a deleted resident can never be reported as anyone's
+    * duplicate — a batch doc whose best match was tombstoned falls to
+    * its next-best surviving match (or to novelty). The oracle
+    * recomputes the pass against a corpus that never held the
+    * tombstoned docs.
+    *
+    * Scale: the tombstone set broadcasts; both anti-joins ride the
+    * existing bucketed scans — zero new shuffles, zero resident
+    * rewrites; the physical erasure is [[ensureDedupCompact]]'s
+    * rewrite composed with the same anti-join (the ANN pillar's
+    * delete-compact shape, pinned in the spec). */
+  def dedupServeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureDedupTombstones(spark, sfDir)
+    val idx = dedupIndexNames(sfDir)
+    val tomb = broadcast(spark.table(dedupCompactNames(sfDir)("tombstones")))
+    serveProbe(spark, sfDir,
+      spark.table(idx("shingles")).join(tomb, Seq("doc_id"), "left_anti"),
+      spark.table(idx("sizes")).join(tomb, Seq("doc_id"), "left_anti"),
+      col("doc_id") >= IncrementalFrom)
+  }
+
+  /** The shared batch-vs-resident probe: shingle-join the batch
+    * (selected by `batchPred`, shingled fresh) against a resident
+    * index + size table, score Jaccard, report the best match per
+    * batch doc — the retrieval core of [[dedupServe]],
+    * [[dedupServeGrow]], their compacted twin and the deletion leg. */
+  private def serveProbe(spark: SparkSession, sfDir: String,
+      residentShingles: DataFrame, residentSizes: DataFrame,
+      batchPred: org.apache.spark.sql.Column): DataFrame = {
+    val corpus = residentShingles.select(col("doc_id").as("old_id"), col("s"))
+    val oldSizes = residentSizes.select(col("doc_id").as("old_id"), col("ns").as("no"))
+    val batch = shingles(spark, sfDir).where(batchPred)
+    val newSizes = batch.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      .select(col("doc_id").as("new_id"), col("ns").as("nn"))
+    val inter = batch.select(col("doc_id").as("new_id"), col("s"))
+      .join(corpus, "s")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    val scored = inter // corpus-sized size tables: unhinted, see pairScores
+      .join(newSizes, "new_id")
+      .join(oldSizes, "old_id")
+      .withColumn("jaccard", round(col("inter") / (col("nn") + col("no") - col("inter")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+    scored.groupBy("new_id")
+      .agg(graft.functions.TopKByScore.topK(1, col("jaccard"), col("old_id"), col("inter")).as("m"))
+      .select(col("new_id"), col("m")(0).getField("id").as("dup_of"),
+              col("m")(0).getField("score").as("jaccard"),
+              col("m")(0).getField("extra").as("inter"))
+      .orderBy("new_id")
+  }
 
   /** SimHash bit width. */
   val SimBits = 32
@@ -1495,6 +1634,8 @@ object Dedup {
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_serve"       -> (dedupServe _),
     "q_dedup_serve_grow"  -> (dedupServeGrow _),
+    "q_dedup_serve_compact" -> (dedupServeCompact _),
+    "q_dedup_serve_delete" -> (dedupServeDelete _),
     "q_dedup_bloom"       -> (bloomDedup _),
     "q_dedup_substring"   -> (substringDedup _),
     "q_source_overlap"    -> (sourceOverlap _),
@@ -1516,6 +1657,8 @@ object Dedup {
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_dedup_serve"       -> dedupServeSql,
     "q_dedup_serve_grow"  -> dedupServeGrowSql,
+    "q_dedup_serve_compact" -> dedupServeCompactSql,
+    "q_dedup_serve_delete" -> dedupServeDeleteSql,
     "q_dedup_bloom"       -> bloomDedupSql,
     "q_dedup_substring"   -> substringDedupSql,
     "q_source_overlap"    -> sourceOverlapSql,

@@ -446,14 +446,16 @@ object Similarity {
     * integers past the 6dp cell ranking. `shortlistFilter` splices a
     * metadata predicate into the shortlist join (the filtered-serving
     * variant); empty for the unfiltered tier. */
-  private def mkIvfPqSql(shortlistFilter: String): String =
+  private def mkIvfPqSql(shortlistFilter: String, centRestrict: String = "",
+      trainCtes: String = Training.pqTrainCtes,
+      cbName: String = Training.pqFinalCb): String =
     s"""WITH ef AS MATERIALIZED (
        |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
        |), cellranked AS MATERIALIZED (
        |  SELECT b.vec_id, a.vec_id AS cid,
        |    row_number() OVER (PARTITION BY b.vec_id
        |      ORDER BY round($dotDuck / (a.nrm * b.nrm), 6) DESC, a.vec_id ASC) AS crk
-       |  FROM ef b JOIN ef a ON a.vec_id < $NCells
+       |  FROM ef b JOIN ef a ON a.vec_id < $NCells$centRestrict
        |), assigned AS (
        |  SELECT vec_id, cid FROM cellranked WHERE crk = 1
        |), probes AS (
@@ -462,10 +464,10 @@ object Similarity {
        |), shortlist AS MATERIALIZED (
        |  SELECT p.query_id, b.vec_id AS neighbor_id
        |  FROM probes p JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id$shortlistFilter
-       |), ${Training.pqTrainCtes}, lut AS MATERIALIZED (
+       |), $trainCtes, lut AS MATERIALIZED (
        |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
        |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
-       |  FROM e JOIN ${Training.pqFinalCb} c ON c.sub = e.sub AND c.pos = e.pos
+       |  FROM e JOIN $cbName c ON c.sub = e.sub AND c.pos = e.pos
        |  WHERE e.vec_id < $NQueries
        |  GROUP BY 1, 2, 3
        |), adc AS MATERIALIZED (
@@ -1102,8 +1104,13 @@ object Similarity {
   private def isIngestBatch: Column =
     expr("cast(conv(substring(md5(concat_ws('-', cast(vec_id AS string), 'ingest')), 1, 8), 16, 10) AS bigint)") % 5 === 0
 
-  private val ingestBatchDuck =
-    s"('0x' || substr(md5(vec_id || '-ingest'), 1, 8))::BIGINT % 5 = 0"
+  /** The same selector over an arbitrary column reference — the
+    * frozen-codebook chains and centroid restrictions splice it onto
+    * aliased columns. */
+  private def ingestBatchDuckOn(c: String): String =
+    s"('0x' || substr(md5($c || '-ingest'), 1, 8))::BIGINT % 5 = 0"
+
+  private val ingestBatchDuck = ingestBatchDuckOn("vec_id")
 
   /** Frozen-index assignment of the MERGED corpus, memoized per
     * (session, sfDir): centroids from the standing base only, every
@@ -1502,8 +1509,10 @@ object Similarity {
 
   /** Oracle: [[knnIvfSql]]'s multi-probe search with the quantizer
     * restricted to BASE centroids (the frozen index the grown lists
-    * table embodies) over the merged corpus. */
-  val ivfServeIngestSql: String =
+    * table embodies) over the merged corpus. `neighborFilter` splices
+    * a predicate into the retrieval join's neighbor side — the
+    * tombstone-mask variant. */
+  private def mkIvfServeIngestSql(neighborFilter: String): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings
        |), fbase AS (
@@ -1523,7 +1532,7 @@ object Similarity {
        |  SELECT a.qid AS query_id, a.cid AS cell, b.vec_id AS neighbor_id,
        |    round($dotDuck / (a.nrm * b.nrm), 6) AS cos
        |  FROM probes a
-       |  JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id
+       |  JOIN assigned b ON a.cid = b.cid AND a.qid <> b.vec_id$neighborFilter
        |), ranked AS (
        |  SELECT query_id, cell, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
@@ -1533,9 +1542,329 @@ object Similarity {
        |FROM ranked WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
 
+  val ivfServeIngestSql: String = mkIvfServeIngestSql("")
+
   /** Identical contract to [[ivfServeIngestSql]]: compaction is a
     * physical rewrite, never a semantic change. */
   val ivfServeCompactSql: String = ivfServeIngestSql
+
+  /** Catalog names of the PQ half of the ingest lineage (r12 verdict
+    * #3 — the one composition the grow story was missing): codebooks
+    * trained on the BASE corpus only (the frozen quantizer's PQ
+    * analog), the code table, and the quantized vectors the exact
+    * re-rank reads — the latter two bucketed by vec_id and GROWN by
+    * appends, never rebuilt. */
+  private[graft] def pqIngestNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Seq("codebooks", "codes", "vectors_q").map(n => n -> s"graft_pqing_${n}_$tag").toMap
+  }
+
+  /** Build-once: train PQ codebooks on the BASE corpus only and
+    * persist them with the base's codes and quantized vectors — the
+    * PQ sibling of [[ensureIngestIndex]] (which owns the coarse
+    * lists + centroids this lineage shares). */
+  private[graft] def ensurePqIngestIndex(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"pq_ingest_written:$sfDir") {
+      ensureIngestIndex(spark, sfDir)
+      val names = pqIngestNames(sfDir)
+      names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+      def loc(n: String) = graft.sources.Sources.serveLocation(spark, names(n))
+      val baseEs = Training.pqSubOf(Training.quantizedOf(
+          Tables.embeddings(spark, sfDir).where(!isIngestBatch)))
+        .localCheckpoint() // codebook training + codes + vectors read it
+      val cb = Training.pqCodebooksOf(baseEs)
+      graft.sources.Sources.writeExternalTable(cb, names("codebooks"), loc("codebooks"))
+      graft.sources.Sources.writeBucketedTable(
+        Training.pqCodesOf(baseEs, cb),
+        names("codes"), Seq("vec_id"), 8, Seq("vec_id"), Some(loc("codes")))
+      graft.sources.Sources.writeBucketedTable(
+        baseEs, names("vectors_q"), Seq("vec_id"), 8, Seq("vec_id"),
+        Some(loc("vectors_q")))
+      spark.range(1).toDF("ok") // memo marker: the PQ artifacts exist
+    }.count(): Unit
+
+  /** Grow the PQ lineage: quantize the arriving batch, ENCODE it
+    * against the RELOADED frozen codebooks (the codebooks never see
+    * the batch — the quantization-drift audit below measures what that
+    * freeze costs), and append codes + quantized vectors into the
+    * bucketed tables. Together with [[ensureIngestAppend]]'s list
+    * growth, every artifact of the composed IVF→PQ retrieval now has
+    * a grow path: the batch pays one argmax against broadcast
+    * codebooks plus two bucketed appends; nothing resident is read,
+    * rewritten or reshuffled (SourcesSpec's append contract). */
+  private[graft] def ensurePqIngestAppend(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"pq_ingest_appended:$sfDir") {
+      ensurePqIngestIndex(spark, sfDir)
+      ensureIngestAppend(spark, sfDir)
+      val names = pqIngestNames(sfDir)
+      val batchEs = Training.pqSubOf(Training.quantizedOf(
+          Tables.embeddings(spark, sfDir).where(isIngestBatch)))
+        .localCheckpoint() // encode + vector append read it
+      graft.sources.Sources.appendBucketedTable(
+        Training.pqCodesOf(batchEs, spark.table(names("codebooks"))),
+        names("codes"), Seq("vec_id"), 8, Seq("vec_id"))
+      graft.sources.Sources.appendBucketedTable(
+        batchEs, names("vectors_q"), Seq("vec_id"), 8, Seq("vec_id"))
+      spark.range(1).toDF("ok") // memo marker: the batch is encoded
+    }.count(): Unit
+
+  /** Serve the COMPOSED IVF→PQ retrieval from the GROWN frozen-index
+    * lineage — the production day-2 shape for the 10⁹-vector layout:
+    * coarse cells from the grown inverted lists ([[ivfServeIngest]]'s
+    * table), centroids and PQ codebooks frozen at base-build time,
+    * codes and quantized vectors grown by [[ensurePqIngestAppend]].
+    * Every index artifact comes from reloaded catalog tables; the raw
+    * corpus is scanned once (the query vectors). The oracle recomputes
+    * the same retrieval from first principles: base-restricted coarse
+    * quantizer, base-trained codebooks, full-corpus encoding. */
+  def ivfServePqIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    ensurePqIngestAppend(spark, sfDir)
+    val names = pqIngestNames(sfDir)
+    val ing = ingestIndexNames(sfDir)
+    ivfPqFrom(Tables.embeddings(spark, sfDir),
+      spark.table(names("vectors_q")), spark.table(names("codebooks")),
+      NCells, NProbe, NQueries, IvfPqRerank, K,
+      codesOpt = Some(spark.table(names("codes"))),
+      assignedOpt = Some(spark.table(ing("lists"))),
+      centSrcOpt = Some(spark.table(ing("centroids"))))
+  }
+
+  /** Oracle: [[mkIvfPqSql]]'s composed retrieval with the coarse
+    * quantizer restricted to BASE centroids and the PQ chain trained
+    * on the base only (codes still cover the full corpus — the frozen
+    * codebooks encode everything, influenced by nothing new). */
+  val ivfServePqIngestSql: String = mkIvfPqSql("",
+    centRestrict = s" AND NOT (${ingestBatchDuckOn("a.vec_id")})",
+    trainCtes = Training.mkPqTrainCtes("", Some(ingestBatchDuckOn)),
+    cbName = Training.pqFinalCbOf(""))
+
+  /** The PQ analog of [[ivfIngestRecall]] (the codebook-drift re-train
+    * trigger): flat ADC retrieval over the FULL merged corpus through
+    * the FROZEN base-trained codebooks (batch encoded post hoc) vs
+    * through codebooks RETRAINED on everything, both against the
+    * exact integer-L2 truth — how much recall the codebook freeze
+    * costs, the number that decides when the accumulated ingests
+    * justify re-training the quantizer. Two rows, exact integers.
+    *
+    * Scale shape: both arms are [[graft.operators.Training.pqAdcFrom]]
+    * — broadcast LUTs, one scan of the (compressed) code table, the
+    * bounded per-query top-K; truth is the audit's inherent
+    * brute-force pass over quantized rows (query-sampled at corpus
+    * scale, like every recall audit in the family). */
+  def pqIngestRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    ensurePqIngestAppend(spark, sfDir)
+    val names = pqIngestNames(sfDir)
+    val es = Training.pqSub(spark, sfDir) // memoized full-corpus quantized rows
+    val truth = pqExactTruth(es, Training.PqNQueries, Training.PqTopK)
+      .localCheckpoint() // two hit joins + the denominator read it
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    def hitsOf(adc: DataFrame, tag: String): DataFrame =
+      adc.select(col("query_id"), col("vec_id"))
+        .join(broadcast(truth), Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(tag).as("variant"), col("n_hits"))
+    val frozen = Training.pqAdcFrom(
+      spark.table(pqIngestNames(sfDir)("vectors_q")),
+      spark.table(names("codebooks")),
+      Training.PqNQueries, Training.PqTopK,
+      codes = Some(spark.table(names("codes"))))
+    val retrained = Training.pqAdcFrom(es, Training.pqCodebooks(spark, sfDir),
+      Training.PqNQueries, Training.PqTopK,
+      codes = Some(Training.pqCodes(spark, sfDir)))
+    hitsOf(frozen, "frozen").unionByName(hitsOf(retrained, "retrained"))
+      .crossJoin(broadcast(truthN))
+      .select(col("variant"), col("n_truth"), col("n_hits"))
+      .withColumn("recall_bp",
+        when(col("n_truth") > 0, expr("(n_hits * 10000) div n_truth"))
+          .otherwise(lit(0L)))
+      .orderBy("variant")
+  }
+
+  /** Exact integer-L2 top-K over quantized rows for the lowest
+    * `nQueries` vec_ids — the ADC audits' ground truth. */
+  private def pqExactTruth(es: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val qIds = es.select("vec_id").distinct().orderBy("vec_id").limit(nQueries)
+    val q = es.join(broadcast(qIds), "vec_id")
+      .select(col("vec_id").as("query_id"), col("pos"), col("q").as("qq"))
+    es.select(col("vec_id"), col("pos"), col("q").as("nq"))
+      .join(broadcast(q), Seq("pos"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("nq") - col("qq")) * (col("nq") - col("qq"))).as("dist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(k,
+        -col("dist").cast("double"), col("vec_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+  }
+
+  /** Oracle: both codebook chains side by side (prefixed CTEs), each
+    * scored by flat ADC over the full corpus, hit-counted against the
+    * shared exact-truth CTE. */
+  val pqIngestRecallSql: String = {
+    val frozenChain = Training.mkPqTrainCtes("", Some(ingestBatchDuckOn))
+    val freshChain = Training.mkPqTrainCtes("r", None)
+    s"""WITH $frozenChain, $freshChain, qs AS (
+       |  SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT ${Training.PqNQueries}
+       |), truth AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        sum((b.q - q2.q) * (b.q - q2.q)) ASC, b.vec_id ASC) AS rk
+       |    FROM e b
+       |    JOIN qs q ON q.vec_id <> b.vec_id
+       |    JOIN e q2 ON q2.vec_id = q.vec_id AND q2.pos = b.pos
+       |    GROUP BY 1, 2
+       |  ) WHERE rk <= ${Training.PqTopK}
+       |), tn AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+       |flut AS (
+       |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
+       |  FROM e JOIN qs ON e.vec_id = qs.vec_id
+       |  JOIN ${Training.pqFinalCbOf("")} c ON c.sub = e.sub AND c.pos = e.pos
+       |  GROUP BY 1, 2, 3
+       |), ftop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT l.query_id, cd.vec_id,
+       |      row_number() OVER (PARTITION BY l.query_id
+       |        ORDER BY sum(l.d) ASC, cd.vec_id ASC) AS rk
+       |    FROM codes cd JOIN flut l ON l.sub = cd.sub AND l.cluster = cd.cluster
+       |    WHERE l.query_id <> cd.vec_id
+       |    GROUP BY 1, 2
+       |  ) WHERE rk <= ${Training.PqTopK}
+       |), rlut AS (
+       |  SELECT e.vec_id AS query_id, c.sub, c.cluster,
+       |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS d
+       |  FROM re e JOIN qs ON e.vec_id = qs.vec_id
+       |  JOIN ${Training.pqFinalCbOf("r")} c ON c.sub = e.sub AND c.pos = e.pos
+       |  GROUP BY 1, 2, 3
+       |), rtop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT l.query_id, cd.vec_id,
+       |      row_number() OVER (PARTITION BY l.query_id
+       |        ORDER BY sum(l.d) ASC, cd.vec_id ASC) AS rk
+       |    FROM rcodes cd JOIN rlut l ON l.sub = cd.sub AND l.cluster = cd.cluster
+       |    WHERE l.query_id <> cd.vec_id
+       |    GROUP BY 1, 2
+       |  ) WHERE rk <= ${Training.PqTopK}
+       |), v AS (
+       |  SELECT 'frozen' AS variant,
+       |    (SELECT count(*) FROM ftop t JOIN truth u
+       |     ON u.query_id = t.query_id AND u.vec_id = t.vec_id)::BIGINT AS n_hits
+       |  UNION ALL
+       |  SELECT 'retrained' AS variant,
+       |    (SELECT count(*) FROM rtop t JOIN truth u
+       |     ON u.query_id = t.query_id AND u.vec_id = t.vec_id)::BIGINT AS n_hits
+       |)
+       |SELECT v.variant, tn.n_truth, v.n_hits,
+       |  (CASE WHEN tn.n_truth > 0 THEN (v.n_hits * 10000) // tn.n_truth
+       |        ELSE 0 END)::BIGINT AS recall_bp
+       |FROM v CROSS JOIN tn
+       |ORDER BY variant""".stripMargin
+  }
+
+  /** Tombstone selector: vectors with vec_id % TombMod == TombRem are
+    * deleted (≈8% of the corpus — GDPR erasure / TTL retirement).
+    * Declared before the SQL vals that interpolate them. */
+  val TombMod = 13L
+  val TombRem = 5L
+
+  /** Catalog names of the deletion leg over the GROWN ingest lineage:
+    * the tombstone table (the "remove these documents" input a
+    * compliance job delivers) and the COMPACTED post-delete lists
+    * (tombstoned rows physically dropped). Own lineage — the grown
+    * lists table other queries serve from stays immutable. */
+  private[graft] def tombNames(sfDir: String): Map[String, String] = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Map("tombstones" -> s"graft_ivftomb_ids_$tag",
+        "lists" -> s"graft_ivftomb_lists_$tag")
+  }
+
+  /** Persist the tombstone set. Derived from the grown lists table's
+    * id column — ZERO corpus scans: a delete request needs only the
+    * index, exactly like the CF pillar's store-only delete. */
+  private[graft] def ensureTombstones(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_tombstones_written:$sfDir") {
+      ensureIngestAppend(spark, sfDir)
+      val names = tombNames(sfDir)
+      graft.sources.Sources.retireTable(spark, names("tombstones"))
+      graft.sources.Sources.writeExternalTable(
+        spark.table(ingestIndexNames(sfDir)("lists"))
+          .select("vec_id").where(col("vec_id") % TombMod === TombRem),
+        names("tombstones"),
+        graft.sources.Sources.serveLocation(spark, names("tombstones")))
+      spark.range(1).toDF("ok") // memo marker: the tombstones exist
+    }.count(): Unit
+
+  /** Serve retrieval with the tombstone table honored at SERVE time
+    * (r12 verdict #4, ANN pillar): the grown inverted lists anti-join
+    * the broadcast tombstone set before scoring, so a deleted vector
+    * can never be returned — the low-latency deletion path that takes
+    * effect immediately, before any physical rewrite runs. Output
+    * must equal a retrieval over an index that never contained the
+    * tombstoned vectors (the oracle recomputes exactly that; the
+    * quantizer is untouched — deletion removes ITEMS, not the trained
+    * cell geometry, which in production is an averaged artifact, not
+    * a user row).
+    *
+    * Scale: the tombstone set broadcasts (delete batches are small);
+    * the anti-join rides the existing bucketed list scan — zero new
+    * shuffles, zero resident rewrites, and the mask composes with any
+    * probe depth. */
+  def ivfServeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTombstones(spark, sfDir)
+    val lists = spark.table(ingestIndexNames(sfDir)("lists"))
+      .join(broadcast(spark.table(tombNames(sfDir)("tombstones"))),
+        Seq("vec_id"), "left_anti")
+    ivfFlatRetrieve(spark, sfDir, lists,
+      spark.table(ingestIndexNames(sfDir)("centroids")))
+  }
+
+  /** The PHYSICAL deletion pass the serve-time mask eventually
+    * demands (the compaction/retention job): rewrite the grown lists
+    * WITHOUT the tombstoned rows — [[ensureIngestCompact]]'s
+    * read-location-as-plain-parquet + repartition-on-bucket-column
+    * rewrite, composed with the anti-join — so the deleted vectors'
+    * bytes leave the index entirely (true erasure, not just masking).
+    * Serving from the compacted table must be indistinguishable from
+    * the masked serve (shared oracle); the spec additionally pins the
+    * physical row drop and the shrunken layout. */
+  private[graft] def ensureDeleteCompact(spark: SparkSession, sfDir: String): Unit =
+    graft.QueryCache.memo(spark, s"ivf_delete_compacted:$sfDir") {
+      ensureTombstones(spark, sfDir)
+      val names = tombNames(sfDir)
+      graft.sources.Sources.retireTable(spark, names("lists"))
+      val grownLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ingestIndexNames(sfDir)("lists"))).location
+      graft.sources.Sources.writeBucketedTable(
+        spark.read.parquet(grownLoc.toString)
+          .join(broadcast(spark.table(names("tombstones"))), Seq("vec_id"), "left_anti")
+          .repartition(8, col("cid")),
+        names("lists"), Seq("cid"), 8, Seq("cid"),
+        Some(graft.sources.Sources.serveLocation(spark, names("lists"))))
+      spark.range(1).toDF("ok") // memo marker: the erasure ran
+    }.count(): Unit
+
+  /** Serve from the post-delete COMPACTED index — same contract as
+    * [[ivfServeDelete]] (shared oracle): masking and erasing must be
+    * observationally identical, completing the retention lifecycle:
+    * build → grow → delete(mask) → compact(erase) → serve. */
+  def ivfServeDeleteCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureDeleteCompact(spark, sfDir)
+    ivfFlatRetrieve(spark, sfDir, spark.table(tombNames(sfDir)("lists")),
+      spark.table(ingestIndexNames(sfDir)("centroids")))
+  }
+
+  /** Oracle: the grown-index retrieval over an index that never held
+    * the tombstoned vectors. */
+  val ivfServeDeleteSql: String =
+    mkIvfServeIngestSql(s" AND b.vec_id % $TombMod <> $TombRem")
+
+  /** Identical contract: erasure == masking, observationally. */
+  val ivfServeDeleteCompactSql: String = ivfServeDeleteSql
 
   /** Hard negatives mined per anchor. */
   val HardNegK = 3
@@ -2119,6 +2448,10 @@ object Similarity {
     "q_ivf_serve_filtered" -> (ivfServeFiltered _),
     "q_ivf_serve_ingest" -> (ivfServeIngest _),
     "q_ivf_serve_compact" -> (ivfServeCompact _),
+    "q_ivf_serve_pq_ingest" -> (ivfServePqIngest _),
+    "q_pq_ingest_recall" -> (pqIngestRecall _),
+    "q_ivf_serve_delete" -> (ivfServeDelete _),
+    "q_ivf_serve_delete_compact" -> (ivfServeDeleteCompact _),
     "q_ivf_pq_rerank_curve" -> (ivfPqRerankCurve _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn_filtered"    -> (knnFiltered _),
@@ -2143,6 +2476,10 @@ object Similarity {
     "q_ivf_serve_filtered" -> ivfServeFilteredSql,
     "q_ivf_serve_ingest" -> ivfServeIngestSql,
     "q_ivf_serve_compact" -> ivfServeCompactSql,
+    "q_ivf_serve_pq_ingest" -> ivfServePqIngestSql,
+    "q_pq_ingest_recall" -> pqIngestRecallSql,
+    "q_ivf_serve_delete" -> ivfServeDeleteSql,
+    "q_ivf_serve_delete_compact" -> ivfServeDeleteCompactSql,
     "q_ivf_pq_rerank_curve" -> ivfPqRerankCurveSql,
     "q_ivf_recall_curve" -> ivfRecallCurveSql,
     "q_knn_filtered"    -> knnFilteredSql,

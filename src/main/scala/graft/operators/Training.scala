@@ -1211,56 +1211,75 @@ object Training {
     * assignment table. `e` and `codes` are MATERIALIZED — both have
     * several downstream consumers and DuckDB re-runs an inlined CTE's
     * whole chain once per reader. */
-  private[graft] val pqTrainCtes: String = {
+  private[graft] val pqTrainCtes: String = mkPqTrainCtes("", None)
+
+  /** Generalized PQ-training chain builder: `p` prefixes every CTE
+    * name (so two chains — e.g. frozen vs retrained codebooks — can
+    * coexist in ONE oracle), and `trainPredOpt` (a predicate builder
+    * over a vec_id column reference) EXCLUDES matching vectors from
+    * codebook TRAINING (init seeds + Lloyd's rounds) while the final
+    * `${p}codes` assignment still encodes the FULL corpus — exactly
+    * the frozen-codebook ingest semantics: the arriving batch is
+    * encoded against codebooks it never influenced. With p = "" and
+    * no predicate this is byte-identical to the r11 chain. */
+  private[graft] def mkPqTrainCtes(p: String,
+      trainPredOpt: Option[String => String]): String = {
     val pqFinal = PqRounds + 1
+    // inside the init subquery the quantized table's column is bare
+    // vec_id; inside the round CTEs it is e.vec_id
+    val initW = trainPredOpt.fold("")(f => s" WHERE NOT (${f("vec_id")})")
+    val trainAnd = trainPredOpt.fold("")(f => s" AND NOT (${f("e.vec_id")})")
     val rounds = (1 to PqRounds).map { k =>
-      s"""d$k AS (
+      s"""${p}d$k AS (
          |  SELECT e.vec_id, e.sub, c.cluster,
          |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
-         |  FROM e JOIN c${k - 1} c ON e.sub = c.sub AND e.pos = c.pos
+         |  FROM ${p}e e JOIN ${p}c${k - 1} c ON e.sub = c.sub AND e.pos = c.pos$trainAnd
          |  GROUP BY 1, 2, 3
-         |), m$k AS (
-         |  SELECT vec_id, sub, min(dist) AS md FROM d$k GROUP BY 1, 2
-         |), a$k AS (
+         |), ${p}m$k AS (
+         |  SELECT vec_id, sub, min(dist) AS md FROM ${p}d$k GROUP BY 1, 2
+         |), ${p}a$k AS (
          |  SELECT d.vec_id, d.sub, min(d.cluster) AS cluster
-         |  FROM d$k d JOIN m$k m
+         |  FROM ${p}d$k d JOIN ${p}m$k m
          |    ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
          |  GROUP BY 1, 2
-         |), c$k AS (
+         |), ${p}c$k AS (
          |  SELECT e.sub, a.cluster, e.pos, (sum(e.q) // count(*))::BIGINT AS c
-         |  FROM e JOIN a$k a ON e.vec_id = a.vec_id AND e.sub = a.sub
+         |  FROM ${p}e e JOIN ${p}a$k a ON e.vec_id = a.vec_id AND e.sub = a.sub
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
     }.mkString(", ")
-    s"""e AS MATERIALIZED (
+    s"""${p}e AS MATERIALIZED (
        |  SELECT vec_id, i - 1 AS pos, ((i - 1) // $PqSubDim) AS sub,
        |    round((embedding[i]::DOUBLE + 1.0) * $KmScale)::BIGINT AS q
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i)
        |  WHERE i <= len(embedding)
-       |), init AS (
+       |), ${p}init AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cluster
-       |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $PqK)
-       |), c0 AS (
+       |  FROM (SELECT DISTINCT vec_id FROM ${p}e$initW ORDER BY vec_id LIMIT $PqK)
+       |), ${p}c0 AS (
        |  SELECT e.sub, init.cluster, e.pos, e.q AS c
-       |  FROM e JOIN init ON e.vec_id = init.vec_id
-       |), $rounds, d$pqFinal AS (
+       |  FROM ${p}e e JOIN ${p}init init ON e.vec_id = init.vec_id
+       |), $rounds, ${p}d$pqFinal AS (
        |  SELECT e.vec_id, e.sub, c.cluster,
        |    sum((e.q - c.c) * (e.q - c.c))::BIGINT AS dist
-       |  FROM e JOIN c$PqRounds c ON e.sub = c.sub AND e.pos = c.pos
+       |  FROM ${p}e e JOIN ${p}c$PqRounds c ON e.sub = c.sub AND e.pos = c.pos
        |  GROUP BY 1, 2, 3
-       |), m$pqFinal AS (
-       |  SELECT vec_id, sub, min(dist) AS md FROM d$pqFinal GROUP BY 1, 2
-       |), codes AS MATERIALIZED (
+       |), ${p}m$pqFinal AS (
+       |  SELECT vec_id, sub, min(dist) AS md FROM ${p}d$pqFinal GROUP BY 1, 2
+       |), ${p}codes AS MATERIALIZED (
        |  SELECT d.vec_id, d.sub, min(d.cluster) AS cluster
-       |  FROM d$pqFinal d JOIN m$pqFinal m
+       |  FROM ${p}d$pqFinal d JOIN ${p}m$pqFinal m
        |    ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
        |  GROUP BY 1, 2
        |)""".stripMargin
   }
 
+  /** Name of the final codebook CTE inside a [[mkPqTrainCtes]] chain. */
+  private[graft] def pqFinalCbOf(p: String): String = s"${p}c$PqRounds"
+
   /** Name of the final codebook CTE inside [[pqTrainCtes]]. */
-  private[graft] val pqFinalCb: String = s"c$PqRounds"
+  private[graft] val pqFinalCb: String = pqFinalCbOf("")
 
   /** Oracle: identical integer PQ training (rounds unrolled, `sub` in
     * every grouping), codes, LUT, and ADC ranking. */

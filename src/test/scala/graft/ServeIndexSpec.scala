@@ -165,6 +165,124 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pq ingest: batch encoded against reloaded frozen codebooks; resident files untouched") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.functions.col
+    def dataFiles(t: String): Map[String, Long] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).location
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val k = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
+        k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(loc.getPath)).filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    Similarity.ensurePqIngestIndex(spark, sfTest)
+    val names = Similarity.pqIngestNames(sfTest)
+    val residentBefore = dataFiles(names("codes"))
+    Similarity.ensurePqIngestAppend(spark, sfTest)
+    val after = dataFiles(names("codes"))
+    residentBefore.foreach { case (n, len) =>
+      assert(after.get(n).contains(len),
+        s"append must not rewrite resident code file $n")
+    }
+    assert(after.size > residentBefore.size,
+      "the append must land new per-bucket files")
+    // the grown code table covers the full corpus, one code per
+    // (vector, subspace), and equals a from-scratch frozen encode
+    val es = Training.pqSub(spark, sfTest)
+    val frozenCb = spark.table(names("codebooks"))
+    val expected = Training.pqCodesOf(es, frozenCb)
+      .selectExpr("vec_id", "cast(sub as long) sub", "cast(cluster as long) cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val got = spark.table(names("codes"))
+      .selectExpr("vec_id", "cast(sub as long) sub", "cast(cluster as long) cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      "grown code table must equal a from-scratch encode against the frozen codebooks")
+    // serve plan: every PQ + coarse artifact from the catalog, corpus
+    // scanned exactly once (the query vectors)
+    val plan = Similarity.ivfServePqIngest(spark, sfTest).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    (Seq("codebooks", "codes", "vectors_q").map(names) ++
+      Seq("lists", "centroids").map(Similarity.ingestIndexNames(sfTest))).foreach { t =>
+      assert(plan.contains(t), s"PQ-ingest serve plan must read the persisted $t table")
+    }
+    val raw = corpusScans(plan)
+    assert(raw.length === 1,
+      s"PQ-ingest serve must scan the raw corpus exactly once; saw:\n${raw.mkString("\n")}")
+    // the drift audit is non-vacuous: both variants emit, frozen ≤ retrained denominator shared
+    val recall = Similarity.pqIngestRecall(spark, sfTest).collect()
+    assert(recall.length === 2 && recall.forall(_.getLong(1) > 0))
+  }
+
+  test("ivf delete: masked serve == compacted serve; tombstoned rows physically gone") {
+    import org.apache.spark.sql.functions.col
+    val masked = Similarity.ivfServeDelete(spark, sfTest).collect()
+    val erased = Similarity.ivfServeDeleteCompact(spark, sfTest).collect()
+    assert(masked.nonEmpty && masked.length === erased.length)
+    masked.zip(erased).foreach { case (a, b) =>
+      assert(a === b, "masked serve diverges from the post-erasure serve")
+    }
+    // no tombstoned vector is ever returned
+    assert(masked.forall(r => r.getLong(3) % Similarity.TombMod != Similarity.TombRem),
+      "a tombstoned vector leaked into the retrieval output")
+    // physical erasure: compacted rows == grown − tombstoned, and no
+    // tombstoned id remains in the compacted table
+    val grownT = Similarity.ingestIndexNames(sfTest)("lists")
+    val compT = Similarity.tombNames(sfTest)("lists")
+    val nTomb = spark.table(Similarity.tombNames(sfTest)("tombstones")).count()
+    assert(nTomb > 0, "the tombstone set must be non-empty")
+    assert(spark.table(compT).count() === spark.table(grownT).count() - nTomb)
+    assert(spark.table(compT)
+      .where(col("vec_id") % Similarity.TombMod === Similarity.TombRem).count() === 0L,
+      "tombstoned rows must be physically absent after compaction")
+    // and the mask genuinely bites at this fixture: the deleted serve
+    // differs from the undeleted grown serve
+    val undeleted = Similarity.ivfServeIngest(spark, sfTest).collect()
+    assert(!masked.sameElements(undeleted),
+      "the tombstone mask changed nothing — vacuous delete fixture")
+  }
+
+  test("dedup compact: fewer files, identical rows, identical serve") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    Dedup.ensureDedupCompact(spark, sfTest)
+    def nFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).location
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val k = Option(f.listFiles).map(_.toSeq).getOrElse(Nil)
+        k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(loc.getPath)).count(_.getName.startsWith("part-"))
+    }
+    val grown = Dedup.dedupGrowNames(sfTest)
+    val comp = Dedup.dedupCompactNames(sfTest)
+    assert(nFiles(comp("shingles")) < nFiles(grown("shingles")),
+      s"compaction must shrink the shingle layout: ${nFiles(comp("shingles"))} vs ${nFiles(grown("shingles"))}")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val a = spark.table(comp("shingles")).select("doc_id", "s").collect().map(key).sorted
+    val b = spark.table(grown("shingles")).select("doc_id", "s").collect().map(key).sorted
+    assert(a.nonEmpty && a.sameElements(b), "compaction must be a pure physical rewrite")
+    val servedC = Dedup.dedupServeCompact(spark, sfTest).collect()
+    val servedG = Dedup.dedupServeGrow(spark, sfTest).collect()
+    assert(servedC.nonEmpty && servedC.length === servedG.length)
+    servedC.zip(servedG).foreach { case (x, y) =>
+      assert(x === y, "compacted serve diverges from the grown serve")
+    }
+  }
+
+  test("dedup delete: tombstoned residents can never be reported as duplicates") {
+    val masked = Dedup.dedupServeDelete(spark, sfTest).collect()
+    assert(masked.nonEmpty, "deletion-leg output must be non-vacuous")
+    assert(masked.forall(_.getLong(1) % Dedup.DedupTombMod != 0),
+      "a tombstoned resident leaked into dup_of")
+    // the mask bites at this fixture: the plain serve DOES report a
+    // tombstoned resident for some batch doc
+    val plain = Dedup.dedupServe(spark, sfTest).collect()
+    assert(plain.exists(_.getLong(1) % Dedup.DedupTombMod == 0),
+      "vacuous delete fixture — no plain-serve match is tombstoned")
+  }
+
   test("ivf serve filtered: the reloaded index answers the filtered request identically") {
     val served = Similarity.ivfServeFiltered(spark, sfTest).collect()
     val inSession = Similarity.ivfPqFiltered(spark, sfTest).collect()

@@ -386,6 +386,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-static scoring diverged from the batch form on identical arrivals")
   }
 
+  test("T13 streaming index admission: foreachBatch micro-batch admission equals the batch wave replay") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import operators.Dedup
+    // the stream grows its OWN lineage — the registry's grow tables
+    // stay immutable (the sibling-oracle discipline)
+    val names = Map("shingles" -> "graft_dedupgrow_shingles_t13strm",
+                    "sizes" -> "graft_dedupgrow_sizes_t13strm")
+    Dedup.writeResidentIndex(spark, sfTest, names)
+    val sh = Dedup.shingles(spark, sfTest)
+    def waveRows(lo: Long, hi: Long) = sh
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "s").as[(Long, String)].collect().toSeq
+    val w1 = waveRows(Dedup.IncrementalFrom, Dedup.GrowMid)
+    val w2 = waveRows(Dedup.GrowMid, Long.MaxValue)
+    assert(w1.nonEmpty && w2.nonEmpty, "both admission waves must be non-empty")
+    val mem = MemoryStream[(Long, String)]
+    // foreachBatch drives the SAME admitWave the batch grow leg runs —
+    // one admission implementation, two runners
+    val admit: (DataFrame, Long) => Unit =
+      (b: DataFrame, _: Long) => Dedup.admitWave(spark, names, b)
+    val q = mem.toDF().toDF("doc_id", "s").writeStream
+      .foreachBatch(admit).start()
+    try {
+      mem.addData(w1); q.processAllAvailable() // micro-batch 1 = wave 1
+      mem.addData(w2); q.processAllAvailable() // micro-batch 2 = wave 2
+    } finally q.stop()
+    // batch replay: ensureDedupGrow admits wave 1; wave 2's survivors
+    // are the docs dedupServeGrow does NOT match against the grown index
+    Dedup.ensureDedupGrow(spark, sfTest)
+    val grown = Dedup.dedupGrowNames(sfTest)
+    val w2dups = Dedup.dedupServeGrow(spark, sfTest)
+      .select("new_id").as[Long].collect().toSet
+    val expected = (spark.table(grown("shingles"))
+        .select("doc_id", "s").as[(Long, String)].collect().toSeq ++
+      w2.filterNot(r => w2dups.contains(r._1))).sorted
+    val got = spark.table(names("shingles"))
+      .select("doc_id", "s").as[(Long, String)].collect().toSeq.sorted
+    assert(got.nonEmpty && got === expected,
+      "streamed admission index diverges from the batch wave replay")
+    // the size table tracks the admitted shingle rows exactly
+    val gotSizes = spark.table(names("sizes"))
+      .select("doc_id", "ns").as[(Long, Long)].collect().toMap
+    val expSizes = expected.groupBy(_._1).map { case (d, rs) => d -> rs.size.toLong }
+    assert(gotSizes === expSizes, "size table out of step with the admitted shingles")
+    names.values.foreach(n => graft.sources.Sources.retireTable(spark, n))
+  }
+
   test("file-source stream: tumbling counts over events parquet equal batch") {
     // readStream over the fixture parquet (schema must be declared for
     // file streams; whatever physical ts type the fixture carries, the
