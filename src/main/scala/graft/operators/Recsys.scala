@@ -573,9 +573,8 @@ object Recsys {
     val names = cfStoreNames(sfDir)
     val post = postSplitDelta(spark, sfDir)
       .localCheckpoint() // changed-user list + strength merge read it
-    refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
-      spark.table(names("counts")), post,
-      oldModelOpt = Some(spark.table(names("model"))))
+    refreshAdaptive(spark.table(names("strengths")), spark.table(names("pairs")),
+      spark.table(names("counts")), post, spark.table(names("model")))
   }
 
   /** The delta-merged statistics of one refresh step, before ranking:
@@ -599,40 +598,70 @@ object Recsys {
     * strengths are integral-valued doubles, so a full cancellation
     * lands on exactly 0.0 and the > 0 filter drops the row (the same
     * exactness argument the co ≤ 0 and n_users ≤ 0 drops rest on). */
+  /** The UN-severed merged-strength plan — exactly what the first
+    * checkpoint job of [[mergeStats]] executes (shared code, so the
+    * two cannot drift); exposed for ServeIndexSpec's store-read +
+    * zero-history-rescan plan pin, because the r13 severs below hide
+    * the strengths-store scan from the final refresh explain. */
+  private[graft] def mergedStrengthsPlan(oldStrengths: DataFrame,
+      post: DataFrame): DataFrame =
+    mergedStrengthsOf(
+      oldStrengths.join(post.select("user_id").distinct(), Seq("user_id"), "left_semi"),
+      post)
+
+  private def mergedStrengthsOf(oldStr: DataFrame, post: DataFrame): DataFrame =
+    oldStr.unionByName(post)
+      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
+      .where(col("strength") > 0) // exact-0 cancellation = deleted row
+
   private[graft] def mergeStats(oldStrengths: DataFrame, oldPairs: DataFrame,
       oldCounts: DataFrame, post: DataFrame): CfMerge = {
     val changed = post.select("user_id").distinct()
     val oldStr = oldStrengths.join(changed, Seq("user_id"), "left_semi")
-    val mergedStr = oldStr.unionByName(post)
-      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
-      .where(col("strength") > 0) // exact-0 cancellation = deleted row
-    // the capped frames each feed the pair delta AND the count delta,
-    // but their aggregate subtrees are plan-identical, so exchange
-    // reuse already shares the work — measured: adding localCheckpoint
-    // severs here COST ~40% (eager materialization, no reuse gained)
+    val mergedStr = mergedStrengthsOf(oldStr, post)
+    // r13 OPTIMIZATION (guide §2.4 "compute shared state once", §5):
+    // the two membership deltas feed SEVERAL downstream JOBS (the
+    // affected-set checkpoint, the merged-pair and merged-count joins,
+    // the adaptive-gate count, the chain's store writes) — and
+    // exchange reuse only shares subtrees WITHIN one job. Before the
+    // sever the final refresh plan scanned the strengths store 18
+    // times (66 Exchanges, 0 reuse across its job boundaries) and
+    // q_itemcf_refresh cost 21-31 s at sf0.1. Both deltas are computed
+    // in ONE keyed aggregate job — pair keys ride their packed pk
+    // (always ≥ 0) and count keys the NEGATIVE space -(item_id)-1, so
+    // the two key families cannot collide for any id — then severed
+    // ONCE; the expensive capped-history pair expansions run exactly
+    // once, with in-job reuse sharing the capped frames between the
+    // pair and count branches. (The r12 "severing COSTS ~40%"
+    // measurement was the SINGLE-job full-rerank shape, where reuse
+    // already shared them — the multi-job delta tail changed that
+    // calculus.)
     val cappedNew = capHistories(mergedStr).select("user_id", "item_id")
     val cappedOld = capHistories(oldStr).select("user_id", "item_id")
+    val unified = pairsWithin(cappedNew, "user_id", "item_id")
+        .select(col("pk"), lit(1L).as("d"))
+      .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
+        .select(col("pk"), lit(-1L).as("d")))
+      .unionByName(cappedNew.select((-col("item_id") - 1).as("pk"), lit(1L).as("d")))
+      .unionByName(cappedOld.select((-col("item_id") - 1).as("pk"), lit(-1L).as("d")))
+      .groupBy("pk").agg(sum("d").as("d"))
+      .where(col("d") =!= 0) // a zero delta is no delta (and must not
+                             // mark its endpoints as affected)
+      .localCheckpoint() // the ONE sever: every consumer below reads it
     // pair delta aggregated to (pk, dco) BEFORE the store merge, and
     // the merge is a FULL OUTER join on pk — the store side is
     // bucketed by pk, so the bucketed join moves only the (small)
     // delta side; the union+groupBy form reshuffled the whole
     // model-sized pair store every refresh
-    val pairDelta = pairsWithin(cappedNew, "user_id", "item_id")
-        .select(col("pk"), lit(1L).as("d"))
-      .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
-        .select(col("pk"), lit(-1L).as("d")))
-      .groupBy("pk").agg(sum("d").as("dco"))
-      .where(col("dco") =!= 0) // a zero delta is no delta (and must not
-                               // mark its endpoints as affected)
+    val pairDelta = unified.where(col("pk") >= 0)
+      .select(col("pk"), col("d").as("dco"))
     val mergedPairs = oldPairs.select(col("pk"), col("co"))
       .join(pairDelta, Seq("pk"), "full_outer")
       .select(col("pk"),
         (coalesce(col("co"), lit(0L)) + coalesce(col("dco"), lit(0L))).as("co"))
       .where(col("co") > 0)
-    val cntDelta = cappedNew.select(col("item_id"), lit(1L).as("d"))
-      .unionByName(cappedOld.select(col("item_id"), lit(-1L).as("d")))
-      .groupBy("item_id").agg(sum("d").as("dn"))
-      .where(col("dn") =!= 0)
+    val cntDelta = unified.where(col("pk") < 0)
+      .select((-col("pk") - 1).as("item_id"), col("d").as("dn"))
     val mergedCounts = oldCounts.select(col("item_id"), col("n_users"))
       .join(cntDelta, Seq("item_id"), "full_outer")
       .select(col("item_id"),
@@ -664,8 +693,17 @@ object Recsys {
     * the tail shrinks by the same two orders the merge already did. */
   private[graft] def refreshFrom(oldStrengths: DataFrame, oldPairs: DataFrame,
       oldCounts: DataFrame, post: DataFrame,
-      oldModelOpt: Option[DataFrame] = None): DataFrame = {
-    val m = mergeStats(oldStrengths, oldPairs, oldCounts, post)
+      oldModelOpt: Option[DataFrame] = None): DataFrame =
+    refreshRank(mergeStats(oldStrengths, oldPairs, oldCounts, post),
+      oldPairs, oldModelOpt)
+
+  /** The ranking tail of one refresh step over an already-computed
+    * merge — split from [[refreshFrom]] so [[ensureChainStore]] can
+    * reuse ONE [[CfMerge]] for its three statistics writes AND the
+    * advanced-model write (it used to call mergeStats twice, doubling
+    * the merge's pair expansions in the warm stage). */
+  private[graft] def refreshRank(m: CfMerge, oldPairs: DataFrame,
+      oldModelOpt: Option[DataFrame]): DataFrame = {
     oldModelOpt match {
       case None =>
         knnFromPairCounts(unpack(m.mergedPairs, "item_i", "item_j"), m.mergedCounts)
@@ -684,6 +722,39 @@ object Recsys {
           .unionByName(reranked)
           .orderBy("item_i", "rk")
     }
+  }
+
+  /** Affected-item share above which the ranking tail re-ranks the
+    * WHOLE merged model instead of the delta-proportional subset.
+    *
+    * r13 OPTIMIZATION (guide §1.2 step 1 — pick the algorithm by the
+    * data): the delta tail wins when few items changed (a 1% daily
+    * batch — RecsysScaleSpec's case), but when the batch touches most
+    * items the incident-pair filter, the affected-set scan, and the
+    * untouched-row anti-join are three extra passes over essentially
+    * the full pair space, stacked ON TOP of a full-sized re-rank.
+    * Measured at sf0.1 (the fixture batch spans ~36% of history, so
+    * ~every item's count changes): delta tail 20-31 s vs full re-rank
+    * ~8-10 s for the SAME row-identical output. Both paths are pinned
+    * equal by ServeIndexSpec, so the choice is pure execution
+    * planning — the AQE philosophy one level up, decided from two
+    * exact counts (the checkpointed count-delta and the store's item
+    * count; driver scalars, bounded by |items|). */
+  val CfRerankFullFrac = 0.2
+
+  /** The adaptive-path decision, exposed for the spec plan-pins (they
+    * must know which tail shape to expect at their fixture SF). */
+  private[graft] def rerankDelta(nCntChanged: Long, nStoreItems: Long): Boolean =
+    nCntChanged < CfRerankFullFrac * nStoreItems.max(1L)
+
+  /** One refresh step with the ADAPTIVE ranking tail — the registry
+    * path of q_itemcf_refresh / _chain / _delete. Output is identical
+    * on either path; see [[CfRerankFullFrac]]. */
+  private[graft] def refreshAdaptive(oldStrengths: DataFrame, oldPairs: DataFrame,
+      oldCounts: DataFrame, post: DataFrame, oldModel: DataFrame): DataFrame = {
+    val m = mergeStats(oldStrengths, oldPairs, oldCounts, post)
+    val delta = rerankDelta(m.cntDelta.count(), oldCounts.count())
+    refreshRank(m, oldPairs, if (delta) Some(oldModel) else None)
   }
 
   /** The items whose top-K can differ after a merge — see
@@ -794,9 +865,11 @@ object Recsys {
       graft.sources.Sources.writeExternalTable(
         m.mergedCounts, adv("counts"), loc("counts"))
       graft.sources.Sources.writeBucketedTable(
-        refreshFrom(spark.table(old("strengths")), spark.table(old("pairs")),
-          spark.table(old("counts")), post1,
-          oldModelOpt = Some(spark.table(old("model")))),
+        refreshRank(m, spark.table(old("pairs")),
+          // same adaptive tail as the registry path (b₁ is fixture-shaped)
+          oldModelOpt = if (rerankDelta(m.cntDelta.count(),
+              spark.table(old("counts")).count()))
+            Some(spark.table(old("model"))) else None),
         adv("model"), Seq("item_i"), 8, Seq("item_i", "rk"), Some(loc("model")))
       spark.range(1).toDF("ok") // memo marker: the store advanced
     }.count(): Unit
@@ -821,9 +894,8 @@ object Recsys {
     val adv = cfChainNames(sfDir)
     val post2 = deltaBetween(spark, sfDir, ChainDate, None)
       .localCheckpoint() // changed-user list + strength merge read it
-    refreshFrom(spark.table(adv("strengths")), spark.table(adv("pairs")),
-      spark.table(adv("counts")), post2,
-      oldModelOpt = Some(spark.table(adv("model"))))
+    refreshAdaptive(spark.table(adv("strengths")), spark.table(adv("pairs")),
+      spark.table(adv("counts")), post2, spark.table(adv("model")))
   }
 
   /** GDPR DELETE as a refresh (r12 verdict #4, CF pillar): forgetting
@@ -849,9 +921,8 @@ object Recsys {
       .where(col("user_id") % DeleteMod === 0)
       .select(col("user_id"), col("item_id"), (-col("strength")).as("strength"))
       .localCheckpoint() // changed-user list + strength merge read it
-    refreshFrom(spark.table(names("strengths")), spark.table(names("pairs")),
-      spark.table(names("counts")), negDelta,
-      oldModelOpt = Some(spark.table(names("model"))))
+    refreshAdaptive(spark.table(names("strengths")), spark.table(names("pairs")),
+      spark.table(names("counts")), negDelta, spark.table(names("model")))
   }
 
   /** Oracle: the frozen-corpus model rebuilt WITHOUT the deleted

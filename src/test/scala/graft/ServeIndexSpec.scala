@@ -314,13 +314,24 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
       s"batch pass must scan orders+lineitem once each:\n${corpusScans(batchPlan).mkString("\n")}")
     assert(batchPlan.contains("GreaterThanOrEqual(o_orderdate"),
       "the orders scan must push the post-split filter down")
-    // the refresh plan proper: the checkpointed batch plus the three
-    // persisted store tables — ZERO fixture scans, i.e. pre-split
-    // interactions are never rescanned
+    // the strength-merge stage (r13: severed — its store read no longer
+    // shows in the final explain, so pin it on the shared pre-checkpoint
+    // plan, which IS the first checkpoint job's plan by construction):
+    // reads the persisted strengths store, zero fixture scans
+    val names = Recsys.cfStoreNames(sfTest)
+    val mergePlan = Recsys.mergedStrengthsPlan(
+        spark.table(names("strengths")), Recsys.postSplitDelta(spark, sfTest).localCheckpoint())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mergePlan.contains(names("strengths")),
+      "the strength merge must read the persisted strengths store")
+    assert(corpusScans(mergePlan).isEmpty,
+      s"the strength merge must not rescan any fixture table:\n${corpusScans(mergePlan).mkString("\n")}")
+    // the refresh plan proper: the checkpointed batch/deltas plus the
+    // persisted pair/count/model stores — ZERO fixture scans, i.e.
+    // pre-split interactions are never rescanned
     val plan = Recsys.itemcfRefresh(spark, sfTest).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    val names = Recsys.cfStoreNames(sfTest)
-    Seq("strengths", "pairs", "counts").foreach { t =>
+    Seq("pairs", "counts").foreach { t =>
       assert(plan.contains(names(t)), s"refresh must read the persisted $t store")
     }
     assert(corpusScans(plan).isEmpty,
@@ -392,12 +403,32 @@ class ServeIndexSpec extends AnyFunSuite with SparkFixture {
       "the orders scan must push the batch-2 lower bound down")
     // the chained refresh proper: advanced-store tables only, ZERO
     // fixture scans — history (including b1) is never rescanned
+    val adv = Recsys.cfChainNames(sfTest)
+    // the strength-merge stage of refresh #2 (severed; pinned on the
+    // shared pre-checkpoint plan, as in the refresh test above): reads
+    // the ADVANCED strengths snapshot, zero fixture scans
+    val mergePlan = Recsys.mergedStrengthsPlan(
+        spark.table(adv("strengths")),
+        Recsys.deltaBetween(spark, sfTest, Recsys.ChainDate, None).localCheckpoint())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mergePlan.contains(adv("strengths")),
+      "refresh #2's strength merge must read the advanced strengths store")
+    assert(corpusScans(mergePlan).isEmpty,
+      s"refresh #2's strength merge must not rescan fixtures:\n${corpusScans(mergePlan).mkString("\n")}")
     val plan = Recsys.itemcfRefreshChain(spark, sfTest).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    val adv = Recsys.cfChainNames(sfTest)
-    Seq("strengths", "pairs", "counts", "model").foreach { t =>
+    Seq("pairs", "counts").foreach { t =>
       assert(plan.contains(adv(t)), s"chained refresh must read the advanced $t store")
     }
+    // r13 adaptive tail: the advanced MODEL store is read only on the
+    // delta-proportional path — replicate the gate to know which tail
+    // shape this fixture produces, and pin the plan matches it
+    val m2 = Recsys.mergeStats(spark.table(adv("strengths")), spark.table(adv("pairs")),
+      spark.table(adv("counts")),
+      Recsys.deltaBetween(spark, sfTest, Recsys.ChainDate, None).localCheckpoint())
+    val deltaPath = Recsys.rerankDelta(m2.cntDelta.count(), spark.table(adv("counts")).count())
+    assert(plan.contains(adv("model")) === deltaPath,
+      s"chained refresh must read the advanced model store iff the adaptive tail is delta-proportional (deltaPath=$deltaPath)")
     assert(corpusScans(plan).isEmpty,
       s"refresh #2 must not rescan any fixture table:\n${corpusScans(plan).mkString("\n")}")
   }
