@@ -1292,11 +1292,14 @@ object GraphRank {
 
   private[graft] def kcore(spark: SparkSession, sfDir: String,
                            bcastCeiling: Long): DataFrame = {
-    val half = sparsifiedHalfEdges(spark, sfDir)
-    val m = half.select(col("item_i").as("a"), col("item_j").as("b"))
-      .unionByName(half.select(col("item_j").as("a"), col("item_i").as("b")))
+    // kcoreOf peels the i<j half space, so hand it the half list
+    // directly — mirroring here would double the upstream pair-agg
+    // work only for kcoreOf's a<b normalization to throw half away.
+    val m = sparsifiedHalfEdges(spark, sfDir)
+      .select(col("item_i").as("a"), col("item_j").as("b"))
     val fitsBroadcast =
-      m.select("a").distinct().count() <= bcastCeiling
+      m.select(explode(array(col("a"), col("b"))).as("a"))
+        .distinct().count() <= bcastCeiling
     val out = kcoreOf(m, KcoreK, KcoreRounds, fitsBroadcast)
     out
       .withColumn("rk", row_number().over(Window.orderBy(col("d").desc, col("a").asc)))
@@ -1307,20 +1310,44 @@ object GraphRank {
 
   /** The fixed-round peel over ANY mirrored (a, b) edge frame —
     * extracted so the fixpoint spec can drive it at rounds and
-    * rounds+1. Returns surviving (a, d) degrees. */
+    * rounds+1. Returns surviving (a, d) degrees. Input contract: an
+    * irreflexive edge frame that is EITHER the full mirrored list or
+    * the a<b half list — the `where(a < b)` below normalizes both to
+    * the half space (the spec drives the mirrored form, [[kcore]]
+    * passes the half list directly).
+    *
+    * r13 OPTIMIZATION (guide §2.3 shuffle fewer bytes, §1.2 step 1):
+    * (1) peel the HALF space — every round's checkpoint materializes
+    * half the rows, and degrees come from one explode pass (same
+    * counts, since each undirected edge contributes one to each
+    * endpoint); (2) EARLY EXIT — the peel is monotone (e_r ⊆ e_{r-1}),
+    * so an unchanged edge count means e_r = e_{r-1} and every later
+    * round is the identity; the count is ~free on the just-checkpointed
+    * frame, and the fixture converges well before [[KcoreRounds]]
+    * (GraphRankSpec pins rounds == rounds+1). Output is identical to
+    * the full-round mirrored peel by both arguments. */
   private[graft] def kcoreOf(m: DataFrame, k: Int, rounds: Int,
                              fitsBroadcast: Boolean): DataFrame = {
     def maybe(df: DataFrame): DataFrame = if (fitsBroadcast) broadcast(df) else df
-    var edges = m.localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val surv = edges.groupBy("a").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select("a")
-      edges = edges.join(maybe(surv), "a")
+    def degrees(half: DataFrame): DataFrame =
+      half.select(explode(array(col("a"), col("b"))).as("a"))
+        .groupBy("a").agg(count(lit(1)).as("d"))
+    var half = m.where(col("a") < col("b")).localCheckpoint()
+    var prev = half.count()
+    var done = prev == 0L
+    var r = 0
+    while (r < rounds && !done) {
+      val surv = degrees(half).where(col("d") >= k).select("a")
+      half = half.join(maybe(surv), "a")
         .join(maybe(surv.withColumnRenamed("a", "b")), "b")
         .select("a", "b")
         .localCheckpoint() // edge list shrinks monotonically per round
+      val n = half.count() // the checkpoint just materialized it: ~free
+      done = n == prev     // subset + same cardinality ⟹ fixpoint
+      prev = n
+      r += 1
     }
-    edges.groupBy("a").agg(count(lit(1)).as("d"))
+    degrees(half)
   }
 
   /** Oracle: identical peel unrolled (s1/e1..sR/eR chained CTEs). */
