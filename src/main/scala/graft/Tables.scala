@@ -32,6 +32,24 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a scan across the session's shuffle parallelism before
+    * CPU-heavy per-row work (r13, guide §2.5 input skew): a file
+    * smaller than one input split scans as ONE task, so everything up
+    * to the first exchange — md5 window selection, per-byte signature
+    * grids, all-pairs vector math — runs on a single core while the
+    * rest idle (measured: 2.9 s single-task stages at local[32]).
+    * Deterministic hash key; the partition count is pinned to the
+    * session's shuffle parallelism (scale-adaptive: the same setting
+    * that sizes every other exchange) so AQE cannot coalesce the tiny
+    * bytes back into one task. At 100 TB inputs arrive as many splits
+    * and this one extra pass of the (small) column set is noise next
+    * to the per-row compute it parallelizes; apply it only where that
+    * compute is measured-heavy.
+    */
+  private[graft] def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -27,6 +27,14 @@ object Verify {
       // exists to avoid. 1M keys × ~400 B/buffer bounds the object map
       // at ~400 MB/task, far past every per-task group count here.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // AQE byte-based partition coalescing is blind to downstream
+      // per-row cost: a small exchange feeding a pair/shingle GENERATOR
+      // coalesces to one task and serializes the expansion (measured:
+      // 1.5 s single-task stages at local[32]). Lowering the coalesce
+      // floor keeps small-but-CPU-heavy shuffles parallel; at real
+      // scale partitions sit far above either floor, so this only
+      // changes behavior where the default was pathological.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -940,7 +940,9 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.{floatDot, floatNorm}
-    val e = Tables.embeddings(spark, sfDir)
+    // spread the stream side: the quadratic dot-product loop otherwise
+    // runs on the small file's single scan task (r13, Tables.spread)
+    val e = Tables.spread(Tables.embeddings(spark, sfDir), "vec_id")
       .select(col("vec_id"), col("embedding"), floatNorm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(
@@ -1054,15 +1056,29 @@ object Dedup {
     * shuffle-only plan — the standard production compromise.
     */
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val wins = Tables.documents(spark, sfDir)
+    // r13 (guide §1.2 step 2, per-task work): select window positions INSIDE
+    // the array world — the old shape materialized every window as a
+    // generator output row and md5-filtered afterwards, paying row
+    // construction for the 7/8 of windows the content-defined sample
+    // drops. The filter runs on positions (ints), so only selected
+    // windows become rows; the md5 per window (the selection function,
+    // pinned by the oracle) is unchanged and still paid once per
+    // position. Selected windows recompute their substring once more
+    // (1/SubSel of positions) — far cheaper than the dropped rows.
+    val wins = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .withColumn("norm", expr(normSpark))
       .where(length(col("norm")) >= SubW)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, length(norm) - ${SubW - 1}), i -> substring(norm, i, $SubW))")).as("w"))
-      .where(expr(s"${h32Spark("w")} % $SubSel = 0"))
-      .distinct()
+        explode(expr(
+          s"""transform(
+             |  filter(sequence(1, length(norm) - ${SubW - 1}),
+             |         i -> ${h32Spark(s"substring(norm, i, $SubW)")} % $SubSel = 0),
+             |  i -> substring(norm, i, $SubW))""".stripMargin)).as("w"))
+    // one hash-shuffle: collect_set dedups (doc, window) inside the
+    // window groups, replacing the old distinct-then-collect_list two
+    // -exchange chain (sorted set == sorted distinct list)
     val pairs = wins.groupBy("w")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, SubHotDf))
       .select(explode(graft.functions.PairPack.pairPack(col("ds"))).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_shared"))
@@ -1565,9 +1581,16 @@ object Dedup {
     val sh = shingles(spark, sfDir)
     val idf = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val nDocs = sh.select(countDistinct("doc_id").as("d"))
+    // sever the shared weight tables (r13, guide §2.4 compute shared
+    // state once): idfW feeds the per-doc sums AND the verify join,
+    // docW attaches twice (wa/wb) — without the checkpoints each
+    // consumer re-ran the full shingle aggregate (measured: the idf
+    // subtree built twice at ~1.3 s each, the docW one twice more)
     val idfW = idf.crossJoin(broadcast(nDocs))
       .select(col("s"), log(col("d").cast("double") / col("df")).as("w"))
+      .localCheckpoint() // |vocab| rows
     val docW = sh.join(idfW, "s").groupBy("doc_id").agg(sum("w").as("wsum"))
+      .localCheckpoint() // |docs| rows
     val cands = pairScores(spark, sfDir)
       .where(col("inter") >= WJacMinInter).select("doc_a", "doc_b")
     val interW = cands

@@ -591,18 +591,31 @@ object GraphRank {
       .select(col("u"), explode(col("nb")).as("n"))
       .select(col("u"), col("n.id").as("v"), col("n.extra").as("s"))
     // round-2 contribution: scored user pair -> every capped (item of u,
-    // item of v) combination
+    // item of v) combination. The aggregate keys on the PACKED pair
+    // (r13, guide §2.4): the memoized item-pair aggregate below is
+    // already hash-partitioned by pk from its build, so a pk-keyed
+    // full join reuses that layout and the 13M-row model side never
+    // re-shuffles (the old (ia, ib)-keyed join exchanged ~134 MB of
+    // unpacked pairs per run); the contribution aggregate's own
+    // exchange doubles as the join's distribution.
     val contrib = s1t
       .join(rc.select(col("user_id").as("u"), col("item_id").as("ia")), "u")
       .join(rc.select(col("user_id").as("v"), col("item_id").as("ib")), "v")
       .where(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(sum("s").as("cs"))
+      .select((col("ia") * lit(graft.functions.PairPack.Base) + col("ib")).as("pk"),
+        col("s"))
+      .groupBy("pk").agg(sum("s").as("cs"))
     // identity diagonal = plain co-occurrence; FULL join keeps the pure
-    // SimRank pairs that share no user at all (contrib without co)
-    val ip = Recsys.unpack(itemPairAgg0(spark, sfDir), "ia", "ib")
-    val scored = ip.join(contrib, Seq("ia", "ib"), "full")
-      .select(col("ia"), col("ib"),
-        coalesce(col("co"), lit(0L)).as("co"), coalesce(col("cs"), lit(0L)).as("cs"))
+    // SimRank pairs that share no user at all (contrib without co).
+    // Both sides pack a<b pairs identically, so pk-equality IS
+    // (ia, ib)-equality; unpack after the join, where rows are final.
+    val ip = itemPairAgg0(spark, sfDir)
+    val scored = Recsys.unpack(
+        ip.join(contrib, Seq("pk"), "full")
+          .select(col("pk"),
+            coalesce(col("co"), lit(0L)).as("co"),
+            coalesce(col("cs"), lit(0L)).as("cs")),
+        "ia", "ib")
       .join(broadcast(di.select(col("item_id").as("ia"), col("di").as("dia"))), "ia")
       .join(broadcast(di.select(col("item_id").as("ib"), col("di").as("dib"))), "ib")
       .select(col("ia"), col("ib"), expr(

@@ -344,7 +344,9 @@ object Multimodal {
     * the per-doc signature aggregate moves |docs| rows, never payloads.
     */
   def mediaNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    mediaNearDupFrom(Tables.documents(spark, sfDir))
+    // spread: the per-byte cell grid otherwise runs on the small
+    // file's single scan task (r13, Tables.spread)
+    mediaNearDupFrom(Tables.spread(Tables.documents(spark, sfDir), "doc_id"))
 
   /** Frame-parameterized core — the spec drives it with a planted
     * stub-perturbed "re-encode" that md5 misses and the grid catches. */

@@ -636,14 +636,31 @@ object Recsys {
     // measurement was the SINGLE-job full-rerank shape, where reuse
     // already shared them — the multi-job delta tail changed that
     // calculus.)
-    val cappedNew = capHistories(mergedStr).select("user_id", "item_id")
-    val cappedOld = capHistories(oldStr).select("user_id", "item_id")
-    val unified = pairsWithin(cappedNew, "user_id", "item_id")
-        .select(col("pk"), lit(1L).as("d"))
-      .unionByName(pairsWithin(cappedOld, "user_id", "item_id")
-        .select(col("pk"), lit(-1L).as("d")))
-      .unionByName(cappedNew.select((-col("item_id") - 1).as("pk"), lit(1L).as("d")))
-      .unionByName(cappedOld.select((-col("item_id") - 1).as("pk"), lit(-1L).as("d")))
+    // fused cap→pair legs (r13, guide §1.2 step 2): capHistories
+    // followed by pairsWithin re-grouped the just-exploded per-user
+    // arrays — a second full ObjectHashAggregate pass per side whose
+    // exchange was already shared but whose array rebuild was not.
+    // The TopK aggregate's array IS each user's capped item set, so
+    // both the pair leg (PairPack over the ascending-sorted ids —
+    // exactly pairsWithin's sort_array(collect_list) order) and the
+    // count leg (explode of the same ids) read ONE aggregate per side.
+    def cappedAgg(str: DataFrame): DataFrame = str
+      .groupBy("user_id")
+      .agg(graft.functions.TopKByScore.topK(
+        MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
+      .select(sort_array(expr("transform(hs, x -> x.id)")).as("es"))
+    val aggNew = cappedAgg(mergedStr)
+    val aggOld = cappedAgg(oldStr)
+    def pairLeg(agg: DataFrame, d: Long): DataFrame = agg
+      .select(explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"),
+        lit(d).as("d"))
+    def cntLeg(agg: DataFrame, d: Long): DataFrame = agg
+      .select(explode(col("es")).as("item_id"))
+      .select((-col("item_id") - 1).as("pk"), lit(d).as("d"))
+    val unified = pairLeg(aggNew, 1L)
+      .unionByName(pairLeg(aggOld, -1L))
+      .unionByName(cntLeg(aggNew, 1L))
+      .unionByName(cntLeg(aggOld, -1L))
       .groupBy("pk").agg(sum("d").as("d"))
       .where(col("d") =!= 0) // a zero delta is no delta (and must not
                              // mark its endpoints as affected)
@@ -1221,14 +1238,23 @@ object Recsys {
     val shared = pairsWithin(r, "item_id", "user_id")
       .groupBy("pk")
       .agg(sort_array(collect_list(col("item_id"))).as("items"))
-      .withColumn("overlap", size(col("items")))
-    val contrib = shared.select(col("overlap"), explode(expr(
-        "flatten(transform(items, (x, i) -> transform(slice(items, i + 2, size(items)), y -> struct(x AS i, y AS j))))"
-      )).as("p"))
-    contrib
-      .groupBy(col("p.i").as("item_i"), col("p.j").as("item_j"))
-      .agg(round(sum(lit(1.0) / (lit(SwingAlpha) + col("overlap"))), 6).as("swing"),
-           count(lit(1)).as("n_user_pairs"))
+      // r13 (guide §1.2 step 2): the swing weight 1/(α+overlap) is
+      // constant per user pair — compute it ONCE here instead of per
+      // exploded item pair (the same double, so Σ is unchanged), and
+      // pack the item pair into one long via the codegen generator so
+      // the big aggregate groups on a primitive key (the itemPairAgg
+      // argument: measurably cheaper than struct keys at millions of
+      // rows). items is ascending-sorted, so PairPack's (a<b) pairs
+      // are exactly the old slice-transform pairs.
+      .withColumn("w", lit(1.0) / (lit(SwingAlpha) + size(col("items"))))
+    val contrib = shared.select(col("w"),
+      explode(graft.functions.PairPack.pairPack(col("items"))).as("pk2"))
+    unpack(
+      contrib.groupBy("pk2").agg(round(sum(col("w")), 6).as("swing"),
+          count(lit(1)).as("n_user_pairs"))
+        .withColumnRenamed("pk2", "pk"),
+      "item_i", "item_j")
+      .select("item_i", "item_j", "swing", "n_user_pairs")
       .orderBy(col("swing").desc, col("item_i").asc, col("item_j").asc)
       .limit(SwingTop)
   }
@@ -1747,29 +1773,36 @@ object Recsys {
     */
   def sknnRecommend(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey").as("user_id"), col("o_orderdate"))
-    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-    // basket item sets; feeds actives, history postings, sizes — severed once
-    val bi = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderkey").as("bk"), col("user_id"),
-              col("o_orderdate").as("dt"), col("l_partkey").as("item_id"))
+      .select(col("o_orderkey").as("bk"), col("o_custkey").as("user_id"),
+              col("o_orderdate").as("dt"))
+    // basket item sets, SLIM (r13, guide §2.3/§8): user and date are
+    // FUNCTIONS of the basket key, so the frame every downstream leg
+    // rescans carries only (bk, item_id) — the old 4-column checkpoint
+    // was 60 MB re-read 7× per run; basket metadata attaches by key
+    // from the |baskets|-sized side below. Same rows by construction
+    // (orders.bk is unique, so the join adds exactly the old columns).
+    val bi = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("item_id"))
       .distinct()
       .localCheckpoint()
+    // one row per basket that HAS items (= the old distinct(u,bk,dt))
+    val baskets = bi.select("bk").distinct().join(o, "bk")
+      .localCheckpoint() // feeds active argmax AND the postings recency key
     // active basket per user: the argmax struct aggregate (no window)
-    val active = bi.select("user_id", "bk", "dt").distinct()
-      .groupBy("user_id")
+    val active = baskets.groupBy("user_id")
       .agg(max(struct(col("dt"), col("bk"))).as("m"))
       .select(col("user_id"), col("m.bk").as("abk"))
     val sizes = bi.groupBy("bk").agg(count(lit(1)).as("n"))
-    val aItems = bi.as("b").join(active.as("a"),
-        col("b.user_id") === col("a.user_id") && col("b.bk") === col("a.abk"))
-      .select(col("b.user_id").as("user_id"), col("a.abk").as("abk"),
-              col("b.item_id").as("item_id"))
+    // join on the basket key alone: abk determines user_id (one active
+    // basket per user), so this equals the old (user AND bk) join
+    val aItems = bi.join(active.select(col("user_id"), col("abk").as("bk")), "bk")
+      .select(col("user_id"), col("bk").as("abk"), col("item_id"))
       .join(sizes.select(col("bk").as("abk"), col("n").as("na")), "abk")
       .localCheckpoint() // feeds pair gen AND the seen-item anti join
     // history postings: every non-active basket, recency-capped per item
     val hist = bi.join(active.select(col("abk")), bi("bk") === col("abk"), "left_anti")
     val postings = hist
+      .join(baskets.select(col("bk"), col("dt")), "bk")
       .withColumn("ds", expr("cast(unix_date(cast(dt AS date)) AS double)"))
       .groupBy("item_id")
       .agg(graft.functions.TopKByScore.topK(
@@ -1777,10 +1810,14 @@ object Recsys {
       .select(col("item_id"), explode(col("ps")).as("p"))
       .select(col("item_id"), col("p.id").as("hbk"))
       .join(sizes.select(col("bk").as("hbk"), col("n").as("nh")), "hbk")
-    // neighbor generation: shared-item join -> exact integer sim² units
+    // neighbor generation: shared-item join -> exact integer sim² units.
+    // Group on the 2 determining keys (user has ONE active basket; nh is
+    // a function of hbk) — same groups as the old 5-key form, 60% less
+    // key hashing on the query's biggest aggregate; na/nh ride along as
+    // max() of a constant-within-group column.
     val pairs = aItems.join(postings, "item_id")
-      .groupBy("user_id", "abk", "na", "hbk", "nh")
-      .agg(count(lit(1)).as("inter"))
+      .groupBy("user_id", "hbk")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nh").as("nh"))
       .withColumn("s_units",
         expr(s"(inter * inter * ${SknnUnits}L) div (na * nh)"))
     val nbrs = pairs.groupBy("user_id")
@@ -2545,7 +2582,12 @@ object Recsys {
         expr("transform(es, x -> x.item_id)"))).as("pk"))
     val na = seqs.select(col("user_id"), explode(expr("transform(es, x -> x.item_id)")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("n_a"))
-    val top = pairs.groupBy("pk").agg(count(lit(1)).as("n_ab"))
+    // r13: the ordered-pair space is nearly duplicate-free (like the
+    // co-occurrence space — the expandWeightedPairs measurement), so a
+    // partial+final aggregate shuffles (pk, count) pairs for ~no row
+    // reduction; repartition+complete moves bare 8-byte pks instead
+    // (measured: the pair exchange was this query's largest, ~98 MB)
+    val top = pairs.repartition(col("pk")).groupBy("pk").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= SeqMinSup)
       .select(shiftright(col("pk"), 32).as("a"),
         col("pk").bitwiseAND(graft.functions.PairPack.Base - 1L).as("b"), col("n_ab"))
