@@ -835,7 +835,7 @@ object Dedup {
     * run on synthesized corpora (scale specs) and at different k.
     */
   private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), explode(split(expr(normSpark), " ")).as("tok"))
       .withColumn("h", expr(h32Spark("tok")))
     // One groupBy(doc_id) with a ±1 vote-sum aggregate per bit: the

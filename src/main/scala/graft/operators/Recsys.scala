@@ -33,6 +33,16 @@ object Recsys {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Bucket count for the persisted CF serve/store tables. The refresh
+    * merge deliberately RIDES this layout shuffle-free (the
+    * ServeIndexSpec zero-reshuffle pins), which also makes it the
+    * refresh's degree of parallelism: at 8 buckets the merge's capped
+    * expansion ran 8 tasks wide on a 32-core session (measured: the
+    * 3.8 s top stage of q_itemcf_refresh). 32 matches the local
+    * session's parallelism; production sizes it to the cluster the
+    * same way bucket counts are always sized (r13, guide §2.2 —
+    * partition count is a scale parameter, not a magic number). */
+  val CfStoreBuckets = 32
   /** Hot-user guard: max items kept per user history. */
   val MaxHistory = 100
   /** Neighborhood size for item/user similarity. */
@@ -354,7 +364,7 @@ object Recsys {
       graft.sources.Sources.retireTable(spark, name)
       graft.sources.Sources.writeBucketedTable(
         itemcfSimilarity(spark, sfDir), name,
-        Seq("item_i"), 8, Seq("item_i", "rk"),
+        Seq("item_i"), CfStoreBuckets, Seq("item_i", "rk"),
         Some(graft.sources.Sources.serveLocation(spark, name)))
       spark.range(1).toDF("ok") // memo marker: the model table exists
     }.count(): Unit
@@ -501,14 +511,14 @@ object Recsys {
       val counts = capped.groupBy("item_id").agg(count(lit(1)).as("n_users"))
         .localCheckpoint() // ≤ |items| rows; same two consumers
       graft.sources.Sources.writeBucketedTable(
-        train, names("strengths"), Seq("user_id"), 8, Seq("user_id", "item_id"),
+        train, names("strengths"), Seq("user_id"), CfStoreBuckets, Seq("user_id", "item_id"),
         Some(loc("strengths")))
       graft.sources.Sources.writeBucketedTable(
-        pairs, names("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
+        pairs, names("pairs"), Seq("pk"), CfStoreBuckets, Seq("pk"), Some(loc("pairs")))
       graft.sources.Sources.writeExternalTable(counts, names("counts"), loc("counts"))
       graft.sources.Sources.writeBucketedTable(
         knnFromPairCounts(unpack(pairs, "item_i", "item_j"), counts),
-        names("model"), Seq("item_i"), 8, Seq("item_i", "rk"), Some(loc("model")))
+        names("model"), Seq("item_i"), CfStoreBuckets, Seq("item_i", "rk"), Some(loc("model")))
       spark.range(1).toDF("ok") // memo marker: the store exists
     }.count(): Unit
 
@@ -820,7 +830,7 @@ object Recsys {
       graft.sources.Sources.retireTable(spark, name)
       graft.sources.Sources.writeBucketedTable(
         itemcfRefresh(spark, sfDir), name,
-        Seq("item_i"), 8, Seq("item_i", "rk"),
+        Seq("item_i"), CfStoreBuckets, Seq("item_i", "rk"),
         Some(graft.sources.Sources.serveLocation(spark, name)))
       spark.range(1).toDF("ok") // memo marker: the rollout happened
     }.count(): Unit
@@ -875,10 +885,10 @@ object Recsys {
       graft.sources.Sources.writeBucketedTable(
         spark.table(old("strengths")).join(m.changed, Seq("user_id"), "left_anti")
           .unionByName(m.mergedStr),
-        adv("strengths"), Seq("user_id"), 8, Seq("user_id", "item_id"),
+        adv("strengths"), Seq("user_id"), CfStoreBuckets, Seq("user_id", "item_id"),
         Some(loc("strengths")))
       graft.sources.Sources.writeBucketedTable(
-        m.mergedPairs, adv("pairs"), Seq("pk"), 8, Seq("pk"), Some(loc("pairs")))
+        m.mergedPairs, adv("pairs"), Seq("pk"), CfStoreBuckets, Seq("pk"), Some(loc("pairs")))
       graft.sources.Sources.writeExternalTable(
         m.mergedCounts, adv("counts"), loc("counts"))
       graft.sources.Sources.writeBucketedTable(
@@ -887,7 +897,7 @@ object Recsys {
           oldModelOpt = if (rerankDelta(m.cntDelta.count(),
               spark.table(old("counts")).count()))
             Some(spark.table(old("model"))) else None),
-        adv("model"), Seq("item_i"), 8, Seq("item_i", "rk"), Some(loc("model")))
+        adv("model"), Seq("item_i"), CfStoreBuckets, Seq("item_i", "rk"), Some(loc("model")))
       spark.range(1).toDF("ok") // memo marker: the store advanced
     }.count(): Unit
 

@@ -715,7 +715,9 @@ object Relational {
     * friendly answer to exactly this), and nothing here widens rows.
     */
   def variantProps(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    // spread: per-row JSON parse + variant extraction otherwise runs
+    // on the small file's single scan task (r13, Tables.spread)
+    Tables.spread(Tables.events(spark, sfDir), "event_id")
       .withColumn("v", expr("parse_json(props)"))
       .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
       // to_json(named_struct(...)) builds the nested document — JSON

@@ -2201,7 +2201,9 @@ object Similarity {
     */
   def lshHyperplane(spark: SparkSession, sfDir: String): DataFrame = {
     val full = withNorm(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
-    val e = Tables.embeddings(spark, sfDir)
+    // spread: the dim-explode + plane-sum otherwise runs on the small
+    // file's single scan task (r13, Tables.spread)
+    val e = Tables.spread(Tables.embeddings(spark, sfDir), "vec_id")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("q", round(col("v").cast("double") * HpScale, 0).cast("long"))
     val signs = e.select("pos").distinct()

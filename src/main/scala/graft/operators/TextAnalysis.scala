@@ -107,7 +107,9 @@ object TextAnalysis {
     * token-budget selector: (doc_id, source, n_toks, sw_rate, awl,
     * score) with the 6dp-rounded composite quality score. */
   private[graft] def qualityScored(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: the tokenize-and-score chain otherwise runs on the small
+    // file's single scan task (r13, Tables.spread)
+    Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .withColumn("toks", split(expr(normSpark), " "))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("sw_rate",
@@ -427,7 +429,7 @@ object TextAnalysis {
     * since the model is built from the same corpus so every bigram
     * matches. */
   private def docBigramLl(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = Tables.documents(spark, sfDir)
+    val bi = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), col("source"), split(expr(normSpark), " ").as("ts"))
       // single-token docs have no bigrams: Spark's sequence(1, 0) would
       // throw where DuckDB's range(1, 1) is just empty — filter first
@@ -1791,7 +1793,7 @@ object TextAnalysis {
     */
   def rakeKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     val stopRe = Stopwords.mkString("\\\\b(", "|", ")\\\\b")
-    val phrases = Tables.documents(spark, sfDir)
+    val phrases = Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(explode(split(
         expr(s"regexp_replace($normSpark, '$stopRe', '§')"), "§")).as("raw"))
       .select(trim(col("raw")).as("phrase"))
