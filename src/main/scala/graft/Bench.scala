@@ -101,7 +101,15 @@ object Bench {
       val ok = sweeps.flatMap(_(k).toOption)
       if (ok.isEmpty) Left(k) else Right(k -> median(ok))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r14 (verdict #2 — per-query visibility): seconds are printed with
+    // 3 decimals (ms precision; the sub-ms digits were pure noise and
+    // doubled the line length) and map entries are sorted ASCENDING by
+    // time, so the harness's fixed-size output-tail window — which cuts
+    // the ~8 KB map line from the FRONT — always retains the most
+    // expensive queries, the ones a regression check needs. The full
+    // untruncated map is additionally written to bench_per_query.json.
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -110,9 +118,21 @@ object Bench {
       System.err.println(s"BENCH FAILURE $k: $msg")
     }
     // The per-query map comes first and the headline total last: the
-    // harness keeps only the final ~3 KB of output, so front-loading
-    // "value" would let the queries map push it past the cutoff.
-    println(s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"failures":$failJson,"metric":"total","value":$total,"unit":"sec"}""")
+    // harness keeps only the final ~2 KB of output, so front-loading
+    // "value" would let the queries map push it past the cutoff. The
+    // trailing metric/value fields of the map line survive the cut too
+    // (the line is truncated from the front).
+    val mapLine =
+      s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"failures":$failJson,"metric":"total","value":$total,"unit":"sec"}"""
+    println(mapLine)
+    // Sidecar with the complete per-query map (the tail window cannot
+    // hold 325 entries); best-effort — a read-only CWD must not fail
+    // the bench.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_per_query.json"),
+      (mapLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH sidecar write failed: $e") }
     // Compact duplicate for line-oriented parsers that read the last
     // JSON-looking line; harmless to consumers that parsed the line above.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failures":$failJson}""")

@@ -41,14 +41,26 @@ object Tables {
     * Deterministic hash key; the partition count is pinned to the
     * session's shuffle parallelism (scale-adaptive: the same setting
     * that sizes every other exchange) so AQE cannot coalesce the tiny
-    * bytes back into one task. At 100 TB inputs arrive as many splits
-    * and this one extra pass of the (small) column set is noise next
-    * to the per-row compute it parallelizes; apply it only where that
-    * compute is measured-heavy.
+    * bytes back into one task.
+    *
+    * r14 (verdict #1 — scale safety): the exchange is GATED on the
+    * scan's actual parallelism. At 100 TB these reads arrive as many
+    * splits already; an unconditional repartition would then (a) pay a
+    * full shuffle of the projected columns — at the documents sites
+    * that includes the text body, the heaviest column in the system —
+    * and (b) REDUCE parallelism whenever the split count exceeds the
+    * configured shuffle parallelism, concentrating text-heavy rows
+    * into oversized partitions (guide §5 spill risk). The exchange now
+    * exists only in the pathology it was built for: an input whose
+    * split count is below half the session target (the sub-split-size
+    * fixture files scan as ONE task). Reading the split count is a
+    * driver-side file-listing computation, not a job.
     */
-  private[graft] def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+  private[graft] def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= (n + 1) / 2) df
+    else df.repartition(n, col(key))
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")

@@ -100,4 +100,13 @@ object PairPack {
 
   def pairPack(c: Column): Column =
     GraftSqlBridge.column(PairPack(GraftSqlBridge.expression(c)))
+
+  /** Validated SCALAR pair pack (a·2³² + b): PairPack over a 2-element
+    * array, so scalar call sites (SimRank's contribution key) share the
+    * exact packing formula AND its [0, 2^32) range check with the
+    * generator sites instead of re-deriving the arithmetic unguarded
+    * (r13 advice #2 — an out-of-range id now fails fast rather than
+    * silently mismatching the validated store side of a pk join). */
+  def packPair(a: Column, b: Column): Column =
+    pairPack(org.apache.spark.sql.functions.array(a, b)).getItem(0)
 }

@@ -602,7 +602,7 @@ object GraphRank {
       .join(rc.select(col("user_id").as("u"), col("item_id").as("ia")), "u")
       .join(rc.select(col("user_id").as("v"), col("item_id").as("ib")), "v")
       .where(col("ia") < col("ib"))
-      .select((col("ia") * lit(graft.functions.PairPack.Base) + col("ib")).as("pk"),
+      .select(graft.functions.PairPack.packPair(col("ia"), col("ib")).as("pk"),
         col("s"))
       .groupBy("pk").agg(sum("s").as("cs"))
     // identity diagonal = plain co-occurrence; FULL join keeps the pure

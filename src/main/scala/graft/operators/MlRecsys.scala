@@ -40,6 +40,13 @@ object MlRecsys {
       .select(col("user_id").cast("int").as("user"),
               col("item_id").cast("int").as("item"),
               col("strength").cast("float").as("rating"))
+    // r14 (guide §5): the interactions join+aggregate lineage is read
+    // by the trainer's blockify pass AND again by the serving subset —
+    // persist (NOT localCheckpoint: partition layout must stay the
+    // lineage's own, it feeds the seeded trainer) for the fit, then
+    // release. Cache contents are the lineage's own rows, so output is
+    // byte-identical.
+    ratings.persist()
     val als = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       // rank 8 / 3 iterations: ALS reaches a usable factorization in 2-3
@@ -50,7 +57,11 @@ object MlRecsys {
       .setSeed(Seed).setColdStartStrategy("drop")
       .setNumUserBlocks(4).setNumItemBlocks(4)
     val model = als.fit(ratings)
+    // tiny (≤200 distinct ids): sever it off the cache before releasing
+    // so the lazy serve path doesn't re-run the interactions join
     val subset = ratings.select("user").distinct().where(col("user") < 200)
+      .localCheckpoint()
+    ratings.unpersist(blocking = false)
     model.recommendForUserSubset(subset, 5)
       .select(col("user").as("user_id"), posexplode(col("recommendations")))
       .select(col("user_id"), (col("pos") + 1).as("rk"),
@@ -138,7 +149,15 @@ object MlRecsys {
       // run-to-run, which is fine — the driver check is rows-only and
       // the spec asserts invariants, not values (SURVEY.md §7.4 item 3)
       .setNumPartitions(4).setMaxIter(1)
+    // r14 (guide §5): Word2Vec makes two full passes over its input
+    // lineage (vocabulary count, then the sentence build its own
+    // internal cache trains from) — persist the join+sort aggregate for
+    // the fit, release after. persist preserves partition contents
+    // exactly, so the trainer's internal repartition (and hence the
+    // seeded training walk) sees identical input.
+    seqs.persist()
     val model = w2v.fit(seqs)
+    seqs.unpersist(blocking = false)
     val topItem = Tables.lineitem(spark, sfDir)
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l_partkey").asc)
@@ -222,6 +241,7 @@ object MlRecsys {
       .select(col("user_id").cast("int").as("user"),
               col("item_id").cast("int").as("item"),
               col("strength").cast("float").as("rating"))
+    ratings.persist() // see alsRecommend: fit + subset share one build
     val als = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setImplicitPrefs(true).setAlpha(1.0)
@@ -230,6 +250,8 @@ object MlRecsys {
       .setNumUserBlocks(4).setNumItemBlocks(4)
     val model = als.fit(ratings)
     val subset = ratings.select("user").distinct().where(col("user") < 200)
+      .localCheckpoint()
+    ratings.unpersist(blocking = false)
     model.recommendForUserSubset(subset, 5)
       .select(col("user").as("user_id"), posexplode(col("recommendations")))
       .select(col("user_id"), (col("pos") + 1).as("rk"),
@@ -391,23 +413,39 @@ object MlRecsys {
     val cappedF = capped.join(freqItems, Seq("item"), "left_semi")
     val arrF = cappedF.groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("smin"), col("item"), col("smax")))).as("sp"))
-    // ordered pairs, map-side from each user's own (pruned) span array
-    val l2seq = arrF.select(col("sp"), explode(col("sp")).as("a"))
-      .select(col("a"), explode(col("sp")).as("b"))
-      .where(col("a.item") =!= col("b.item") && col("a.smin") < col("b.smax"))
-      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("freq"))
+    // ordered pairs, map-side from each user's own (pruned) span array.
+    // r14 (verdict #7, guide §1.2 step 2 / §2.3): the double explode
+    // materialized n² wide struct-pair ROWS per user before the filter
+    // and aggregated on a two-long key; [[graft.functions.SpanPairPack]]
+    // emits ONLY the qualifying ordered pairs (i ≠ j positionally —
+    // items are unique within a user's span array — and
+    // smin(i) < smax(j), the identical predicate) as packed primitive
+    // longs, and the aggregate groups on one 8-byte pk (the swing/CF
+    // key shape). Same multiset of (ia, ib) witnesses by construction.
+    val l2seq = Recsys.unpack(
+        arrF.select(explode(graft.functions.SpanPairPack.spanPairPack(
+            expr("transform(sp, x -> cast(x.smin AS bigint))"),
+            expr("transform(sp, x -> x.item)"),
+            expr("transform(sp, x -> cast(x.smax AS bigint))"))).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("freq")),
+        "ia", "ib")
       .select(concat(col("ia").cast("string"), lit(";"), col("ib").cast("string")).as("pattern"),
               lit(2).as("n_steps"), lit(2).as("n_items"), col("freq"))
     // same-basket pairs among capped frequent items; a user counts
-    // once per pair
+    // once per pair. r14: the posexplode + per-element slice COPY (the
+    // O(n²)-garbage HOF shape PairPack was built to replace) now rides
+    // the PairPack generator — positional i<j pairs of the
+    // ascending-sorted set ARE the ia<ib pairs, and the distinct runs
+    // on (user, pk) instead of (user, ia, ib).
     val stc = st.join(cappedF.select("user_id", "item"), Seq("user_id", "item"), "left_semi")
-    val l2same = stc.groupBy("user_id", "step")
-      .agg(sort_array(collect_set(col("item"))).as("its"))
-      .select(col("user_id"), col("its"), posexplode(col("its")).as(Seq("i", "ia")))
-      .select(col("user_id"), col("ia"), explode(expr("slice(its, i + 2, size(its))")).as("ib"))
-      .distinct()
-      .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+    val l2same = Recsys.unpack(
+        stc.groupBy("user_id", "step")
+          .agg(sort_array(collect_set(col("item"))).as("its"))
+          .select(col("user_id"),
+            explode(graft.functions.PairPack.pairPack(col("its"))).as("pk"))
+          .distinct()
+          .groupBy("pk").agg(count(lit(1)).as("freq")),
+        "ia", "ib")
       .select(concat(col("ia").cast("string"), lit(","), col("ib").cast("string")).as("pattern"),
               lit(1).as("n_steps"), lit(2).as("n_items"), col("freq"))
     l1.unionByName(l2seq).unionByName(l2same)

@@ -417,14 +417,6 @@ object Recsys {
       .select(col("user_id"), col("item_id"), col("strength"))
   }
 
-  /** The FROZEN ItemCF model: trained on pre-[[SplitDate]] data only,
-    * through the exact standing-model pipeline. The capped frame is
-    * severed once (it feeds both the count side and pair expansion). */
-  private def itemcfFrozenPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val capped = capHistories(trainInteractions(spark, sfDir)).localCheckpoint()
-    itemcfSimFrom(capped, expandWeightedPairs(capped))
-  }
-
   /** Model-staleness audit for the CF pillar — q_ivf_ingest_recall's
     * freeze-vs-rebuild question transposed: the serving model was
     * trained at [[SplitDate]] and interactions kept arriving. For
@@ -441,12 +433,23 @@ object Recsys {
     * (item, neighbor), slim per-item aggregates — nothing corpus-sized
     * beyond the frozen model's one training pass.
     */
-  def itemcfDrift(spark: SparkSession, sfDir: String): DataFrame =
+  def itemcfDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    // r14 (guide §2.4 compute shared state once): the frozen arm used
+    // to RETRAIN the pre-split model in-query (capped train + pair
+    // expansion + knn tail, then a session memo holding K·|items| more
+    // persisted rows). [[ensureCfStore]] already persists exactly that
+    // model — same capped pre-split statistics through the same
+    // [[knnFromPairCounts]] tail; the whole refresh lifecycle's
+    // oracle-verified correctness rests on that table BEING the frozen
+    // model (delta-reranked rows are carried from it verbatim and the
+    // result hash-matches the from-scratch rebuild) — so the audit now
+    // reads the store it audits, which is also what a production
+    // staleness monitor compares against: the SERVING model table.
+    ensureCfStore(spark, sfDir)
     itemcfDriftFrom(
       itemcfSimilarity(spark, sfDir).select("item_i", "rk", "item_j"),
-      memoSim(spark, sfDir, "itemcf_frozen") {
-        itemcfFrozenPlan(spark, sfDir)
-      }.select("item_i", "rk", "item_j"))
+      spark.table(cfStoreNames(sfDir)("model")).select("item_i", "rk", "item_j"))
+  }
 
   /** The drift summary over any two (item_i, rk, item_j) neighbor
     * tables — exposed so the spec can pin the identity case (a model
@@ -608,72 +611,105 @@ object Recsys {
     * strengths are integral-valued doubles, so a full cancellation
     * lands on exactly 0.0 and the > 0 filter drops the row (the same
     * exactness argument the co ≤ 0 and n_users ≤ 0 drops rest on). */
-  /** The UN-severed merged-strength plan — exactly what the first
-    * checkpoint job of [[mergeStats]] executes (shared code, so the
-    * two cannot drift); exposed for ServeIndexSpec's store-read +
-    * zero-history-rescan plan pin, because the r13 severs below hide
-    * the strengths-store scan from the final refresh explain. */
+  /** The UN-severed merged-strength plan — a projection of the SAME
+    * [[perUserItem]] aggregate the first checkpoint job of
+    * [[mergeStats]] executes (shared code, so the two cannot drift);
+    * exposed for ServeIndexSpec's store-read + zero-history-rescan
+    * plan pin, because the r13 severs below hide the strengths-store
+    * scan from the final refresh explain. */
   private[graft] def mergedStrengthsPlan(oldStrengths: DataFrame,
       post: DataFrame): DataFrame =
-    mergedStrengthsOf(
+    mergedStrengthsOf(perUserItem(
       oldStrengths.join(post.select("user_id").distinct(), Seq("user_id"), "left_semi"),
-      post)
+      post))
 
-  private def mergedStrengthsOf(oldStr: DataFrame, post: DataFrame): DataFrame =
-    oldStr.unionByName(post)
-      .groupBy("user_id", "item_id").agg(sum("strength").as("strength"))
-      .where(col("strength") > 0) // exact-0 cancellation = deleted row
+  /** Merged strengths of the changed users off the shared per-(user,
+    * item) aggregate; exact-0 cancellation = deleted row. */
+  private def mergedStrengthsOf(perUI: DataFrame): DataFrame =
+    perUI.select(col("user_id"), col("item_id"), col("sn").as("strength"))
+      .where(col("strength") > 0)
+
+  /** r14 (verdict #4, guide §2.4): ONE per-(user, item) pass over the
+    * changed users' store rows and the batch deltas, carrying BOTH
+    * sides' strengths — `so` = the old store strength (null when the
+    * item was absent from the user's store rows; store rows are unique
+    * per (user, item) by construction of the bucketed groupBy write,
+    * so the sum is that row's value), `sn` = the merged strength. The
+    * explicit user_id repartition serves this grouping AND the
+    * per-user capped-set aggregate stacked right on top of it with ONE
+    * exchange (hash(user_id) clusters both — the
+    * [[Tables.interactions]] one-exchange argument); r13 paid two
+    * full-width aggregate exchanges here (merged strengths, then each
+    * side's capped TopK re-grouping). */
+  private def perUserItem(oldStr: DataFrame, post: DataFrame): DataFrame =
+    oldStr.select(col("user_id"), col("item_id"), col("strength"), lit(true).as("old"))
+      .unionByName(
+        post.select(col("user_id"), col("item_id"), col("strength"), lit(false).as("old")))
+      .repartition(col("user_id"))
+      .groupBy("user_id", "item_id")
+      .agg(sum(when(col("old"), col("strength"))).as("so"),
+        sum("strength").as("sn"))
 
   private[graft] def mergeStats(oldStrengths: DataFrame, oldPairs: DataFrame,
       oldCounts: DataFrame, post: DataFrame): CfMerge = {
     val changed = post.select("user_id").distinct()
     val oldStr = oldStrengths.join(changed, Seq("user_id"), "left_semi")
-    val mergedStr = mergedStrengthsOf(oldStr, post)
+    val perUI = perUserItem(oldStr, post)
+    val mergedStr = mergedStrengthsOf(perUI)
     // r13 OPTIMIZATION (guide §2.4 "compute shared state once", §5):
     // the two membership deltas feed SEVERAL downstream JOBS (the
     // affected-set checkpoint, the merged-pair and merged-count joins,
     // the adaptive-gate count, the chain's store writes) — and
-    // exchange reuse only shares subtrees WITHIN one job. Before the
-    // sever the final refresh plan scanned the strengths store 18
-    // times (66 Exchanges, 0 reuse across its job boundaries) and
-    // q_itemcf_refresh cost 21-31 s at sf0.1. Both deltas are computed
-    // in ONE keyed aggregate job — pair keys ride their packed pk
-    // (always ≥ 0) and count keys the NEGATIVE space -(item_id)-1, so
-    // the two key families cannot collide for any id — then severed
-    // ONCE; the expensive capped-history pair expansions run exactly
-    // once, with in-job reuse sharing the capped frames between the
-    // pair and count branches. (The r12 "severing COSTS ~40%"
-    // measurement was the SINGLE-job full-rerank shape, where reuse
-    // already shared them — the multi-job delta tail changed that
-    // calculus.)
-    // fused cap→pair legs (r13, guide §1.2 step 2): capHistories
-    // followed by pairsWithin re-grouped the just-exploded per-user
-    // arrays — a second full ObjectHashAggregate pass per side whose
-    // exchange was already shared but whose array rebuild was not.
-    // The TopK aggregate's array IS each user's capped item set, so
-    // both the pair leg (PairPack over the ascending-sorted ids —
-    // exactly pairsWithin's sort_array(collect_list) order) and the
-    // count leg (explode of the same ids) read ONE aggregate per side.
-    def cappedAgg(str: DataFrame): DataFrame = str
-      .groupBy("user_id")
-      .agg(graft.functions.TopKByScore.topK(
-        MaxHistory, col("strength"), col("item_id"), lit(0L)).as("hs"))
-      .select(sort_array(expr("transform(hs, x -> x.id)")).as("es"))
-    val aggNew = cappedAgg(mergedStr)
-    val aggOld = cappedAgg(oldStr)
-    def pairLeg(agg: DataFrame, d: Long): DataFrame = agg
-      .select(explode(graft.functions.PairPack.pairPack(col("es"))).as("pk"),
-        lit(d).as("d"))
-    def cntLeg(agg: DataFrame, d: Long): DataFrame = agg
-      .select(explode(col("es")).as("item_id"))
-      .select((-col("item_id") - 1).as("pk"), lit(d).as("d"))
-    val unified = pairLeg(aggNew, 1L)
-      .unionByName(pairLeg(aggOld, -1L))
-      .unionByName(cntLeg(aggNew, 1L))
-      .unionByName(cntLeg(aggOld, -1L))
+    // exchange reuse only shares subtrees WITHIN one job. Both deltas
+    // are computed in ONE keyed aggregate job — pair keys ride their
+    // packed pk (always ≥ 0) and count keys the NEGATIVE space
+    // -(item_id)-1, collision-free for any NON-NEGATIVE id (a negative
+    // id would land in the pair space; ids here are catalog item keys,
+    // and every ≥2-item set passes PairPack's [0, 2^32) range check) —
+    // then severed ONCE.
+    //
+    // r14 OPTIMIZATION (verdict #4, guide §1.2 step 1 + §2.3): the r13
+    // shape still expanded BOTH sides' FULL capped pair spaces (two
+    // TopK aggregates, two O(cap²) PairPack explodes) and let the
+    // global (pk, d) aggregate cancel the overlap. Now ONE aggregate
+    // computes both capped sets per user (two TopK functions in one
+    // ObjectHashAggregate pass over the shared perUserItem frame);
+    // users whose capped set is provably unchanged (eo = en as sorted
+    // arrays ⇒ identical sets ⇒ every ±1 cancels exactly) are skipped
+    // BEFORE any expansion; and each surviving user emits only the SET
+    // DIFFERENCES — array_except on the packed pair arrays and on the
+    // item arrays — so the explode and the (pk, d) exchange carry the
+    // per-user delta, not 2× the full pair space. Row-for-row: a pk in
+    // both sides' pairs summed to 0 and was dropped by the d ≠ 0
+    // filter; a pk in one side only is exactly the ±1 array_except
+    // emits; global sums over users are unchanged.
+    val sets = perUI.groupBy("user_id")
+      .agg(
+        graft.functions.TopKByScore.topK(
+          MaxHistory, col("so"), col("item_id"), lit(0L)).as("ho"),
+        graft.functions.TopKByScore.topK(
+          MaxHistory, when(col("sn") > 0, col("sn")), col("item_id"), lit(0L)).as("hn"))
+      .select(sort_array(expr("transform(ho, x -> x.id)")).as("eo"),
+        sort_array(expr("transform(hn, x -> x.id)")).as("en"))
+      .where(col("en") =!= col("eo"))
+    val unified = sets
+      .select(col("en"), col("eo"),
+        graft.functions.PairPack.pairPack(col("en")).as("pn"),
+        graft.functions.PairPack.pairPack(col("eo")).as("po"))
+      .select(explode(concat(
+        transform(array_except(col("pn"), col("po")),
+          x => struct(x.as("pk"), lit(1L).as("d"))),
+        transform(array_except(col("po"), col("pn")),
+          x => struct(x.as("pk"), lit(-1L).as("d"))),
+        transform(array_except(col("en"), col("eo")),
+          x => struct((-x - 1).as("pk"), lit(1L).as("d"))),
+        transform(array_except(col("eo"), col("en")),
+          x => struct((-x - 1).as("pk"), lit(-1L).as("d"))))).as("e"))
+      .select(col("e.pk").as("pk"), col("e.d").as("d"))
       .groupBy("pk").agg(sum("d").as("d"))
-      .where(col("d") =!= 0) // a zero delta is no delta (and must not
-                             // mark its endpoints as affected)
+      .where(col("d") =!= 0) // cross-user cancellation: a zero delta is
+                             // no delta (and must not mark its
+                             // endpoints as affected)
       .localCheckpoint() // the ONE sever: every consumer below reads it
     // pair delta aggregated to (pk, dco) BEFORE the store merge, and
     // the merge is a FULL OUTER join on pk — the store side is

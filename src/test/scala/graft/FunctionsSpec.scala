@@ -82,6 +82,50 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getSeq[Long](0).isEmpty && rows(2).getSeq[Double](1).isEmpty)
   }
 
+  test("span_pair_pack equals the double-explode span filter on random spans") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = functions.PairPack.Base
+    // random per-user span tables: distinct items, random (smin ≤ smax)
+    // step spans — the generator must emit exactly the ordered pairs
+    // i ≠ j with smin(i) < smax(j) of the smin-sorted array
+    val spanGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 8L)))
+    val p = Prop.forAll(spanGen) { raw =>
+      val spans = raw.zipWithIndex
+        .map { case ((item, lo, d), ix) => (lo, ix.toLong * 50 + item, lo + d) }
+        .sortBy(s => (s._1, s._2, s._3)) // items made unique, smin-sorted
+      val want = (for {
+        a <- spans; b <- spans
+        if a._2 != b._2 && a._1 < b._3
+      } yield a._2 * base + b._2).sorted
+      val session = spark
+      import session.implicits._
+      val got = Seq((spans.map(_._1), spans.map(_._2), spans.map(_._3)))
+        .toDF("smin", "ids", "smax")
+        .select(functions.SpanPairPack.spanPairPack(
+          col("smin"), col("ids"), col("smax")).as("pks"))
+        .head.getSeq[Long](0).sorted
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("span_pair_pack rejects unsorted smin and out-of-range ids") {
+    val session = spark
+    import session.implicits._
+    def run(smin: Seq[Long], ids: Seq[Long], smax: Seq[Long]) =
+      Seq((smin, ids, smax)).toDF("smin", "ids", "smax")
+        .select(functions.SpanPairPack.spanPairPack(
+          col("smin"), col("ids"), col("smax")))
+        .collect()
+    val e1 = intercept[Exception](run(Seq(3L, 1L), Seq(1L, 2L), Seq(4L, 4L)))
+    assert(e1.getMessage.contains("non-decreasing"))
+    val e2 = intercept[Exception](
+      run(Seq(1L, 2L), Seq(1L, functions.PairPack.Base), Seq(4L, 4L)))
+    assert(e2.getMessage.contains("outside [0, 2^32)"))
+  }
+
   test("pair_diff expands v(i)-v(j) in pair_pack's iteration order") {
     val session = spark
     import session.implicits._

@@ -46,6 +46,23 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
     assert(out.select(unix_micros(col("ts"))).head.getLong(0) === usWanted)
   }
 
+  test("spread: a sub-parallel input is repartitioned to the session target") {
+    val one = spark.range(0, 100, 1, 1).toDF("k")
+    val out = Tables.spread(one, "k")
+    assert(out.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  test("spread: an already-parallel input passes through un-exchanged") {
+    // r14 scale-safety gate: at 100 TB scans arrive as many splits and
+    // spread must NOT pay a full shuffle of the projected columns (nor
+    // reduce parallelism below the natural split count)
+    val many = spark.range(0, 100, 1,
+      spark.sessionState.conf.numShufflePartitions).toDF("k")
+    assert(Tables.spread(many, "k") eq many,
+      "spread must be the identity on an input at/above half the target parallelism")
+  }
+
   test("events loader yields a TIMESTAMP ts on the on-disk fixture") {
     val ev = Tables.events(spark, sfTest)
     assert(ev.schema("ts").dataType === TimestampType)
