@@ -124,7 +124,15 @@ object GraphRank {
       val half = weightedHalfEdges(spark, sfDir)
       mirrorWithOutW(half.select(
         col("item_i").as("src"), col("item_j").as("dst"), col("co").as("w")))
-        .coalesce(8)
+        // r14 (guide §2.4 share the exchange — the simrank memo trick):
+        // the cached layout is hash(dst, 8), so every PageRank-family
+        // round's contribution aggregate (groupBy dst after the
+        // broadcast rank join, which preserves the child layout) rides
+        // the memo's partitioning with ZERO per-round exchange. Same
+        // partition count as the old coalesce(8): a few partitions are
+        // plenty for the sparsified graph — per-round task scheduling
+        // otherwise dominates the tiny per-task work.
+        .repartition(8, col("dst"))
     }
 
   /** Memoized node set of [[copurchaseEw]]. */
@@ -153,6 +161,15 @@ object GraphRank {
     // per-round edge join; web-scale node set → the same recurrence
     // with shuffled equi-joins on src
     val fitsBroadcast = nV <= bcastCeiling
+    // r14 NOTE (measured, kept for the record): fusing all rounds into
+    // ONE job (no per-round localCheckpoint — legal here, the chain
+    // references the previous vector once per round) was TRIED and
+    // MEASURED SLOWER in an interleaved A/B under identical load
+    // (pagerank 2.0→3.2 s, rwr 2.1→3.3 s, katz 1.55→2.2 s medians):
+    // each run re-plans and re-codegens the full nested R-round plan
+    // and AQE re-optimizes it at every exchange, which costs more than
+    // the R−1 scheduler round-trips it saves. The per-round sever keeps
+    // each round a tiny cached-codegen plan; reverted.
     var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
     for (_ <- 1 to Rounds) {
       val contrib = rankContribJoin(
@@ -854,8 +871,14 @@ object GraphRank {
     val e = Recsys.transitionEdges(spark, sfDir)
       .where(col("item_id") =!= col("next_item"))
       .select(col("item_id").as("src"), col("next_item").as("dst"), col("n").as("w"))
-    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
-    val inW  = e.groupBy("dst").agg(sum("w").as("in_w"))
+    // r14 (guide §2.4 compute shared state once): each degree table is
+    // read by TWO driver count jobs AND the final retrieval job, and
+    // every un-severed read re-aggregated the whole edge memo (the
+    // stage profile showed 8-9 edge-table passes per salsa run) —
+    // checkpoint the node-sized degree tables once; the counts below
+    // are then free scans of the checkpointed rows
+    val outW = e.groupBy("src").agg(sum("w").as("out_w")).localCheckpoint()
+    val inW  = e.groupBy("dst").agg(sum("w").as("in_w")).localCheckpoint()
     // tiny driver-side counts fix the uniform start and pick the branch
     val nHub = outW.count()
     require(nHub > 0, "salsa: empty transition graph")
@@ -1015,7 +1038,7 @@ object GraphRank {
         .select(col("item"),
           expr(s"((CASE WHEN item = ${seed}L THEN ${100 - DampPct} * ${TotalUnits}L ELSE 0L END)" +
             s" + $DampPct * coalesce(s, 0L)) div 100").as("rank"))
-        .localCheckpoint()
+        .localCheckpoint() // see pagerankOf's r14 A/B note
     }
     ranks
       .withColumn("rk", row_number().over(Window.orderBy(col("rank").desc, col("item").asc)))
@@ -1747,7 +1770,7 @@ object GraphRank {
           s"($KatzAlphaNum * (${KatzUnit}L + katz)) div $KatzAlphaDen")).as("s"))
       c = nodes.join(contrib, Seq("item"), "left")
         .select(col("item"), coalesce(col("s"), lit(0L)).as("katz"))
-        .localCheckpoint()
+        .localCheckpoint() // see pagerankOf's r14 A/B note
     }
     c
   }
