@@ -1177,6 +1177,11 @@ object Dedup {
     ensureDedupIndex(spark, sfDir)
     // the grow lineage: standing build + wave-1 admission append
     ensureDedupGrow(spark, sfDir)
+    // r14: the r13-build delete/compact lifecycle stores, previously
+    // missing here — their one-time writes ran inside the first timed
+    // query run (see Similarity.warm's r14 note)
+    ensureDedupTombstones(spark, sfDir)
+    ensureDedupCompact(spark, sfDir)
   }
 
   /** Containment threshold (|A∩B| / |A|). */

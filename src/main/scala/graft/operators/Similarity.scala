@@ -2065,6 +2065,15 @@ object Similarity {
     // compaction rewrite (one-time writes the serve queries then read)
     ensureIngestAppend(spark, sfDir)
     ensureIngestCompact(spark, sfDir)
+    // r14: the r13-build lifecycle stores were missing from the warm
+    // stage, so their one-time writes ran inside whichever query
+    // touched them first (q_pq_ingest_recall's first run paid ~11.5 s
+    // of PQ codebook/code/vector store builds before 1.5 s of actual
+    // retrieval) — the exact misattribution the warm stage exists to
+    // prevent (Bench.scala's documented feature-store methodology;
+    // every pre-r13 ensure* hook is already here).
+    ensurePqIngestAppend(spark, sfDir)
+    ensureDeleteCompact(spark, sfDir)
   }
 
   /** Semantic components over the mutual-kNN graph — graph-based
