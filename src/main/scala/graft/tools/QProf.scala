@@ -37,7 +37,10 @@ object QProf {
       // floor keeps small-but-CPU-heavy shuffles parallel; at real
       // scale partitions sit far above either floor, so this only
       // changes behavior where the default was pathological.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // SPARK_GRAFT_QPROF_MINPART overrides the floor for A/B runs
+      // (dev tool only — Bench/Verify keep the fixed value)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_QPROF_MINPART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -83,6 +86,10 @@ object QProf {
             val site = i.details.linesIterator
               .find(l => l.contains("graft.") && !l.contains("QProf"))
               .map(_.trim)
+              // no graft frame (AQE pool stages): fall back to the
+              // stage NAME's callsite token so checkpoint/exchange
+              // stages are still attributable
+              .orElse(Option(i.name).map(_.take(60)))
             val ops = i.rddInfos.flatMap(_.scope).map(_.name)
               .filterNot(Set("mapPartitionsInternal", "DeserializeToObject"))
               .distinct.mkString(">")
